@@ -1,0 +1,100 @@
+"""Dictionary encoding: unique values + RLE/bit-packed indices.
+
+Mirrors the reference's dictionary path
+(/root/reference/internal/layout/dictpage.go:150-304): dictionary values are
+PLAIN-encoded (dictPageCompress, dictpage.go:64-83); indices are RLE-hybrid
+at ``bit_width = bits.Len(dict_size - 1)`` prefixed by one bit-width byte
+(dictpage.go:275-278); a byte-size budget caps the dictionary
+(writer/writer.go:21-22 — default 1 MiB) and overflow falls back to PLAIN
+(dictpage.go:161-195).
+
+The reference builds the dict with a per-value hash-map insert; we use
+np.unique(return_inverse=True) over the whole chunk — single pass,
+vectorized, and (unlike the reference) needs no two-phase bit-width
+finalization because the chunk is complete before we emit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import plainc, rle
+
+DEFAULT_DICT_BUDGET = 1 << 20  # bytes, writer/writer.go:21-22
+
+
+def build_numeric(values: np.ndarray, budget: int = DEFAULT_DICT_BUDGET):
+    """Return (uniques, codes) or None if the dictionary exceeds ``budget``."""
+    uniques, codes = np.unique(values, return_inverse=True)
+    if uniques.nbytes > budget:
+        return None
+    return uniques, codes.astype(np.uint64)
+
+
+def build_bytes(
+    data: bytes, offsets: np.ndarray, budget: int = DEFAULT_DICT_BUDGET
+):
+    """Dictionary for a byte-array column given Arrow-style (data, offsets).
+
+    Uses np.unique over per-value byte objects via a void-dtype view when
+    values are fixed width, else over an object array (still one numpy sort,
+    not per-row Python in the Spark sense — this runs once per column chunk).
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if n == 0:
+        return np.array([], dtype=object), np.zeros(0, dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    lengths = np.diff(offsets)
+    # fixed-width fast path: view as void records
+    if lengths.min() == lengths.max() and lengths[0] > 0:
+        w = int(lengths[0])
+        recs = arr[int(offsets[0]) : int(offsets[-1])].reshape(n, w)
+        recs_v = np.ascontiguousarray(recs).view(np.dtype((np.void, w))).ravel()
+        uniq_v, codes = np.unique(recs_v, return_inverse=True)
+        uniq_bytes = [bytes(u) for u in uniq_v.view(np.uint8).reshape(-1, w)]
+    else:
+        objs = np.empty(n, dtype=object)
+        mv = memoryview(data)
+        starts = offsets[:-1]
+        ends = offsets[1:]
+        objs[:] = [bytes(mv[int(s) : int(e)]) for s, e in zip(starts, ends)]
+        uniq, codes = np.unique(objs, return_inverse=True)
+        uniq_bytes = list(uniq)
+    size = sum(len(u) for u in uniq_bytes) + 4 * len(uniq_bytes)
+    if size > budget:
+        return None
+    return uniq_bytes, codes.astype(np.uint64)
+
+
+def index_bit_width(dict_size: int) -> int:
+    """bits.Len(dict_size - 1), min 1 (dictpage.go:275-278)."""
+    return max(1, int(dict_size - 1).bit_length()) if dict_size > 0 else 1
+
+
+def encode_indices(codes: np.ndarray, dict_size: int) -> bytes:
+    bw = index_bit_width(dict_size)
+    return bytes([bw]) + rle.encode(codes, bw)
+
+
+def decode_indices(buf: bytes, count: int, dict_size: int) -> np.ndarray:
+    if len(buf) < 1:
+        raise ValueError("missing dictionary index bit-width byte")
+    bw = buf[0]
+    if bw > 32:
+        raise ValueError(f"dictionary index width {bw} too large")
+    codes = rle.decode(buf[1:], bw, count)
+    if len(codes) and codes.max() >= dict_size:
+        raise ValueError("dictionary index out of range")  # page_read.go:29-57
+    return codes
+
+
+def encode_dict_values_numeric(uniques: np.ndarray) -> bytes:
+    return plainc.encode_numeric(uniques)
+
+
+def encode_dict_values_bytes(uniq_bytes: list[bytes]) -> bytes:
+    data = b"".join(uniq_bytes)
+    offsets = np.zeros(len(uniq_bytes) + 1, dtype=np.int64)
+    np.cumsum([len(u) for u in uniq_bytes], out=offsets[1:])
+    return plainc.encode_byte_array(data, offsets)

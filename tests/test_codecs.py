@@ -1,0 +1,372 @@
+"""Roundtrip + boundary tests for the pure-numpy codec kernels.
+
+Mirrors the reference's table-driven sweep style
+(/root/reference/internal/encoding/encodingwrite_test.go:35-66 — bit widths
+0,1,7,8,9,31,32,63,64 with boundary values) and the FIXTURES.md F2 vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parquet_go_spark.codecs import (
+    bitpack,
+    bss,
+    delta,
+    deltaba,
+    dictionary,
+    fsst,
+    plainc,
+    rle,
+    varint,
+)
+
+
+# ---------- varint / zigzag ----------
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 300, 2**31, 2**63, 2**64 - 1])
+def test_uvarint_roundtrip(v):
+    buf = varint.write_uvarint(v)
+    got, pos = varint.read_uvarint(buf)
+    assert got == v and pos == len(buf)
+
+
+@pytest.mark.parametrize("v", [0, -1, 1, -2, 2, 2**62, -(2**63), 2**63 - 1])
+def test_zigzag_roundtrip(v):
+    assert varint.zigzag_decode(varint.zigzag_encode(v)) == v
+
+
+def test_zigzag_array():
+    a = np.array([0, -1, 1, -(2**31), 2**31 - 1], dtype=np.int64)
+    enc = varint.zigzag_encode_array(a)
+    assert np.array_equal(varint.zigzag_decode_array(enc), a)
+
+
+def test_uvarint_truncated():
+    with pytest.raises(ValueError):
+        varint.read_uvarint(b"\xff\xff")
+
+
+# ---------- bitpack ----------
+
+BITWIDTH_SWEEP = [1, 2, 7, 8, 9, 16, 17, 31, 32, 33, 63, 64]
+
+
+@pytest.mark.parametrize("bw", BITWIDTH_SWEEP)
+def test_bitpack_boundary_values(bw):
+    top = (1 << bw) - 1
+    vals = np.array(
+        [0, 1, top, top - 1 if top else 0, top // 2, 1 if bw == 1 else min(2, top)],
+        dtype=np.uint64,
+    )
+    buf = bitpack.pack(vals, bw)
+    assert len(buf) == -(-len(vals) * bw // 8)
+    out = bitpack.unpack(buf, len(vals), bw)
+    assert np.array_equal(out, vals)
+
+
+def test_bitpack_random_roundtrip():
+    rng = np.random.default_rng(42)
+    for bw in [1, 5, 12, 17, 23, 40, 64]:
+        n = int(rng.integers(1, 1000))
+        hi = (1 << bw) - 1
+        vals = rng.integers(0, hi, size=n, endpoint=True, dtype=np.uint64)
+        assert np.array_equal(bitpack.unpack(bitpack.pack(vals, bw), n, bw), vals)
+
+
+def test_bitpack_empty_and_zero_width():
+    assert bitpack.pack(np.array([], dtype=np.uint64), 5) == b""
+    assert len(bitpack.unpack(b"", 0, 5)) == 0
+    assert np.array_equal(
+        bitpack.unpack(b"", 4, 0), np.zeros(4, dtype=np.uint64)
+    )
+
+
+def test_bitpack_truncated_raises():
+    with pytest.raises(ValueError):
+        bitpack.unpack(b"\x01", 100, 7)
+
+
+# ---------- RLE / bit-packed hybrid ----------
+
+def _rle_rt(vals, bw):
+    buf = rle.encode(np.asarray(vals, dtype=np.uint64), bw)
+    out = rle.decode(buf, bw, len(vals))
+    assert np.array_equal(out, np.asarray(vals, dtype=np.uint64))
+    return buf
+
+
+def test_rle_all_equal():
+    buf = _rle_rt(np.full(1000, 7), 3)
+    assert len(buf) <= 4  # one RLE run: header varint + 1 value byte
+
+
+def test_rle_alternating_pure_literals():
+    vals = np.tile([0, 1], 500)
+    _rle_rt(vals, 1)
+
+
+def test_rle_run_threshold_boundary():
+    # runs of exactly 7 (literal) and exactly 8 (RLE) — encodingwrite.go:88
+    vals = np.concatenate([np.full(7, 1), np.full(8, 2), np.full(7, 3)])
+    _rle_rt(vals, 2)
+
+
+def test_rle_literal_alignment():
+    # 5 literals then a run of 9: reference steals 3 to align (encodingwrite.go:104-115)
+    vals = np.concatenate([np.array([1, 2, 3, 4, 5]), np.full(9, 6)])
+    _rle_rt(vals, 3)
+    # stolen run drops below 8 -> whole thing literal
+    vals2 = np.concatenate([np.array([1, 2, 3, 4, 5]), np.full(8, 6)])
+    _rle_rt(vals2, 3)
+
+
+def test_rle_zero_width():
+    buf = rle.encode(np.zeros(100, dtype=np.uint64), 0)
+    assert np.array_equal(rle.decode(buf, 0, 100), np.zeros(100, dtype=np.uint64))
+
+
+def test_rle_random_roundtrip():
+    rng = np.random.default_rng(7)
+    for bw in [1, 4, 11, 20, 33]:
+        hi = 1 << min(bw, 16)
+        vals = rng.integers(0, hi, size=2000, dtype=np.uint64)
+        # inject long runs (values must fit the bit width)
+        vals[100:150] = hi - 1
+        vals[900:1100] = hi // 2
+        _rle_rt(vals, bw)
+
+
+def test_rle_length_prefix_variant():
+    vals = np.arange(100, dtype=np.uint64) % 16
+    buf = rle.encode_with_length_prefix(vals, 4)
+    out, consumed = rle.decode_with_length_prefix(buf, 4, 100)
+    assert consumed == len(buf)
+    assert np.array_equal(out, vals)
+
+
+def test_rle_malformed():
+    with pytest.raises(ValueError):
+        rle.decode(b"\x10", 8, 200)  # truncated RLE value
+    with pytest.raises(ValueError):
+        rle.decode(varint.write_uvarint(1000 << 1) + b"\x01", 8, 5)  # run > count
+    with pytest.raises(ValueError):
+        rle.decode_with_length_prefix(b"\xff\xff\xff\x7f", 4, 10)
+
+
+# ---------- DELTA_BINARY_PACKED ----------
+
+@pytest.mark.parametrize("itemsize", [4, 8])
+def test_delta_basic(itemsize):
+    dt = np.int32 if itemsize == 4 else np.int64
+    for vals in [
+        np.array([], dtype=dt),
+        np.array([42], dtype=dt),
+        np.array([7, 5, 3, 1, 2, 3, 4, 5], dtype=dt),
+        np.arange(1000, dtype=dt),            # sorted: min_delta > 0
+        np.arange(1000, 0, -1, dtype=dt),     # descending
+        np.zeros(129, dtype=dt),              # crosses block boundary
+        np.arange(161, dtype=dt) * 3,         # crosses miniblock boundary
+    ]:
+        out = delta.decode(delta.encode(vals, itemsize), itemsize)
+        assert out.dtype == dt
+        assert np.array_equal(out, vals)
+
+
+def test_delta_negatives_and_extremes():
+    vals = np.array(
+        [0, -1, 2**31 - 1, -(2**31), 5, -5, 0], dtype=np.int32
+    )
+    assert np.array_equal(delta.decode(delta.encode(vals, 4), 4), vals)
+    vals64 = np.array([2**63 - 1, -(2**63), 0, -1, 1], dtype=np.int64)
+    assert np.array_equal(delta.decode(delta.encode(vals64, 8), 8), vals64)
+
+
+def test_delta_sawtooth_blocks():
+    # pattern crossing the 128-value block and 32-value miniblock boundaries
+    n = 128 * 3 + 37
+    vals = (np.arange(n) % 50 * 17 - 300).astype(np.int64)
+    assert np.array_equal(delta.decode(delta.encode(vals, 8), 8), vals)
+
+
+def test_delta_random():
+    rng = np.random.default_rng(1)
+    vals = rng.integers(-(2**40), 2**40, size=5000, dtype=np.int64)
+    assert np.array_equal(delta.decode(delta.encode(vals, 8), 8), vals)
+    v32 = rng.integers(-(2**31), 2**31, size=5000, dtype=np.int32)
+    assert np.array_equal(delta.decode(delta.encode(v32, 4), 4), v32)
+
+
+def test_delta_malformed():
+    with pytest.raises(ValueError):
+        delta.decode(b"\x00", 8)  # truncated header
+    good = delta.encode(np.arange(500, dtype=np.int64), 8)
+    with pytest.raises(ValueError):
+        delta.decode(good[: len(good) // 2], 8)  # truncated payload
+
+
+def test_bit_length_array_exact():
+    vals = []
+    for k in [1, 7, 8, 9, 31, 32, 53, 63]:
+        vals += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    vals += [0, 1, 2**64 - 1]
+    a = np.array(vals, dtype=np.uint64)
+    expect = np.array([int(v).bit_length() for v in vals])
+    assert np.array_equal(delta.bit_length_array(a), expect)
+
+
+# ---------- PLAIN ----------
+
+def test_plain_numeric_roundtrip():
+    for dt in [np.int32, np.int64, np.float32, np.float64]:
+        rng = np.random.default_rng(3)
+        vals = rng.standard_normal(257).astype(dt)
+        out = plainc.decode_numeric(plainc.encode_numeric(vals), np.dtype(dt), 257)
+        assert np.array_equal(out, vals)
+
+
+def test_plain_bool_odd_count():
+    vals = np.array([True, False, True, True, False, True, False], dtype=bool)
+    assert np.array_equal(
+        plainc.decode_bool(plainc.encode_bool(vals), len(vals)), vals
+    )
+
+
+def test_plain_byte_array_roundtrip():
+    strs = [b"", b"a", b"hello world", b"\x00\xff" * 10, "héllo".encode()]
+    data = b"".join(strs)
+    offsets = np.zeros(len(strs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strs], out=offsets[1:])
+    buf = plainc.encode_byte_array(data, offsets)
+    out_data, out_off = plainc.decode_byte_array(buf, len(strs))
+    assert out_data == data and np.array_equal(out_off, offsets)
+
+
+def test_plain_byte_array_malformed():
+    with pytest.raises(ValueError):
+        plainc.decode_byte_array(b"\xff\xff\xff\x7f", 1)  # giant declared length
+
+
+# ---------- BYTE_STREAM_SPLIT ----------
+
+@pytest.mark.parametrize("dt", [np.float32, np.float64, np.int32, np.int64])
+def test_bss_roundtrip(dt):
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal(333).astype(dt)
+    if np.dtype(dt).kind == "f":
+        vals[0], vals[1], vals[2] = np.nan, np.inf, -np.inf
+    out = bss.decode(bss.encode(vals), np.dtype(dt), len(vals))
+    assert np.array_equal(out, vals, equal_nan=True)
+
+
+# ---------- dictionary ----------
+
+def test_dict_numeric_roundtrip():
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 100, size=5000, dtype=np.int64)
+    uniques, codes = dictionary.build_numeric(vals)
+    buf = dictionary.encode_indices(codes, len(uniques))
+    out_codes = dictionary.decode_indices(buf, len(vals), len(uniques))
+    assert np.array_equal(uniques[out_codes.astype(np.int64)], vals)
+
+
+def test_dict_budget_overflow_returns_none():
+    vals = np.arange(300_000, dtype=np.int64)  # 2.4 MB of uniques > 1 MiB cap
+    assert dictionary.build_numeric(vals) is None
+
+
+def test_dict_bytes_roundtrip():
+    strs = [b"alpha", b"beta", b"alpha", b"", b"gamma", b"beta"] * 50
+    data = b"".join(strs)
+    offsets = np.zeros(len(strs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strs], out=offsets[1:])
+    uniq, codes = dictionary.build_bytes(data, offsets)
+    got = [uniq[c] for c in codes.astype(np.int64)]
+    assert got == strs
+
+
+def test_dict_index_out_of_range():
+    buf = dictionary.encode_indices(np.array([0, 1, 5], dtype=np.uint64), 6)
+    with pytest.raises(ValueError):
+        dictionary.decode_indices(buf, 3, 3)
+
+
+# ---------- DELTA_LENGTH / DELTA_BYTE_ARRAY ----------
+
+def _mk(strs):
+    data = b"".join(strs)
+    offsets = np.zeros(len(strs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strs], out=offsets[1:])
+    return data, offsets
+
+
+def test_delta_length_ba_roundtrip():
+    strs = [b"", b"a", b"abcdef", b"x" * 1000, "ünïcode".encode(), b""]
+    data, offsets = _mk(strs)
+    out_data, out_off = deltaba.decode_delta_length(
+        deltaba.encode_delta_length(data, offsets)
+    )
+    assert out_data == data and np.array_equal(out_off, offsets)
+
+
+def test_delta_ba_front_coding_roundtrip():
+    strs = [f"doc-{i:012d}".encode() for i in range(500)] + [b"", b"zzz"]
+    data, offsets = _mk(strs)
+    buf = deltaba.encode_delta_ba(data, offsets)
+    # shared prefixes should compress well below raw
+    assert len(buf) < len(data)
+    out_data, out_off = deltaba.decode_delta_ba(buf)
+    assert out_data == data and np.array_equal(out_off, offsets)
+
+
+def test_delta_ba_no_shared_prefix():
+    strs = [b"apple", b"banana", b"", b"cherry", b"d"]
+    data, offsets = _mk(strs)
+    out_data, out_off = deltaba.decode_delta_ba(deltaba.encode_delta_ba(data, offsets))
+    assert out_data == data and np.array_equal(out_off, offsets)
+
+
+def test_common_prefix_lengths():
+    strs = [b"abc", b"abd", b"abd", b"", b"abdx", b"q"]
+    data, offsets = _mk(strs)
+    got = deltaba.common_prefix_lengths(np.frombuffer(data, np.uint8), offsets)
+    assert got.tolist() == [0, 2, 3, 0, 0, 0]
+
+
+# ---------- FSST ----------
+
+def test_fsst_roundtrip_shared_prefixes():
+    strs = [f"user/alpha/{i}".encode() for i in range(300)]
+    data, offsets = _mk(strs)
+    merges, symbols = fsst.train(data, offsets)
+    assert len(symbols) > 0
+    blob = fsst.encode(data, offsets, merges, symbols)
+    out_data, out_off = fsst.decode(blob)
+    assert out_data == data and np.array_equal(out_off, offsets)
+    assert len(blob) < len(data)  # must actually compress this corpus
+
+
+def test_fsst_roundtrip_edge_strings():
+    strs = [b"", b"\xff", b"\xff\xff\xff", b"a\xffb", b"plain", b"\x00" * 20]
+    data, offsets = _mk(strs)
+    merges, symbols = fsst.train(data, offsets)
+    blob = fsst.encode(data, offsets, merges, symbols)
+    out_data, out_off = fsst.decode(blob)
+    assert out_data == data and np.array_equal(out_off, offsets)
+
+
+def test_fsst_no_symbols_pure_escape():
+    # high-entropy input: table may be empty; escape-only stream must roundtrip
+    rng = np.random.default_rng(11)
+    strs = [bytes(rng.integers(0, 256, size=9, dtype=np.uint8)) for _ in range(20)]
+    data, offsets = _mk(strs)
+    merges, symbols = fsst.train(data, offsets, max_symbols=0)
+    blob = fsst.encode(data, offsets, merges, symbols)
+    out_data, out_off = fsst.decode(blob)
+    assert out_data == data and np.array_equal(out_off, offsets)
+
+
+def test_fsst_malformed():
+    with pytest.raises(ValueError):
+        fsst.decode(b"\x01")  # truncated
