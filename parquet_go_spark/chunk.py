@@ -1,0 +1,500 @@
+"""Typed column-chunk encode/decode — the analog of parquet-go's
+Table -> Page pipeline (/root/reference/internal/layout/page_write.go:144-197
+and page_write_encode.go:15-243), collapsed to one frame per (partition,
+column) chunk: with ~10^6-row partitions a single frame is the natural page.
+
+Responsibilities:
+  * split validity (definition levels degenerate to a null bitmap for our
+    flat schema — SURVEY.md §1.4),
+  * pick a codec via the sampled cost model (cost.py) when codec="auto",
+  * encode with the chosen kernel, then re-check against PLAIN and fall
+    back if the estimate lost (the reference's dict-overflow fallback,
+    dictpage.go:161-195, generalized),
+  * wrap in a self-describing frame with stats for the lineage manifest.
+
+Everything is vectorized numpy/Arrow; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from . import cost, frame
+from .codecs import bitpack, bss, delta, deltaba, dictionary, fsst, plainc, rle
+
+_INT_TYPES = {
+    frame.LT_INT32: (np.int32, 4),
+    frame.LT_INT64: (np.int64, 8),
+    frame.LT_TIMESTAMP_US: (np.int64, 8),
+    frame.LT_DATE32: (np.int32, 4),
+}
+_FLOAT_TYPES = {frame.LT_FLOAT32: np.float32, frame.LT_FLOAT64: np.float64}
+
+
+def _logical_type(t: pa.DataType) -> int:
+    if pa.types.is_int32(t):
+        return frame.LT_INT32
+    if pa.types.is_int64(t):
+        return frame.LT_INT64
+    if pa.types.is_float32(t):
+        return frame.LT_FLOAT32
+    if pa.types.is_float64(t):
+        return frame.LT_FLOAT64
+    if pa.types.is_boolean(t):
+        return frame.LT_BOOL
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return frame.LT_STRING
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return frame.LT_BINARY
+    if pa.types.is_timestamp(t):
+        return frame.LT_TIMESTAMP_US
+    if pa.types.is_date32(t):
+        return frame.LT_DATE32
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_int32(
+        t.value_type
+    ):
+        return frame.LT_LIST_INT32
+    raise NotImplementedError(f"unsupported column type {t}")
+
+
+def _as_array(col: Any) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    if isinstance(col, pa.Array):
+        return col
+    return pa.array(col)
+
+
+def _str_parts(a: pa.Array) -> tuple[pa.Buffer | bytes, np.ndarray]:
+    """(data, int64 offsets) for a null-free string/binary array."""
+    off_dt = (
+        np.int64
+        if pa.types.is_large_string(a.type) or pa.types.is_large_binary(a.type)
+        else np.int32
+    )
+    bufs = a.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dt)[
+        a.offset : a.offset + len(a) + 1
+    ].astype(np.int64)
+    data = bufs[2] if bufs[2] is not None else b""
+    return data, offsets
+
+
+# ---------------------------------------------------------------- encoding
+
+
+def _encode_int_sections(
+    vals: np.ndarray, itemsize: int, codec: int
+) -> tuple[list[bytes], int]:
+    """Returns (sections, bit_width_for_header)."""
+    if codec == frame.PLAIN:
+        return [plainc.encode_numeric(vals)], 0
+    if codec == frame.FOR_BITPACK:
+        vmin = int(vals.min()) if len(vals) else 0
+        shifted = (vals.astype(np.int64) - vmin).astype(np.uint64)
+        bw = max(int(shifted.max()).bit_length(), 1) if len(vals) else 1
+        return (
+            [int(vmin).to_bytes(8, "little", signed=True) + bitpack.pack(shifted, bw)],
+            bw,
+        )
+    if codec == frame.RLE:
+        # full-width RLE like the reference (page_write_encode.go:21-40)
+        bw = itemsize * 8
+        u = vals.astype(np.int64).view(np.uint64)
+        if itemsize == 4:
+            u = u & np.uint64(0xFFFFFFFF)
+        return [rle.encode(u, bw)], bw
+    if codec == frame.DELTA_BP:
+        return [delta.encode(vals, itemsize)], 0
+    if codec == frame.BSS:
+        return [bss.encode(vals)], 0
+    if codec == frame.DICT:
+        built = dictionary.build_numeric(vals)
+        if built is None:
+            return [plainc.encode_numeric(vals)], 0  # budget fallback
+        uniques, codes = built
+        sect0 = len(uniques).to_bytes(4, "little") + plainc.encode_numeric(uniques)
+        return [sect0, dictionary.encode_indices(codes, len(uniques))], 0
+    raise ValueError(f"codec {codec} invalid for integer column")
+
+
+def _decode_int_sections(meta: frame.FrameMeta, n: int, dtype, itemsize: int, s0: int):
+    codec = meta.codec
+    sections = meta.sections
+    if codec == frame.PLAIN:
+        return plainc.decode_numeric(sections[s0], np.dtype(dtype), n)
+    if codec == frame.FOR_BITPACK:
+        sec = sections[s0]
+        if len(sec) < 8:
+            raise ValueError("truncated FOR section")
+        vmin = int.from_bytes(sec[:8], "little", signed=True)
+        u = bitpack.unpack(sec[8:], n, meta.bit_width)
+        return (u.astype(np.int64) + vmin).astype(dtype)
+    if codec == frame.RLE:
+        u = rle.decode(sections[s0], meta.bit_width, n)
+        if itemsize == 4:
+            return u.astype(np.uint32).view(np.int32)
+        return u.view(np.int64).copy()
+    if codec == frame.DELTA_BP:
+        return delta.decode(sections[s0], itemsize).astype(dtype, copy=False)
+    if codec == frame.BSS:
+        return bss.decode(sections[s0], np.dtype(dtype), n)
+    if codec == frame.DICT:
+        sec = sections[s0]
+        card = int.from_bytes(sec[:4], "little")
+        uniques = plainc.decode_numeric(sec[4:], np.dtype(dtype), card)
+        codes = dictionary.decode_indices(sections[s0 + 1], n, card)
+        return uniques[codes.astype(np.int64)]
+    raise ValueError(f"codec {codec} invalid for integer column")
+
+
+def _encode_str_sections(
+    data, offsets: np.ndarray, codec: int
+) -> tuple[list[bytes], int]:
+    if codec == frame.PLAIN_BA:
+        return [plainc.encode_byte_array(data, offsets)], 0
+    if codec == frame.DELTA_LENGTH_BA:
+        return [deltaba.encode_delta_length(data, offsets)], 0
+    if codec == frame.DELTA_BA:
+        return [deltaba.encode_delta_ba(data, offsets)], 0
+    if codec == frame.FSST:
+        merges, symbols = fsst.train(data, offsets)
+        return [fsst.encode(data, offsets, merges, symbols)], 0
+    if codec == frame.DICT:
+        built = dictionary.build_bytes(data, offsets)
+        if built is None:
+            return [deltaba.encode_delta_length(data, offsets)], frame.DELTA_LENGTH_BA
+        uniq, codes = built
+        sect0 = len(uniq).to_bytes(4, "little") + dictionary.encode_dict_values_bytes(
+            uniq
+        )
+        return [sect0, dictionary.encode_indices(codes, len(uniq))], 0
+    raise ValueError(f"codec {codec} invalid for byte-array column")
+
+
+def _decode_str_sections(meta: frame.FrameMeta, n: int, s0: int):
+    codec = meta.codec
+    sections = meta.sections
+    if codec == frame.PLAIN_BA:
+        return plainc.decode_byte_array(sections[s0], n)
+    if codec == frame.DELTA_LENGTH_BA:
+        return deltaba.decode_delta_length(sections[s0])
+    if codec == frame.DELTA_BA:
+        return deltaba.decode_delta_ba(sections[s0])
+    if codec == frame.FSST:
+        return fsst.decode(sections[s0])
+    if codec == frame.DICT:
+        sec = sections[s0]
+        card = int.from_bytes(sec[:4], "little")
+        ddata, doff = plainc.decode_byte_array(sec[4:], card)
+        codes = dictionary.decode_indices(sections[s0 + 1], n, card).astype(np.int64)
+        dnp = np.frombuffer(ddata, dtype=np.uint8)
+        dlens = np.diff(doff)
+        out_lens = dlens[codes]
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_off[1:])
+        total = int(out_off[-1])
+        if total:
+            src = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_off[:-1], out_lens)
+                + np.repeat(doff[:-1][codes], out_lens)
+            )
+            return dnp[src].tobytes(), out_off
+        return b"", out_off
+    raise ValueError(f"codec {codec} invalid for byte-array column")
+
+
+def encode_chunk(
+    col: Any,
+    codec: str | int = "auto",
+    compression: str | None = "zstd",
+) -> tuple[bytes, dict]:
+    """Encode one column chunk -> (frame bytes, manifest stats dict)."""
+    arr = _as_array(col)
+    ltype = _logical_type(arr.type)
+    n = len(arr)
+    null_count = arr.null_count
+    flags = 0
+    sections: list[bytes] = []
+    valid = None
+    if null_count:
+        flags |= frame.FLAG_HAS_VALIDITY
+        valid = np.asarray(arr.is_valid())
+        dense = arr.drop_null()
+    else:
+        dense = arr
+    raw_size = sum(b.size for b in arr.buffers() if b is not None)
+    stats: dict = {"count": n, "null_count": null_count, "raw_size": raw_size}
+    bit_width = 0
+
+    if ltype in _INT_TYPES:
+        dtype, itemsize = _INT_TYPES[ltype]
+        if ltype == frame.LT_TIMESTAMP_US:
+            dense_i = dense.cast(pa.timestamp("us")).cast(pa.int64())
+        elif ltype == frame.LT_DATE32:
+            dense_i = dense.cast(pa.int32())
+        else:
+            dense_i = dense
+        vals = np.asarray(dense_i).astype(dtype, copy=False)
+        cid = (
+            cost.choose_int_codec(vals, itemsize)
+            if codec == "auto"
+            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
+        )
+        body, bit_width = _encode_int_sections(vals, itemsize, cid)
+        if cid == frame.DICT and len(body) == 1:
+            cid = frame.PLAIN  # dict budget fallback happened (dictpage.go:161-195)
+        if codec == "auto":
+            plain_len = len(vals) * itemsize
+            if sum(len(s) for s in body) > plain_len:
+                body, bit_width = [plainc.encode_numeric(vals)], 0
+                cid = frame.PLAIN
+        if len(vals):
+            stats["min"], stats["max"] = (
+                vals.min().item(),
+                vals.max().item(),
+            )
+        sections = body
+    elif ltype in _FLOAT_TYPES:
+        dtype = _FLOAT_TYPES[ltype]
+        vals = np.asarray(dense).astype(dtype, copy=False)
+        cid = (
+            cost.choose_float_codec(vals)
+            if codec == "auto"
+            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
+        )
+        if cid == frame.DICT:
+            body, bit_width = _encode_int_sections(
+                vals.view(np.int32 if dtype == np.float32 else np.int64),
+                np.dtype(dtype).itemsize,
+                frame.DICT,
+            )
+            if len(body) == 1:
+                cid = frame.PLAIN
+                body = [plainc.encode_numeric(vals)]
+        elif cid == frame.BSS:
+            body = [bss.encode(vals)]
+        else:
+            cid = frame.PLAIN
+            body = [plainc.encode_numeric(vals)]
+        if len(vals):
+            finite = vals[np.isfinite(vals)]
+            if len(finite):  # NaN excluded from stats (writer/pages.go:237-246)
+                stats["min"], stats["max"] = finite.min().item(), finite.max().item()
+        sections = body
+    elif ltype == frame.LT_BOOL:
+        vals = np.asarray(dense).astype(bool)
+        runs = (
+            1 + int(np.count_nonzero(np.diff(vals.view(np.int8)) != 0))
+            if len(vals) > 1
+            else len(vals)
+        )
+        cid = (
+            (frame.RLE if runs < len(vals) / 16 else frame.PLAIN)
+            if codec == "auto"
+            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
+        )
+        if cid == frame.RLE:
+            sections = [rle.encode(vals.astype(np.uint64), 1)]
+            bit_width = 1
+        else:
+            cid = frame.PLAIN
+            sections = [plainc.encode_bool(vals)]
+    elif ltype in (frame.LT_STRING, frame.LT_BINARY):
+        data, offsets = _str_parts(dense)
+        cid = (
+            cost.choose_string_codec(data, offsets)
+            if codec == "auto"
+            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
+        )
+        body, fallback = _encode_str_sections(data, offsets, cid)
+        if fallback:
+            cid = fallback
+        if codec == "auto":
+            raw_ba = int(offsets[-1] - offsets[0]) + 4 * (len(offsets) - 1)
+            if sum(len(s) for s in body) > raw_ba:
+                body = [plainc.encode_byte_array(data, offsets)]
+                cid = frame.PLAIN_BA
+        sections = body
+        stats["byte_size"] = int(offsets[-1] - offsets[0])
+    elif ltype == frame.LT_LIST_INT32:
+        lists = dense
+        lengths = np.asarray(lists.value_lengths(), dtype=np.int32)
+        values = lists.flatten()
+        len_frame, len_stats = encode_chunk(
+            pa.array(lengths, type=pa.int32()), codec="auto", compression=None
+        )
+        val_frame, val_stats = encode_chunk(values, codec="auto", compression=None)
+        sections = [len_frame, val_frame]
+        cid = frame.LIST
+        stats["values_count"] = len(values)
+        stats["values_codec"] = val_stats["codec"]
+        stats["lengths_codec"] = len_stats["codec"]
+        if val_stats.get("min") is not None:
+            stats["min"], stats["max"] = val_stats.get("min"), val_stats.get("max")
+    else:  # pragma: no cover
+        raise NotImplementedError(str(arr.type))
+
+    if valid is not None:
+        sections = [frame.pack_validity(valid)] + sections
+    blob = frame.write_frame(
+        cid,
+        ltype,
+        sections,
+        count=n,
+        null_count=null_count,
+        raw_size=raw_size,
+        bit_width=bit_width,
+        flags=flags,
+        compression=compression,
+    )
+    stats["codec"] = frame.CODEC_NAMES[cid]
+    stats["encoded_size"] = len(blob)
+    return blob, stats
+
+
+# ---------------------------------------------------------------- decoding
+
+
+def _expand_nulls_numeric(vals: np.ndarray, valid: np.ndarray, pa_type) -> pa.Array:
+    full = np.zeros(len(valid), dtype=vals.dtype)
+    full[valid] = vals
+    return pa.array(full, type=pa_type, mask=~valid)
+
+
+def _rebuild_strings(
+    data: bytes, offsets: np.ndarray, valid: np.ndarray | None, pa_type
+) -> pa.Array:
+    n = len(valid) if valid is not None else len(offsets) - 1
+    if valid is None:
+        off32 = offsets
+        validity_buf = None
+    else:
+        lens = np.zeros(n, dtype=np.int64)
+        lens[valid] = np.diff(offsets)
+        off32 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off32[1:])
+        validity_buf = pa.py_buffer(frame.pack_validity(valid))
+    if off32[-1] > (1 << 31) - 1:
+        typ = pa.large_utf8() if pa_type == pa.utf8() else pa.large_binary()
+        off_buf = pa.py_buffer(off32.astype(np.int64).tobytes())
+    else:
+        typ = pa_type
+        off_buf = pa.py_buffer(off32.astype(np.int32).tobytes())
+    return pa.Array.from_buffers(
+        typ, n, [validity_buf, off_buf, pa.py_buffer(data)]
+    )
+
+
+def decode_chunk(buf: bytes) -> pa.Array:
+    """Decode a frame back to a pyarrow Array (bit-identical roundtrip)."""
+    meta = frame.read_frame(buf)
+    n = meta.count
+    valid = None
+    s0 = 0
+    if meta.flags & frame.FLAG_HAS_VALIDITY:
+        valid = frame.unpack_validity(meta.sections[0], n)
+        s0 = 1
+    dense_n = n - meta.null_count
+    lt = meta.logical_type
+
+    if lt in _INT_TYPES:
+        dtype, itemsize = _INT_TYPES[lt]
+        vals = _decode_int_sections(meta, dense_n, dtype, itemsize, s0)
+        if lt == frame.LT_TIMESTAMP_US:
+            pa_type = pa.timestamp("us")
+        elif lt == frame.LT_DATE32:
+            pa_type = pa.date32()
+        else:
+            pa_type = pa.int32() if itemsize == 4 else pa.int64()
+        if valid is None:
+            if lt == frame.LT_TIMESTAMP_US:
+                return pa.array(vals.astype("datetime64[us]"))
+            if lt == frame.LT_DATE32:
+                return pa.array(vals.astype(np.int32), type=pa.int32()).cast(
+                    pa.date32()
+                )
+            return pa.array(vals, type=pa_type)
+        if lt == frame.LT_TIMESTAMP_US:
+            return _expand_nulls_numeric(vals, valid, pa.int64()).cast(
+                pa.timestamp("us")
+            )
+        if lt == frame.LT_DATE32:
+            return _expand_nulls_numeric(vals, valid, pa.int32()).cast(pa.date32())
+        return _expand_nulls_numeric(vals, valid, pa_type)
+    if lt in _FLOAT_TYPES:
+        dtype = np.dtype(_FLOAT_TYPES[lt])
+        if meta.codec == frame.DICT:
+            ivals = _decode_int_sections(
+                meta,
+                dense_n,
+                np.int32 if dtype == np.float32 else np.int64,
+                dtype.itemsize,
+                s0,
+            )
+            vals = ivals.view(dtype)
+        elif meta.codec == frame.BSS:
+            vals = bss.decode(meta.sections[s0], dtype, dense_n)
+        else:
+            vals = plainc.decode_numeric(meta.sections[s0], dtype, dense_n)
+        pa_type = pa.float32() if dtype == np.float32 else pa.float64()
+        if valid is None:
+            return pa.array(vals, type=pa_type)
+        return _expand_nulls_numeric(vals, valid, pa_type)
+    if lt == frame.LT_BOOL:
+        if meta.codec == frame.RLE:
+            vals = rle.decode(meta.sections[s0], 1, dense_n).astype(bool)
+        else:
+            vals = plainc.decode_bool(meta.sections[s0], dense_n)
+        if valid is None:
+            return pa.array(vals)
+        full = np.zeros(n, dtype=bool)
+        full[valid] = vals
+        return pa.array(full, mask=~valid)
+    if lt in (frame.LT_STRING, frame.LT_BINARY):
+        data, offsets = _decode_str_sections(meta, dense_n, s0)
+        if len(offsets) - 1 != dense_n:
+            raise ValueError("string count mismatch")
+        base = int(offsets[0])
+        if base:
+            data = bytes(memoryview(data)[base : int(offsets[-1])])
+            offsets = offsets - base
+        pa_type = pa.utf8() if lt == frame.LT_STRING else pa.binary()
+        return _rebuild_strings(bytes(data), offsets, valid, pa_type)
+    if lt == frame.LT_LIST_INT32:
+        lengths = np.asarray(decode_chunk(meta.sections[s0]), dtype=np.int64)
+        values = decode_chunk(meta.sections[s0 + 1])
+        if valid is None:
+            off = np.zeros(dense_n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=off[1:])
+            if off[-1] > (1 << 31) - 1:
+                return pa.LargeListArray.from_arrays(off, values)
+            return pa.ListArray.from_arrays(off.astype(np.int32), values)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid] = lengths
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(full_lens, out=off[1:])
+        off_buf = pa.py_buffer(off.astype(np.int32).tobytes())
+        return pa.Array.from_buffers(
+            pa.list_(pa.int32()),
+            n,
+            [pa.py_buffer(frame.pack_validity(valid)), off_buf],
+            children=[values],
+        )
+    raise NotImplementedError(f"logical type {lt}")
+
+
+def chunk_stats(buf: bytes) -> dict:
+    meta = frame.read_frame(buf)
+    return {
+        "codec": meta.codec_name,
+        "count": meta.count,
+        "null_count": meta.null_count,
+        "raw_size": meta.raw_size,
+        "encoded_size": len(buf),
+        "compression": frame.COMP_NAMES[meta.compression],
+    }

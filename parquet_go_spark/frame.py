@@ -1,0 +1,197 @@
+"""Self-describing frame container — the engine's analog of a Parquet page.
+
+A frame = fixed header + section table + (optionally block-compressed)
+concatenated sections + CRC32. It carries the subset of thrift
+PageHeader/Statistics the engine needs (reference:
+/root/reference/internal/layout/page_write_encode.go:227-242) plus the
+"store uncompressed if compression doesn't shrink" rule
+(page_write_encode.go:313-318).
+
+Defensive decode mirrors the reference's caps: declared counts are bounded
+(validateCount, encodingread.go:9-27), payload allocations are capped at
+256 MiB (page.go:9-12, compress/compress.go:13-19), and the CRC is verified
+before any section is parsed (common/crc.go analog).
+
+Block compression uses pyarrow's codecs (snappy/zstd/gzip/lz4) — the same
+codec families the reference registers (internal/compress/*.go).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"PGS1"
+VERSION = 1
+MAX_PAYLOAD = 256 << 20   # decompression-bomb cap, compress.go:13-19
+MAX_COUNT = 1 << 31       # validateCount analog, encodingread.go:9-27
+
+# codec ids (what the sections contain)
+PLAIN = 0
+RLE = 1
+FOR_BITPACK = 2
+DELTA_BP = 3
+DELTA_LENGTH_BA = 4
+DELTA_BA = 5
+BSS = 6
+DICT = 7
+FSST = 8
+LIST = 9
+PLAIN_BA = 10
+
+CODEC_NAMES = {
+    PLAIN: "plain",
+    RLE: "rle",
+    FOR_BITPACK: "for_bitpack",
+    DELTA_BP: "delta_binary_packed",
+    DELTA_LENGTH_BA: "delta_length_byte_array",
+    DELTA_BA: "delta_byte_array",
+    BSS: "byte_stream_split",
+    DICT: "dict",
+    FSST: "fsst",
+    LIST: "list",
+    PLAIN_BA: "plain_byte_array",
+}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+# block-compression ids (outer wrapper; reference compress registry analog)
+COMP_NONE = 0
+COMP_SNAPPY = 1
+COMP_ZSTD = 2
+COMP_GZIP = 3
+COMP_LZ4 = 4
+COMP_NAMES = {COMP_NONE: None, COMP_SNAPPY: "snappy", COMP_ZSTD: "zstd",
+              COMP_GZIP: "gzip", COMP_LZ4: "lz4"}
+COMP_IDS = {"none": COMP_NONE, "snappy": COMP_SNAPPY, "zstd": COMP_ZSTD,
+            "gzip": COMP_GZIP, "lz4": COMP_LZ4, None: COMP_NONE}
+
+# logical types
+LT_INT32 = 0
+LT_INT64 = 1
+LT_FLOAT32 = 2
+LT_FLOAT64 = 3
+LT_BOOL = 4
+LT_BINARY = 5
+LT_STRING = 6
+LT_TIMESTAMP_US = 7
+LT_LIST_INT32 = 8
+LT_DATE32 = 9
+
+# header: magic4 version u8 codec u8 comp u8 ltype u8 flags u8 bitwidth u8
+#         nsect u8 pad u8 count u64 nullcount u64 rawsize u64 payloadsize u64
+_HDR = struct.Struct("<4sBBBBBBBBQQQQ")
+FLAG_HAS_VALIDITY = 1
+
+
+@dataclass
+class FrameMeta:
+    codec: int
+    compression: int
+    logical_type: int
+    flags: int
+    bit_width: int
+    count: int
+    null_count: int
+    raw_size: int
+    sections: list[bytes]
+
+    @property
+    def codec_name(self) -> str:
+        return CODEC_NAMES[self.codec]
+
+
+def _get_codec(comp_id: int):
+    name = COMP_NAMES[comp_id]
+    if name is None:
+        return None
+    if not pa.Codec.is_available(name):
+        raise ValueError(f"compression codec {name} unavailable")
+    return pa.Codec(name)
+
+
+def write_frame(
+    codec: int,
+    logical_type: int,
+    sections: list[bytes],
+    count: int,
+    null_count: int = 0,
+    raw_size: int = 0,
+    bit_width: int = 0,
+    flags: int = 0,
+    compression: str | None = "zstd",
+) -> bytes:
+    payload = b"".join(sections)
+    comp_id = COMP_IDS[compression]
+    body = payload
+    if comp_id != COMP_NONE and len(payload) > 64:
+        compressed = _get_codec(comp_id).compress(payload).to_pybytes()
+        if len(compressed) < len(payload):  # store-uncompressed-if-bigger
+            body = compressed
+        else:
+            comp_id = COMP_NONE
+    else:
+        comp_id = COMP_NONE
+    header = _HDR.pack(
+        MAGIC, VERSION, codec, comp_id, logical_type, flags, bit_width,
+        len(sections), 0, count, null_count, raw_size, len(payload),
+    )
+    sect_table = struct.pack(f"<{len(sections)}Q", *(len(s) for s in sections))
+    crc = zlib.crc32(body)
+    return header + sect_table + body + struct.pack("<I", crc)
+
+
+def read_frame(buf: bytes | memoryview) -> FrameMeta:
+    buf = memoryview(buf)
+    if len(buf) < _HDR.size + 4:
+        raise ValueError("frame too short")
+    (magic, version, codec, comp_id, ltype, flags, bw, nsect, _pad,
+     count, null_count, raw_size, payload_size) = _HDR.unpack(buf[: _HDR.size])
+    if magic != MAGIC:
+        raise ValueError("bad frame magic")
+    if version != VERSION:
+        raise ValueError(f"unsupported frame version {version}")
+    if count > MAX_COUNT or null_count > count:
+        raise ValueError("invalid frame counts")
+    if payload_size > MAX_PAYLOAD:
+        raise ValueError("frame payload exceeds decode cap")
+    pos = _HDR.size
+    if len(buf) < pos + 8 * nsect + 4:
+        raise ValueError("truncated section table")
+    sect_lens = struct.unpack_from(f"<{nsect}Q", buf, pos)
+    pos += 8 * nsect
+    if sum(sect_lens) != payload_size:
+        raise ValueError("section lengths disagree with payload size")
+    body = bytes(buf[pos : len(buf) - 4])
+    (crc,) = struct.unpack_from("<I", buf, len(buf) - 4)
+    if zlib.crc32(body) != crc:
+        raise ValueError("frame CRC mismatch")
+    if comp_id != COMP_NONE:
+        body = _get_codec(comp_id).decompress(body, payload_size).to_pybytes()
+    if len(body) != payload_size:
+        raise ValueError("payload size mismatch after decompression")
+    sections = []
+    off = 0
+    for ln in sect_lens:
+        sections.append(body[off : off + ln])
+        off += ln
+    return FrameMeta(
+        codec=codec, compression=comp_id, logical_type=ltype, flags=flags,
+        bit_width=bw, count=count, null_count=null_count, raw_size=raw_size,
+        sections=sections,
+    )
+
+
+def pack_validity(valid: np.ndarray) -> bytes:
+    return np.packbits(np.ascontiguousarray(valid, dtype=bool), bitorder="little").tobytes()
+
+
+def unpack_validity(buf: bytes, count: int) -> np.ndarray:
+    if len(buf) * 8 < count:
+        raise ValueError("truncated validity bitmap")
+    return np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=count, bitorder="little"
+    ).astype(bool)

@@ -1,0 +1,294 @@
+"""Frame + chunk layer tests: typed roundtrips, codec auto-selection,
+null handling, malformed frames — mirroring the reference's end-to-end
+write->read->equal style (/root/reference/reader/read_test.go:366-391).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_spark import chunk, cost, frame
+
+
+def rt(arr: pa.Array, codec="auto", compression="zstd") -> tuple[pa.Array, dict]:
+    blob, stats = chunk.encode_chunk(arr, codec=codec, compression=compression)
+    out = chunk.decode_chunk(blob)
+    return out, stats
+
+
+def assert_equal_arrays(a: pa.Array, b: pa.Array):
+    assert len(a) == len(b)
+    assert a.equals(b), f"mismatch:\n{a}\nvs\n{b}"
+
+
+# ---------------- integer chunks ----------------
+
+def test_int64_roundtrip_all_codecs():
+    rng = np.random.default_rng(42)
+    vals = pa.array(rng.integers(0, 50_000, 10_000), type=pa.int64())
+    for codec in ["plain", "for_bitpack", "rle", "delta_binary_packed", "dict"]:
+        out, stats = rt(vals, codec=codec)
+        assert_equal_arrays(out, vals)
+
+
+def test_int32_roundtrip_auto():
+    rng = np.random.default_rng(1)
+    vals = pa.array(
+        rng.integers(-(2**31), 2**31, 5000, dtype=np.int64).astype(np.int32),
+        type=pa.int32(),
+    )
+    out, stats = rt(vals)
+    assert_equal_arrays(out, vals)
+
+
+def test_int_extremes():
+    vals = pa.array(
+        [0, -1, 2**63 - 1, -(2**63), 1, -(2**62)], type=pa.int64()
+    )
+    for codec in ["plain", "for_bitpack", "rle", "delta_binary_packed", "auto"]:
+        out, _ = rt(vals, codec=codec)
+        assert_equal_arrays(out, vals)
+
+
+def test_int_with_nulls():
+    vals = pa.array([1, None, 3, None, 5, 6, None], type=pa.int64())
+    out, stats = rt(vals)
+    assert stats["null_count"] == 3
+    assert_equal_arrays(out, vals)
+
+
+def test_empty_chunk():
+    for typ in [pa.int64(), pa.int32(), pa.float64(), pa.utf8(), pa.bool_()]:
+        vals = pa.array([], type=typ)
+        out, _ = rt(vals)
+        assert_equal_arrays(out, vals)
+
+
+def test_auto_picks_bitpack_for_token_like_values():
+    rng = np.random.default_rng(0)
+    # Zipf-ish token ids over a 50k vocab: bitpack/dict should beat plain
+    vals = pa.array(
+        np.minimum(rng.zipf(1.3, 50_000), 50_256).astype(np.int64) - 1,
+        type=pa.int32(),
+    )
+    out, stats = rt(vals)
+    assert_equal_arrays(out, vals)
+    assert stats["codec"] in ("for_bitpack", "dict", "delta_binary_packed")
+    assert stats["encoded_size"] < 50_000 * 4  # beats PLAIN
+
+
+def test_auto_picks_rle_or_dict_for_constant():
+    vals = pa.array(np.full(100_000, 37), type=pa.int64())
+    out, stats = rt(vals)
+    assert_equal_arrays(out, vals)
+    assert stats["encoded_size"] < 2000
+
+
+def test_auto_picks_delta_for_sorted():
+    vals = pa.array(np.arange(100_000) * 3 + 7, type=pa.int64())
+    out, stats = rt(vals, compression=None)
+    assert_equal_arrays(out, vals)
+    assert stats["codec"] == "delta_binary_packed"
+    assert stats["encoded_size"] < 100_000  # ~1 byte/value at most
+
+
+def test_high_cardinality_dict_falls_back():
+    vals = pa.array(np.arange(400_000, dtype=np.int64) * 2_000_003, type=pa.int64())
+    out, stats = rt(vals, codec="dict", compression=None)
+    assert_equal_arrays(out, vals)
+    assert stats["codec"] == "plain"  # dict budget overflow -> PLAIN
+
+
+# ---------------- float chunks ----------------
+
+def test_float_roundtrip_with_nan_inf():
+    vals = pa.array(
+        np.array([1.5, np.nan, np.inf, -np.inf, 0.0, -0.0, 3.14], dtype=np.float64)
+    )
+    for codec in ["plain", "byte_stream_split", "auto"]:
+        out, _ = rt(vals, codec=codec)
+        # NaN != NaN under equals? arrow equals treats NaN as equal in arrays
+        assert np.array_equal(
+            np.asarray(out), np.asarray(vals), equal_nan=True
+        )
+
+
+def test_float32_bss():
+    rng = np.random.default_rng(3)
+    vals = pa.array(rng.standard_normal(4096).astype(np.float32))
+    out, stats = rt(vals)
+    assert np.array_equal(np.asarray(out), np.asarray(vals))
+
+
+def test_low_card_float_dict():
+    vals = pa.array(np.tile(np.array([0.5, 1.5, 2.5]), 10_000))
+    out, stats = rt(vals)
+    assert np.array_equal(np.asarray(out), np.asarray(vals))
+    assert stats["encoded_size"] < 30_000 * 8 / 4
+
+
+# ---------------- bool ----------------
+
+def test_bool_roundtrip():
+    vals = pa.array([True, False, True] * 33)
+    out, _ = rt(vals)
+    assert_equal_arrays(out, vals)
+    runs = pa.array([True] * 5000 + [False] * 5000)
+    out, stats = rt(runs)
+    assert_equal_arrays(out, runs)
+    assert stats["codec"] == "rle"
+
+
+def test_bool_with_nulls():
+    vals = pa.array([True, None, False, None, True])
+    out, _ = rt(vals)
+    assert_equal_arrays(out, vals)
+
+
+# ---------------- strings ----------------
+
+def test_string_roundtrip_all_codecs():
+    strs = [f"doc-{i:012d}" for i in range(2000)] + ["", "héllo", "a" * 500]
+    vals = pa.array(strs, type=pa.utf8())
+    for codec in [
+        "plain_byte_array",
+        "delta_length_byte_array",
+        "delta_byte_array",
+        "dict",
+        "fsst",
+    ]:
+        out, stats = rt(vals, codec=codec)
+        assert_equal_arrays(out, vals)
+
+
+def test_string_auto_low_cardinality_picks_dict():
+    vals = pa.array(["alpha", "beta", "gamma"] * 5000)
+    out, stats = rt(vals)
+    assert_equal_arrays(out, vals)
+    assert stats["codec"] == "dict"
+
+
+def test_string_auto_shared_prefix():
+    vals = pa.array([f"user/alpha/{i:08d}" for i in range(5000)])
+    out, stats = rt(vals, compression=None)
+    assert_equal_arrays(out, vals)
+    raw = sum(len(s) for s in vals.to_pylist())
+    assert stats["encoded_size"] < raw  # front-coding/FSST must compress
+
+
+def test_string_with_nulls_and_empties():
+    vals = pa.array(["x", None, "", "yy", None, "zzz"])
+    out, _ = rt(vals)
+    assert_equal_arrays(out, vals)
+
+
+def test_binary_with_nul_bytes():
+    vals = pa.array([b"\x00\xff", b"", b"ab\x00cd" * 100], type=pa.binary())
+    out, _ = rt(vals)
+    assert_equal_arrays(out, vals)
+
+
+# ---------------- timestamps / dates ----------------
+
+def test_timestamp_roundtrip():
+    ts = pa.array(
+        np.array(
+            ["2024-01-01T00:00:00", "2025-06-15T12:34:56", "1970-01-01T00:00:01"],
+            dtype="datetime64[us]",
+        )
+    )
+    out, _ = rt(ts)
+    assert_equal_arrays(out, ts)
+
+
+# ---------------- token lists ----------------
+
+def test_token_list_roundtrip():
+    rng = np.random.default_rng(42)
+    lists = [
+        rng.integers(0, 50_257, size=int(rng.integers(0, 200))).astype(np.int32)
+        for _ in range(500)
+    ]
+    vals = pa.array([x.tolist() for x in lists], type=pa.list_(pa.int32()))
+    out, stats = rt(vals)
+    assert_equal_arrays(out, vals)
+    assert stats["values_codec"] in ("for_bitpack", "dict", "plain")
+
+
+def test_token_list_edge_shapes():
+    # FIXTURES.md F3: empty arrays, single-token, giant-amid-tiny, bounds
+    vals = pa.array(
+        [[], [1], list(range(10_000)), [0, 2**31 - 1], [], [5, 5, 5]],
+        type=pa.list_(pa.int32()),
+    )
+    out, _ = rt(vals)
+    assert_equal_arrays(out, vals)
+
+
+def test_token_list_with_null_rows():
+    vals = pa.array([[1, 2], None, [], [3]], type=pa.list_(pa.int32()))
+    out, _ = rt(vals)
+    assert_equal_arrays(out, vals)
+
+
+def test_all_empty_lists_partition():
+    vals = pa.array([[] for _ in range(1000)], type=pa.list_(pa.int32()))
+    out, _ = rt(vals)
+    assert_equal_arrays(out, vals)
+
+
+# ---------------- frame container ----------------
+
+def test_frame_crc_detects_corruption():
+    blob, _ = chunk.encode_chunk(pa.array(np.arange(1000), type=pa.int64()))
+    corrupted = bytearray(blob)
+    corrupted[len(corrupted) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        chunk.decode_chunk(bytes(corrupted))
+
+
+def test_frame_bad_magic():
+    with pytest.raises(ValueError):
+        frame.read_frame(b"XXXX" + b"\x00" * 60)
+
+
+def test_frame_compression_toggle():
+    vals = pa.array(np.zeros(10_000, dtype=np.int64))
+    for comp in [None, "zstd", "snappy", "gzip", "lz4"]:
+        blob, _ = chunk.encode_chunk(vals, compression=comp)
+        assert_equal_arrays(chunk.decode_chunk(blob), vals)
+
+
+def test_store_uncompressed_if_bigger():
+    # incompressible random bytes: frame must not grow (page_write_encode.go:313-318)
+    rng = np.random.default_rng(9)
+    vals = pa.array(rng.integers(-(2**62), 2**62, 5000), type=pa.int64())
+    blob_c, _ = chunk.encode_chunk(vals, codec="plain", compression="zstd")
+    blob_u, _ = chunk.encode_chunk(vals, codec="plain", compression=None)
+    assert len(blob_c) <= len(blob_u) + 16
+
+
+def test_frame_truncated():
+    blob, _ = chunk.encode_chunk(pa.array([1, 2, 3], type=pa.int64()))
+    with pytest.raises(ValueError):
+        frame.read_frame(blob[: len(blob) - 10])
+
+
+# ---------------- cost model sanity ----------------
+
+def test_cost_never_worse_than_plain():
+    rng = np.random.default_rng(5)
+    cases = [
+        np.full(50_000, 9),
+        np.arange(50_000),
+        rng.integers(0, 50_257, 50_000),
+        rng.integers(-(2**60), 2**60, 20_000),
+        np.tile([1, 2], 25_000),
+    ]
+    for vals in cases:
+        arr = pa.array(vals, type=pa.int64())
+        blob, stats = chunk.encode_chunk(arr, codec="auto", compression=None)
+        plain_blob, _ = chunk.encode_chunk(arr, codec="plain", compression=None)
+        assert len(blob) <= len(plain_blob) + 64, stats
