@@ -240,11 +240,18 @@ def encode_chunk(
         else:
             dense_i = dense
         vals = np.asarray(dense_i).astype(dtype, copy=False)
-        cid = (
-            cost.choose_int_codec(vals, itemsize)
-            if codec == "auto"
-            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
-        )
+        if codec == "auto":
+            ranked = cost.rank_int_codecs(vals, itemsize)
+            sample = cost.contiguous_sample(vals)
+            encoders = {
+                c: (lambda c=c: b"".join(
+                    _encode_int_sections(sample, itemsize, c)[0]
+                ))
+                for c in ranked
+            }
+            cid = cost.trial_pick(encoders, ranked, compression)
+        else:
+            cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
         body, bit_width = _encode_int_sections(vals, itemsize, cid)
         if cid == frame.DICT and len(body) == 1:
             cid = frame.PLAIN  # dict budget fallback happened (dictpage.go:161-195)
@@ -262,11 +269,26 @@ def encode_chunk(
     elif ltype in _FLOAT_TYPES:
         dtype = _FLOAT_TYPES[ltype]
         vals = np.asarray(dense).astype(dtype, copy=False)
-        cid = (
-            cost.choose_float_codec(vals)
-            if codec == "auto"
-            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
-        )
+        if codec == "auto":
+            ranked = cost.rank_float_codecs(vals)
+            sample = cost.contiguous_sample(vals)
+            iview = np.int32 if dtype == np.float32 else np.int64
+
+            def _enc_float(c):
+                if c == frame.BSS:
+                    return bss.encode(sample)
+                if c == frame.DICT:
+                    return b"".join(
+                        _encode_int_sections(
+                            sample.view(iview), np.dtype(dtype).itemsize, frame.DICT
+                        )[0]
+                    )
+                return plainc.encode_numeric(sample)
+
+            encoders = {c: (lambda c=c: _enc_float(c)) for c in ranked}
+            cid = cost.trial_pick(encoders, ranked, compression)
+        else:
+            cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
         if cid == frame.DICT:
             body, bit_width = _encode_int_sections(
                 vals.view(np.int32 if dtype == np.float32 else np.int64),
@@ -307,7 +329,7 @@ def encode_chunk(
     elif ltype in (frame.LT_STRING, frame.LT_BINARY):
         data, offsets = _str_parts(dense)
         cid = (
-            cost.choose_string_codec(data, offsets)
+            cost.rank_string_codecs(data, offsets, compression)
             if codec == "auto"
             else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
         )

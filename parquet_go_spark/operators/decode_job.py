@@ -1,0 +1,49 @@
+"""Decode job: blobs -> reconstructed rows (the reference read path,
+SURVEY.md §3.2, fully distributed).
+
+Each partition's column blobs are regrouped by part_id and decoded in one
+applyInArrow kernel; the output schema is the original table schema. Row
+order within a partition is preserved by the frames themselves (frames are
+row-aligned by construction); global order is not guaranteed — equality is
+order-insensitive, which verify.py's checksum/exceptAll handles, matching
+the reference's roundtrip tests (reader/read_test.go:366-391).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import chunk
+from .store import ManifestStore
+
+
+def make_decode_fn(columns: list[str], spark_schema: str):
+    def decode_group(table: pa.Table) -> pa.Table:
+        cols = {c: b for c, b in zip(table.column("col").to_pylist(),
+                                     table.column("blob").to_pylist())}
+        arrays = []
+        for name in columns:
+            if name not in cols:
+                raise ValueError(f"partition missing column chunk {name!r}")
+            arrays.append(chunk.decode_chunk(cols[name]))
+        n = len(arrays[0])
+        for name, a in zip(columns, arrays):
+            if len(a) != n:
+                raise ValueError(f"column {name} count mismatch: {len(a)} != {n}")
+        return pa.table(dict(zip(columns, arrays)))
+
+    return decode_group
+
+
+def decode_table(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str],
+    spark_schema: str,
+) -> DataFrame:
+    store = ManifestStore(out_dir)
+    blobs = store.blobs(spark)
+    return blobs.groupBy("part_id").applyInArrow(
+        make_decode_fn(columns, spark_schema), schema=spark_schema
+    )

@@ -1,0 +1,117 @@
+"""The Spark encode pipeline: plan -> salt -> applyInArrow encode -> commit.
+
+Analog of the reference write path (SURVEY.md §3.1,
+/root/reference/writer/ops.go:129-281): one Spark partition = one row group;
+the applyInArrow kernel is steps 3.1.4-3.1.5 (encode to pages, emit chunk
+metadata); the parquet/Iceberg commit is the footer write.
+
+Plan shape at scale: the only shuffle is the single hash repartition on
+part_id (groupBy -> applyInArrow); everything upstream is a narrow scan and
+everything downstream is a file write. Skew is handled by the partition
+planner, not by oversized tasks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import chunk
+from ..plans.partitioner import DEFAULT_TARGET_TOKENS, plan_partitions
+from .store import BLOB_SCHEMA, ManifestStore
+
+
+def make_encode_fn(compression: str | None = "zstd", codec: str = "auto"):
+    """Build the per-group Arrow kernel. Emits one blob row per column."""
+
+    def encode_group(table: pa.Table) -> pa.Table:
+        part_id = table.column("part_id")[0].as_py()
+        rows = {
+            "part_id": [], "col": [], "codec": [], "compression": [],
+            "count": [], "null_count": [], "raw_size": [], "encoded_size": [],
+            "vmin": [], "vmax": [], "blob": [],
+        }
+        for name in table.column_names:
+            if name == "part_id":
+                continue
+            arr = table.column(name).combine_chunks()
+            blob, stats = chunk.encode_chunk(arr, codec=codec, compression=compression)
+            rows["part_id"].append(part_id)
+            rows["col"].append(name)
+            rows["codec"].append(stats["codec"])
+            rows["compression"].append(compression or "none")
+            rows["count"].append(stats["count"])
+            rows["null_count"].append(stats["null_count"])
+            rows["raw_size"].append(stats["raw_size"])
+            rows["encoded_size"].append(stats["encoded_size"])
+            rows["vmin"].append(str(stats.get("min", "")))
+            rows["vmax"].append(str(stats.get("max", "")))
+            rows["blob"].append(blob)
+        return pa.table(
+            {
+                "part_id": pa.array(rows["part_id"], pa.int32()),
+                "col": pa.array(rows["col"], pa.utf8()),
+                "codec": pa.array(rows["codec"], pa.utf8()),
+                "compression": pa.array(rows["compression"], pa.utf8()),
+                "count": pa.array(rows["count"], pa.int64()),
+                "null_count": pa.array(rows["null_count"], pa.int64()),
+                "raw_size": pa.array(rows["raw_size"], pa.int64()),
+                "encoded_size": pa.array(rows["encoded_size"], pa.int64()),
+                "vmin": pa.array(rows["vmin"], pa.utf8()),
+                "vmax": pa.array(rows["vmax"], pa.utf8()),
+                "blob": pa.array(rows["blob"], pa.binary()),
+            }
+        )
+
+    return encode_group
+
+
+def encode_blobs_df(
+    planned: DataFrame,
+    compression: str | None = "zstd",
+    codec: str = "auto",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """planned (with part_id) -> blob rows DataFrame (lazy)."""
+    grouped = planned.groupBy("part_id")
+    return grouped.applyInArrow(make_encode_fn(compression, codec), schema=BLOB_SCHEMA)
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    compression: str | None = "zstd",
+    codec: str = "auto",
+    waves: int = 1,
+    resume: bool = True,
+):
+    """Encode ``df`` into ``out_dir`` with checkpointed resumability.
+
+    ``waves > 1`` splits the partition range into that many commit units —
+    each wave is one atomic Spark write, so a crash loses at most one wave
+    and a rerun anti-joins the committed manifest and encodes only the rest
+    (FIXTURES.md F6 semantics).
+    """
+    store = ManifestStore(out_dir)
+    planned, plan = plan_partitions(df, target_tokens=target_tokens)
+    pending = store.pending(spark, planned) if resume and store.exists() else planned
+    if waves <= 1:
+        store.append_blobs(encode_blobs_df(pending, compression, codec))
+    else:
+        per = math.ceil(plan.num_partitions / waves)
+        for w in range(waves):
+            lo, hi = w * per, min((w + 1) * per, plan.num_partitions)
+            if lo >= hi:
+                break
+            wave_df = pending.filter(
+                (F.col("part_id") >= lo) & (F.col("part_id") < hi)
+            )
+            store.append_blobs(encode_blobs_df(wave_df, compression, codec))
+    store.write_manifest_snapshot(spark)
+    return store, plan

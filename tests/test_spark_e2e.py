@@ -1,0 +1,157 @@
+"""End-to-end Spark tests: synth -> salted partition -> encode -> decode ->
+bit-identical, plus checkpointed resume (FIXTURES.md F1/F6 semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_go_spark.operators.decode_job import decode_table
+from parquet_go_spark.operators.encode_job import encode_table
+from parquet_go_spark.operators.store import ManifestStore
+from parquet_go_spark.operators.verify import (
+    bit_identical_checksum,
+    bit_identical_exact,
+)
+from parquet_go_spark.plans.partitioner import plan_partitions
+from parquet_go_spark.sources.synth import SCHEMA, token_sequences
+
+N_ROWS = 20_000
+TARGET = 200_000  # tokens per partition (small for tests)
+
+
+@pytest.fixture(scope="module")
+def source_df(spark):
+    df = token_sequences(spark, N_ROWS, seed=42).cache()
+    df.count()
+    return df
+
+
+def test_synth_spark_matches_local(spark, source_df):
+    from parquet_go_spark.sources.synth import token_sequences_local
+
+    local = token_sequences_local(50)
+    got = (
+        source_df.filter(F.col("doc_id") < "doc-000000000050")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got["doc_id"].tolist() == local["doc_id"].to_pylist()
+    assert got["n_tok"].tolist() == local["n_tok"].to_pylist()
+    assert [list(x) for x in got["tokens"]] == local["tokens"].to_pylist()
+
+
+def test_partition_plan_balances_tokens(spark, source_df):
+    planned, plan = plan_partitions(source_df, target_tokens=TARGET)
+    per_part = planned.groupBy("part_id").agg(F.sum("n_tok").alias("toks")).toPandas()
+    assert plan.num_partitions >= 1
+    assert per_part["part_id"].min() >= 0
+    assert per_part["part_id"].max() < plan.num_partitions
+    # normal buckets should be within ~3x of each other (hash balance)
+    normal = per_part[per_part["part_id"] < plan.n_normal]["toks"]
+    if len(normal) > 2:
+        assert normal.max() < 4 * max(normal.median(), 1)
+
+
+def test_encode_decode_bit_identical(spark, source_df, tmp_out):
+    store, plan = encode_table(
+        spark, source_df, tmp_out, target_tokens=TARGET, compression="zstd"
+    )
+    manifest = store.manifest(spark).toPandas()
+    assert set(manifest["col"]) == {"doc_id", "tokens", "n_tok", "source"}
+    assert (manifest["encoded_size"] > 0).all()
+    # every planned partition produced all 4 chunks
+    per_part = manifest.groupby("part_id").size()
+    assert (per_part == 4).all()
+
+    decoded = decode_table(
+        spark, tmp_out, ["doc_id", "tokens", "n_tok", "source"], SCHEMA
+    )
+    assert decoded.count() == N_ROWS
+    assert bit_identical_checksum(source_df, decoded)
+    assert bit_identical_exact(source_df, decoded)
+
+
+def test_compression_beats_reference_writer(spark, source_df, tmp_out):
+    """North-rule size gate: our encoded bytes <= pyarrow's parquet writer
+    (the runnable public stand-in for parquet-go's dictionary+RLE+snappy
+    defaults, BASELINE.md row 2) on the same data."""
+    import pyarrow.parquet as pq
+
+    store, _ = encode_table(
+        spark, source_df, tmp_out, target_tokens=TARGET, compression="zstd"
+    )
+    ours = (
+        store.manifest(spark).agg(F.sum("encoded_size").alias("s")).collect()[0]["s"]
+    )
+    pdf = source_df.toPandas()
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(pdf)
+    ref_path = tmp_out + "_ref.parquet"
+    pq.write_table(
+        table, ref_path, compression="snappy", use_dictionary=True,
+        data_page_size=8 * 1024, row_group_size=1 << 20,
+    )
+    import os
+
+    ref_size = os.path.getsize(ref_path)
+    assert ours <= ref_size, f"ours={ours} ref={ref_size}"
+
+
+def test_resume_skips_completed_partitions(spark, source_df, tmp_out):
+    """F6: encode a subset of partitions, then resume; rerun must encode
+    exactly the pending ones and the final decode is bit-identical."""
+    planned, plan = plan_partitions(source_df, target_tokens=TARGET)
+    half = max(plan.num_partitions // 2, 1)
+    store = ManifestStore(tmp_out)
+    # wave 1: first half only (simulated interrupted run)
+    from parquet_go_spark.operators.encode_job import encode_blobs_df
+
+    wave1 = planned.filter(F.col("part_id") < half)
+    store.append_blobs(encode_blobs_df(wave1, "zstd"))
+    done_before = {
+        r["part_id"] for r in store.completed_partitions(spark).collect()
+    }
+    assert done_before == set(range(half)) & {
+        r["part_id"] for r in planned.select("part_id").distinct().collect()
+    }
+
+    # resume: full encode_table run must only add the missing partitions
+    encode_table(spark, source_df, tmp_out, target_tokens=TARGET)
+    manifest = store.manifest(spark).toPandas()
+    per_part = manifest.groupby("part_id").size()
+    assert (per_part == 4).all(), "resume must not duplicate completed partitions"
+
+    decoded = decode_table(
+        spark, tmp_out, ["doc_id", "tokens", "n_tok", "source"], SCHEMA
+    )
+    assert bit_identical_checksum(source_df, decoded)
+
+
+def test_waved_encode_commits_incrementally(spark, source_df, tmp_out):
+    store, plan = encode_table(
+        spark, source_df, tmp_out, target_tokens=TARGET, waves=3
+    )
+    decoded = decode_table(
+        spark, tmp_out, ["doc_id", "tokens", "n_tok", "source"], SCHEMA
+    )
+    assert decoded.count() == N_ROWS
+    assert bit_identical_checksum(source_df, decoded)
+
+
+def test_skewed_rows_get_dedicated_buckets(spark):
+    """One giant document must not share a bucket with the long tail."""
+    import pyarrow as pa
+
+    big = [int(x) for x in np.arange(60_000) % 50_257]
+    rows = [("doc-big", big, len(big), "source_a")] + [
+        (f"doc-{i:05d}", [1, 2, 3], 3, "source_b") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    planned, plan = plan_partitions(df, target_tokens=10_000)
+    assert plan.n_heavy >= 1
+    big_part = planned.filter(F.col("doc_id") == "doc-big").collect()[0]["part_id"]
+    assert big_part >= plan.n_normal  # routed to the heavy bucket range
