@@ -1,38 +1,166 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine under test is `parquet_go_spark` — a from-scratch PySpark-native
+per-column lightweight-compression engine re-creating hangxie/parquet-go's
+encoding layer (SURVEY.md §2). Queries fall into three families:
+
+  rt_*      encode->decode roundtrips through the engine's codecs on the
+            driver tables — the distributed analog of the reference's
+            write->read->equal tests; the oracle is plain SELECT, so a
+            value-hash match proves bit-identity.
+  stats_*   column statistics computed by the encode kernel's chunk-stats
+            folding (reference chunk.go:50-122).
+  dedup_* / text_* / sim_*   training-data pipeline operators over the
+            documents/embeddings tables (dedup, text analysis, similarity).
+
+Non-SQL-expressible entries (engine-internal manifests, LSH with
+engine-specific hashes) intentionally omit oracle_sql -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_go_spark.operators import dedup as _dedup
+from parquet_go_spark.operators import roundtrip as _rt
+from parquet_go_spark.operators import similarity as _sim
+from parquet_go_spark.operators import text as _text
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+NUM_LINEITEM = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode the documents table through the full codec stack and
+    return the decoded rows (driver checks rows>0, stable schema)."""
+    q = _rt.roundtrip_query(
+        "documents",
+        codec_map={"text": "fsst", "lang": "dict", "source": "dict",
+                   "doc_id": "delta_binary_packed"},
+    )
+    return q(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- roundtrip family: every codec exercised on real tables ---
+    q["rt_lineitem_auto"] = _rt.roundtrip_query("lineitem")
+    q["rt_lineitem_forced"] = _rt.roundtrip_query(
+        "lineitem",
+        codec_map={
+            "l_orderkey": "delta_binary_packed",
+            "l_partkey": "for_bitpack",
+            "l_suppkey": "dict",
+            "l_linenumber": "rle",
+            "l_quantity": "dict",
+            "l_extendedprice": "byte_stream_split",
+            "l_discount": "plain",
+            "l_tax": "dict",
+            "l_returnflag": "dict",
+            "l_linestatus": "dict",
+            "l_shipdate": "delta_binary_packed",
+        },
+    )
+    q["rt_orders"] = _rt.roundtrip_query(
+        "orders",
+        codec_map={
+            "o_orderkey": "delta_binary_packed",
+            "o_custkey": "for_bitpack",
+            "o_orderstatus": "dict",
+            "o_totalprice": "byte_stream_split",
+            "o_orderpriority": "fsst",
+        },
+    )
+    q["rt_part_strings"] = _rt.roundtrip_query(
+        "part",
+        codec_map={
+            "p_partkey": "delta_binary_packed",
+            "p_name": "fsst",
+            "p_brand": "dict",
+            "p_type": "delta_byte_array",
+        },
+    )
+    q["rt_customer_plain"] = _rt.roundtrip_query(
+        "customer",
+        codec_map={
+            "c_custkey": "plain", "c_name": "plain_byte_array",
+            "c_nationkey": "plain", "c_acctbal": "plain",
+        },
+    )
+    q["rt_documents"] = _rt.roundtrip_query(
+        "documents",
+        codec_map={"doc_id": "delta_binary_packed", "text": "fsst",
+                   "lang": "dict", "source": "dict", "n_chars": "for_bitpack"},
+    )
+    q["rt_events"] = _rt.roundtrip_query(
+        "events",
+        codec_map={"event_id": "delta_binary_packed", "user_id": "dict",
+                   "event_type": "dict", "value": "byte_stream_split",
+                   "props": "fsst"},
+    )
+    q["rt_embeddings"] = _rt.roundtrip_query("embeddings")
+    q["rt_nation_region"] = _rt.roundtrip_query("nation")
+    q["rt_supplier"] = _rt.roundtrip_query("supplier")
+
+    # --- statistics family (encode-kernel stats folding) ---
+    q["stats_lineitem"] = _rt.stats_query("lineitem", NUM_LINEITEM)
+    q["stats_orders"] = _rt.stats_query("orders", ["o_orderkey", "o_custkey",
+                                                   "o_totalprice"])
+
+    # --- dedup family ---
+    q["dedup_exact"] = _dedup.exact_dedup_query
+    q["dedup_exact_hash"] = _dedup.hash_dedup_query
+    q["dedup_ngram_jaccard"] = _dedup.ngram_jaccard_query
+    q["dedup_minhash_lsh"] = _dedup.minhash_lsh_query          # rows-only
+    q["dedup_simhash"] = _dedup.simhash_query                  # rows-only
+
+    # --- text analysis family ---
+    q["text_token_count"] = _text.token_count_query
+    q["text_quality"] = _text.quality_query
+    q["text_lang_signal"] = _text.lang_signal_query
+    q["text_fingerprint"] = _text.fingerprint_query
+
+    # --- similarity family ---
+    q["sim_cosine_topk"] = _sim.cosine_topk_query              # rows-only
+    q["sim_nearest_neighbor"] = _sim.nearest_neighbor_query
+    q["sim_lsh_ann"] = _sim.lsh_ann_query                      # rows-only
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["rt_lineitem_auto"] = "SELECT * FROM lineitem"
+    o["rt_lineitem_forced"] = "SELECT * FROM lineitem"
+    o["rt_orders"] = "SELECT * FROM orders"
+    o["rt_part_strings"] = "SELECT * FROM part"
+    o["rt_customer_plain"] = "SELECT * FROM customer"
+    o["rt_documents"] = "SELECT * FROM documents"
+    o["rt_events"] = "SELECT * FROM events"
+    o["rt_embeddings"] = "SELECT * FROM embeddings"
+    o["rt_nation_region"] = "SELECT * FROM nation"
+    o["rt_supplier"] = "SELECT * FROM supplier"
+    o["stats_lineitem"] = _rt.stats_oracle_sql("lineitem", NUM_LINEITEM)
+    o["stats_orders"] = _rt.stats_oracle_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    o["dedup_exact"] = _dedup.EXACT_ORACLE
+    o["dedup_exact_hash"] = _dedup.HASH_ORACLE
+    o["dedup_ngram_jaccard"] = _dedup.NGRAM_JACCARD_ORACLE
+    o["text_token_count"] = _text.TOKEN_COUNT_ORACLE
+    o["text_quality"] = _text.QUALITY_ORACLE
+    o["text_lang_signal"] = _text.LANG_SIGNAL_ORACLE
+    o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
+    o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
+    return o

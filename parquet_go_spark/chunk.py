@@ -53,10 +53,9 @@ def _logical_type(t: pa.DataType) -> int:
         return frame.LT_TIMESTAMP_US
     if pa.types.is_date32(t):
         return frame.LT_DATE32
-    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_int32(
-        t.value_type
-    ):
-        return frame.LT_LIST_INT32
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        _logical_type(t.value_type)  # validate child is supported (recurses)
+        return frame.LT_LIST_INT32   # generic list: child type lives in sub-frame
     raise NotImplementedError(f"unsupported column type {t}")
 
 
@@ -502,7 +501,7 @@ def decode_chunk(buf: bytes) -> pa.Array:
         np.cumsum(full_lens, out=off[1:])
         off_buf = pa.py_buffer(off.astype(np.int32).tobytes())
         return pa.Array.from_buffers(
-            pa.list_(pa.int32()),
+            pa.list_(values.type),
             n,
             [pa.py_buffer(frame.pack_validity(valid)), off_buf],
             children=[values],

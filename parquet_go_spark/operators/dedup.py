@@ -1,0 +1,210 @@
+"""Deduplication operators over the `documents` table.
+
+Training-data pipeline components (not present in the reference — it is a
+storage library; these are the large-scale operations the north rule's
+10^12-sequence corpus needs before encoding):
+
+  * exact dedup         — hash groupBy (one shuffle on the group key)
+  * content-hash dedup  — sha256 projection (no shuffle)
+  * n-gram Jaccard      — shingle explode + self-equi-join on shingle +
+                          count fold; only pairs sharing >= 1 shingle are
+                          materialized, never the n^2 cross product
+  * MinHash + LSH       — 16 min-hash aggs in ONE groupBy pass, banded into
+                          4 buckets; candidate pairs via equi-join on
+                          (band, signature) — the classic shuffle-light
+                          near-dup pipeline
+  * SimHash             — 32-bit sign-sum signature, one explode + groupBy
+
+All are pure DataFrame ops (JVM-side, codegen'd) — no Python in the hot
+path. Scale notes are inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-aggregate shuffle on text. At 100 TB you'd
+    group on sha256(text) instead of the full text to shrink shuffle rows;
+    both forms are a single exchange."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", "text")
+    )
+
+
+EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
+FROM documents GROUP BY text
+"""
+
+
+def hash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash projection (map-only, no shuffle): the dedup key used
+    at scale. sha2 is JVM-side codegen."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+
+
+HASH_ORACLE = "SELECT doc_id, sha256(text) AS content_hash FROM documents"
+
+
+# ---------------------------------------------------------------- shingles
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct 3-word shingles (0-based array indexing)."""
+    ws = F.split(F.col("text"), " ")
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3),"
+        " i -> concat_ws(' ', split(text, ' ')[i],"
+        " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+    )
+    return (
+        df.select("doc_id", F.array_distinct(sh).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.size("shingles").alias("m"),
+                F.explode("shingles").alias("sh"))
+    )
+
+
+def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over candidate pairs sharing a shingle.
+
+    Plan: explode (narrow) -> self-equi-join on shingle (one shuffle, only
+    co-occurring shingles join) -> count fold -> filter. The cross product
+    never materializes; worst case is bounded by shingle co-occurrence,
+    which is what makes this viable at corpus scale (hot shingles would be
+    stop-shingle-filtered first)."""
+    sh = _shingles(_docs(spark, sf_dir))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.m").alias("ma"),
+            F.col("b.m").alias("mb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("ma") + F.col("mb") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM ws WHERE len(w) >= 3
+), sh AS (
+  SELECT doc_id, len(shingles) AS m, unnest(shingles) AS sh FROM sh_list
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
+         count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, common,
+       round(common / (ma + mb - common), 4) AS jaccard
+FROM pairs WHERE round(common / (ma + mb - common), 4) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------- minhash
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """16 min-hashes in one groupBy pass (single shuffle)."""
+    sh = _shingles(df)
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"h{k}")
+        for k in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs. Engine-specific hash (xxhash64) -> no
+    SQL oracle; the driver records a rows-only check and the pytest suite
+    validates recall against exact Jaccard on a seeded corpus."""
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col(c) for c in cols]).alias("sig"))
+        )
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: explode words once, aggregate 32 sign-sums, fold to
+    a signature. One shuffle; aggregation is map-side-combinable."""
+    df = _docs(spark, sf_dir)
+    words = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = words.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))

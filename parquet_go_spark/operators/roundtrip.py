@@ -1,0 +1,127 @@
+"""Roundtrip + statistics operators over arbitrary parquet tables.
+
+These are the engine's public read/write surface exercised as Spark
+queries: every Arrow batch of the input is shredded into column chunks,
+encoded with the requested (or auto-selected) codec, decoded back, and
+returned. The driver's correctness gate compares the output against plain
+SQL on the same table — passing means the full encode->decode path is
+bit-identical on real data, the distributed analog of the reference's
+roundtrip tests (/root/reference/reader/read_test.go:366-391).
+
+`.explain()` shape: a roundtrip is scan -> ArrowEvalPython(mapInArrow) ->
+result. No shuffle, no collect; each task handles its own batches, so the
+operator scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import chunk
+
+
+def _roundtrip_batches(
+    batches: Iterator[pa.RecordBatch],
+    codec_map: dict[str, str],
+    compression: str | None,
+) -> Iterator[pa.RecordBatch]:
+    for b in batches:
+        tbl = pa.Table.from_batches([b])
+        arrays = []
+        for i, name in enumerate(tbl.column_names):
+            col = tbl.column(name).combine_chunks()
+            blob, _ = chunk.encode_chunk(
+                col, codec=codec_map.get(name, "auto"), compression=compression
+            )
+            out = chunk.decode_chunk(blob)
+            want = tbl.schema.field(i).type
+            if out.type != want:
+                out = out.cast(want)
+            arrays.append(out)
+        yield pa.RecordBatch.from_arrays(arrays, names=tbl.column_names)
+
+
+def roundtrip_query(
+    table: str,
+    columns: list[str] | None = None,
+    codec_map: dict[str, str] | None = None,
+    compression: str | None = "zstd",
+):
+    """Build a (spark, sf_dir) -> DataFrame callable for the driver contract."""
+    cm = codec_map or {}
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if columns:
+            df = df.select(*columns)
+        schema = df.schema
+
+        def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            return _roundtrip_batches(batches, cm, compression)
+
+        return df.mapInArrow(fn, schema)
+
+    return q
+
+
+def stats_query(table: str, columns: list[str]):
+    """Distributed min/max/count statistics computed *by the encode kernel*
+    (the analog of page/chunk stats folding, chunk.go:50-122): each task
+    encodes its batches and emits per-chunk stats rows; a final groupBy
+    folds chunk stats into column stats. Numeric columns only."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(*columns)
+
+        def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                tbl = pa.Table.from_batches([b])
+                names, cnts, nulls, vmins, vmaxs = [], [], [], [], []
+                for name in tbl.column_names:
+                    col = tbl.column(name).combine_chunks()
+                    _, st = chunk.encode_chunk(col, codec="auto", compression=None)
+                    names.append(name)
+                    cnts.append(st["count"])
+                    nulls.append(st["null_count"])
+                    vmins.append(float(st.get("min", 0)))
+                    vmaxs.append(float(st.get("max", 0)))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(names, pa.utf8()),
+                        pa.array(cnts, pa.int64()),
+                        pa.array(nulls, pa.int64()),
+                        pa.array(vmins, pa.float64()),
+                        pa.array(vmaxs, pa.float64()),
+                    ],
+                    names=["col", "cnt", "nulls", "vmin", "vmax"],
+                )
+
+        partial = df.mapInArrow(
+            fn, "col string, cnt long, nulls long, vmin double, vmax double"
+        )
+        return (
+            partial.groupBy("col")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("nulls").alias("nulls"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        )
+
+    return q
+
+
+def stats_oracle_sql(table: str, columns: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS col, count({c}) AS cnt, "
+        f"count(*) - count({c}) AS nulls, "
+        f"CAST(min({c}) AS DOUBLE) AS vmin, CAST(max({c}) AS DOUBLE) AS vmax "
+        f"FROM {table}"
+        for c in columns
+    ]
+    return " UNION ALL ".join(parts)

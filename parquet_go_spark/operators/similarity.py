@@ -1,0 +1,172 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+  * cosine_topk   — brute-force top-k: the index side (all vectors) is
+                    broadcast to every task (same rationale as a broadcast
+                    join: the index fits executor memory; 5k x 64 floats
+                    here, up to ~10^7 x d at production k-NN index sizes)
+                    and each task matmuls its Arrow batch against it —
+                    one numpy GEMM per batch, no shuffle at all.
+  * nearest_neighbor — k=1 specialization with a SQL oracle.
+  * lsh_ann       — scale path: random-hyperplane LSH buckets (seeded,
+                    deterministic) assign each vector to a bucket;
+                    applyInPandas computes exact top-k *within* the bucket.
+                    One shuffle on bucket id; bucket fan-out replaces the
+                    broadcast when the index no longer fits memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _collect_index(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    pdf = df.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    return ids, mat
+
+
+def _topk_map_fn(ids: np.ndarray, mat: np.ndarray, k: int, keep_rank: bool):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            q_ids = tbl.column("vec_id").to_numpy()
+            emb = tbl.column("embedding").combine_chunks()
+            q = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(q_ids), -1)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            q = q / qn[:, None]
+            sims = q @ mat.T  # one GEMM per Arrow batch
+            # mask self-matches
+            self_mask = q_ids[:, None] == ids[None, :]
+            sims[self_mask] = -np.inf
+            # deterministic top-k: sort by (-sim, neighbor_id)
+            order = np.lexsort((ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)
+            topk = order[:, :k]
+            out_q = np.repeat(q_ids, k)
+            out_n = ids[topk].ravel()
+            out_s = np.take_along_axis(sims, topk, axis=1).ravel()
+            out_r = np.tile(np.arange(1, k + 1), len(q_ids))
+            arrays = [
+                pa.array(out_q, pa.int64()),
+                pa.array(out_n, pa.int64()),
+                pa.array(np.round(out_s, 6), pa.float64()),
+            ]
+            names = ["vec_id", "neighbor_id", "cosine"]
+            if keep_rank:
+                arrays.append(pa.array(out_r, pa.int32()))
+                names.append("rank")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return fn
+
+
+def cosine_topk_query(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    df = _emb(spark, sf_dir)
+    ids, mat = _collect_index(df)
+    schema = "vec_id long, neighbor_id long, cosine double, rank int"
+    return df.select("vec_id", "embedding").mapInArrow(
+        _topk_map_fn(ids, mat, k, keep_rank=True), schema
+    )
+
+
+def nearest_neighbor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir)
+    ids, mat = _collect_index(df)
+    schema = "vec_id long, neighbor_id long, cosine double"
+    out = df.select("vec_id", "embedding").mapInArrow(
+        _topk_map_fn(ids, mat, 1, keep_rank=False), schema
+    )
+    return out.select("vec_id", "neighbor_id")
+
+
+NEAREST_NEIGHBOR_ORACLE = """
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT vec_id, neighbor_id FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------- LSH ANN
+
+N_PLANES = 6  # 64 buckets
+LSH_SEED = 42
+
+
+def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Bucketed ANN: hyperplane signs -> bucket id -> exact top-k inside the
+    bucket via applyInPandas. The only shuffle is the groupBy(bucket)."""
+    df = _emb(spark, sf_dir)
+    dim = len(df.select("embedding").first()["embedding"])
+    rng = np.random.default_rng(LSH_SEED)
+    planes = rng.standard_normal((N_PLANES, dim))
+
+    def bucket_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            ids = tbl.column("vec_id").to_numpy()
+            emb = tbl.column("embedding").combine_chunks()
+            m = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(ids), -1)
+            signs = (m @ planes.T) > 0
+            bucket = (signs * (1 << np.arange(N_PLANES))).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(bucket.astype(np.int32)),
+                    emb,
+                ],
+                names=["vec_id", "bucket", "embedding"],
+            )
+
+    bucketed = df.select("vec_id", "embedding").mapInArrow(
+        bucket_fn, "vec_id long, bucket int, embedding array<float>"
+    )
+
+    def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(ids) - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, kk),
+                "neighbor_id": ids[order].ravel(),
+                "cosine": np.round(
+                    np.take_along_axis(sims, order, axis=1).ravel(), 6
+                ),
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        topk_in_bucket, "vec_id long, neighbor_id long, cosine double"
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators over `documents`: token counting, quality
+scoring, language signal, document fingerprinting.
+
+All four are expressed as portable relational algebra (identical semantics
+in Spark SQL and the DuckDB oracle): length/replace arithmetic and
+posexplode/unnest folds — fully codegen'd, no UDFs, map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DOCS = "SELECT * FROM parquet.`{sf}/documents.parquet`"
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents_v"
+    )
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------- counts
+
+TOKEN_COUNT_SPARK = """
+SELECT doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents_v
+"""
+
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents
+"""
+
+
+def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, TOKEN_COUNT_SPARK)
+
+
+# ---------------------------------------------------------------- quality
+
+_QUALITY_CORE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST({nw} AS BIGINT) AS n_words,
+       CAST(round((length(text) - length(replace(text, ' ', ''))) * 1.0
+             / length(text), 4) AS DOUBLE) AS space_ratio,
+       CAST(round(length(replace(text, ' ', '')) * 1.0 / {nw}, 4) AS DOUBLE)
+         AS avg_word_len,
+       CAST(round((length(text) - length(replace(text, ' the ', ' ')))
+             / 5.0, 0) AS BIGINT) AS the_count
+FROM {tbl}
+"""
+
+QUALITY_SPARK = _QUALITY_CORE.format(
+    nw="size(split(text, ' '))", tbl="documents_v"
+)
+QUALITY_ORACLE = _QUALITY_CORE.format(
+    nw="len(string_split(text, ' '))", tbl="documents"
+)
+
+
+def quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, QUALITY_SPARK)
+
+
+# ---------------------------------------------------------------- lang
+
+_LANG_CORE = """
+SELECT doc_id, lang,
+       CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+            AS BIGINT) AS en_signal,
+       CAST((length(padded) - length(replace(padded, ' data ', ''))) / 6
+            AS BIGINT) AS data_signal,
+       CAST((length(padded) - length(replace(padded, ' join ', ''))) / 6
+            AS BIGINT) AS join_signal
+FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM {tbl}) t
+"""
+
+LANG_SIGNAL_SPARK = _LANG_CORE.format(tbl="documents_v")
+LANG_SIGNAL_ORACLE = _LANG_CORE.format(tbl="documents")
+
+
+def lang_signal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, LANG_SIGNAL_SPARK)
+
+
+# ---------------------------------------------------------------- fingerprint
+
+FINGERPRINT_SPARK = """
+SELECT doc_id,
+       CAST(sum((pos + 1) * (length(w) * 131 + ascii(substring(w, 1, 1))))
+            % 1000000007 AS BIGINT) AS fp
+FROM (
+  SELECT doc_id, posexplode(split(text, ' ')) AS (pos, w) FROM documents_v
+)
+GROUP BY doc_id
+"""
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       CAST(sum(ord * (length(w) * 131 + ascii(substr(w, 1, 1))))
+            % 1000000007 AS BIGINT) AS fp
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+) t
+GROUP BY doc_id
+"""
+
+
+def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, FINGERPRINT_SPARK)
