@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from parquet_go_spark.operators import dedup as _dedup
+from parquet_go_spark.operators import multimodal as _mm
+from parquet_go_spark.operators import pruned as _pruned
 from parquet_go_spark.operators import roundtrip as _rt
 from parquet_go_spark.operators import similarity as _sim
 from parquet_go_spark.operators import text as _text
@@ -136,6 +138,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_cosine_topk"] = _sim.cosine_topk_query              # rows-only
     q["sim_nearest_neighbor"] = _sim.nearest_neighbor_query
     q["sim_lsh_ann"] = _sim.lsh_ann_query                      # rows-only
+    q["dedup_embedding_cosine"] = _sim.embedding_near_dup_query
+
+    # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
+    q["prune_stats_range"] = _pruned.stats_pruned_range_query
+    q["prune_bloom_point"] = _pruned.bloom_pruned_point_query
+    q["rt_lineitem_projected"] = _pruned.projected_decode_query
+
+    # --- multimodal family (binary payload + typed metadata) ---
+    q["mm_metadata"] = _mm.metadata_query
+    q["mm_features"] = _mm.features_query                      # rows-only
+    q["mm_thumbnail"] = _mm.thumbnail_query                    # rows-only
     return q
 
 
@@ -163,4 +176,9 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_signal"] = _text.LANG_SIGNAL_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
+    o["dedup_embedding_cosine"] = _sim.EMBEDDING_NEAR_DUP_ORACLE
+    o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
+    o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
+    o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
+    o["mm_metadata"] = _mm.METADATA_ORACLE
     return o

@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Prints ONE JSON line:
+
+    {"metric": "...", "value": <total headline wall sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "encode": {...tokens/sec, compression vs pyarrow reference...},
+     "scaling": {...local[8] vs local[32] throughput + efficiency...}}
+
+Three measurement families, matching BASELINE.json's metric
+("encode throughput (tokens/sec) + compression ratio vs parquet-go reference
+... with N->4N executor scaling efficiency >= 0.8"):
+
+1. headline queries — a representative subset of `__spark_entry__.queries()`
+   run at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]; each is forced
+   with a noop-format write (full materialization, no collect-to-driver).
+2. encode benchmark — the token-sequence encode pipeline (synth -> salted
+   n_tok-weighted repartition -> applyInArrow codec kernels -> blob+manifest
+   write) timed end-to-end; tokens/sec; encoded bytes compared against a
+   reference Parquet writer (pyarrow with dictionary encoding, the same
+   encoding family hangxie/parquet-go emits — SNAPPY default and ZSTD).
+3. scaling evidence — the same encode job, same on-disk input, at local[8]
+   and local[32] in fresh subprocesses (a real cluster is unavailable in
+   this sandbox; two parallelism levels on identical input stand in for
+   N vs 4N executors). efficiency = (tput_32 / tput_8) / 4, target >= 0.8.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ROWS (default 200000),
+SPARK_GRAFT_SCALING (default 1; 0 skips family 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+
+HEADLINE = [
+    "rt_lineitem_auto",
+    "rt_lineitem_forced",
+    "rt_documents",
+    "rt_embeddings",
+    "stats_lineitem",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_fingerprint",
+    "sim_cosine_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+def _force(df) -> int:
+    """Materialize fully on executors; returns row count cheaply after."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def encode_bench(spark, input_dir: str, target_tokens: int) -> dict:
+    """Time read -> plan -> encode -> blob/manifest write on a prepared
+    on-disk token table (generation excluded: the metric is encode tput)."""
+    from parquet_go_spark.operators.encode_job import encode_table
+
+    df = spark.read.parquet(input_dir)
+    total_tokens = df.selectExpr("sum(n_tok) s").collect()[0]["s"]
+    out = tempfile.mkdtemp(prefix="bench_enc_")
+    try:
+        t0 = time.time()
+        store, plan = encode_table(
+            spark, df, out, target_tokens=target_tokens, resume=False
+        )
+        wall = time.time() - t0
+        m = store.manifest(spark)
+        sizes = m.selectExpr(
+            "sum(encoded_size) e", "sum(raw_size) r"
+        ).collect()[0]
+        return {
+            "tokens": int(total_tokens),
+            "wall_sec": round(wall, 2),
+            "tokens_per_sec": round(total_tokens / wall),
+            "partitions": plan.num_partitions,
+            "encoded_bytes": int(sizes["e"]),
+            "raw_bytes": int(sizes["r"]),
+            "compression_ratio": round(sizes["r"] / sizes["e"], 3),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def reference_sizes(input_dir: str) -> dict:
+    """Reference Parquet writer output size on the same rows (pyarrow with
+    dictionary encoding — the parquet-go default family: SNAPPY v1 pages,
+    writer/writer.go defaults; plus ZSTD, its strongest registered codec)."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    table = ds.dataset(input_dir, format="parquet").to_table()
+    out = {}
+    for codec in ("snappy", "zstd"):
+        path = os.path.join(tempfile.gettempdir(), f"ref_{codec}.parquet")
+        pq.write_table(table, path, compression=codec, use_dictionary=True)
+        out[codec] = os.path.getsize(path)
+        os.remove(path)
+    return out
+
+
+def run_encode_child(cores: int, rows: int, input_dir: str) -> dict:
+    """Fresh-JVM encode run at a given parallelism; prints one JSON line."""
+    from parquet_go_spark.session import get_spark
+
+    spark = get_spark(
+        cores=cores,
+        app_name=f"bench_encode_{cores}",
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum": str(cores)
+        },
+    )
+    try:
+        res = encode_bench(spark, input_dir, target_tokens=1_000_000)
+        res["cores"] = cores
+        return res
+    finally:
+        spark.stop()
+
+
+def prepare_input(rows: int, path: str, cores: int) -> None:
+    from parquet_go_spark.session import get_spark
+    from parquet_go_spark.sources.synth import token_sequences
+
+    spark = get_spark(cores=cores, app_name="bench_prep")
+    try:
+        token_sequences(spark, rows).write.mode("overwrite").parquet(path)
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--rows", type=int, default=BENCH_ROWS)
+    ap.add_argument("--input", default=None)
+    args = ap.parse_args()
+
+    if args.encode_only:
+        res = run_encode_child(args.cores, args.rows, args.input)
+        print(json.dumps(res))
+        return
+
+    import __spark_entry__ as entrymod
+    from parquet_go_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    result: dict = {"sf": sf, "unit": "sec"}
+
+    # --- family 1: headline queries at the SF dir ---
+    spark = get_spark(cores=CPUS, app_name="bench_queries")
+    qmap = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        t0 = time.time()
+        _force(qmap[name](spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 2)
+
+    # --- family 2: encode throughput + compression at current cores ---
+    tok_input = os.path.join(tempfile.gettempdir(), f"bench_tokens_{args.rows}")
+    from parquet_go_spark.sources.synth import token_sequences
+
+    token_sequences(spark, args.rows).write.mode("overwrite").parquet(tok_input)
+    enc = encode_bench(spark, tok_input, target_tokens=1_000_000)
+    ref = reference_sizes(tok_input)
+    enc["ref_parquet_snappy_bytes"] = ref["snappy"]
+    enc["ref_parquet_zstd_bytes"] = ref["zstd"]
+    enc["size_vs_ref_snappy"] = round(enc["encoded_bytes"] / ref["snappy"], 3)
+    enc["size_vs_ref_zstd"] = round(enc["encoded_bytes"] / ref["zstd"], 3)
+    result["encode"] = enc
+    spark.stop()
+
+    # --- family 3: scaling evidence (fresh JVM per parallelism level) ---
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        scal = {}
+        for cores in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--encode-only",
+                 "--cores", str(cores), "--rows", str(args.rows),
+                 "--input", tok_input],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+            try:
+                scal[f"local[{cores}]"] = json.loads(line)
+            except json.JSONDecodeError:
+                scal[f"local[{cores}]"] = {"error": proc.stderr[-500:]}
+        t8 = scal.get("local[8]", {}).get("tokens_per_sec")
+        t32 = scal.get("local[32]", {}).get("tokens_per_sec")
+        if t8 and t32:
+            scal["speedup_8_to_32"] = round(t32 / t8, 3)
+            scal["efficiency"] = round(t32 / t8 / 4.0, 3)
+        result["scaling"] = scal
+    shutil.rmtree(tok_input, ignore_errors=True)
+
+    result["queries"] = qtimes
+    result["value"] = round(sum(qtimes.values()), 2)
+    result["metric"] = (
+        "headline query wall-clock sum at sf%s on local[%d]; extras: encode "
+        "tokens/sec, size vs pyarrow reference writer, local[8]->local[32] "
+        "scaling efficiency" % (sf, CPUS)
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

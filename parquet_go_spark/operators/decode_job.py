@@ -18,7 +18,14 @@ from .. import chunk
 from .store import ManifestStore
 
 
-def make_decode_fn(columns: list[str], spark_schema: str):
+def make_decode_fn(
+    columns: list[str],
+    spark_schema: str,
+    arrow_types: dict[str, pa.DataType] | None = None,
+):
+    """Per-partition decode kernel; ``arrow_types`` restores exact logical
+    types (e.g. timestamp[us]) when the frame's physical type is wider."""
+
     def decode_group(table: pa.Table) -> pa.Table:
         cols = {c: b for c, b in zip(table.column("col").to_pylist(),
                                      table.column("blob").to_pylist())}
@@ -26,7 +33,11 @@ def make_decode_fn(columns: list[str], spark_schema: str):
         for name in columns:
             if name not in cols:
                 raise ValueError(f"partition missing column chunk {name!r}")
-            arrays.append(chunk.decode_chunk(cols[name]))
+            a = chunk.decode_chunk(cols[name])
+            want = (arrow_types or {}).get(name)
+            if want is not None and a.type != want:
+                a = a.cast(want)
+            arrays.append(a)
         n = len(arrays[0])
         for name, a in zip(columns, arrays):
             if len(a) != n:

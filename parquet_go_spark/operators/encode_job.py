@@ -25,21 +25,36 @@ from ..plans.partitioner import DEFAULT_TARGET_TOKENS, plan_partitions
 from .store import BLOB_SCHEMA, ManifestStore
 
 
-def make_encode_fn(compression: str | None = "zstd", codec: str = "auto"):
-    """Build the per-group Arrow kernel. Emits one blob row per column."""
+def make_encode_fn(
+    compression: str | None = "zstd",
+    codec: str = "auto",
+    codec_map: dict[str, str] | None = None,
+    bloom_cols: set[str] | None = None,
+):
+    """Build the per-group Arrow kernel. Emits one blob row per column.
+
+    ``codec_map`` overrides the codec per column (the reference's per-column
+    tag, common/tag.go); ``bloom_cols`` opt columns into a split-block bloom
+    filter stored alongside the chunk (writer/bloomfilter.go:40-130)."""
+    cm = codec_map or {}
+    bc = bloom_cols or set()
 
     def encode_group(table: pa.Table) -> pa.Table:
+        from .. import bloom as bloommod
+
         part_id = table.column("part_id")[0].as_py()
         rows = {
             "part_id": [], "col": [], "codec": [], "compression": [],
             "count": [], "null_count": [], "raw_size": [], "encoded_size": [],
-            "vmin": [], "vmax": [], "blob": [],
+            "vmin": [], "vmax": [], "bloom": [], "blob": [],
         }
         for name in table.column_names:
             if name == "part_id":
                 continue
             arr = table.column(name).combine_chunks()
-            blob, stats = chunk.encode_chunk(arr, codec=codec, compression=compression)
+            blob, stats = chunk.encode_chunk(
+                arr, codec=cm.get(name, codec), compression=compression
+            )
             rows["part_id"].append(part_id)
             rows["col"].append(name)
             rows["codec"].append(stats["codec"])
@@ -50,6 +65,9 @@ def make_encode_fn(compression: str | None = "zstd", codec: str = "auto"):
             rows["encoded_size"].append(stats["encoded_size"])
             rows["vmin"].append(str(stats.get("min", "")))
             rows["vmax"].append(str(stats.get("max", "")))
+            rows["bloom"].append(
+                bloommod.build_bloom(arr) if name in bc else None
+            )
             rows["blob"].append(blob)
         return pa.table(
             {
@@ -63,6 +81,7 @@ def make_encode_fn(compression: str | None = "zstd", codec: str = "auto"):
                 "encoded_size": pa.array(rows["encoded_size"], pa.int64()),
                 "vmin": pa.array(rows["vmin"], pa.utf8()),
                 "vmax": pa.array(rows["vmax"], pa.utf8()),
+                "bloom": pa.array(rows["bloom"], pa.binary()),
                 "blob": pa.array(rows["blob"], pa.binary()),
             }
         )
@@ -75,10 +94,15 @@ def encode_blobs_df(
     compression: str | None = "zstd",
     codec: str = "auto",
     num_partitions: int | None = None,
+    codec_map: dict[str, str] | None = None,
+    bloom_cols: set[str] | None = None,
 ) -> DataFrame:
     """planned (with part_id) -> blob rows DataFrame (lazy)."""
     grouped = planned.groupBy("part_id")
-    return grouped.applyInArrow(make_encode_fn(compression, codec), schema=BLOB_SCHEMA)
+    return grouped.applyInArrow(
+        make_encode_fn(compression, codec, codec_map, bloom_cols),
+        schema=BLOB_SCHEMA,
+    )
 
 
 def encode_table(

@@ -1,0 +1,227 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Training pipelines carry images/audio/video next to text. The engine treats
+them as what they are at rest — a `binary` column with a typed metadata
+struct — and runs decode / feature-extract / resize / frame-sample as
+vectorized Arrow kernels over `mapInArrow` batches. The container has no
+image/audio libraries, so the *codec* step is stubbed exactly as the task
+requires: `decode_media` raises NotImplementedError for real formats and
+produces a deterministic fake raster for the synthetic `gray8`/`gray8v`
+formats, while all Spark-side plumbing (schema, batch shape, partitioning,
+UDF signatures) is real and tested.
+
+Payloads are synthesized deterministically from the documents table (no
+external data): dimensions derive from n_chars in closed form (so the
+DuckDB oracle can recompute them), bytes from the same splitmix64 counter
+hash the synth source uses.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.synth import _mix64
+
+# closed-form metadata (SQL-recomputable): width/height from n_chars
+#   width  = 16 + (n_chars % 48)
+#   height = 16 + ((n_chars // 7) % 48)
+#   frames = 1 + (n_chars % 4)           -- "video" frame count
+FMT = "gray8"
+FMT_VIDEO = "gray8v"
+
+
+def _dims(n_chars: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    w = 16 + (n_chars % 48)
+    h = 16 + ((n_chars // 7) % 48)
+    f = 1 + (n_chars % 4)
+    return w.astype(np.int32), h.astype(np.int32), f.astype(np.int32)
+
+
+def _payload_bytes(doc_ids: np.ndarray, sizes: np.ndarray) -> pa.BinaryArray:
+    """Deterministic pseudo-raster: byte k of doc d = mix64(d*P ^ k) & 0xFF.
+    Built flat + cut by offsets — one hash pass for the whole batch."""
+    total = int(sizes.sum())
+    offsets = np.zeros(len(sizes) + 1, dtype=np.int32)
+    np.cumsum(sizes, out=offsets[1:])
+    rep = np.repeat(doc_ids.astype(np.uint64), sizes)
+    pos = np.arange(total, dtype=np.uint64) - np.repeat(
+        offsets[:-1].astype(np.uint64), sizes
+    )
+    with np.errstate(over="ignore"):
+        h = _mix64(rep * np.uint64(0xC2B2AE3D27D4EB4F) ^ pos)
+    data = (h & np.uint64(0xFF)).astype(np.uint8)
+    return pa.Array.from_buffers(
+        pa.binary(), len(sizes),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def attach_media(df: DataFrame) -> DataFrame:
+    """documents -> (doc_id, n_chars, meta struct, media binary).
+
+    Narrow mapInArrow — no shuffle; media bytes are generated per batch."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            doc_ids = tbl.column("doc_id").to_numpy()
+            n_chars = tbl.column("n_chars").to_numpy().astype(np.int64)
+            w, h, fr = _dims(n_chars)
+            is_video = (n_chars % 4) > 0
+            sizes = (w.astype(np.int64) * h * np.where(is_video, fr, 1))
+            media = _payload_bytes(doc_ids, sizes)
+            fmt = np.where(is_video, FMT_VIDEO, FMT)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array(n_chars, pa.int64()),
+                    pa.array(fmt, pa.utf8()),
+                    pa.array(w, pa.int32()),
+                    pa.array(h, pa.int32()),
+                    pa.array(fr, pa.int32()),
+                    pa.array(sizes, pa.int64()),
+                    media,
+                ],
+                names=["doc_id", "n_chars", "fmt", "width", "height",
+                       "frames", "n_bytes", "media"],
+            )
+
+    return df.select("doc_id", "n_chars").mapInArrow(
+        fn,
+        "doc_id long, n_chars long, fmt string, width int, height int, "
+        "frames int, n_bytes long, media binary",
+    )
+
+
+def decode_media(payload: bytes, fmt: str, width: int, height: int) -> np.ndarray:
+    """Codec dispatch. Real formats need image libs absent from this
+    container — STUB (the Spark plumbing around it is the deliverable)."""
+    if fmt in (FMT, FMT_VIDEO):
+        return np.frombuffer(payload, dtype=np.uint8).reshape(-1, height, width)
+    raise NotImplementedError(
+        f"decode for {fmt!r} requires an image/audio codec library "
+        "(PIL/ffmpeg) not available in this environment"
+    )
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize on a (F, H, W) raster — pure numpy gather."""
+    _, h, w = img.shape
+    yi = (np.arange(out_h) * h // out_h)
+    xi = (np.arange(out_w) * w // out_w)
+    return img[:, yi[:, None], xi[None, :]]
+
+
+def sample_frames(img: np.ndarray, every: int) -> np.ndarray:
+    return img[::every]
+
+
+# ------------------------------------------------------------ driver queries
+
+def metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction + payload-shape invariant. The oracle
+    recomputes fmt/width/height/n_bytes from n_chars in SQL; payload_ok
+    asserts the binary column really has width*height*frames bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = attach_media(docs)
+    return m.select(
+        "doc_id", "fmt", "width", "height", "frames", "n_bytes",
+        (F.octet_length("media") == F.col("n_bytes")).alias("payload_ok"),
+    )
+
+
+METADATA_ORACLE = """
+SELECT doc_id,
+       CASE WHEN n_chars % 4 > 0 THEN 'gray8v' ELSE 'gray8' END AS fmt,
+       CAST(16 + (n_chars % 48) AS INT) AS width,
+       CAST(16 + ((n_chars // 7) % 48) AS INT) AS height,
+       CAST(1 + (n_chars % 4) AS INT) AS frames,
+       CAST((16 + (n_chars % 48)) * (16 + ((n_chars // 7) % 48))
+            * (CASE WHEN n_chars % 4 > 0 THEN 1 + (n_chars % 4) ELSE 1 END)
+            AS BIGINT) AS n_bytes,
+       TRUE AS payload_ok
+FROM documents
+"""
+
+
+def features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item feature extraction over the binary column: byte mean/std +
+    a 4-bin histogram, one vectorized pass per Arrow batch (the shape a
+    real embed/feature UDF takes). Deterministic but not SQL-expressible
+    -> rows-only driver check; pytest pins exact values on a seed."""
+    m = attach_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            doc_ids = tbl.column("doc_id").to_numpy()
+            media = tbl.column("media").combine_chunks()
+            buf = np.frombuffer(media.buffers()[2], dtype=np.uint8)
+            offs = np.frombuffer(media.buffers()[1], dtype=np.int32)[
+                media.offset: media.offset + len(media) + 1
+            ]
+            sizes = np.diff(offs)
+            seg = np.repeat(np.arange(len(doc_ids)), sizes)
+            sums = np.bincount(seg, weights=buf[offs[0]:offs[-1]].astype(np.float64),
+                               minlength=len(doc_ids))
+            means = sums / np.maximum(sizes, 1)
+            sq = np.bincount(seg, weights=(buf[offs[0]:offs[-1]].astype(np.float64)) ** 2,
+                             minlength=len(doc_ids))
+            var = sq / np.maximum(sizes, 1) - means ** 2
+            hist = np.zeros((len(doc_ids), 4), dtype=np.int64)
+            bins = buf[offs[0]:offs[-1]] >> 6  # 4 bins of 64
+            for k in range(4):
+                hist[:, k] = np.bincount(seg[bins == k], minlength=len(doc_ids))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array(np.round(means, 4), pa.float64()),
+                    pa.array(np.round(np.sqrt(np.maximum(var, 0)), 4), pa.float64()),
+                    pa.array(list(hist), pa.list_(pa.int64())),
+                ],
+                names=["doc_id", "byte_mean", "byte_std", "hist4"],
+            )
+
+    return m.select("doc_id", "media").mapInArrow(
+        fn, "doc_id long, byte_mean double, byte_std double, hist4 array<long>"
+    )
+
+
+def thumbnail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> frame-sample -> resize to 8x8 -> re-emit binary. The whole
+    media transform chain, vectorized per row via numpy (bounded by batch
+    row count; each op is array-level). Rows-only check; shape invariants
+    asserted in pytest."""
+    m = attach_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            doc_ids = tbl.column("doc_id").to_pylist()
+            fmts = tbl.column("fmt").to_pylist()
+            ws = tbl.column("width").to_pylist()
+            hs = tbl.column("height").to_pylist()
+            medias = tbl.column("media").to_pylist()
+            out = []
+            for fmt, w, h, payload in zip(fmts, ws, hs, medias):
+                img = decode_media(payload, fmt, w, h)
+                img = sample_frames(img, 2)
+                thumb = resize_nearest(img, 8, 8)
+                out.append(thumb.tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array([len(t) // 64 for t in out], pa.int32()),
+                    pa.array(out, pa.binary()),
+                ],
+                names=["doc_id", "thumb_frames", "thumb"],
+            )
+
+    return m.select("doc_id", "fmt", "width", "height", "media").mapInArrow(
+        fn, "doc_id long, thumb_frames int, thumb binary"
+    )

@@ -1,0 +1,258 @@
+"""Pruned reads: decode only the chunks a predicate can touch.
+
+This is the read-side metadata machinery of the reference re-expressed over
+our blob store:
+
+  * column projection   — only requested chunks are read
+    (reader/reader.go:126-138 per-leaf buffers; here: a `col IN (...)`
+    filter that parquet pushes down, so pruned partitions' blob bytes are
+    never fetched).
+  * stats pruning       — partition [vmin, vmax] vs a range predicate
+    (the ColumnIndex consumed by SkipRows,
+    reader/columnbuffer_offset_index.go:23-110). Useful when the write was
+    range-clustered on the key — same as the reference recording
+    boundary-order ASC for sorted writes (writer/pages.go:198-246).
+  * bloom pruning       — split-block bloom membership per chunk
+    (reader/bloom.go:61-126 BloomFilterCheck). Useful when stats are wide
+    (hash-clustered key): no false negatives, so pruned-decode + exact
+    post-filter is exact.
+
+Mechanics note: candidate part_ids are collected on the driver — that is
+the manifest (footer) read, bounded by partition count, never row count —
+and re-applied as a literal `IN` filter so Catalyst pushes it into the
+parquet scan of the blob files (PushedFilters), skipping pruned partitions'
+blob bytes entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import bloom as bloommod
+from .decode_job import make_decode_fn
+from .encode_job import encode_blobs_df
+from .store import ManifestStore
+
+
+# ------------------------------------------------------------ generic encode
+
+def encode_generic(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    clustering: str = "range",
+    num_parts: int = 16,
+    codec_map: dict[str, str] | None = None,
+    bloom_cols: set[str] | None = None,
+    compression: str | None = "zstd",
+) -> ManifestStore:
+    """Encode an arbitrary table into a blob store with part_ids clustered
+    on ``key_col``.
+
+    ``clustering="range"`` gives tight per-partition [vmin, vmax] (the
+    sorted-write case where column indexes prune well); ``"hash"`` spreads
+    keys uniformly (stats useless, blooms shine). num_parts is fixed here
+    for determinism; at scale it is ceil(bytes / row_group_size) exactly as
+    the reference's flush policy sizes row groups (writer/ops.go:244-281).
+    """
+    if clustering == "range":
+        lohi = df.select(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        width = max((hi - lo) / num_parts, 1e-9)
+        pid = F.least(
+            F.floor((F.col(key_col).cast("double") - F.lit(lo)) / F.lit(width)),
+            F.lit(num_parts - 1),
+        )
+    else:
+        pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_parts))
+    planned = df.withColumn("part_id", pid.cast("int"))
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    store = ManifestStore(out_dir)
+    store.append_blobs(
+        encode_blobs_df(
+            planned, compression, "auto", codec_map=codec_map,
+            bloom_cols=bloom_cols,
+        )
+    )
+    return store
+
+
+# ------------------------------------------------------------ pruned decode
+
+def _schema_of(df: DataFrame, columns: list[str]) -> tuple[str, dict]:
+    """(spark DDL schema, arrow types) for the selected columns."""
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in columns
+    )
+    arrow = {
+        f.name: t
+        for f, t in zip(
+            df.select(*columns).schema.fields,
+            df.select(*columns).limit(0).toArrow().schema.types,
+        )
+    }
+    return ddl, arrow
+
+
+def _decode_parts(
+    spark: SparkSession,
+    store: ManifestStore,
+    part_ids: list[int],
+    columns: list[str],
+    spark_schema: str,
+    arrow_types: dict | None = None,
+) -> DataFrame:
+    blobs = (
+        store.blobs(spark)
+        .filter(F.col("part_id").isin(part_ids))  # pushed to parquet scan
+        .filter(F.col("col").isin(columns))       # column projection
+    )
+    return blobs.groupBy("part_id").applyInArrow(
+        make_decode_fn(columns, spark_schema, arrow_types), schema=spark_schema
+    )
+
+
+def stats_candidates(
+    spark: SparkSession, store: ManifestStore, key_col: str,
+    lo: float, hi: float,
+) -> list[int]:
+    """Manifest (footer) read: partitions whose [vmin, vmax] intersects."""
+    meta = store.manifest(spark).filter(F.col("col") == key_col)
+    keep = meta.filter(
+        ~(
+            (F.col("vmax").cast("double") < F.lit(lo))
+            | (F.col("vmin").cast("double") > F.lit(hi))
+        )
+    )
+    return [r["part_id"] for r in keep.select("part_id").collect()]
+
+
+def bloom_candidates(
+    spark: SparkSession, store: ManifestStore, key_col: str, keys: list,
+) -> list[int]:
+    """Probe each chunk's bloom with all keys; keep chunks with any hit.
+    The probe runs distributed (mapInArrow over manifest rows) — at scale
+    the manifest itself is a big table; only hit part_ids reach the driver."""
+    if isinstance(keys[0], (int, np.integer)):
+        hashes = bloommod.xxhash64_u64(np.asarray(keys, dtype=np.int64))
+    else:
+        hashes = bloommod.xxhash64_bytes(
+            [k.encode() if isinstance(k, str) else k for k in keys]
+        )
+
+    def probe(batches):
+        for b in batches:
+            pids = b.column("part_id").to_pylist()
+            hits = []
+            for blm in b.column("bloom").to_pylist():
+                if blm is None:
+                    hits.append(True)  # no filter -> cannot prune
+                else:
+                    bf = bloommod.SplitBlockBloom.frombytes(blm)
+                    hits.append(bool(bf.check_hashes(hashes).any()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pids, pa.int32()), pa.array(hits, pa.bool_())],
+                names=["part_id", "hit"],
+            )
+
+    meta = (
+        store.blobs(spark)
+        .filter(F.col("col") == key_col)
+        .select("part_id", "bloom")
+    )
+    hit_df = meta.mapInArrow(probe, "part_id int, hit boolean")
+    return [
+        r["part_id"]
+        for r in hit_df.filter(F.col("hit")).select("part_id").collect()
+    ]
+
+
+# ------------------------------------------------------------ driver queries
+
+RANGE_LO, RANGE_HI = 1_000, 20_000
+POINT_KEYS = [7, 13, 42, 101, 999]
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def stats_pruned_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on a range-clustered key: encode orders, prune
+    partitions by manifest [vmin, vmax], decode survivors, exact filter."""
+    df = _orders(spark, sf_dir)
+    cols = df.columns
+    schema, atypes = _schema_of(df, cols)
+    out = os.path.join("/tmp", f"pgs_pruned_range_{os.path.basename(sf_dir)}")
+    store = encode_generic(
+        spark, df, out, key_col="o_orderkey", clustering="range"
+    )
+    cand = stats_candidates(spark, store, "o_orderkey", RANGE_LO, RANGE_HI)
+    dec = _decode_parts(spark, store, cand, cols, schema, atypes)
+    return dec.filter(
+        (F.col("o_orderkey") >= RANGE_LO) & (F.col("o_orderkey") <= RANGE_HI)
+    )
+
+
+def bloom_pruned_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate on a hash-clustered key: stats are useless (every
+    partition spans the full key range), blooms prune; exact post-filter."""
+    df = _orders(spark, sf_dir)
+    cols = df.columns
+    schema, atypes = _schema_of(df, cols)
+    out = os.path.join("/tmp", f"pgs_pruned_bloom_{os.path.basename(sf_dir)}")
+    store = encode_generic(
+        spark, df, out, key_col="o_custkey", clustering="hash",
+        bloom_cols={"o_custkey"},
+    )
+    cand = bloom_candidates(spark, store, "o_custkey", POINT_KEYS)
+    dec = _decode_parts(spark, store, cand, cols, schema, atypes)
+    return dec.filter(F.col("o_custkey").isin(POINT_KEYS))
+
+
+STATS_PRUNED_RANGE_ORACLE = (
+    f"SELECT * FROM orders WHERE o_orderkey >= {RANGE_LO} "
+    f"AND o_orderkey <= {RANGE_HI}"
+)
+BLOOM_PRUNED_POINT_ORACLE = (
+    "SELECT * FROM orders WHERE o_custkey IN "
+    f"({', '.join(str(k) for k in POINT_KEYS)})"
+)
+
+
+def projected_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection through the store: encode all lineitem columns,
+    decode only three — the `col IN` filter means pruned columns' blob
+    bytes are never read (reader/reader.go:126-138 analog)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+    out = os.path.join("/tmp", f"pgs_projected_{os.path.basename(sf_dir)}")
+    store = encode_generic(
+        spark, df, out, key_col="l_orderkey", clustering="range",
+        num_parts=16,
+    )
+    want = ["l_orderkey", "l_quantity", "l_returnflag"]
+    schema, atypes = _schema_of(df, want)
+    all_parts = [
+        r["part_id"]
+        for r in store.completed_partitions(spark).collect()
+    ]
+    return _decode_parts(spark, store, all_parts, want, schema, atypes)
+
+
+PROJECTED_DECODE_ORACLE = (
+    "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem"
+)

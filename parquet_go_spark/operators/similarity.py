@@ -108,6 +108,51 @@ SELECT vec_id, neighbor_id FROM ranked WHERE rn = 1
 """
 
 
+# ------------------------------------------------------- embedding near-dup
+
+NEAR_DUP_THR = 0.42
+
+
+def embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= thr).
+
+    Same broadcast-GEMM shape as cosine_topk: the normalized index matrix is
+    broadcast, each task compares its Arrow batch against it — no shuffle.
+    At index sizes beyond executor memory this becomes the LSH-bucketed
+    variant (lsh_ann_query); the pair semantics are unchanged. Only pair ids
+    are returned: cosine values ride on float summation order, ids don't."""
+    df = _emb(spark, sf_dir)
+    ids, mat = _collect_index(df)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            q_ids = tbl.column("vec_id").to_numpy()
+            emb = tbl.column("embedding").combine_chunks()
+            q = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(q_ids), -1)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            q = q / qn[:, None]
+            sims = q @ mat.T
+            keep = (sims >= NEAR_DUP_THR) & (q_ids[:, None] < ids[None, :])
+            qi, ni = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(q_ids[qi], pa.int64()), pa.array(ids[ni], pa.int64())],
+                names=["vec_a", "vec_b"],
+            )
+
+    return df.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_a long, vec_b long"
+    )
+
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_THR}
+"""
+
+
 # ---------------------------------------------------------------- LSH ANN
 
 N_PLANES = 6  # 64 buckets

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 BLOB_SCHEMA = (
     "part_id int, col string, codec string, compression string, "
     "count long, null_count long, raw_size long, encoded_size long, "
-    "vmin string, vmax string, blob binary"
+    "vmin string, vmax string, bloom binary, blob binary"
 )
 MANIFEST_COLS = [
     "part_id", "col", "codec", "compression", "count", "null_count",

@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "parquet_go_spark",
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
@@ -35,6 +36,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,131 @@
+"""Pruned-read and multimodal operator tests (Spark e2e, sf0.001)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stats_pruning_prunes_and_is_exact(spark, tmp_out):
+    from parquet_go_spark.operators import pruned
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    store = pruned.encode_generic(
+        spark, df, tmp_out, key_col="o_orderkey", clustering="range",
+        num_parts=16,
+    )
+    total_parts = store.completed_partitions(spark).count()
+    lo, hi = 1_000, 5_000
+    cand = pruned.stats_candidates(spark, store, "o_orderkey", lo, hi)
+    assert 0 < len(cand) < total_parts, "range clustering must prune"
+    cols = df.columns
+    schema, atypes = pruned._schema_of(df, cols)
+    dec = pruned._decode_parts(spark, store, cand, cols, schema, atypes)
+    got = (
+        dec.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+        .count()
+    )
+    want = df.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    ).count()
+    assert got == want > 0
+
+
+def test_bloom_pruning_no_false_negatives(spark, tmp_out):
+    from parquet_go_spark.operators import pruned
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    store = pruned.encode_generic(
+        spark, df, tmp_out, key_col="o_custkey", clustering="hash",
+        num_parts=16, bloom_cols={"o_custkey"},
+    )
+    keys = [7, 13, 42]
+    cand = pruned.bloom_candidates(spark, store, "o_custkey", keys)
+    cols = df.columns
+    schema, atypes = pruned._schema_of(df, cols)
+    dec = pruned._decode_parts(spark, store, cand, cols, schema, atypes)
+    got = dec.filter(F.col("o_custkey").isin(keys)).count()
+    want = df.filter(F.col("o_custkey").isin(keys)).count()
+    assert got == want
+
+
+def test_projected_decode_reads_subset(spark):
+    from parquet_go_spark.operators.pruned import projected_decode_query
+
+    out = projected_decode_query(spark, SF)
+    assert out.columns == ["l_orderkey", "l_quantity", "l_returnflag"]
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert out.count() == n
+
+
+def test_mm_metadata_shape_invariant(spark):
+    from parquet_go_spark.operators.multimodal import metadata_query
+
+    m = metadata_query(spark, SF)
+    bad = m.filter(~F.col("payload_ok")).count()
+    assert bad == 0
+    assert m.count() == spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+def test_mm_features_deterministic(spark):
+    from parquet_go_spark.operators.multimodal import features_query
+
+    a = features_query(spark, SF).orderBy("doc_id").limit(5).collect()
+    b = features_query(spark, SF).orderBy("doc_id").limit(5).collect()
+    assert a == b
+    r = a[0]
+    assert 0 <= r["byte_mean"] <= 255 and r["byte_std"] >= 0
+    assert len(r["hist4"]) == 4
+
+
+def test_mm_thumbnail_shapes(spark):
+    from parquet_go_spark.operators.multimodal import thumbnail_query
+
+    rows = thumbnail_query(spark, SF).limit(10).collect()
+    for r in rows:
+        assert len(r["thumb"]) == r["thumb_frames"] * 64
+
+
+def test_mm_decode_stub_raises():
+    from parquet_go_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "jpeg", 2, 2)
+
+
+def test_resize_and_frame_sample_kernels():
+    from parquet_go_spark.operators.multimodal import (
+        resize_nearest,
+        sample_frames,
+    )
+
+    img = np.arange(3 * 20 * 30, dtype=np.uint8).reshape(3, 20, 30)
+    t = resize_nearest(img, 8, 8)
+    assert t.shape == (3, 8, 8)
+    assert sample_frames(img, 2).shape == (2, 20, 30)
+
+
+def test_streaming_ingest_roundtrip(spark, tmp_out, tmp_path):
+    """availableNow stream over a parquet drop dir -> blob store -> decode
+    bit-identical (the streaming front door reuses the batch kernels)."""
+    from parquet_go_spark.operators.decode_job import decode_table
+    from parquet_go_spark.sources.synth import token_sequences
+    from parquet_go_spark.streaming.ingest import stream_encode
+
+    in_dir = str(tmp_path / "drop")
+    df = token_sequences(spark, 2000, partitions=4)
+    df.write.parquet(in_dir)
+    store = stream_encode(spark, in_dir, tmp_out, target_tokens=200_000)
+    dec = decode_table(
+        spark, tmp_out,
+        ["doc_id", "tokens", "n_tok", "source"],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    src = spark.read.parquet(in_dir)
+    assert dec.count() == src.count()
+    # bit-identity via order-insensitive exceptAll in both directions
+    assert dec.exceptAll(src).count() == 0
+    assert src.exceptAll(dec).count() == 0
