@@ -110,13 +110,18 @@ def _encode_int_sections(
         return [delta.encode(vals, itemsize)], 0
     if codec == frame.BSS:
         return [bss.encode(vals)], 0
-    if codec == frame.DICT:
+    if codec in (frame.DICT, frame.DICT_BSS):
         built = dictionary.build_numeric(vals)
         if built is None:
             return [plainc.encode_numeric(vals)], 0  # budget fallback
         uniques, codes = built
         sect0 = len(uniques).to_bytes(4, "little") + plainc.encode_numeric(uniques)
-        return [sect0, dictionary.encode_indices(codes, len(uniques))], 0
+        idx = (
+            dictionary.encode_codes_bss(codes, len(uniques))
+            if codec == frame.DICT_BSS
+            else dictionary.encode_indices(codes, len(uniques))
+        )
+        return [sect0, idx], 0
     raise ValueError(f"codec {codec} invalid for integer column")
 
 
@@ -141,11 +146,15 @@ def _decode_int_sections(meta: frame.FrameMeta, n: int, dtype, itemsize: int, s0
         return delta.decode(sections[s0], itemsize).astype(dtype, copy=False)
     if codec == frame.BSS:
         return bss.decode(sections[s0], np.dtype(dtype), n)
-    if codec == frame.DICT:
+    if codec in (frame.DICT, frame.DICT_BSS):
         sec = sections[s0]
         card = int.from_bytes(sec[:4], "little")
         uniques = plainc.decode_numeric(sec[4:], np.dtype(dtype), card)
-        codes = dictionary.decode_indices(sections[s0 + 1], n, card)
+        codes = (
+            dictionary.decode_codes_bss(sections[s0 + 1], n, card)
+            if codec == frame.DICT_BSS
+            else dictionary.decode_indices(sections[s0 + 1], n, card)
+        )
         return uniques[codes.astype(np.int64)]
     raise ValueError(f"codec {codec} invalid for integer column")
 
@@ -162,7 +171,7 @@ def _encode_str_sections(
     if codec == frame.FSST:
         merges, symbols = fsst.train(data, offsets)
         return [fsst.encode(data, offsets, merges, symbols)], 0
-    if codec == frame.DICT:
+    if codec in (frame.DICT, frame.DICT_BSS):
         built = dictionary.build_bytes(data, offsets)
         if built is None:
             return [deltaba.encode_delta_length(data, offsets)], frame.DELTA_LENGTH_BA
@@ -170,7 +179,12 @@ def _encode_str_sections(
         sect0 = len(uniq).to_bytes(4, "little") + dictionary.encode_dict_values_bytes(
             uniq
         )
-        return [sect0, dictionary.encode_indices(codes, len(uniq))], 0
+        idx = (
+            dictionary.encode_codes_bss(codes, len(uniq))
+            if codec == frame.DICT_BSS
+            else dictionary.encode_indices(codes, len(uniq))
+        )
+        return [sect0, idx], 0
     raise ValueError(f"codec {codec} invalid for byte-array column")
 
 
@@ -185,11 +199,15 @@ def _decode_str_sections(meta: frame.FrameMeta, n: int, s0: int):
         return deltaba.decode_delta_ba(sections[s0])
     if codec == frame.FSST:
         return fsst.decode(sections[s0])
-    if codec == frame.DICT:
+    if codec in (frame.DICT, frame.DICT_BSS):
         sec = sections[s0]
         card = int.from_bytes(sec[:4], "little")
         ddata, doff = plainc.decode_byte_array(sec[4:], card)
-        codes = dictionary.decode_indices(sections[s0 + 1], n, card).astype(np.int64)
+        codes = (
+            dictionary.decode_codes_bss(sections[s0 + 1], n, card)
+            if codec == frame.DICT_BSS
+            else dictionary.decode_indices(sections[s0 + 1], n, card)
+        ).astype(np.int64)
         dnp = np.frombuffer(ddata, dtype=np.uint8)
         dlens = np.diff(doff)
         out_lens = dlens[codes]
@@ -211,9 +229,18 @@ def encode_chunk(
     col: Any,
     codec: str | int = "auto",
     compression: str | None = "zstd",
+    trial_compression: str | None = None,
 ) -> tuple[bytes, dict]:
-    """Encode one column chunk -> (frame bytes, manifest stats dict)."""
+    """Encode one column chunk -> (frame bytes, manifest stats dict).
+
+    ``trial_compression`` makes codec *selection* compression-aware even
+    when this frame itself stays uncompressed — used for list sub-frames,
+    which are block-compressed once by the enclosing frame: the winning
+    codec must be the one that is smallest AFTER that outer compression,
+    not before (bit-packing can beat PLAIN raw yet lose under zstd and
+    vice versa)."""
     arr = _as_array(col)
+    trial_comp = compression if compression else trial_compression
     ltype = _logical_type(arr.type)
     n = len(arr)
     null_count = arr.null_count
@@ -240,15 +267,32 @@ def encode_chunk(
             dense_i = dense
         vals = np.asarray(dense_i).astype(dtype, copy=False)
         if codec == "auto":
-            ranked = cost.rank_int_codecs(vals, itemsize)
+            st_int = cost.int_stats(vals)
+            est = cost.estimate_int_sizes(st_int, itemsize)
+            ranked = sorted(est, key=est.get)
+            trials = ranked[: cost.TRIAL_CANDIDATES]
+            # plane-split codecs only ever win via the block compressor —
+            # force them into the trial set when compression is on
+            if trial_comp:
+                if frame.BSS not in trials:
+                    trials.append(frame.BSS)
+                if frame.DICT_BSS in est and frame.DICT_BSS not in trials:
+                    trials.append(frame.DICT_BSS)
             sample = cost.contiguous_sample(vals)
-            encoders = {
-                c: (lambda c=c: b"".join(
-                    _encode_int_sections(sample, itemsize, c)[0]
-                ))
-                for c in ranked
-            }
-            cid = cost.trial_pick(encoders, ranked, compression)
+            scale_n = len(vals) / max(len(sample), 1)
+
+            def _parts(c):
+                body, _bw = _encode_int_sections(sample, itemsize, c)
+                if c in (frame.DICT, frame.DICT_BSS) and len(body) == 2:
+                    sect0, idx = body
+                    sample_card = max(int.from_bytes(sect0[:4], "little"), 1)
+                    card_scale = max(st_int.distinct_est / sample_card, 1.0)
+                    return [(sect0, card_scale), (idx, scale_n)]
+                return [(b"".join(body), scale_n)]
+
+            cid = cost.trial_pick_scaled(
+                {c: (lambda c=c: _parts(c)) for c in trials}, trials, trial_comp
+            )
         else:
             cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
         body, bit_width = _encode_int_sections(vals, itemsize, cid)
@@ -285,14 +329,14 @@ def encode_chunk(
                 return plainc.encode_numeric(sample)
 
             encoders = {c: (lambda c=c: _enc_float(c)) for c in ranked}
-            cid = cost.trial_pick(encoders, ranked, compression)
+            cid = cost.trial_pick(encoders, ranked, trial_comp)
         else:
             cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
-        if cid == frame.DICT:
+        if cid in (frame.DICT, frame.DICT_BSS):
             body, bit_width = _encode_int_sections(
                 vals.view(np.int32 if dtype == np.float32 else np.int64),
                 np.dtype(dtype).itemsize,
-                frame.DICT,
+                cid,
             )
             if len(body) == 1:
                 cid = frame.PLAIN
@@ -328,7 +372,7 @@ def encode_chunk(
     elif ltype in (frame.LT_STRING, frame.LT_BINARY):
         data, offsets = _str_parts(dense)
         cid = (
-            cost.rank_string_codecs(data, offsets, compression)
+            cost.rank_string_codecs(data, offsets, trial_comp)
             if codec == "auto"
             else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
         )
@@ -347,9 +391,12 @@ def encode_chunk(
         lengths = np.asarray(lists.value_lengths(), dtype=np.int32)
         values = lists.flatten()
         len_frame, len_stats = encode_chunk(
-            pa.array(lengths, type=pa.int32()), codec="auto", compression=None
+            pa.array(lengths, type=pa.int32()), codec="auto", compression=None,
+            trial_compression=trial_comp,
         )
-        val_frame, val_stats = encode_chunk(values, codec="auto", compression=None)
+        val_frame, val_stats = encode_chunk(
+            values, codec="auto", compression=None, trial_compression=trial_comp
+        )
         sections = [len_frame, val_frame]
         cid = frame.LIST
         stats["values_count"] = len(values)
@@ -449,7 +496,7 @@ def decode_chunk(buf: bytes) -> pa.Array:
         return _expand_nulls_numeric(vals, valid, pa_type)
     if lt in _FLOAT_TYPES:
         dtype = np.dtype(_FLOAT_TYPES[lt])
-        if meta.codec == frame.DICT:
+        if meta.codec in (frame.DICT, frame.DICT_BSS):
             ivals = _decode_int_sections(
                 meta,
                 dense_n,

@@ -35,7 +35,10 @@ from . import frame
 from .codecs import delta as delta_codec
 from .codecs import deltaba, dictionary, fsst
 
-SAMPLE_TARGET = 65_536   # values sampled per chunk for stats
+SAMPLE_TARGET = 262_144  # values sampled per chunk for stats + trials;
+                         # 64k was too small for zstd's long-range matching
+                         # to rank plane-split codecs correctly (measured:
+                         # BSS vs FOR flipped order between 64k and full)
 TRIAL_CANDIDATES = 3     # codecs trial-encoded in stage 2
 
 
@@ -110,6 +113,9 @@ def estimate_int_sizes(st: IntStats, itemsize: int) -> dict[int, float]:
         code_bw = max(int(max(card - 1, 0)).bit_length(), 1)
         code_payload = min(n * code_bw / 8, runs * (2 + code_bw / 8) + n * 0.02)
         est[frame.DICT] = dict_bytes + code_payload + 24
+        # byte-width codes: bigger raw, but the trial stage sees post-
+        # compression sizes where the zero planes vanish
+        est[frame.DICT_BSS] = dict_bytes + n * ((code_bw + 7) // 8) + 24
     return est
 
 
@@ -151,6 +157,36 @@ def trial_pick(
         except Exception:
             continue
         size = len(codec.compress(payload)) if codec else len(payload)
+        if size < best_size:
+            best, best_size = cid, size
+    return best if best is not None else frame.PLAIN
+
+
+def trial_pick_scaled(
+    part_encoders: dict[int, "callable"],
+    candidates: list[int],
+    compression: str | None,
+) -> int:
+    """Stage 2 with per-section scaling: each encoder returns a list of
+    (payload_bytes, scale) parts; projected full-chunk size is
+    sum(len(compress(payload)) * scale). This fixes the dictionary-family
+    bias of flat sample trials — the dictionary section amortizes over the
+    whole chunk (scales with cardinality growth) while the codes section
+    scales with row count; compressing them together at sample size made
+    dict codecs look ~20%% worse than they are at chunk size."""
+    codec = None
+    if compression and compression != "none":
+        codec = pa.Codec(compression)
+    best, best_size = None, float("inf")
+    for cid in candidates:
+        try:
+            parts = part_encoders[cid]()
+        except Exception:
+            continue
+        size = 0.0
+        for payload, scale in parts:
+            csize = len(codec.compress(payload)) if codec else len(payload)
+            size += csize * scale
         if size < best_size:
             best, best_size = cid, size
     return best if best is not None else frame.PLAIN

@@ -42,6 +42,7 @@ DICT = 7
 FSST = 8
 LIST = 9
 PLAIN_BA = 10
+DICT_BSS = 11
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -55,6 +56,7 @@ CODEC_NAMES = {
     FSST: "fsst",
     LIST: "list",
     PLAIN_BA: "plain_byte_array",
+    DICT_BSS: "dict_bss",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

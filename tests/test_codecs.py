@@ -370,3 +370,24 @@ def test_fsst_no_symbols_pure_escape():
 def test_fsst_malformed():
     with pytest.raises(ValueError):
         fsst.decode(b"\x01")  # truncated
+
+
+def test_dict_bss_codes_roundtrip_all_widths():
+    rng = np.random.default_rng(11)
+    for card in (2, 200, 300, 70_000):  # widths 1, 1, 2, 4
+        vals = rng.integers(0, card, size=3000, dtype=np.int64)
+        uniques, codes = dictionary.build_numeric(vals)
+        buf = dictionary.encode_codes_bss(codes, len(uniques))
+        out = dictionary.decode_codes_bss(buf, len(vals), len(uniques))
+        assert np.array_equal(uniques[out.astype(np.int64)], vals)
+
+
+def test_dict_bss_malformed():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dictionary.decode_codes_bss(b"", 10, 4)
+    with _pytest.raises(ValueError):
+        dictionary.decode_codes_bss(bytes([3]) + b"\x00" * 30, 10, 4)
+    with _pytest.raises(ValueError):
+        dictionary.decode_codes_bss(bytes([2]) + b"\x00" * 5, 10, 4)
