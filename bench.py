@@ -80,6 +80,16 @@ def encode_bench(spark, input_dir: str, target_tokens: int) -> dict:
 
     df = spark.read.parquet(input_dir)
     total_tokens = df.selectExpr("sum(n_tok) s").collect()[0]["s"]
+    # warmup: spins up python workers, JIT-warms the JVM, and pre-touches
+    # allocator arenas (this sandbox intermittently serves first-touch page
+    # faults ~100x slow; steady-state reuse is full speed, which is also
+    # the regime a long-running production job measures)
+    warm = tempfile.mkdtemp(prefix="bench_warm_")
+    encode_table(
+        spark, df.limit(20_000), warm, target_tokens=target_tokens,
+        resume=False,
+    )
+    shutil.rmtree(warm, ignore_errors=True)
     out = tempfile.mkdtemp(prefix="bench_enc_")
     try:
         t0 = time.time()

@@ -55,9 +55,14 @@ def make_encode_fn(
             blob, stats = chunk.encode_chunk(
                 arr, codec=cm.get(name, codec), compression=compression
             )
+            codec_label = stats["codec"]
+            if "values_codec" in stats:  # surface inner list codecs
+                codec_label = (
+                    f"list<{stats['values_codec']},{stats['lengths_codec']}>"
+                )
             rows["part_id"].append(part_id)
             rows["col"].append(name)
-            rows["codec"].append(stats["codec"])
+            rows["codec"].append(codec_label)
             rows["compression"].append(compression or "none")
             rows["count"].append(stats["count"])
             rows["null_count"].append(stats["null_count"])

@@ -217,7 +217,9 @@ def test_token_list_roundtrip():
     vals = pa.array([x.tolist() for x in lists], type=pa.list_(pa.int32()))
     out, stats = rt(vals)
     assert_equal_arrays(out, vals)
-    assert stats["values_codec"] in ("for_bitpack", "dict", "plain")
+    assert stats["values_codec"] in (
+        "for_bitpack", "dict", "dict_bss", "byte_stream_split", "plain"
+    )
 
 
 def test_token_list_edge_shapes():
