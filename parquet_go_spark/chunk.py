@@ -386,6 +386,12 @@ def encode_chunk(
                 cid = frame.PLAIN_BA
         sections = body
         stats["byte_size"] = int(offsets[-1] - offsets[0])
+        if len(dense):
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(dense)
+            stats["min"] = mm["min"].as_py()
+            stats["max"] = mm["max"].as_py()
     elif ltype == frame.LT_LIST_INT32:
         lists = dense
         lengths = np.asarray(lists.value_lengths(), dtype=np.int32)

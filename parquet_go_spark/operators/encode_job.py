@@ -20,7 +20,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import chunk
+from .. import chunk, stats_trunc
 from ..plans.partitioner import DEFAULT_TARGET_TOKENS, plan_partitions
 from .store import BLOB_SCHEMA, ManifestStore
 
@@ -68,8 +68,12 @@ def make_encode_fn(
             rows["null_count"].append(stats["null_count"])
             rows["raw_size"].append(stats["raw_size"])
             rows["encoded_size"].append(stats["encoded_size"])
-            rows["vmin"].append(str(stats.get("min", "")))
-            rows["vmax"].append(str(stats.get("max", "")))
+            vmin, vmax = stats.get("min"), stats.get("max")
+            if isinstance(vmin, (str, bytes)) or isinstance(vmax, (str, bytes)):
+                # bounded metadata with safe round-up (statistics.go:10-203)
+                vmin, vmax = stats_trunc.truncate_bounds(vmin, vmax)
+            rows["vmin"].append("" if vmin is None else str(vmin))
+            rows["vmax"].append("" if vmax is None else str(vmax))
             rows["bloom"].append(
                 bloommod.build_bloom(arr) if name in bc else None
             )
