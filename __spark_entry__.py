@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_cosine_topk"] = _sim.cosine_topk_query              # rows-only
     q["sim_nearest_neighbor"] = _sim.nearest_neighbor_query
     q["sim_lsh_ann"] = _sim.lsh_ann_query                      # rows-only
+    q["sim_ivf_ann"] = _sim.ivf_ann_query                      # rows-only
     q["dedup_embedding_cosine"] = _sim.embedding_near_dup_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---

@@ -66,15 +66,21 @@ HASH_ORACLE = "SELECT doc_id, sha256(text) AS content_hash FROM documents"
 # ---------------------------------------------------------------- shingles
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct 3-word shingles (0-based array indexing)."""
-    ws = F.split(F.col("text"), " ")
+    """doc_id -> exploded distinct 3-word shingles.
+
+    The words array is materialized once per row before the transform —
+    referencing `split(text, ' ')[i]` inside the lambda would re-split the
+    whole text per element (no CSE across lambda scopes), turning an
+    O(words) shingle build into O(words^2) per document (measured 10x+ on
+    sf0.1 documents)."""
     sh = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3),"
-        " i -> concat_ws(' ', split(text, ' ')[i],"
-        " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
     )
     return (
-        df.select("doc_id", F.array_distinct(sh).alias("shingles"))
+        df.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.array_distinct(sh).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .select("doc_id", F.size("shingles").alias("m"),
                 F.explode("shingles").alias("sh"))

@@ -53,9 +53,15 @@ def _topk_map_fn(ids: np.ndarray, mat: np.ndarray, k: int, keep_rank: bool):
             # mask self-matches
             self_mask = q_ids[:, None] == ids[None, :]
             sims[self_mask] = -np.inf
-            # deterministic top-k: sort by (-sim, neighbor_id)
-            order = np.lexsort((ids[None, :].repeat(len(q_ids), 0), -sims), axis=1)
-            topk = order[:, :k]
+            # deterministic top-k without sorting whole rows: argpartition
+            # to 2k candidates (ties past 2k identical sims are not a real
+            # case), then lexsort the small candidate set by (-sim, id)
+            cw = min(max(2 * k, 8), sims.shape[1])
+            cand = np.argpartition(-sims, kth=cw - 1, axis=1)[:, :cw]
+            cand_s = np.take_along_axis(sims, cand, axis=1)
+            cand_i = ids[cand]
+            ord2 = np.lexsort((cand_i, -cand_s), axis=1)[:, :k]
+            topk = np.take_along_axis(cand, ord2, axis=1)
             out_q = np.repeat(q_ids, k)
             out_n = ids[topk].ravel()
             out_s = np.take_along_axis(sims, topk, axis=1).ravel()
@@ -106,6 +112,102 @@ WITH sims AS (
 )
 SELECT vec_id, neighbor_id FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+IVF_NPROBE = 2
+IVF_SEED = 7
+
+
+def ivf_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """IVF-bucketed ANN: coarse quantize against ~sqrt(n) seeded centroids,
+    multi-assign each vector to its nprobe nearest cells (so a query meets
+    every candidate it could match in at least one shared cell), exact
+    top-k inside each cell, then a global top-k reduce per query.
+
+    Scale shape: centroids are a small broadcast (sqrt(n) rows); the data
+    shuffles once on cell id (fan-out nprobe); the final reduce is a
+    map-side-combinable window over k*nprobe candidate rows per query —
+    the standard IVF dataflow when the flat index no longer fits memory.
+    Deterministic (seeded centroid choice), rows-only driver check; recall
+    is validated against exact top-k in pytest."""
+    df = _emb(spark, sf_dir)
+    n = df.count()
+    n_cells = max(int(np.sqrt(n)), 1)
+    # deterministic centroid pick: seeded hash over vec_id, take n_cells
+    cent_pdf = (
+        df.select("vec_id", "embedding")
+        .withColumn("h", F.xxhash64(F.col("vec_id") + F.lit(IVF_SEED)))
+        .orderBy("h")
+        .limit(n_cells)
+        .toPandas()
+    )
+    cents = np.stack(cent_pdf["embedding"].to_numpy()).astype(np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            ids = tbl.column("vec_id").to_numpy()
+            emb = tbl.column("embedding").combine_chunks()
+            m = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(ids), -1)
+            m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m_n @ cents.T
+            near = np.argsort(-sims, axis=1, kind="stable")[:, :IVF_NPROBE]
+            rep = np.repeat(np.arange(len(ids)), IVF_NPROBE)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[rep], pa.int64()),
+                    pa.array(near.ravel().astype(np.int32)),
+                    pa.ListArray.from_arrays(
+                        np.arange(len(rep) + 1, dtype=np.int32) * m.shape[1],
+                        pa.array(m[rep].ravel(), pa.float32()),
+                    ),
+                ],
+                names=["vec_id", "cell", "embedding"],
+            )
+
+    assigned = df.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id long, cell int, embedding array<float>"
+    )
+
+    def topk_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        same = ids[:, None] == ids[None, :]
+        sims[same] = -np.inf  # self (and multi-assign dup) masking
+        kk = min(k, len(ids) - 1)
+        if kk <= 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, kk),
+                "neighbor_id": ids[order].ravel(),
+                "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+        )
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        topk_in_cell, "vec_id long, neighbor_id long, cosine double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+                "rank")
+    )
 
 
 # ------------------------------------------------------- embedding near-dup

@@ -129,3 +129,45 @@ def test_streaming_ingest_roundtrip(spark, tmp_out, tmp_path):
     # bit-identity via order-insensitive exceptAll in both directions
     assert dec.exceptAll(src).count() == 0
     assert src.exceptAll(dec).count() == 0
+
+
+def test_csv_and_jsonl_frontends_roundtrip(spark, tmp_path):
+    """CSV/JSON front ends (reference writer/csv.go, writer/json.go
+    analogs): canonical table -> text format -> canonical table, then
+    through the codec stack, bit-identical."""
+    from parquet_go_spark.sources import frontends
+    from parquet_go_spark.sources.synth import token_sequences
+
+    src = token_sequences(spark, 500, partitions=2).cache()
+    csv_dir = str(tmp_path / "csv")
+    frontends.write_csv(src, csv_dir)
+    via_csv = frontends.read_csv(spark, csv_dir)
+    assert via_csv.exceptAll(src).count() == 0
+    assert src.exceptAll(via_csv).count() == 0
+
+    j_dir = str(tmp_path / "jsonl")
+    frontends.write_jsonl(src, j_dir)
+    via_json = frontends.read_jsonl(spark, j_dir)
+    assert via_json.exceptAll(src).count() == 0
+    assert src.exceptAll(via_json).count() == 0
+    src.unpersist()
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF ANN must return k neighbors per vector with reasonable recall
+    against the exact broadcast-GEMM top-k."""
+    from parquet_go_spark.operators.similarity import (
+        cosine_topk_query,
+        ivf_ann_query,
+    )
+
+    k = 3
+    approx = ivf_ann_query(spark, SF, k=k).toPandas()
+    exact = cosine_topk_query(spark, SF, k=k).toPandas()
+    n_vec = exact["vec_id"].nunique()
+    assert approx.groupby("vec_id").size().max() <= k
+    assert approx["vec_id"].nunique() == n_vec
+    ap = set(zip(approx.vec_id, approx.neighbor_id))
+    ex = set(zip(exact.vec_id, exact.neighbor_id))
+    recall = len(ap & ex) / len(ex)
+    assert recall > 0.3, recall  # coarse cells at 500 vectors; sanity bound
