@@ -101,10 +101,22 @@ def encode_bench(spark, input_dir: str, target_tokens: int) -> dict:
         sizes = m.selectExpr(
             "sum(encoded_size) e", "sum(raw_size) r"
         ).collect()[0]
+        # decode side of the roundtrip guarantee: blobs -> rows, forced
+        # with a noop write (no collect-to-driver)
+        from parquet_go_spark.operators.decode_job import decode_table
+
+        t1 = time.time()
+        decode_table(
+            spark, out, ["doc_id", "tokens", "n_tok", "source"],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        ).write.format("noop").mode("overwrite").save()
+        dwall = time.time() - t1
         return {
             "tokens": int(total_tokens),
             "wall_sec": round(wall, 2),
             "tokens_per_sec": round(total_tokens / wall),
+            "decode_wall_sec": round(dwall, 2),
+            "decode_tokens_per_sec": round(total_tokens / dwall),
             "partitions": plan.num_partitions,
             "encoded_bytes": int(sizes["e"]),
             "raw_bytes": int(sizes["r"]),

@@ -118,6 +118,21 @@ def train(
         symbols.append(sym)
         sym_len[new_code] = len(sym)
         codes = _merge_pass(codes, a, b, new_code)
+
+    # fill the remaining code space with frequent single bytes (real FSST
+    # tables are mostly 1-byte symbols): a covered byte costs 1 output byte
+    # instead of the 2-byte (ESCAPE, byte) literal
+    room = 255 - len(merges)
+    if room > 0:
+        raw = codes[codes < 256]
+        if len(raw):
+            counts1 = np.bincount(raw.astype(np.int64), minlength=256)
+            order = np.argsort(-counts1, kind="stable")
+            for byte in order[:room]:
+                if counts1[byte] < MIN_PAIR_COUNT:
+                    break
+                merges.append((int(byte), -1))  # -1 marks single-byte symbol
+                symbols.append(bytes([int(byte)]))
     return merges, symbols
 
 
@@ -144,23 +159,30 @@ def encode(
     codes[:] = SEP
     codes[dst] = arr[int(offsets[0]) : int(offsets[-1])]
 
+    lut = np.full(256, -1, dtype=np.int64)  # byte -> single-byte symbol code
     for i, (a, b) in enumerate(merges):
-        codes = _merge_pass(codes, a, b, FIRST_SYMBOL_CODE + i)
+        if b == -1:
+            lut[a] = i
+        else:
+            codes = _merge_pass(codes, a, b, FIRST_SYMBOL_CODE + i)
 
     is_sep = codes == SEP
     is_sym = (codes >= FIRST_SYMBOL_CODE) & ~is_sep
     is_raw = codes < 256
-    needs_escape = is_raw & (codes == ESCAPE)
-    out_len = np.where(is_sep, 0, np.where(is_sym, 1, np.where(needs_escape, 2, 2)))
-    # raw bytes are always emitted as (ESCAPE, byte) — uniform 2-byte literal;
-    # symbols are 1 byte. (FSST emits bare bytes for code<n_sym only when the
-    # table is full; uniform escaping keeps the decoder branch-free.)
+    lut_vals = lut[np.minimum(codes, 255).astype(np.int64)]
+    mapped = is_raw & (lut_vals >= 0)        # 1-byte single-byte symbol
+    unmapped = is_raw & (lut_vals < 0)       # 2-byte (ESCAPE, byte) literal
+    out_len = np.where(
+        is_sep, 0, np.where(is_sym | mapped, 1, 2)
+    )
     out_off = np.zeros(len(codes) + 1, dtype=np.int64)
     np.cumsum(out_len, out=out_off[1:])
     payload = np.empty(int(out_off[-1]), dtype=np.uint8)
     sym_pos = np.flatnonzero(is_sym)
     payload[out_off[sym_pos]] = (codes[sym_pos] - FIRST_SYMBOL_CODE).astype(np.uint8)
-    raw_pos = np.flatnonzero(is_raw)
+    map_pos = np.flatnonzero(mapped)
+    payload[out_off[map_pos]] = lut_vals[map_pos].astype(np.uint8)
+    raw_pos = np.flatnonzero(unmapped)
     payload[out_off[raw_pos]] = ESCAPE
     payload[out_off[raw_pos] + 1] = codes[raw_pos].astype(np.uint8)
 

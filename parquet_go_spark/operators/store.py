@@ -57,7 +57,12 @@ class ManifestStore:
         return self.blobs(spark).select("part_id").distinct()
 
     def append_blobs(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.blobs_dir)
+        # frames are already block-compressed; a second parquet-level pass
+        # burns CPU for ~0 bytes (store-uncompressed-if-bigger analog at
+        # the file layer)
+        df.write.mode("append").option("compression", "uncompressed").parquet(
+            self.blobs_dir
+        )
 
     def write_manifest_snapshot(self, spark: SparkSession) -> None:
         """Materialize the manifest projection for external readers."""

@@ -155,3 +155,31 @@ def test_skewed_rows_get_dedicated_buckets(spark):
     assert plan.n_heavy >= 1
     big_part = planned.filter(F.col("doc_id") == "doc-big").collect()[0]["part_id"]
     assert big_part >= plan.n_normal  # routed to the heavy bucket range
+
+
+def test_skew_partition_token_mass_bounded(spark):
+    """Pathological skew: many heavy documents (n_tok at the 65k cap) mixed
+    into a light corpus. The n_tok-weighted planner must keep every
+    partition's token mass near target — no partition may concentrate the
+    heavy tail (the property that makes the single encode shuffle safe at
+    10^12 sequences)."""
+    import pyspark.sql.functions as F
+
+    from parquet_go_spark.plans.partitioner import plan_partitions
+    from parquet_go_spark.sources.synth import token_sequences
+
+    base = token_sequences(spark, 3000, partitions=4)
+    # clone a heavy tail: every 10th doc gets the max length
+    skewed = base.withColumn(
+        "n_tok",
+        F.when(F.col("doc_id").substr(-1, 1) == "0", F.lit(65536))
+        .otherwise(F.col("n_tok")),
+    )
+    target = 200_000  # threshold target/4 = 50k < 65536 so capped docs count as heavy
+    planned, plan = plan_partitions(skewed, target_tokens=target)
+    mass = (
+        planned.groupBy("part_id").agg(F.sum("n_tok").alias("m")).toPandas()
+    )
+    assert plan.n_heavy >= 1, "heavy rows must get dedicated buckets"
+    # every partition within 3x target (hash salting variance allowed)
+    assert mass["m"].max() <= 3 * target, mass["m"].max()
