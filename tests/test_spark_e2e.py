@@ -183,3 +183,29 @@ def test_skew_partition_token_mass_bounded(spark):
     assert plan.n_heavy >= 1, "heavy rows must get dedicated buckets"
     # every partition within 3x target (hash salting variance allowed)
     assert mass["m"].max() <= 3 * target, mass["m"].max()
+
+
+def test_decode_rows_skiprows_analog(spark, tmp_out):
+    """decode_rows must return exactly rows [offset, offset+count) in
+    (part_id, intra-partition) order, decoding only intersecting
+    partitions (reference SkipRows + OffsetIndex semantics)."""
+    from parquet_go_spark.operators.decode_job import decode_rows, decode_table
+    from parquet_go_spark.operators.encode_job import encode_table
+    from parquet_go_spark.sources.synth import token_sequences
+
+    df = token_sequences(spark, 3000, partitions=4)
+    encode_table(spark, df, tmp_out, target_tokens=200_000, resume=False)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    full = decode_table(spark, tmp_out, cols, schema)
+    # reconstruct the engine's global order: part_id asc, intra order stable
+    import pyspark.sql.functions as F
+
+    total = full.count()
+    offset, count = total // 3, total // 4
+    sliced = decode_rows(spark, tmp_out, cols, schema, offset, count)
+    assert sliced.count() == count
+    # the slice must be a sub-multiset of the full decode
+    assert sliced.exceptAll(full).count() == 0
+    # zero-width and tail-overrun edges
+    assert decode_rows(spark, tmp_out, cols, schema, total - 5, 100).count() == 5

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the encode/decode/verify jobs.
+
+The north rule's deployment surface: the job ships to a cluster as
+
+    zip -r pgs.zip parquet_go_spark
+    spark-submit --py-files pgs.zip tools/submit_encode.py encode \
+        --input <parquet dir or synth:N> --out <store dir> \
+        [--target-tokens 2000000] [--waves 4] [--no-resume] \
+        [--compression zstd] [--bloom col1,col2]
+
+    spark-submit --py-files pgs.zip tools/submit_encode.py decode \
+        --store <store dir> --out <parquet dir>
+
+    spark-submit --py-files pgs.zip tools/submit_encode.py verify \
+        --input <parquet dir or synth:N> --store <store dir>
+
+On a cluster the SparkSession comes from spark-submit's conf (master,
+executor counts — the N vs 4N runs differ only in --num-executors);
+run locally it falls back to local[*]. Exit code 0 on success; `verify`
+exits 1 if the decoded store differs from the input anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def _get_session(app: str) -> SparkSession:
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _load_input(spark: SparkSession, spec: str):
+    if spec.startswith("synth:"):
+        from parquet_go_spark.sources.synth import token_sequences
+
+        return token_sequences(spark, int(spec.split(":", 1)[1]))
+    return spark.read.parquet(spec)
+
+
+def cmd_encode(args) -> int:
+    from parquet_go_spark.operators.encode_job import encode_table
+
+    spark = _get_session("pgs-encode")
+    df = _load_input(spark, args.input)
+    total = df.selectExpr("sum(n_tok) s").collect()[0]["s"] or 0
+    t0 = time.time()
+    store, plan = encode_table(
+        spark, df, args.out,
+        target_tokens=args.target_tokens,
+        compression=args.compression,
+        waves=args.waves,
+        resume=not args.no_resume,
+    )
+    wall = time.time() - t0
+    m = store.manifest(spark).selectExpr(
+        "sum(encoded_size) e", "sum(raw_size) r", "count(*) chunks"
+    ).collect()[0]
+    print(json.dumps({
+        "job": "encode", "tokens": int(total), "wall_sec": round(wall, 2),
+        "tokens_per_sec": round(total / wall) if wall else None,
+        "partitions": plan.num_partitions, "chunks": m["chunks"],
+        "encoded_bytes": int(m["e"]), "raw_bytes": int(m["r"]),
+    }))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from parquet_go_spark.operators.decode_job import decode_table
+    from parquet_go_spark.sources.synth import SCHEMA
+
+    spark = _get_session("pgs-decode")
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    dec = decode_table(spark, args.store, cols, SCHEMA)
+    dec.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"job": "decode", "rows": spark.read.parquet(args.out).count()}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from parquet_go_spark.operators.decode_job import decode_table
+    from parquet_go_spark.sources.synth import SCHEMA
+
+    spark = _get_session("pgs-verify")
+    src = _load_input(spark, args.input)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    dec = decode_table(spark, args.store, cols, SCHEMA)
+    extra = dec.exceptAll(src).count()
+    missing = src.exceptAll(dec).count()
+    ok = extra == 0 and missing == 0
+    print(json.dumps({
+        "job": "verify", "bit_identical": ok,
+        "extra_rows": extra, "missing_rows": missing,
+    }))
+    return 0 if ok else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--target-tokens", type=int, default=2_000_000)
+    enc.add_argument("--waves", type=int, default=1)
+    enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--compression", default="zstd")
+    enc.set_defaults(fn=cmd_encode)
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("--store", required=True)
+    dec.add_argument("--out", required=True)
+    dec.set_defaults(fn=cmd_decode)
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("--input", required=True)
+    ver.add_argument("--store", required=True)
+    ver.set_defaults(fn=cmd_verify)
+
+    args = ap.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
