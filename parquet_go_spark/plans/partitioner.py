@@ -2,27 +2,32 @@
 
 The reference is single-process and has no partitioning layer (SURVEY.md
 §2.11); at 10^12-sequence scale the north rule makes it explicit. Strategy
-(scales to 1000 executors — no global sort, no driver-side loop):
+(scales to 1000 executors — no global sort of the data, no driver loop):
 
   * one cheap aggregate scan computes total and heavy-row token counts
     (column-pruned to n_tok, so the parquet scan reads one column);
-  * P = ceil(total_tokens / target) buckets; normal rows are salted by
-    xxhash64(doc_id) % P — with millions of rows per bucket the law of
-    large numbers equalizes token mass;
-  * rows with n_tok >= skew_threshold (default target/4) are routed to a
-    dedicated bucket range [P, P + P_heavy) sized by their own token mass,
-    so one 65k-token document never dominates a normal bucket (the
-    salting-for-skew pattern, AQE can't help custom UDF fan-out).
+  * P = ceil(normal_tokens / target) buckets; normal rows are salted by
+    xxhash64(doc_id) % P — with millions of light rows per bucket the law
+    of large numbers equalizes token mass;
+  * rows with n_tok >= skew_threshold (default target/4) get **weighted
+    first-fit packing**, not hashing: ordered by (xxhash64, doc_id), a
+    running token sum assigns bucket floor(prefix/target), so every heavy
+    bucket carries <= target + max_doc tokens. Hash salting here would be
+    balls-into-bins over few, huge balls — measured 3.3x-target outliers.
+    The packing window runs over ONLY the heavy subset, whose row count
+    is bounded by total_tokens/thr <= 4 * num_partitions (each heavy row
+    carries >= target/4 tokens), i.e. metadata scale — the single-reducer
+    window is ~2M skinny rows at 10^12 tokens, not a data-scale sort.
 
-The resulting part_id is stable across runs (hash of doc_id, not
-monotonically_increasing_id), which checkpointed resume requires.
+The resulting part_id is stable across runs (pure function of doc_id
+hashes and n_tok), which checkpointed resume requires.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_TOKENS = 2_000_000
@@ -58,13 +63,34 @@ def plan_partitions(
     heavy = int(agg["heavy"] or 0)
     normal = total - heavy
     n_normal = max(-(-normal // target_tokens), 1)
-    n_heavy = max(-(-heavy // target_tokens), 1) if heavy else 0
+    # +1: first-fit start-offset packing can open one extra bucket
+    n_heavy = (max(-(-heavy // target_tokens), 1) + 1) if heavy else 0
     salt = F.xxhash64(F.col("doc_id"))
-    part_id = F.when(
-        F.col("n_tok") >= thr,
-        F.lit(n_normal) + F.pmod(salt, F.lit(max(n_heavy, 1))),
-    ).otherwise(F.pmod(salt, F.lit(n_normal)))
-    out = df.withColumn("part_id", part_id.cast("int"))
+
+    normal_df = df.filter(F.col("n_tok") < thr).withColumn(
+        "part_id", F.pmod(salt, F.lit(n_normal)).cast("int")
+    )
+    if heavy == 0:
+        out = normal_df
+    else:
+        w = Window.orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        heavy_df = (
+            df.filter(F.col("n_tok") >= thr)
+            .withColumn("_cum", F.sum("n_tok").over(w))
+            .withColumn(
+                "part_id",
+                (
+                    F.lit(n_normal)
+                    + F.floor(
+                        (F.col("_cum") - F.col("n_tok")) / F.lit(target_tokens)
+                    )
+                ).cast("int"),
+            )
+            .drop("_cum")
+        )
+        out = normal_df.unionByName(heavy_df)
     return out, PartitionPlan(
         n_normal=n_normal,
         n_heavy=n_heavy,

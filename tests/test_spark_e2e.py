@@ -181,8 +181,9 @@ def test_skew_partition_token_mass_bounded(spark):
         planned.groupBy("part_id").agg(F.sum("n_tok").alias("m")).toPandas()
     )
     assert plan.n_heavy >= 1, "heavy rows must get dedicated buckets"
-    # every partition within 3x target (hash salting variance allowed)
-    assert mass["m"].max() <= 3 * target, mass["m"].max()
+    # packing invariant: heavy buckets carry <= target + max_doc tokens;
+    # normal buckets are law-of-large-numbers close to target
+    assert mass["m"].max() <= target + 65536, mass["m"].max()
 
 
 def test_decode_rows_skiprows_analog(spark, tmp_out):
