@@ -466,6 +466,13 @@ def _rebuild_strings(
 
 def decode_chunk(buf: bytes) -> pa.Array:
     """Decode a frame back to a pyarrow Array (bit-identical roundtrip)."""
+    try:
+        return _decode_chunk_inner(buf)
+    except IndexError as e:  # defense in depth: malformed section layout
+        raise ValueError(f"malformed frame: {e}") from e
+
+
+def _decode_chunk_inner(buf: bytes) -> pa.Array:
     meta = frame.read_frame(buf)
     n = meta.count
     valid = None

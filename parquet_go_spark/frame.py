@@ -142,7 +142,10 @@ def write_frame(
         len(sections), 0, count, null_count, raw_size, len(payload),
     )
     sect_table = struct.pack(f"<{len(sections)}Q", *(len(s) for s in sections))
-    crc = zlib.crc32(body)
+    # CRC covers header + section table + body: a flipped codec id or
+    # section length must fail the checksum, not misroute the decoder
+    # (stronger than the reference, which checksums page data only)
+    crc = zlib.crc32(header + sect_table + body)
     return header + sect_table + body + struct.pack("<I", crc)
 
 
@@ -169,7 +172,7 @@ def read_frame(buf: bytes | memoryview) -> FrameMeta:
         raise ValueError("section lengths disagree with payload size")
     body = bytes(buf[pos : len(buf) - 4])
     (crc,) = struct.unpack_from("<I", buf, len(buf) - 4)
-    if zlib.crc32(body) != crc:
+    if zlib.crc32(bytes(buf[:pos]) + body) != crc:
         raise ValueError("frame CRC mismatch")
     if comp_id != COMP_NONE:
         body = _get_codec(comp_id).decompress(body, payload_size).to_pybytes()

@@ -1,0 +1,118 @@
+"""Property-based roundtrip tests (hypothesis) — the analog of the
+reference's per-decoder fuzz harnesses (AGENTS.md:30-42, Fuzz* targets):
+random typed arrays, with nulls and boundary values, must roundtrip
+bit-identically through every auto-selected codec path, and malformed
+frames must raise, never crash or return garbage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquet_go_spark import chunk
+
+_SETTINGS = dict(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _roundtrip(arr: pa.Array):
+    for compression in ("zstd", None):
+        blob, _ = chunk.encode_chunk(arr, codec="auto", compression=compression)
+        out = chunk.decode_chunk(blob)
+        if out.type != arr.type:
+            out = out.cast(arr.type)
+        assert out.equals(arr), f"{arr.type} roundtrip mismatch"
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)), max_size=300
+    )
+)
+@settings(**_SETTINGS)
+def test_int32_any(vals):
+    _roundtrip(pa.array(vals, type=pa.int32()))
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)), max_size=300
+    )
+)
+@settings(**_SETTINGS)
+def test_int64_any(vals):
+    _roundtrip(pa.array(vals, type=pa.int64()))
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),
+            st.just(float("inf")),
+            st.just(float("-inf")),
+        ),
+        max_size=200,
+    )
+)
+@settings(**_SETTINGS)
+def test_float64_any(vals):
+    _roundtrip(pa.array(vals, type=pa.float64()))
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=40), st.just(""), st.just("\x00")),
+        max_size=200,
+    )
+)
+@settings(**_SETTINGS)
+def test_string_any(vals):
+    _roundtrip(pa.array(vals, type=pa.utf8()))
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(-(2**31), 2**31 - 1), max_size=50),
+        ),
+        max_size=100,
+    )
+)
+@settings(**_SETTINGS)
+def test_token_lists_any(vals):
+    _roundtrip(pa.array(vals, type=pa.list_(pa.int32())))
+
+
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 3))
+@settings(max_examples=60, deadline=None)
+def test_malformed_frames_never_crash(junk, mode):
+    """Random bytes, truncations, and bit flips of valid frames must raise
+    ValueError (or decode to the exact original), never segfault/garble."""
+    base, _ = chunk.encode_chunk(
+        pa.array([1, 2, 3, 4, 5], type=pa.int32()), codec="auto",
+        compression="zstd",
+    )
+    if mode == 0:
+        buf = junk
+    elif mode == 1:
+        buf = base[: len(junk) % max(len(base), 1)]
+    elif mode == 2:
+        k = len(junk) % max(len(base), 1)
+        flip = bytearray(base)
+        flip[k] ^= 0xFF
+        buf = bytes(flip)
+    else:
+        buf = base + junk
+    try:
+        out = chunk.decode_chunk(buf)
+        # only acceptable success: the unmodified payload semantics
+        assert out.cast(pa.int32()).equals(pa.array([1, 2, 3, 4, 5], pa.int32()))
+    except (ValueError, NotImplementedError):
+        pass
