@@ -230,31 +230,47 @@ def rank_string_codecs(
     if compression and compression != "none":
         comp = pa.Codec(compression)
 
-    def final(b: bytes) -> float:
+    def z(b: bytes) -> float:
         return float(len(comp.compress(b))) if comp else float(len(b))
 
     from .codecs import plainc
 
+    ns = max(len(rows), 1)
+    row_scale = n / ns  # per-row payload sections scale with row count
+
     sizes: dict[int, float] = {}
-    sizes[frame.PLAIN_BA] = final(plainc.encode_byte_array(s_data, s_off))
-    sizes[frame.DELTA_LENGTH_BA] = final(deltaba.encode_delta_length(s_data, s_off))
-    sizes[frame.DELTA_BA] = final(deltaba.encode_delta_ba(s_data, s_off))
+    sizes[frame.PLAIN_BA] = z(plainc.encode_byte_array(s_data, s_off)) * row_scale
+    sizes[frame.DELTA_LENGTH_BA] = (
+        z(deltaba.encode_delta_length(s_data, s_off)) * row_scale
+    )
+    sizes[frame.DELTA_BA] = z(deltaba.encode_delta_ba(s_data, s_off)) * row_scale
     built = dictionary.build_bytes(s_data, s_off, budget=1 << 30)
     if built is not None:
         uniq, codes = built
-        dict_sz = sum(len(u) for u in uniq) + 4 * len(uniq)
-        card_frac = len(uniq) / max(len(rows), 1)
-        # scale the dictionary to full-chunk cardinality
+        card_frac = len(uniq) / ns
+        # scale the dictionary section by full-chunk cardinality, the code
+        # section by row count (same split as trial_pick_scaled for ints)
         full_card = len(uniq) if card_frac < 0.5 else card_frac * n
-        full_dict_bytes = (dict_sz / max(len(uniq), 1)) * full_card
+        card_scale = max(full_card / max(len(uniq), 1), 1.0)
+        dict_blob = dictionary.encode_dict_values_bytes(uniq)
+        full_dict_bytes = (sum(len(u) for u in uniq) + 4 * len(uniq)) * card_scale
         if full_dict_bytes <= dictionary.DEFAULT_DICT_BUDGET:
-            idx_blob = dictionary.encode_indices(codes, len(uniq))
-            # scale sample sizes back: dict amortizes, indices don't
-            sizes[frame.DICT] = final(idx_blob) + full_dict_bytes * len(rows) / n
+            dict_part = z(dict_blob) * card_scale
+            sizes[frame.DICT] = (
+                dict_part
+                + z(dictionary.encode_indices(codes, len(uniq))) * row_scale
+            )
+            sizes[frame.DICT_BSS] = (
+                dict_part
+                + z(dictionary.encode_codes_bss(codes, len(uniq))) * row_scale
+            )
     try:
         merges, symbols = fsst.train(s_data, s_off)
         if symbols:
-            sizes[frame.FSST] = final(fsst.encode(s_data, s_off, merges, symbols))
+            blob = fsst.encode(s_data, s_off, merges, symbols)
+            head_len = 2 + len(symbols) + sum(len(s) for s in symbols)
+            # symbol table is fixed; lengths+payload scale with rows
+            sizes[frame.FSST] = float(head_len) + z(blob[head_len:]) * row_scale
     except Exception:
         pass
     return min(sizes, key=sizes.get)

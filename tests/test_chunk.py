@@ -170,7 +170,7 @@ def test_string_auto_low_cardinality_picks_dict():
     vals = pa.array(["alpha", "beta", "gamma"] * 5000)
     out, stats = rt(vals)
     assert_equal_arrays(out, vals)
-    assert stats["codec"] == "dict"
+    assert stats["codec"] in ("dict", "dict_bss")
 
 
 def test_string_auto_shared_prefix():
