@@ -72,6 +72,15 @@ def encode_generic(
             F.floor((F.col(key_col).cast("double") - F.lit(lo)) / F.lit(width)),
             F.lit(num_parts - 1),
         )
+    elif clustering == "range_string":
+        # lexicographic prefix bucketing: first character mapped over a-z.
+        # Stable and shuffle-free; at scale this is where a
+        # repartitionByRange-sampled boundary table would slot in.
+        c = F.ascii(F.lower(F.substring(F.col(key_col), 1, 1)))
+        norm = F.greatest(F.least(c - F.lit(97), F.lit(25)), F.lit(0))
+        pid = F.least(
+            F.floor(norm * num_parts / 26), F.lit(num_parts - 1)
+        )
     else:
         pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_parts))
     planned = df.withColumn("part_id", pid.cast("int"))
@@ -125,16 +134,20 @@ def _decode_parts(
 
 def stats_candidates(
     spark: SparkSession, store: ManifestStore, key_col: str,
-    lo: float, hi: float,
+    lo, hi,
 ) -> list[int]:
-    """Manifest (footer) read: partitions whose [vmin, vmax] intersects."""
+    """Manifest (footer) read: partitions whose [vmin, vmax] intersects.
+
+    Numeric bounds compare as double; string bounds compare
+    lexicographically — valid against the truncated manifest bounds
+    because truncation only ever widens the interval (stats_trunc.py:
+    min is a prefix, max rounds up)."""
     meta = store.manifest(spark).filter(F.col("col") == key_col)
-    keep = meta.filter(
-        ~(
-            (F.col("vmax").cast("double") < F.lit(lo))
-            | (F.col("vmin").cast("double") > F.lit(hi))
-        )
-    )
+    if isinstance(lo, str) or isinstance(hi, str):
+        vmin, vmax = F.col("vmin"), F.col("vmax")
+    else:
+        vmin, vmax = F.col("vmin").cast("double"), F.col("vmax").cast("double")
+    keep = meta.filter(~((vmax < F.lit(lo)) | (vmin > F.lit(hi))))
     return [r["part_id"] for r in keep.select("part_id").collect()]
 
 

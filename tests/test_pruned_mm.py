@@ -171,3 +171,29 @@ def test_ivf_ann_recall_vs_exact(spark):
     ex = set(zip(exact.vec_id, exact.neighbor_id))
     recall = len(ap & ex) / len(ex)
     assert recall > 0.3, recall  # coarse cells at 500 vectors; sanity bound
+
+
+def test_stats_pruning_string_key(spark, tmp_out):
+    """String-key range pruning against truncated lexicographic bounds:
+    pruning must be lossless (truncation only widens intervals)."""
+    from parquet_go_spark.operators import pruned
+
+    df = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    store = pruned.encode_generic(
+        spark, df, tmp_out, key_col="p_name", clustering="range_string",
+        num_parts=8,
+    )
+    lo, hi = "b", "f"
+    cand = pruned.stats_candidates(spark, store, "p_name", lo, hi)
+    total = store.completed_partitions(spark).count()
+    assert 0 < len(cand) <= total
+    schema, atypes = pruned._schema_of(df, df.columns)
+    dec = pruned._decode_parts(spark, store, cand, df.columns, schema, atypes)
+    got = dec.filter(
+        (F.col("p_name") >= lo) & (F.col("p_name") <= hi)
+    ).count()
+    want = df.filter((F.col("p_name") >= lo) & (F.col("p_name") <= hi)).count()
+    assert got == want > 0
+    assert len(cand) < total, "string clustering should allow pruning"
