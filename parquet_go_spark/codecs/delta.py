@@ -175,7 +175,6 @@ def decode(buf: bytes, itemsize: int = 8) -> np.ndarray:
             ]
 
     with np.errstate(over="ignore"):
-        deltas = adj.reshape(nblocks, block_size * miniblocks // miniblocks)
         deltas = adj.reshape(nblocks, block_size) + mins.view(np.uint64)[:, None]
         flat = deltas.ravel()[:m]
         acc = np.empty(n, dtype=np.uint64)
