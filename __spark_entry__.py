@@ -81,6 +81,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_shipdate": "delta_binary_packed",
         },
     )
+    q["rt_lineitem_rans"] = _rt.roundtrip_query(
+        "lineitem",
+        codec_map={
+            "l_suppkey": "rans",
+            "l_linenumber": "rans",
+            "l_returnflag": "dict_rans",
+            "l_linestatus": "dict_rans",
+        },
+    )
     q["rt_orders"] = _rt.roundtrip_query(
         "orders",
         codec_map={
@@ -164,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["rt_lineitem_auto"] = "SELECT * FROM lineitem"
     o["rt_lineitem_forced"] = "SELECT * FROM lineitem"
+    o["rt_lineitem_rans"] = "SELECT * FROM lineitem"
     o["rt_orders"] = "SELECT * FROM orders"
     o["rt_part_strings"] = "SELECT * FROM part"
     o["rt_customer_plain"] = "SELECT * FROM customer"

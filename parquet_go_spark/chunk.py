@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import cost, frame
-from .codecs import bitpack, bss, delta, deltaba, dictionary, fsst, plainc, rle
+from .codecs import bitpack, bss, delta, deltaba, dictionary, fsst, plainc, rans, rle
 
 _INT_TYPES = {
     frame.LT_INT32: (np.int32, 4),
@@ -110,6 +110,8 @@ def _encode_int_sections(
         return [delta.encode(vals, itemsize)], 0
     if codec == frame.BSS:
         return [bss.encode(vals)], 0
+    if codec == frame.RANS:
+        return [rans.encode_ints(vals.astype(np.int64, copy=False))], 0
     if codec in (frame.DICT, frame.DICT_BSS):
         built = dictionary.build_numeric(vals)
         if built is None:
@@ -146,6 +148,11 @@ def _decode_int_sections(meta: frame.FrameMeta, n: int, dtype, itemsize: int, s0
         return delta.decode(sections[s0], itemsize).astype(dtype, copy=False)
     if codec == frame.BSS:
         return bss.decode(sections[s0], np.dtype(dtype), n)
+    if codec == frame.RANS:
+        out = rans.decode_ints(sections[s0])
+        if len(out) != n:
+            raise ValueError("rANS count mismatch")
+        return out.astype(dtype, copy=False)
     if codec in (frame.DICT, frame.DICT_BSS):
         sec = sections[s0]
         card = int.from_bytes(sec[:4], "little")
@@ -171,7 +178,7 @@ def _encode_str_sections(
     if codec == frame.FSST:
         merges, symbols = fsst.train(data, offsets)
         return [fsst.encode(data, offsets, merges, symbols)], 0
-    if codec in (frame.DICT, frame.DICT_BSS):
+    if codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
         built = dictionary.build_bytes(data, offsets)
         if built is None:
             return [deltaba.encode_delta_length(data, offsets)], frame.DELTA_LENGTH_BA
@@ -179,11 +186,12 @@ def _encode_str_sections(
         sect0 = len(uniq).to_bytes(4, "little") + dictionary.encode_dict_values_bytes(
             uniq
         )
-        idx = (
-            dictionary.encode_codes_bss(codes, len(uniq))
-            if codec == frame.DICT_BSS
-            else dictionary.encode_indices(codes, len(uniq))
-        )
+        if codec == frame.DICT_RANS:
+            idx = rans.encode_ints(codes.astype(np.int64, copy=False))
+        elif codec == frame.DICT_BSS:
+            idx = dictionary.encode_codes_bss(codes, len(uniq))
+        else:
+            idx = dictionary.encode_indices(codes, len(uniq))
         return [sect0, idx], 0
     raise ValueError(f"codec {codec} invalid for byte-array column")
 
@@ -199,15 +207,21 @@ def _decode_str_sections(meta: frame.FrameMeta, n: int, s0: int):
         return deltaba.decode_delta_ba(sections[s0])
     if codec == frame.FSST:
         return fsst.decode(sections[s0])
-    if codec in (frame.DICT, frame.DICT_BSS):
+    if codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
         sec = sections[s0]
         card = int.from_bytes(sec[:4], "little")
         ddata, doff = plainc.decode_byte_array(sec[4:], card)
-        codes = (
-            dictionary.decode_codes_bss(sections[s0 + 1], n, card)
-            if codec == frame.DICT_BSS
-            else dictionary.decode_indices(sections[s0 + 1], n, card)
-        ).astype(np.int64)
+        if codec == frame.DICT_RANS:
+            codes = rans.decode_ints(sections[s0 + 1])
+            if len(codes) != n or (n and (codes.min() < 0 or codes.max() >= card)):
+                raise ValueError("dict_rans codes out of range")
+        else:
+            codes = (
+                dictionary.decode_codes_bss(sections[s0 + 1], n, card)
+                if codec == frame.DICT_BSS
+                else dictionary.decode_indices(sections[s0 + 1], n, card)
+            )
+        codes = codes.astype(np.int64)
         dnp = np.frombuffer(ddata, dtype=np.uint8)
         dlens = np.diff(doff)
         out_lens = dlens[codes]
@@ -288,6 +302,9 @@ def encode_chunk(
                     sample_card = max(int.from_bytes(sect0[:4], "little"), 1)
                     card_scale = max(st_int.distinct_est / sample_card, 1.0)
                     return [(sect0, card_scale), (idx, scale_n)]
+                if c == frame.RANS:
+                    fixed, var = rans.split_fixed(body[0])
+                    return [(fixed, 1.0), (var, scale_n)]
                 return [(b"".join(body), scale_n)]
 
             cid = cost.trial_pick_scaled(

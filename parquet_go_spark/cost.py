@@ -33,7 +33,7 @@ import pyarrow as pa
 
 from . import frame
 from .codecs import delta as delta_codec
-from .codecs import deltaba, dictionary, fsst
+from .codecs import deltaba, dictionary, fsst, rans
 
 SAMPLE_TARGET = 262_144  # values sampled per chunk for stats + trials;
                          # 64k was too small for zstd's long-range matching
@@ -63,6 +63,7 @@ class IntStats:
     run_frac: float         # fraction of positions starting a new run
     delta_bits_mean: float  # mean miniblock bit width simulated on sample
     sorted_frac: float
+    entropy_bits: float | None = None  # sample Shannon entropy (None: span too wide)
 
 
 def int_stats(values: np.ndarray) -> IntStats:
@@ -91,7 +92,13 @@ def int_stats(values: np.ndarray) -> IntStats:
         delta_bits = float(widths.mean())
     else:
         run_frac, sorted_frac, delta_bits = 1.0, 1.0, 0.0
-    return IntStats(n, vmin, vmax, distinct, run_frac, delta_bits, sorted_frac)
+    entropy = None
+    if rans.applicable(vmin, vmax, n):
+        counts = np.bincount((s.astype(np.int64) - vmin))
+        entropy = rans.estimate_bits_per_value(counts)
+    return IntStats(
+        n, vmin, vmax, distinct, run_frac, delta_bits, sorted_frac, entropy
+    )
 
 
 def estimate_int_sizes(st: IntStats, itemsize: int) -> dict[int, float]:
@@ -116,6 +123,13 @@ def estimate_int_sizes(st: IntStats, itemsize: int) -> dict[int, float]:
         # byte-width codes: bigger raw, but the trial stage sees post-
         # compression sizes where the zero planes vanish
         est[frame.DICT_BSS] = dict_bytes + n * ((code_bw + 7) // 8) + 24
+    if st.entropy_bits is not None:
+        # entropy coding: n*H payload + frequency table + per-lane state
+        nfreq = span + 1
+        lanes = min(max(n // 1024, 4), rans.MAX_LANES)
+        est[frame.RANS] = (
+            n * st.entropy_bits / 8 + nfreq * 2 + lanes * 8 + 32
+        )
     return est
 
 
@@ -264,6 +278,13 @@ def rank_string_codecs(
                 dict_part
                 + z(dictionary.encode_codes_bss(codes, len(uniq))) * row_scale
             )
+            if rans.applicable(0, len(uniq) - 1, len(codes)):
+                fixed, var = rans.split_fixed(
+                    rans.encode_ints(codes.astype(np.int64))
+                )
+                sizes[frame.DICT_RANS] = (
+                    dict_part + z(fixed) * card_scale + z(var) * row_scale
+                )
     try:
         merges, symbols = fsst.train(s_data, s_off)
         if symbols:

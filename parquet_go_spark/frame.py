@@ -43,6 +43,8 @@ FSST = 8
 LIST = 9
 PLAIN_BA = 10
 DICT_BSS = 11
+RANS = 12
+DICT_RANS = 13
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -57,6 +59,8 @@ CODEC_NAMES = {
     LIST: "list",
     PLAIN_BA: "plain_byte_array",
     DICT_BSS: "dict_bss",
+    RANS: "rans",
+    DICT_RANS: "dict_rans",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

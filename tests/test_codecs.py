@@ -391,3 +391,91 @@ def test_dict_bss_malformed():
         dictionary.decode_codes_bss(bytes([3]) + b"\x00" * 30, 10, 4)
     with _pytest.raises(ValueError):
         dictionary.decode_codes_bss(bytes([2]) + b"\x00" * 5, 10, 4)
+
+
+# ----------------------------------------------------------------- rANS
+
+def test_rans_roundtrip_distributions():
+    from parquet_go_spark.codecs import rans
+
+    rng = np.random.default_rng(17)
+    cases = [
+        np.empty(0, dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.array([5, -3], dtype=np.int64),
+        np.full(1000, 42, dtype=np.int64),              # single symbol
+        rng.integers(0, 7, 10_000).astype(np.int64),    # near-uniform small
+        (rng.zipf(1.2, 200_000) % 50_000).astype(np.int64),  # skewed wide
+        rng.integers(-1000, 1000, 50_000).astype(np.int64),  # negative span
+        rng.integers(0, 100, 3).astype(np.int64),       # n < lanes
+        np.arange(2048, dtype=np.int64),                # every symbol once
+    ]
+    for vals in cases:
+        blob = rans.encode_ints(vals)
+        out = rans.decode_ints(blob)
+        assert np.array_equal(out, vals)
+
+
+def test_rans_compresses_skewed_below_bitpack():
+    from parquet_go_spark.codecs import rans
+
+    rng = np.random.default_rng(3)
+    vals = (rng.zipf(1.2, 500_000) % 50_000).astype(np.int64)
+    blob = rans.encode_ints(vals)
+    counts = np.bincount(vals)
+    entropy = rans.estimate_bits_per_value(counts)
+    _fixed, var = rans.split_fixed(blob)
+    # coded stream within 5% of the Shannon floor (the frequency table is
+    # a separate amortized section, compressed by the frame layer)
+    bits = len(var) * 8 / len(vals)
+    assert bits < entropy * 1.05 + 0.2
+    assert len(blob) * 8 / len(vals) < 16
+
+
+def test_rans_quantize_freqs_sums_exact():
+    from parquet_go_spark.codecs import rans
+
+    rng = np.random.default_rng(5)
+    for k in (10, 14, 20):
+        for shape in (1, 3, 1000, 40_000):
+            if shape > 1 << k:  # encode always picks k so nfreq fits
+                continue
+            counts = rng.integers(0, 1000, shape)
+            if counts.sum() == 0:
+                counts[0] = 1
+            counts[rng.integers(0, shape)] = 10_000_000  # heavy head
+            f = rans.quantize_freqs(counts, k)
+            assert int(f.sum()) == 1 << k
+            assert np.all(f[counts > 0] >= 1)
+            assert np.all(f[counts == 0] == 0)
+
+
+def test_rans_malformed():
+    import pytest as _pytest
+
+    from parquet_go_spark.codecs import rans
+
+    vals = np.arange(5000, dtype=np.int64) % 97
+    blob = bytearray(rans.encode_ints(vals))
+    with _pytest.raises(ValueError):
+        rans.decode_ints(b"")                      # truncated header
+    with _pytest.raises(ValueError):
+        rans.decode_ints(bytes(blob[:40]))         # truncated body
+    bad = blob.copy()
+    bad[0] = 99                                    # k out of range
+    with _pytest.raises(ValueError):
+        rans.decode_ints(bytes(bad))
+    bad = blob.copy()
+    bad[rans._HDR.size] ^= 0xFF                    # corrupt freq table
+    with _pytest.raises(ValueError):
+        rans.decode_ints(bytes(bad))
+    with _pytest.raises(ValueError):
+        rans.encode_ints(np.array([0, 1 << 20]))   # span gate
+
+
+def test_rans_span_gate_applicable():
+    from parquet_go_spark.codecs import rans
+
+    assert rans.applicable(0, 50_000, 100)
+    assert not rans.applicable(0, 1 << 18, 100)
+    assert not rans.applicable(0, 10, 0)

@@ -116,3 +116,30 @@ def test_malformed_frames_never_crash(junk, mode):
         assert out.cast(pa.int32()).equals(pa.array([1, 2, 3, 4, 5], pa.int32()))
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(
+    st.lists(st.integers(-500, 500), min_size=0, max_size=400),
+    st.integers(0, 3),
+    st.data(),
+)
+@settings(**_SETTINGS)
+def test_rans_fuzz_roundtrip_and_mutation(vals, _salt, data):
+    """Valid blobs roundtrip; mutated blobs raise ValueError, never crash
+    (the reference's Fuzz* decoder harness norm, AGENTS.md:30-42)."""
+    from parquet_go_spark.codecs import rans
+
+    arr = np.asarray(vals, dtype=np.int64)
+    blob = rans.encode_ints(arr)
+    assert np.array_equal(rans.decode_ints(blob), arr)
+    if len(blob) > 0:
+        pos = data.draw(st.integers(0, len(blob) - 1))
+        bit = data.draw(st.integers(0, 7))
+        mutated = bytearray(blob)
+        mutated[pos] ^= 1 << bit
+        try:
+            out = rans.decode_ints(bytes(mutated))
+            # a surviving decode must at least keep the element count
+            assert len(out) in (len(arr),)
+        except (ValueError, OverflowError):
+            pass
