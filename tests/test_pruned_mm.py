@@ -170,7 +170,29 @@ def test_ivf_ann_recall_vs_exact(spark):
     ap = set(zip(approx.vec_id, approx.neighbor_id))
     ex = set(zip(exact.vec_id, exact.neighbor_id))
     recall = len(ap & ex) / len(ex)
-    assert recall > 0.3, recall  # coarse cells at 500 vectors; sanity bound
+    # k-means-trained quantizer + adaptive nprobe measured 0.90 at 500
+    # vectors; 0.8 leaves slack for centroid drift across numpy versions
+    assert recall > 0.8, recall
+
+
+def test_ivf_ann_asymmetric_mode(spark):
+    """The asymmetric (single home cell) variant — the lower-shuffle scale
+    path — must stay well-formed and keep usable recall."""
+    from parquet_go_spark.operators import similarity as sim
+
+    k = 3
+    old = sim.IVF_MULTI_ASSIGN
+    sim.IVF_MULTI_ASSIGN = False
+    try:
+        approx = sim.ivf_ann_query(spark, SF, k=k).toPandas()
+    finally:
+        sim.IVF_MULTI_ASSIGN = old
+    exact = sim.cosine_topk_query(spark, SF, k=k).toPandas()
+    assert approx.groupby("vec_id").size().max() <= k
+    assert approx["vec_id"].nunique() == exact["vec_id"].nunique()
+    ap = set(zip(approx.vec_id, approx.neighbor_id))
+    ex = set(zip(exact.vec_id, exact.neighbor_id))
+    assert len(ap & ex) / len(ex) > 0.4
 
 
 def test_stats_pruning_string_key(spark, tmp_out):
