@@ -43,12 +43,19 @@ TRIAL_CANDIDATES = 3     # codecs trial-encoded in stage 2
 
 
 def contiguous_sample(values: np.ndarray, target: int = SAMPLE_TARGET) -> np.ndarray:
-    """Head + middle + tail contiguous segments (adjacency-preserving)."""
+    """Head + middle + tail contiguous segments (adjacency-preserving).
+
+    The segments must be pairwise DISJOINT: when n is only slightly above
+    target, a naive mid=n//2 start overlaps the tail segment, and the
+    duplicated block makes the zstd trial stage overestimate the
+    compressibility of positional codecs (BSS planes keep the duplicate
+    for long-range matching; entropy-coded streams destroy it) — measured
+    as a 10% bias that mis-ranked BSS over rANS at n=1.15x target."""
     n = len(values)
     if n <= target:
         return values
     seg = target // 3
-    mid = n // 2
+    mid = min(max(n // 2 - seg // 2, seg), n - 2 * seg)
     return np.concatenate(
         (values[:seg], values[mid : mid + seg], values[n - seg :])
     )

@@ -479,3 +479,36 @@ def test_rans_span_gate_applicable():
     assert rans.applicable(0, 50_000, 100)
     assert not rans.applicable(0, 1 << 18, 100)
     assert not rans.applicable(0, 10, 0)
+
+
+def test_auto_selection_picks_rans_on_skewed_ints():
+    """Chunk-level auto codec selection must route Zipf-like int columns to
+    the entropy coder and still roundtrip bit-identically."""
+    import pyarrow as pa
+
+    from parquet_go_spark import chunk
+
+    rng = np.random.default_rng(23)
+    # steep Zipf (like real token-id columns): entropy ~3.5 bits against a
+    # 16-bit span — the regime where entropy coding beats bitpack+zstd by
+    # a wide margin. (At flatter skews the two are within ~2% and either
+    # pick is legitimate.)
+    vals = (rng.zipf(1.5, 300_000) % 50_000).astype(np.int32)
+    arr = pa.array(vals, pa.int32())
+    blob, stats = chunk.encode_chunk(arr, codec="auto", compression="zstd")
+    assert stats["codec"] == "rans", stats["codec"]
+    assert chunk.decode_chunk(blob).equals(arr)
+    # and far below the 2-byte/value a 16-bit pack would need
+    assert stats["encoded_size"] < 2 * len(vals)
+
+
+def test_contiguous_sample_segments_disjoint():
+    """Regression: for n slightly above target the mid segment must not
+    overlap the tail (overlap inflated zstd trial compressibility of
+    positional codecs and mis-ranked BSS over rANS)."""
+    from parquet_go_spark import cost
+
+    for n in (300_000, 262_145, 400_000, 786_432, 1_000_000):
+        vals = np.arange(n, dtype=np.int64)
+        s = cost.contiguous_sample(vals)
+        assert len(np.unique(s)) == len(s), n
