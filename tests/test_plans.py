@@ -1,0 +1,109 @@
+"""Physical-plan regression tests — the executable form of PLANS.md.
+
+The engine's 100-TB story rests on plan *shapes*, not constants: one
+row-group-forming shuffle in the encode pipeline, predicate pushdown into
+the parquet scan for pruned decode, and shuffle-free roundtrip queries.
+These asserts pin those shapes so a refactor that silently adds an
+Exchange or breaks pushdown fails in CI, the same way a value regression
+would. (The reference has no optimizer to audit — SURVEY.md §4 — so this
+file guards our Spark-side equivalent: the plans Catalyst produces for
+our dataflows.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _count_exchanges(plan: str) -> int:
+    # count physical Exchange operators, not AQE re-use mentions
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Exchange" in line
+        and "Reused" not in line
+    )
+
+
+def test_encode_pipeline_single_shuffle(spark, tmp_out):
+    """Row-group formation must cost exactly one all-to-all: the hash
+    exchange on part_id (PLANS.md §1). Anything upstream stays narrow."""
+    from parquet_go_spark.operators.encode_job import encode_blobs_df
+    from parquet_go_spark.plans.partitioner import plan_partitions
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = (
+        df.withColumnRenamed("l_orderkey", "doc_id_src")
+        .selectExpr(
+            "cast(doc_id_src as string) doc_id",
+            "array(l_linenumber, l_suppkey) tokens",
+            "2 n_tok",
+            "l_returnflag source",
+        )
+    )
+    planned, _ = plan_partitions(df, target_tokens=10_000)
+    blobs = encode_blobs_df(planned)
+    plan = _plan(blobs)
+    assert _count_exchanges(plan) == 1, plan
+
+
+def test_pruned_decode_pushes_filters_to_scan(spark, tmp_out):
+    """Partition and column pruning predicates must reach the parquet
+    scan as PushedFilters (PLANS.md §3) so row-group stats can skip the
+    blob bytes of pruned partitions entirely."""
+    from parquet_go_spark.operators.encode_job import encode_table
+    from parquet_go_spark.operators.pruned import _decode_parts
+    from parquet_go_spark.sources.synth import token_sequences
+
+    src = token_sequences(spark, 500, partitions=2)
+    store, _ = encode_table(
+        spark, src, tmp_out, target_tokens=50_000, resume=False
+    )
+    dec = _decode_parts(
+        spark, store, [0, 1], ["doc_id", "n_tok"], "doc_id string, n_tok int"
+    )
+    plan = _plan(dec)
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("part_id" in ln for ln in pushed), plan
+    assert any("col" in ln for ln in pushed), plan
+
+
+def test_roundtrip_query_no_shuffle(spark):
+    """rt_* queries are per-task encode+decode — zero exchanges
+    (PLANS.md §4): they scale with input splits and nothing else."""
+    from parquet_go_spark.operators.roundtrip import roundtrip_query
+
+    q = roundtrip_query("lineitem")
+    plan = _plan(q(spark, SF))
+    assert _count_exchanges(plan) == 0, plan
+
+
+def test_planner_stats_pass_prunes_to_weight_column(spark):
+    """The partition-planning aggregate must read only the weight column
+    (PLANS.md §2): on a parquet source the scan's ReadSchema is n_tok
+    alone — the 100-TB planning pass reads one column, not four."""
+    import tempfile
+
+    from parquet_go_spark.sources.synth import token_sequences
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "tok")
+        token_sequences(spark, 300, partitions=1).write.parquet(p)
+        df = spark.read.parquet(p)
+        agg = df.select(F.sum("n_tok").alias("s"))
+        plan = _plan(agg)
+        sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert sched and all("tokens" not in ln for ln in sched), plan
