@@ -30,7 +30,17 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DEFAULT_TARGET_TOKENS = 2_000_000
+# Row-group sizing at the design scale. The reference writes 128 MiB row
+# groups (/root/reference/common/common.go:11-12); at ~1 byte/token
+# encoded that is ~10^8 tokens, but a Python task buffers several int64
+# copies of the chunk while encoding (~20x the raw int32 bytes at peak),
+# so 16M tokens (~64 MiB raw, ~1-2 GiB peak per task) is the largest
+# group a 4-8 GiB executor core handles comfortably. At 10^12 sequences
+# (~2.5e14 tokens) this yields ~15M partitions — committed in waves, no
+# single Spark stage needs more than one wave's tasks. Tests and the
+# sandbox bench pass smaller explicit targets to get per-core
+# parallelism on toy inputs; the default is the cluster-scale choice.
+DEFAULT_TARGET_TOKENS = 16_000_000
 
 
 @dataclass
