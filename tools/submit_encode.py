@@ -25,8 +25,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# under spark-submit --py-files the package rides the zip; run as plain
+# `python tools/submit_encode.py` only the tools/ dir is on sys.path, so
+# add the repo root as a fallback
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -50,7 +56,10 @@ def _load_input(spark: SparkSession, spec: str):
 
 def cmd_encode(args) -> int:
     from parquet_go_spark.operators.encode_job import encode_table
+    from parquet_go_spark.plans.partitioner import DEFAULT_TARGET_TOKENS
 
+    if args.target_tokens is None:
+        args.target_tokens = DEFAULT_TARGET_TOKENS
     spark = _get_session("pgs-encode")
     df = _load_input(spark, args.input)
     total = df.selectExpr("sum(n_tok) s").collect()[0]["s"] or 0
@@ -112,7 +121,9 @@ def main() -> int:
     enc = sub.add_parser("encode")
     enc.add_argument("--input", required=True)
     enc.add_argument("--out", required=True)
-    enc.add_argument("--target-tokens", type=int, default=2_000_000)
+    enc.add_argument("--target-tokens", type=int, default=None,
+                     help="tokens per row group (default: the engine's "
+                          "cluster-scale DEFAULT_TARGET_TOKENS)")
     enc.add_argument("--waves", type=int, default=1)
     enc.add_argument("--no-resume", action="store_true")
     enc.add_argument("--compression", default="zstd")
