@@ -115,20 +115,28 @@ def _encode_lanes(
     f64 = freqs.astype(np.uint64)
     cum = np.zeros(len(freqs), dtype=np.uint64)
     np.cumsum(f64[:-1], out=cum[1:])
-    # per-symbol renormalization threshold: ((L>>k) * f) << 32
-    xmax = ((RANS_L >> np.uint64(k)) * f64) << np.uint64(32)
+    # one packed per-symbol table instead of three: f in the low 21 bits
+    # (f <= 2^MAX_K), cum above it (cum < 2^MAX_K); the renormalization
+    # threshold ((L>>k)*f) << 32 is just f << (63-k), derived on the fly
+    pk = f64 | (cum << np.uint64(21))
+    shift_xmax = np.uint64(63 - k)
+    mask21 = np.uint64((1 << 21) - 1)
+    u21 = np.uint64(21)
     uk = np.uint64(k)
+    u32 = np.uint64(32)
     x = np.full(lanes, RANS_L, dtype=np.uint64)
     emitted: list[np.ndarray] = []
     for r in range(rows - 1, -1, -1):
-        s = grid[r]
-        f = f64[s]
-        mask = x >= xmax[s]
+        g = pk[grid[r]]
+        f = g & mask21
+        mask = x >= (f << shift_xmax)
         if mask.any():
             emitted.append((x[mask] & _MASK32).astype(np.uint32))
-            x[mask] >>= np.uint64(32)
+            # branchless masked shift: 2x faster than x[mask] >>= 32
+            # (boolean-index scatter is the loop's hottest op)
+            x = x >> (mask * u32)
         q = x // f
-        x = (q << uk) + (x - q * f) + cum[s]
+        x = (q << uk) + (x - q * f) + (g >> u21)
     if emitted:
         stream = np.concatenate(emitted[::-1])
     else:
@@ -150,7 +158,11 @@ def _decode_lanes(
     slot2sym = np.repeat(
         np.arange(len(freqs), dtype=np.uint32), freqs.astype(np.int64)
     )
+    pk = f64 | (cum << np.uint64(21))  # same packing as the encoder
+    mask21 = np.uint64((1 << 21) - 1)
+    u21 = np.uint64(21)
     uk = np.uint64(k)
+    u32 = np.uint64(32)
     mmask = np.uint64((1 << k) - 1)
     x = states.copy()
     out = np.empty((rows, lanes), dtype=np.uint32)
@@ -160,13 +172,18 @@ def _decode_lanes(
         slot = x & mmask
         s = slot2sym[slot]
         out[r] = s
-        x = f64[s] * (x >> uk) + slot - cum[s]
+        g = pk[s]
+        x = (g & mask21) * (x >> uk) + slot - (g >> u21)
         mask = x < RANS_L
         cnt = int(np.count_nonzero(mask))
         if cnt:
             if ptr + cnt > ns:
                 raise ValueError("truncated rANS stream")
-            x[mask] = (x[mask] << np.uint64(32)) | stream[ptr : ptr + cnt]
+            # branchless masked fill (mirror of the encoder's shift): one
+            # scatter for the words, arithmetic select for the shift
+            w = np.zeros(lanes, dtype=np.uint64)
+            w[mask] = stream[ptr : ptr + cnt]
+            x = (x << (mask * u32)) | w
             ptr += cnt
     if ptr != ns:
         raise ValueError("rANS stream not fully consumed")
@@ -217,6 +234,10 @@ def decode_ints(buf: bytes) -> np.ndarray:
         raise ValueError("truncated rANS header")
     k, fbw, _pad, lanes, n, vmin, nfreq, stream_words = _HDR.unpack_from(buf)
     if n == 0:
+        # an empty blob is exactly one header — trailing bytes mean the
+        # count field was corrupted, not that the input was empty
+        if len(buf) != _HDR.size or lanes or stream_words:
+            raise ValueError("invalid empty rANS blob")
         return np.empty(0, dtype=np.int64)
     if not (MIN_K <= k <= MAX_K) or nfreq > MAX_NFREQ or nfreq < 1:
         raise ValueError("invalid rANS parameters")
