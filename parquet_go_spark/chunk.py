@@ -112,17 +112,18 @@ def _encode_int_sections(
         return [bss.encode(vals)], 0
     if codec == frame.RANS:
         return [rans.encode_ints(vals.astype(np.int64, copy=False))], 0
-    if codec in (frame.DICT, frame.DICT_BSS):
+    if codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
         built = dictionary.build_numeric(vals)
         if built is None:
             return [plainc.encode_numeric(vals)], 0  # budget fallback
         uniques, codes = built
         sect0 = len(uniques).to_bytes(4, "little") + plainc.encode_numeric(uniques)
-        idx = (
-            dictionary.encode_codes_bss(codes, len(uniques))
-            if codec == frame.DICT_BSS
-            else dictionary.encode_indices(codes, len(uniques))
-        )
+        if codec == frame.DICT_RANS:
+            idx = rans.encode_ints(codes.astype(np.int64, copy=False))
+        elif codec == frame.DICT_BSS:
+            idx = dictionary.encode_codes_bss(codes, len(uniques))
+        else:
+            idx = dictionary.encode_indices(codes, len(uniques))
         return [sect0, idx], 0
     raise ValueError(f"codec {codec} invalid for integer column")
 
@@ -153,15 +154,20 @@ def _decode_int_sections(meta: frame.FrameMeta, n: int, dtype, itemsize: int, s0
         if len(out) != n:
             raise ValueError("rANS count mismatch")
         return out.astype(dtype, copy=False)
-    if codec in (frame.DICT, frame.DICT_BSS):
+    if codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
         sec = sections[s0]
         card = int.from_bytes(sec[:4], "little")
         uniques = plainc.decode_numeric(sec[4:], np.dtype(dtype), card)
-        codes = (
-            dictionary.decode_codes_bss(sections[s0 + 1], n, card)
-            if codec == frame.DICT_BSS
-            else dictionary.decode_indices(sections[s0 + 1], n, card)
-        )
+        if codec == frame.DICT_RANS:
+            codes = rans.decode_ints(sections[s0 + 1])
+            if len(codes) != n or (n and (codes.min() < 0 or codes.max() >= card)):
+                raise ValueError("dict_rans codes out of range")
+        else:
+            codes = (
+                dictionary.decode_codes_bss(sections[s0 + 1], n, card)
+                if codec == frame.DICT_BSS
+                else dictionary.decode_indices(sections[s0 + 1], n, card)
+            )
         return uniques[codes.astype(np.int64)]
     raise ValueError(f"codec {codec} invalid for integer column")
 
@@ -297,10 +303,20 @@ def encode_chunk(
 
             def _parts(c):
                 body, _bw = _encode_int_sections(sample, itemsize, c)
-                if c in (frame.DICT, frame.DICT_BSS) and len(body) == 2:
+                if (
+                    c in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS)
+                    and len(body) == 2
+                ):
                     sect0, idx = body
                     sample_card = max(int.from_bytes(sect0[:4], "little"), 1)
                     card_scale = max(st_int.distinct_est / sample_card, 1.0)
+                    if c == frame.DICT_RANS:
+                        fixed, var = rans.split_fixed(idx)
+                        return [
+                            (sect0, card_scale),
+                            (fixed, card_scale),
+                            (var, scale_n),
+                        ]
                     return [(sect0, card_scale), (idx, scale_n)]
                 if c == frame.RANS:
                     fixed, var = rans.split_fixed(body[0])
@@ -312,8 +328,19 @@ def encode_chunk(
             )
         else:
             cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
-        body, bit_width = _encode_int_sections(vals, itemsize, cid)
-        if cid == frame.DICT and len(body) == 1:
+        try:
+            body, bit_width = _encode_int_sections(vals, itemsize, cid)
+        except ValueError:
+            if cid != frame.DICT_RANS:
+                raise
+            # sample-picked, but the full chunk's dictionary outgrew the
+            # rANS span gate — plane-split codes are the closest family
+            cid = frame.DICT_BSS
+            body, bit_width = _encode_int_sections(vals, itemsize, cid)
+        if (
+            cid in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS)
+            and len(body) == 1
+        ):
             cid = frame.PLAIN  # dict budget fallback happened (dictpage.go:161-195)
         if codec == "auto":
             plain_len = len(vals) * itemsize

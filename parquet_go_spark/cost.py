@@ -103,6 +103,11 @@ def int_stats(values: np.ndarray) -> IntStats:
     if rans.applicable(vmin, vmax, n):
         counts = np.bincount((s.astype(np.int64) - vmin))
         entropy = rans.estimate_bits_per_value(counts)
+    elif uniq <= 0.5 * len(s):
+        # wide span, modest cardinality: value entropy (== dict-code
+        # entropy) from sample unique counts, for the DICT_RANS estimate
+        _, ucounts = np.unique(s, return_counts=True)
+        entropy = rans.estimate_bits_per_value(ucounts)
     return IntStats(
         n, vmin, vmax, distinct, run_frac, delta_bits, sorted_frac, entropy
     )
@@ -130,6 +135,12 @@ def estimate_int_sizes(st: IntStats, itemsize: int) -> dict[int, float]:
         # byte-width codes: bigger raw, but the trial stage sees post-
         # compression sizes where the zero planes vanish
         est[frame.DICT_BSS] = dict_bytes + n * ((code_bw + 7) // 8) + 24
+        if st.entropy_bits is not None and card < rans.MAX_NFREQ:
+            # entropy-coded dict codes: reaches wide-span skewed columns
+            # (user ids, keys) that the span gate bars from direct RANS
+            est[frame.DICT_RANS] = (
+                dict_bytes + n * st.entropy_bits / 8 + card * 2 + 64
+            )
     if st.entropy_bits is not None:
         # entropy coding: n*H payload + frequency table + per-lane state
         nfreq = span + 1

@@ -512,3 +512,36 @@ def test_contiguous_sample_segments_disjoint():
         vals = np.arange(n, dtype=np.int64)
         s = cost.contiguous_sample(vals)
         assert len(np.unique(s)) == len(s), n
+
+
+def test_dict_rans_wide_span_ints():
+    """Wide-span skewed int columns (sparse id spaces) exceed the direct
+    rANS span gate but their dictionary codes do not — DICT_RANS must win
+    there and roundtrip; overflow paths must degrade with correct labels."""
+    import pyarrow as pa
+
+    from parquet_go_spark import chunk
+
+    rng = np.random.default_rng(9)
+    ranks = rng.zipf(1.4, 200_000) % 40_000
+    idspace = rng.permutation(
+        np.arange(0, 1 << 40, (1 << 40) // 40_000)
+    )[:40_000]
+    arr = pa.array(idspace[ranks].astype(np.int64), pa.int64())
+    blob, st = chunk.encode_chunk(arr, codec="auto", compression="zstd")
+    assert st["codec"] == "dict_rans", st["codec"]
+    assert chunk.decode_chunk(blob).equals(arr)
+
+    # dict budget overflow: forced dict_rans must land as labeled plain
+    wide = pa.array(rng.integers(0, 1 << 60, 300_000, dtype=np.int64))
+    b2, s2 = chunk.encode_chunk(wide, codec="dict_rans", compression="zstd")
+    assert s2["codec"] == "plain"
+    assert chunk.decode_chunk(b2).equals(wide)
+
+    # dict fits budget but codes exceed the rANS span gate: falls to
+    # dict_bss with the correct label
+    ids = np.arange(0, 1 << 29, (1 << 29) // 200_000, dtype=np.int32)[:200_000]
+    big = pa.array(rng.choice(ids, 400_000), pa.int32())
+    b3, s3 = chunk.encode_chunk(big, codec="dict_rans", compression="zstd")
+    assert s3["codec"] == "dict_bss"
+    assert chunk.decode_chunk(b3).equals(big)
