@@ -364,10 +364,10 @@ def encode_chunk(
             def _enc_float(c):
                 if c == frame.BSS:
                     return bss.encode(sample)
-                if c == frame.DICT:
+                if c in (frame.DICT, frame.DICT_RANS):
                     return b"".join(
                         _encode_int_sections(
-                            sample.view(iview), np.dtype(dtype).itemsize, frame.DICT
+                            sample.view(iview), np.dtype(dtype).itemsize, c
                         )[0]
                     )
                 return plainc.encode_numeric(sample)
@@ -376,12 +376,19 @@ def encode_chunk(
             cid = cost.trial_pick(encoders, ranked, trial_comp)
         else:
             cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
-        if cid in (frame.DICT, frame.DICT_BSS):
-            body, bit_width = _encode_int_sections(
-                vals.view(np.int32 if dtype == np.float32 else np.int64),
-                np.dtype(dtype).itemsize,
-                cid,
-            )
+        if cid in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
+            ivals = vals.view(np.int32 if dtype == np.float32 else np.int64)
+            try:
+                body, bit_width = _encode_int_sections(
+                    ivals, np.dtype(dtype).itemsize, cid
+                )
+            except ValueError:
+                if cid != frame.DICT_RANS:
+                    raise
+                cid = frame.DICT_BSS  # code span outgrew the rANS gate
+                body, bit_width = _encode_int_sections(
+                    ivals, np.dtype(dtype).itemsize, cid
+                )
             if len(body) == 1:
                 cid = frame.PLAIN
                 body = [plainc.encode_numeric(vals)]
@@ -553,7 +560,7 @@ def _decode_chunk_inner(buf: bytes) -> pa.Array:
         return _expand_nulls_numeric(vals, valid, pa_type)
     if lt in _FLOAT_TYPES:
         dtype = np.dtype(_FLOAT_TYPES[lt])
-        if meta.codec in (frame.DICT, frame.DICT_BSS):
+        if meta.codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
             ivals = _decode_int_sections(
                 meta,
                 dense_n,

@@ -168,7 +168,11 @@ def rank_float_codecs(values: np.ndarray) -> list[int]:
     if uniq <= 0.5 * len(s):
         distinct = uniq if uniq < 0.5 * len(s) else uniq / len(s) * n
         if distinct * values.dtype.itemsize <= dictionary.DEFAULT_DICT_BUDGET:
-            cands.insert(0, frame.DICT)
+            # entropy-coded codes first: low-cardinality numeric columns
+            # (prices, quantities, rates) are usually skewed too
+            if distinct < rans.MAX_NFREQ:
+                cands.insert(0, frame.DICT_RANS)
+            cands.insert(1, frame.DICT)
     return cands
 
 
