@@ -208,15 +208,22 @@ def main() -> None:
     result: dict = {"sf": sf, "unit": "sec"}
 
     # --- family 1: headline queries at the SF dir ---
+    # best of 2 passes, same rationale as encode_bench: pass 1 carries
+    # JVM JIT / python-worker spin-up / the host's first-touch fault
+    # throttling; steady state is what a production job runs in
     spark = get_spark(cores=CPUS, app_name="bench_queries")
     qmap = entrymod.queries()
     qtimes: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qmap:
             continue
-        t0 = time.time()
-        _force(qmap[name](spark, SF_DIR))
-        qtimes[name] = round(time.time() - t0, 2)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(qmap[name](spark, SF_DIR))
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        qtimes[name] = round(best, 2)
 
     # --- family 2: encode throughput + compression at current cores ---
     tok_input = os.path.join(tempfile.gettempdir(), f"bench_tokens_{args.rows}")
