@@ -155,12 +155,16 @@ def _decode_lanes(
     f64 = freqs.astype(np.uint64)
     cum = np.zeros(len(freqs), dtype=np.uint64)
     np.cumsum(f64[:-1], out=cum[1:])
-    slot2sym = np.repeat(
-        np.arange(len(freqs), dtype=np.uint32), freqs.astype(np.int64)
-    )
-    pk = f64 | (cum << np.uint64(21))  # same packing as the encoder
+    # one slot-indexed table holding everything the step needs — symbol in
+    # the low 17 bits (nfreq < 2^17), its frequency in the next 21, its
+    # cumulative base above that — so each decode step is a single gather
+    # instead of slot->symbol then symbol->(f, cum)
+    sym = np.repeat(np.arange(len(freqs), dtype=np.uint64), freqs.astype(np.int64))
+    slotab = sym | (f64[sym] << np.uint64(17)) | (cum[sym] << np.uint64(38))
+    mask17 = np.uint64((1 << 17) - 1)
     mask21 = np.uint64((1 << 21) - 1)
-    u21 = np.uint64(21)
+    u17 = np.uint64(17)
+    u38 = np.uint64(38)
     uk = np.uint64(k)
     u32 = np.uint64(32)
     mmask = np.uint64((1 << k) - 1)
@@ -170,10 +174,9 @@ def _decode_lanes(
     ns = len(stream)
     for r in range(rows):
         slot = x & mmask
-        s = slot2sym[slot]
-        out[r] = s
-        g = pk[s]
-        x = (g & mask21) * (x >> uk) + slot - (g >> u21)
+        g = slotab[slot]
+        out[r] = (g & mask17).astype(np.uint32)
+        x = ((g >> u17) & mask21) * (x >> uk) + slot - (g >> u38)
         mask = x < RANS_L
         cnt = int(np.count_nonzero(mask))
         if cnt:
