@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_lsh_ann"] = _sim.lsh_ann_query                      # rows-only
     q["sim_ivf_ann"] = _sim.ivf_ann_query                      # rows-only
     q["dedup_embedding_cosine"] = _sim.embedding_near_dup_query
+    q["dedup_near_dup_cluster"] = _dedup.near_dup_cluster_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
     o["dedup_embedding_cosine"] = _sim.EMBEDDING_NEAR_DUP_ORACLE
+    o["dedup_near_dup_cluster"] = _dedup.NEAR_DUP_CLUSTER_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE

@@ -214,3 +214,78 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+# ------------------------------------------------- near-dup clustering (CC)
+
+CLUSTER_THR = 0.42  # same threshold as similarity.embedding_near_dup_query
+
+
+def near_dup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the embedding
+    near-dup graph, labeling each vector with the minimum vec_id reachable
+    through pairs with cosine >= CLUSTER_THR. This is the step a training
+    pipeline runs after pair generation — keep one representative per
+    component, not per pair.
+
+    Iterative label propagation (the standard large-CC dataflow on Spark,
+    e.g. GraphFrames' connectedComponents): each round joins the current
+    labels across the symmetrized edge list and takes the per-vertex min
+    of (own label, neighbors' labels). Rounds needed = graph diameter in
+    label-halving steps (near-dup components are tiny cliques, so 2-3);
+    the loop exits when a one-row aggregate reports no label changed.
+    Each round is one shuffle join + one aggregate on the EDGE list (far
+    smaller than the corpus); vertices never all meet on one node. The
+    intermediate label table is checkpoint-truncated via localCheckpoint
+    to keep lineage bounded at high iteration counts.
+    """
+    from .similarity import embedding_near_dup_query
+
+    vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    pairs = embedding_near_dup_query(spark, sf_dir)
+    edges = pairs.selectExpr("vec_a AS src", "vec_b AS dst").unionAll(
+        pairs.selectExpr("vec_b AS src", "vec_a AS dst")
+    )
+    labels = vec.select(F.col("vec_id"), F.col("vec_id").alias("cluster_id"))
+    for _ in range(20):  # diameter bound; near-dup components are shallow
+        nbr = (
+            edges.join(labels, edges.dst == labels.vec_id, "inner")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.vec_id == nbr.src, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("vec_id", "cluster_id")
+
+
+NEAR_DUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {CLUSTER_THR}
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id
+)
+SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""

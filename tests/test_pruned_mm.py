@@ -219,3 +219,21 @@ def test_stats_pruning_string_key(spark, tmp_out):
     want = df.filter((F.col("p_name") >= lo) & (F.col("p_name") <= hi)).count()
     assert got == want > 0
     assert len(cand) < total, "string clustering should allow pruning"
+
+
+def test_near_dup_cluster_labels_consistent(spark):
+    """Connected-component labels must be idempotent under the edge set:
+    every vector's label equals the min label among itself and its
+    near-dup neighbors (fixpoint), and labels point at real vertices."""
+    import pandas as pd
+
+    from parquet_go_spark.operators.dedup import near_dup_cluster_query
+    from parquet_go_spark.operators.similarity import embedding_near_dup_query
+
+    labels = near_dup_cluster_query(spark, SF).toPandas()
+    pairs = embedding_near_dup_query(spark, SF).toPandas()
+    lab = dict(zip(labels.vec_id, labels.cluster_id))
+    assert set(labels.cluster_id).issubset(set(labels.vec_id))
+    assert (labels.cluster_id <= labels.vec_id).all()
+    for a, b in zip(pairs.vec_a, pairs.vec_b):
+        assert lab[a] == lab[b], (a, b)  # neighbors share a component
