@@ -64,16 +64,22 @@ CODEC_NAMES = {
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
-# block-compression ids (outer wrapper; reference compress registry analog)
+# block-compression ids (outer wrapper; the reference's full registry —
+# internal/compress/*.go registers UNCOMPRESSED, SNAPPY, GZIP, ZSTD,
+# BROTLI, LZ4, LZ4_RAW)
 COMP_NONE = 0
 COMP_SNAPPY = 1
 COMP_ZSTD = 2
 COMP_GZIP = 3
 COMP_LZ4 = 4
+COMP_BROTLI = 5
+COMP_LZ4_RAW = 6
 COMP_NAMES = {COMP_NONE: None, COMP_SNAPPY: "snappy", COMP_ZSTD: "zstd",
-              COMP_GZIP: "gzip", COMP_LZ4: "lz4"}
+              COMP_GZIP: "gzip", COMP_LZ4: "lz4", COMP_BROTLI: "brotli",
+              COMP_LZ4_RAW: "lz4_raw"}
 COMP_IDS = {"none": COMP_NONE, "snappy": COMP_SNAPPY, "zstd": COMP_ZSTD,
-            "gzip": COMP_GZIP, "lz4": COMP_LZ4, None: COMP_NONE}
+            "gzip": COMP_GZIP, "lz4": COMP_LZ4, "brotli": COMP_BROTLI,
+            "lz4_raw": COMP_LZ4_RAW, None: COMP_NONE}
 
 # logical types
 LT_INT32 = 0

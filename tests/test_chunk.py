@@ -261,7 +261,7 @@ def test_frame_bad_magic():
 
 def test_frame_compression_toggle():
     vals = pa.array(np.zeros(10_000, dtype=np.int64))
-    for comp in [None, "zstd", "snappy", "gzip", "lz4"]:
+    for comp in [None, "zstd", "snappy", "gzip", "lz4", "brotli", "lz4_raw"]:
         blob, _ = chunk.encode_chunk(vals, compression=comp)
         assert_equal_arrays(chunk.decode_chunk(blob), vals)
 
