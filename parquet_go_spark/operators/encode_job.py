@@ -123,6 +123,8 @@ def encode_table(
     codec: str = "auto",
     waves: int = 1,
     resume: bool = True,
+    codec_map: dict[str, str] | None = None,
+    bloom_cols: set[str] | None = None,
 ):
     """Encode ``df`` into ``out_dir`` with checkpointed resumability.
 
@@ -130,12 +132,19 @@ def encode_table(
     each wave is one atomic Spark write, so a crash loses at most one wave
     and a rerun anti-joins the committed manifest and encodes only the rest
     (FIXTURES.md F6 semantics).
+
+    ``codec_map`` / ``bloom_cols`` are the per-column knob surface — the
+    analog of the reference's struct-tag encoding/bloomfilter options
+    (common/tag.go:12-29, SURVEY §1.3).
     """
     store = ManifestStore(out_dir)
     planned, plan = plan_partitions(df, target_tokens=target_tokens)
     pending = store.pending(spark, planned) if resume and store.exists() else planned
     if waves <= 1:
-        store.append_blobs(encode_blobs_df(pending, compression, codec))
+        store.append_blobs(
+            encode_blobs_df(pending, compression, codec, codec_map=codec_map,
+                            bloom_cols=bloom_cols)
+        )
     else:
         per = math.ceil(plan.num_partitions / waves)
         for w in range(waves):
@@ -145,6 +154,9 @@ def encode_table(
             wave_df = pending.filter(
                 (F.col("part_id") >= lo) & (F.col("part_id") < hi)
             )
-            store.append_blobs(encode_blobs_df(wave_df, compression, codec))
+            store.append_blobs(
+                encode_blobs_df(wave_df, compression, codec,
+                                codec_map=codec_map, bloom_cols=bloom_cols)
+            )
     store.write_manifest_snapshot(spark)
     return store, plan

@@ -64,12 +64,16 @@ def cmd_encode(args) -> int:
     df = _load_input(spark, args.input)
     total = df.selectExpr("sum(n_tok) s").collect()[0]["s"] or 0
     t0 = time.time()
+    codec_map = json.loads(args.codec_map) if args.codec_map else None
+    bloom_cols = set(args.bloom.split(",")) if args.bloom else None
     store, plan = encode_table(
         spark, df, args.out,
         target_tokens=args.target_tokens,
         compression=args.compression,
         waves=args.waves,
         resume=not args.no_resume,
+        codec_map=codec_map,
+        bloom_cols=bloom_cols,
     )
     wall = time.time() - t0
     m = store.manifest(spark).selectExpr(
@@ -127,6 +131,13 @@ def main() -> int:
     enc.add_argument("--waves", type=int, default=1)
     enc.add_argument("--no-resume", action="store_true")
     enc.add_argument("--compression", default="zstd")
+    enc.add_argument("--codec-map", default=None,
+                     help='per-column codec override as JSON, e.g. '
+                          '\'{"tokens": "rans", "source": "dict_rans"}\' '
+                          "(the reference's struct-tag encoding option)")
+    enc.add_argument("--bloom", default=None,
+                     help="comma-separated columns to build split-block "
+                          "bloom filters for (tag bloomfilter analog)")
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode")
