@@ -127,7 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "event_type": "dict", "value": "byte_stream_split",
                    "props": "fsst"},
     )
-    q["rt_embeddings"] = _rt.roundtrip_query("embeddings")
+    # list column exploded to flat (pos, val) rows — element-wise equality
+    # IS the reference's per-row token-array invariant, and the driver's
+    # canonicalizer needs scalar cells
+    q["rt_embeddings"] = _rt.roundtrip_exploded_query("embeddings", "embedding")
     q["rt_nation_region"] = _rt.roundtrip_query("nation")
     q["rt_supplier"] = _rt.roundtrip_query("supplier")
 
@@ -140,8 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _dedup.exact_dedup_query
     q["dedup_exact_hash"] = _dedup.hash_dedup_query
     q["dedup_ngram_jaccard"] = _dedup.ngram_jaccard_query
-    q["dedup_minhash_lsh"] = _dedup.minhash_lsh_query          # rows-only
-    q["dedup_simhash"] = _dedup.simhash_query                  # rows-only
+    q["dedup_minhash_lsh"] = _dedup.minhash_lsh_query
+    q["dedup_simhash"] = _dedup.simhash_query
 
     # --- text analysis family ---
     q["text_token_count"] = _text.token_count_query
@@ -151,7 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = _text.fingerprint_query
 
     # --- similarity family ---
-    q["sim_cosine_topk"] = _sim.cosine_topk_query              # rows-only
+    q["sim_cosine_topk"] = _sim.cosine_topk_query
     q["sim_nearest_neighbor"] = _sim.nearest_neighbor_query
     q["sim_lsh_ann"] = _sim.lsh_ann_query                      # rows-only
     q["sim_ivf_ann"] = _sim.ivf_ann_query                      # rows-only
@@ -180,7 +183,10 @@ def oracle_sql() -> dict[str, str]:
     o["rt_customer_plain"] = "SELECT * FROM customer"
     o["rt_documents"] = "SELECT * FROM documents"
     o["rt_events"] = "SELECT * FROM events"
-    o["rt_embeddings"] = "SELECT * FROM embeddings"
+    o["rt_embeddings"] = (
+        "SELECT vec_id, label, CAST(unnest(range(len(embedding))) AS INT) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings"
+    )
     o["rt_nation_region"] = "SELECT * FROM nation"
     o["rt_supplier"] = "SELECT * FROM supplier"
     o["stats_lineitem"] = _rt.stats_oracle_sql("lineitem", NUM_LINEITEM)
@@ -190,11 +196,14 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = _dedup.EXACT_ORACLE
     o["dedup_exact_hash"] = _dedup.HASH_ORACLE
     o["dedup_ngram_jaccard"] = _dedup.NGRAM_JACCARD_ORACLE
+    o["dedup_minhash_lsh"] = _dedup.MINHASH_LSH_ORACLE
+    o["dedup_simhash"] = _dedup.SIMHASH_ORACLE
     o["text_token_count"] = _text.TOKEN_COUNT_ORACLE
     o["text_bpe_count"] = _text.BPE_COUNT_ORACLE
     o["text_quality"] = _text.QUALITY_ORACLE
     o["text_lang_signal"] = _text.LANG_SIGNAL_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
+    o["sim_cosine_topk"] = _sim.COSINE_TOPK_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
     o["dedup_embedding_cosine"] = _sim.EMBEDDING_NEAR_DUP_ORACLE
     o["dedup_near_dup_cluster"] = _dedup.NEAR_DUP_CLUSTER_ORACLE

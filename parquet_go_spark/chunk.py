@@ -331,11 +331,17 @@ def encode_chunk(
         try:
             body, bit_width = _encode_int_sections(vals, itemsize, cid)
         except ValueError:
-            if cid != frame.DICT_RANS:
+            if cid == frame.DICT_RANS:
+                # sample-picked, but the full chunk's dictionary outgrew the
+                # rANS span gate — plane-split codes are the closest family
+                cid = frame.DICT_BSS
+            elif cid == frame.RANS and codec == "auto":
+                # defense in depth behind the cost-model applicability gate:
+                # if auto selection ever lands on rANS for a chunk whose
+                # full span exceeds the coder's table, degrade to FOR
+                cid = frame.FOR_BITPACK
+            else:
                 raise
-            # sample-picked, but the full chunk's dictionary outgrew the
-            # rANS span gate — plane-split codes are the closest family
-            cid = frame.DICT_BSS
             body, bit_width = _encode_int_sections(vals, itemsize, cid)
         if (
             cid in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS)
@@ -373,7 +379,12 @@ def encode_chunk(
                 return plainc.encode_numeric(sample)
 
             encoders = {c: (lambda c=c: _enc_float(c)) for c in ranked}
-            cid = cost.trial_pick(encoders, ranked, trial_comp)
+            # trial every float candidate (at most 4): slicing to the
+            # default window dropped PLAIN whenever the dict family was
+            # inserted ahead of it, so PLAIN was never trial-compressed
+            # for low-cardinality float columns
+            cid = cost.trial_pick(encoders, ranked, trial_comp,
+                                  max_trials=len(ranked))
         else:
             cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
         if cid in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):

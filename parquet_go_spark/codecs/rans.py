@@ -244,10 +244,15 @@ def decode_ints(buf: bytes) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     if not (MIN_K <= k <= MAX_K) or nfreq > MAX_NFREQ or nfreq < 1:
         raise ValueError("invalid rANS parameters")
-    if lanes != _pick_lanes(n) or fbw < 1 or fbw > 32:
-        # the encoder derives lanes from n; anything else is corruption —
-        # and an attacker-controlled (huge n, tiny lanes) pair would turn
-        # the decode loop into a spin (validateCount-style defense)
+    # lanes is self-described, so validate it against structural bounds
+    # (1..MAX_LANES here, ceil(n/lanes) <= MAX_ROWS below) rather than the
+    # *current* _pick_lanes policy — requiring exact equality would make
+    # every already-written frame undecodable the moment the lane heuristic
+    # is retuned (storage-format durability). The spin defense is intact:
+    # the decode loop runs exactly ceil(n/lanes) iterations, and both
+    # factors are capped, so a corrupted (huge n, tiny lanes) pair is
+    # rejected by the MAX_ROWS check instead of spinning.
+    if not (1 <= lanes <= MAX_LANES) or fbw < 1 or fbw > 32:
         raise ValueError("invalid rANS parameters")
     pos = _HDR.size
     end_freq = pos + (nfreq * fbw + 7) // 8

@@ -141,8 +141,13 @@ def estimate_int_sizes(st: IntStats, itemsize: int) -> dict[int, float]:
             est[frame.DICT_RANS] = (
                 dict_bytes + n * st.entropy_bits / 8 + card * 2 + 64
             )
-    if st.entropy_bits is not None:
-        # entropy coding: n*H payload + frequency table + per-lane state
+    if st.entropy_bits is not None and rans.applicable(st.vmin, st.vmax, n):
+        # entropy coding: n*H payload + frequency table + per-lane state.
+        # The applicability gate uses the FULL-chunk span (vmin/vmax come
+        # from all values, not the sample): entropy_bits is also set by the
+        # wide-span dict branch above, where direct RANS cannot encode —
+        # without the gate a sample trial can succeed (sample missed the
+        # outliers) and the full-chunk encode then raises.
         nfreq = span + 1
         lanes = min(max(n // 1024, 4), rans.MAX_LANES)
         est[frame.RANS] = (

@@ -150,27 +150,46 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def minhash_signatures(df: DataFrame) -> DataFrame:
-    """16 min-hashes in one groupBy pass (single shuffle)."""
+def minhash_signatures(df: DataFrame, hash_impl: str = "md5") -> DataFrame:
+    """16 min-hashes in one groupBy pass (single shuffle).
+
+    hash_impl='md5' (default): h_k(s) = md5('k:' || s) as a 32-char hex
+    string; lexicographic MIN over fixed-width hex IS a valid min-hash and
+    is reproducible verbatim in DuckDB, so the whole pipeline gets a SQL
+    oracle. hash_impl='xxhash64': the faster JVM-side production hash
+    (engine-specific -> no oracle)."""
     sh = _shingles(df)
-    aggs = [
-        F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"h{k}")
-        for k in range(N_HASHES)
-    ]
+    if hash_impl == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(k), F.col("sh"))).alias(f"h{k}")
+            for k in range(N_HASHES)
+        ]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("sh")))).alias(f"h{k}")
+            for k in range(N_HASHES)
+        ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded LSH candidate pairs. Engine-specific hash (xxhash64) -> no
-    SQL oracle; the driver records a rows-only check and the pytest suite
-    validates recall against exact Jaccard on a seeded corpus."""
-    sigs = minhash_signatures(_docs(spark, sf_dir))
+def minhash_lsh_query(spark: SparkSession, sf_dir: str,
+                      hash_impl: str = "md5") -> DataFrame:
+    """Banded LSH candidate pairs: 4 bands x 4 rows; a pair is a candidate
+    iff any band's 4 row-hashes all collide. Plan: one groupBy shuffle for
+    signatures + one equi-join shuffle on (band, sig) — never all-pairs.
+    With the md5 hash impl the full pipeline is oracle-checked in DuckDB;
+    pytest additionally validates recall against exact Jaccard."""
+    sigs = minhash_signatures(_docs(spark, sf_dir), hash_impl)
+    hash_band = (
+        (lambda *cs: F.xxhash64(*cs)) if hash_impl == "xxhash64"
+        else (lambda *cs: F.md5(F.concat_ws("|", *cs)))
+    )
     bands = []
     for b in range(N_BANDS):
         cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
         bands.append(
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col(c) for c in cols]).alias("sig"))
+                     hash_band(*[F.col(c) for c in cols]).alias("sig"))
         )
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("bs")
@@ -189,31 +208,116 @@ def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sig_sql() -> str:
+    """DuckDB CTEs mirroring minhash_signatures(hash_impl='md5')."""
+    hash_aggs = ", ".join(
+        f"min(md5('{k}:' || sh)) AS h{k}" for k in range(N_HASHES)
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh_list AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM ws WHERE len(w) >= 3
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh_list WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id, {hash_aggs} FROM sh GROUP BY doc_id
+)"""
+
+
+def _minhash_bands_sql() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        expr = " || '|' || ".join(cols)
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({expr}) AS sig FROM sigs"
+        )
+    return " UNION ALL ".join(parts)
+
+
+MINHASH_LSH_ORACLE = (
+    _minhash_sig_sql()
+    + f""", bands AS (
+  {_minhash_bands_sql()}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+)
+
+
 # ---------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 32
 
 
-def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _md5_bit_sign_sum(i: int) -> str:
+    """SQL (valid in both Spark SQL and DuckDB) for the sign-sum of bit i
+    of md5(word): bit i lives in hex digit i//4, nibble bit i%4. The digit
+    is recovered via instr on the hex alphabet; the bit test is pure
+    modular arithmetic (no engine-specific >> or // operators)."""
+    pos = 1 + i // 4
+    d = 1 << (i % 4)
+    digit = f"(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
+    return (
+        f"sum(CASE WHEN ({digit} % {2 * d}) >= {d} THEN 1 ELSE -1 END) AS b{i}"
+    )
+
+
+def simhash_query(spark: SparkSession, sf_dir: str,
+                  hash_impl: str = "md5") -> DataFrame:
     """32-bit SimHash: explode words once, aggregate 32 sign-sums, fold to
-    a signature. One shuffle; aggregation is map-side-combinable."""
+    a signature. One shuffle; aggregation is map-side-combinable.
+
+    hash_impl='md5' (default) draws the 32 bits from the first 8 hex chars
+    of md5(word), bit-for-bit reproducible in DuckDB -> full SQL oracle.
+    hash_impl='xxhash64' is the faster JVM-side production variant."""
     df = _docs(spark, sf_dir)
     words = df.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
+    )
+    if hash_impl == "xxhash64":
+        words = words.withColumn("h", F.xxhash64("w"))
+        aggs = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    else:
+        words = words.withColumn("h", F.md5("w"))
+        aggs = [F.expr(_md5_bit_sign_sum(i)) for i in range(SIMHASH_BITS)]
     sums = words.groupBy("doc_id").agg(*aggs)
     sig = None
     for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    aggs = ", ".join(_md5_bit_sign_sum(i) for i in range(SIMHASH_BITS))
+    fold = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH wrds AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+), sums AS (
+  SELECT doc_id, {aggs} FROM wrds GROUP BY doc_id
+)
+SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM sums
+"""
+
+
+SIMHASH_ORACLE = _simhash_oracle()
 
 
 # ------------------------------------------------- near-dup clustering (CC)
@@ -247,7 +351,8 @@ def near_dup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("vec_b AS src", "vec_a AS dst")
     )
     labels = vec.select(F.col("vec_id"), F.col("vec_id").alias("cluster_id"))
-    for _ in range(20):  # diameter bound; near-dup components are shallow
+    changed = 1
+    for _ in range(20):  # with pointer jumping this covers diameter ~2^20
         nbr = (
             edges.join(labels, edges.dst == labels.vec_id, "inner")
             .groupBy("src")
@@ -263,6 +368,24 @@ def near_dup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
+        # pointer jumping: label(v) <- label(label(v)). Every label is
+        # itself a vec_id, so one self-join halves the remaining chain
+        # length — the edge-propagation rounds alone converge in diameter
+        # steps, with the jump they converge in O(log diameter), so the
+        # fixed round cap cannot silently truncate a long chain.
+        parent = new_labels.select(
+            F.col("vec_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        new_labels = (
+            new_labels.join(parent, new_labels.cluster_id == parent.p_id, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -274,6 +397,11 @@ def near_dup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent partial labeling is wrong-by-construction — surface it
+        raise RuntimeError(
+            "near_dup_cluster did not converge within the round cap"
+        )
     return labels.select("vec_id", "cluster_id")
 
 

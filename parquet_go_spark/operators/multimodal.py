@@ -151,8 +151,9 @@ FROM documents
 
 def features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item feature extraction over the binary column: byte mean/std +
-    a 4-bin histogram, one vectorized pass per Arrow batch (the shape a
-    real embed/feature UDF takes). Deterministic but not SQL-expressible
+    a 4-bin histogram (one flat column per bin — the driver's canonicalizer
+    cannot hash list cells), one vectorized pass per Arrow batch (the shape
+    a real embed/feature UDF takes). Deterministic but not SQL-expressible
     -> rows-only driver check; pytest pins exact values on a seed."""
     m = attach_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -182,13 +183,15 @@ def features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pa.array(doc_ids, pa.int64()),
                     pa.array(np.round(means, 4), pa.float64()),
                     pa.array(np.round(np.sqrt(np.maximum(var, 0)), 4), pa.float64()),
-                    pa.array(list(hist), pa.list_(pa.int64())),
+                    *[pa.array(hist[:, k], pa.int64()) for k in range(4)],
                 ],
-                names=["doc_id", "byte_mean", "byte_std", "hist4"],
+                names=["doc_id", "byte_mean", "byte_std",
+                       "hist0", "hist1", "hist2", "hist3"],
             )
 
     return m.select("doc_id", "media").mapInArrow(
-        fn, "doc_id long, byte_mean double, byte_std double, hist4 array<long>"
+        fn, "doc_id long, byte_mean double, byte_std double, "
+            "hist0 long, hist1 long, hist2 long, hist3 long"
     )
 
 

@@ -68,6 +68,30 @@ def roundtrip_query(
     return q
 
 
+def roundtrip_exploded_query(
+    table: str,
+    array_col: str,
+    codec_map: dict[str, str] | None = None,
+    compression: str | None = "zstd",
+):
+    """Roundtrip a table with a list column, then posexplode the decoded
+    array into flat (pos, val) rows so the driver's canonicalizer (which
+    cannot hash raw list cells) gets scalar columns. Element-wise equality
+    against the plain-SQL oracle is exactly the reference's per-row
+    token-array invariant (reader/read_test.go:366-391), checked one
+    element at a time instead of one array at a time."""
+    inner = roundtrip_query(table, codec_map=codec_map, compression=compression)
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = inner(spark, sf_dir)
+        others = [c for c in df.columns if c != array_col]
+        return df.select(
+            *others, F.posexplode(array_col).alias("pos", "val")
+        ).withColumn("val", F.col("val").cast("double"))
+
+    return q
+
+
 def stats_query(table: str, columns: list[str]):
     """Distributed min/max/count statistics computed *by the encode kernel*
     (the analog of page/chunk stats folding, chunk.go:50-122): each task

@@ -81,12 +81,34 @@ def _topk_map_fn(ids: np.ndarray, mat: np.ndarray, k: int, keep_rank: bool):
 
 
 def cosine_topk_query(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors per vector. Output is (vec_id, neighbor_id,
+    rank) — the cosine value itself is dropped from the driver-checked
+    output because its last-ulp float depends on summation order, while
+    the rank ordering (ties broken by neighbor id) is deterministic and
+    SQL-reproducible."""
     df = _emb(spark, sf_dir)
     ids, mat = _collect_index(df)
     schema = "vec_id long, neighbor_id long, cosine double, rank int"
-    return df.select("vec_id", "embedding").mapInArrow(
+    out = df.select("vec_id", "embedding").mapInArrow(
         _topk_map_fn(ids, mat, k, keep_rank=True), schema
     )
+    return out.select("vec_id", "neighbor_id", "rank")
+
+
+COSINE_TOPK_ORACLE = """
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT vec_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 5
+"""
 
 
 def nearest_neighbor_query(spark: SparkSession, sf_dir: str) -> DataFrame:

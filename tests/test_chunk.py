@@ -297,3 +297,64 @@ def test_cost_never_worse_than_plain():
         blob, stats = chunk.encode_chunk(arr, codec="auto", compression=None)
         plain_blob, _ = chunk.encode_chunk(arr, codec="plain", compression=None)
         assert len(blob) <= len(plain_blob) + 64, stats
+
+
+def test_auto_rans_gate_outlier_outside_sample():
+    """Advisor repro: a skewed 2M-value int column whose single wide-span
+    outlier sits in the gap between the contiguous sample segments. The
+    sample trial for direct rANS succeeds (span looks tiny), but the full
+    chunk's span exceeds the coder's table — auto selection must not crash,
+    and the roundtrip must stay bit-identical."""
+    from parquet_go_spark import cost
+    from parquet_go_spark.codecs import rans
+
+    n = 2_000_000
+    rng = np.random.default_rng(11)
+    vals = rng.choice([0, 1, 2, 3], size=n, p=[0.7, 0.2, 0.07, 0.03])
+    seg = cost.SAMPLE_TARGET // 3
+    gap_pos = seg + (n // 2 - seg // 2 - seg) // 2  # between head and mid
+    vals[gap_pos] = rans.MAX_NFREQ + 123_456  # span > alphabet gate
+    arr = pa.array(vals, type=pa.int64())
+    blob, stats = chunk.encode_chunk(arr, codec="auto", compression="zstd")
+    assert stats["codec"] != "rans"
+    assert_equal_arrays(chunk.decode_chunk(blob), arr)
+
+
+def test_forced_rans_fallback_auto_only():
+    """encode_chunk(codec='auto') degrades RANS to FOR on span overflow;
+    an explicitly forced rans codec must still raise."""
+    vals = pa.array([0, 10**9], type=pa.int64())
+    with pytest.raises(ValueError):
+        chunk.encode_chunk(vals, codec="rans", compression=None)
+
+
+def test_rans_decode_survives_lane_policy_retune(monkeypatch):
+    """Stored-format durability: a blob written under a different (but
+    bounds-valid) lane heuristic must stay decodable — the decoder
+    validates structural bounds, not the current _pick_lanes policy."""
+    from parquet_go_spark.codecs import rans
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 20_000).astype(np.int64)
+    monkeypatch.setattr(rans, "_pick_lanes", lambda n: 8)
+    blob = rans.encode_ints(vals)
+    monkeypatch.undo()
+    assert rans._pick_lanes(len(vals)) != 8  # policies genuinely differ
+    out = rans.decode_ints(blob)
+    assert np.array_equal(out, vals)
+
+
+def test_float_low_card_trials_include_plain():
+    """rank_float_codecs inserts the dict family ahead of BSS/PLAIN for
+    low-cardinality floats; the trial stage must still consider every
+    candidate so PLAIN can win when the block compressor favors it."""
+    from parquet_go_spark import cost
+    from parquet_go_spark import frame as fr
+
+    rng = np.random.default_rng(4)
+    vals = rng.choice(np.array([1.5, 2.25, 99.875], dtype=np.float64), 100_000)
+    ranked = cost.rank_float_codecs(vals)
+    assert fr.PLAIN in ranked and fr.BSS in ranked
+    arr = pa.array(vals, type=pa.float64())
+    blob, _ = chunk.encode_chunk(arr, codec="auto", compression="zstd")
+    assert_equal_arrays(chunk.decode_chunk(blob), arr)

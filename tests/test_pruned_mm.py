@@ -78,7 +78,13 @@ def test_mm_features_deterministic(spark):
     assert a == b
     r = a[0]
     assert 0 <= r["byte_mean"] <= 255 and r["byte_std"] >= 0
-    assert len(r["hist4"]) == 4
+    # the 4 histogram bins cover every byte exactly once
+    n = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") == r["doc_id"]
+    ).select("n_chars").first()["n_chars"]
+    w, h = 16 + n % 48, 16 + (n // 7) % 48
+    frames = 1 + n % 4 if n % 4 > 0 else 1
+    assert r["hist0"] + r["hist1"] + r["hist2"] + r["hist3"] == w * h * frames
 
 
 def test_mm_thumbnail_shapes(spark):
