@@ -196,35 +196,62 @@ def features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def thumbnail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> frame-sample -> resize to 8x8 -> re-emit binary. The whole
-    media transform chain, vectorized per row via numpy (bounded by batch
-    row count; each op is array-level). Rows-only check; shape invariants
-    asserted in pytest."""
+    """Decode -> frame-sample (every 2nd) -> resize to 8x8 -> re-emit
+    binary. Fully vectorized: each Arrow batch is grouped by raster shape
+    (width, height, frames) and every group is processed as ONE stacked
+    (g, frames, h, w) ndarray — decode, frame sampling, and the
+    nearest-neighbor resize are whole-group gathers, no per-row Python
+    loop. Rows-only check; shape invariants asserted in pytest."""
     m = attach_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tbl = pa.Table.from_batches([b])
-            doc_ids = tbl.column("doc_id").to_pylist()
-            fmts = tbl.column("fmt").to_pylist()
-            ws = tbl.column("width").to_pylist()
-            hs = tbl.column("height").to_pylist()
-            medias = tbl.column("media").to_pylist()
-            out = []
-            for fmt, w, h, payload in zip(fmts, ws, hs, medias):
-                img = decode_media(payload, fmt, w, h)
-                img = sample_frames(img, 2)
-                thumb = resize_nearest(img, 8, 8)
-                out.append(thumb.tobytes())
+            nrows = tbl.num_rows
+            doc_ids = tbl.column("doc_id").to_numpy()
+            ws = tbl.column("width").to_numpy().astype(np.int64)
+            hs = tbl.column("height").to_numpy().astype(np.int64)
+            media = tbl.column("media").combine_chunks()
+            buf = np.frombuffer(media.buffers()[2], dtype=np.uint8)
+            offs = np.frombuffer(media.buffers()[1], dtype=np.int32)[
+                media.offset: media.offset + nrows + 1
+            ].astype(np.int64)
+            sizes = np.diff(offs)
+            frames = sizes // (ws * hs)
+            out_frames = (frames + 1) // 2  # sample_frames(img, 2)
+            out_off = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(out_frames * 64, out=out_off[1:])
+            flat = np.empty(int(out_off[-1]), dtype=np.uint8)
+            shape_key = (ws << 40) | (hs << 20) | frames
+            for key in np.unique(shape_key):
+                rows = np.nonzero(shape_key == key)[0]
+                w = int(ws[rows[0]])
+                h = int(hs[rows[0]])
+                f = int(frames[rows[0]])
+                # gather the whole group into one (g, f, h, w) stack
+                idx = offs[rows][:, None] + np.arange(f * h * w)[None, :]
+                imgs = buf[idx].reshape(len(rows), f, h, w)
+                imgs = imgs[:, ::2]  # frame sample across the group
+                yi = np.arange(8) * h // 8
+                xi = np.arange(8) * w // 8
+                th = imgs[:, :, yi[:, None], xi[None, :]]  # (g, f2, 8, 8)
+                f2 = th.shape[1]
+                dest = out_off[rows][:, None] + np.arange(f2 * 64)[None, :]
+                flat[dest] = th.reshape(len(rows), f2 * 64)
+            thumb_arr = pa.Array.from_buffers(
+                pa.binary(), nrows,
+                [None, pa.py_buffer(out_off.tobytes()),
+                 pa.py_buffer(flat.tobytes())],
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(doc_ids, pa.int64()),
-                    pa.array([len(t) // 64 for t in out], pa.int32()),
-                    pa.array(out, pa.binary()),
+                    pa.array(out_frames.astype(np.int32)),
+                    thumb_arr,
                 ],
                 names=["doc_id", "thumb_frames", "thumb"],
             )
 
-    return m.select("doc_id", "fmt", "width", "height", "media").mapInArrow(
+    return m.select("doc_id", "width", "height", "media").mapInArrow(
         fn, "doc_id long, thumb_frames int, thumb binary"
     )

@@ -21,7 +21,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import chunk
+from .. import chunk, frame
 
 
 def _roundtrip_batches(
@@ -29,14 +29,33 @@ def _roundtrip_batches(
     codec_map: dict[str, str],
     compression: str | None,
 ) -> Iterator[pa.RecordBatch]:
+    # Auto-selection runs stats + trial encodes per chunk; at production
+    # row-group sizes (16M tokens) that amortizes to noise, but a roundtrip
+    # query sees ~10k-row Arrow batches, so re-trialing every batch made
+    # codec=auto ~2.4x the forced-codec cost. The distribution is the same
+    # column across batches of one task: decide on the FIRST batch, then
+    # reuse the winning codec, falling back to a fresh auto pass if the
+    # cached codec rejects a later batch (e.g. a span outgrew rANS).
+    chosen: dict[str, str] = {}
     for b in batches:
         tbl = pa.Table.from_batches([b])
         arrays = []
         for i, name in enumerate(tbl.column_names):
             col = tbl.column(name).combine_chunks()
-            blob, _ = chunk.encode_chunk(
-                col, codec=codec_map.get(name, "auto"), compression=compression
-            )
+            codec = codec_map.get(name, chosen.get(name, "auto"))
+            try:
+                blob, st = chunk.encode_chunk(
+                    col, codec=codec, compression=compression
+                )
+            except ValueError:
+                if codec == "auto":
+                    raise
+                blob, st = chunk.encode_chunk(
+                    col, codec="auto", compression=compression
+                )
+            if name not in codec_map and name not in chosen \
+                    and st["codec"] in frame.CODEC_IDS:
+                chosen[name] = st["codec"]
             out = chunk.decode_chunk(blob)
             want = tbl.schema.field(i).type
             if out.type != want:

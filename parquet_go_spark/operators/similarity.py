@@ -29,18 +29,42 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _collect_index(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+# Broadcast-regime ceiling for the exact-GEMM index (rows x dim x 8 B).
+# Below it, the whole index ships to executors once via
+# SparkContext.broadcast (torrent blocks, not a per-task closure) and
+# every query batch is one GEMM with zero shuffles. Above it, the
+# operators automatically re-route to the bucketed (LSH) plan — nothing
+# relies on the caller remembering to switch. 512 MiB ~ a conservative
+# share of a 4-8 GiB executor after the matmul workspace.
+INDEX_CAP_BYTES = 512 << 20
+
+
+def _index_bytes(df: DataFrame) -> int:
+    """Estimated broadcast-index footprint. count() on parquet folds to a
+    metadata-only aggregate; the dim probe reads one row."""
+    n = df.count()
+    if n == 0:
+        return 0
+    dim = len(df.select("embedding").first()["embedding"])
+    return n * dim * 8
+
+
+def _collect_index(df: DataFrame):
+    """Collect + row-normalize the index and ship it via a real Spark
+    broadcast (one torrent transfer per executor, not per task). Returns
+    the Broadcast handle; tasks read (ids, mat) from .value."""
     pdf = df.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     mat = mat / norms[:, None]
-    return ids, mat
+    return df.sparkSession.sparkContext.broadcast((ids, mat))
 
 
-def _topk_map_fn(ids: np.ndarray, mat: np.ndarray, k: int, keep_rank: bool):
+def _topk_map_fn(bc, k: int, keep_rank: bool):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids, mat = bc.value
         for b in batches:
             tbl = pa.Table.from_batches([b])
             q_ids = tbl.column("vec_id").to_numpy()
@@ -85,12 +109,27 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
     rank) — the cosine value itself is dropped from the driver-checked
     output because its last-ulp float depends on summation order, while
     the rank ordering (ties broken by neighbor id) is deterministic and
-    SQL-reproducible."""
+    SQL-reproducible.
+
+    Size-gated: past INDEX_CAP_BYTES the exact broadcast index no longer
+    fits an executor, and the query automatically becomes the bucketed
+    LSH plan (approximate recall, one shuffle) — same output schema."""
     df = _emb(spark, sf_dir)
-    ids, mat = _collect_index(df)
+    if _index_bytes(df) > INDEX_CAP_BYTES:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            _lsh_bucket_topk(df, k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("vec_id", "neighbor_id", "rank")
+        )
+    bc = _collect_index(df)
     schema = "vec_id long, neighbor_id long, cosine double, rank int"
     out = df.select("vec_id", "embedding").mapInArrow(
-        _topk_map_fn(ids, mat, k, keep_rank=True), schema
+        _topk_map_fn(bc, k, keep_rank=True), schema
     )
     return out.select("vec_id", "neighbor_id", "rank")
 
@@ -113,10 +152,22 @@ FROM ranked WHERE rn <= 5
 
 def nearest_neighbor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _emb(spark, sf_dir)
-    ids, mat = _collect_index(df)
+    if _index_bytes(df) > INDEX_CAP_BYTES:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            _lsh_bucket_topk(df, 1)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("vec_id", "neighbor_id")
+        )
+    bc = _collect_index(df)
     schema = "vec_id long, neighbor_id long, cosine double"
     out = df.select("vec_id", "embedding").mapInArrow(
-        _topk_map_fn(ids, mat, 1, keep_rank=False), schema
+        _topk_map_fn(bc, 1, keep_rank=False), schema
     )
     return out.select("vec_id", "neighbor_id")
 
@@ -300,13 +351,18 @@ def embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same broadcast-GEMM shape as cosine_topk: the normalized index matrix is
     broadcast, each task compares its Arrow batch against it — no shuffle.
-    At index sizes beyond executor memory this becomes the LSH-bucketed
-    variant (lsh_ann_query); the pair semantics are unchanged. Only pair ids
-    are returned: cosine values ride on float summation order, ids don't."""
+    Size-gated like cosine_topk: past INDEX_CAP_BYTES the pair source
+    automatically becomes the LSH-bucketed plan (approximate recall, one
+    shuffle); near_dup_cluster inherits the gate through this entry point.
+    Only pair ids are returned: cosine values ride on float summation
+    order, ids don't."""
     df = _emb(spark, sf_dir)
-    ids, mat = _collect_index(df)
+    if _index_bytes(df) > INDEX_CAP_BYTES:
+        return _lsh_near_dup_pairs(df, NEAR_DUP_THR)
+    bc = _collect_index(df)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids, mat = bc.value
         for b in batches:
             tbl = pa.Table.from_batches([b])
             q_ids = tbl.column("vec_id").to_numpy()
@@ -341,10 +397,10 @@ N_PLANES = 6  # 64 buckets
 LSH_SEED = 42
 
 
-def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """Bucketed ANN: hyperplane signs -> bucket id -> exact top-k inside the
-    bucket via applyInPandas. The only shuffle is the groupBy(bucket)."""
-    df = _emb(spark, sf_dir)
+def _lsh_bucketed(df: DataFrame) -> DataFrame:
+    """Assign every vector to a random-hyperplane bucket (seeded,
+    deterministic). Narrow mapInArrow; the bucket id is the only shuffle
+    key downstream operators need."""
     dim = len(df.select("embedding").first()["embedding"])
     rng = np.random.default_rng(LSH_SEED)
     planes = rng.standard_normal((N_PLANES, dim))
@@ -366,9 +422,16 @@ def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
                 names=["vec_id", "bucket", "embedding"],
             )
 
-    bucketed = df.select("vec_id", "embedding").mapInArrow(
+    return df.select("vec_id", "embedding").mapInArrow(
         bucket_fn, "vec_id long, bucket int, embedding array<float>"
     )
+
+
+def _lsh_bucket_topk(df: DataFrame, k: int) -> DataFrame:
+    """Exact top-k *within* each LSH bucket via applyInPandas — the scale
+    successor to the broadcast GEMM: one shuffle on bucket id, in-bucket
+    GEMMs bounded by bucket size."""
+    bucketed = _lsh_bucketed(df)
 
     def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -396,4 +459,38 @@ def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     return bucketed.groupBy("bucket").applyInPandas(
         topk_in_bucket, "vec_id long, neighbor_id long, cosine double"
+    )
+
+
+def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Bucketed ANN: hyperplane signs -> bucket id -> exact top-k inside the
+    bucket via applyInPandas. The only shuffle is the groupBy(bucket)."""
+    return _lsh_bucket_topk(_emb(spark, sf_dir), k)
+
+
+def _lsh_near_dup_pairs(df: DataFrame, thr: float) -> DataFrame:
+    """Near-dup pairs in the bucketed regime: pairwise cosine >= thr inside
+    each LSH bucket (a pair in one bucket is emitted once: buckets are a
+    partition of the vectors). Approximate recall — pairs split across
+    buckets are missed, the standard LSH trade once the exact index no
+    longer fits memory."""
+    bucketed = _lsh_bucketed(df)
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64"}
+            )
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        sims = m @ m.T
+        keep = (sims >= thr) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        pairs_in_bucket, "vec_a long, vec_b long"
     )

@@ -243,3 +243,32 @@ def test_near_dup_cluster_labels_consistent(spark):
     assert (labels.cluster_id <= labels.vec_id).all()
     for a, b in zip(pairs.vec_a, pairs.vec_b):
         assert lab[a] == lab[b], (a, b)  # neighbors share a component
+
+
+def test_similarity_index_gate_flips_to_bucketed(spark):
+    """Past INDEX_CAP_BYTES the exact broadcast-GEMM operators must
+    automatically re-route to the LSH-bucketed plan: an Exchange appears
+    (groupBy bucket), results keep the schema, and near-dup pairs become
+    a subset of the exact pairs (bucketing only removes candidates)."""
+    from parquet_go_spark.operators import similarity as sim
+
+    exact_pairs = sim.embedding_near_dup_query(spark, SF).toPandas()
+    old = sim.INDEX_CAP_BYTES
+    sim.INDEX_CAP_BYTES = 0
+    try:
+        topk = sim.cosine_topk_query(spark, SF, k=3)
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan  # bucketed path shuffles on bucket id
+        got = topk.toPandas()
+        assert set(got.columns) == {"vec_id", "neighbor_id", "rank"}
+        assert got.groupby("vec_id")["rank"].max().max() <= 3
+        lsh_pairs = sim.embedding_near_dup_query(spark, SF).toPandas()
+    finally:
+        sim.INDEX_CAP_BYTES = old
+    ex = set(zip(exact_pairs.vec_a, exact_pairs.vec_b))
+    ap = set(zip(lsh_pairs.vec_a, lsh_pairs.vec_b))
+    assert ap <= ex and len(ap) > 0
+    # below the cap the exact path must stay shuffle-free
+    exact_topk = sim.cosine_topk_query(spark, SF, k=3)
+    plan = exact_topk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
