@@ -133,6 +133,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_embeddings"] = _rt.roundtrip_exploded_query("embeddings", "embedding")
     q["rt_nation_region"] = _rt.roundtrip_query("nation")
     q["rt_supplier"] = _rt.roundtrip_query("supplier")
+    # physical-type surfaces: DECIMAL (int32/int64/FLBA16 by precision)
+    # and FIXED_LEN_BYTE_ARRAY (reference types/decimal.go:12-127,
+    # encodingwrite_plain.go:148-159)
+    q["rt_decimal"] = _rt.decimal_roundtrip_query
+    q["rt_flba"] = _rt.flba_roundtrip_query
+    # nested schemas (struct + map shredded into child sub-frames)
+    q["rt_nested"] = _rt.nested_roundtrip_query
 
     # --- statistics family (encode-kernel stats folding) ---
     q["stats_lineitem"] = _rt.stats_query("lineitem", NUM_LINEITEM)
@@ -189,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["rt_nation_region"] = "SELECT * FROM nation"
     o["rt_supplier"] = "SELECT * FROM supplier"
+    o["rt_decimal"] = _rt.DECIMAL_ORACLE
+    o["rt_flba"] = _rt.FLBA_ORACLE
+    o["rt_nested"] = _rt.NESTED_ORACLE
     o["stats_lineitem"] = _rt.stats_oracle_sql("lineitem", NUM_LINEITEM)
     o["stats_orders"] = _rt.stats_oracle_sql(
         "orders", ["o_orderkey", "o_custkey", "o_totalprice"]

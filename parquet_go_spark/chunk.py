@@ -53,9 +53,21 @@ def _logical_type(t: pa.DataType) -> int:
         return frame.LT_TIMESTAMP_US
     if pa.types.is_date32(t):
         return frame.LT_DATE32
+    if pa.types.is_fixed_size_binary(t):
+        return frame.LT_FLBA
+    if pa.types.is_decimal128(t):
+        return frame.LT_DECIMAL
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         _logical_type(t.value_type)  # validate child is supported (recurses)
         return frame.LT_LIST_INT32   # generic list: child type lives in sub-frame
+    if pa.types.is_struct(t):
+        for f in t:
+            _logical_type(f.type)    # validate children (recurses)
+        return frame.LT_STRUCT
+    if pa.types.is_map(t):
+        _logical_type(t.key_type)
+        _logical_type(t.item_type)
+        return frame.LT_MAP
     raise NotImplementedError(f"unsupported column type {t}")
 
 
@@ -245,6 +257,166 @@ def _decode_str_sections(meta: frame.FrameMeta, n: int, s0: int):
     raise ValueError(f"codec {codec} invalid for byte-array column")
 
 
+def _encode_int_chunk(
+    vals: np.ndarray, itemsize: int, codec: str | int, trial_comp: str | None
+) -> tuple[int, list[bytes], int]:
+    """Full int-chunk encode: auto selection (stage-1 estimates + scaled
+    sample trials), span-overflow fallbacks, dict-budget fallback, and the
+    never-worse-than-PLAIN re-check. Shared by the int, date/timestamp,
+    and unscaled-DECIMAL paths. Returns (cid, sections, bit_width)."""
+    if codec == "auto":
+        st_int = cost.int_stats(vals)
+        est = cost.estimate_int_sizes(st_int, itemsize)
+        ranked = sorted(est, key=est.get)
+        trials = ranked[: cost.TRIAL_CANDIDATES]
+        # plane-split codecs only ever win via the block compressor —
+        # force them into the trial set when compression is on
+        if trial_comp:
+            if frame.BSS not in trials:
+                trials.append(frame.BSS)
+            if frame.DICT_BSS in est and frame.DICT_BSS not in trials:
+                trials.append(frame.DICT_BSS)
+        sample = cost.contiguous_sample(vals)
+        scale_n = len(vals) / max(len(sample), 1)
+
+        def _parts(c):
+            body, _bw = _encode_int_sections(sample, itemsize, c)
+            if (
+                c in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS)
+                and len(body) == 2
+            ):
+                sect0, idx = body
+                sample_card = max(int.from_bytes(sect0[:4], "little"), 1)
+                card_scale = max(st_int.distinct_est / sample_card, 1.0)
+                if c == frame.DICT_RANS:
+                    fixed, var = rans.split_fixed(idx)
+                    return [
+                        (sect0, card_scale),
+                        (fixed, card_scale),
+                        (var, scale_n),
+                    ]
+                return [(sect0, card_scale), (idx, scale_n)]
+            if c == frame.RANS:
+                fixed, var = rans.split_fixed(body[0])
+                return [(fixed, 1.0), (var, scale_n)]
+            return [(b"".join(body), scale_n)]
+
+        cid = cost.trial_pick_scaled(
+            {c: (lambda c=c: _parts(c)) for c in trials}, trials, trial_comp
+        )
+    else:
+        cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
+    try:
+        body, bit_width = _encode_int_sections(vals, itemsize, cid)
+    except ValueError:
+        if cid == frame.DICT_RANS:
+            # sample-picked, but the full chunk's dictionary outgrew the
+            # rANS span gate — plane-split codes are the closest family
+            cid = frame.DICT_BSS
+        elif cid == frame.RANS and codec == "auto":
+            # defense in depth behind the cost-model applicability gate:
+            # if auto selection ever lands on rANS for a chunk whose
+            # full span exceeds the coder's table, degrade to FOR
+            cid = frame.FOR_BITPACK
+        else:
+            raise
+        body, bit_width = _encode_int_sections(vals, itemsize, cid)
+    if (
+        cid in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS)
+        and len(body) == 1
+    ):
+        cid = frame.PLAIN  # dict budget fallback happened (dictpage.go:161-195)
+    if codec == "auto":
+        plain_len = len(vals) * itemsize
+        if sum(len(s) for s in body) > plain_len:
+            body, bit_width = [plainc.encode_numeric(vals)], 0
+            cid = frame.PLAIN
+    return cid, body, bit_width
+
+
+def _encode_fixed_bytes(
+    data: bytes, n: int, k: int, codec: str | int, trial_comp: str | None
+) -> tuple[int, list[bytes]]:
+    """Encode n fixed-length k-byte items (FLBA payloads and 16-byte
+    decimal limbs) by reusing the byte-array kernels with synthetic
+    uniform offsets — every string codec (plain/dict/delta/fsst) applies
+    unchanged; the frame's logical type says how to reassemble
+    (reference: FLBA plain path encodingwrite_plain.go:148-159)."""
+    offsets = np.arange(n + 1, dtype=np.int64) * k
+    if codec == "auto":
+        cid = cost.rank_string_codecs(data, offsets, trial_comp)
+    else:
+        cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
+        if cid == frame.PLAIN:
+            cid = frame.PLAIN_BA
+    body, fallback = _encode_str_sections(data, offsets, cid)
+    if fallback:
+        cid = fallback
+    if codec == "auto":
+        raw = n * k + 4 * n
+        if sum(len(s) for s in body) > raw:
+            body = [plainc.encode_byte_array(data, offsets)]
+            cid = frame.PLAIN_BA
+    return cid, body
+
+
+def _fixed_bytes_of(dense: pa.Array, k: int) -> bytes:
+    buf = dense.buffers()[1]
+    if len(dense) == 0 or buf is None:
+        return b""
+    start = dense.offset * k
+    return bytes(memoryview(buf)[start : start + len(dense) * k])
+
+
+_DEC_PARAMS = 3  # param section: precision u8, scale u8, phys_width u8
+
+
+def _decimal_phys(precision: int) -> int:
+    """Physical width for an unscaled decimal — the reference stores
+    DECIMAL as INT32 / INT64 / FLBA by precision (types/decimal.go:12-127,
+    mirroring the Parquet spec)."""
+    if precision <= 9:
+        return 4
+    if precision <= 18:
+        return 8
+    return 16
+
+
+def _decimal_unscaled(dense: pa.Array, phys: int) -> np.ndarray:
+    """Unscaled int32/int64 values of a decimal128 array (precision<=18:
+    the 128-bit little-endian limbs are a sign-extended 64-bit value)."""
+    buf = dense.buffers()[1]
+    raw = np.frombuffer(buf, dtype="<i8")[
+        dense.offset * 2 : (dense.offset + len(dense)) * 2
+    ]
+    lo = raw[0::2]
+    hi = raw[1::2]
+    if not np.array_equal(hi, lo >> 63):
+        raise ValueError("decimal value exceeds declared physical width")
+    return lo.astype(np.int32) if phys == 4 else lo.copy()
+
+
+def _decimal_rebuild(
+    vals: np.ndarray, valid: np.ndarray | None, typ: pa.DataType
+) -> pa.Array:
+    """int unscaled -> decimal128 array (16-byte LE limbs, sign-extended)."""
+    v = vals.astype(np.int64, copy=False)
+    n_total = len(valid) if valid is not None else len(v)
+    limbs = np.zeros((n_total, 2), dtype=np.int64)
+    if valid is None:
+        limbs[:, 0] = v
+        limbs[:, 1] = v >> 63
+        vbuf = None
+    else:
+        limbs[valid, 0] = v
+        limbs[valid, 1] = v >> 63
+        vbuf = pa.py_buffer(frame.pack_validity(valid))
+    return pa.Array.from_buffers(
+        typ, n_total, [vbuf, pa.py_buffer(limbs.tobytes())],
+        null_count=0 if valid is None else int((~valid).sum()),
+    )
+
+
 def encode_chunk(
     col: Any,
     codec: str | int = "auto",
@@ -276,6 +448,7 @@ def encode_chunk(
     raw_size = sum(b.size for b in arr.buffers() if b is not None)
     stats: dict = {"count": n, "null_count": null_count, "raw_size": raw_size}
     bit_width = 0
+    param_sect: bytes | None = None
 
     if ltype in _INT_TYPES:
         dtype, itemsize = _INT_TYPES[ltype]
@@ -286,73 +459,7 @@ def encode_chunk(
         else:
             dense_i = dense
         vals = np.asarray(dense_i).astype(dtype, copy=False)
-        if codec == "auto":
-            st_int = cost.int_stats(vals)
-            est = cost.estimate_int_sizes(st_int, itemsize)
-            ranked = sorted(est, key=est.get)
-            trials = ranked[: cost.TRIAL_CANDIDATES]
-            # plane-split codecs only ever win via the block compressor —
-            # force them into the trial set when compression is on
-            if trial_comp:
-                if frame.BSS not in trials:
-                    trials.append(frame.BSS)
-                if frame.DICT_BSS in est and frame.DICT_BSS not in trials:
-                    trials.append(frame.DICT_BSS)
-            sample = cost.contiguous_sample(vals)
-            scale_n = len(vals) / max(len(sample), 1)
-
-            def _parts(c):
-                body, _bw = _encode_int_sections(sample, itemsize, c)
-                if (
-                    c in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS)
-                    and len(body) == 2
-                ):
-                    sect0, idx = body
-                    sample_card = max(int.from_bytes(sect0[:4], "little"), 1)
-                    card_scale = max(st_int.distinct_est / sample_card, 1.0)
-                    if c == frame.DICT_RANS:
-                        fixed, var = rans.split_fixed(idx)
-                        return [
-                            (sect0, card_scale),
-                            (fixed, card_scale),
-                            (var, scale_n),
-                        ]
-                    return [(sect0, card_scale), (idx, scale_n)]
-                if c == frame.RANS:
-                    fixed, var = rans.split_fixed(body[0])
-                    return [(fixed, 1.0), (var, scale_n)]
-                return [(b"".join(body), scale_n)]
-
-            cid = cost.trial_pick_scaled(
-                {c: (lambda c=c: _parts(c)) for c in trials}, trials, trial_comp
-            )
-        else:
-            cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
-        try:
-            body, bit_width = _encode_int_sections(vals, itemsize, cid)
-        except ValueError:
-            if cid == frame.DICT_RANS:
-                # sample-picked, but the full chunk's dictionary outgrew the
-                # rANS span gate — plane-split codes are the closest family
-                cid = frame.DICT_BSS
-            elif cid == frame.RANS and codec == "auto":
-                # defense in depth behind the cost-model applicability gate:
-                # if auto selection ever lands on rANS for a chunk whose
-                # full span exceeds the coder's table, degrade to FOR
-                cid = frame.FOR_BITPACK
-            else:
-                raise
-            body, bit_width = _encode_int_sections(vals, itemsize, cid)
-        if (
-            cid in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS)
-            and len(body) == 1
-        ):
-            cid = frame.PLAIN  # dict budget fallback happened (dictpage.go:161-195)
-        if codec == "auto":
-            plain_len = len(vals) * itemsize
-            if sum(len(s) for s in body) > plain_len:
-                body, bit_width = [plainc.encode_numeric(vals)], 0
-                cid = frame.PLAIN
+        cid, body, bit_width = _encode_int_chunk(vals, itemsize, codec, trial_comp)
         if len(vals):
             stats["min"], stats["max"] = (
                 vals.min().item(),
@@ -454,6 +561,88 @@ def encode_chunk(
             mm = pc.min_max(dense)
             stats["min"] = mm["min"].as_py()
             stats["max"] = mm["max"].as_py()
+    elif ltype == frame.LT_FLBA:
+        # fixed-length byte arrays (UUID, FLOAT16, raw digests — reference
+        # encodingwrite_plain.go:148-159): reuse every byte-array codec
+        # via synthetic uniform offsets; the param section carries the
+        # item length so frames stay self-describing
+        k = arr.type.byte_width
+        if k > 0xFFFF:
+            raise NotImplementedError("FLBA width > 65535")
+        data = _fixed_bytes_of(dense, k)
+        cid, body = _encode_fixed_bytes(data, len(dense), k, codec, trial_comp)
+        sections = body
+        param_sect = int(k).to_bytes(2, "little")
+        stats["byte_size"] = len(data)
+    elif ltype == frame.LT_DECIMAL:
+        # DECIMAL stored by precision as unscaled INT32 / INT64 / FLBA16
+        # (reference types/decimal.go:12-127, per the Parquet spec); the
+        # int paths get the full codec menu including auto selection
+        t = arr.type
+        prec, scale = t.precision, t.scale
+        if not (0 <= scale <= prec):
+            raise NotImplementedError(f"unsupported decimal scale {scale}")
+        phys = _decimal_phys(prec)
+        if phys <= 8:
+            vals = _decimal_unscaled(dense, phys)
+            cid, body, bit_width = _encode_int_chunk(
+                vals, phys, codec, trial_comp
+            )
+            if len(vals):
+                stats["min"] = vals.min().item() / 10**scale
+                stats["max"] = vals.max().item() / 10**scale
+        else:
+            data = _fixed_bytes_of(dense, 16)
+            cid, body = _encode_fixed_bytes(
+                data, len(dense), 16, codec, trial_comp
+            )
+        sections = body
+        param_sect = bytes([prec, scale, phys])
+    elif ltype == frame.LT_STRUCT:
+        # struct shredding (reference marshal/marshal.go:376-414 semantics):
+        # one sub-frame per child column; the parent's null bitmap is this
+        # level's definition information, children carry their own. Child
+        # frames stay uncompressed — the enclosing frame block-compresses
+        # the concatenation once.
+        st_arr = dense
+        names, child_frames = [], []
+        for i, f in enumerate(arr.type):
+            names.append(f.name)
+            cf, cst = encode_chunk(
+                st_arr.field(i), codec="auto", compression=None,
+                trial_compression=trial_comp,
+            )
+            child_frames.append(cf)
+            stats.setdefault("child_codecs", {})[f.name] = cst["codec"]
+        sections = child_frames
+        cid = frame.LIST  # container codec id; layout driven by ltype
+        param_sect = "\x00".join(names).encode("utf-8")
+    elif ltype == frame.LT_MAP:
+        # map = repeated (key, value) group (marshal.go's MAP shredding):
+        # lengths sub-frame + entries struct sub-frame; the struct path
+        # recursively shreds keys and values into their own codecs
+        # view the map as list<struct<key,value>> (its physical layout) so
+        # the slice-aware list kernels (flatten/value_lengths) apply
+        m = dense.cast(
+            pa.list_(
+                pa.struct(
+                    [("key", arr.type.key_type), ("value", arr.type.item_type)]
+                )
+            )
+        )
+        lengths = np.asarray(m.value_lengths(), dtype=np.int32)
+        entries = m.flatten()
+        len_frame, len_stats = encode_chunk(
+            pa.array(lengths, type=pa.int32()), codec="auto", compression=None,
+            trial_compression=trial_comp,
+        )
+        ent_frame, ent_stats = encode_chunk(
+            entries, codec="auto", compression=None, trial_compression=trial_comp
+        )
+        sections = [len_frame, ent_frame]
+        cid = frame.LIST
+        stats["values_count"] = len(entries)
+        stats["child_codecs"] = ent_stats.get("child_codecs")
     elif ltype == frame.LT_LIST_INT32:
         lists = dense
         lengths = np.asarray(lists.value_lengths(), dtype=np.int32)
@@ -477,6 +666,8 @@ def encode_chunk(
 
     if valid is not None:
         sections = [frame.pack_validity(valid)] + sections
+    if param_sect is not None:
+        sections = [param_sect] + sections  # params precede validity
     blob = frame.write_frame(
         cid,
         ltype,
@@ -537,13 +728,17 @@ def decode_chunk(buf: bytes) -> pa.Array:
 def _decode_chunk_inner(buf: bytes) -> pa.Array:
     meta = frame.read_frame(buf)
     n = meta.count
+    lt = meta.logical_type
     valid = None
     s0 = 0
-    if meta.flags & frame.FLAG_HAS_VALIDITY:
-        valid = frame.unpack_validity(meta.sections[0], n)
+    params = None
+    if lt in (frame.LT_FLBA, frame.LT_DECIMAL, frame.LT_STRUCT):
+        params = meta.sections[0]  # param section precedes validity
         s0 = 1
+    if meta.flags & frame.FLAG_HAS_VALIDITY:
+        valid = frame.unpack_validity(meta.sections[s0], n)
+        s0 += 1
     dense_n = n - meta.null_count
-    lt = meta.logical_type
 
     if lt in _INT_TYPES:
         dtype, itemsize = _INT_TYPES[lt]
@@ -608,6 +803,109 @@ def _decode_chunk_inner(buf: bytes) -> pa.Array:
             offsets = offsets - base
         pa_type = pa.utf8() if lt == frame.LT_STRING else pa.binary()
         return _rebuild_strings(bytes(data), offsets, valid, pa_type)
+    if lt == frame.LT_FLBA:
+        if params is None or len(params) < 2:
+            raise ValueError("missing FLBA params")
+        k = int.from_bytes(params[:2], "little")
+        data, offsets = _decode_str_sections(meta, dense_n, s0)
+        lens = np.diff(offsets)
+        if dense_n and (lens != k).any():
+            raise ValueError("FLBA item length mismatch")
+        base = int(offsets[0])
+        dense_bytes = bytes(memoryview(data)[base : base + dense_n * k])
+        typ = pa.binary(k)
+        if valid is None:
+            return pa.Array.from_buffers(
+                typ, n, [None, pa.py_buffer(dense_bytes)]
+            )
+        full = np.zeros(n * k, dtype=np.uint8)
+        full.reshape(n, k)[valid] = np.frombuffer(
+            dense_bytes, dtype=np.uint8
+        ).reshape(dense_n, k)
+        return pa.Array.from_buffers(
+            typ, n,
+            [pa.py_buffer(frame.pack_validity(valid)), pa.py_buffer(full.tobytes())],
+            null_count=int((~valid).sum()),
+        )
+    if lt == frame.LT_DECIMAL:
+        if params is None or len(params) < 3:
+            raise ValueError("missing decimal params")
+        prec, scale, phys = params[0], params[1], params[2]
+        if not (1 <= prec <= 38 and scale <= prec and phys in (4, 8, 16)):
+            raise ValueError("invalid decimal params")
+        typ = pa.decimal128(prec, scale)
+        if phys <= 8:
+            dtype = np.int32 if phys == 4 else np.int64
+            vals = _decode_int_sections(meta, dense_n, dtype, phys, s0)
+            return _decimal_rebuild(vals, valid, typ)
+        data, offsets = _decode_str_sections(meta, dense_n, s0)
+        lens = np.diff(offsets)
+        if dense_n and (lens != 16).any():
+            raise ValueError("decimal limb length mismatch")
+        base = int(offsets[0])
+        dense_bytes = bytes(memoryview(data)[base : base + dense_n * 16])
+        if valid is None:
+            return pa.Array.from_buffers(
+                typ, n, [None, pa.py_buffer(dense_bytes)]
+            )
+        full = np.zeros(n * 16, dtype=np.uint8)
+        full.reshape(n, 16)[valid] = np.frombuffer(
+            dense_bytes, dtype=np.uint8
+        ).reshape(dense_n, 16)
+        return pa.Array.from_buffers(
+            typ, n,
+            [pa.py_buffer(frame.pack_validity(valid)), pa.py_buffer(full.tobytes())],
+            null_count=int((~valid).sum()),
+        )
+    if lt == frame.LT_STRUCT:
+        if params is None:
+            raise ValueError("missing struct params")
+        names = params.decode("utf-8").split("\x00") if params else []
+        children = [decode_chunk(s) for s in meta.sections[s0:]]
+        if len(children) != len(names):
+            raise ValueError("struct child count mismatch")
+        for ch in children:
+            if len(ch) != dense_n:
+                raise ValueError("struct child length mismatch")
+        if valid is None:
+            return pa.StructArray.from_arrays(children, names)
+        # expand dense children back to parent length: null slots take an
+        # arbitrary valid row (index 0) and are masked by the parent bitmap
+        idx = np.zeros(n, dtype=np.int64)
+        idx[valid] = np.arange(dense_n)
+        if dense_n:
+            full_children = [ch.take(pa.array(idx)) for ch in children]
+        else:
+            full_children = [pa.nulls(n, ch.type) for ch in children]
+        return pa.StructArray.from_arrays(
+            full_children, names, mask=pa.array(~valid)
+        )
+    if lt == frame.LT_MAP:
+        lengths = np.asarray(decode_chunk(meta.sections[s0]), dtype=np.int64)
+        entries = decode_chunk(meta.sections[s0 + 1])
+        keys, items = entries.field(0), entries.field(1)
+        if valid is None:
+            off = np.zeros(dense_n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=off[1:])
+            return pa.MapArray.from_arrays(
+                pa.array(off.astype(np.int32), pa.int32()), keys, items
+            )
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid] = lengths
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(full_lens, out=off[1:])
+        # MapArray.from_arrays has no mask parameter: derive the type from
+        # a null-free construction, then attach the parent validity bitmap
+        # via from_buffers (same shape as the LIST null path)
+        typ = pa.MapArray.from_arrays(
+            pa.array([0, 0], pa.int32()), keys.slice(0, 0), items.slice(0, 0)
+        ).type
+        return pa.Array.from_buffers(
+            typ, n,
+            [pa.py_buffer(frame.pack_validity(valid)),
+             pa.py_buffer(off.astype(np.int32).tobytes())],
+            children=[entries],
+        )
     if lt == frame.LT_LIST_INT32:
         lengths = np.asarray(decode_chunk(meta.sections[s0]), dtype=np.int64)
         values = decode_chunk(meta.sections[s0 + 1])

@@ -92,6 +92,12 @@ LT_STRING = 6
 LT_TIMESTAMP_US = 7
 LT_LIST_INT32 = 8
 LT_DATE32 = 9
+LT_FLBA = 10      # fixed-length byte array; length rides in a param section
+LT_DECIMAL = 11   # decimal128; (precision, scale, phys) in a param section
+LT_STRUCT = 12    # struct; field names in the param section, one
+                  # sub-frame per child (Dremel shredding, null bitmap
+                  # per level instead of def levels — SURVEY §1.4)
+LT_MAP = 13       # map; lengths sub-frame + entries struct sub-frame
 
 # header: magic4 version u8 codec u8 comp u8 ltype u8 flags u8 bitwidth u8
 #         nsect u8 pad u8 count u64 nullcount u64 rawsize u64 payloadsize u64

