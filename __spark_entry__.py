@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
     q["prune_bloom_point"] = _pruned.bloom_pruned_point_query
+    # intra-chunk page pruning over the manifest's per-page index
+    q["prune_pages"] = _pruned.page_pruned_range_query
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
 
     # --- multimodal family (binary payload + typed metadata) ---
@@ -219,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_near_dup_cluster"] = _dedup.NEAR_DUP_CLUSTER_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
+    o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     return o

@@ -17,6 +17,7 @@ Everything is vectorized numpy/Arrow; no per-row Python.
 
 from __future__ import annotations
 
+import struct
 from typing import Any
 
 import numpy as np
@@ -24,6 +25,13 @@ import pyarrow as pa
 
 from . import cost, frame
 from .codecs import bitpack, bss, delta, deltaba, dictionary, fsst, plainc, rans, rle
+
+# paged-chunk container: PAGE_MAGIC + u32 n_pages + n_pages * u64 frame
+# lengths, then the frames back to back. A chunk under the page threshold
+# stays a bare frame (PGS1 magic), so the two container forms are
+# distinguishable from the first 4 bytes and old blobs stay readable.
+PAGE_MAGIC = b"PGSP"
+MAX_PAGES = 1 << 20
 
 _INT_TYPES = {
     frame.LT_INT32: (np.int32, 4),
@@ -684,6 +692,146 @@ def encode_chunk(
     return blob, stats
 
 
+# ------------------------------------------------------------ paged chunks
+
+
+def encode_chunk_paged(
+    col: Any,
+    codec: str | int = "auto",
+    compression: str | None = "zstd",
+    page_rows: int | None = None,
+) -> tuple[bytes, dict]:
+    """Encode a chunk as multiple page frames of ``page_rows`` values each
+    (the reference's page split, writer/pages.go:252-317). Page boundaries
+    are fixed row offsets, so every column of a partition pages at the
+    same rows and a page subset is row-aligned across columns.
+
+    stats['pages'] carries the ColumnIndex analog: per-page first_row,
+    count, and min/max. Codec auto-selection runs on the first page and
+    is reused for the rest (per-page re-pick would also fragment the
+    store's codec labels); a page the codec rejects falls back to auto.
+    """
+    arr = _as_array(col)
+    n = len(arr)
+    if not page_rows or n <= page_rows:
+        blob, st = encode_chunk(arr, codec=codec, compression=compression)
+        st["pages"] = [
+            {"first_row": 0, "count": n,
+             "vmin": st.get("min"), "vmax": st.get("max")}
+        ]
+        return blob, st
+    frames: list[bytes] = []
+    pages: list[dict] = []
+    chosen: str | int = codec
+    agg: dict = {"count": n, "null_count": 0, "raw_size": 0}
+    for start in range(0, n, page_rows):
+        sl = arr.slice(start, min(page_rows, n - start))
+        try:
+            fb, fst = encode_chunk(sl, codec=chosen, compression=compression)
+        except ValueError:
+            fb, fst = encode_chunk(sl, codec="auto", compression=compression)
+        if chosen == "auto" and fst["codec"] in frame.CODEC_IDS:
+            chosen = fst["codec"]
+        frames.append(fb)
+        pages.append(
+            {"first_row": start, "count": len(sl),
+             "vmin": fst.get("min"), "vmax": fst.get("max")}
+        )
+        agg["null_count"] += fst["null_count"]
+        agg["raw_size"] += fst["raw_size"]
+        for key, fold in (("min", min), ("max", max)):
+            v = fst.get(key)
+            if v is not None:
+                agg[key] = v if key not in agg else fold(agg[key], v)
+    header = PAGE_MAGIC + struct.pack("<I", len(frames))
+    header += struct.pack(f"<{len(frames)}Q", *(len(f) for f in frames))
+    blob = header + b"".join(frames)
+    if isinstance(chosen, int):
+        agg["codec"] = frame.CODEC_NAMES[chosen]
+    elif chosen != "auto":
+        agg["codec"] = chosen
+    else:  # composite children (list/struct) never cache a forceable name
+        agg["codec"] = fst["codec"]
+    agg["encoded_size"] = len(blob)
+    agg["pages"] = pages
+    return blob, agg
+
+
+def split_pages(buf: bytes) -> list[bytes] | None:
+    """Page frames of a paged blob, or None for a bare single frame."""
+    if len(buf) < 8 or buf[:4] != PAGE_MAGIC:
+        return None
+    (npages,) = struct.unpack_from("<I", buf, 4)
+    if not (1 <= npages <= MAX_PAGES):
+        raise ValueError("invalid page count")
+    head_end = 8 + 8 * npages
+    if len(buf) < head_end:
+        raise ValueError("truncated page directory")
+    lens = struct.unpack_from(f"<{npages}Q", buf, 8)
+    if sum(lens) != len(buf) - head_end:
+        raise ValueError("page directory disagrees with blob size")
+    out, off = [], head_end
+    for ln in lens:
+        out.append(buf[off : off + ln])
+        off += ln
+    return out
+
+
+def page_counts(buf: bytes) -> list[int] | None:
+    """Row count per page from the fixed frame headers only — no
+    decompression, the OffsetIndex read path."""
+    pages = split_pages(buf)
+    if pages is None:
+        return None
+    counts = []
+    for p in pages:
+        if len(p) < frame._HDR.size:
+            raise ValueError("truncated page frame")
+        counts.append(frame._HDR.unpack_from(p)[9])
+    return counts
+
+
+def _concat(arrays: list[pa.Array]) -> pa.Array:
+    if len(arrays) == 1:
+        return arrays[0]
+    return pa.concat_arrays(arrays)
+
+
+def decode_chunk_pages(buf: bytes, keep: list[int] | None = None) -> pa.Array:
+    """Decode a (possibly paged) blob; ``keep`` selects page ordinals —
+    unneeded pages are never parsed past their directory entry (the
+    intra-chunk skip the reference gets from ColumnIndex+OffsetIndex)."""
+    pages = split_pages(buf)
+    if pages is None:
+        return decode_chunk(buf)
+    if keep is not None:
+        pages = [pages[i] for i in keep]
+    return _concat([decode_chunk(p) for p in pages])
+
+
+def decode_chunk_rows(buf: bytes, start: int, stop: int) -> pa.Array:
+    """Decode only rows [start, stop): page-granular skip + edge slice
+    (SkipRows over the OffsetIndex, columnbuffer_offset_index.go:23-110)."""
+    counts = page_counts(buf)
+    if counts is None:
+        return decode_chunk(buf).slice(start, stop - start)
+    pages = split_pages(buf)
+    out, first = [], 0
+    for p, cnt in zip(pages, counts):
+        lo, hi = first, first + cnt
+        first += cnt
+        if hi <= start or lo >= stop:
+            continue
+        a = decode_chunk(p)
+        s = max(start - lo, 0)
+        e = min(stop - lo, cnt)
+        out.append(a.slice(s, e - s))
+    if not out:
+        empty = decode_chunk(pages[0]).slice(0, 0)
+        return empty
+    return _concat(out)
+
+
 # ---------------------------------------------------------------- decoding
 
 
@@ -718,8 +866,11 @@ def _rebuild_strings(
 
 
 def decode_chunk(buf: bytes) -> pa.Array:
-    """Decode a frame back to a pyarrow Array (bit-identical roundtrip)."""
+    """Decode a frame (or a paged multi-frame blob) back to a pyarrow
+    Array (bit-identical roundtrip)."""
     try:
+        if buf[:4] == PAGE_MAGIC:
+            return decode_chunk_pages(buf)
         return _decode_chunk_inner(buf)
     except IndexError as e:  # defense in depth: malformed section layout
         raise ValueError(f"malformed frame: {e}") from e

@@ -98,13 +98,19 @@ def decode_rows(
         for (pid, fr), cnt in zip(first_row.items(), (r["count"] for r in counts))
         if fr < hi and fr + cnt > lo
     }
-    inner = make_decode_fn(columns, spark_schema)
-
     def decode_slice(table: pa.Table) -> pa.Table:
         pid = table.column("part_id")[0].as_py()
-        out = inner(table)
         s, e = wanted[pid]
-        return out.slice(s, e - s)
+        cols = {c: b for c, b in zip(table.column("col").to_pylist(),
+                                     table.column("blob").to_pylist())}
+        arrays = []
+        for name in columns:
+            if name not in cols:
+                raise ValueError(f"partition missing column chunk {name!r}")
+            # page-granular skip: only page frames intersecting [s, e) are
+            # decompressed; a bare single-frame chunk decodes then slices
+            arrays.append(chunk.decode_chunk_rows(cols[name], s, e))
+        return pa.table(dict(zip(columns, arrays)))
 
     blobs = (
         store.blobs(spark)

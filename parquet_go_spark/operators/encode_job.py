@@ -13,6 +13,7 @@ planner, not by oversized tasks.
 
 from __future__ import annotations
 
+import json
 import math
 from typing import Iterable
 
@@ -25,35 +26,87 @@ from ..plans.partitioner import DEFAULT_TARGET_TOKENS, plan_partitions
 from .store import BLOB_SCHEMA, ManifestStore
 
 
+def boundary_order_of(pages: list[dict]) -> str:
+    """ASC / DESC / UNORDERED over the page bounds — the reference's
+    boundary-order detection for the ColumnIndex (writer/pages.go:198-246).
+    A single page is vacuously ascending."""
+    lows = [p.get("vmin") for p in pages]
+    highs = [p.get("vmax") for p in pages]
+    if any(v is None for v in lows) or any(v is None for v in highs):
+        return "UNORDERED"
+    if len(pages) <= 1:
+        return "ASC"
+    try:
+        asc = all(a <= b for a, b in zip(lows, lows[1:])) and all(
+            a <= b for a, b in zip(highs, highs[1:])
+        )
+        desc = all(a >= b for a, b in zip(lows, lows[1:])) and all(
+            a >= b for a, b in zip(highs, highs[1:])
+        )
+    except TypeError:
+        return "UNORDERED"
+    if asc:
+        return "ASC"
+    if desc:
+        return "DESC"
+    return "UNORDERED"
+
+
+def _pages_json(pages: list[dict]) -> str:
+    """Serialize the page index for the manifest (ColumnIndex analog).
+    String bounds go through the same truncation as chunk bounds."""
+    out = []
+    for p in pages:
+        lo, hi = p.get("vmin"), p.get("vmax")
+        if isinstance(lo, (str, bytes)) or isinstance(hi, (str, bytes)):
+            lo, hi = stats_trunc.truncate_bounds(lo, hi)
+        out.append(
+            {"r": p["first_row"], "n": p["count"],
+             "lo": None if lo is None else str(lo),
+             "hi": None if hi is None else str(hi)}
+        )
+    return json.dumps(out, separators=(",", ":"))
+
+
 def make_encode_fn(
     compression: str | None = "zstd",
     codec: str = "auto",
     codec_map: dict[str, str] | None = None,
     bloom_cols: set[str] | None = None,
+    page_rows: int | None = None,
+    sort_key: str | None = None,
 ):
     """Build the per-group Arrow kernel. Emits one blob row per column.
 
     ``codec_map`` overrides the codec per column (the reference's per-column
     tag, common/tag.go); ``bloom_cols`` opt columns into a split-block bloom
-    filter stored alongside the chunk (writer/bloomfilter.go:40-130)."""
+    filter stored alongside the chunk (writer/bloomfilter.go:40-130);
+    ``page_rows`` splits chunks into page frames at fixed row offsets with
+    a per-page index in the manifest (writer/pages.go:252-317)."""
     cm = codec_map or {}
     bc = bloom_cols or set()
 
     def encode_group(table: pa.Table) -> pa.Table:
         from .. import bloom as bloommod
 
+        if sort_key is not None:
+            # deterministic in-kernel sort: the sorted-write case that
+            # makes page bounds non-overlapping (boundary_order=ASC)
+            table = table.sort_by(sort_key)
         part_id = table.column("part_id")[0].as_py()
         rows = {
             "part_id": [], "col": [], "codec": [], "compression": [],
             "count": [], "null_count": [], "raw_size": [], "encoded_size": [],
-            "vmin": [], "vmax": [], "bloom": [], "blob": [],
+            "vmin": [], "vmax": [], "boundary_order": [], "pages": [],
+            "bloom": [], "blob": [],
         }
         for name in table.column_names:
             if name == "part_id":
                 continue
             arr = table.column(name).combine_chunks()
-            blob, stats = chunk.encode_chunk(
-                arr, codec=cm.get(name, codec), compression=compression
+            blob, stats = chunk.encode_chunk_paged(
+                arr, codec=cm.get(name, codec), compression=compression,
+                page_rows=page_rows,
             )
             codec_label = stats["codec"]
             if "values_codec" in stats:  # surface inner list codecs
@@ -74,6 +127,8 @@ def make_encode_fn(
                 vmin, vmax = stats_trunc.truncate_bounds(vmin, vmax)
             rows["vmin"].append("" if vmin is None else str(vmin))
             rows["vmax"].append("" if vmax is None else str(vmax))
+            rows["boundary_order"].append(boundary_order_of(stats["pages"]))
+            rows["pages"].append(_pages_json(stats["pages"]))
             rows["bloom"].append(
                 bloommod.build_bloom(arr) if name in bc else None
             )
@@ -90,6 +145,8 @@ def make_encode_fn(
                 "encoded_size": pa.array(rows["encoded_size"], pa.int64()),
                 "vmin": pa.array(rows["vmin"], pa.utf8()),
                 "vmax": pa.array(rows["vmax"], pa.utf8()),
+                "boundary_order": pa.array(rows["boundary_order"], pa.utf8()),
+                "pages": pa.array(rows["pages"], pa.utf8()),
                 "bloom": pa.array(rows["bloom"], pa.binary()),
                 "blob": pa.array(rows["blob"], pa.binary()),
             }
@@ -105,11 +162,14 @@ def encode_blobs_df(
     num_partitions: int | None = None,
     codec_map: dict[str, str] | None = None,
     bloom_cols: set[str] | None = None,
+    page_rows: int | None = None,
+    sort_key: str | None = None,
 ) -> DataFrame:
     """planned (with part_id) -> blob rows DataFrame (lazy)."""
     grouped = planned.groupBy("part_id")
     return grouped.applyInArrow(
-        make_encode_fn(compression, codec, codec_map, bloom_cols),
+        make_encode_fn(compression, codec, codec_map, bloom_cols, page_rows,
+                       sort_key),
         schema=BLOB_SCHEMA,
     )
 
@@ -125,6 +185,8 @@ def encode_table(
     resume: bool = True,
     codec_map: dict[str, str] | None = None,
     bloom_cols: set[str] | None = None,
+    page_rows: int | None = None,
+    sort_cols: list[str] | None = None,
 ):
     """Encode ``df`` into ``out_dir`` with checkpointed resumability.
 
@@ -143,7 +205,7 @@ def encode_table(
     if waves <= 1:
         store.append_blobs(
             encode_blobs_df(pending, compression, codec, codec_map=codec_map,
-                            bloom_cols=bloom_cols)
+                            bloom_cols=bloom_cols, page_rows=page_rows)
         )
     else:
         per = math.ceil(plan.num_partitions / waves)
@@ -156,7 +218,13 @@ def encode_table(
             )
             store.append_blobs(
                 encode_blobs_df(wave_df, compression, codec,
-                                codec_map=codec_map, bloom_cols=bloom_cols)
+                                codec_map=codec_map, bloom_cols=bloom_cols,
+                                page_rows=page_rows)
             )
+    store.write_meta(
+        key_col=None, clustering="token_weighted",
+        num_parts=plan.num_partitions, page_rows=page_rows,
+        sort_cols=sort_cols or [],
+    )
     store.write_manifest_snapshot(spark)
     return store, plan

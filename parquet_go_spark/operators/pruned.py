@@ -52,6 +52,8 @@ def encode_generic(
     codec_map: dict[str, str] | None = None,
     bloom_cols: set[str] | None = None,
     compression: str | None = "zstd",
+    page_rows: int | None = None,
+    sort_within: bool = False,
 ) -> ManifestStore:
     """Encode an arbitrary table into a blob store with part_ids clustered
     on ``key_col``.
@@ -90,8 +92,17 @@ def encode_generic(
     store.append_blobs(
         encode_blobs_df(
             planned, compression, "auto", codec_map=codec_map,
-            bloom_cols=bloom_cols,
+            bloom_cols=bloom_cols, page_rows=page_rows,
+            # sorted pages within a partition: tight non-overlapping page
+            # bounds + boundary_order=ASC -> intra-chunk page pruning
+            # (the reference's sorted-write case, writer/pages.go:198-246)
+            sort_key=key_col if sort_within else None,
         )
+    )
+    store.write_meta(
+        key_col=key_col, clustering=clustering, num_parts=num_parts,
+        page_rows=page_rows, sorted_by=key_col if sort_within else None,
+        bloom_cols=sorted(bloom_cols) if bloom_cols else [],
     )
     return store
 
@@ -149,6 +160,125 @@ def stats_candidates(
         vmin, vmax = F.col("vmin").cast("double"), F.col("vmax").cast("double")
     keep = meta.filter(~((vmax < F.lit(lo)) | (vmin > F.lit(hi))))
     return [r["part_id"] for r in keep.select("part_id").collect()]
+
+
+def page_candidates(
+    spark: SparkSession, store: ManifestStore, key_col: str, lo, hi,
+    part_ids: list[int] | None = None,
+) -> dict[int, list[int]]:
+    """Intra-chunk page pruning from the manifest's page index (the
+    ColumnIndex+OffsetIndex consumed together,
+    reader/columnbuffer_offset_index.go:23-110): for each surviving
+    partition, the ordinals of pages whose [lo, hi] bounds intersect the
+    predicate. Page boundaries are row-aligned across columns, so the
+    subset applies to every projected column."""
+    import json as _json
+
+    meta = store.manifest(spark).filter(F.col("col") == key_col)
+    if part_ids is not None:
+        meta = meta.filter(F.col("part_id").isin(part_ids))
+    as_str = isinstance(lo, str) or isinstance(hi, str)
+    out: dict[int, list[int]] = {}
+    for r in meta.select("part_id", "pages").collect():
+        keep = []
+        for i, p in enumerate(_json.loads(r["pages"])):
+            plo, phi = p["lo"], p["hi"]
+            if plo is None or phi is None:
+                keep.append(i)
+                continue
+            if not as_str:
+                plo, phi = float(plo), float(phi)
+            if not (phi < lo or plo > hi):
+                keep.append(i)
+        out[r["part_id"]] = keep
+    return out
+
+
+def _decode_parts_pages(
+    spark: SparkSession,
+    store: ManifestStore,
+    page_map: dict[int, list[int]],
+    columns: list[str],
+    spark_schema: str,
+    arrow_types: dict | None = None,
+) -> DataFrame:
+    """Decode only the selected page ordinals of each partition — pruned
+    pages' frames are sliced off by the blob's page directory and never
+    decompressed."""
+    from .. import chunk as chunkmod
+
+    part_ids = [pid for pid, pages in page_map.items() if pages]
+
+    def decode_group(table):
+        import pyarrow as pa_
+
+        pid = table.column("part_id")[0].as_py()
+        keep = page_map[pid]
+        cols = {c: b for c, b in zip(table.column("col").to_pylist(),
+                                     table.column("blob").to_pylist())}
+        arrays = []
+        for name in columns:
+            a = chunkmod.decode_chunk_pages(cols[name], keep=keep)
+            want = (arrow_types or {}).get(name)
+            if want is not None and a.type != want:
+                a = a.cast(want)
+            arrays.append(a)
+        return pa_.table(dict(zip(columns, arrays)))
+
+    blobs = (
+        store.blobs(spark)
+        .filter(F.col("part_id").isin(part_ids))
+        .filter(F.col("col").isin(columns))
+    )
+    return blobs.groupBy("part_id").applyInArrow(
+        decode_group, schema=spark_schema
+    )
+
+
+def auto_candidates(
+    spark: SparkSession, store: ManifestStore, key_col: str,
+    lo=None, hi=None, keys: list | None = None,
+) -> list[int]:
+    """Strategy selection from the STORE's own recorded layout metadata
+    (clustering + declared sort + bloom columns, writer/sorting.go:9-48
+    analog) — callers no longer say how the store was clustered:
+
+      * range predicate + range-clustered (or ASC boundary order) -> stats
+      * point keys + a recorded bloom on the key -> bloom
+      * otherwise -> no pruning (all partitions), still exact
+    """
+    meta = store.meta()
+    clustered_on = meta.get("key_col")
+    clustering = meta.get("clustering", "")
+    has_bloom = key_col in (meta.get("bloom_cols") or [])
+    if keys is not None and has_bloom:
+        return bloom_candidates(spark, store, key_col, keys)
+    if lo is not None and hi is not None:
+        range_clustered = clustered_on == key_col and clustering.startswith(
+            "range"
+        )
+        if not range_clustered:
+            # fall back to the manifest itself: ASC/DESC boundary order
+            # on every chunk of this column means stats prune losslessly
+            orders = {
+                r["boundary_order"]
+                for r in store.manifest(spark)
+                .filter(F.col("col") == key_col)
+                .select("boundary_order")
+                .distinct()
+                .collect()
+            }
+            range_clustered = orders <= {"ASC", "DESC"} and bool(orders)
+        if range_clustered:
+            return stats_candidates(spark, store, key_col, lo, hi)
+        if keys is None and has_bloom:
+            pass  # range over a bloom store: stats are wide, no pruning
+    if keys is not None:
+        # no bloom recorded: stats may still help for tight key sets
+        return stats_candidates(spark, store, key_col, min(keys), max(keys))
+    return [
+        r["part_id"] for r in store.completed_partitions(spark).collect()
+    ]
 
 
 def bloom_candidates(
@@ -211,7 +341,9 @@ def stats_pruned_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = encode_generic(
         spark, df, out, key_col="o_orderkey", clustering="range"
     )
-    cand = stats_candidates(spark, store, "o_orderkey", RANGE_LO, RANGE_HI)
+    # strategy comes from the store's recorded layout metadata, not the
+    # caller: auto_candidates sees clustering=range on this key
+    cand = auto_candidates(spark, store, "o_orderkey", RANGE_LO, RANGE_HI)
     dec = _decode_parts(spark, store, cand, cols, schema, atypes)
     return dec.filter(
         (F.col("o_orderkey") >= RANGE_LO) & (F.col("o_orderkey") <= RANGE_HI)
@@ -229,15 +361,41 @@ def bloom_pruned_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, df, out, key_col="o_custkey", clustering="hash",
         bloom_cols={"o_custkey"},
     )
-    cand = bloom_candidates(spark, store, "o_custkey", POINT_KEYS)
+    # auto_candidates reads the recorded bloom_cols and routes to blooms
+    cand = auto_candidates(spark, store, "o_custkey", keys=POINT_KEYS)
     dec = _decode_parts(spark, store, cand, cols, schema, atypes)
     return dec.filter(F.col("o_custkey").isin(POINT_KEYS))
+
+
+def page_pruned_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-chunk page pruning: partitions are range-clustered AND sorted
+    within, so the per-page index has non-overlapping ASC bounds; a narrow
+    range decodes only the intersecting pages of the surviving partitions
+    (the reference's ColumnIndex+OffsetIndex read,
+    reader/columnbuffer_offset_index.go:23-110). Exact post-filter."""
+    df = _orders(spark, sf_dir)
+    cols = df.columns
+    schema, atypes = _schema_of(df, cols)
+    out = os.path.join("/tmp", f"pgs_pruned_pages_{os.path.basename(sf_dir)}")
+    store = encode_generic(
+        spark, df, out, key_col="o_orderkey", clustering="range",
+        num_parts=4, page_rows=512, sort_within=True,
+    )
+    cand = auto_candidates(spark, store, "o_orderkey", RANGE_LO, RANGE_HI)
+    pmap = page_candidates(
+        spark, store, "o_orderkey", RANGE_LO, RANGE_HI, cand
+    )
+    dec = _decode_parts_pages(spark, store, pmap, cols, schema, atypes)
+    return dec.filter(
+        (F.col("o_orderkey") >= RANGE_LO) & (F.col("o_orderkey") <= RANGE_HI)
+    )
 
 
 STATS_PRUNED_RANGE_ORACLE = (
     f"SELECT * FROM orders WHERE o_orderkey >= {RANGE_LO} "
     f"AND o_orderkey <= {RANGE_HI}"
 )
+PAGE_PRUNED_RANGE_ORACLE = STATS_PRUNED_RANGE_ORACLE
 BLOOM_PRUNED_POINT_ORACLE = (
     "SELECT * FROM orders WHERE o_custkey IN "
     f"({', '.join(str(k) for k in POINT_KEYS)})"

@@ -17,6 +17,7 @@ deployment needs.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,11 +26,12 @@ from pyspark.sql import functions as F
 BLOB_SCHEMA = (
     "part_id int, col string, codec string, compression string, "
     "count long, null_count long, raw_size long, encoded_size long, "
-    "vmin string, vmax string, bloom binary, blob binary"
+    "vmin string, vmax string, boundary_order string, pages string, "
+    "bloom binary, blob binary"
 )
 MANIFEST_COLS = [
     "part_id", "col", "codec", "compression", "count", "null_count",
-    "raw_size", "encoded_size", "vmin", "vmax",
+    "raw_size", "encoded_size", "vmin", "vmax", "boundary_order", "pages",
 ]
 
 
@@ -72,3 +74,23 @@ class ManifestStore:
         """Anti-join resume: planned rows whose part_id is not committed."""
         done = self.completed_partitions(spark)
         return planned.join(F.broadcast(done), "part_id", "left_anti")
+
+    # ---- store-level layout metadata (writer/sorting.go:9-48 analog) ----
+    # Records how the store was clustered (key column, range vs hash,
+    # declared sort order, page size) so pruned reads can pick the right
+    # strategy from the store itself instead of caller knowledge.
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.out_dir, "_store_meta.json")
+
+    def write_meta(self, **meta) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(self._meta_path, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    def meta(self) -> dict:
+        if not os.path.isfile(self._meta_path):
+            return {}
+        with open(self._meta_path, encoding="utf-8") as f:
+            return json.load(f)

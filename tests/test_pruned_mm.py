@@ -272,3 +272,86 @@ def test_similarity_index_gate_flips_to_bucketed(spark):
     exact_topk = sim.cosine_topk_query(spark, SF, k=3)
     plan = exact_topk._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_page_index_point_lookup_decodes_one_page(spark, tmp_out):
+    """A point range on a sorted, paged store must decode only the
+    intersecting page frame(s) of a multi-frame chunk — intra-chunk
+    skipping, not just partition pruning."""
+    import json
+
+    from parquet_go_spark import chunk as chunkmod
+    from parquet_go_spark.operators import pruned
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    store = pruned.encode_generic(
+        spark, df, tmp_out, key_col="o_orderkey", clustering="range",
+        num_parts=2, page_rows=200, sort_within=True,
+    )
+    # manifest page index exists and is ASC on the sorted key
+    meta = (
+        store.manifest(spark)
+        .filter(F.col("col") == "o_orderkey")
+        .select("part_id", "boundary_order", "pages")
+        .collect()
+    )
+    assert all(r["boundary_order"] == "ASC" for r in meta)
+    n_pages = {r["part_id"]: len(json.loads(r["pages"])) for r in meta}
+    assert max(n_pages.values()) > 1, "store must be multi-page"
+    # point lookup: a single key hits exactly one page of one partition
+    key = int(df.agg(F.min("o_orderkey")).collect()[0][0])
+    pmap = pruned.page_candidates(spark, store, "o_orderkey", key, key)
+    touched = {pid: pages for pid, pages in pmap.items() if pages}
+    assert sum(len(p) for p in touched.values()) == 1, touched
+    # and the page subset decodes to exactly the right rows
+    cols = df.columns
+    schema, atypes = pruned._schema_of(df, cols)
+    dec = pruned._decode_parts_pages(spark, store, pmap, cols, schema, atypes)
+    got = dec.filter(F.col("o_orderkey") == key).count()
+    want = df.filter(F.col("o_orderkey") == key).count()
+    assert got == want > 0
+    # kernel-level: the kept page really is the only frame decoded
+    blob_row = (
+        store.blobs(spark)
+        .filter((F.col("col") == "o_orderkey")
+                & (F.col("part_id").isin(list(touched))))
+        .select("blob").collect()[0]
+    )
+    counts = chunkmod.page_counts(bytes(blob_row["blob"]))
+    assert counts is not None and len(counts) > 1
+
+
+def test_auto_candidates_needs_no_caller_clustering(spark, tmp_out, tmp_path):
+    """Pruning strategy comes from the store's recorded metadata: the same
+    auto_candidates call prunes by stats on a range store and by bloom on
+    a hash store."""
+    from parquet_go_spark.operators import pruned
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    range_store = pruned.encode_generic(
+        spark, df, tmp_out, key_col="o_orderkey", clustering="range",
+        num_parts=16,
+    )
+    total = range_store.completed_partitions(spark).count()
+    cand = pruned.auto_candidates(
+        spark, range_store, "o_orderkey", 1_000, 5_000
+    )
+    assert 0 < len(cand) < total
+
+    hash_dir = str(tmp_path / "hash_store")
+    hash_store = pruned.encode_generic(
+        spark, df, hash_dir, key_col="o_custkey", clustering="hash",
+        num_parts=16, bloom_cols={"o_custkey"},
+    )
+    cand2 = pruned.auto_candidates(
+        spark, hash_store, "o_custkey", keys=[7, 13]
+    )
+    got = (
+        pruned._decode_parts(
+            spark, hash_store, cand2, df.columns,
+            *pruned._schema_of(df, df.columns),
+        )
+        .filter(F.col("o_custkey").isin([7, 13]))
+        .count()
+    )
+    assert got == df.filter(F.col("o_custkey").isin([7, 13])).count()
