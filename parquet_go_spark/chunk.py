@@ -63,6 +63,8 @@ def _logical_type(t: pa.DataType) -> int:
         return frame.LT_DATE32
     if pa.types.is_fixed_size_binary(t):
         return frame.LT_FLBA
+    if pa.types.is_float16(t):
+        return frame.LT_FLOAT16
     if pa.types.is_decimal128(t):
         return frame.LT_DECIMAL
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -582,6 +584,13 @@ def encode_chunk(
         sections = body
         param_sect = int(k).to_bytes(2, "little")
         stats["byte_size"] = len(data)
+    elif ltype == frame.LT_FLOAT16:
+        # FLOAT16 (reference types/float16.go:18-70): 2-byte items through
+        # the fixed-width byte-array menu; dict wins on low-cardinality
+        # halves, plain+zstd otherwise
+        data = _fixed_bytes_of(dense, 2)
+        cid, body = _encode_fixed_bytes(data, len(dense), 2, codec, trial_comp)
+        sections = body
     elif ltype == frame.LT_DECIMAL:
         # DECIMAL stored by precision as unscaled INT32 / INT64 / FLBA16
         # (reference types/decimal.go:12-127, per the Parquet spec); the
@@ -978,6 +987,20 @@ def _decode_chunk_inner(buf: bytes) -> pa.Array:
             [pa.py_buffer(frame.pack_validity(valid)), pa.py_buffer(full.tobytes())],
             null_count=int((~valid).sum()),
         )
+    if lt == frame.LT_FLOAT16:
+        data, offsets = _decode_str_sections(meta, dense_n, s0)
+        lens = np.diff(offsets)
+        if dense_n and (lens != 2).any():
+            raise ValueError("float16 item length mismatch")
+        base = int(offsets[0])
+        dense_np = np.frombuffer(
+            memoryview(data)[base : base + dense_n * 2], dtype=np.float16
+        )
+        if valid is None:
+            return pa.array(dense_np, type=pa.float16())
+        full = np.zeros(n, dtype=np.float16)
+        full[valid] = dense_np
+        return pa.array(full, type=pa.float16(), mask=~valid)
     if lt == frame.LT_DECIMAL:
         if params is None or len(params) < 3:
             raise ValueError("missing decimal params")

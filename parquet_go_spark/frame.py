@@ -98,6 +98,7 @@ LT_STRUCT = 12    # struct; field names in the param section, one
                   # sub-frame per child (Dremel shredding, null bitmap
                   # per level instead of def levels — SURVEY §1.4)
 LT_MAP = 13       # map; lengths sub-frame + entries struct sub-frame
+LT_FLOAT16 = 14   # half floats; stored as fixed 2-byte items (FLBA menu)
 
 # header: magic4 version u8 codec u8 comp u8 ltype u8 flags u8 bitwidth u8
 #         nsect u8 pad u8 count u64 nullcount u64 rawsize u64 payloadsize u64

@@ -179,6 +179,35 @@ def flba_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLBA_ORACLE = "SELECT p_partkey, md5(p_name) AS h FROM part"
 
 
+def int96_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT96 legacy-timestamp path (reference physical type,
+    encodingwrite_plain.go:89-95): events.ts -> 12-byte INT96 items ->
+    FLBA codec stack -> decode -> timestamp, compared as epoch micros."""
+    from .. import int96 as i96
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            ts = tbl.column("ts").combine_chunks()
+            v96 = i96.timestamps_to_int96(ts)
+            blob, _ = chunk.encode_chunk(v96, codec="auto", compression="zstd")
+            back = i96.int96_to_timestamps(chunk.decode_chunk(blob))
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("event_id").combine_chunks(),
+                 back.cast(pa.int64())],
+                names=["event_id", "ts_us"],
+            )
+
+    return df.mapInArrow(fn, "event_id long, ts_us long")
+
+
+INT96_ORACLE = (
+    "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events"
+)
+
+
 def nested_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested schemas through the codec stack: a struct column and a map
     column (Dremel shredding into per-child sub-frames; reference
