@@ -178,8 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
-    q["mm_features"] = _mm.features_query                      # rows-only
-    q["mm_thumbnail"] = _mm.thumbnail_query                    # rows-only
+    q["mm_features"] = _mm.features_query
+    q["mm_thumbnail"] = _mm.thumbnail_pixels_query
     return q
 
 
@@ -226,4 +226,6 @@ def oracle_sql() -> dict[str, str]:
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
+    o["mm_features"] = _mm.FEATURES_ORACLE
+    o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE
     return o

@@ -150,11 +150,12 @@ FROM documents
 
 
 def features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-item feature extraction over the binary column: byte mean/std +
-    a 4-bin histogram (one flat column per bin — the driver's canonicalizer
-    cannot hash list cells), one vectorized pass per Arrow batch (the shape
-    a real embed/feature UDF takes). Deterministic but not SQL-expressible
-    -> rows-only driver check; pytest pins exact values on a seed."""
+    """Per-item feature extraction over the binary column: sufficient
+    statistics (byte sum, sum of squares — mean/std derive from them) +
+    a 4-bin histogram, one vectorized pass per Arrow batch (the shape a
+    real embed/feature UDF takes). All-integer output, so the DuckDB
+    oracle — which re-derives the payload bytes via splitmix64 spelled
+    out in HUGEINT mod-2^64 arithmetic — compares exactly."""
     m = attach_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -168,12 +169,11 @@ def features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             sizes = np.diff(offs)
             seg = np.repeat(np.arange(len(doc_ids)), sizes)
-            sums = np.bincount(seg, weights=buf[offs[0]:offs[-1]].astype(np.float64),
-                               minlength=len(doc_ids))
-            means = sums / np.maximum(sizes, 1)
-            sq = np.bincount(seg, weights=(buf[offs[0]:offs[-1]].astype(np.float64)) ** 2,
-                             minlength=len(doc_ids))
-            var = sq / np.maximum(sizes, 1) - means ** 2
+            body = buf[offs[0]:offs[-1]].astype(np.float64)
+            # float64 bincount sums are exact here: max possible sum is
+            # 64*64*4*255 < 2^53, so the int64 cast loses nothing
+            sums = np.bincount(seg, weights=body, minlength=len(doc_ids))
+            sq = np.bincount(seg, weights=body * body, minlength=len(doc_ids))
             hist = np.zeros((len(doc_ids), 4), dtype=np.int64)
             bins = buf[offs[0]:offs[-1]] >> 6  # 4 bins of 64
             for k in range(4):
@@ -181,18 +181,81 @@ def features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(doc_ids, pa.int64()),
-                    pa.array(np.round(means, 4), pa.float64()),
-                    pa.array(np.round(np.sqrt(np.maximum(var, 0)), 4), pa.float64()),
+                    pa.array(sizes.astype(np.int64)),
+                    pa.array(sums.astype(np.int64)),
+                    pa.array(sq.astype(np.int64)),
                     *[pa.array(hist[:, k], pa.int64()) for k in range(4)],
                 ],
-                names=["doc_id", "byte_mean", "byte_std",
+                names=["doc_id", "n_bytes", "byte_sum", "byte_sq",
                        "hist0", "hist1", "hist2", "hist3"],
             )
 
     return m.select("doc_id", "media").mapInArrow(
-        fn, "doc_id long, byte_mean double, byte_std double, "
+        fn, "doc_id long, n_bytes long, byte_sum long, byte_sq long, "
             "hist0 long, hist1 long, hist2 long, hist3 long"
     )
+
+
+def _mulmod64_sql(z: str, c: int) -> str:
+    """HUGEINT SQL for (z * c) mod 2^64 via 32-bit limb decomposition."""
+    return (
+        f"(((({z} // 4294967296) * ({c}::HUGEINT % 4294967296) + "
+        f"({z} % 4294967296) * ({c}::HUGEINT // 4294967296)) % 4294967296) "
+        f"* 4294967296 + ({z} % 4294967296) * ({c}::HUGEINT % 4294967296)) "
+        f"% 18446744073709551616"
+    )
+
+
+def _features_oracle() -> str:
+    """DuckDB re-derivation of the payload bytes: byte k of doc d =
+    splitmix64(d * 0xC2B2AE3D27D4EB4F ^ k) & 0xFF, with every 64-bit
+    wrap spelled out in HUGEINT arithmetic (DuckDB integers trap on
+    overflow instead of wrapping)."""
+    C0 = 0xC2B2AE3D27D4EB4F
+    A = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + (n_chars % 48) AS HUGEINT)
+           * (16 + ((n_chars // 7) % 48))
+           * (CASE WHEN n_chars % 4 > 0 THEN 1 + (n_chars % 4) ELSE 1 END)
+           AS nb,
+         {_mulmod64_sql('CAST(doc_id AS HUGEINT)', C0)} AS dc
+  FROM documents
+), pos AS (
+  SELECT doc_id, nb, dc, unnest(range(CAST(nb AS BIGINT))) AS k FROM dims
+), x1 AS (
+  SELECT doc_id, nb,
+         (xor(dc::UBIGINT, k::UBIGINT)::HUGEINT + {A}::HUGEINT)
+           % 18446744073709551616 AS x
+  FROM pos
+), z1 AS (
+  SELECT doc_id, nb,
+         {_mulmod64_sql("xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT", C1)} AS z
+  FROM x1
+), z2 AS (
+  SELECT doc_id, nb,
+         {_mulmod64_sql("xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT", C2)} AS z
+  FROM z1
+), bytes AS (
+  SELECT doc_id, nb,
+         CAST(xor(z::UBIGINT, (z // 2147483648)::UBIGINT) % 256 AS BIGINT) AS byte
+  FROM z2
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+       sum(byte)::BIGINT AS byte_sum,
+       sum(byte * byte)::BIGINT AS byte_sq,
+       sum(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END)::BIGINT AS hist0,
+       sum(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END)::BIGINT AS hist1,
+       sum(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END)::BIGINT AS hist2,
+       sum(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END)::BIGINT AS hist3
+FROM bytes GROUP BY doc_id, nb
+"""
+
+
+FEATURES_ORACLE = _features_oracle()
 
 
 def thumbnail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,3 +318,89 @@ def thumbnail_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "width", "height", "media").mapInArrow(
         fn, "doc_id long, thumb_frames int, thumb binary"
     )
+
+
+def thumbnail_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked form of the thumbnail chain: the binary thumbs
+    exploded to (doc_id, pix, val) rows so the DuckDB oracle — which
+    re-derives each sampled+resized pixel's source byte via the splitmix64
+    SQL — compares exactly (binary cells can't be unnested in SQL)."""
+    t = thumbnail_query(spark, sf_dir)
+
+    def explode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            ids = tbl.column("doc_id").to_numpy()
+            thumb = tbl.column("thumb").combine_chunks()
+            buf = np.frombuffer(thumb.buffers()[2], dtype=np.uint8)
+            offs = np.frombuffer(thumb.buffers()[1], dtype=np.int32)[
+                thumb.offset: thumb.offset + len(thumb) + 1
+            ]
+            sizes = np.diff(offs)
+            total = int(sizes.sum())
+            rep = np.repeat(ids, sizes)
+            pix = np.arange(total, dtype=np.int64) - np.repeat(
+                offs[:-1].astype(np.int64) - offs[0], sizes
+            ) - offs[0]
+            vals = buf[offs[0]:offs[-1]].astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rep, pa.int64()), pa.array(pix, pa.int64()),
+                 pa.array(vals, pa.int64())],
+                names=["doc_id", "pix", "val"],
+            )
+
+    return t.select("doc_id", "thumb").mapInArrow(
+        explode, "doc_id long, pix long, val long"
+    )
+
+
+def _thumbnail_oracle() -> str:
+    """Pixel (f2, y, x) of a doc's thumb is payload byte
+    (2*f2)*(h*w) + (y*h//8)*w + (x*w//8) — frame-sample every 2nd frame,
+    nearest-neighbor 8x8 resize — and payload bytes are splitmix64."""
+    C0 = 0xC2B2AE3D27D4EB4F
+    A = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + (n_chars % 48) AS BIGINT) AS w,
+         CAST(16 + ((n_chars // 7) % 48) AS BIGINT) AS h,
+         CAST(CASE WHEN n_chars % 4 > 0 THEN 1 + (n_chars % 4) ELSE 1 END
+              AS BIGINT) AS frames,
+         {_mulmod64_sql('CAST(doc_id AS HUGEINT)', C0)} AS dc
+  FROM documents
+), pixels AS (
+  SELECT doc_id, w, h, dc,
+         unnest(range(((frames + 1) // 2) * 64)) AS pix
+  FROM dims
+), src AS (
+  SELECT doc_id, pix,
+         CAST(
+           (2 * (pix // 64)) * (h * w)
+           + (((pix % 64) // 8) * h // 8) * w
+           + ((pix % 8) * w // 8)
+         AS HUGEINT) AS k, dc
+  FROM pixels
+), x1 AS (
+  SELECT doc_id, pix,
+         (xor(dc::UBIGINT, k::UBIGINT)::HUGEINT + {A}::HUGEINT)
+           % 18446744073709551616 AS x
+  FROM src
+), z1 AS (
+  SELECT doc_id, pix,
+         {_mulmod64_sql("xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT", C1)} AS z
+  FROM x1
+), z2 AS (
+  SELECT doc_id, pix,
+         {_mulmod64_sql("xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT", C2)} AS z
+  FROM z1
+)
+SELECT doc_id, pix,
+       CAST(xor(z::UBIGINT, (z // 2147483648)::UBIGINT) % 256 AS BIGINT) AS val
+FROM z2
+"""
+
+
+THUMBNAIL_ORACLE = _thumbnail_oracle()

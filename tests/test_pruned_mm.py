@@ -77,13 +77,15 @@ def test_mm_features_deterministic(spark):
     b = features_query(spark, SF).orderBy("doc_id").limit(5).collect()
     assert a == b
     r = a[0]
-    assert 0 <= r["byte_mean"] <= 255 and r["byte_std"] >= 0
+    assert 0 <= r["byte_sum"] <= 255 * r["n_bytes"]
+    assert r["byte_sq"] >= r["byte_sum"]
     # the 4 histogram bins cover every byte exactly once
     n = spark.read.parquet(f"{SF}/documents.parquet").filter(
         F.col("doc_id") == r["doc_id"]
     ).select("n_chars").first()["n_chars"]
     w, h = 16 + n % 48, 16 + (n // 7) % 48
     frames = 1 + n % 4 if n % 4 > 0 else 1
+    assert r["n_bytes"] == w * h * frames
     assert r["hist0"] + r["hist1"] + r["hist2"] + r["hist3"] == w * h * frames
 
 
