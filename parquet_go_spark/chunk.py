@@ -432,6 +432,7 @@ def encode_chunk(
     codec: str | int = "auto",
     compression: str | None = "zstd",
     trial_compression: str | None = None,
+    encryption_key: bytes | None = None,
 ) -> tuple[bytes, dict]:
     """Encode one column chunk -> (frame bytes, manifest stats dict).
 
@@ -695,6 +696,7 @@ def encode_chunk(
         bit_width=bit_width,
         flags=flags,
         compression=compression,
+        encryption_key=encryption_key,
     )
     stats["codec"] = frame.CODEC_NAMES[cid]
     stats["encoded_size"] = len(blob)
@@ -709,6 +711,7 @@ def encode_chunk_paged(
     codec: str | int = "auto",
     compression: str | None = "zstd",
     page_rows: int | None = None,
+    encryption_key: bytes | None = None,
 ) -> tuple[bytes, dict]:
     """Encode a chunk as multiple page frames of ``page_rows`` values each
     (the reference's page split, writer/pages.go:252-317). Page boundaries
@@ -723,7 +726,8 @@ def encode_chunk_paged(
     arr = _as_array(col)
     n = len(arr)
     if not page_rows or n <= page_rows:
-        blob, st = encode_chunk(arr, codec=codec, compression=compression)
+        blob, st = encode_chunk(arr, codec=codec, compression=compression,
+                                encryption_key=encryption_key)
         st["pages"] = [
             {"first_row": 0, "count": n,
              "vmin": st.get("min"), "vmax": st.get("max")}
@@ -736,9 +740,11 @@ def encode_chunk_paged(
     for start in range(0, n, page_rows):
         sl = arr.slice(start, min(page_rows, n - start))
         try:
-            fb, fst = encode_chunk(sl, codec=chosen, compression=compression)
+            fb, fst = encode_chunk(sl, codec=chosen, compression=compression,
+                                   encryption_key=encryption_key)
         except ValueError:
-            fb, fst = encode_chunk(sl, codec="auto", compression=compression)
+            fb, fst = encode_chunk(sl, codec="auto", compression=compression,
+                                   encryption_key=encryption_key)
         if chosen == "auto" and fst["codec"] in frame.CODEC_IDS:
             chosen = fst["codec"]
         frames.append(fb)
@@ -806,24 +812,26 @@ def _concat(arrays: list[pa.Array]) -> pa.Array:
     return pa.concat_arrays(arrays)
 
 
-def decode_chunk_pages(buf: bytes, keep: list[int] | None = None) -> pa.Array:
+def decode_chunk_pages(buf: bytes, keep: list[int] | None = None,
+                       encryption_key: bytes | None = None) -> pa.Array:
     """Decode a (possibly paged) blob; ``keep`` selects page ordinals —
     unneeded pages are never parsed past their directory entry (the
     intra-chunk skip the reference gets from ColumnIndex+OffsetIndex)."""
     pages = split_pages(buf)
     if pages is None:
-        return decode_chunk(buf)
+        return decode_chunk(buf, encryption_key)
     if keep is not None:
         pages = [pages[i] for i in keep]
-    return _concat([decode_chunk(p) for p in pages])
+    return _concat([decode_chunk(p, encryption_key) for p in pages])
 
 
-def decode_chunk_rows(buf: bytes, start: int, stop: int) -> pa.Array:
+def decode_chunk_rows(buf: bytes, start: int, stop: int,
+                      encryption_key: bytes | None = None) -> pa.Array:
     """Decode only rows [start, stop): page-granular skip + edge slice
     (SkipRows over the OffsetIndex, columnbuffer_offset_index.go:23-110)."""
     counts = page_counts(buf)
     if counts is None:
-        return decode_chunk(buf).slice(start, stop - start)
+        return decode_chunk(buf, encryption_key).slice(start, stop - start)
     pages = split_pages(buf)
     out, first = [], 0
     for p, cnt in zip(pages, counts):
@@ -831,12 +839,12 @@ def decode_chunk_rows(buf: bytes, start: int, stop: int) -> pa.Array:
         first += cnt
         if hi <= start or lo >= stop:
             continue
-        a = decode_chunk(p)
+        a = decode_chunk(p, encryption_key)
         s = max(start - lo, 0)
         e = min(stop - lo, cnt)
         out.append(a.slice(s, e - s))
     if not out:
-        empty = decode_chunk(pages[0]).slice(0, 0)
+        empty = decode_chunk(pages[0], encryption_key).slice(0, 0)
         return empty
     return _concat(out)
 
@@ -874,19 +882,21 @@ def _rebuild_strings(
     )
 
 
-def decode_chunk(buf: bytes) -> pa.Array:
+def decode_chunk(buf: bytes, encryption_key: bytes | None = None) -> pa.Array:
     """Decode a frame (or a paged multi-frame blob) back to a pyarrow
-    Array (bit-identical roundtrip)."""
+    Array (bit-identical roundtrip). ``encryption_key`` unseals frames
+    written with modular encryption; sub-frames (list/struct children)
+    live inside the sealed parent body and need no key of their own."""
     try:
         if buf[:4] == PAGE_MAGIC:
-            return decode_chunk_pages(buf)
-        return _decode_chunk_inner(buf)
+            return decode_chunk_pages(buf, encryption_key=encryption_key)
+        return _decode_chunk_inner(buf, encryption_key)
     except IndexError as e:  # defense in depth: malformed section layout
         raise ValueError(f"malformed frame: {e}") from e
 
 
-def _decode_chunk_inner(buf: bytes) -> pa.Array:
-    meta = frame.read_frame(buf)
+def _decode_chunk_inner(buf: bytes, encryption_key: bytes | None = None) -> pa.Array:
+    meta = frame.read_frame(buf, encryption_key)
     n = meta.count
     lt = meta.logical_type
     valid = None
@@ -1103,8 +1113,8 @@ def _decode_chunk_inner(buf: bytes) -> pa.Array:
     raise NotImplementedError(f"logical type {lt}")
 
 
-def chunk_stats(buf: bytes) -> dict:
-    meta = frame.read_frame(buf)
+def chunk_stats(buf: bytes, encryption_key: bytes | None = None) -> dict:
+    meta = frame.read_frame(buf, encryption_key)
     return {
         "codec": meta.codec_name,
         "count": meta.count,

@@ -104,6 +104,10 @@ LT_FLOAT16 = 14   # half floats; stored as fixed 2-byte items (FLBA menu)
 #         nsect u8 pad u8 count u64 nullcount u64 rawsize u64 payloadsize u64
 _HDR = struct.Struct("<4sBBBBBBBBQQQQ")
 FLAG_HAS_VALIDITY = 1
+FLAG_ENCRYPTED = 2
+
+GCM_NONCE_LEN = 12
+GCM_TAG_LEN = 16
 
 
 @dataclass
@@ -142,7 +146,14 @@ def write_frame(
     bit_width: int = 0,
     flags: int = 0,
     compression: str | None = "zstd",
+    encryption_key: bytes | None = None,
 ) -> bytes:
+    """``encryption_key`` (16/24/32 B) turns on modular encryption
+    (reference reader/encryption.go + writer counterpart, AES-GCM as the
+    Parquet spec mandates): the compressed body is sealed with a random
+    nonce and the frame header+section table as associated data, so a
+    tampered codec id or section length fails authentication, not just
+    the CRC. Metadata stays readable without the key; values don't."""
     payload = b"".join(sections)
     comp_id = COMP_IDS[compression]
     body = payload
@@ -154,11 +165,31 @@ def write_frame(
             comp_id = COMP_NONE
     else:
         comp_id = COMP_NONE
-    header = _HDR.pack(
-        MAGIC, VERSION, codec, comp_id, logical_type, flags, bit_width,
-        len(sections), 0, count, null_count, raw_size, len(payload),
-    )
-    sect_table = struct.pack(f"<{len(sections)}Q", *(len(s) for s in sections))
+    if encryption_key is not None:
+        import os as _os
+
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        flags |= FLAG_ENCRYPTED
+        header = _HDR.pack(
+            MAGIC, VERSION, codec, comp_id, logical_type, flags, bit_width,
+            len(sections), 0, count, null_count, raw_size, len(payload),
+        )
+        sect_table = struct.pack(
+            f"<{len(sections)}Q", *(len(s) for s in sections)
+        )
+        nonce = _os.urandom(GCM_NONCE_LEN)
+        body = nonce + AESGCM(encryption_key).encrypt(
+            nonce, body, header + sect_table
+        )
+    else:
+        header = _HDR.pack(
+            MAGIC, VERSION, codec, comp_id, logical_type, flags, bit_width,
+            len(sections), 0, count, null_count, raw_size, len(payload),
+        )
+        sect_table = struct.pack(
+            f"<{len(sections)}Q", *(len(s) for s in sections)
+        )
     # CRC covers header + section table + body: a flipped codec id or
     # section length must fail the checksum, not misroute the decoder
     # (stronger than the reference, which checksums page data only)
@@ -166,7 +197,9 @@ def write_frame(
     return header + sect_table + body + struct.pack("<I", crc)
 
 
-def read_frame(buf: bytes | memoryview) -> FrameMeta:
+def read_frame(
+    buf: bytes | memoryview, encryption_key: bytes | None = None
+) -> FrameMeta:
     buf = memoryview(buf)
     if len(buf) < _HDR.size + 4:
         raise ValueError("frame too short")
@@ -191,6 +224,19 @@ def read_frame(buf: bytes | memoryview) -> FrameMeta:
     (crc,) = struct.unpack_from("<I", buf, len(buf) - 4)
     if zlib.crc32(bytes(buf[:pos]) + body) != crc:
         raise ValueError("frame CRC mismatch")
+    if flags & FLAG_ENCRYPTED:
+        if encryption_key is None:
+            raise ValueError("frame is encrypted and no key was provided")
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        if len(body) < GCM_NONCE_LEN + GCM_TAG_LEN:
+            raise ValueError("truncated encrypted frame body")
+        try:
+            body = AESGCM(encryption_key).decrypt(
+                body[:GCM_NONCE_LEN], body[GCM_NONCE_LEN:], bytes(buf[:pos])
+            )
+        except Exception as e:  # InvalidTag and friends
+            raise ValueError(f"frame decryption failed: {e}") from e
     if comp_id != COMP_NONE:
         body = _get_codec(comp_id).decompress(body, payload_size).to_pybytes()
     if len(body) != payload_size:

@@ -23,6 +23,7 @@ def make_decode_fn(
     columns: list[str],
     spark_schema: str,
     arrow_types: dict[str, pa.DataType] | None = None,
+    encryption_key: bytes | None = None,
 ):
     """Per-partition decode kernel; ``arrow_types`` restores exact logical
     types (e.g. timestamp[us]) when the frame's physical type is wider."""
@@ -34,7 +35,7 @@ def make_decode_fn(
         for name in columns:
             if name not in cols:
                 raise ValueError(f"partition missing column chunk {name!r}")
-            a = chunk.decode_chunk(cols[name])
+            a = chunk.decode_chunk(cols[name], encryption_key)
             want = (arrow_types or {}).get(name)
             if want is not None and a.type != want:
                 a = a.cast(want)
@@ -53,11 +54,13 @@ def decode_table(
     out_dir: str,
     columns: list[str],
     spark_schema: str,
+    encryption_key: bytes | None = None,
 ) -> DataFrame:
     store = ManifestStore(out_dir)
     blobs = store.blobs(spark).filter(F.col("col").isin(columns))
     return blobs.groupBy("part_id").applyInArrow(
-        make_decode_fn(columns, spark_schema), schema=spark_schema
+        make_decode_fn(columns, spark_schema, encryption_key=encryption_key),
+        schema=spark_schema,
     )
 
 

@@ -75,6 +75,7 @@ def make_encode_fn(
     bloom_cols: set[str] | None = None,
     page_rows: int | None = None,
     sort_key: str | None = None,
+    encryption_key: bytes | None = None,
 ):
     """Build the per-group Arrow kernel. Emits one blob row per column.
 
@@ -106,7 +107,7 @@ def make_encode_fn(
             arr = table.column(name).combine_chunks()
             blob, stats = chunk.encode_chunk_paged(
                 arr, codec=cm.get(name, codec), compression=compression,
-                page_rows=page_rows,
+                page_rows=page_rows, encryption_key=encryption_key,
             )
             codec_label = stats["codec"]
             if "values_codec" in stats:  # surface inner list codecs
@@ -164,12 +165,13 @@ def encode_blobs_df(
     bloom_cols: set[str] | None = None,
     page_rows: int | None = None,
     sort_key: str | None = None,
+    encryption_key: bytes | None = None,
 ) -> DataFrame:
     """planned (with part_id) -> blob rows DataFrame (lazy)."""
     grouped = planned.groupBy("part_id")
     return grouped.applyInArrow(
         make_encode_fn(compression, codec, codec_map, bloom_cols, page_rows,
-                       sort_key),
+                       sort_key, encryption_key),
         schema=BLOB_SCHEMA,
     )
 
@@ -187,8 +189,13 @@ def encode_table(
     bloom_cols: set[str] | None = None,
     page_rows: int | None = None,
     sort_cols: list[str] | None = None,
+    encryption_key: bytes | None = None,
 ):
     """Encode ``df`` into ``out_dir`` with checkpointed resumability.
+
+    ``encryption_key`` seals every chunk with AES-GCM modular encryption
+    (reference reader/encryption.go analog): manifest metadata stays
+    readable, values need the key.
 
     ``waves > 1`` splits the partition range into that many commit units —
     each wave is one atomic Spark write, so a crash loses at most one wave
@@ -205,7 +212,8 @@ def encode_table(
     if waves <= 1:
         store.append_blobs(
             encode_blobs_df(pending, compression, codec, codec_map=codec_map,
-                            bloom_cols=bloom_cols, page_rows=page_rows)
+                            bloom_cols=bloom_cols, page_rows=page_rows,
+                            encryption_key=encryption_key)
         )
     else:
         per = math.ceil(plan.num_partitions / waves)
@@ -219,12 +227,13 @@ def encode_table(
             store.append_blobs(
                 encode_blobs_df(wave_df, compression, codec,
                                 codec_map=codec_map, bloom_cols=bloom_cols,
-                                page_rows=page_rows)
+                                page_rows=page_rows,
+                                encryption_key=encryption_key)
             )
     store.write_meta(
         key_col=None, clustering="token_weighted",
         num_parts=plan.num_partitions, page_rows=page_rows,
-        sort_cols=sort_cols or [],
+        sort_cols=sort_cols or [], encrypted=encryption_key is not None,
     )
     store.write_manifest_snapshot(spark)
     return store, plan

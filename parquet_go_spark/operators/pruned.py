@@ -110,18 +110,16 @@ def encode_generic(
 # ------------------------------------------------------------ pruned decode
 
 def _schema_of(df: DataFrame, columns: list[str]) -> tuple[str, dict]:
-    """(spark DDL schema, arrow types) for the selected columns."""
+    """(spark DDL schema, arrow types) for the selected columns — one
+    projection plan and one empty-batch arrow conversion, not two."""
+    sel = df.select(*columns)
     ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields if f.name in columns
+        f"{f.name} {f.dataType.simpleString()}" for f in sel.schema.fields
     )
-    arrow = {
-        f.name: t
-        for f, t in zip(
-            df.select(*columns).schema.fields,
-            df.select(*columns).limit(0).toArrow().schema.types,
-        )
-    }
+    arrow = dict(
+        zip((f.name for f in sel.schema.fields),
+            sel.limit(0).toArrow().schema.types)
+    )
     return ddl, arrow
 
 

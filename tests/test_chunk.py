@@ -519,3 +519,48 @@ def test_int96_layout_and_roundtrip():
     import os as _os
     _os.remove(p)
     assert i96.int96_to_timestamps(i96.timestamps_to_int96(rb)).equals(rb)
+
+
+def test_modular_encryption_roundtrip_and_tamper():
+    """Modular encryption (reference reader/encryption.go analog):
+    AES-GCM-sealed frames roundtrip with the key, refuse decode without
+    it, reject a wrong key and any body tamper (auth tag, not just CRC),
+    and keep header metadata readable keylessly via page_counts."""
+    key = bytes(range(32))
+    rng = np.random.default_rng(13)
+    vals = pa.array(rng.integers(0, 1000, 20_000), type=pa.int64())
+    blob, st = chunk.encode_chunk(vals, codec="auto", compression="zstd",
+                                  encryption_key=key)
+    out = chunk.decode_chunk(blob, encryption_key=key)
+    assert out.equals(vals)
+    with pytest.raises(ValueError, match="encrypted"):
+        chunk.decode_chunk(blob)
+    with pytest.raises(ValueError, match="decryption failed"):
+        chunk.decode_chunk(blob, encryption_key=bytes(32))
+    # body tamper: flip one ciphertext byte, fix the CRC, auth must fail
+    import struct as _struct
+    import zlib as _zlib
+
+    body = bytearray(blob)
+    mid = len(body) // 2
+    body[mid] ^= 0xFF
+    crc = _zlib.crc32(bytes(body[:-4]))
+    body[-4:] = _struct.pack("<I", crc)
+    with pytest.raises(ValueError, match="decryption failed"):
+        chunk.decode_chunk(bytes(body), encryption_key=key)
+    # paged + encrypted: directory stays readable without the key,
+    # values need it
+    blob_p, _ = chunk.encode_chunk_paged(vals, page_rows=6000,
+                                         encryption_key=key)
+    assert chunk.page_counts(blob_p) == [6000, 6000, 6000, 2000]
+    assert chunk.decode_chunk_rows(blob_p, 5_990, 6_010,
+                                   encryption_key=key).equals(
+        vals.slice(5_990, 20)
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        chunk.decode_chunk(blob_p)
+    # nested column: children are sealed inside the parent body
+    nested = pa.array([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}],
+                      type=pa.struct([("a", pa.int64()), ("b", pa.utf8())]))
+    bl, _ = chunk.encode_chunk(nested, encryption_key=key)
+    assert chunk.decode_chunk(bl, encryption_key=key).equals(nested)

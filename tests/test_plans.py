@@ -107,3 +107,34 @@ def test_planner_stats_pass_prunes_to_weight_column(spark):
         plan = _plan(agg)
         sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert sched and all("tokens" not in ln for ln in sched), plan
+
+
+def test_page_pruned_decode_pushes_filters(spark, tmp_out):
+    """The page-pruned read keeps the same scan shape as the partition-
+    pruned read: part_id IN and col IN reach the parquet scan, so pruned
+    partitions' blob bytes never leave disk; page-level skipping then
+    happens inside the kernel via the blob's page directory."""
+    from parquet_go_spark.operators import pruned
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    store = pruned.encode_generic(
+        spark, df, tmp_out, key_col="o_orderkey", clustering="range",
+        num_parts=4, page_rows=256, sort_within=True,
+    )
+    pmap = pruned.page_candidates(spark, store, "o_orderkey", 1, 50)
+    cols = df.columns
+    schema, atypes = pruned._schema_of(df, cols)
+    dec = pruned._decode_parts_pages(spark, store, pmap, cols, schema, atypes)
+    plan = _plan(dec)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("part_id" in ln for ln in pushed), plan
+    assert any("col" in ln for ln in pushed), plan
+
+
+def test_similarity_broadcast_path_no_shuffle(spark):
+    """Below the index cap the exact top-k is scan -> mapInArrow with the
+    index arriving via SparkContext.broadcast — zero exchanges."""
+    from parquet_go_spark.operators.similarity import cosine_topk_query
+
+    plan = _plan(cosine_topk_query(spark, SF, k=3))
+    assert _count_exchanges(plan) == 0, plan

@@ -210,3 +210,25 @@ def test_decode_rows_skiprows_analog(spark, tmp_out):
     assert sliced.exceptAll(full).count() == 0
     # zero-width and tail-overrun edges
     assert decode_rows(spark, tmp_out, cols, schema, total - 5, 100).count() == 5
+
+
+def test_encrypted_store_roundtrip(spark, source_df, tmp_out):
+    """Modular encryption end-to-end on Spark: sealed store decodes
+    bit-identical with the key, fails without it, and the manifest
+    (lineage metadata) stays readable keylessly."""
+    key = bytes(range(16))
+    store, _ = encode_table(
+        spark, source_df, tmp_out, target_tokens=TARGET, resume=False,
+        encryption_key=key,
+    )
+    assert store.meta()["encrypted"] is True
+    # manifest metadata readable without the key
+    m = store.manifest(spark)
+    assert m.filter(F.col("col") == "tokens").count() > 0
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    dec = decode_table(spark, tmp_out, cols, schema, encryption_key=key)
+    assert dec.exceptAll(source_df).count() == 0
+    assert source_df.exceptAll(dec).count() == 0
+    with pytest.raises(Exception, match="encrypted"):
+        decode_table(spark, tmp_out, cols, schema).limit(1).collect()

@@ -66,6 +66,7 @@ def cmd_encode(args) -> int:
     t0 = time.time()
     codec_map = json.loads(args.codec_map) if args.codec_map else None
     bloom_cols = set(args.bloom.split(",")) if args.bloom else None
+    key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
     store, plan = encode_table(
         spark, df, args.out,
         target_tokens=args.target_tokens,
@@ -74,6 +75,8 @@ def cmd_encode(args) -> int:
         resume=not args.no_resume,
         codec_map=codec_map,
         bloom_cols=bloom_cols,
+        page_rows=args.page_rows,
+        encryption_key=key,
     )
     wall = time.time() - t0
     m = store.manifest(spark).selectExpr(
@@ -94,7 +97,8 @@ def cmd_decode(args) -> int:
 
     spark = _get_session("pgs-decode")
     cols = ["doc_id", "tokens", "n_tok", "source"]
-    dec = decode_table(spark, args.store, cols, SCHEMA)
+    key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
+    dec = decode_table(spark, args.store, cols, SCHEMA, encryption_key=key)
     dec.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"job": "decode", "rows": spark.read.parquet(args.out).count()}))
     return 0
@@ -107,7 +111,8 @@ def cmd_verify(args) -> int:
     spark = _get_session("pgs-verify")
     src = _load_input(spark, args.input)
     cols = ["doc_id", "tokens", "n_tok", "source"]
-    dec = decode_table(spark, args.store, cols, SCHEMA)
+    key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
+    dec = decode_table(spark, args.store, cols, SCHEMA, encryption_key=key)
     extra = dec.exceptAll(src).count()
     missing = src.exceptAll(dec).count()
     ok = extra == 0 and missing == 0
@@ -138,16 +143,25 @@ def main() -> int:
     enc.add_argument("--bloom", default=None,
                      help="comma-separated columns to build split-block "
                           "bloom filters for (tag bloomfilter analog)")
+    enc.add_argument("--page-rows", type=int, default=None,
+                     help="split chunks into page frames of this many rows "
+                          "with a per-page index in the manifest "
+                          "(ColumnIndex/OffsetIndex analog)")
+    enc.add_argument("--encrypt-key-hex", default=None,
+                     help="hex AES key (32/48/64 hex chars) for modular "
+                          "encryption; pass the same key to decode/verify")
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode")
     dec.add_argument("--store", required=True)
     dec.add_argument("--out", required=True)
+    dec.add_argument("--encrypt-key-hex", default=None)
     dec.set_defaults(fn=cmd_decode)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--input", required=True)
     ver.add_argument("--store", required=True)
+    ver.add_argument("--encrypt-key-hex", default=None)
     ver.set_defaults(fn=cmd_verify)
 
     args = ap.parse_args()
