@@ -15,7 +15,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import chunk
+from .. import chunk, keys as keysmod
 from .store import ManifestStore
 
 
@@ -24,9 +24,12 @@ def make_decode_fn(
     spark_schema: str,
     arrow_types: dict[str, pa.DataType] | None = None,
     encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ):
     """Per-partition decode kernel; ``arrow_types`` restores exact logical
-    types (e.g. timestamp[us]) when the frame's physical type is wider."""
+    types (e.g. timestamp[us]) when the frame's physical type is wider.
+    ``column_keys``/``encryption_key`` follow the reference's
+    resolveColumnKey fallback chain (reader/encryption.go:311-366)."""
 
     def decode_group(table: pa.Table) -> pa.Table:
         cols = {c: b for c, b in zip(table.column("col").to_pylist(),
@@ -35,7 +38,15 @@ def make_decode_fn(
         for name in columns:
             if name not in cols:
                 raise ValueError(f"partition missing column chunk {name!r}")
-            a = chunk.decode_chunk(cols[name], encryption_key)
+            try:
+                a = chunk.decode_chunk(
+                    cols[name],
+                    keysmod.key_for(name, column_keys, encryption_key),
+                )
+            except ValueError as e:
+                # name the column: a wrong/missing per-column key should
+                # be attributable (reference error style, encryption.go)
+                raise ValueError(f"column {name!r}: {e}") from e
             want = (arrow_types or {}).get(name)
             if want is not None and a.type != want:
                 a = a.cast(want)
@@ -55,11 +66,13 @@ def decode_table(
     columns: list[str],
     spark_schema: str,
     encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ) -> DataFrame:
     store = ManifestStore(out_dir)
     blobs = store.blobs(spark).filter(F.col("col").isin(columns))
     return blobs.groupBy("part_id").applyInArrow(
-        make_decode_fn(columns, spark_schema, encryption_key=encryption_key),
+        make_decode_fn(columns, spark_schema, encryption_key=encryption_key,
+                       column_keys=column_keys),
         schema=spark_schema,
     )
 
@@ -71,6 +84,8 @@ def decode_rows(
     spark_schema: str,
     offset: int,
     count: int,
+    encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ) -> DataFrame:
     """SkipRows analog: decode rows [offset, offset+count) in
     (part_id, intra-partition) order.
@@ -112,7 +127,11 @@ def decode_rows(
                 raise ValueError(f"partition missing column chunk {name!r}")
             # page-granular skip: only page frames intersecting [s, e) are
             # decompressed; a bare single-frame chunk decodes then slices
-            arrays.append(chunk.decode_chunk_rows(cols[name], s, e))
+            arrays.append(chunk.decode_chunk_rows(
+                cols[name], s, e,
+                encryption_key=keysmod.key_for(name, column_keys,
+                                               encryption_key),
+            ))
         return pa.table(dict(zip(columns, arrays)))
 
     blobs = (

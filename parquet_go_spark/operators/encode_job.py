@@ -21,7 +21,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import chunk, stats_trunc
+from .. import chunk, keys as keysmod, stats_trunc
 from ..plans.partitioner import DEFAULT_TARGET_TOKENS, plan_partitions
 from .store import BLOB_SCHEMA, ManifestStore
 
@@ -76,6 +76,7 @@ def make_encode_fn(
     page_rows: int | None = None,
     sort_key: str | None = None,
     encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ):
     """Build the per-group Arrow kernel. Emits one blob row per column.
 
@@ -107,7 +108,9 @@ def make_encode_fn(
             arr = table.column(name).combine_chunks()
             blob, stats = chunk.encode_chunk_paged(
                 arr, codec=cm.get(name, codec), compression=compression,
-                page_rows=page_rows, encryption_key=encryption_key,
+                page_rows=page_rows,
+                encryption_key=keysmod.key_for(name, column_keys,
+                                               encryption_key),
             )
             codec_label = stats["codec"]
             if "values_codec" in stats:  # surface inner list codecs
@@ -166,12 +169,13 @@ def encode_blobs_df(
     page_rows: int | None = None,
     sort_key: str | None = None,
     encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ) -> DataFrame:
     """planned (with part_id) -> blob rows DataFrame (lazy)."""
     grouped = planned.groupBy("part_id")
     return grouped.applyInArrow(
         make_encode_fn(compression, codec, codec_map, bloom_cols, page_rows,
-                       sort_key, encryption_key),
+                       sort_key, encryption_key, column_keys),
         schema=BLOB_SCHEMA,
     )
 
@@ -190,12 +194,17 @@ def encode_table(
     page_rows: int | None = None,
     sort_cols: list[str] | None = None,
     encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ):
     """Encode ``df`` into ``out_dir`` with checkpointed resumability.
 
     ``encryption_key`` seals every chunk with AES-GCM modular encryption
     (reference reader/encryption.go analog): manifest metadata stays
-    readable, values need the key.
+    readable, values need the key. ``column_keys`` maps column names to
+    their own AES keys (the per-column key surface,
+    reader/column_key.go); unlisted columns fall back to
+    ``encryption_key`` or plaintext. Paths are validated against the
+    schema before any byte is written.
 
     ``waves > 1`` splits the partition range into that many commit units —
     each wave is one atomic Spark write, so a crash loses at most one wave
@@ -206,6 +215,7 @@ def encode_table(
     analog of the reference's struct-tag encoding/bloomfilter options
     (common/tag.go:12-29, SURVEY §1.3).
     """
+    keysmod.validate_column_keys(column_keys, df.columns)
     store = ManifestStore(out_dir)
     planned, plan = plan_partitions(df, target_tokens=target_tokens)
     pending = store.pending(spark, planned) if resume and store.exists() else planned
@@ -213,7 +223,8 @@ def encode_table(
         store.append_blobs(
             encode_blobs_df(pending, compression, codec, codec_map=codec_map,
                             bloom_cols=bloom_cols, page_rows=page_rows,
-                            encryption_key=encryption_key)
+                            encryption_key=encryption_key,
+                            column_keys=column_keys)
         )
     else:
         per = math.ceil(plan.num_partitions / waves)
@@ -228,12 +239,17 @@ def encode_table(
                 encode_blobs_df(wave_df, compression, codec,
                                 codec_map=codec_map, bloom_cols=bloom_cols,
                                 page_rows=page_rows,
-                                encryption_key=encryption_key)
+                                encryption_key=encryption_key,
+                                column_keys=column_keys)
             )
     store.write_meta(
         key_col=None, clustering="token_weighted",
         num_parts=plan.num_partitions, page_rows=page_rows,
-        sort_cols=sort_cols or [], encrypted=encryption_key is not None,
+        sort_cols=sort_cols or [],
+        encrypted=encryption_key is not None or bool(column_keys),
+        # key NAMES only — which columns need their own key (the keyless-
+        # readable part of the reference's key_metadata); never material
+        column_key_cols=sorted(column_keys) if column_keys else [],
     )
     store.write_manifest_snapshot(spark)
     return store, plan

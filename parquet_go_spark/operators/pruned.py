@@ -54,6 +54,8 @@ def encode_generic(
     compression: str | None = "zstd",
     page_rows: int | None = None,
     sort_within: bool = False,
+    encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ) -> ManifestStore:
     """Encode an arbitrary table into a blob store with part_ids clustered
     on ``key_col``.
@@ -85,6 +87,9 @@ def encode_generic(
         )
     else:
         pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_parts))
+    from .. import keys as keysmod
+
+    keysmod.validate_column_keys(column_keys, df.columns)
     planned = df.withColumn("part_id", pid.cast("int"))
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -97,12 +102,15 @@ def encode_generic(
             # bounds + boundary_order=ASC -> intra-chunk page pruning
             # (the reference's sorted-write case, writer/pages.go:198-246)
             sort_key=key_col if sort_within else None,
+            encryption_key=encryption_key, column_keys=column_keys,
         )
     )
     store.write_meta(
         key_col=key_col, clustering=clustering, num_parts=num_parts,
         page_rows=page_rows, sorted_by=key_col if sort_within else None,
         bloom_cols=sorted(bloom_cols) if bloom_cols else [],
+        encrypted=encryption_key is not None or bool(column_keys),
+        column_key_cols=sorted(column_keys) if column_keys else [],
     )
     return store
 
@@ -130,6 +138,8 @@ def _decode_parts(
     columns: list[str],
     spark_schema: str,
     arrow_types: dict | None = None,
+    encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ) -> DataFrame:
     blobs = (
         store.blobs(spark)
@@ -137,7 +147,10 @@ def _decode_parts(
         .filter(F.col("col").isin(columns))       # column projection
     )
     return blobs.groupBy("part_id").applyInArrow(
-        make_decode_fn(columns, spark_schema, arrow_types), schema=spark_schema
+        make_decode_fn(columns, spark_schema, arrow_types,
+                       encryption_key=encryption_key,
+                       column_keys=column_keys),
+        schema=spark_schema,
     )
 
 
@@ -199,11 +212,14 @@ def _decode_parts_pages(
     columns: list[str],
     spark_schema: str,
     arrow_types: dict | None = None,
+    encryption_key: bytes | None = None,
+    column_keys: dict[str, bytes] | None = None,
 ) -> DataFrame:
     """Decode only the selected page ordinals of each partition — pruned
     pages' frames are sliced off by the blob's page directory and never
     decompressed."""
     from .. import chunk as chunkmod
+    from .. import keys as keysmod
 
     part_ids = [pid for pid, pages in page_map.items() if pages]
 
@@ -216,7 +232,11 @@ def _decode_parts_pages(
                                      table.column("blob").to_pylist())}
         arrays = []
         for name in columns:
-            a = chunkmod.decode_chunk_pages(cols[name], keep=keep)
+            a = chunkmod.decode_chunk_pages(
+                cols[name], keep=keep,
+                encryption_key=keysmod.key_for(name, column_keys,
+                                               encryption_key),
+            )
             want = (arrow_types or {}).get(name)
             if want is not None and a.type != want:
                 a = a.cast(want)

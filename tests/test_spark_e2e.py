@@ -232,3 +232,39 @@ def test_encrypted_store_roundtrip(spark, source_df, tmp_out):
     assert source_df.exceptAll(dec).count() == 0
     with pytest.raises(Exception, match="encrypted"):
         decode_table(spark, tmp_out, cols, schema).limit(1).collect()
+
+
+def test_column_key_store_roundtrip(spark, source_df, tmp_out):
+    """Per-column keys (reference reader/column_key.go): the tokens column
+    sealed with its own key, everything else with the store key; decode
+    needs both via the resolveColumnKey fallback chain, and a store-key-
+    only read fails naming exactly the column whose key is missing."""
+    from parquet_go_spark import keys as keysmod
+
+    footer = bytes(range(16))
+    tok_key = bytes(range(16, 48))
+    store, _ = encode_table(
+        spark, source_df, tmp_out, target_tokens=TARGET, resume=False,
+        encryption_key=footer, column_keys={"tokens": tok_key},
+    )
+    assert store.meta()["encrypted"] is True
+    assert store.meta()["column_key_cols"] == ["tokens"]
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    dec = decode_table(spark, tmp_out, cols, schema, encryption_key=footer,
+                       column_keys={"tokens": tok_key})
+    assert dec.exceptAll(source_df).count() == 0
+    assert source_df.exceptAll(dec).count() == 0
+    # footer key alone cannot open the column-keyed chunk — and the error
+    # names the column (GCM auth failure, not garbage)
+    with pytest.raises(Exception, match="tokens"):
+        decode_table(spark, tmp_out, cols, schema,
+                     encryption_key=footer).limit(1).collect()
+    # key paths are validated against the schema before encrypting
+    with pytest.raises(ValueError, match="tokenz"):
+        encode_table(spark, source_df, tmp_out + "_typo", resume=False,
+                     column_keys={"tokenz": tok_key})
+    # resolution chain is the reference's: column key, else footer key
+    assert keysmod.key_for("tokens", {"tokens": tok_key}, footer) == tok_key
+    assert keysmod.key_for("n_tok", {"tokens": tok_key}, footer) == footer
+    assert keysmod.key_for("n_tok", None, None) is None

@@ -55,6 +55,7 @@ def _load_input(spark: SparkSession, spec: str):
 
 
 def cmd_encode(args) -> int:
+    from parquet_go_spark import keys
     from parquet_go_spark.operators.encode_job import encode_table
     from parquet_go_spark.plans.partitioner import DEFAULT_TARGET_TOKENS
 
@@ -67,6 +68,7 @@ def cmd_encode(args) -> int:
     codec_map = json.loads(args.codec_map) if args.codec_map else None
     bloom_cols = set(args.bloom.split(",")) if args.bloom else None
     key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
+    ckeys = keys.parse_hex_keys(args.column_keys_hex)
     store, plan = encode_table(
         spark, df, args.out,
         target_tokens=args.target_tokens,
@@ -77,6 +79,7 @@ def cmd_encode(args) -> int:
         bloom_cols=bloom_cols,
         page_rows=args.page_rows,
         encryption_key=key,
+        column_keys=ckeys,
     )
     wall = time.time() - t0
     m = store.manifest(spark).selectExpr(
@@ -92,19 +95,23 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    from parquet_go_spark import keys
     from parquet_go_spark.operators.decode_job import decode_table
     from parquet_go_spark.sources.synth import SCHEMA
 
     spark = _get_session("pgs-decode")
     cols = ["doc_id", "tokens", "n_tok", "source"]
     key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
-    dec = decode_table(spark, args.store, cols, SCHEMA, encryption_key=key)
+    ckeys = keys.parse_hex_keys(args.column_keys_hex)
+    dec = decode_table(spark, args.store, cols, SCHEMA, encryption_key=key,
+                       column_keys=ckeys)
     dec.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"job": "decode", "rows": spark.read.parquet(args.out).count()}))
     return 0
 
 
 def cmd_verify(args) -> int:
+    from parquet_go_spark import keys
     from parquet_go_spark.operators.decode_job import decode_table
     from parquet_go_spark.sources.synth import SCHEMA
 
@@ -112,7 +119,9 @@ def cmd_verify(args) -> int:
     src = _load_input(spark, args.input)
     cols = ["doc_id", "tokens", "n_tok", "source"]
     key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
-    dec = decode_table(spark, args.store, cols, SCHEMA, encryption_key=key)
+    ckeys = keys.parse_hex_keys(args.column_keys_hex)
+    dec = decode_table(spark, args.store, cols, SCHEMA, encryption_key=key,
+                       column_keys=ckeys)
     extra = dec.exceptAll(src).count()
     missing = src.exceptAll(dec).count()
     ok = extra == 0 and missing == 0
@@ -150,18 +159,24 @@ def main() -> int:
     enc.add_argument("--encrypt-key-hex", default=None,
                      help="hex AES key (32/48/64 hex chars) for modular "
                           "encryption; pass the same key to decode/verify")
+    enc.add_argument("--column-keys-hex", default=None,
+                     help='per-column AES keys as JSON {"col": "hex"} '
+                          "(reference WithColumnKey analog); unlisted "
+                          "columns use --encrypt-key-hex or stay plaintext")
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode")
     dec.add_argument("--store", required=True)
     dec.add_argument("--out", required=True)
     dec.add_argument("--encrypt-key-hex", default=None)
+    dec.add_argument("--column-keys-hex", default=None)
     dec.set_defaults(fn=cmd_decode)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--input", required=True)
     ver.add_argument("--store", required=True)
     ver.add_argument("--encrypt-key-hex", default=None)
+    ver.add_argument("--column-keys-hex", default=None)
     ver.set_defaults(fn=cmd_verify)
 
     args = ap.parse_args()
