@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nested schemas (struct + map shredded into child sub-frames)
     q["rt_nested"] = _rt.nested_roundtrip_query
     q["rt_int96"] = _rt.int96_roundtrip_query
+    q["rt_uuid"] = _rt.uuid_roundtrip_query
+    q["rt_json"] = _rt.json_roundtrip_query
 
     # --- statistics family (encode-kernel stats folding) ---
     q["stats_lineitem"] = _rt.stats_query("lineitem", NUM_LINEITEM)
@@ -203,6 +205,8 @@ def oracle_sql() -> dict[str, str]:
     o["rt_flba"] = _rt.FLBA_ORACLE
     o["rt_nested"] = _rt.NESTED_ORACLE
     o["rt_int96"] = _rt.INT96_ORACLE
+    o["rt_uuid"] = _rt.UUID_ORACLE
+    o["rt_json"] = _rt.JSON_ORACLE
     o["stats_lineitem"] = _rt.stats_oracle_sql("lineitem", NUM_LINEITEM)
     o["stats_orders"] = _rt.stats_oracle_sql(
         "orders", ["o_orderkey", "o_custkey", "o_totalprice"]

@@ -297,3 +297,72 @@ def stats_oracle_sql(table: str, columns: list[str]) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(parts)
+
+
+def uuid_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUID logical type (reference types/uuid.go:6-31): deterministic
+    16-byte ids (md5 of c_name) as FLBA16 through the codec stack, then
+    rendered to the canonical 8-4-4-4-12 string with the JVM-side
+    converter — no Python in the formatting path."""
+    from .. import logical
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.unhex(F.md5("c_name")).alias("u")
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            fsb = tbl.column("u").combine_chunks().cast(pa.binary(16))
+            blob, _ = chunk.encode_chunk(fsb, codec="auto", compression="zstd")
+            out = chunk.decode_chunk(blob)
+            assert out.type == pa.binary(16)
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("c_custkey").combine_chunks(),
+                 out.cast(pa.binary())],
+                names=["c_custkey", "u"],
+            )
+
+    out = df.mapInArrow(fn, "c_custkey long, u binary")
+    return out.select("c_custkey", logical.uuid_str("u").alias("uuid"))
+
+
+UUID_ORACLE = r"""
+SELECT c_custkey,
+       regexp_replace(md5(c_name),
+                      '^(.{8})(.{4})(.{4})(.{4})(.{12})$',
+                      '\1-\2-\3-\4-\5') AS uuid
+FROM customer
+"""
+
+
+def json_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON logical type (reference types/json.go:16-330): render a
+    struct to a compact JSON string JVM-side, push the JSON text through
+    the codec stack (dict/FSST territory — repeated keys compress), and
+    read a field back out with the JSON-path converter. Both directions
+    of the reference's converter pair, zero Python expressions."""
+    from .. import logical
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        "doc_id", logical.json_of("lang", "n_chars").alias("j")
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _roundtrip_batches(batches, {}, "zstd")
+
+    out = df.mapInArrow(fn, "doc_id long, j string")
+    return out.select(
+        "doc_id", "j", logical.json_get("j", "$.lang").alias("lang")
+    )
+
+
+JSON_ORACLE = """
+SELECT doc_id,
+       to_json(struct_pack(lang := lang, n_chars := n_chars))::VARCHAR AS j,
+       json_extract_string(
+           to_json(struct_pack(lang := lang, n_chars := n_chars)),
+           '$.lang') AS lang
+FROM documents
+"""

@@ -268,3 +268,33 @@ def test_column_key_store_roundtrip(spark, source_df, tmp_out):
     assert keysmod.key_for("tokens", {"tokens": tok_key}, footer) == tok_key
     assert keysmod.key_for("n_tok", {"tokens": tok_key}, footer) == footer
     assert keysmod.key_for("n_tok", None, None) is None
+
+
+def test_logical_uuid_json_converters(spark):
+    """UUID/JSON logical-type converters (reference types/uuid.go:6-31,
+    types/json.go:16-330) are pure JVM expressions: uuid formatting is
+    pinned against Python's uuid module, uuid_bytes inverts uuid_str,
+    and json_of/json_get invert each other."""
+    import uuid as pyuuid
+
+    from parquet_go_spark import logical
+
+    raw = [bytes(range(i, i + 16)) for i in range(8)]
+    df = spark.createDataFrame([(r,) for r in raw], "b binary")
+    got = [r["u"] for r in
+           df.select(logical.uuid_str("b").alias("u")).collect()]
+    assert got == [str(pyuuid.UUID(bytes=r)) for r in raw]
+    back = df.select(logical.uuid_str("b").alias("u")).select(
+        logical.uuid_bytes("u").alias("b")
+    )
+    assert [bytes(r["b"]) for r in back.collect()] == raw
+
+    jdf = spark.createDataFrame(
+        [("en", 42), ("zh", 7)], "lang string, n int"
+    ).select(logical.json_of("lang", "n").alias("j"))
+    rows = jdf.select(
+        "j", logical.json_get("j", "$.lang").alias("lang"),
+        logical.json_get("j", "$.n").alias("n"),
+    ).collect()
+    assert rows[0]["j"] == '{"lang":"en","n":42}'
+    assert [(r["lang"], r["n"]) for r in rows] == [("en", "42"), ("zh", "7")]
