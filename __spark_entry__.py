@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_int96"] = _rt.int96_roundtrip_query
     q["rt_uuid"] = _rt.uuid_roundtrip_query
     q["rt_json"] = _rt.json_roundtrip_query
+    q["rt_variant"] = _rt.variant_roundtrip_query
 
     # --- statistics family (encode-kernel stats folding) ---
     q["stats_lineitem"] = _rt.stats_query("lineitem", NUM_LINEITEM)
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_int96"] = _rt.INT96_ORACLE
     o["rt_uuid"] = _rt.UUID_ORACLE
     o["rt_json"] = _rt.JSON_ORACLE
+    o["rt_variant"] = _rt.VARIANT_ORACLE
     o["stats_lineitem"] = _rt.stats_oracle_sql("lineitem", NUM_LINEITEM)
     o["stats_orders"] = _rt.stats_oracle_sql(
         "orders", ["o_orderkey", "o_custkey", "o_totalprice"]

@@ -59,9 +59,34 @@ def _roundtrip_batches(
             out = chunk.decode_chunk(blob)
             want = tbl.schema.field(i).type
             if out.type != want:
-                out = out.cast(want)
+                # nullability is not part of the value roundtrip: decoded
+                # children are nullable; if the source declared them
+                # non-null (e.g. VariantType's value/metadata pair), cast
+                # to the nullable shape of the same type instead
+                try:
+                    out = out.cast(want)
+                except pa.lib.ArrowTypeError:
+                    relaxed = _nullable_shape(want)
+                    if out.type != relaxed:
+                        out = out.cast(relaxed)
             arrays.append(out)
         yield pa.RecordBatch.from_arrays(arrays, names=tbl.column_names)
+
+
+def _nullable_shape(t: pa.DataType) -> pa.DataType:
+    """The same type with every nested field nullable."""
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, _nullable_shape(f.type)) for f in t]
+        )
+    if pa.types.is_list(t):
+        return pa.list_(_nullable_shape(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_nullable_shape(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_nullable_shape(t.key_type),
+                       _nullable_shape(t.item_type))
+    return t
 
 
 def roundtrip_query(
@@ -365,4 +390,40 @@ SELECT doc_id,
            to_json(struct_pack(lang := lang, n_chars := n_chars)),
            '$.lang') AS lang
 FROM documents
+"""
+
+
+def variant_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT logical type (reference types/variant_encode.go — the
+    Parquet VARIANT spec's metadata+value binary pair). Spark-first: the
+    column is built with Spark's native parse_json (VariantType), crosses
+    mapInArrow as struct<value: binary, metadata: binary>, rides the
+    struct-shredded codec stack unchanged, and fields are re-extracted
+    from the DECODED variant with variant_get — if the binaries were not
+    bit-identical, extraction would fail or mismatch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        "doc_id",
+        F.parse_json(
+            F.concat(
+                F.lit('{"lang": "'), F.col("lang"),
+                F.lit('", "n_chars": '),
+                F.col("n_chars").cast("string"), F.lit("}"),
+            )
+        ).alias("v"),
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _roundtrip_batches(batches, {}, "zstd")
+
+    out = df.mapInArrow(fn, df.schema)
+    return out.select(
+        "doc_id",
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+        F.variant_get("v", "$.n_chars", "int").alias("n_chars"),
+    )
+
+
+VARIANT_ORACLE = """
+SELECT doc_id, lang, n_chars::INTEGER AS n_chars FROM documents
 """
