@@ -1123,3 +1123,58 @@ def chunk_stats(buf: bytes, encryption_key: bytes | None = None) -> dict:
         "encoded_size": len(buf),
         "compression": frame.COMP_NAMES[meta.compression],
     }
+
+
+def size_stats_of(arr: pa.Array) -> dict:
+    """SizeStatistics analog (reference internal/layout/chunk.go:219-265 /
+    parquet-format SizeStatistics): definition- and repetition-level
+    histograms plus unencoded byte-array data bytes, computed from the
+    Arrow array in O(1) numpy passes.
+
+    Level model for our schema shapes (SURVEY.md §1.4):
+      * flat column          -> def levels {0: null, 1: present}, rep [n]
+      * list<...> (nullable rows, non-null elements) -> def levels
+        {0: null row, 1: empty list, 2: element}; rep levels
+        {0: one per non-null row, 1: continuation elements}
+    ``unencoded_ba_bytes`` is the raw value-byte total for string/binary
+    (and list-of-string) columns — the reference's
+    unencoded_byte_array_data_bytes; None for non-byte-array types.
+    """
+    arr = _as_array(arr)
+    n = len(arr)
+    nulls = arr.null_count
+    t = arr.type
+    ba_bytes = None
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        dense = arr.drop_null() if nulls else arr
+        lens = np.asarray(
+            pa.compute.list_value_length(dense).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        total = int(lens.sum()) if len(lens) else 0
+        empty = int((lens == 0).sum()) if len(lens) else 0
+        nonempty = len(lens) - empty
+        def_hist = [nulls, empty, total]
+        rep_hist = [n - nulls, total - nonempty]
+        if pa.types.is_string(t.value_type) or pa.types.is_binary(t.value_type):
+            flat = dense.flatten()
+            ba_bytes = int(
+                pa.compute.sum(
+                    pa.compute.binary_length(flat)
+                ).as_py() or 0
+            )
+    else:
+        def_hist = [nulls, n - nulls]
+        rep_hist = [n]
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            dense = arr.drop_null() if nulls else arr
+            ba_bytes = int(
+                pa.compute.sum(
+                    pa.compute.binary_length(dense)
+                ).as_py() or 0
+            )
+    out = {"def_hist": def_hist, "rep_hist": rep_hist}
+    if ba_bytes is not None:
+        out["unencoded_ba_bytes"] = ba_bytes
+    return out

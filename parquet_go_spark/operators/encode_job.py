@@ -21,7 +21,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import chunk, keys as keysmod, stats_trunc
+from .. import chunk, geo as geomod, keys as keysmod, stats_trunc
 from ..plans.partitioner import DEFAULT_TARGET_TOKENS, plan_partitions
 from .store import BLOB_SCHEMA, ManifestStore
 
@@ -77,6 +77,7 @@ def make_encode_fn(
     sort_key: str | None = None,
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
+    geo_cols: set[str] | None = None,
 ):
     """Build the per-group Arrow kernel. Emits one blob row per column.
 
@@ -84,9 +85,14 @@ def make_encode_fn(
     tag, common/tag.go); ``bloom_cols`` opt columns into a split-block bloom
     filter stored alongside the chunk (writer/bloomfilter.go:40-130);
     ``page_rows`` splits chunks into page frames at fixed row offsets with
-    a per-page index in the manifest (writer/pages.go:252-317)."""
+    a per-page index in the manifest (writer/pages.go:252-317);
+    ``geo_cols`` marks WKB binary columns whose chunk rows get
+    GeospatialStatistics (bbox + type codes, layout/chunk.go:219-265).
+    Every chunk row also records SizeStatistics (level histograms +
+    unencoded byte-array bytes)."""
     cm = codec_map or {}
     bc = bloom_cols or set()
+    gc = geo_cols or set()
 
     def encode_group(table: pa.Table) -> pa.Table:
         from .. import bloom as bloommod
@@ -100,7 +106,7 @@ def make_encode_fn(
             "part_id": [], "col": [], "codec": [], "compression": [],
             "count": [], "null_count": [], "raw_size": [], "encoded_size": [],
             "vmin": [], "vmax": [], "boundary_order": [], "pages": [],
-            "bloom": [], "blob": [],
+            "size_stats": [], "geo": [], "bloom": [], "blob": [],
         }
         for name in table.column_names:
             if name == "part_id":
@@ -133,6 +139,12 @@ def make_encode_fn(
             rows["vmax"].append("" if vmax is None else str(vmax))
             rows["boundary_order"].append(boundary_order_of(stats["pages"]))
             rows["pages"].append(_pages_json(stats["pages"]))
+            rows["size_stats"].append(
+                json.dumps(chunk.size_stats_of(arr), separators=(",", ":"))
+            )
+            rows["geo"].append(
+                geomod.geo_stats_json(arr) if name in gc else None
+            )
             rows["bloom"].append(
                 bloommod.build_bloom(arr) if name in bc else None
             )
@@ -151,6 +163,8 @@ def make_encode_fn(
                 "vmax": pa.array(rows["vmax"], pa.utf8()),
                 "boundary_order": pa.array(rows["boundary_order"], pa.utf8()),
                 "pages": pa.array(rows["pages"], pa.utf8()),
+                "size_stats": pa.array(rows["size_stats"], pa.utf8()),
+                "geo": pa.array(rows["geo"], pa.utf8()),
                 "bloom": pa.array(rows["bloom"], pa.binary()),
                 "blob": pa.array(rows["blob"], pa.binary()),
             }
@@ -170,12 +184,13 @@ def encode_blobs_df(
     sort_key: str | None = None,
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
+    geo_cols: set[str] | None = None,
 ) -> DataFrame:
     """planned (with part_id) -> blob rows DataFrame (lazy)."""
     grouped = planned.groupBy("part_id")
     return grouped.applyInArrow(
         make_encode_fn(compression, codec, codec_map, bloom_cols, page_rows,
-                       sort_key, encryption_key, column_keys),
+                       sort_key, encryption_key, column_keys, geo_cols),
         schema=BLOB_SCHEMA,
     )
 

@@ -56,6 +56,7 @@ def encode_generic(
     sort_within: bool = False,
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
+    geo_cols: dict[str, dict] | None = None,
 ) -> ManifestStore:
     """Encode an arbitrary table into a blob store with part_ids clustered
     on ``key_col``.
@@ -103,6 +104,7 @@ def encode_generic(
             # (the reference's sorted-write case, writer/pages.go:198-246)
             sort_key=key_col if sort_within else None,
             encryption_key=encryption_key, column_keys=column_keys,
+            geo_cols=set(geo_cols) if geo_cols else None,
         )
     )
     store.write_meta(
@@ -111,6 +113,9 @@ def encode_generic(
         bloom_cols=sorted(bloom_cols) if bloom_cols else [],
         encrypted=encryption_key is not None or bool(column_keys),
         column_key_cols=sorted(column_keys) if column_keys else [],
+        # GEOMETRY/GEOGRAPHY logical annotations (crs, edges) — the
+        # reference's types/geometry.go / geography.go schema surface
+        geo_cols=geo_cols or {},
     )
     return store
 
@@ -445,3 +450,106 @@ def projected_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROJECTED_DECODE_ORACLE = (
     "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem"
 )
+
+
+# ------------------------------------------------------------ geo pruning
+
+GEO_WINDOW = (-30.0, -20.0, 40.0, 50.0)  # xmin, ymin, xmax, ymax
+
+
+def geo_candidates(
+    spark: SparkSession, store: ManifestStore, geo_col: str,
+    window: tuple[float, float, float, float],
+) -> list[int]:
+    """Partitions whose chunk-level GeospatialStatistics bbox intersects
+    the query window — the footer read a spatial engine does against the
+    reference's GeospatialStatistics (types/geospatial.go:107-140; fold
+    at internal/layout/chunk.go:219-265). Chunks without a bbox are kept:
+    no false negatives, mirroring the invalid-stats defense
+    (reader/index.go:65-87)."""
+    from .. import geo as geomod
+
+    rows = (
+        store.manifest(spark)
+        .filter(F.col("col") == geo_col)
+        .select("part_id", "geo")
+        .collect()
+    )
+    return [
+        r["part_id"] for r in rows
+        if geomod.bbox_intersects(r["geo"], window)
+    ]
+
+
+def geo_pruned_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY column end-to-end: derive deterministic lon/lat points
+    from orders, pack them as WKB (vectorized), encode the WKB column
+    through the codec stack with GeospatialStatistics in the manifest,
+    prune partitions by bbox-vs-window intersection, decode survivors,
+    parse the WKB back, exact post-filter. Output is (o_orderkey, x, y)
+    — double equality proves WKB bit-identity through the store."""
+    from .. import geo as geomod
+
+    base = (
+        _orders(spark, sf_dir)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 360 - 180 + 0.5).cast("double").alias("x"),
+            (F.floor(F.col("o_orderkey") / 7) % 180 - 90 + 0.25)
+            .cast("double").alias("y"),
+        )
+    )
+
+    def to_wkb(batches):
+        for b in batches:
+            x = b.column("x").to_numpy(zero_copy_only=False)
+            y = b.column("y").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("o_orderkey"), geomod.wkb_points(x, y)],
+                names=["o_orderkey", "geom"],
+            )
+
+    pts = base.mapInArrow(to_wkb, "o_orderkey long, geom binary")
+    # cluster on a key correlated with x so bboxes are tight per partition
+    keyed = pts.withColumn("xkey", (F.col("o_orderkey") % 360).cast("double"))
+    out = os.path.join("/tmp", f"pgs_pruned_geo_{os.path.basename(sf_dir)}")
+    store = encode_generic(
+        spark, keyed, out, key_col="xkey", clustering="range",
+        num_parts=12,
+        geo_cols={"geom": {"type": "geometry", "crs": geomod.DEFAULT_CRS,
+                           "edges": geomod.EDGES_PLANAR}},
+    )
+    cand = geo_candidates(spark, store, "geom", GEO_WINDOW)
+    dec = _decode_parts(
+        spark, store, cand, ["o_orderkey", "geom"],
+        "o_orderkey long, geom binary",
+    )
+
+    def from_wkb(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            x, y = geomod.parse_points(b.column("geom"))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("o_orderkey"), pa.array(x, pa.float64()),
+                 pa.array(y, pa.float64())],
+                names=["o_orderkey", "x", "y"],
+            )
+
+    parsed = dec.mapInArrow(from_wkb, "o_orderkey long, x double, y double")
+    wxmin, wymin, wxmax, wymax = GEO_WINDOW
+    return parsed.filter(
+        (F.col("x") >= wxmin) & (F.col("x") <= wxmax)
+        & (F.col("y") >= wymin) & (F.col("y") <= wymax)
+    )
+
+
+GEO_PRUNED_BBOX_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(o_orderkey % 360 - 180 + 0.5 AS DOUBLE) AS x,
+       CAST(FLOOR(o_orderkey / 7) % 180 - 90 + 0.25 AS DOUBLE) AS y
+FROM orders
+WHERE (o_orderkey % 360 - 180 + 0.5) BETWEEN {GEO_WINDOW[0]} AND {GEO_WINDOW[2]}
+  AND (FLOOR(o_orderkey / 7) % 180 - 90 + 0.25)
+      BETWEEN {GEO_WINDOW[1]} AND {GEO_WINDOW[3]}
+"""

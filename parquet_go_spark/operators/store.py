@@ -27,11 +27,12 @@ BLOB_SCHEMA = (
     "part_id int, col string, codec string, compression string, "
     "count long, null_count long, raw_size long, encoded_size long, "
     "vmin string, vmax string, boundary_order string, pages string, "
-    "bloom binary, blob binary"
+    "size_stats string, geo string, bloom binary, blob binary"
 )
 MANIFEST_COLS = [
     "part_id", "col", "codec", "compression", "count", "null_count",
     "raw_size", "encoded_size", "vmin", "vmax", "boundary_order", "pages",
+    "size_stats", "geo",
 ]
 
 
