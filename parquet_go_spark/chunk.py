@@ -443,6 +443,11 @@ def encode_chunk(
     not before (bit-packing can beat PLAIN raw yet lose under zstd and
     vice versa)."""
     arr = _as_array(col)
+    if pa.types.is_dictionary(arr.type):
+        # Arrow dictionary array (the ENUM annotation's natural carrier,
+        # ref common/functable.go:33 stringFuncTable): encode the logical
+        # values — the cost model re-derives dict encoding if it wins
+        arr = arr.dictionary_decode()
     trial_comp = compression if compression else trial_compression
     ltype = _logical_type(arr.type)
     n = len(arr)

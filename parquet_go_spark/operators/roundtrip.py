@@ -427,3 +427,46 @@ def variant_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 VARIANT_ORACLE = """
 SELECT doc_id, lang, n_chars::INTEGER AS n_chars FROM documents
 """
+
+
+def bson_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BSON logical type (reference types/bson.go:10-35): pack a fixed
+    scalar schema into real BSON documents with the vectorized builder,
+    push the binary column through the codec stack, decode, and convert
+    back to fields with the per-document reader (the reference's
+    ConvertBSONLogicalValue analog). Field equality after the roundtrip
+    proves both the BSON layout and chunk bit-identity."""
+    from .. import bson as bsonmod
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            docs = bsonmod.pack_docs({
+                "k": b.column("o_orderkey").to_numpy(zero_copy_only=False)
+                .astype("int64"),
+                "st": b.column("o_orderstatus").to_pylist(),
+                "tp": b.column("o_totalprice").to_numpy(zero_copy_only=False)
+                .astype("float64"),
+            })
+            blob, _ = chunk.encode_chunk(docs, codec="auto",
+                                         compression="zstd")
+            out = chunk.decode_chunk(blob)
+            maps = bsonmod.unpack_docs(out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([m["k"] for m in maps], pa.int64()),
+                    pa.array([m["st"] for m in maps], pa.utf8()),
+                    pa.array([m["tp"] for m in maps], pa.float64()),
+                ],
+                names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            )
+
+    return df.mapInArrow(
+        fn, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+
+
+BSON_ORACLE = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
