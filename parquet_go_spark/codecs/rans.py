@@ -109,7 +109,41 @@ def quantize_freqs(counts: np.ndarray, k: int) -> np.ndarray:
 def _encode_lanes(
     padded: np.ndarray, freqs: np.ndarray, k: int, lanes: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Core interleaved encoder: (rows, L) symbols -> (states, stream)."""
+    """Core interleaved encoder: (rows, L) symbols -> (states, stream).
+    Dispatches to the C twin (native.py) when available — byte-identical
+    output, pinned by tests — else the vectorized numpy kernel."""
+    from .. import native
+
+    if native.HAVE and len(padded) >= 4096:
+        return _encode_lanes_c(padded, freqs, k, lanes)
+    return _encode_lanes_np(padded, freqs, k, lanes)
+
+
+def _encode_lanes_c(
+    padded: np.ndarray, freqs: np.ndarray, k: int, lanes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    from .. import native
+
+    rows = len(padded) // lanes
+    syms = np.ascontiguousarray(padded, dtype=np.int64)
+    f64 = freqs.astype(np.uint64)
+    cum = np.zeros(len(freqs), dtype=np.uint64)
+    np.cumsum(f64[:-1], out=cum[1:])
+    pk = f64 | (cum << np.uint64(21))
+    states = np.empty(lanes, dtype=np.uint64)
+    cap = rows * lanes  # at most one word per symbol (state invariant)
+    stream_buf = np.empty(cap + 1, dtype=np.uint32)  # +1: dead-slot slack
+    p = native.lib.pgs_rans_encode(
+        syms.ctypes.data, rows, lanes, pk.ctypes.data,
+        k, states.ctypes.data, stream_buf.ctypes.data, cap,
+    )
+    return states, stream_buf[p : cap + 1].copy()
+
+
+def _encode_lanes_np(
+    padded: np.ndarray, freqs: np.ndarray, k: int, lanes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized numpy kernel — the canonical implementation."""
     rows = len(padded) // lanes
     grid = padded.reshape(rows, lanes)
     f64 = freqs.astype(np.uint64)
@@ -145,6 +179,53 @@ def _encode_lanes(
 
 
 def _decode_lanes(
+    states: np.ndarray,
+    stream: np.ndarray,
+    freqs: np.ndarray,
+    k: int,
+    rows: int,
+    lanes: int,
+) -> np.ndarray:
+    from .. import native
+
+    if native.HAVE and rows * lanes >= 4096:
+        return _decode_lanes_c(states, stream, freqs, k, rows, lanes)
+    return _decode_lanes_np(states, stream, freqs, k, rows, lanes)
+
+
+def _decode_lanes_c(
+    states: np.ndarray,
+    stream: np.ndarray,
+    freqs: np.ndarray,
+    k: int,
+    rows: int,
+    lanes: int,
+) -> np.ndarray:
+    from .. import native
+
+    f64 = np.ascontiguousarray(freqs, dtype=np.uint64)
+    cum = np.zeros(len(freqs), dtype=np.uint64)
+    np.cumsum(f64[:-1], out=cum[1:])
+    symtab = np.repeat(
+        np.arange(len(freqs), dtype=np.uint32), freqs.astype(np.int64)
+    )
+    st = np.ascontiguousarray(states, dtype=np.uint64).copy()
+    sm = np.ascontiguousarray(stream, dtype=np.uint32)
+    out = np.empty(rows * lanes, dtype=np.uint32)
+    rc = native.lib.pgs_rans_decode(
+        st.ctypes.data, sm.ctypes.data, len(sm), symtab.ctypes.data,
+        f64.ctypes.data, cum.ctypes.data, k, rows, lanes, out.ctypes.data,
+    )
+    if rc == 1:
+        raise ValueError("truncated rANS stream")
+    if rc == 2:
+        raise ValueError("rANS stream not fully consumed")
+    if rc == 3:
+        raise ValueError("rANS state mismatch after decode")
+    return out
+
+
+def _decode_lanes_np(
     states: np.ndarray,
     stream: np.ndarray,
     freqs: np.ndarray,
@@ -270,7 +351,7 @@ def decode_ints(buf: bytes) -> np.ndarray:
     pos += 8 * lanes
     stream = np.frombuffer(
         buf, dtype="<u4", count=stream_words, offset=pos
-    ).astype(np.uint64)
+    )
     rows = -(-n // lanes)
     if rows > MAX_ROWS:
         raise ValueError("rANS row count exceeds decode cap")

@@ -1,0 +1,150 @@
+"""Optional C fast path for the rANS lane loops.
+
+The numpy kernels in codecs/rans.py are the canonical implementation (and
+the only one tests treat as ground truth); this module compiles a small C
+twin of the two lane loops at first use — same state machine, same
+emission order, byte-identical blobs — because the per-row numpy step
+costs ~30 ns/value in interpreter+dispatch overhead while the scalar C
+loop runs at the hardware's integer-divide speed.
+
+Deployment shape: no pip, no build system — one `cc -O3 -shared -fPIC`
+invocation against a source string, cached under the system temp dir
+keyed by the SHA-1 of the source, loaded with ctypes. Every Spark Python
+worker process compiles at most once per source revision (the cache file
+is shared per host and the build is atomic via rename). Anything failing
+— no compiler, sandboxed exec, odd libc — downgrades silently to the
+numpy path; `PGS_NO_NATIVE=1` forces the downgrade.
+
+The C code follows the same public layout as the numpy kernel (Duda's
+rANS in the ryg_rans 64/32 formulation); see codecs/rans.py for the
+format documentation and invariants.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = r"""
+#include <stdint.h>
+
+/* Interleaved rANS encode. Walks rows last->first, lanes last->first,
+   filling the stream buffer from the END so that reading forward from
+   the returned offset yields rows ascending / lanes ascending — exactly
+   the numpy kernel's concat(emitted[::-1]) order.
+
+   Two measured micro-optimizations over the obvious loop (~2x total):
+   branchless renormalization (the ~50%-taken emit branch mispredicts on
+   entropy-coded data — always store to the dead slot below the live
+   region, then conditionally claim it), and a single packed per-symbol
+   gather (f | cum<<21, the numpy kernel's pk layout) instead of two
+   table reads. A reciprocal-multiply division was tried and measured
+   SLOWER than the hardware divide (the extra 16-byte gather costs more
+   than the div; out-of-order execution hides div latency across
+   independent lanes).
+
+   stream_buf must have cap+1 slots; p starts at cap+1 so the dead-slot
+   store at p-1 is always in bounds.
+   Returns the start offset of the stream within stream_buf. */
+int64_t pgs_rans_encode(const int64_t *syms, int64_t rows, int64_t lanes,
+                        const uint64_t *pk, int k,
+                        uint64_t *states, uint32_t *stream_buf, int64_t cap)
+{
+    const uint64_t L = 1ULL << 31;
+    const int shift_xmax = 63 - k;
+    const uint64_t m21 = (1ULL << 21) - 1;
+    int64_t p = cap + 1;
+    for (int64_t l = 0; l < lanes; l++) states[l] = L;
+    for (int64_t r = rows - 1; r >= 0; r--) {
+        const int64_t *row = syms + r * lanes;
+        for (int64_t l = lanes - 1; l >= 0; l--) {
+            uint64_t g = pk[row[l]];
+            uint64_t fr = g & m21;
+            uint64_t x = states[l];
+            int c = x >= (fr << shift_xmax);
+            stream_buf[p - 1] = (uint32_t)x;   /* dead slot unless c */
+            p -= c;
+            x >>= 32 * c;
+            uint64_t q = x / fr;
+            states[l] = (q << k) + (x - q * fr) + (g >> 21);
+        }
+    }
+    return p;
+}
+
+/* Interleaved rANS decode. Forward over rows/lanes, consuming the stream
+   strictly forward — the mirror of the encoder above.
+   Returns 0 ok, 1 truncated stream, 2 stream not fully consumed,
+   3 final-state mismatch. */
+int pgs_rans_decode(uint64_t *states, const uint32_t *stream, int64_t ns,
+                    const uint32_t *symtab, const uint64_t *f,
+                    const uint64_t *cum, int k,
+                    int64_t rows, int64_t lanes, uint32_t *out)
+{
+    const uint64_t L = 1ULL << 31;
+    const uint64_t m = (1ULL << k) - 1;
+    int64_t ptr = 0;
+    for (int64_t r = 0; r < rows; r++) {
+        uint32_t *orow = out + r * lanes;
+        for (int64_t l = 0; l < lanes; l++) {
+            uint64_t x = states[l];
+            uint64_t slot = x & m;
+            uint32_t s = symtab[slot];
+            x = f[s] * (x >> k) + slot - cum[s];
+            if (x < L) {
+                if (ptr >= ns) return 1;
+                x = (x << 32) | (uint64_t)stream[ptr++];
+            }
+            states[l] = x;
+            orow[l] = s;
+        }
+    }
+    if (ptr != ns) return 2;
+    for (int64_t l = 0; l < lanes; l++)
+        if (states[l] != L) return 3;
+    return 0;
+}
+"""
+
+
+def _build() -> ctypes.CDLL:
+    h = hashlib.sha1(_SRC.encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"pgs_native_{os.getuid()}")
+    os.makedirs(d, exist_ok=True)
+    so = os.path.join(d, f"rans_{h}.so")
+    if not os.path.exists(so):
+        src = os.path.join(d, f"rans_{h}.c")
+        with open(src, "w") as fh:
+            fh.write(_SRC)
+        tmp = f"{so}.tmp.{os.getpid()}"
+        subprocess.run(
+            ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, so)  # atomic publish; racers converge on one file
+    return ctypes.CDLL(so)
+
+
+lib = None
+if not os.environ.get("PGS_NO_NATIVE"):
+    try:
+        lib = _build()
+        lib.pgs_rans_encode.restype = ctypes.c_int64
+        lib.pgs_rans_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.pgs_rans_decode.restype = ctypes.c_int
+        lib.pgs_rans_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+    except Exception:
+        lib = None
+
+HAVE = lib is not None

@@ -416,6 +416,40 @@ def test_rans_roundtrip_distributions():
         assert np.array_equal(out, vals)
 
 
+def test_rans_native_numpy_byte_identical():
+    """The optional C lane loops (native.py) must emit byte-identical blobs
+    to the canonical numpy kernels, and each must decode the other's output
+    — the on-disk format may never depend on which kernel ran."""
+    import pytest as _pytest
+
+    from parquet_go_spark import native
+    from parquet_go_spark.codecs import rans
+
+    if not native.HAVE:
+        _pytest.skip("no C compiler in environment")
+    rng = np.random.default_rng(41)
+    cases = [
+        (rng.zipf(1.3, 500_000) % 50_000).astype(np.int64),   # token-like
+        rng.integers(0, 17, 200_000).astype(np.int64),        # near-uniform
+        np.repeat(rng.integers(0, 9, 2000),
+                  rng.integers(1, 400, 2000)).astype(np.int64),  # runny
+        rng.integers(-1000, 1000, 4097).astype(np.int64),     # odd n, neg
+        np.full(20_000, 42, dtype=np.int64),                  # single symbol
+    ]
+    for vals in cases:
+        blob_c = rans.encode_ints(vals)
+        native.HAVE = False
+        try:
+            blob_np = rans.encode_ints(vals)
+            out_np_of_c = rans.decode_ints(blob_c)
+        finally:
+            native.HAVE = True
+        out_c_of_np = rans.decode_ints(blob_np)
+        assert blob_c == blob_np
+        assert np.array_equal(out_np_of_c, vals)
+        assert np.array_equal(out_c_of_np, vals)
+
+
 def test_rans_compresses_skewed_below_bitpack():
     from parquet_go_spark.codecs import rans
 
