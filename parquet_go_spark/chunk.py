@@ -133,7 +133,7 @@ def _encode_int_sections(
     if codec == frame.BSS:
         return [bss.encode(vals)], 0
     if codec == frame.RANS:
-        return [rans.encode_ints(vals.astype(np.int64, copy=False))], 0
+        return [rans.encode_ints(vals)], 0
     if codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
         built = dictionary.build_numeric(vals)
         if built is None:
@@ -141,7 +141,7 @@ def _encode_int_sections(
         uniques, codes = built
         sect0 = len(uniques).to_bytes(4, "little") + plainc.encode_numeric(uniques)
         if codec == frame.DICT_RANS:
-            idx = rans.encode_ints(codes.astype(np.int64, copy=False))
+            idx = rans.encode_ints(codes)
         elif codec == frame.DICT_BSS:
             idx = dictionary.encode_codes_bss(codes, len(uniques))
         else:
@@ -215,7 +215,7 @@ def _encode_str_sections(
             uniq
         )
         if codec == frame.DICT_RANS:
-            idx = rans.encode_ints(codes.astype(np.int64, copy=False))
+            idx = rans.encode_ints(codes)
         elif codec == frame.DICT_BSS:
             idx = dictionary.encode_codes_bss(codes, len(uniq))
         else:

@@ -185,12 +185,15 @@ def _decode_lanes(
     k: int,
     rows: int,
     lanes: int,
+    vmin: int,
 ) -> np.ndarray:
+    """Decode to a flat int64 array with the frame's vmin already
+    re-applied (fused into the C kernel's output store)."""
     from .. import native
 
     if native.HAVE and rows * lanes >= 4096:
-        return _decode_lanes_c(states, stream, freqs, k, rows, lanes)
-    return _decode_lanes_np(states, stream, freqs, k, rows, lanes)
+        return _decode_lanes_c(states, stream, freqs, k, rows, lanes, vmin)
+    return _decode_lanes_np(states, stream, freqs, k, rows, lanes, vmin)
 
 
 def _decode_lanes_c(
@@ -200,6 +203,7 @@ def _decode_lanes_c(
     k: int,
     rows: int,
     lanes: int,
+    vmin: int,
 ) -> np.ndarray:
     from .. import native
 
@@ -211,10 +215,11 @@ def _decode_lanes_c(
     )
     st = np.ascontiguousarray(states, dtype=np.uint64).copy()
     sm = np.ascontiguousarray(stream, dtype=np.uint32)
-    out = np.empty(rows * lanes, dtype=np.uint32)
+    out = np.empty(rows * lanes, dtype=np.int64)
     rc = native.lib.pgs_rans_decode(
         st.ctypes.data, sm.ctypes.data, len(sm), symtab.ctypes.data,
-        f64.ctypes.data, cum.ctypes.data, k, rows, lanes, out.ctypes.data,
+        f64.ctypes.data, cum.ctypes.data, k, vmin, rows, lanes,
+        out.ctypes.data,
     )
     if rc == 1:
         raise ValueError("truncated rANS stream")
@@ -232,6 +237,7 @@ def _decode_lanes_np(
     k: int,
     rows: int,
     lanes: int,
+    vmin: int,
 ) -> np.ndarray:
     f64 = freqs.astype(np.uint64)
     cum = np.zeros(len(freqs), dtype=np.uint64)
@@ -273,7 +279,9 @@ def _decode_lanes_np(
         raise ValueError("rANS stream not fully consumed")
     if not np.all(x == RANS_L):
         raise ValueError("rANS state mismatch after decode")
-    return out.reshape(-1)
+    res = np.empty(rows * lanes, dtype=np.int64)
+    np.add(out.reshape(-1), vmin, out=res, casting="unsafe")
+    return res
 
 
 def encode_ints(vals: np.ndarray) -> bytes:
@@ -281,27 +289,29 @@ def encode_ints(vals: np.ndarray) -> bytes:
     n = len(vals)
     if n == 0:
         return _HDR.pack(MIN_K, 0, 0, 0, 0, 0, 0, 0)
-    v64 = vals.astype(np.int64, copy=False)
-    vmin = int(v64.min())
-    span = int(v64.max()) - vmin
+    if vals.dtype.kind != "i":
+        vals = vals.astype(np.int64)
+    vmin = int(vals.min())
+    span = int(vals.max()) - vmin
     if span >= MAX_NFREQ:
         raise ValueError("value span too large for rANS")
-    shifted = (v64 - vmin).astype(np.int64)
     nfreq = span + 1
-    counts = np.bincount(shifted, minlength=nfreq)
-    k = _pick_k(nfreq)
-    freqs = quantize_freqs(counts, k)
     lanes = _pick_lanes(n)
     rows = -(-n // lanes)
     if rows > MAX_ROWS:
         raise ValueError("chunk too large for one rANS blob")
-    pad = rows * lanes - n
-    if pad:
-        filler = int(np.argmax(counts))
-        shifted = np.concatenate(
-            (shifted, np.full(pad, filler, dtype=np.int64))
-        )
-    states, stream = _encode_lanes(shifted, freqs, k, lanes)
+    # single fused pass builds the shifted+padded lane grid directly (no
+    # astype / subtract / concatenate intermediates — those copies used to
+    # cost more than the C kernel itself); span < 2^17 rules out overflow
+    # in the input dtype's subtract
+    padded = np.empty(rows * lanes, dtype=np.int64)
+    np.subtract(vals, vmin, out=padded[:n])
+    counts = np.bincount(padded[:n], minlength=nfreq)
+    k = _pick_k(nfreq)
+    freqs = quantize_freqs(counts, k)
+    if rows * lanes > n:
+        padded[n:] = int(np.argmax(counts))
+    states, stream = _encode_lanes(padded, freqs, k, lanes)
     fbw = max(int(freqs.max()).bit_length(), 1)
     header = _HDR.pack(k, fbw, 0, lanes, n, vmin, nfreq, len(stream))
     return (
@@ -355,8 +365,8 @@ def decode_ints(buf: bytes) -> np.ndarray:
     rows = -(-n // lanes)
     if rows > MAX_ROWS:
         raise ValueError("rANS row count exceeds decode cap")
-    out = _decode_lanes(states, stream, freqs, k, rows, lanes)
-    return out[:n].astype(np.int64) + vmin
+    out = _decode_lanes(states, stream, freqs, k, rows, lanes, vmin)
+    return out[:n]
 
 
 def split_fixed(blob: bytes) -> tuple[bytes, bytes]:

@@ -307,7 +307,7 @@ def rank_string_codecs(
             )
             if rans.applicable(0, len(uniq) - 1, len(codes)):
                 fixed, var = rans.split_fixed(
-                    rans.encode_ints(codes.astype(np.int64))
+                    rans.encode_ints(codes)
                 )
                 sizes[frame.DICT_RANS] = (
                     dict_part + z(fixed) * card_scale + z(var) * row_scale

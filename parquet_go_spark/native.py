@@ -76,19 +76,21 @@ int64_t pgs_rans_encode(const int64_t *syms, int64_t rows, int64_t lanes,
 }
 
 /* Interleaved rANS decode. Forward over rows/lanes, consuming the stream
-   strictly forward — the mirror of the encoder above.
+   strictly forward — the mirror of the encoder above. Writes the final
+   int64 values directly (symbol + vmin), fusing the un-shift pass the
+   Python wrapper would otherwise run over the whole output.
    Returns 0 ok, 1 truncated stream, 2 stream not fully consumed,
    3 final-state mismatch. */
 int pgs_rans_decode(uint64_t *states, const uint32_t *stream, int64_t ns,
                     const uint32_t *symtab, const uint64_t *f,
-                    const uint64_t *cum, int k,
-                    int64_t rows, int64_t lanes, uint32_t *out)
+                    const uint64_t *cum, int k, int64_t vmin,
+                    int64_t rows, int64_t lanes, int64_t *out)
 {
     const uint64_t L = 1ULL << 31;
     const uint64_t m = (1ULL << k) - 1;
     int64_t ptr = 0;
     for (int64_t r = 0; r < rows; r++) {
-        uint32_t *orow = out + r * lanes;
+        int64_t *orow = out + r * lanes;
         for (int64_t l = 0; l < lanes; l++) {
             uint64_t x = states[l];
             uint64_t slot = x & m;
@@ -99,7 +101,7 @@ int pgs_rans_decode(uint64_t *states, const uint32_t *stream, int64_t ns,
                 x = (x << 32) | (uint64_t)stream[ptr++];
             }
             states[l] = x;
-            orow[l] = s;
+            orow[l] = (int64_t)s + vmin;
         }
     }
     if (ptr != ns) return 2;
@@ -142,7 +144,8 @@ if not os.environ.get("PGS_NO_NATIVE"):
         lib.pgs_rans_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
     except Exception:
         lib = None
