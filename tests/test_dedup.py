@@ -1,0 +1,136 @@
+"""Dedup-family guards: shingle-pipeline plan shape and minhash quality.
+
+Two plan pathologies were found and fixed by reading the physical plan
+(operators/dedup.py `_shingles`); these tests pin the fixes:
+
+  1. Predicate pushdown moved a `size(shingles) > 0` filter below the
+     fan-out exchange, re-deriving the whole shingle array single-task
+     on the unsplit scan.
+  2. Projection collapse inlined the shingle-array build into every
+     consumer of the `shingles` column, re-running the O(words) array
+     construction once per exploded OUTPUT row (~52x the work).
+
+Plus a statistical guard on the md5 minhash family: the 16 affine
+permutations (a_k*v + b_k mod p) must behave independently WITHIN a
+band — a correlated family collapses each 4-hash band toward one
+effective hash and floods the LSH join with false-positive candidates
+(observed: 166 candidate pairs vs 25 with an independent family on the
+sf0.01 corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_go_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_shingle_build_stays_above_fanout_exchange(spark):
+    """No shingle-array construction below the Exchange: the pre-shuffle
+    Filter/Scan section of the plan must not contain the array build
+    (array_distinct / transform), only the cheap size(split(...)) guard."""
+    plan = _plan(dedup._shingles(dedup._docs(spark, SF)))
+    lines = plan.splitlines()
+    # section order in 'formatted' output follows the operator ids; find
+    # the Exchange node and every node listed BELOW it (higher id = later
+    # section, child nodes precede it in the tree dump)
+    tree_end = next(i for i, ln in enumerate(lines) if ln.strip() == "")
+    tree = lines[:tree_end]
+    exchange_depth = None
+    below = []
+    for ln in tree:
+        if "Exchange" in ln:
+            exchange_depth = len(ln) - len(ln.lstrip())
+        elif exchange_depth is not None:
+            if len(ln) - len(ln.lstrip()) > exchange_depth:
+                below.append(ln)
+    assert below, plan  # the fan-out exchange must exist at sandbox scale
+    # no Filter condition anywhere in the plan may contain the expensive
+    # array build (filters sit below the exchange after pushdown)
+    for section in plan.split("\n\n"):
+        head = section.split("\n", 1)[0]
+        if "Filter" in head:
+            assert "array_distinct" not in section, section
+
+
+def test_shingle_array_built_once_per_input_row(spark):
+    """The generator input must be an attribute reference to a prior
+    Project (array bound once per input row), not the inlined build; and
+    exactly ONE node in the plan may carry the array_distinct build."""
+    plan = _plan(dedup._shingles(dedup._docs(spark, SF)))
+    building = [
+        s for s in plan.split("\n\n")
+        if "array_distinct" in s and s.startswith("(")
+    ]
+    assert len(building) == 1, plan
+    assert building[0].split("\n", 1)[0].split(")")[1].strip().startswith(
+        "Project"
+    ), building[0]
+
+
+def test_fan_out_noop_on_wide_scans(spark):
+    """_fan_out must not add an exchange when the scan already has at
+    least half as many splits as the cluster has slots."""
+    df = spark.range(0, 1000, 1, 64).withColumn("doc_id", F.col("id"))
+    assert dedup._fan_out(df, "doc_id") is df
+
+
+def test_minhash_band_independence(spark):
+    """Within-band hash independence: LSH candidates must stay close to
+    the exact-Jaccard pair count, not explode. With the corpus's 25
+    true pairs at >= 0.2 Jaccard, an independent family yields ~the
+    same candidate set; the correlated A + k*B family yielded 6x."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_query(spark, SF)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_query(spark, SF).collect()
+    }
+    n_docs = dedup._docs(spark, SF).count()
+    # recall on strong pairs (>= 0.5 Jaccard: expected band hit prob
+    # 1-(1-s^4)^4 >= 0.23; the synthetic corpus's near-dups sit far
+    # higher) and precision vs corpus size
+    if exact:
+        assert len(exact & cand) / len(exact) >= 0.8, (exact, cand)
+    assert len(cand) <= max(5 * max(len(exact), 1), n_docs // 10), (
+        len(cand), len(exact), n_docs,
+    )
+
+
+def test_minhash_signature_values_stable(spark):
+    """Pin two signature values so the affine constants / base-hash
+    derivation can't drift without the oracle changing in lockstep
+    (the DuckDB oracle re-derives the same family from the same
+    constants; this pin catches accidental Spark-side-only edits)."""
+    sig = (
+        dedup.minhash_signatures(dedup._docs(spark, SF))
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = con.execute(
+        dedup._minhash_sig_sql()
+        + " SELECT * FROM sigs ORDER BY doc_id LIMIT 1"
+    ).fetchone()
+    assert sig["doc_id"] == o[0]
+    for k in range(dedup.N_HASHES):
+        assert sig[f"h{k}"] == o[1 + k], (k, sig[f"h{k}"], o[1 + k])
