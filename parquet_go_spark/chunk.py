@@ -268,13 +268,21 @@ def _decode_str_sections(meta: frame.FrameMeta, n: int, s0: int):
 
 
 def _encode_int_chunk(
-    vals: np.ndarray, itemsize: int, codec: str | int, trial_comp: str | None
+    vals: np.ndarray, itemsize: int, codec: str | int, trial_comp: str | None,
+    hint: int | None = None,
 ) -> tuple[int, list[bytes], int]:
     """Full int-chunk encode: auto selection (stage-1 estimates + scaled
     sample trials), span-overflow fallbacks, dict-budget fallback, and the
     never-worse-than-PLAIN re-check. Shared by the int, date/timestamp,
-    and unscaled-DECIMAL paths. Returns (cid, sections, bit_width)."""
-    if codec == "auto":
+    and unscaled-DECIMAL paths. Returns (cid, sections, bit_width).
+
+    ``hint`` short-circuits the selection stage with a previously-picked
+    codec id (the per-task pick cache): the overflow fallbacks and the
+    PLAIN re-check below stay active, so a stale hint degrades to a safe
+    codec instead of failing or bloating the chunk."""
+    if codec == "auto" and hint is not None:
+        cid = hint
+    elif codec == "auto":
         st_int = cost.int_stats(vals)
         est = cost.estimate_int_sizes(st_int, itemsize)
         ranked = sorted(est, key=est.get)
@@ -345,7 +353,8 @@ def _encode_int_chunk(
 
 
 def _encode_fixed_bytes(
-    data: bytes, n: int, k: int, codec: str | int, trial_comp: str | None
+    data: bytes, n: int, k: int, codec: str | int, trial_comp: str | None,
+    hint: int | None = None,
 ) -> tuple[int, list[bytes]]:
     """Encode n fixed-length k-byte items (FLBA payloads and 16-byte
     decimal limbs) by reusing the byte-array kernels with synthetic
@@ -353,13 +362,21 @@ def _encode_fixed_bytes(
     unchanged; the frame's logical type says how to reassemble
     (reference: FLBA plain path encodingwrite_plain.go:148-159)."""
     offsets = np.arange(n + 1, dtype=np.int64) * k
-    if codec == "auto":
+    if codec == "auto" and hint is not None:
+        cid = hint
+    elif codec == "auto":
         cid = cost.rank_string_codecs(data, offsets, trial_comp)
     else:
         cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
         if cid == frame.PLAIN:
             cid = frame.PLAIN_BA
-    body, fallback = _encode_str_sections(data, offsets, cid)
+    try:
+        body, fallback = _encode_str_sections(data, offsets, cid)
+    except Exception:
+        if hint is None:
+            raise
+        cid = cost.rank_string_codecs(data, offsets, trial_comp)
+        body, fallback = _encode_str_sections(data, offsets, cid)
     if fallback:
         cid = fallback
     if codec == "auto":
@@ -427,12 +444,17 @@ def _decimal_rebuild(
     )
 
 
+PICK_REFRESH_EVERY = 64  # cached picks re-run full selection every N uses
+
+
 def encode_chunk(
     col: Any,
     codec: str | int = "auto",
     compression: str | None = "zstd",
     trial_compression: str | None = None,
     encryption_key: bytes | None = None,
+    pick_cache: dict[str, list] | None = None,
+    path: str = "",
 ) -> tuple[bytes, dict]:
     """Encode one column chunk -> (frame bytes, manifest stats dict).
 
@@ -441,7 +463,18 @@ def encode_chunk(
     which are block-compressed once by the enclosing frame: the winning
     codec must be the one that is smallest AFTER that outer compression,
     not before (bit-packing can beat PLAIN raw yet lose under zstd and
-    vice versa)."""
+    vice versa).
+
+    ``pick_cache`` amortizes auto-selection across the chunks one task
+    encodes (many partitions / Arrow batches of the same columns): the
+    first chunk at each ``path`` runs the full sampled selection, later
+    chunks reuse the winning codec id. Safety is preserved — the overflow
+    fallbacks and never-worse-than-PLAIN re-check still run per chunk, the
+    cache stores the codec the chunk *actually* got (self-healing on
+    drift), and every PICK_REFRESH_EVERY uses the full selection re-runs
+    so a pick can never go permanently stale. Keys are column paths:
+    ``name``, ``name#val`` / ``name#len`` for list parts, ``name.child``
+    for struct children."""
     arr = _as_array(col)
     if pa.types.is_dictionary(arr.type):
         # Arrow dictionary array (the ENUM annotation's natural carrier,
@@ -449,6 +482,13 @@ def encode_chunk(
         # values — the cost model re-derives dict encoding if it wins
         arr = arr.dictionary_decode()
     trial_comp = compression if compression else trial_compression
+    hint: int | None = None
+    if codec == "auto" and pick_cache is not None:
+        ent = pick_cache.get(path)
+        if ent is not None:
+            ent[1] += 1
+            if ent[1] % PICK_REFRESH_EVERY:
+                hint = ent[0]
     ltype = _logical_type(arr.type)
     n = len(arr)
     null_count = arr.null_count
@@ -475,7 +515,9 @@ def encode_chunk(
         else:
             dense_i = dense
         vals = np.asarray(dense_i).astype(dtype, copy=False)
-        cid, body, bit_width = _encode_int_chunk(vals, itemsize, codec, trial_comp)
+        cid, body, bit_width = _encode_int_chunk(
+            vals, itemsize, codec, trial_comp, hint
+        )
         if len(vals):
             stats["min"], stats["max"] = (
                 vals.min().item(),
@@ -485,7 +527,9 @@ def encode_chunk(
     elif ltype in _FLOAT_TYPES:
         dtype = _FLOAT_TYPES[ltype]
         vals = np.asarray(dense).astype(dtype, copy=False)
-        if codec == "auto":
+        if codec == "auto" and hint is not None:
+            cid = hint
+        elif codec == "auto":
             ranked = cost.rank_float_codecs(vals)
             sample = cost.contiguous_sample(vals)
             iview = np.int32 if dtype == np.float32 else np.int64
@@ -543,11 +587,12 @@ def encode_chunk(
             if len(vals) > 1
             else len(vals)
         )
-        cid = (
-            (frame.RLE if runs < len(vals) / 16 else frame.PLAIN)
-            if codec == "auto"
-            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
-        )
+        if codec == "auto":
+            cid = hint if hint is not None else (
+                frame.RLE if runs < len(vals) / 16 else frame.PLAIN
+            )
+        else:
+            cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
         if cid == frame.RLE:
             sections = [rle.encode(vals.astype(np.uint64), 1)]
             bit_width = 1
@@ -556,12 +601,23 @@ def encode_chunk(
             sections = [plainc.encode_bool(vals)]
     elif ltype in (frame.LT_STRING, frame.LT_BINARY):
         data, offsets = _str_parts(dense)
-        cid = (
-            cost.rank_string_codecs(data, offsets, trial_comp)
-            if codec == "auto"
-            else (frame.CODEC_IDS[codec] if isinstance(codec, str) else codec)
-        )
-        body, fallback = _encode_str_sections(data, offsets, cid)
+        if codec == "auto":
+            cid = (
+                hint
+                if hint is not None
+                else cost.rank_string_codecs(data, offsets, trial_comp)
+            )
+        else:
+            cid = frame.CODEC_IDS[codec] if isinstance(codec, str) else codec
+        try:
+            body, fallback = _encode_str_sections(data, offsets, cid)
+        except Exception:
+            if hint is None:
+                raise
+            # stale cached pick (e.g. FSST training rejects this chunk):
+            # fall back to a fresh selection for this chunk
+            cid = cost.rank_string_codecs(data, offsets, trial_comp)
+            body, fallback = _encode_str_sections(data, offsets, cid)
         if fallback:
             cid = fallback
         if codec == "auto":
@@ -586,7 +642,9 @@ def encode_chunk(
         if k > 0xFFFF:
             raise NotImplementedError("FLBA width > 65535")
         data = _fixed_bytes_of(dense, k)
-        cid, body = _encode_fixed_bytes(data, len(dense), k, codec, trial_comp)
+        cid, body = _encode_fixed_bytes(
+            data, len(dense), k, codec, trial_comp, hint
+        )
         sections = body
         param_sect = int(k).to_bytes(2, "little")
         stats["byte_size"] = len(data)
@@ -595,7 +653,9 @@ def encode_chunk(
         # the fixed-width byte-array menu; dict wins on low-cardinality
         # halves, plain+zstd otherwise
         data = _fixed_bytes_of(dense, 2)
-        cid, body = _encode_fixed_bytes(data, len(dense), 2, codec, trial_comp)
+        cid, body = _encode_fixed_bytes(
+            data, len(dense), 2, codec, trial_comp, hint
+        )
         sections = body
     elif ltype == frame.LT_DECIMAL:
         # DECIMAL stored by precision as unscaled INT32 / INT64 / FLBA16
@@ -609,7 +669,7 @@ def encode_chunk(
         if phys <= 8:
             vals = _decimal_unscaled(dense, phys)
             cid, body, bit_width = _encode_int_chunk(
-                vals, phys, codec, trial_comp
+                vals, phys, codec, trial_comp, hint
             )
             if len(vals):
                 stats["min"] = vals.min().item() / 10**scale
@@ -617,7 +677,7 @@ def encode_chunk(
         else:
             data = _fixed_bytes_of(dense, 16)
             cid, body = _encode_fixed_bytes(
-                data, len(dense), 16, codec, trial_comp
+                data, len(dense), 16, codec, trial_comp, hint
             )
         sections = body
         param_sect = bytes([prec, scale, phys])
@@ -634,6 +694,7 @@ def encode_chunk(
             cf, cst = encode_chunk(
                 st_arr.field(i), codec="auto", compression=None,
                 trial_compression=trial_comp,
+                pick_cache=pick_cache, path=f"{path}.{f.name}",
             )
             child_frames.append(cf)
             stats.setdefault("child_codecs", {})[f.name] = cst["codec"]
@@ -658,9 +719,11 @@ def encode_chunk(
         len_frame, len_stats = encode_chunk(
             pa.array(lengths, type=pa.int32()), codec="auto", compression=None,
             trial_compression=trial_comp,
+            pick_cache=pick_cache, path=f"{path}#len",
         )
         ent_frame, ent_stats = encode_chunk(
-            entries, codec="auto", compression=None, trial_compression=trial_comp
+            entries, codec="auto", compression=None, trial_compression=trial_comp,
+            pick_cache=pick_cache, path=f"{path}#ent",
         )
         sections = [len_frame, ent_frame]
         cid = frame.LIST
@@ -673,9 +736,11 @@ def encode_chunk(
         len_frame, len_stats = encode_chunk(
             pa.array(lengths, type=pa.int32()), codec="auto", compression=None,
             trial_compression=trial_comp,
+            pick_cache=pick_cache, path=f"{path}#len",
         )
         val_frame, val_stats = encode_chunk(
-            values, codec="auto", compression=None, trial_compression=trial_comp
+            values, codec="auto", compression=None, trial_compression=trial_comp,
+            pick_cache=pick_cache, path=f"{path}#val",
         )
         sections = [len_frame, val_frame]
         cid = frame.LIST
@@ -687,6 +752,19 @@ def encode_chunk(
     else:  # pragma: no cover
         raise NotImplementedError(str(arr.type))
 
+    if (
+        codec == "auto"
+        and pick_cache is not None
+        and ltype not in (frame.LT_STRUCT, frame.LT_MAP, frame.LT_LIST_INT32)
+    ):
+        # store what the chunk ACTUALLY got (post-fallback), so a pick
+        # that degraded (span overflow, dict budget, lost to PLAIN)
+        # self-heals instead of re-failing every chunk
+        ent = pick_cache.get(path)
+        if ent is None:
+            pick_cache[path] = [cid, 1]
+        else:
+            ent[0] = cid
     if valid is not None:
         sections = [frame.pack_validity(valid)] + sections
     if param_sect is not None:
@@ -717,6 +795,8 @@ def encode_chunk_paged(
     compression: str | None = "zstd",
     page_rows: int | None = None,
     encryption_key: bytes | None = None,
+    pick_cache: dict[str, list] | None = None,
+    path: str = "",
 ) -> tuple[bytes, dict]:
     """Encode a chunk as multiple page frames of ``page_rows`` values each
     (the reference's page split, writer/pages.go:252-317). Page boundaries
@@ -732,7 +812,8 @@ def encode_chunk_paged(
     n = len(arr)
     if not page_rows or n <= page_rows:
         blob, st = encode_chunk(arr, codec=codec, compression=compression,
-                                encryption_key=encryption_key)
+                                encryption_key=encryption_key,
+                                pick_cache=pick_cache, path=path)
         st["pages"] = [
             {"first_row": 0, "count": n,
              "vmin": st.get("min"), "vmax": st.get("max")}
@@ -746,10 +827,12 @@ def encode_chunk_paged(
         sl = arr.slice(start, min(page_rows, n - start))
         try:
             fb, fst = encode_chunk(sl, codec=chosen, compression=compression,
-                                   encryption_key=encryption_key)
+                                   encryption_key=encryption_key,
+                                   pick_cache=pick_cache, path=path)
         except ValueError:
             fb, fst = encode_chunk(sl, codec="auto", compression=compression,
-                                   encryption_key=encryption_key)
+                                   encryption_key=encryption_key,
+                                   pick_cache=pick_cache, path=path)
         if chosen == "auto" and fst["codec"] in frame.CODEC_IDS:
             chosen = fst["codec"]
         frames.append(fb)

@@ -291,6 +291,20 @@ def encode_ints(vals: np.ndarray) -> bytes:
         return _HDR.pack(MIN_K, 0, 0, 0, 0, 0, 0, 0)
     if vals.dtype.kind != "i":
         vals = vals.astype(np.int64)
+    from .. import native
+
+    if (
+        native.HAVE
+        and n >= 4096
+        and vals.dtype.itemsize in (4, 8)
+        and vals.flags.c_contiguous
+    ):
+        # fused C path: one-pass min/max, in-table histogram, and an
+        # encoder that reads the raw values directly (vmin applied via
+        # the pk index, pad synthesized past n) — the padded int64 grid
+        # and its four memory sweeps never materialize. Byte-identical
+        # to the numpy path below (pinned by tests).
+        return _encode_ints_fused(vals, n)
     vmin = int(vals.min())
     span = int(vals.max()) - vmin
     if span >= MAX_NFREQ:
@@ -312,6 +326,50 @@ def encode_ints(vals: np.ndarray) -> bytes:
     if rows * lanes > n:
         padded[n:] = int(np.argmax(counts))
     states, stream = _encode_lanes(padded, freqs, k, lanes)
+    fbw = max(int(freqs.max()).bit_length(), 1)
+    header = _HDR.pack(k, fbw, 0, lanes, n, vmin, nfreq, len(stream))
+    return (
+        header
+        + bitpack.pack(freqs.astype(np.uint64), fbw)
+        + states.tobytes()
+        + stream.tobytes()
+    )
+
+
+def _encode_ints_fused(vals: np.ndarray, n: int) -> bytes:
+    """C-accelerated encode_ints body — same decisions, same blob bytes."""
+    from .. import native
+
+    vmin, vmax = native.minmax(vals)
+    span = vmax - vmin
+    if span >= MAX_NFREQ:
+        raise ValueError("value span too large for rANS")
+    nfreq = span + 1
+    lanes = _pick_lanes(n)
+    rows = -(-n // lanes)
+    if rows > MAX_ROWS:
+        raise ValueError("chunk too large for one rANS blob")
+    counts = native.hist(vals, vmin, nfreq)
+    k = _pick_k(nfreq)
+    freqs = quantize_freqs(counts, k)
+    pad = int(np.argmax(counts))
+    f64 = freqs.astype(np.uint64)
+    cum = np.zeros(len(freqs), dtype=np.uint64)
+    np.cumsum(f64[:-1], out=cum[1:])
+    pk = f64 | (cum << np.uint64(21))
+    states = np.empty(lanes, dtype=np.uint64)
+    cap = rows * lanes
+    stream_buf = np.empty(cap + 1, dtype=np.uint32)
+    fn = (
+        native.lib.pgs_rans_encode32
+        if vals.dtype.itemsize == 4
+        else native.lib.pgs_rans_encode64
+    )
+    p = fn(
+        vals.ctypes.data, n, rows, lanes, pk.ctypes.data, vmin, pad,
+        k, states.ctypes.data, stream_buf.ctypes.data, cap,
+    )
+    stream = stream_buf[p : cap + 1]
     fbw = max(int(freqs.max()).bit_length(), 1)
     header = _HDR.pack(k, fbw, 0, lanes, n, vmin, nfreq, len(stream))
     return (

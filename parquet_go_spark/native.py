@@ -109,6 +109,87 @@ int pgs_rans_decode(uint64_t *states, const uint32_t *stream, int64_t ns,
         if (states[l] != L) return 3;
     return 0;
 }
+
+/* ---- fused prepare + direct encode ------------------------------------
+   The Python wrapper around pgs_rans_encode used to spend more time in
+   memory passes than the coder itself: min, max, subtract-into-padded-
+   grid, bincount — four full sweeps of the input. These kernels fold the
+   whole prepare stage into two cache-friendly passes and let the encoder
+   read the RAW values (vmin applied via the pk table index, padding
+   synthesized for idx >= n), so the int64 grid copy never exists. */
+
+void pgs_minmax32(const int32_t *v, int64_t n, int64_t *out)
+{
+    int32_t lo = v[0], hi = v[0];
+    for (int64_t i = 1; i < n; i++) {
+        int32_t x = v[i];
+        if (x < lo) lo = x;
+        if (x > hi) hi = x;
+    }
+    out[0] = lo; out[1] = hi;
+}
+
+void pgs_minmax64(const int64_t *v, int64_t n, int64_t *out)
+{
+    int64_t lo = v[0], hi = v[0];
+    for (int64_t i = 1; i < n; i++) {
+        int64_t x = v[i];
+        if (x < lo) lo = x;
+        if (x > hi) hi = x;
+    }
+    out[0] = lo; out[1] = hi;
+}
+
+/* counts[v - vmin]++ ; caller guarantees every value is in [vmin,
+   vmin + nfreq) (from pgs_minmax*) and counts is zeroed. nfreq is
+   bounded by the rANS span gate (2^17) so the table lives in L2. */
+void pgs_hist32(const int32_t *v, int64_t n, int64_t vmin, int64_t *counts)
+{
+    for (int64_t i = 0; i < n; i++) counts[v[i] - vmin]++;
+}
+
+void pgs_hist64(const int64_t *v, int64_t n, int64_t vmin, int64_t *counts)
+{
+    for (int64_t i = 0; i < n; i++) counts[v[i] - vmin]++;
+}
+
+/* Direct-input encoder twins of pgs_rans_encode: walk the virtual padded
+   (rows x lanes) grid backward as a flat descending index (identical
+   visit order: rows desc, lanes desc), reading sym = v[idx] - vmin for
+   idx < n and the pad symbol above. Emission order and therefore the
+   output stream are byte-identical to pgs_rans_encode over the padded
+   grid. The lane counter decrements with wraparound — no per-element
+   modulo. */
+#define PGS_ENC_DIRECT(NAME, TYPE)                                          \
+int64_t NAME(const TYPE *v, int64_t n, int64_t rows, int64_t lanes,         \
+             const uint64_t *pk, int64_t vmin, int64_t pad,                 \
+             int k, uint64_t *states, uint32_t *stream_buf, int64_t cap)    \
+{                                                                           \
+    const uint64_t L = 1ULL << 31;                                          \
+    const int shift_xmax = 63 - k;                                          \
+    const uint64_t m21 = (1ULL << 21) - 1;                                  \
+    const uint64_t gpad = pk[pad];                                          \
+    int64_t p = cap + 1;                                                    \
+    int64_t total = rows * lanes;                                           \
+    for (int64_t l = 0; l < lanes; l++) states[l] = L;                      \
+    int64_t l = lanes - 1;                                                  \
+    for (int64_t idx = total - 1; idx >= 0; idx--) {                        \
+        uint64_t g = (idx < n) ? pk[(int64_t)v[idx] - vmin] : gpad;         \
+        uint64_t fr = g & m21;                                              \
+        uint64_t x = states[l];                                             \
+        int c = x >= (fr << shift_xmax);                                    \
+        stream_buf[p - 1] = (uint32_t)x;                                    \
+        p -= c;                                                             \
+        x >>= 32 * c;                                                       \
+        uint64_t q = x / fr;                                                \
+        states[l] = (q << k) + (x - q * fr) + (g >> 21);                    \
+        l = l ? l - 1 : lanes - 1;                                          \
+    }                                                                       \
+    return p;                                                               \
+}
+
+PGS_ENC_DIRECT(pgs_rans_encode32, int32_t)
+PGS_ENC_DIRECT(pgs_rans_encode64, int64_t)
 """
 
 
@@ -147,7 +228,44 @@ if not os.environ.get("PGS_NO_NATIVE"):
             ctypes.c_int, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
+        for _f in (lib.pgs_minmax32, lib.pgs_minmax64):
+            _f.restype = None
+            _f.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        for _f in (lib.pgs_hist32, lib.pgs_hist64):
+            _f.restype = None
+            _f.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
+        for _f in (lib.pgs_rans_encode32, lib.pgs_rans_encode64):
+            _f.restype = ctypes.c_int64
+            _f.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
     except Exception:
         lib = None
 
 HAVE = lib is not None
+
+
+def minmax(vals) -> tuple[int, int]:
+    """One-pass C min/max of a contiguous int32/int64 array."""
+    import numpy as np
+
+    out = np.empty(2, dtype=np.int64)
+    fn = lib.pgs_minmax32 if vals.dtype.itemsize == 4 else lib.pgs_minmax64
+    fn(vals.ctypes.data, len(vals), out.ctypes.data)
+    return int(out[0]), int(out[1])
+
+
+def hist(vals, vmin: int, nfreq: int):
+    """C bincount of (vals - vmin); every value must be in [vmin, vmin+nfreq)."""
+    import numpy as np
+
+    counts = np.zeros(nfreq, dtype=np.int64)
+    fn = lib.pgs_hist32 if vals.dtype.itemsize == 4 else lib.pgs_hist64
+    fn(vals.ctypes.data, len(vals), vmin, counts.ctypes.data)
+    return counts

@@ -93,6 +93,11 @@ def make_encode_fn(
     cm = codec_map or {}
     bc = bloom_cols or set()
     gc = geo_cols or set()
+    # Per-worker codec pick cache: a task encodes many partitions of the
+    # same columns, so auto-selection (sampled stats + trial encodes) runs
+    # once per column and later partitions reuse the pick — with per-chunk
+    # safety fallbacks and periodic refresh inside encode_chunk.
+    pick_cache: dict[str, list] = {}
 
     def encode_group(table: pa.Table) -> pa.Table:
         from .. import bloom as bloommod
@@ -117,6 +122,7 @@ def make_encode_fn(
                 page_rows=page_rows,
                 encryption_key=keysmod.key_for(name, column_keys,
                                                encryption_key),
+                pick_cache=pick_cache, path=name,
             )
             codec_label = stats["codec"]
             if "values_codec" in stats:  # surface inner list codecs

@@ -21,7 +21,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import chunk, frame
+from .. import chunk
 
 
 def _roundtrip_batches(
@@ -33,19 +33,21 @@ def _roundtrip_batches(
     # row-group sizes (16M tokens) that amortizes to noise, but a roundtrip
     # query sees ~10k-row Arrow batches, so re-trialing every batch made
     # codec=auto ~2.4x the forced-codec cost. The distribution is the same
-    # column across batches of one task: decide on the FIRST batch, then
-    # reuse the winning codec, falling back to a fresh auto pass if the
-    # cached codec rejects a later batch (e.g. a span outgrew rANS).
-    chosen: dict[str, str] = {}
+    # column across batches of one task: encode_chunk's pick cache decides
+    # on the first batch and reuses the pick per column path — including
+    # list/struct sub-paths — with per-chunk safety fallbacks and periodic
+    # refresh handled inside the chunk layer.
+    pick_cache: dict[str, list] = {}
     for b in batches:
         tbl = pa.Table.from_batches([b])
         arrays = []
         for i, name in enumerate(tbl.column_names):
             col = tbl.column(name).combine_chunks()
-            codec = codec_map.get(name, chosen.get(name, "auto"))
+            codec = codec_map.get(name, "auto")
             try:
                 blob, st = chunk.encode_chunk(
-                    col, codec=codec, compression=compression
+                    col, codec=codec, compression=compression,
+                    pick_cache=pick_cache, path=name,
                 )
             except ValueError:
                 if codec == "auto":
@@ -53,9 +55,6 @@ def _roundtrip_batches(
                 blob, st = chunk.encode_chunk(
                     col, codec="auto", compression=compression
                 )
-            if name not in codec_map and name not in chosen \
-                    and st["codec"] in frame.CODEC_IDS:
-                chosen[name] = st["codec"]
             out = chunk.decode_chunk(blob)
             want = tbl.schema.field(i).type
             if out.type != want:

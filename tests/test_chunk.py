@@ -564,3 +564,80 @@ def test_modular_encryption_roundtrip_and_tamper():
                       type=pa.struct([("a", pa.int64()), ("b", pa.utf8())]))
     bl, _ = chunk.encode_chunk(nested, encryption_key=key)
     assert chunk.decode_chunk(bl, encryption_key=key).equals(nested)
+
+
+def test_pick_cache_identity_and_single_selection(monkeypatch):
+    """The per-task codec pick cache must (a) produce byte-identical blobs
+    to full auto-selection on same-distribution chunks, (b) run the
+    sampled selection only once per column path, and (c) cover list
+    sub-paths (lengths/values), which the old name-level caching missed."""
+    rng = np.random.default_rng(7)
+    lens = rng.integers(1, 60, 400)
+    vals = (rng.zipf(1.2, int(lens.sum())) % 5000).astype(np.int32)
+    off = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=off[1:])
+    lists = pa.ListArray.from_arrays(pa.array(off), pa.array(vals))
+
+    calls = {"n": 0}
+    orig = cost.trial_pick_scaled
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cost, "trial_pick_scaled", counting)
+    cache: dict = {}
+    b1, s1 = chunk.encode_chunk(lists, pick_cache=cache, path="t")
+    first = calls["n"]
+    assert first >= 1  # selection ran for the values sub-chunk
+    b2, s2 = chunk.encode_chunk(lists, pick_cache=cache, path="t")
+    assert calls["n"] == first  # no re-selection on the warm chunk
+    assert "t#val" in cache and "t#len" in cache
+    b0, _ = chunk.encode_chunk(lists)  # cache-free reference
+    assert b2 == b0 and b1 == b0
+    assert chunk.decode_chunk(b2).equals(lists)
+
+
+def test_pick_cache_self_heals_on_drift():
+    """A cached pick the next chunk's data rejects (span outgrew the rANS
+    table) must fall back safely and overwrite the cache with the codec
+    the chunk actually got."""
+    from parquet_go_spark.codecs import rans
+
+    cache: dict = {}
+    narrow = pa.array(
+        np.random.default_rng(0).integers(0, 50, 50_000, dtype=np.int64)
+    )
+    chunk.encode_chunk(narrow, pick_cache=cache, path="c")
+    assert cache["c"][0] in (
+        frame.RANS, frame.DICT, frame.DICT_RANS, frame.DICT_BSS, frame.RLE,
+        frame.FOR_BITPACK,
+    )
+    cache["c"][0] = frame.RANS  # force the failure-prone pick
+    wide = pa.array(
+        np.array([0, 1 << 40] * 25_000, dtype=np.int64)
+    )  # span too large for rANS
+    blob, st = chunk.encode_chunk(wide, pick_cache=cache, path="c")
+    assert chunk.decode_chunk(blob).equals(wide)
+    assert cache["c"][0] != frame.RANS  # healed to what the chunk got
+
+
+def test_pick_cache_periodic_refresh(monkeypatch):
+    """Every PICK_REFRESH_EVERY uses, the full selection re-runs, so a
+    stale pick cannot persist forever."""
+    monkeypatch.setattr(chunk, "PICK_REFRESH_EVERY", 4)
+    rng = np.random.default_rng(3)
+    vals = pa.array((rng.zipf(1.3, 30_000) % 999).astype(np.int64))
+    calls = {"n": 0}
+    orig = cost.trial_pick_scaled
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cost, "trial_pick_scaled", counting)
+    cache: dict = {}
+    for _ in range(9):
+        chunk.encode_chunk(vals, pick_cache=cache, path="v")
+    # uses 1..9 with refresh at use 4 and 8 -> selection at 1, 4, 8
+    assert calls["n"] == 3

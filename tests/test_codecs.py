@@ -430,11 +430,13 @@ def test_rans_native_numpy_byte_identical():
     rng = np.random.default_rng(41)
     cases = [
         (rng.zipf(1.3, 500_000) % 50_000).astype(np.int64),   # token-like
+        (rng.zipf(1.1, 300_000) % 50_257).astype(np.int32),   # int32 fused path
         rng.integers(0, 17, 200_000).astype(np.int64),        # near-uniform
         np.repeat(rng.integers(0, 9, 2000),
                   rng.integers(1, 400, 2000)).astype(np.int64),  # runny
         rng.integers(-1000, 1000, 4097).astype(np.int64),     # odd n, neg
         np.full(20_000, 42, dtype=np.int64),                  # single symbol
+        rng.integers(0, 99, 12_345).astype(np.int32)[::2],    # non-contiguous
     ]
     for vals in cases:
         blob_c = rans.encode_ints(vals)
