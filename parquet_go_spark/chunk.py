@@ -23,8 +23,16 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
-from . import cost, frame
+from . import cost, frame, native
 from .codecs import bitpack, bss, delta, deltaba, dictionary, fsst, plainc, rans, rle
+
+
+def _int_minmax(vals: np.ndarray) -> tuple[int, int]:
+    """Min/max for manifest stats — one C pass when the native kernels are
+    available (instead of numpy's two), numpy otherwise."""
+    if native.HAVE and vals.itemsize in (4, 8) and vals.flags.c_contiguous:
+        return native.minmax(vals)
+    return vals.min().item(), vals.max().item()
 
 # paged-chunk container: PAGE_MAGIC + u32 n_pages + n_pages * u64 frame
 # lengths, then the frames back to back. A chunk under the page threshold
@@ -172,10 +180,12 @@ def _decode_int_sections(meta: frame.FrameMeta, n: int, dtype, itemsize: int, s0
     if codec == frame.BSS:
         return bss.decode(sections[s0], np.dtype(dtype), n)
     if codec == frame.RANS:
-        out = rans.decode_ints(sections[s0])
+        # decode straight into the column's dtype (the C kernel writes
+        # int32 directly for int32 columns — no int64 intermediate)
+        out = rans.decode_ints(sections[s0], dtype)
         if len(out) != n:
             raise ValueError("rANS count mismatch")
-        return out.astype(dtype, copy=False)
+        return out
     if codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):
         sec = sections[s0]
         card = int.from_bytes(sec[:4], "little")
@@ -519,10 +529,7 @@ def encode_chunk(
             vals, itemsize, codec, trial_comp, hint
         )
         if len(vals):
-            stats["min"], stats["max"] = (
-                vals.min().item(),
-                vals.max().item(),
-            )
+            stats["min"], stats["max"] = _int_minmax(vals)
         sections = body
     elif ltype in _FLOAT_TYPES:
         dtype = _FLOAT_TYPES[ltype]
@@ -672,8 +679,9 @@ def encode_chunk(
                 vals, phys, codec, trial_comp, hint
             )
             if len(vals):
-                stats["min"] = vals.min().item() / 10**scale
-                stats["max"] = vals.max().item() / 10**scale
+                lo, hi = _int_minmax(vals)
+                stats["min"] = lo / 10**scale
+                stats["max"] = hi / 10**scale
         else:
             data = _fixed_bytes_of(dense, 16)
             cid, body = _encode_fixed_bytes(
@@ -1132,7 +1140,7 @@ def _decode_chunk_inner(buf: bytes, encryption_key: bytes | None = None) -> pa.A
     if lt == frame.LT_STRUCT:
         if params is None:
             raise ValueError("missing struct params")
-        names = params.decode("utf-8").split("\x00") if params else []
+        names = bytes(params).decode("utf-8").split("\x00") if params else []
         children = [decode_chunk(s) for s in meta.sections[s0:]]
         if len(children) != len(names):
             raise ValueError("struct child count mismatch")

@@ -186,14 +186,18 @@ def _decode_lanes(
     rows: int,
     lanes: int,
     vmin: int,
+    out_dtype=np.int64,
 ) -> np.ndarray:
-    """Decode to a flat int64 array with the frame's vmin already
+    """Decode to a flat int array with the frame's vmin already
     re-applied (fused into the C kernel's output store)."""
     from .. import native
 
     if native.HAVE and rows * lanes >= 4096:
-        return _decode_lanes_c(states, stream, freqs, k, rows, lanes, vmin)
-    return _decode_lanes_np(states, stream, freqs, k, rows, lanes, vmin)
+        return _decode_lanes_c(
+            states, stream, freqs, k, rows, lanes, vmin, out_dtype
+        )
+    out = _decode_lanes_np(states, stream, freqs, k, rows, lanes, vmin)
+    return out.astype(out_dtype, copy=False)
 
 
 def _decode_lanes_c(
@@ -204,6 +208,7 @@ def _decode_lanes_c(
     rows: int,
     lanes: int,
     vmin: int,
+    out_dtype=np.int64,
 ) -> np.ndarray:
     from .. import native
 
@@ -215,8 +220,14 @@ def _decode_lanes_c(
     )
     st = np.ascontiguousarray(states, dtype=np.uint64).copy()
     sm = np.ascontiguousarray(stream, dtype=np.uint32)
-    out = np.empty(rows * lanes, dtype=np.int64)
-    rc = native.lib.pgs_rans_decode(
+    out_dtype = np.dtype(out_dtype)
+    out = np.empty(rows * lanes, dtype=out_dtype)
+    fn = (
+        native.lib.pgs_rans_decode_i32
+        if out_dtype.itemsize == 4
+        else native.lib.pgs_rans_decode
+    )
+    rc = fn(
         st.ctypes.data, sm.ctypes.data, len(sm), symtab.ctypes.data,
         f64.ctypes.data, cum.ctypes.data, k, vmin, rows, lanes,
         out.ctypes.data,
@@ -380,8 +391,12 @@ def _encode_ints_fused(vals: np.ndarray, n: int) -> bytes:
     )
 
 
-def decode_ints(buf: bytes) -> np.ndarray:
-    """Decode a blob from encode_ints -> int64 array."""
+def decode_ints(buf: bytes, out_dtype=np.int64) -> np.ndarray:
+    """Decode a blob from encode_ints -> int array of ``out_dtype``.
+
+    ``out_dtype`` of int32 is only valid when the encoded value range fits
+    (the caller knows the column's logical type); the C kernel then writes
+    the final dtype directly, skipping the int64 intermediate + astype."""
     if len(buf) < _HDR.size:
         raise ValueError("truncated rANS header")
     k, fbw, _pad, lanes, n, vmin, nfreq, stream_words = _HDR.unpack_from(buf)
@@ -390,7 +405,7 @@ def decode_ints(buf: bytes) -> np.ndarray:
         # count field was corrupted, not that the input was empty
         if len(buf) != _HDR.size or lanes or stream_words:
             raise ValueError("invalid empty rANS blob")
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=out_dtype)
     if not (MIN_K <= k <= MAX_K) or nfreq > MAX_NFREQ or nfreq < 1:
         raise ValueError("invalid rANS parameters")
     # lanes is self-described, so validate it against structural bounds
@@ -423,7 +438,7 @@ def decode_ints(buf: bytes) -> np.ndarray:
     rows = -(-n // lanes)
     if rows > MAX_ROWS:
         raise ValueError("rANS row count exceeds decode cap")
-    out = _decode_lanes(states, stream, freqs, k, rows, lanes, vmin)
+    out = _decode_lanes(states, stream, freqs, k, rows, lanes, vmin, out_dtype)
     return out[:n]
 
 

@@ -109,6 +109,14 @@ FLAG_ENCRYPTED = 2
 GCM_NONCE_LEN = 12
 GCM_TAG_LEN = 16
 
+# Incompressibility probe: payloads >= PROBE_MIN get a PROBE_BYTES slice
+# from their middle trial-compressed first; if it shrinks by less than
+# (1 - PROBE_SKIP) the frame is stored uncompressed (comp_id NONE), which
+# skips both the encode-side compress pass and every future decompress.
+COMPRESS_PROBE_MIN = 1 << 20
+COMPRESS_PROBE_BYTES = 1 << 17
+COMPRESS_PROBE_SKIP = 0.97
+
 
 @dataclass
 class FrameMeta:
@@ -154,15 +162,31 @@ def write_frame(
     nonce and the frame header+section table as associated data, so a
     tampered codec id or section length fails authentication, not just
     the CRC. Metadata stays readable without the key; values don't."""
-    payload = b"".join(sections)
+    payload = sections[0] if len(sections) == 1 else b"".join(sections)
     comp_id = COMP_IDS[compression]
     body = payload
     if comp_id != COMP_NONE and len(payload) > 64:
-        compressed = _get_codec(comp_id).compress(payload).to_pybytes()
-        if len(compressed) < len(payload):  # store-uncompressed-if-bigger
-            body = compressed
-        else:
+        skip = False
+        if len(payload) >= COMPRESS_PROBE_MIN:
+            # Entropy-coded payloads (rANS streams dominate the token
+            # table) are incompressible by construction; spending a full
+            # zstd pass to shave <PROBE_SKIP of them costs more encode
+            # AND decode time than it saves in bytes. Probe a slice from
+            # the middle of the payload (the head is the compressible
+            # freq table, not representative) and store uncompressed when
+            # the probe barely shrinks.
+            cdc = _get_codec(comp_id)
+            mid = (len(payload) - COMPRESS_PROBE_BYTES) // 2
+            sample = payload[mid : mid + COMPRESS_PROBE_BYTES]
+            skip = len(cdc.compress(sample)) > len(sample) * COMPRESS_PROBE_SKIP
+        if skip:
             comp_id = COMP_NONE
+        else:
+            compressed = _get_codec(comp_id).compress(payload).to_pybytes()
+            if len(compressed) < len(payload):  # store-uncompressed-if-bigger
+                body = compressed
+            else:
+                comp_id = COMP_NONE
     else:
         comp_id = COMP_NONE
     if encryption_key is not None:
@@ -192,9 +216,11 @@ def write_frame(
         )
     # CRC covers header + section table + body: a flipped codec id or
     # section length must fail the checksum, not misroute the decoder
-    # (stronger than the reference, which checksums page data only)
-    crc = zlib.crc32(header + sect_table + body)
-    return header + sect_table + body + struct.pack("<I", crc)
+    # (stronger than the reference, which checksums page data only).
+    # Computed incrementally — no concat copy of a multi-MB body just
+    # for the checksum.
+    crc = zlib.crc32(body, zlib.crc32(sect_table, zlib.crc32(header)))
+    return b"".join((header, sect_table, body, struct.pack("<I", crc)))
 
 
 def read_frame(
@@ -220,9 +246,14 @@ def read_frame(
     pos += 8 * nsect
     if sum(sect_lens) != payload_size:
         raise ValueError("section lengths disagree with payload size")
-    body = bytes(buf[pos : len(buf) - 4])
+    # body stays a zero-copy view of the input; the CRC runs over the
+    # input buffer directly (no concat copy). Sections of an
+    # uncompressed, unencrypted frame are sliced as memoryviews — the
+    # dominant decode path (large entropy-coded frames are stored
+    # uncompressed by the write-side probe) never copies the payload.
+    body: bytes | memoryview = buf[pos : len(buf) - 4]
     (crc,) = struct.unpack_from("<I", buf, len(buf) - 4)
-    if zlib.crc32(bytes(buf[:pos]) + body) != crc:
+    if zlib.crc32(buf[: len(buf) - 4]) != crc:
         raise ValueError("frame CRC mismatch")
     if flags & FLAG_ENCRYPTED:
         if encryption_key is None:
@@ -233,7 +264,8 @@ def read_frame(
             raise ValueError("truncated encrypted frame body")
         try:
             body = AESGCM(encryption_key).decrypt(
-                body[:GCM_NONCE_LEN], body[GCM_NONCE_LEN:], bytes(buf[:pos])
+                bytes(body[:GCM_NONCE_LEN]), bytes(body[GCM_NONCE_LEN:]),
+                bytes(buf[:pos]),
             )
         except Exception as e:  # InvalidTag and friends
             raise ValueError(f"frame decryption failed: {e}") from e

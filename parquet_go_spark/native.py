@@ -77,38 +77,44 @@ int64_t pgs_rans_encode(const int64_t *syms, int64_t rows, int64_t lanes,
 
 /* Interleaved rANS decode. Forward over rows/lanes, consuming the stream
    strictly forward — the mirror of the encoder above. Writes the final
-   int64 values directly (symbol + vmin), fusing the un-shift pass the
-   Python wrapper would otherwise run over the whole output.
+   values directly (symbol + vmin), fusing the un-shift pass the Python
+   wrapper would otherwise run over the whole output; the int32 twin also
+   fuses the int64->int32 astype the caller would need for int32 columns
+   (caller guarantees vmin..vmin+nfreq fits the output type).
    Returns 0 ok, 1 truncated stream, 2 stream not fully consumed,
    3 final-state mismatch. */
-int pgs_rans_decode(uint64_t *states, const uint32_t *stream, int64_t ns,
-                    const uint32_t *symtab, const uint64_t *f,
-                    const uint64_t *cum, int k, int64_t vmin,
-                    int64_t rows, int64_t lanes, int64_t *out)
-{
-    const uint64_t L = 1ULL << 31;
-    const uint64_t m = (1ULL << k) - 1;
-    int64_t ptr = 0;
-    for (int64_t r = 0; r < rows; r++) {
-        int64_t *orow = out + r * lanes;
-        for (int64_t l = 0; l < lanes; l++) {
-            uint64_t x = states[l];
-            uint64_t slot = x & m;
-            uint32_t s = symtab[slot];
-            x = f[s] * (x >> k) + slot - cum[s];
-            if (x < L) {
-                if (ptr >= ns) return 1;
-                x = (x << 32) | (uint64_t)stream[ptr++];
-            }
-            states[l] = x;
-            orow[l] = (int64_t)s + vmin;
-        }
-    }
-    if (ptr != ns) return 2;
-    for (int64_t l = 0; l < lanes; l++)
-        if (states[l] != L) return 3;
-    return 0;
+#define PGS_DECODE(NAME, OTYPE)                                             \
+int NAME(uint64_t *states, const uint32_t *stream, int64_t ns,              \
+         const uint32_t *symtab, const uint64_t *f,                         \
+         const uint64_t *cum, int k, int64_t vmin,                          \
+         int64_t rows, int64_t lanes, OTYPE *out)                           \
+{                                                                           \
+    const uint64_t L = 1ULL << 31;                                          \
+    const uint64_t m = (1ULL << k) - 1;                                     \
+    int64_t ptr = 0;                                                        \
+    for (int64_t r = 0; r < rows; r++) {                                    \
+        OTYPE *orow = out + r * lanes;                                      \
+        for (int64_t l = 0; l < lanes; l++) {                               \
+            uint64_t x = states[l];                                         \
+            uint64_t slot = x & m;                                          \
+            uint32_t s = symtab[slot];                                      \
+            x = f[s] * (x >> k) + slot - cum[s];                            \
+            if (x < L) {                                                    \
+                if (ptr >= ns) return 1;                                    \
+                x = (x << 32) | (uint64_t)stream[ptr++];                    \
+            }                                                               \
+            states[l] = x;                                                  \
+            orow[l] = (OTYPE)((int64_t)s + vmin);                           \
+        }                                                                   \
+    }                                                                       \
+    if (ptr != ns) return 2;                                                \
+    for (int64_t l = 0; l < lanes; l++)                                     \
+        if (states[l] != L) return 3;                                       \
+    return 0;                                                               \
 }
+
+PGS_DECODE(pgs_rans_decode, int64_t)
+PGS_DECODE(pgs_rans_decode_i32, int32_t)
 
 /* ---- fused prepare + direct encode ------------------------------------
    The Python wrapper around pgs_rans_encode used to spend more time in
@@ -221,13 +227,14 @@ if not os.environ.get("PGS_NO_NATIVE"):
             ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
-        lib.pgs_rans_decode.restype = ctypes.c_int
-        lib.pgs_rans_decode.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-        ]
+        for _f in (lib.pgs_rans_decode, lib.pgs_rans_decode_i32):
+            _f.restype = ctypes.c_int
+            _f.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
         for _f in (lib.pgs_minmax32, lib.pgs_minmax64):
             _f.restype = None
             _f.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]

@@ -281,6 +281,51 @@ def test_frame_truncated():
         frame.read_frame(blob[: len(blob) - 10])
 
 
+def test_compress_probe_skips_incompressible():
+    """Large payloads whose mid-payload probe barely shrinks are stored
+    uncompressed (comp NONE): no zstd pass on encode, no decompress on
+    decode. Compressible payloads of the same size still compress."""
+    rng = np.random.default_rng(11)
+    incompressible = rng.integers(0, 256, 2 << 20).astype(np.uint8).tobytes()
+    blob = frame.write_frame(
+        frame.PLAIN_BA, frame.LT_BINARY,
+        [incompressible], 1, compression="zstd",
+    )
+    meta = frame.read_frame(blob)
+    assert meta.compression == frame.COMP_NONE
+    assert bytes(meta.sections[0]) == incompressible
+
+    compressible = bytes(2 << 20)
+    blob = frame.write_frame(
+        frame.PLAIN_BA, frame.LT_BINARY, [compressible], 1, compression="zstd",
+    )
+    meta = frame.read_frame(blob)
+    assert meta.compression == frame.COMP_ZSTD
+    assert bytes(meta.sections[0]) == compressible
+    assert len(blob) < len(compressible) // 100
+
+    # small payloads never probe (always try the full compression)
+    small = rng.integers(0, 256, 4096).astype(np.uint8).tobytes()
+    meta = frame.read_frame(frame.write_frame(
+        frame.PLAIN_BA, frame.LT_BINARY, [small], 1, compression="zstd",
+    ))
+    assert bytes(meta.sections[0]) == small
+
+
+def test_frame_crc_on_stored_uncompressed_large_frame():
+    """The zero-copy decode path (memoryview sections) must still verify
+    the CRC and fail closed on corruption."""
+    rng = np.random.default_rng(12)
+    vals = pa.array(rng.integers(0, 50_000, 1_000_000), type=pa.int64())
+    blob, st = chunk.encode_chunk(vals, codec="rans", compression="zstd")
+    assert frame.read_frame(blob).compression == frame.COMP_NONE  # probed
+    assert_equal_arrays(chunk.decode_chunk(blob), vals)
+    corrupted = bytearray(blob)
+    corrupted[len(corrupted) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        chunk.decode_chunk(bytes(corrupted))
+
+
 # ---------------- cost model sanity ----------------
 
 def test_cost_never_worse_than_plain():

@@ -450,6 +450,11 @@ def test_rans_native_numpy_byte_identical():
         assert blob_c == blob_np
         assert np.array_equal(out_np_of_c, vals)
         assert np.array_equal(out_c_of_np, vals)
+        # int32-output decode twin: same values, final dtype, no
+        # int64 intermediate (valid whenever the range fits int32)
+        out32 = rans.decode_ints(blob_c, np.int32)
+        assert out32.dtype == np.int32
+        assert np.array_equal(out32, vals.astype(np.int32))
 
 
 def test_rans_compresses_skewed_below_bitpack():
