@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_linenumber": "rle",
             "l_quantity": "dict",
             "l_extendedprice": "byte_stream_split",
-            "l_discount": "plain",
+            "l_discount": "alp",
             "l_tax": "dict",
             "l_returnflag": "dict",
             "l_linestatus": "dict",

@@ -24,7 +24,9 @@ import numpy as np
 import pyarrow as pa
 
 from . import cost, frame, native
-from .codecs import bitpack, bss, delta, deltaba, dictionary, fsst, plainc, rans, rle
+from .codecs import (
+    alp, bitpack, bss, delta, deltaba, dictionary, fsst, plainc, rans, rle,
+)
 
 
 def _int_minmax(vals: np.ndarray) -> tuple[int, int]:
@@ -454,6 +456,31 @@ def _decimal_rebuild(
     )
 
 
+def _encode_alp(
+    vals: np.ndarray,
+    trial_comp: str | None,
+    params: tuple[int, int] | None = None,
+) -> list[bytes]:
+    """ALP chunk body: [header+exceptions, *inner int sections].
+
+    The scaled integers go through the full int codec menu with its own
+    sampled auto-selection (prices usually land on FOR/bit-pack or rANS),
+    so ALP composes with every integer codec instead of pinning one."""
+    if params is None:
+        params = alp.choose_params(cost.contiguous_sample(vals))
+        if params is None:
+            # forced on unsuitable data: e=0 still roundtrips (integral
+            # values survive, everything else rides the exception list)
+            params = (0, 0)
+    e, f = params
+    stored, exc_pos, exc_vals = alp.split(vals, e, f)
+    inner_cid, inner_body, inner_bw = _encode_int_chunk(
+        stored, 8, "auto", trial_comp, None
+    )
+    sect0 = alp.pack_header(e, f, inner_cid, inner_bw, exc_pos, exc_vals)
+    return [sect0] + inner_body
+
+
 PICK_REFRESH_EVERY = 64  # cached picks re-run full selection every N uses
 
 
@@ -538,8 +565,11 @@ def encode_chunk(
             cid = hint
         elif codec == "auto":
             ranked = cost.rank_float_codecs(vals)
-            sample = cost.contiguous_sample(vals)
+            sample = np.ascontiguousarray(cost.contiguous_sample(vals))
             iview = np.int32 if dtype == np.float32 else np.int64
+            alp_params = alp.choose_params(sample)
+            if alp_params is not None:
+                ranked.insert(0, frame.ALP)
 
             def _enc_float(c):
                 if c == frame.BSS:
@@ -550,6 +580,15 @@ def encode_chunk(
                             sample.view(iview), np.dtype(dtype).itemsize, c
                         )[0]
                     )
+                if c == frame.ALP:
+                    # FOR is the cheap trial proxy for the inner ints; the
+                    # real encode runs the full inner auto-selection
+                    st, ep, ev = alp.split(sample, *alp_params)
+                    inner = _encode_int_sections(st, 8, frame.FOR_BITPACK)[0]
+                    return alp.pack_header(
+                        alp_params[0], alp_params[1], frame.FOR_BITPACK, 0,
+                        ep, ev,
+                    ) + b"".join(inner)
                 return plainc.encode_numeric(sample)
 
             encoders = {c: (lambda c=c: _enc_float(c)) for c in ranked}
@@ -575,6 +614,15 @@ def encode_chunk(
                     ivals, np.dtype(dtype).itemsize, cid
                 )
             if len(body) == 1:
+                cid = frame.PLAIN
+                body = [plainc.encode_numeric(vals)]
+        elif cid == frame.ALP:
+            vals = np.ascontiguousarray(vals)
+            body = _encode_alp(
+                vals, trial_comp,
+                alp_params if codec == "auto" and hint is None else None,
+            )
+            if codec == "auto" and sum(len(s) for s in body) > vals.nbytes:
                 cid = frame.PLAIN
                 body = [plainc.encode_numeric(vals)]
         elif cid == frame.BSS:
@@ -1041,6 +1089,23 @@ def _decode_chunk_inner(buf: bytes, encryption_key: bytes | None = None) -> pa.A
                 s0,
             )
             vals = ivals.view(dtype)
+        elif meta.codec == frame.ALP:
+            e, f, inner_cid, inner_bw, exc_pos, exc_vals = alp.parse_header(
+                meta.sections[s0], dense_n, dtype
+            )
+            shim = frame.FrameMeta(
+                codec=inner_cid,
+                compression=frame.COMP_NONE,
+                logical_type=meta.logical_type,
+                flags=0,
+                bit_width=inner_bw,
+                count=dense_n,
+                null_count=0,
+                raw_size=0,
+                sections=meta.sections,
+            )
+            stored = _decode_int_sections(shim, dense_n, np.int64, 8, s0 + 1)
+            vals = alp.merge(stored, e, f, exc_pos, exc_vals, dtype)
         elif meta.codec == frame.BSS:
             vals = bss.decode(meta.sections[s0], dtype, dense_n)
         else:

@@ -45,6 +45,7 @@ PLAIN_BA = 10
 DICT_BSS = 11
 RANS = 12
 DICT_RANS = 13
+ALP = 14    # decimal-scaled floats over the int codec menu (codecs/alp.py)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -61,6 +62,7 @@ CODEC_NAMES = {
     DICT_BSS: "dict_bss",
     RANS: "rans",
     DICT_RANS: "dict_rans",
+    ALP: "alp",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
