@@ -111,15 +111,6 @@ FLAG_ENCRYPTED = 2
 GCM_NONCE_LEN = 12
 GCM_TAG_LEN = 16
 
-# Incompressibility probe: payloads >= PROBE_MIN get a PROBE_BYTES slice
-# from their middle trial-compressed first; if it shrinks by less than
-# (1 - PROBE_SKIP) the frame is stored uncompressed (comp_id NONE), which
-# skips both the encode-side compress pass and every future decompress.
-COMPRESS_PROBE_MIN = 1 << 20
-COMPRESS_PROBE_BYTES = 1 << 17
-COMPRESS_PROBE_SKIP = 0.97
-
-
 @dataclass
 class FrameMeta:
     codec: int
@@ -168,27 +159,19 @@ def write_frame(
     comp_id = COMP_IDS[compression]
     body = payload
     if comp_id != COMP_NONE and len(payload) > 64:
-        skip = False
-        if len(payload) >= COMPRESS_PROBE_MIN:
-            # Entropy-coded payloads (rANS streams dominate the token
-            # table) are incompressible by construction; spending a full
-            # zstd pass to shave <PROBE_SKIP of them costs more encode
-            # AND decode time than it saves in bytes. Probe a slice from
-            # the middle of the payload (the head is the compressible
-            # freq table, not representative) and store uncompressed when
-            # the probe barely shrinks.
-            cdc = _get_codec(comp_id)
-            mid = (len(payload) - COMPRESS_PROBE_BYTES) // 2
-            sample = payload[mid : mid + COMPRESS_PROBE_BYTES]
-            skip = len(cdc.compress(sample)) > len(sample) * COMPRESS_PROBE_SKIP
-        if skip:
-            comp_id = COMP_NONE
+        # Always run the full compress pass (a mid-payload probe that
+        # skipped "incompressible" frames was tried and removed: a single
+        # slice of an interleaved rANS stream looks random while the
+        # whole frame still shaves 1.3-1.9% under zstd, and the pass
+        # costs ~1 ms/MB — invisible at pipeline level while compressed
+        # size is a headline north-rule criterion). Keep only the
+        # reference's store-uncompressed-if-bigger rule
+        # (page_write_encode.go:313-318).
+        compressed = _get_codec(comp_id).compress(payload).to_pybytes()
+        if len(compressed) < len(payload):
+            body = compressed
         else:
-            compressed = _get_codec(comp_id).compress(payload).to_pybytes()
-            if len(compressed) < len(payload):  # store-uncompressed-if-bigger
-                body = compressed
-            else:
-                comp_id = COMP_NONE
+            comp_id = COMP_NONE
     else:
         comp_id = COMP_NONE
     if encryption_key is not None:
