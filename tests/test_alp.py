@@ -199,3 +199,29 @@ def test_malformed_frame_decode_raises_not_crashes():
 def test_fuzz_forced_alp_bit_identity(xs):
     v = np.array(xs, dtype=np.float64)
     _rt(v, codec="alp", compression=None)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.decimals(min_value=-10**6, max_value=10**6, places=2).map(float),
+        min_size=1, max_size=200,
+    ),
+    st.data(),
+)
+def test_fuzz_mutated_alp_frame_never_crashes(xs, data):
+    """Mutated ALP frames must raise (or decode to the right count),
+    never hang or segfault — the reference's Fuzz* decoder norm."""
+    v = np.array(xs, dtype=np.float64)
+    blob, _ = chunk.encode_chunk(
+        pa.chunked_array([pa.array(v)]), codec="alp", compression=None
+    )
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    mutated = bytearray(blob)
+    mutated[pos] ^= 1 << bit
+    try:
+        out = chunk.decode_chunk(bytes(mutated))
+        assert len(out) == len(v)
+    except (ValueError, NotImplementedError, OverflowError):
+        pass
