@@ -230,7 +230,10 @@ def main() -> None:
     from parquet_go_spark.sources.synth import token_sequences
 
     token_sequences(spark, args.rows).write.mode("overwrite").parquet(tok_input)
-    enc = encode_bench(spark, tok_input, target_tokens=1_000_000)
+    enc = encode_bench(
+        spark, tok_input, target_tokens=1_000_000,
+        timed_passes=int(os.environ.get("SPARK_GRAFT_TIMED_PASSES", "2")),
+    )
     ref = reference_sizes(tok_input)
     enc["ref_parquet_snappy_bytes"] = ref["snappy"]
     enc["ref_parquet_zstd_bytes"] = ref["zstd"]
