@@ -1,0 +1,170 @@
+"""Store compaction: merge small partitions into target-sized ones.
+
+Streaming ingest (streaming/ingest.py) and multi-wave commits produce
+legitimate-but-small partitions; at 10^12-sequence scale a store
+accumulates millions of them, and every downstream read pays per-chunk
+fixed costs (manifest rows, frame headers, codec tables — a rANS
+frequency table amortizes over 16M tokens, not 40k). Compaction is the
+maintenance pass the reference never needed (a parquet-go file is
+written once) but an Iceberg-style table does: the analog of Iceberg's
+``rewrite_data_files``.
+
+Dataflow: the per-partition sizes are metadata (one row per partition,
+collected to the driver exactly like the encode planner's weighted
+first-fit); the data path is one Spark job with a single shuffle on the
+destination partition id — blob rows of merged groups co-locate, decode,
+concatenate, and re-encode through the SAME kernel the encode job uses
+(make_encode_fn), so compacted chunks get identical stats/pages/bloom
+treatment. Untouched partitions pass through without decoding.
+
+On the parquet fallback the destination is a new store directory (atomic
+by construction); an Iceberg deployment would commit the same blob rows
+as a snapshot swap. Source partition lineage is recorded in the
+destination's store metadata.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import chunk
+from .encode_job import make_encode_fn
+from .store import BLOB_SCHEMA, ManifestStore
+
+DEFAULT_TARGET_RAW = 256 << 20
+
+
+def plan_compaction(
+    parts: list[tuple[int, int]], target_raw: int
+) -> list[list[int]]:
+    """Greedy run packing in part_id order: consecutive partitions merge
+    while the group's raw bytes stay under ``target_raw``. Keeping merges
+    adjacent preserves row order per group and any range clustering the
+    store had (a range-clustered store stays range-clustered)."""
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_raw = 0
+    for pid, raw in sorted(parts):
+        if cur and cur_raw + raw > target_raw:
+            groups.append(cur)
+            cur, cur_raw = [], 0
+        cur.append(pid)
+        cur_raw += raw
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _make_recode_fn(encode_group, decryption_key):
+    """Blob rows of one destination partition -> recoded blob rows.
+
+    Decodes each column's chunks in source part_id order, concatenates,
+    and hands the rebuilt data table to the encode job's own kernel."""
+
+    def recode(table: pa.Table) -> pa.Table:
+        import numpy as np
+
+        new_id = table.column("new_part")[0].as_py()
+        order = np.argsort(
+            table.column("part_id").to_numpy(zero_copy_only=False),
+            kind="stable",
+        )
+        cols: dict[str, list] = {}
+        col_names = table.column("col").to_pylist()
+        blobs = table.column("blob").to_pylist()
+        for i in order:
+            cols.setdefault(col_names[i], []).append(
+                chunk.decode_chunk(blobs[i], encryption_key=decryption_key)
+            )
+        n = sum(len(a) for a in next(iter(cols.values())))
+        data = {"part_id": pa.array(np.full(n, new_id, dtype=np.int32))}
+        for name, arrs in cols.items():
+            data[name] = (
+                arrs[0] if len(arrs) == 1
+                else pa.concat_arrays([a.combine_chunks()
+                                       if isinstance(a, pa.ChunkedArray)
+                                       else a for a in arrs])
+            )
+        return encode_group(pa.table(data))
+
+    return recode
+
+
+def compact_store(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_raw: int = DEFAULT_TARGET_RAW,
+    compression: str | None = "zstd",
+    codec: str = "auto",
+    codec_map: dict[str, str] | None = None,
+    bloom_cols: set[str] | None = None,
+    page_rows: int | None = None,
+    encryption_key: bytes | None = None,
+) -> dict:
+    """Compact ``src_dir`` into the new store ``dst_dir``. Returns a
+    summary dict (partition counts, how many groups were merged)."""
+    src = ManifestStore(src_dir)
+    dst = ManifestStore(dst_dir)
+    if dst.exists():
+        raise ValueError(f"destination store already exists: {dst_dir}")
+
+    # inherit the source store's layout policy unless overridden — merged
+    # partitions must not silently lose their blooms, page index, or geo
+    # stats (they are recomputed over the merged chunk)
+    src_meta = src.meta()
+    if bloom_cols is None and src_meta.get("bloom_cols"):
+        bloom_cols = set(src_meta["bloom_cols"])
+    if page_rows is None and src_meta.get("page_rows"):
+        page_rows = src_meta["page_rows"]
+    geo_cols = set(src_meta["geo_cols"]) if src_meta.get("geo_cols") else None
+
+    sizes = (
+        src.manifest(spark)
+        .groupBy("part_id")
+        .agg(F.sum("raw_size").alias("raw"))
+        .collect()
+    )  # metadata-scale: one row per partition (same as the encode planner)
+    groups = plan_compaction([(r["part_id"], r["raw"]) for r in sizes],
+                             target_raw)
+    mapping = [
+        (pid, new_id, len(g) > 1)
+        for new_id, g in enumerate(groups)
+        for pid in g
+    ]
+    map_df = spark.createDataFrame(
+        mapping, "part_id int, new_part int, merged boolean"
+    )
+
+    blobs = src.blobs(spark).join(F.broadcast(map_df), "part_id")
+    passthrough = (
+        blobs.filter(~F.col("merged"))
+        .drop("part_id", "merged")
+        .withColumnRenamed("new_part", "part_id")
+        .select(*[c.split(" ")[0] for c in BLOB_SCHEMA.split(", ")])
+    )
+    encode_group = make_encode_fn(
+        compression, codec, codec_map, bloom_cols, page_rows,
+        None, encryption_key, None, geo_cols,
+    )
+    recoded = (
+        blobs.filter(F.col("merged"))
+        .groupBy("new_part")
+        .applyInArrow(_make_recode_fn(encode_group, encryption_key),
+                      schema=BLOB_SCHEMA)
+    )
+    dst.append_blobs(passthrough.unionByName(recoded))
+
+    meta = dict(src_meta)
+    meta["num_parts"] = len(groups)
+    meta["compacted_from"] = src_dir
+    meta["lineage"] = {str(i): g for i, g in enumerate(groups) if len(g) > 1}
+    dst.write_meta(**meta)
+    dst.write_manifest_snapshot(spark)
+    return {
+        "src_parts": len(sizes),
+        "dst_parts": len(groups),
+        "merged_groups": sum(1 for g in groups if len(g) > 1),
+    }

@@ -1,0 +1,116 @@
+"""Compaction: merged stores decode identically with fewer partitions.
+
+The maintenance pass an Iceberg-style store needs (rewrite_data_files
+analog) that the write-once reference never had; data-path invariants
+mirror the encode job's (same kernel, same manifest treatment).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_go_spark.operators.compact import compact_store, plan_compaction
+from parquet_go_spark.operators.decode_job import decode_table
+from parquet_go_spark.operators.encode_job import encode_table
+from parquet_go_spark.operators.store import ManifestStore
+from parquet_go_spark.sources.synth import token_sequences
+
+TOKEN_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+TOKEN_COLS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+# ---------- pure planner ----------
+
+def test_plan_compaction_groups_adjacent_small_parts():
+    parts = [(0, 100), (1, 100), (2, 100), (3, 1000), (4, 50), (5, 50)]
+    groups = plan_compaction(parts, target_raw=300)
+    assert groups == [[0, 1, 2], [3], [4, 5]]
+    # order preserved, every part exactly once
+    flat = [p for g in groups for p in g]
+    assert flat == [0, 1, 2, 3, 4, 5]
+
+
+def test_plan_compaction_respects_target():
+    groups = plan_compaction([(i, 120) for i in range(10)], target_raw=300)
+    assert all(sum(120 for _ in g) <= 300 or len(g) == 1 for g in groups)
+    assert [len(g) for g in groups] == [2, 2, 2, 2, 2]
+
+
+def test_plan_compaction_single_big_part_untouched():
+    assert plan_compaction([(7, 10**9)], target_raw=100) == [[7]]
+
+
+# ---------- end-to-end ----------
+
+@pytest.fixture(scope="module")
+def small_part_store(spark):
+    src = token_sequences(spark, 4000, partitions=4)
+    out = tempfile.mkdtemp(prefix="compact_src_")
+    # tiny target -> many small partitions
+    store, plan = encode_table(spark, src, out, target_tokens=50_000,
+                               resume=False)
+    n_committed = store.manifest(spark).select("part_id").distinct().count()
+    yield out, src, n_committed
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_reduces_parts_and_preserves_data(spark, small_part_store):
+    src_dir, src_df, n_src = small_part_store
+    dst_dir = tempfile.mkdtemp(prefix="compact_dst_")
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    try:
+        res = compact_store(spark, src_dir, dst_dir,
+                            target_raw=4 << 20)
+        assert res["src_parts"] == n_src
+        assert res["dst_parts"] < n_src
+        assert res["merged_groups"] >= 1
+        dec = decode_table(spark, dst_dir, TOKEN_COLS, TOKEN_SCHEMA)
+        assert dec.exceptAll(src_df).count() == 0
+        assert src_df.exceptAll(dec).count() == 0
+        # manifest consistency: contiguous new ids, row counts conserved
+        dst = ManifestStore(dst_dir)
+        m = dst.manifest(spark)
+        ids = [r["part_id"] for r in
+               m.select("part_id").distinct().orderBy("part_id").collect()]
+        assert ids == list(range(res["dst_parts"]))
+        rows_src = ManifestStore(src_dir).manifest(spark).filter(
+            F.col("col") == "doc_id").agg(F.sum("count")).collect()[0][0]
+        rows_dst = m.filter(F.col("col") == "doc_id").agg(
+            F.sum("count")).collect()[0][0]
+        assert rows_src == rows_dst
+        # lineage metadata present for merged groups
+        meta = dst.meta()
+        assert meta["num_parts"] == res["dst_parts"]
+        assert len(meta["lineage"]) == res["merged_groups"]
+        src_ids_in_lineage = [p for g in meta["lineage"].values() for p in g]
+        assert len(src_ids_in_lineage) == len(set(src_ids_in_lineage))
+    finally:
+        shutil.rmtree(dst_dir, ignore_errors=True)
+
+
+def test_compact_refuses_existing_destination(spark, small_part_store):
+    src_dir, _, _ = small_part_store
+    with pytest.raises(ValueError, match="already exists"):
+        compact_store(spark, src_dir, src_dir)
+
+
+def test_compact_plan_shape_single_shuffle(spark, small_part_store):
+    """The recode arm must shuffle exactly once (on new_part); the
+    passthrough arm must be shuffle-free — the 100 TB contract."""
+    src_dir, _, _ = small_part_store
+    src = ManifestStore(src_dir)
+    sizes = (src.manifest(spark).groupBy("part_id")
+             .agg(F.sum("raw_size").alias("raw")))
+    mapping = spark.createDataFrame(
+        [(r["part_id"], 0, True) for r in sizes.collect()],
+        "part_id int, new_part int, merged boolean",
+    )
+    joined = src.blobs(spark).join(F.broadcast(mapping), "part_id")
+    plan = joined.filter(~F.col("merged"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        "passthrough arm must not shuffle (broadcast map join only)"
+    )
