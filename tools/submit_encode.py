@@ -132,6 +132,23 @@ def cmd_verify(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_compact(args) -> int:
+    from parquet_go_spark.operators.compact import compact_store
+
+    spark = _get_session("pgs-compact")
+    key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
+    t0 = time.time()
+    res = compact_store(
+        spark, args.store, args.out,
+        target_raw=args.target_raw_mb << 20,
+        compression=args.compression,
+        encryption_key=key,
+    )
+    res.update(job="compact", wall_sec=round(time.time() - t0, 2))
+    print(json.dumps(res))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -171,6 +188,16 @@ def main() -> int:
     dec.add_argument("--encrypt-key-hex", default=None)
     dec.add_argument("--column-keys-hex", default=None)
     dec.set_defaults(fn=cmd_decode)
+
+    cpt = sub.add_parser("compact")
+    cpt.add_argument("--store", required=True, help="source store directory")
+    cpt.add_argument("--out", required=True, help="destination store")
+    cpt.add_argument("--target-raw-mb", type=int, default=256,
+                     help="merge adjacent partitions up to this many MiB "
+                          "of raw data (Iceberg rewrite_data_files analog)")
+    cpt.add_argument("--compression", default="zstd")
+    cpt.add_argument("--encrypt-key-hex", default=None)
+    cpt.set_defaults(fn=cmd_compact)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--input", required=True)
