@@ -114,3 +114,28 @@ def test_compact_plan_shape_single_shuffle(spark, small_part_store):
     assert "Exchange hashpartitioning" not in plan, (
         "passthrough arm must not shuffle (broadcast map join only)"
     )
+
+
+def test_compact_encrypted_store(spark):
+    """Merged groups must unseal with the store key and re-seal; the
+    compacted store stays unreadable without the key."""
+    key = bytes(range(32, 64))
+    src = token_sequences(spark, 1500, partitions=2)
+    src_dir = tempfile.mkdtemp(prefix="compact_enc_")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    dst_dir = src_dir + "_dst"
+    try:
+        encode_table(spark, src, src_dir, target_tokens=40_000,
+                     resume=False, encryption_key=key)
+        res = compact_store(spark, src_dir, dst_dir, target_raw=8 << 20,
+                            encryption_key=key)
+        assert res["merged_groups"] >= 1
+        dec = decode_table(spark, dst_dir, TOKEN_COLS, TOKEN_SCHEMA,
+                           encryption_key=key)
+        assert dec.exceptAll(src).count() == 0
+        assert src.exceptAll(dec).count() == 0
+        with pytest.raises(Exception):
+            decode_table(spark, dst_dir, TOKEN_COLS, TOKEN_SCHEMA).collect()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(dst_dir, ignore_errors=True)
