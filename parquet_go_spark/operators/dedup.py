@@ -119,15 +119,35 @@ def _shingles(df: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_query(spark: SparkSession, sf_dir: str,
+                        max_shingle_docs: int | None = None) -> DataFrame:
     """Exact 3-gram Jaccard over candidate pairs sharing a shingle.
 
     Plan: explode (narrow) -> self-equi-join on shingle (one shuffle, only
     co-occurring shingles join) -> count fold -> filter. The cross product
-    never materializes; worst case is bounded by shingle co-occurrence,
-    which is what makes this viable at corpus scale (hot shingles would be
-    stop-shingle-filtered first)."""
+    never materializes; worst case is bounded by shingle co-occurrence.
+
+    ``max_shingle_docs`` is the skew guard that makes the co-occurrence
+    bound real at corpus scale: a shingle present in k documents
+    contributes k^2/2 join rows, so one boilerplate shingle shared by a
+    million docs is a half-trillion-row skew bomb on a single join key.
+    With the cap set, shingles whose document frequency exceeds it are
+    dropped before the self-join (an extra count shuffle over the
+    exploded rows, then a broadcast anti-join — the hot set is tiny by
+    definition). Denominators keep the FULL per-doc shingle count, so
+    reported Jaccard is a lower bound for pairs that shared hot shingles,
+    and pairs co-occurring ONLY on hot shingles are missed — the standard
+    recall-for-boundedness trade (hot shingles carry ~no signal). Default
+    None preserves exact semantics (the oracle-checked form)."""
     sh = _shingles(_docs(spark, sf_dir))
+    if max_shingle_docs is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_shingle_docs)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -229,12 +249,22 @@ def minhash_signatures(df: DataFrame, hash_impl: str = "md5") -> DataFrame:
 
 
 def minhash_lsh_query(spark: SparkSession, sf_dir: str,
-                      hash_impl: str = "md5") -> DataFrame:
+                      hash_impl: str = "md5",
+                      max_bucket_docs: int | None = None) -> DataFrame:
     """Banded LSH candidate pairs: 4 bands x 4 rows; a pair is a candidate
     iff any band's 4 row-hashes all collide. Plan: one groupBy shuffle for
     signatures + one equi-join shuffle on (band, sig) — never all-pairs.
     With the md5 hash impl the full pipeline is oracle-checked in DuckDB;
-    pytest additionally validates recall against exact Jaccard."""
+    pytest additionally validates recall against exact Jaccard.
+
+    ``max_bucket_docs`` is the skew guard for degenerate buckets: a
+    (band, sig) bucket of k docs emits k^2/2 pairs in one join task, and
+    real corpora always have one (every empty/boilerplate doc shares a
+    signature). Buckets larger than the cap are dropped before the
+    self-join (count shuffle + broadcast anti-join on the tiny hot set);
+    pairs inside an oversized bucket are still found through any of
+    their other bands that collide, so recall degrades gracefully
+    instead of one task OOMing. Default None = exact oracle semantics."""
     sigs = minhash_signatures(_docs(spark, sf_dir), hash_impl)
     hash_band = (
         (lambda *cs: F.xxhash64(*cs)) if hash_impl == "xxhash64"
@@ -250,6 +280,14 @@ def minhash_lsh_query(spark: SparkSession, sf_dir: str,
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_bucket_docs is not None:
+        hot = (
+            exploded.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("bucket_docs"))
+            .filter(F.col("bucket_docs") > max_bucket_docs)
+            .select("band", "sig")
+        )
+        exploded = exploded.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

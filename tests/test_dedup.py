@@ -134,3 +134,88 @@ def test_minhash_signature_values_stable(spark):
     assert sig["doc_id"] == o[0]
     for k in range(dedup.N_HASHES):
         assert sig[f"h{k}"] == o[1 + k], (k, sig[f"h{k}"], o[1 + k])
+
+
+# ------------------------------------------------- hot-key skew guards
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text). Written as a documents.parquet dir so
+    the query entry points read it like a testdata sf dir."""
+    path = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id string, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_ngram_hot_shingle_cap_drops_only_hot_pairs(spark, tmp_path):
+    """One boilerplate shingle shared by every doc must not pair the whole
+    corpus. With the cap: the pair that co-occurs ONLY on the hot shingle
+    disappears, a genuinely near-dup pair survives, and its Jaccard is a
+    lower bound of the uncapped value (full denominators kept)."""
+    hot = "lorem ipsum dolor"
+    rows = [
+        # near-dup pair: share 4 real shingles + the hot one
+        ("a", f"{hot} alpha beta gamma delta epsilon zeta"),
+        ("b", f"{hot} alpha beta gamma delta epsilon eta"),
+        # unrelated docs: share ONLY the hot shingle
+        ("c", f"{hot} one two three four"),
+        ("d", f"{hot} five six seven eight"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_query(spark, sf).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_query(
+            spark, sf, max_shingle_docs=3
+        ).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert ("a", "b") in capped
+    # c/d co-occur only via the hot shingle -> gone under the cap
+    assert all("c" not in p and "d" not in p for p in capped)
+    # conservative: capped jaccard never exceeds the uncapped value
+    for p, j in capped.items():
+        assert j <= uncapped[p] + 1e-9, (p, j, uncapped[p])
+
+
+def test_ngram_hot_shingle_cap_plan_broadcasts_hot_set(spark):
+    """The anti-join against the hot-shingle set must broadcast (the hot
+    set is metadata-scale); a shuffled anti-join would add a full
+    exchange of the exploded corpus."""
+    df = dedup.ngram_jaccard_query(spark, SF, max_shingle_docs=100)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_minhash_bucket_cap_degrades_gracefully(spark, tmp_path):
+    """Docs with identical text land in one (band, sig) bucket per band;
+    capping bucket size drops oversized buckets but identical docs are
+    still paired via their other (equally-sized, also-capped...) buckets
+    — so use a corpus where only SOME buckets blow the cap: the empty
+    text class. Distinct near-dups must survive the cap."""
+    rows = [(f"e{i}", "") for i in range(8)]  # degenerate: 8 empty docs
+    rows += [
+        ("x", "the quick brown fox jumps over the lazy dog today ok"),
+        ("y", "the quick brown fox jumps over the lazy dog today yes"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_query(spark, sf).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_query(
+            spark, sf, max_bucket_docs=4
+        ).collect()
+    }
+    assert capped <= uncapped
+    # the empty-doc class (8 docs > cap 4 in every band) emits no pairs
+    assert all(not (a.startswith("e") and b.startswith("e"))
+               for a, b in capped), capped
+    # the genuine near-dup pair (bucket size 2 <= cap) survives
+    assert ("x", "y") in capped, capped
