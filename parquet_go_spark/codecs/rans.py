@@ -114,7 +114,7 @@ def _encode_lanes(
     output, pinned by tests — else the vectorized numpy kernel."""
     from .. import native
 
-    if native.HAVE and len(padded) >= 4096:
+    if native.HAVE:
         return _encode_lanes_c(padded, freqs, k, lanes)
     return _encode_lanes_np(padded, freqs, k, lanes)
 
@@ -192,7 +192,7 @@ def _decode_lanes(
     re-applied (fused into the C kernel's output store)."""
     from .. import native
 
-    if native.HAVE and rows * lanes >= 4096:
+    if native.HAVE:
         return _decode_lanes_c(
             states, stream, freqs, k, rows, lanes, vmin, out_dtype
         )
@@ -306,7 +306,6 @@ def encode_ints(vals: np.ndarray) -> bytes:
 
     if (
         native.HAVE
-        and n >= 4096
         and vals.dtype.itemsize in (4, 8)
         and vals.flags.c_contiguous
     ):
