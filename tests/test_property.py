@@ -139,7 +139,15 @@ def test_rans_fuzz_roundtrip_and_mutation(vals, _salt, data):
         mutated[pos] ^= 1 << bit
         try:
             out = rans.decode_ints(bytes(mutated))
-            # a surviving decode must at least keep the element count
-            assert len(out) in (len(arr),)
+            # A surviving decode must keep the element count — except when
+            # the flip landed inside the header's n field (bytes 8..15 of
+            # `<BBHIQqII`): the count exists ONLY there (an rANS stream
+            # carries no redundancy about it — decoding fewer symbols, or
+            # more from a degenerate single-symbol table, is structurally
+            # valid), so that one field is undetectable at codec level.
+            # Integrity there is the frame layer's CRC, which covers every
+            # real read path (frame.py).
+            if not (8 <= pos < 16):
+                assert len(out) == len(arr)
         except (ValueError, OverflowError):
             pass
