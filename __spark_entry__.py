@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prune_geo_bbox"] = _pruned.geo_pruned_bbox_query
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
 
+    # --- native Spark source: spark.read/write.format("pgs") ---
+    from parquet_go_spark.sources import pgs_datasource as _ds
+
+    q["ds_pruned_read"] = _ds.ds_pruned_read_query
+    q["ds_write_roundtrip"] = _ds.ds_write_roundtrip_query
+
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
     q["mm_features"] = _mm.features_query
@@ -237,6 +243,10 @@ def oracle_sql() -> dict[str, str]:
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
     o["prune_geo_bbox"] = _pruned.GEO_PRUNED_BBOX_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
+    from parquet_go_spark.sources import pgs_datasource as _ds
+
+    o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE
+    o["ds_write_roundtrip"] = _ds.DS_WRITE_ROUNDTRIP_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -267,6 +267,8 @@ def encode_table(
         key_col=None, clustering="token_weighted",
         num_parts=plan.num_partitions, page_rows=page_rows,
         sort_cols=sort_cols or [],
+        # makes the store self-describing for format("pgs") reads
+        schema_json=df.schema.jsonValue(),
         encrypted=encryption_key is not None or bool(column_keys),
         # key NAMES only — which columns need their own key (the keyless-
         # readable part of the reference's key_metadata); never material

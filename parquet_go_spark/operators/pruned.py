@@ -110,6 +110,7 @@ def encode_generic(
     store.write_meta(
         key_col=key_col, clustering=clustering, num_parts=num_parts,
         page_rows=page_rows, sorted_by=key_col if sort_within else None,
+        schema_json=df.schema.jsonValue(),
         bloom_cols=sorted(bloom_cols) if bloom_cols else [],
         encrypted=encryption_key is not None or bool(column_keys),
         column_key_cols=sorted(column_keys) if column_keys else [],

@@ -1,0 +1,547 @@
+"""Spark Python Data Source over the PGS blob store: the idiomatic
+front door — ``spark.read.format("pgs").load(dir)`` and
+``df.write.format("pgs").save(dir)`` — wrapping the encode/decode/prune
+machinery so a store behaves like any other Spark table source.
+
+This is the read-API surface of the reference (reader/reader.go NewParquetReader
+-> Read/ReadByNumber, SURVEY.md §3.2) re-expressed as Spark's DataSource V2
+Python API (pyspark 4.x ``pyspark.sql.datasource``), and the writer is the
+``writer/writer.go`` NewParquetWriter/Write/WriteStop lifecycle as a
+DataSourceArrowWriter (task-local encode, atomic driver-side commit):
+
+  * schema        — self-describing: the store's recorded schema (meta
+                    ``schema_json``), or inferred by decoding one
+                    partition's chunks when reading a store written before
+                    the field existed (frames self-describe their types).
+  * projection    — pass ``.schema(subset)`` or ``.option("columns", csv)``;
+                    only those columns' chunks are fetched (the parquet
+                    scan under the store never reads pruned ``blob`` bytes;
+                    reader/reader.go:126-138 per-leaf buffers analog).
+  * pushFilters   — EqualTo/In/range/IsNotNull prune *partitions* on the
+                    driver from manifest stats ([vmin,vmax] ColumnIndex
+                    analog) and split-block blooms (BloomFilterCheck,
+                    reader/bloom.go:61-126) before any task launches. The
+                    pruning is advisory-lossless: every filter is also
+                    returned to Spark for exact post-evaluation, so a
+                    wide-bounds store simply prunes nothing.
+  * read          — one InputPartition per surviving part_id; each task
+                    fetches only its own (part_id, col) blob rows via a
+                    predicate-pushed parquet scan and decodes them with the
+                    vectorized numpy kernels, yielding Arrow batches.
+  * write         — one upstream Spark partition = one store partition
+                    (the "one row group per flush" contract,
+                    writer/ops.go:129-281); tasks encode locally and write
+                    invisible ``_tmp-*`` files, the driver commit renames
+                    them into place (atomic on a posix dir; an Iceberg
+                    deployment swaps this for a catalog commit, the same
+                    single swap point store.py documents). Token-weighted
+                    skew planning stays in ``encode_table`` — this writer
+                    honors whatever partitioning the caller declared.
+
+At 100 TB: planning reads only manifest columns (never blob bytes), the
+per-task scan pushes ``part_id = N`` into parquet row-group pruning, and no
+driver collect ever touches row data — candidate part ids are the only
+thing that crosses to the driver, exactly like the footer read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_MANIFEST_COLUMNS = ["part_id", "col", "vmin", "vmax", "count", "null_count"]
+_READ_BATCH_ROWS = 32768
+
+
+# --------------------------------------------------------------- store access
+
+def _blobs_dir(path: str) -> str:
+    return os.path.join(path, "blobs")
+
+
+def _meta(path: str) -> dict:
+    p = os.path.join(path, "_store_meta.json")
+    if not os.path.isfile(p):
+        return {}
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _dataset(path: str):
+    import pyarrow.dataset as pads
+
+    return pads.dataset(_blobs_dir(path), format="parquet")
+
+
+def _parse_keys(options) -> tuple[bytes | None, dict[str, bytes] | None]:
+    key_hex = options.get("key_hex")
+    ck_json = options.get("column_keys_json")
+    key = bytes.fromhex(key_hex) if key_hex else None
+    cks = (
+        {c: bytes.fromhex(h) for c, h in json.loads(ck_json).items()}
+        if ck_json
+        else None
+    )
+    return key, cks
+
+
+def _infer_schema(path: str, options) -> StructType:
+    """Schema of a store: recorded meta if present, else decode one
+    partition's chunks (frames are self-describing) and map the Arrow
+    types back — bounded by a single partition, a footer-scale read."""
+    meta = _meta(path)
+    if meta.get("schema_json"):
+        return StructType.fromJson(meta["schema_json"])
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from .. import chunk, keys as keysmod
+
+    key, cks = _parse_keys(options)
+    d = _dataset(path)
+    parts = d.to_table(columns=["part_id"]).column("part_id").to_pylist()
+    if not parts:
+        raise ValueError(f"empty pgs store: {path}")
+    pid = min(parts)
+    t = d.to_table(
+        columns=["col", "blob"], filter=pads.field("part_id") == pid
+    )
+    fields = []
+    for name, blob in zip(t.column("col").to_pylist(),
+                          t.column("blob").to_pylist()):
+        arr = chunk.decode_chunk(blob, keysmod.key_for(name, cks, key))
+        fields.append(pa.field(name, arr.type))
+    return from_arrow_schema(pa.schema(fields))
+
+
+# ----------------------------------------------------------- driver pruning
+
+def _coerce(bound: str, like):
+    """Parse a manifest bound string into the filter value's domain; None
+    means "cannot compare -> do not prune" (invalid-stats defense,
+    reader/index.go:65-87)."""
+    if bound is None or bound == "":
+        return None
+    if isinstance(like, bool):
+        return None  # str(True) doesn't order; booleans never prune
+    if isinstance(like, int):
+        try:
+            return int(bound)
+        except ValueError:
+            try:
+                return float(bound)
+            except ValueError:
+                return None
+    if isinstance(like, float):
+        try:
+            return float(bound)
+        except ValueError:
+            return None
+    if isinstance(like, str):
+        return bound
+    return None
+
+
+def _stats_keep(vmin: str, vmax: str, f: Filter) -> bool:
+    """May this chunk's [vmin, vmax] contain a row satisfying f? Truncated
+    string bounds only ever widen the interval (stats_trunc.py), so a
+    False here is safe to prune on."""
+    if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                      LessThan, LessThanOrEqual)):
+        v = f.value
+        lo, hi = _coerce(vmin, v), _coerce(vmax, v)
+        if lo is None or hi is None:
+            return True
+        try:
+            if isinstance(f, EqualTo):
+                return lo <= v <= hi
+            if isinstance(f, GreaterThan):
+                return hi > v
+            if isinstance(f, GreaterThanOrEqual):
+                return hi >= v
+            if isinstance(f, LessThan):
+                return lo < v
+            return lo <= v
+        except TypeError:
+            return True
+    if isinstance(f, In):
+        vs = [v for v in f.value if v is not None]
+        if not vs:
+            return True
+        lo, hi = _coerce(vmin, vs[0]), _coerce(vmax, vs[0])
+        if lo is None or hi is None:
+            return True
+        try:
+            return hi >= min(vs) and lo <= max(vs)
+        except TypeError:
+            return True
+    return True
+
+
+def _bloom_hits(path: str, col: str, values: list) -> set[int] | None:
+    """part_ids whose split-block bloom may contain any of ``values``;
+    None when the column has no blooms (cannot prune)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from .. import bloom as bloommod
+
+    vs = [v for v in values if v is not None]
+    if not vs:
+        return None
+    if isinstance(vs[0], (int,)) and not isinstance(vs[0], bool):
+        hashes = bloommod.xxhash64_u64(np.asarray(vs, dtype=np.int64))
+    elif isinstance(vs[0], (str, bytes)):
+        hashes = bloommod.xxhash64_bytes(
+            [v.encode() if isinstance(v, str) else v for v in vs]
+        )
+    else:
+        return None
+    t = _dataset(path).to_table(
+        columns=["part_id", "bloom"], filter=pads.field("col") == col
+    )
+    hits: set[int] = set()
+    saw_bloom = False
+    for pid, blm in zip(t.column("part_id").to_pylist(),
+                        t.column("bloom").to_pylist()):
+        if blm is None:
+            hits.add(pid)  # no filter on this chunk -> cannot prune it
+            continue
+        saw_bloom = True
+        bf = bloommod.SplitBlockBloom.frombytes(blm)
+        if bool(bf.check_hashes(hashes).any()):
+            hits.add(pid)
+    return hits if saw_bloom else None
+
+
+def _candidate_parts(path: str, filters: list[Filter]) -> list[int]:
+    """Driver-side partition pruning from manifest stats + blooms. Reads
+    only metadata columns of the blob files (parquet column pruning keeps
+    blob bytes untouched) — the footer read, bounded by parts x cols."""
+    stats = _dataset(path).to_table(columns=_MANIFEST_COLUMNS)
+    by_col: dict[str, dict[int, tuple]] = {}
+    parts: set[int] = set()
+    for pid, col, vmin, vmax, cnt, nulls in zip(
+        stats.column("part_id").to_pylist(),
+        stats.column("col").to_pylist(),
+        stats.column("vmin").to_pylist(),
+        stats.column("vmax").to_pylist(),
+        stats.column("count").to_pylist(),
+        stats.column("null_count").to_pylist(),
+    ):
+        parts.add(pid)
+        by_col.setdefault(col, {})[pid] = (vmin, vmax, cnt, nulls)
+    keep = parts
+    bloom_cols = set(_meta(path).get("bloom_cols") or [])
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        col = attr[0]
+        rows = by_col.get(col)
+        if rows is None:
+            continue
+        if isinstance(f, IsNotNull):
+            keep = {p for p in keep
+                    if p not in rows or rows[p][3] < rows[p][2]}
+            continue
+        keep = {
+            p for p in keep
+            if p not in rows or _stats_keep(rows[p][0], rows[p][1], f)
+        }
+        if col in bloom_cols and isinstance(f, (EqualTo, In)):
+            vals = [f.value] if isinstance(f, EqualTo) else list(f.value)
+            hits = _bloom_hits(path, col, vals)
+            if hits is not None:
+                keep = keep & hits
+    return sorted(keep)
+
+
+# ------------------------------------------------------------------- reader
+
+class PGSReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType, options):
+        self._path = path
+        self._columns = [f.name for f in schema.fields]
+        self._schema = schema
+        self._key, self._column_keys = _parse_keys(options)
+        self._filters: list[Filter] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is not None and len(attr) == 1 and isinstance(
+                f, (EqualTo, In, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual, IsNotNull)
+            ):
+                self._filters.append(f)
+        # pruning is advisory: Spark re-evaluates every filter exactly, so
+        # truncated/absent stats can only cost IO, never correctness
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        cands = _candidate_parts(self._path, self._filters)
+        if not cands:
+            return [InputPartition(None)]  # schema-only empty scan
+        return [InputPartition(pid) for pid in cands]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        if partition.value is None:
+            return
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from .. import chunk, keys as keysmod
+
+        pid = partition.value
+        t = _dataset(self._path).to_table(
+            columns=["col", "blob"],
+            filter=(pads.field("part_id") == pid)
+            & pads.field("col").isin(self._columns),
+        )
+        blobs = dict(zip(t.column("col").to_pylist(),
+                         t.column("blob").to_pylist()))
+        arrays = []
+        for name in self._columns:
+            if name not in blobs:
+                raise ValueError(
+                    f"partition {pid} missing column chunk {name!r}"
+                )
+            arrays.append(chunk.decode_chunk(
+                blobs[name],
+                keysmod.key_for(name, self._column_keys, self._key),
+            ))
+        tbl = pa.table(dict(zip(self._columns, arrays)))
+        target = to_arrow_schema(self._schema)
+        if tbl.schema != target:
+            tbl = tbl.cast(target)
+        yield from tbl.to_batches(max_chunksize=_READ_BATCH_ROWS)
+
+
+# ------------------------------------------------------------------- writer
+
+@dataclass
+class PGSCommitMessage(WriterCommitMessage):
+    part_id: int
+    rows: int
+    tmp_name: str | None
+
+
+class PGSArrowWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, schema: StructType, overwrite: bool,
+                 options):
+        if "part_id" in schema.fieldNames():
+            raise ValueError(
+                "'part_id' is reserved by the pgs store; rename the column"
+            )
+        self._path = path
+        self._schema = schema
+        self._overwrite = overwrite
+        self._token = uuid.uuid4().hex[:12]
+        self._compression = options.get("compression", "zstd")
+        if self._compression in ("none", ""):
+            self._compression = None
+        self._codec = options.get("codec", "auto")
+        cm = options.get("codec_map_json")
+        self._codec_map = json.loads(cm) if cm else None
+        bc = options.get("bloom_cols")
+        self._bloom_cols = set(bc.split(",")) if bc else None
+        pr = options.get("page_rows")
+        self._page_rows = int(pr) if pr else None
+        self._sort_key = options.get("sort_key")
+        self._key, self._column_keys = _parse_keys(options)
+        # append must not collide with committed part ids: offset new
+        # parts past the existing range (driver-side metadata read)
+        self._base = 0
+        if not overwrite and os.path.isdir(_blobs_dir(path)):
+            existing = _dataset(path).to_table(columns=["part_id"])
+            ids = existing.column("part_id").to_pylist()
+            self._base = (max(ids) + 1) if ids else 0
+
+    def write(self, iterator: Iterator) -> PGSCommitMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from ..operators.encode_job import make_encode_fn
+
+        ctx = TaskContext.get()
+        pid = self._base + ctx.partitionId()
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return PGSCommitMessage(part_id=pid, rows=0, tmp_name=None)
+        table = pa.Table.from_batches(batches)
+        table = table.append_column(
+            "part_id", pa.array([pid] * table.num_rows, pa.int32())
+        )
+        encode_group = make_encode_fn(
+            self._compression, self._codec, self._codec_map,
+            self._bloom_cols, self._page_rows, self._sort_key,
+            self._key, self._column_keys,
+        )
+        blob_tbl = encode_group(table)
+        os.makedirs(_blobs_dir(self._path), exist_ok=True)
+        # "_"-prefixed files are invisible to Spark's parquet reader, so an
+        # uncommitted (or failed-attempt) file can never leak into a scan
+        tmp = f"_tmp-{self._token}-{pid}-{ctx.attemptNumber()}.parquet"
+        pq.write_table(
+            blob_tbl, os.path.join(_blobs_dir(self._path), tmp),
+            compression="NONE",  # frames are already block-compressed
+        )
+        return PGSCommitMessage(
+            part_id=pid, rows=table.num_rows, tmp_name=tmp
+        )
+
+    def commit(self, messages) -> None:
+        bdir = _blobs_dir(self._path)
+        os.makedirs(bdir, exist_ok=True)
+        if self._overwrite:
+            for f in os.listdir(bdir):
+                if not f.startswith("_tmp-"):
+                    os.remove(os.path.join(bdir, f))
+        committed = 0
+        for m in messages:
+            if m.tmp_name is None:
+                continue
+            final = f"part-{m.part_id:05d}-{self._token}.parquet"
+            os.replace(os.path.join(bdir, m.tmp_name),
+                       os.path.join(bdir, final))
+            committed += 1
+        self._cleanup_tmp()
+        meta_path = os.path.join(self._path, "_store_meta.json")
+        meta = _meta(self._path) if not self._overwrite else {}
+        meta.update(
+            schema_json=self._schema.jsonValue(),
+            clustering="upstream",
+            num_parts=self._base + committed if not self._overwrite
+            else committed,
+            page_rows=self._page_rows,
+            bloom_cols=sorted(self._bloom_cols) if self._bloom_cols else [],
+            encrypted=self._key is not None or bool(self._column_keys),
+            column_key_cols=sorted(self._column_keys)
+            if self._column_keys else [],
+            key_col=self._sort_key,
+        )
+        with open(meta_path, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    def abort(self, messages) -> None:
+        self._cleanup_tmp()
+
+    def _cleanup_tmp(self) -> None:
+        bdir = _blobs_dir(self._path)
+        if not os.path.isdir(bdir):
+            return
+        for f in os.listdir(bdir):
+            if f.startswith(f"_tmp-{self._token}-"):
+                try:
+                    os.remove(os.path.join(bdir, f))
+                except OSError:
+                    pass
+
+
+# --------------------------------------------------------------- data source
+
+class PGSDataSource(DataSource):
+    """``format("pgs")``: read/write PGS blob stores as a native source.
+
+    Read options: ``columns`` (csv projection when no explicit schema),
+    ``key_hex`` / ``column_keys_json`` (AES-GCM keys). Write options:
+    ``compression``, ``codec``, ``codec_map_json``, ``bloom_cols``,
+    ``page_rows``, ``sort_key``, ``key_hex``, ``column_keys_json``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgs"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("pgs requires a path: .load(dir) / .save(dir)")
+        return p
+
+    def schema(self):
+        full = _infer_schema(self._path(), self.options)
+        cols = self.options.get("columns")
+        if cols:
+            want = [c.strip() for c in cols.split(",")]
+            by_name = {f.name: f for f in full.fields}
+            missing = [c for c in want if c not in by_name]
+            if missing:
+                raise ValueError(f"columns not in store schema: {missing}")
+            return StructType([by_name[c] for c in want])
+        return full
+
+    def reader(self, schema: StructType) -> PGSReader:
+        return PGSReader(self._path(), schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> PGSArrowWriter:
+        return PGSArrowWriter(self._path(), schema, overwrite, self.options)
+
+
+# ------------------------------------------------------------ driver queries
+
+def ds_pruned_read_query(spark, sf_dir: str):
+    """orders through the native source: encode range-clustered, then a
+    plain DataFrame filter — pushFilters prunes partitions from manifest
+    stats before any task launches, Spark re-filters exactly."""
+    from ..operators.pruned import RANGE_HI, RANGE_LO, encode_generic
+
+    register(spark)
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = os.path.join("/tmp", f"pgs_ds_read_{os.path.basename(sf_dir)}")
+    encode_generic(
+        spark, df, out, key_col="o_orderkey", clustering="range",
+        num_parts=16,
+    )
+    back = spark.read.format("pgs").load(out)
+    return back.filter(
+        (back.o_orderkey >= RANGE_LO) & (back.o_orderkey <= RANGE_HI)
+    )
+
+
+def ds_write_roundtrip_query(spark, sf_dir: str):
+    """customer written through df.write.format("pgs") (one upstream
+    partition = one store partition), read back through the source."""
+    import shutil
+
+    register(spark)
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = os.path.join("/tmp", f"pgs_ds_write_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    df.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    return spark.read.format("pgs").load(out)
+
+
+DS_WRITE_ROUNDTRIP_ORACLE = "SELECT * FROM customer"
+
+
+def register(spark) -> None:
+    """Make ``format("pgs")`` available on this session. Also enables
+    Python-data-source filter pushdown (off by default; Spark refuses to
+    plan a reader that implements pushFilters while it is off)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PGSDataSource)
