@@ -56,6 +56,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -349,17 +350,16 @@ class PGSCommitMessage(WriterCommitMessage):
     tmp_name: str | None
 
 
-class PGSArrowWriter(DataSourceArrowWriter):
-    def __init__(self, path: str, schema: StructType, overwrite: bool,
-                 options):
+class _WriterBase:
+    """Shared option parsing + per-task encode for batch and streaming."""
+
+    def _init_common(self, path: str, schema: StructType, options) -> None:
         if "part_id" in schema.fieldNames():
             raise ValueError(
                 "'part_id' is reserved by the pgs store; rename the column"
             )
         self._path = path
         self._schema = schema
-        self._overwrite = overwrite
-        self._token = uuid.uuid4().hex[:12]
         self._compression = options.get("compression", "zstd")
         if self._compression in ("none", ""):
             self._compression = None
@@ -372,23 +372,13 @@ class PGSArrowWriter(DataSourceArrowWriter):
         self._page_rows = int(pr) if pr else None
         self._sort_key = options.get("sort_key")
         self._key, self._column_keys = _parse_keys(options)
-        # append must not collide with committed part ids: offset new
-        # parts past the existing range (driver-side metadata read)
-        self._base = 0
-        if not overwrite and os.path.isdir(_blobs_dir(path)):
-            existing = _dataset(path).to_table(columns=["part_id"])
-            ids = existing.column("part_id").to_pylist()
-            self._base = (max(ids) + 1) if ids else 0
 
-    def write(self, iterator: Iterator) -> PGSCommitMessage:
+    def _encode_task(self, iterator, pid: int, tmp: str) -> PGSCommitMessage:
         import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark import TaskContext
 
         from ..operators.encode_job import make_encode_fn
 
-        ctx = TaskContext.get()
-        pid = self._base + ctx.partitionId()
         batches = [b for b in iterator if b.num_rows]
         if not batches:
             return PGSCommitMessage(part_id=pid, rows=0, tmp_name=None)
@@ -405,7 +395,6 @@ class PGSArrowWriter(DataSourceArrowWriter):
         os.makedirs(_blobs_dir(self._path), exist_ok=True)
         # "_"-prefixed files are invisible to Spark's parquet reader, so an
         # uncommitted (or failed-attempt) file can never leak into a scan
-        tmp = f"_tmp-{self._token}-{pid}-{ctx.attemptNumber()}.parquet"
         pq.write_table(
             blob_tbl, os.path.join(_blobs_dir(self._path), tmp),
             compression="NONE",  # frames are already block-compressed
@@ -413,6 +402,40 @@ class PGSArrowWriter(DataSourceArrowWriter):
         return PGSCommitMessage(
             part_id=pid, rows=table.num_rows, tmp_name=tmp
         )
+
+    def _meta_fields(self) -> dict:
+        return dict(
+            schema_json=self._schema.jsonValue(),
+            page_rows=self._page_rows,
+            bloom_cols=sorted(self._bloom_cols) if self._bloom_cols else [],
+            encrypted=self._key is not None or bool(self._column_keys),
+            column_key_cols=sorted(self._column_keys)
+            if self._column_keys else [],
+            key_col=self._sort_key,
+        )
+
+
+class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
+    def __init__(self, path: str, schema: StructType, overwrite: bool,
+                 options):
+        self._init_common(path, schema, options)
+        self._overwrite = overwrite
+        self._token = uuid.uuid4().hex[:12]
+        # append must not collide with committed part ids: offset new
+        # parts past the existing range (driver-side metadata read)
+        self._base = 0
+        if not overwrite and os.path.isdir(_blobs_dir(path)):
+            existing = _dataset(path).to_table(columns=["part_id"])
+            ids = existing.column("part_id").to_pylist()
+            self._base = (max(ids) + 1) if ids else 0
+
+    def write(self, iterator: Iterator) -> PGSCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = self._base + ctx.partitionId()
+        tmp = f"_tmp-{self._token}-{pid}-{ctx.attemptNumber()}.parquet"
+        return self._encode_task(iterator, pid, tmp)
 
     def commit(self, messages) -> None:
         bdir = _blobs_dir(self._path)
@@ -433,16 +456,10 @@ class PGSArrowWriter(DataSourceArrowWriter):
         meta_path = os.path.join(self._path, "_store_meta.json")
         meta = _meta(self._path) if not self._overwrite else {}
         meta.update(
-            schema_json=self._schema.jsonValue(),
             clustering="upstream",
             num_parts=self._base + committed if not self._overwrite
             else committed,
-            page_rows=self._page_rows,
-            bloom_cols=sorted(self._bloom_cols) if self._bloom_cols else [],
-            encrypted=self._key is not None or bool(self._column_keys),
-            column_key_cols=sorted(self._column_keys)
-            if self._column_keys else [],
-            key_col=self._sort_key,
+            **self._meta_fields(),
         )
         with open(meta_path, "w", encoding="utf-8") as f:
             json.dump(meta, f)
@@ -456,6 +473,93 @@ class PGSArrowWriter(DataSourceArrowWriter):
             return
         for f in os.listdir(bdir):
             if f.startswith(f"_tmp-{self._token}-"):
+                try:
+                    os.remove(os.path.join(bdir, f))
+                except OSError:
+                    pass
+
+
+# ---------------------------------------------------------- streaming sink
+
+class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
+    """``writeStream.format("pgs")``: exactly-once micro-batch appends.
+
+    Part ids come from ``batch_id * STRIDE + task_id`` (the batch id is
+    Spark's streaming local property on every micro-batch task), so a
+    replayed batch re-produces the SAME part ids and final file names;
+    commit is an idempotent rename + a last-committed-batch watermark in
+    the store meta — the same replay contract the foreachBatch front door
+    gets from the manifest anti-join (streaming/ingest.py), here native.
+    The sink owns its store: mixing batch-mode writes into the same
+    directory would collide with the stream's part-id namespace.
+    """
+
+    STRIDE = 4096  # max tasks per micro-batch; ~524k batches before int32
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool,
+                 options):
+        if overwrite:
+            raise ValueError("pgs streaming sink is append-only")
+        self._init_common(path, schema, options)
+
+    def write(self, iterator: Iterator) -> PGSCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        b = ctx.getLocalProperty("streaming.sql.batchId")
+        if b is None:
+            raise ValueError(
+                "pgs stream writer requires the micro-batch id local "
+                "property; use it under writeStream (not batch write)"
+            )
+        batch_id = int(b)
+        tid = ctx.partitionId()
+        if tid >= self.STRIDE:
+            raise ValueError(
+                f"micro-batch has >{self.STRIDE} tasks; raise STRIDE or "
+                "coalesce the stream"
+            )
+        pid = batch_id * self.STRIDE + tid
+        tmp = f"_tmp-s{batch_id}-{pid}-{ctx.attemptNumber()}.parquet"
+        return self._encode_task(iterator, pid, tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        bdir = _blobs_dir(self._path)
+        os.makedirs(bdir, exist_ok=True)
+        meta = _meta(self._path)
+        last = meta.get("last_committed_batch", -1)
+        if batchId > last:
+            committed = meta.get("num_parts", 0)
+            for m in messages:
+                if m is None or m.tmp_name is None:
+                    continue
+                # deterministic final name -> replaying a half-committed
+                # batch re-renames over identical files (encode is a pure
+                # function of the batch)
+                final = f"part-{m.part_id:07d}-b{batchId}.parquet"
+                os.replace(os.path.join(bdir, m.tmp_name),
+                           os.path.join(bdir, final))
+                committed += 1
+            meta.update(
+                clustering="stream_append",
+                num_parts=committed,
+                last_committed_batch=batchId,
+                **self._meta_fields(),
+            )
+            with open(os.path.join(self._path, "_store_meta.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(meta, f)
+        self._cleanup_batch_tmp(batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup_batch_tmp(batchId)
+
+    def _cleanup_batch_tmp(self, batch_id: int) -> None:
+        bdir = _blobs_dir(self._path)
+        if not os.path.isdir(bdir):
+            return
+        for f in os.listdir(bdir):
+            if f.startswith(f"_tmp-s{batch_id}-"):
                 try:
                     os.remove(os.path.join(bdir, f))
                 except OSError:
@@ -500,6 +604,10 @@ class PGSDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> PGSArrowWriter:
         return PGSArrowWriter(self._path(), schema, overwrite, self.options)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> PGSStreamWriter:  # noqa: N802
+        return PGSStreamWriter(self._path(), schema, overwrite, self.options)
 
 
 # ------------------------------------------------------------ driver queries

@@ -191,6 +191,48 @@ def test_writer_reserved_part_id(spark, orders, tmp_out):
         bad.write.format("pgs").mode("overwrite").save(tmp_out)
 
 
+def test_streaming_sink_exactly_once(spark, orders, tmp_path):
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    orders.limit(800).write.parquet(indir)
+
+    def drain():
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(indir)
+            .writeStream.format("pgs")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination(240)
+
+    drain()
+    assert spark.read.format("pgs").load(out).count() == 800
+    # second wave through the SAME checkpoint: only the new files land,
+    # part ids never collide (batch_id * STRIDE + task namespace)
+    orders.subtract(orders.limit(800)).write.mode("append").parquet(indir)
+    drain()
+    back = spark.read.format("pgs").load(out)
+    a = _sorted_pdf(orders)
+    assert a.equals(_sorted_pdf(back, list(a.columns)))
+    meta = json.load(open(os.path.join(out, "_store_meta.json")))
+    assert meta["clustering"] == "stream_append"
+    assert meta["last_committed_batch"] >= 1
+    # replaying a drained stream is a no-op (idempotent commit)
+    drain()
+    assert spark.read.format("pgs").load(out).count() == orders.count()
+
+
+def test_streaming_sink_rejects_overwrite(spark, orders, tmp_path):
+    from parquet_go_spark.sources.pgs_datasource import PGSStreamWriter
+
+    with pytest.raises(ValueError, match="append-only"):
+        PGSStreamWriter(str(tmp_path / "s"), orders.schema, True, {})
+
+
 def test_encrypted_store_via_options(spark, orders, tmp_out):
     key = bytes(range(32)).hex()
     (
