@@ -403,6 +403,23 @@ class _WriterBase:
             part_id=pid, rows=table.num_rows, tmp_name=tmp
         )
 
+    def _check_append_schema(self) -> None:
+        """Appending must match the committed schema (names + types,
+        nullability aside) — a mismatched append would leave partitions
+        with different column sets and clobber the recorded schema."""
+        meta = _meta(self._path)
+        if not meta.get("schema_json"):
+            return
+        existing = StructType.fromJson(meta["schema_json"])
+        mine = [(f.name, f.dataType.simpleString()) for f in self._schema]
+        theirs = [(f.name, f.dataType.simpleString()) for f in existing]
+        if mine != theirs:
+            raise ValueError(
+                f"append schema {mine} does not match the store's "
+                f"committed schema {theirs}; write to a new store or "
+                "overwrite"
+            )
+
     def _meta_fields(self) -> dict:
         return dict(
             schema_json=self._schema.jsonValue(),
@@ -420,6 +437,8 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
                  options):
         self._init_common(path, schema, options)
         self._overwrite = overwrite
+        if not overwrite:
+            self._check_append_schema()
         self._token = uuid.uuid4().hex[:12]
         # append must not collide with committed part ids: offset new
         # parts past the existing range (driver-side metadata read)
@@ -501,6 +520,7 @@ class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
         if overwrite:
             raise ValueError("pgs streaming sink is append-only")
         self._init_common(path, schema, options)
+        self._check_append_schema()
 
     def write(self, iterator: Iterator) -> PGSCommitMessage:
         from pyspark import TaskContext

@@ -226,6 +226,49 @@ def test_streaming_sink_exactly_once(spark, orders, tmp_path):
     assert spark.read.format("pgs").load(out).count() == orders.count()
 
 
+def test_append_schema_mismatch_rejected(spark, orders, tmp_out):
+    orders.repartition(2).write.format("pgs").mode("overwrite").save(tmp_out)
+    with pytest.raises(Exception, match="does not match"):
+        orders.select("o_orderkey").write.format("pgs").mode(
+            "append"
+        ).save(tmp_out)
+    # matching schema still appends
+    orders.limit(10).repartition(1).write.format("pgs").mode("append").save(
+        tmp_out
+    )
+    assert spark.read.format("pgs").load(tmp_out).count() == orders.count() + 10
+
+
+def test_stream_then_compact_then_read(spark, orders, tmp_path):
+    """Maintenance loop across surfaces: many small streamed partitions,
+    compacted into target-sized ones, read back through the source."""
+    from parquet_go_spark.operators.compact import compact_store
+
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "store")
+    compacted = str(tmp_path / "compacted")
+    orders.repartition(6).write.parquet(indir)
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.format("pgs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(240)
+    src_parts = json.load(open(os.path.join(out, "_store_meta.json")))[
+        "num_parts"
+    ]
+    assert src_parts >= 6  # one per micro-batch task
+    summary = compact_store(spark, out, compacted, target_raw=1 << 30)
+    assert summary["dst_parts"] < src_parts
+    back = spark.read.format("pgs").load(compacted)
+    a = _sorted_pdf(orders)
+    assert a.equals(_sorted_pdf(back, list(a.columns)))
+
+
 def test_streaming_sink_rejects_overwrite(spark, orders, tmp_path):
     from parquet_go_spark.sources.pgs_datasource import PGSStreamWriter
 
