@@ -149,6 +149,32 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Store -> parquet through the native source: any store (any schema,
+    not just the token table) exports via spark.read.format("pgs"), with
+    optional column projection and a SQL predicate that partition-prunes
+    through pushFilters before tasks launch."""
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    spark = _get_session("pgs-export")
+    register(spark)
+    reader = spark.read.format("pgs")
+    if args.columns:
+        reader = reader.option("columns", args.columns)
+    if args.encrypt_key_hex:
+        reader = reader.option("key_hex", args.encrypt_key_hex)
+    if args.column_keys_hex:
+        reader = reader.option("column_keys_json", args.column_keys_hex)
+    df = reader.load(args.store)
+    if args.where:
+        df = df.filter(args.where)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "job": "export", "rows": spark.read.parquet(args.out).count(),
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -198,6 +224,18 @@ def main() -> int:
     cpt.add_argument("--compression", default="zstd")
     cpt.add_argument("--encrypt-key-hex", default=None)
     cpt.set_defaults(fn=cmd_compact)
+
+    exp = sub.add_parser("export")
+    exp.add_argument("--store", required=True)
+    exp.add_argument("--out", required=True)
+    exp.add_argument("--columns", default=None,
+                     help="comma-separated projection (default: all)")
+    exp.add_argument("--where", default=None,
+                     help='SQL predicate, e.g. "n_tok > 4096" — pruned '
+                          "against manifest stats/blooms before decode")
+    exp.add_argument("--encrypt-key-hex", default=None)
+    exp.add_argument("--column-keys-hex", default=None)
+    exp.set_defaults(fn=cmd_export)
 
     ver = sub.add_parser("verify")
     ver.add_argument("--input", required=True)
