@@ -279,6 +279,43 @@ def _candidate_parts(path: str, filters: list[Filter]) -> list[int]:
     return sorted(keep)
 
 
+def _part_file_map(path: str, part_ids: list[int]) -> dict[int, tuple]:
+    """part_id -> blob files that can contain it, from each file's
+    row-group statistics (one driver-side footer pass, already paid by
+    the stats read). Files without part_id stats count for every part —
+    never a false negative."""
+    d = _dataset(path)
+    ranges: list[tuple[str, int | None, int | None]] = []
+    for frag in d.get_fragments():
+        lo = hi = None
+        try:
+            md = frag.metadata
+            col_idx = next(
+                (j for j in range(md.row_group(0).num_columns)
+                 if md.row_group(0).column(j).path_in_schema == "part_id"),
+                None,
+            ) if md.num_row_groups else None
+            if col_idx is not None:
+                los, his = [], []
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(col_idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise LookupError
+                    los.append(st.min)
+                    his.append(st.max)
+                lo, hi = min(los), max(his)
+        except Exception:
+            lo = hi = None
+        ranges.append((frag.path, lo, hi))
+    out: dict[int, tuple] = {}
+    for pid in part_ids:
+        out[pid] = tuple(
+            p for p, lo, hi in ranges
+            if lo is None or hi is None or lo <= pid <= hi
+        )
+    return out
+
+
 # ------------------------------------------------------------------- reader
 
 class PGSReader(DataSourceReader):
@@ -305,7 +342,8 @@ class PGSReader(DataSourceReader):
         cands = _candidate_parts(self._path, self._filters)
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
-        return [InputPartition(pid) for pid in cands]
+        files = _part_file_map(self._path, cands)
+        return [InputPartition((pid, files.get(pid))) for pid in cands]
 
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
@@ -316,8 +354,16 @@ class PGSReader(DataSourceReader):
 
         from .. import chunk, keys as keysmod
 
-        pid = partition.value
-        t = _dataset(self._path).to_table(
+        pid, files = partition.value
+        # the planner resolved which blob files can hold this part_id from
+        # row-group stats, so a task opens only its own files — no
+        # directory listing or foreign footer reads at any store size
+        src = (
+            pads.dataset(list(files), format="parquet")
+            if files
+            else _dataset(self._path)
+        )
+        t = src.to_table(
             columns=["col", "blob"],
             filter=(pads.field("part_id") == pid)
             & pads.field("col").isin(self._columns),

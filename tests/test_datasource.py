@@ -148,6 +148,27 @@ def test_pushdown_safety_wide_and_unsupported(range_store, spark, orders):
     assert got == orders.filter(orders.o_orderstatus.isin(["F"])).count()
 
 
+def test_part_file_map_narrows_task_reads(spark, orders, tmp_out):
+    """Planning maps each part_id to the blob files whose row-group stats
+    can hold it, so a task never lists the directory or reads foreign
+    footers — one file per part on a freshly written store."""
+    from parquet_go_spark.sources.pgs_datasource import _part_file_map
+
+    orders.repartition(4).write.format("pgs").mode("overwrite").save(tmp_out)
+    orders.limit(50).repartition(2).write.format("pgs").mode("append").save(
+        tmp_out
+    )
+    nfiles = len(
+        [f for f in os.listdir(os.path.join(tmp_out, "blobs"))
+         if not f.startswith("_")]
+    )
+    assert nfiles == 6
+    fm = _part_file_map(tmp_out, list(range(6)))
+    assert all(len(fs) == 1 for fs in fm.values())
+    # and the narrowed read is still exact
+    assert spark.read.format("pgs").load(tmp_out).count() == orders.count() + 50
+
+
 def test_pushdown_empty_result(spark, range_store):
     back = spark.read.format("pgs").load(range_store)
     assert back.filter(back.o_orderkey > 10**9).count() == 0
