@@ -279,6 +279,57 @@ def _candidate_parts(path: str, filters: list[Filter]) -> list[int]:
     return sorted(keep)
 
 
+def _page_keep_map(
+    path: str, part_ids: list[int], filters: list[Filter]
+) -> dict[int, tuple]:
+    """part_id -> page ordinals a conjunction of range/point filters can
+    touch, from the manifest's per-page index (the ColumnIndex read,
+    reader/columnbuffer_offset_index.go:23-110). Page boundaries are
+    row-aligned across columns, so one keep list serves every projected
+    column. Parts whose keep list is complete are omitted (no overhead);
+    pruning is advisory-lossless — page bounds are true bounds and Spark
+    re-applies the exact filter."""
+    import pyarrow.dataset as pads
+
+    usable = [
+        f for f in filters
+        if isinstance(f, (EqualTo, In, GreaterThan, GreaterThanOrEqual,
+                          LessThan, LessThanOrEqual))
+        and len(f.attribute) == 1
+    ]
+    if not usable or not _meta(path).get("page_rows"):
+        return {}
+    cols = {f.attribute[0] for f in usable}
+    t = _dataset(path).to_table(
+        columns=["part_id", "col", "pages"],
+        filter=pads.field("col").isin(sorted(cols))
+        & pads.field("part_id").isin(part_ids),
+    )
+    by_part: dict[int, dict[str, list]] = {}
+    for pid, col, pages in zip(t.column("part_id").to_pylist(),
+                               t.column("col").to_pylist(),
+                               t.column("pages").to_pylist()):
+        by_part.setdefault(pid, {})[col] = json.loads(pages) if pages else []
+    out: dict[int, tuple] = {}
+    for pid, per_col in by_part.items():
+        keep: set[int] | None = None
+        npages = 0
+        for f in usable:
+            pages = per_col.get(f.attribute[0])
+            if not pages:
+                continue
+            npages = max(npages, len(pages))
+            mine = {
+                i for i, p in enumerate(pages)
+                if p.get("lo") is None or p.get("hi") is None
+                or _stats_keep(p["lo"], p["hi"], f)
+            }
+            keep = mine if keep is None else keep & mine
+        if keep is not None and npages and len(keep) < npages:
+            out[pid] = tuple(sorted(keep))
+    return out
+
+
 def _part_file_map(path: str, part_ids: list[int]) -> dict[int, tuple]:
     """part_id -> blob files that can contain it, from each file's
     row-group statistics (one driver-side footer pass, already paid by
@@ -343,7 +394,11 @@ class PGSReader(DataSourceReader):
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
         files = _part_file_map(self._path, cands)
-        return [InputPartition((pid, files.get(pid))) for pid in cands]
+        pagemap = _page_keep_map(self._path, cands, self._filters)
+        return [
+            InputPartition((pid, files.get(pid), pagemap.get(pid)))
+            for pid in cands
+        ]
 
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
@@ -354,7 +409,9 @@ class PGSReader(DataSourceReader):
 
         from .. import chunk, keys as keysmod
 
-        pid, files = partition.value
+        pid, files, keep = partition.value
+        if keep == ():
+            return  # chunk bounds intersected but no single page does
         # the planner resolved which blob files can hold this part_id from
         # row-group stats, so a task opens only its own files — no
         # directory listing or foreign footer reads at any store size
@@ -370,16 +427,27 @@ class PGSReader(DataSourceReader):
         )
         blobs = dict(zip(t.column("col").to_pylist(),
                          t.column("blob").to_pylist()))
+        if keep is not None and any(
+            chunk.split_pages(blobs.get(n, b"")) is None
+            for n in self._columns if n in blobs
+        ):
+            # a mixed paged/unpaged partition cannot take a page subset
+            # (row alignment would break); decode it whole — still exact
+            keep = None
         arrays = []
         for name in self._columns:
             if name not in blobs:
                 raise ValueError(
                     f"partition {pid} missing column chunk {name!r}"
                 )
-            arrays.append(chunk.decode_chunk(
-                blobs[name],
-                keysmod.key_for(name, self._column_keys, self._key),
-            ))
+            key = keysmod.key_for(name, self._column_keys, self._key)
+            if keep is not None:
+                # page-granular skip: pruned pages are never decompressed
+                arrays.append(chunk.decode_chunk_pages(
+                    blobs[name], keep=list(keep), encryption_key=key,
+                ))
+            else:
+                arrays.append(chunk.decode_chunk(blobs[name], key))
         tbl = pa.table(dict(zip(self._columns, arrays)))
         target = to_arrow_schema(self._schema)
         if tbl.schema != target:

@@ -169,6 +169,34 @@ def test_part_file_map_narrows_task_reads(spark, orders, tmp_out):
     assert spark.read.format("pgs").load(tmp_out).count() == orders.count() + 50
 
 
+def test_page_pruned_read(spark, orders, tmp_path):
+    """Paged + sorted-within store: a narrow range decodes only the
+    intersecting pages of surviving partitions (ColumnIndex read through
+    the native source), and the answer stays exact."""
+    out = str(tmp_path / "paged")
+    encode_generic(
+        spark, orders, out, key_col="o_orderkey", clustering="range",
+        num_parts=4, page_rows=64, sort_within=True,
+    )
+    back = spark.read.format("pgs").load(out)
+    lo, hi = 100, 300
+    got = back.filter((back.o_orderkey >= lo) & (back.o_orderkey <= hi))
+    want = orders.filter(
+        (orders.o_orderkey >= lo) & (orders.o_orderkey <= hi)
+    )
+    a = _sorted_pdf(want)
+    assert a.equals(_sorted_pdf(got, list(a.columns)))
+    # reader-level: the surviving partition carries a proper page subset
+    r = PGSReader(out, back.schema, {})
+    r.pushFilters([
+        GreaterThanOrEqual(("o_orderkey",), lo),
+        LessThanOrEqual(("o_orderkey",), hi),
+    ])
+    parts = r.partitions()
+    keeps = [p.value[2] for p in parts if p.value is not None]
+    assert any(k is not None and 0 < len(k) for k in keeps)
+
+
 def test_pushdown_empty_result(spark, range_store):
     back = spark.read.format("pgs").load(range_store)
     assert back.filter(back.o_orderkey > 10**9).count() == 0
