@@ -197,6 +197,20 @@ def test_page_pruned_read(spark, orders, tmp_path):
     assert any(k is not None and 0 < len(k) for k in keeps)
 
 
+def test_pgs_scan_plan_shape(spark, range_store):
+    """The filtered read plans as a bare BatchScan with a codegen'd exact
+    Filter above it — no exchange, no Python row fallback."""
+    back = spark.read.format("pgs").load(range_store)
+    plan = (
+        back.filter((back.o_orderkey >= 100) & (back.o_orderkey <= 300))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchScan pgs" in plan
+    assert "Exchange" not in plan
+    # "*(n)" prefixes are the whole-stage-codegen markers
+    assert "*(1) Filter" in plan
+
+
 def test_pushdown_empty_result(spark, range_store):
     back = spark.read.format("pgs").load(range_store)
     assert back.filter(back.o_orderkey > 10**9).count() == 0
