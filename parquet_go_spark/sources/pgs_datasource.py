@@ -547,6 +547,12 @@ class _WriterBase:
 
 
 class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
+    """Single-writer commit protocol: the rename-based commit assumes one
+    job writes a store at a time (same as a bare parquet directory; an
+    Iceberg catalog commit — the documented swap point in store.py — is
+    what arbitrates concurrent writers at scale). Readers are safe at any
+    time: uncommitted files are "_"-invisible."""
+
     def __init__(self, path: str, schema: StructType, overwrite: bool,
                  options):
         self._init_common(path, schema, options)

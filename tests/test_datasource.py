@@ -216,6 +216,38 @@ def test_pushdown_empty_result(spark, range_store):
     assert back.filter(back.o_orderkey > 10**9).count() == 0
 
 
+def test_stats_keep_comparators():
+    """The driver-side pruning comparators: parse in the filter value's
+    domain, never prune on unparseable/absent bounds, exact int compare
+    beyond double precision."""
+    from parquet_go_spark.sources.pgs_datasource import _coerce, _stats_keep
+    from pyspark.sql.datasource import LessThan
+
+    big = (1 << 60) + 1
+    assert _coerce(str(big), 0) == big            # exact int64, no float loss
+    assert _coerce("7.5", 0) == 7.5               # float stats, int filter
+    assert _coerce("", 0) is None                 # missing bound
+    assert _coerce("x", 0) is None                # garbage -> no pruning
+    assert _coerce("True", True) is None          # booleans never prune
+
+    # exact boundary: [big, big+2] must keep EqualTo(big+1) but a double
+    # comparison would collapse all three values
+    assert _stats_keep(str(big), str(big + 2), EqualTo(("c",), big + 1))
+    assert not _stats_keep(str(big), str(big + 2), EqualTo(("c",), big + 5))
+    # one-sided ranges
+    assert _stats_keep("10", "20", GreaterThanOrEqual(("c",), 20))
+    assert not _stats_keep("10", "20", GreaterThan(("c",), 20))
+    assert not _stats_keep("10", "20", LessThan(("c",), 10))
+    # string bounds compare lexicographically (truncation only widens)
+    assert _stats_keep("apple", "mango", EqualTo(("c",), "banana"))
+    assert not _stats_keep("apple", "mango", EqualTo(("c",), "zebra"))
+    # In-list reduces to its [min, max] envelope
+    assert _stats_keep("10", "20", In(("c",), (1, 15)))
+    assert not _stats_keep("10", "20", In(("c",), (1, 5)))
+    # unparseable bounds keep the partition
+    assert _stats_keep("", "", EqualTo(("c",), 5))
+
+
 def test_writer_roundtrip_and_append(spark, orders, tmp_out):
     (
         orders.repartition(4)
