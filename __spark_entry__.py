@@ -168,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- similarity family ---
     q["sim_cosine_topk"] = _sim.cosine_topk_query
     q["sim_nearest_neighbor"] = _sim.nearest_neighbor_query
-    q["sim_lsh_ann"] = _sim.lsh_ann_query                      # rows-only
+    q["sim_lsh_ann"] = _sim.lsh_ann_query
     q["sim_ivf_ann"] = _sim.ivf_ann_query                      # rows-only
     q["dedup_embedding_cosine"] = _sim.embedding_near_dup_query
     q["dedup_near_dup_cluster"] = _dedup.near_dup_cluster_query
@@ -236,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
     o["sim_cosine_topk"] = _sim.COSINE_TOPK_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
+    o["sim_lsh_ann"] = _sim.LSH_ANN_ORACLE
     o["dedup_embedding_cosine"] = _sim.EMBEDDING_NEAR_DUP_ORACLE
     o["dedup_near_dup_cluster"] = _dedup.NEAR_DUP_CLUSTER_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE

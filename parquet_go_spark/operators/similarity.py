@@ -395,15 +395,34 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_THR}
 
 N_PLANES = 6  # 64 buckets
 LSH_SEED = 42
+LSH_QUANT = 1024  # fixed-point scale for the signature dot product
+
+
+def _lsh_planes_int(dim: int) -> np.ndarray:
+    """Integer hyperplanes h[p, d] in [-8, 8] from the splitmix64 counter
+    (mix64((LSH_SEED << 16) + p*dim + d) % 17 - 8). Uniform-ish random
+    directions are all LSH needs; integers make the signature exact
+    arithmetic, so the DuckDB oracle re-derives the buckets bit-for-bit
+    (same discipline as the md5 minhash family)."""
+    from ..sources.synth import _mix64
+
+    idx = np.arange(N_PLANES * dim, dtype=np.uint64) + np.uint64(
+        LSH_SEED << 16
+    )
+    h = (_mix64(idx) % np.uint64(17)).astype(np.int64) - 8
+    return h.reshape(N_PLANES, dim)
 
 
 def _lsh_bucketed(df: DataFrame) -> DataFrame:
     """Assign every vector to a random-hyperplane bucket (seeded,
     deterministic). Narrow mapInArrow; the bucket id is the only shuffle
-    key downstream operators need."""
+    key downstream operators need.
+
+    The sign test runs on fixed-point embeddings (floor(e*1024 + 0.5) —
+    exact in doubles, identical in SQL) against the integer hyperplanes,
+    so bucket ids are order-independent exact integers."""
     dim = len(df.select("embedding").first()["embedding"])
-    rng = np.random.default_rng(LSH_SEED)
-    planes = rng.standard_normal((N_PLANES, dim))
+    planes = _lsh_planes_int(dim)
 
     def bucket_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -411,7 +430,8 @@ def _lsh_bucketed(df: DataFrame) -> DataFrame:
             ids = tbl.column("vec_id").to_numpy()
             emb = tbl.column("embedding").combine_chunks()
             m = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(ids), -1)
-            signs = (m @ planes.T) > 0
+            q = np.floor(m * LSH_QUANT + 0.5).astype(np.int64)
+            signs = (q @ planes.T) > 0
             bucket = (signs * (1 << np.arange(N_PLANES))).sum(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -434,6 +454,9 @@ def _lsh_bucket_topk(df: DataFrame, k: int) -> DataFrame:
     bucketed = _lsh_bucketed(df)
 
     def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ascending-id order + stable argsort => cosine ties (exact
+        # duplicates) break by neighbor_id, matching the SQL row_number
+        pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
@@ -451,9 +474,9 @@ def _lsh_bucket_topk(df: DataFrame, k: int) -> DataFrame:
             {
                 "vec_id": np.repeat(ids, kk),
                 "neighbor_id": ids[order].ravel(),
-                "cosine": np.round(
-                    np.take_along_axis(sims, order, axis=1).ravel(), 6
-                ),
+                # unrounded: downstream rank windows order by it, and
+                # rounding before ranking would manufacture ties
+                "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
             }
         )
 
@@ -464,8 +487,88 @@ def _lsh_bucket_topk(df: DataFrame, k: int) -> DataFrame:
 
 def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Bucketed ANN: hyperplane signs -> bucket id -> exact top-k inside the
-    bucket via applyInPandas. The only shuffle is the groupBy(bucket)."""
-    return _lsh_bucket_topk(_emb(spark, sf_dir), k)
+    bucket via applyInPandas. The only shuffle is the groupBy(bucket).
+    Output is (vec_id, neighbor_id, rank) — integer-exact buckets plus
+    id-tiebroken ranks make the whole pipeline SQL-reproducible (oracle
+    LSH_ANN_ORACLE re-derives the hyperplanes from the same splitmix64
+    counter in HUGEINT arithmetic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        _lsh_bucket_topk(_emb(spark, sf_dir), k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "neighbor_id", "rank")
+    )
+
+
+def _lsh_ann_oracle() -> str:
+    """DuckDB re-derivation of the full LSH pipeline: splitmix64 integer
+    hyperplanes (HUGEINT mod-2^64, the mm-oracle discipline), fixed-point
+    sign dots, bucket self-join, in-bucket cosine top-k with
+    neighbor-id-tiebroken row_number."""
+    from .multimodal import _mulmod64_sql
+
+    A = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    base = LSH_SEED << 16
+    return f"""
+WITH dim AS (SELECT len(embedding) AS n FROM embeddings LIMIT 1),
+ds AS (SELECT unnest(range((SELECT n FROM dim))) AS d),
+grid AS (
+  SELECT p, d FROM generate_series(0, {N_PLANES - 1}) t(p) CROSS JOIN ds
+), x1 AS (
+  SELECT p, d,
+         (CAST({base} + p * (SELECT n FROM dim) + d AS HUGEINT)
+          + {A}::HUGEINT) % 18446744073709551616 AS x
+  FROM grid
+), z1 AS (
+  SELECT p, d,
+         {_mulmod64_sql("xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT", C1)} AS z
+  FROM x1
+), z2 AS (
+  SELECT p, d,
+         {_mulmod64_sql("xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT", C2)} AS z
+  FROM z1
+), planes AS (
+  SELECT p, d,
+         CAST(xor(z::UBIGINT, (z // 2147483648)::UBIGINT) % 17 AS BIGINT)
+           - 8 AS h
+  FROM z2
+), q AS (
+  SELECT vec_id, d,
+         CAST(FLOOR(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE)
+                    * {LSH_QUANT} + 0.5) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN ds
+), dots AS (
+  SELECT q.vec_id, planes.p, SUM(planes.h * q.qv) AS dot
+  FROM q JOIN planes USING (d) GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1
+), pairs AS (
+  SELECT ba.vec_id, bb.vec_id AS neighbor_id,
+         list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+  FROM buckets ba
+  JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ba.vec_id
+  JOIN embeddings eb ON eb.vec_id = bb.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+LSH_ANN_ORACLE = _lsh_ann_oracle()
 
 
 def _lsh_near_dup_pairs(df: DataFrame, thr: float) -> DataFrame:
