@@ -161,6 +161,42 @@ def test_csv_and_jsonl_frontends_roundtrip(spark, tmp_path):
     src.unpersist()
 
 
+def test_lsh_planes_match_sql_derivation():
+    """The integer hyperplanes and their DuckDB re-derivation must agree
+    bit-for-bit — LSH_ANN_ORACLE depends on it (change `_lsh_planes_int`
+    and the oracle SQL in lockstep, like the mm payload formula)."""
+    import duckdb
+
+    from parquet_go_spark.operators.multimodal import _mulmod64_sql
+    from parquet_go_spark.operators.similarity import (
+        LSH_SEED,
+        N_PLANES,
+        _lsh_planes_int,
+    )
+
+    dim = 16
+    A, C1, C2 = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+    base = LSH_SEED << 16
+    sql = f"""
+WITH grid AS (SELECT p, d FROM generate_series(0, {N_PLANES - 1}) t(p)
+              CROSS JOIN generate_series(0, {dim - 1}) s(d)),
+x1 AS (SELECT p, d, (CAST({base} + p*{dim} + d AS HUGEINT)
+                     + {A}::HUGEINT) % 18446744073709551616 AS x FROM grid),
+z1 AS (SELECT p, d, {_mulmod64_sql(
+        "xor(x::UBIGINT,(x // 1073741824)::UBIGINT)::HUGEINT", C1)} AS z
+       FROM x1),
+z2 AS (SELECT p, d, {_mulmod64_sql(
+        "xor(z::UBIGINT,(z // 134217728)::UBIGINT)::HUGEINT", C2)} AS z
+       FROM z1)
+SELECT CAST(xor(z::UBIGINT,(z // 2147483648)::UBIGINT) % 17 AS BIGINT) - 8
+FROM z2 ORDER BY p, d
+"""
+    h_sql = np.array([r[0] for r in duckdb.sql(sql).fetchall()]).reshape(
+        N_PLANES, dim
+    )
+    assert np.array_equal(h_sql, _lsh_planes_int(dim))
+
+
 def test_ivf_ann_recall_vs_exact(spark):
     """IVF ANN must return k neighbors per vector with reasonable recall
     against the exact broadcast-GEMM top-k."""
