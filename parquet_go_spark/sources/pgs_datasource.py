@@ -434,8 +434,24 @@ class PGSReader(DataSourceReader):
             # a mixed paged/unpaged partition cannot take a page subset
             # (row alignment would break); decode it whole — still exact
             keep = None
+        def relax(t):
+            # arrow nullability is advisory here (Spark enforces its own);
+            # casting into a not-null nested field would spuriously fail
+            if pa.types.is_struct(t):
+                return pa.struct(
+                    [pa.field(f.name, relax(f.type)) for f in t]
+                )
+            if pa.types.is_list(t):
+                return pa.list_(relax(t.value_type))
+            if pa.types.is_large_list(t):
+                return pa.large_list(relax(t.value_type))
+            if pa.types.is_map(t):
+                return pa.map_(relax(t.key_type), relax(t.item_type))
+            return t
+
+        target = to_arrow_schema(self._schema)
         arrays = []
-        for name in self._columns:
+        for name, field in zip(self._columns, target):
             if name not in blobs:
                 raise ValueError(
                     f"partition {pid} missing column chunk {name!r}"
@@ -443,15 +459,16 @@ class PGSReader(DataSourceReader):
             key = keysmod.key_for(name, self._column_keys, self._key)
             if keep is not None:
                 # page-granular skip: pruned pages are never decompressed
-                arrays.append(chunk.decode_chunk_pages(
+                a = chunk.decode_chunk_pages(
                     blobs[name], keep=list(keep), encryption_key=key,
-                ))
+                )
             else:
-                arrays.append(chunk.decode_chunk(blobs[name], key))
+                a = chunk.decode_chunk(blobs[name], key)
+            want = relax(field.type)
+            if a.type != want:
+                a = a.cast(want)
+            arrays.append(a)
         tbl = pa.table(dict(zip(self._columns, arrays)))
-        target = to_arrow_schema(self._schema)
-        if tbl.schema != target:
-            tbl = tbl.cast(target)
         yield from tbl.to_batches(max_chunksize=_READ_BATCH_ROWS)
 
 

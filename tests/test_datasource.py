@@ -274,6 +274,33 @@ def test_writer_roundtrip_and_append(spark, orders, tmp_out):
     assert meta["num_parts"] == 6
 
 
+def test_typed_roundtrip_nested_decimal_ts(spark, tmp_out):
+    """list / struct / map / decimal / timestamp through the native
+    writer and reader — nested nullability differences must not break
+    the arrow cast back to Spark's expected schema."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(300)
+        .withColumn("arr", F.array(F.col("id").cast("int"),
+                                   (F.col("id") + 1).cast("int")))
+        .withColumn("st", F.struct(F.col("id").alias("a"),
+                                   (F.col("id") % 7).cast("string").alias("b")))
+        .withColumn("mp", F.create_map(F.lit("k"), F.col("id").cast("double")))
+        .withColumn("dec", (F.col("id") / 100).cast("decimal(9,2)"))
+        .withColumn("ts", F.timestamp_seconds(F.col("id") * 1000))
+        .withColumnRenamed("id", "pk")
+    )
+    df.repartition(3).write.format("pgs").mode("overwrite").save(tmp_out)
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.schema == df.schema
+    a = df.orderBy("pk").toPandas()
+    b = back.orderBy("pk").toPandas().reset_index(drop=True)
+    assert all(
+        a[c].astype(str).equals(b[c].astype(str)) for c in a.columns
+    )
+
+
 def test_writer_empty_partitions(spark, tmp_out):
     df = spark.range(3).withColumnRenamed("id", "v").repartition(10)
     df.write.format("pgs").mode("overwrite").save(tmp_out)
