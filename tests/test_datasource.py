@@ -398,6 +398,57 @@ def test_streaming_sink_rejects_overwrite(spark, orders, tmp_path):
         PGSStreamWriter(str(tmp_path / "s"), orders.schema, True, {})
 
 
+def test_stream_commit_replay_is_idempotent(tmp_path):
+    """Replaying a batch whose rename half-finished (crash between
+    renames and the meta write) must converge: deterministic final
+    names + the last-committed-batch watermark."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from parquet_go_spark.sources.pgs_datasource import (
+        PGSCommitMessage,
+        PGSStreamWriter,
+    )
+
+    out = str(tmp_path / "s")
+    schema = StructType([StructField("v", LongType())])
+    w = PGSStreamWriter(out, schema, False, {})
+    bdir = os.path.join(out, "blobs")
+    os.makedirs(bdir)
+
+    def fake_batch(batch_id, parts):
+        msgs = []
+        for pid in parts:
+            tmp = f"_tmp-s{batch_id}-{pid}-0.parquet"
+            open(os.path.join(bdir, tmp), "wb").write(b"x")
+            msgs.append(PGSCommitMessage(part_id=pid, rows=1, tmp_name=tmp))
+        return msgs
+
+    msgs = fake_batch(0, [0, 1])
+    # crash mid-commit: only part 0 got renamed, meta never written
+    os.replace(os.path.join(bdir, msgs[0].tmp_name),
+               os.path.join(bdir, "part-0000000-b0.parquet"))
+    # replay: tasks rewrite tmp files, commit renames all + writes meta
+    msgs = fake_batch(0, [0, 1])
+    w.commit(msgs, 0)
+    files = sorted(f for f in os.listdir(bdir) if not f.startswith("_"))
+    assert files == ["part-0000000-b0.parquet", "part-0000001-b0.parquet"]
+    meta = json.load(open(os.path.join(out, "_store_meta.json")))
+    assert meta["last_committed_batch"] == 0 and meta["num_parts"] == 2
+
+    # a second replay AFTER the meta write is a pure no-op
+    msgs = fake_batch(0, [0, 1])
+    w.commit(msgs, 0)
+    meta = json.load(open(os.path.join(out, "_store_meta.json")))
+    assert meta["num_parts"] == 2
+    assert not [f for f in os.listdir(bdir) if f.startswith("_tmp-")]
+
+    # abort drops the batch's tmp files and nothing else
+    msgs = fake_batch(1, [4096])
+    w.abort(msgs, 1)
+    assert not [f for f in os.listdir(bdir) if f.startswith("_tmp-s1-")]
+    assert len([f for f in os.listdir(bdir) if not f.startswith("_")]) == 2
+
+
 def test_encrypted_store_via_options(spark, orders, tmp_out):
     key = bytes(range(32)).hex()
     (
