@@ -375,6 +375,13 @@ class PGSReader(DataSourceReader):
         self._columns = [f.name for f in schema.fields]
         self._schema = schema
         self._key, self._column_keys = _parse_keys(options)
+        ab = options.get("as_of_batch")
+        if ab is not None and _meta(path).get("clustering") != "stream_append":
+            raise ValueError(
+                "as_of_batch only applies to stores written by the "
+                "streaming sink (clustering=stream_append)"
+            )
+        self._as_of_batch = int(ab) if ab is not None else None
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -391,6 +398,12 @@ class PGSReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         cands = _candidate_parts(self._path, self._filters)
+        if self._as_of_batch is not None:
+            # stream stores encode the micro-batch in the part id
+            # (pid // STRIDE == batch), so "as of batch N" is a pure
+            # metadata filter — snapshot reads without a snapshot log
+            limit = (self._as_of_batch + 1) * PGSStreamWriter.STRIDE
+            cands = [p for p in cands if p < limit]
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
         files = _part_file_map(self._path, cands)
@@ -729,7 +742,9 @@ class PGSDataSource(DataSource):
     """``format("pgs")``: read/write PGS blob stores as a native source.
 
     Read options: ``columns`` (csv projection when no explicit schema),
-    ``key_hex`` / ``column_keys_json`` (AES-GCM keys). Write options:
+    ``key_hex`` / ``column_keys_json`` (AES-GCM keys), ``as_of_batch``
+    (snapshot read of a stream-written store as of that micro-batch).
+    Write options:
     ``compression``, ``codec``, ``codec_map_json``, ``bloom_cols``,
     ``page_rows``, ``sort_key``, ``key_hex``, ``column_keys_json``.
     """

@@ -398,6 +398,50 @@ def test_streaming_sink_rejects_overwrite(spark, orders, tmp_path):
         PGSStreamWriter(str(tmp_path / "s"), orders.schema, True, {})
 
 
+def test_stream_as_of_batch_snapshot_read(spark, orders, tmp_path):
+    """Snapshot reads on stream stores: part ids encode the micro-batch,
+    so as_of_batch is a pure metadata filter."""
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "store")
+    orders.limit(800).repartition(1).write.parquet(indir)
+    orders.subtract(orders.limit(800)).repartition(1).write.mode(
+        "append"
+    ).parquet(indir)
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.format("pgs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(240)
+    total = orders.count()
+    full = spark.read.format("pgs").load(out)
+    assert full.count() == total
+    last = json.load(open(os.path.join(out, "_store_meta.json")))[
+        "last_committed_batch"
+    ]
+    assert last >= 1
+    at0 = (
+        spark.read.format("pgs").option("as_of_batch", 0).load(out).count()
+    )
+    assert 0 < at0 < total
+    at_last = (
+        spark.read.format("pgs")
+        .option("as_of_batch", last)
+        .load(out)
+        .count()
+    )
+    assert at_last == total
+    # batch-written stores reject the option
+    bout = str(tmp_path / "batch_store")
+    orders.repartition(2).write.format("pgs").mode("overwrite").save(bout)
+    with pytest.raises(Exception, match="as_of_batch"):
+        spark.read.format("pgs").option("as_of_batch", 0).load(bout).count()
+
+
 def test_stream_commit_replay_is_idempotent(tmp_path):
     """Replaying a batch whose rename half-finished (crash between
     renames and the meta write) must converge: deterministic final
