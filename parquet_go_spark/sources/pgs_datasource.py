@@ -88,6 +88,26 @@ def _meta(path: str) -> dict:
         return json.load(f)
 
 
+def _write_meta(path: str, meta: dict) -> None:
+    """Atomic replace — a concurrent reader never sees a torn file."""
+    p = os.path.join(path, "_store_meta.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
+
+
+def _has_blobs(path: str) -> bool:
+    """A store with a committed (possibly empty) blobs dir may contain
+    zero part files — e.g. an empty dataframe written through the sink;
+    pyarrow cannot infer a schema from nothing, so guard every scan."""
+    b = _blobs_dir(path)
+    return os.path.isdir(b) and any(
+        f.endswith(".parquet") and not f.startswith("_")
+        for f in os.listdir(b)
+    )
+
+
 def _dataset(path: str):
     import pyarrow.dataset as pads
 
@@ -95,14 +115,20 @@ def _dataset(path: str):
 
 
 def _parse_keys(options) -> tuple[bytes | None, dict[str, bytes] | None]:
+    from .. import keys as keysmod
+
     key_hex = options.get("key_hex")
-    ck_json = options.get("column_keys_json")
     key = bytes.fromhex(key_hex) if key_hex else None
-    cks = (
-        {c: bytes.fromhex(h) for c, h in json.loads(ck_json).items()}
-        if ck_json
-        else None
-    )
+    if key is not None and len(key) not in (16, 24, 32):
+        raise ValueError("key_hex must be a 16/24/32-byte AES key in hex")
+    cks = keysmod.parse_hex_keys(options.get("column_keys_json"))
+    if cks:
+        for name, k in cks.items():
+            if len(k) not in (16, 24, 32):
+                raise ValueError(
+                    f"column_keys_json[{name!r}] must be a 16/24/32-byte "
+                    "AES key in hex"
+                )
     return key, cks
 
 
@@ -120,6 +146,11 @@ def _infer_schema(path: str, options) -> StructType:
     from .. import chunk, keys as keysmod
 
     key, cks = _parse_keys(options)
+    if not _has_blobs(path):
+        raise ValueError(
+            f"pgs store at {path} has no data files and no recorded "
+            "schema to infer from"
+        )
     d = _dataset(path)
     parts = d.to_table(columns=["part_id"]).column("part_id").to_pylist()
     if not parts:
@@ -167,10 +198,19 @@ def _coerce(bound: str, like):
 def _stats_keep(vmin: str, vmax: str, f: Filter) -> bool:
     """May this chunk's [vmin, vmax] contain a row satisfying f? Truncated
     string bounds only ever widen the interval (stats_trunc.py), so a
-    False here is safe to prune on."""
+    False here is safe to prune on. Non-finite filter values never prune:
+    chunk stats exclude inf/NaN from the bounds, so the interval says
+    nothing about them."""
+    import math
+
+    def nonfinite(v):
+        return isinstance(v, float) and not math.isfinite(v)
+
     if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
                       LessThan, LessThanOrEqual)):
         v = f.value
+        if nonfinite(v):
+            return True
         lo, hi = _coerce(vmin, v), _coerce(vmax, v)
         if lo is None or hi is None:
             return True
@@ -188,7 +228,7 @@ def _stats_keep(vmin: str, vmax: str, f: Filter) -> bool:
             return True
     if isinstance(f, In):
         vs = [v for v in f.value if v is not None]
-        if not vs:
+        if not vs or any(nonfinite(v) for v in vs):
             return True
         lo, hi = _coerce(vmin, vs[0]), _coerce(vmax, vs[0])
         if lo is None or hi is None:
@@ -200,7 +240,7 @@ def _stats_keep(vmin: str, vmax: str, f: Filter) -> bool:
     return True
 
 
-def _bloom_hits(path: str, col: str, values: list) -> set[int] | None:
+def _bloom_hits(d, col: str, values: list) -> set[int] | None:
     """part_ids whose split-block bloom may contain any of ``values``;
     None when the column has no blooms (cannot prune)."""
     import numpy as np
@@ -219,7 +259,7 @@ def _bloom_hits(path: str, col: str, values: list) -> set[int] | None:
         )
     else:
         return None
-    t = _dataset(path).to_table(
+    t = d.to_table(
         columns=["part_id", "bloom"], filter=pads.field("col") == col
     )
     hits: set[int] = set()
@@ -236,11 +276,19 @@ def _bloom_hits(path: str, col: str, values: list) -> set[int] | None:
     return hits if saw_bloom else None
 
 
-def _candidate_parts(path: str, filters: list[Filter]) -> list[int]:
+def _candidate_parts(
+    path: str, filters: list[Filter], d=None, meta: dict | None = None,
+) -> list[int]:
     """Driver-side partition pruning from manifest stats + blooms. Reads
     only metadata columns of the blob files (parquet column pruning keeps
-    blob bytes untouched) — the footer read, bounded by parts x cols."""
-    stats = _dataset(path).to_table(columns=_MANIFEST_COLUMNS)
+    blob bytes untouched) — the footer read, bounded by parts x cols.
+    ``d``/``meta`` let the caller open the dataset and store meta once
+    for the whole planning pass."""
+    if not _has_blobs(path):
+        return []
+    if d is None:
+        d = _dataset(path)
+    stats = d.to_table(columns=_MANIFEST_COLUMNS)
     by_col: dict[str, dict[int, tuple]] = {}
     parts: set[int] = set()
     for pid, col, vmin, vmax, cnt, nulls in zip(
@@ -254,7 +302,9 @@ def _candidate_parts(path: str, filters: list[Filter]) -> list[int]:
         parts.add(pid)
         by_col.setdefault(col, {})[pid] = (vmin, vmax, cnt, nulls)
     keep = parts
-    bloom_cols = set(_meta(path).get("bloom_cols") or [])
+    bloom_cols = set(
+        (_meta(path) if meta is None else meta).get("bloom_cols") or []
+    )
     for f in filters:
         attr = getattr(f, "attribute", None)
         if attr is None or len(attr) != 1:
@@ -273,14 +323,15 @@ def _candidate_parts(path: str, filters: list[Filter]) -> list[int]:
         }
         if col in bloom_cols and isinstance(f, (EqualTo, In)):
             vals = [f.value] if isinstance(f, EqualTo) else list(f.value)
-            hits = _bloom_hits(path, col, vals)
+            hits = _bloom_hits(d, col, vals)
             if hits is not None:
                 keep = keep & hits
     return sorted(keep)
 
 
 def _page_keep_map(
-    path: str, part_ids: list[int], filters: list[Filter]
+    path: str, part_ids: list[int], filters: list[Filter],
+    d=None, meta: dict | None = None,
 ) -> dict[int, tuple]:
     """part_id -> page ordinals a conjunction of range/point filters can
     touch, from the manifest's per-page index (the ColumnIndex read,
@@ -297,10 +348,14 @@ def _page_keep_map(
                           LessThan, LessThanOrEqual))
         and len(f.attribute) == 1
     ]
-    if not usable or not _meta(path).get("page_rows"):
+    if meta is None:
+        meta = _meta(path)
+    if not usable or not meta.get("page_rows") or not part_ids:
         return {}
+    if d is None:
+        d = _dataset(path)
     cols = {f.attribute[0] for f in usable}
-    t = _dataset(path).to_table(
+    t = d.to_table(
         columns=["part_id", "col", "pages"],
         filter=pads.field("col").isin(sorted(cols))
         & pads.field("part_id").isin(part_ids),
@@ -330,12 +385,17 @@ def _page_keep_map(
     return out
 
 
-def _part_file_map(path: str, part_ids: list[int]) -> dict[int, tuple]:
+def _part_file_map(
+    path: str, part_ids: list[int], d=None,
+) -> dict[int, tuple]:
     """part_id -> blob files that can contain it, from each file's
     row-group statistics (one driver-side footer pass, already paid by
     the stats read). Files without part_id stats count for every part —
     never a false negative."""
-    d = _dataset(path)
+    if not part_ids:
+        return {}
+    if d is None:
+        d = _dataset(path)
     ranges: list[tuple[str, int | None, int | None]] = []
     for frag in d.get_fragments():
         lo = hi = None
@@ -397,17 +457,27 @@ class PGSReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
-        cands = _candidate_parts(self._path, self._filters)
-        if self._as_of_batch is not None:
+        # one dataset open + one meta read for the whole planning pass
+        meta = _meta(self._path)
+        d = _dataset(self._path) if _has_blobs(self._path) else None
+        cands = _candidate_parts(self._path, self._filters, d, meta)
+        if meta.get("clustering") == "stream_append":
             # stream stores encode the micro-batch in the part id
-            # (pid // STRIDE == batch), so "as of batch N" is a pure
-            # metadata filter — snapshot reads without a snapshot log
-            limit = (self._as_of_batch + 1) * PGSStreamWriter.STRIDE
+            # (pid // STRIDE == batch), so both snapshot reads and the
+            # committed-watermark cap are pure metadata filters. The cap
+            # keeps a crash window (parts renamed, meta not yet written)
+            # invisible until that batch's replay commits it.
+            last = (
+                self._as_of_batch
+                if self._as_of_batch is not None
+                else meta.get("last_committed_batch", -1)
+            )
+            limit = (last + 1) * PGSStreamWriter.STRIDE
             cands = [p for p in cands if p < limit]
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
-        files = _part_file_map(self._path, cands)
-        pagemap = _page_keep_map(self._path, cands, self._filters)
+        files = _part_file_map(self._path, cands, d)
+        pagemap = _page_keep_map(self._path, cands, self._filters, d, meta)
         return [
             InputPartition((pid, files.get(pid), pagemap.get(pid)))
             for pid in cands
@@ -511,7 +581,13 @@ class _WriterBase:
         cm = options.get("codec_map_json")
         self._codec_map = json.loads(cm) if cm else None
         bc = options.get("bloom_cols")
-        self._bloom_cols = set(bc.split(",")) if bc else None
+        self._bloom_cols = (
+            {c.strip() for c in bc.split(",") if c.strip()} if bc else None
+        )
+        if self._bloom_cols:
+            missing = sorted(self._bloom_cols - set(schema.fieldNames()))
+            if missing:
+                raise ValueError(f"bloom_cols not in schema: {missing}")
         pr = options.get("page_rows")
         self._page_rows = int(pr) if pr else None
         self._sort_key = options.get("sort_key")
@@ -564,6 +640,32 @@ class _WriterBase:
                 "overwrite"
             )
 
+    def _check_append_layout(self, meta: dict) -> None:
+        """Appends must match the store's recorded layout policy —
+        silently flipping encryption/bloom/page options mid-store would
+        leave metadata that misdescribes the earlier chunks."""
+        if not meta:
+            return
+        mine = dict(
+            encrypted=self._key is not None or bool(self._column_keys),
+            bloom_cols=sorted(self._bloom_cols) if self._bloom_cols else [],
+            page_rows=self._page_rows,
+            column_key_cols=sorted(self._column_keys)
+            if self._column_keys else [],
+        )
+        theirs = {
+            k: meta.get(k, [] if k.endswith("cols") else
+               False if k == "encrypted" else None)
+            for k in mine
+        }
+        diff = {k: (theirs[k], mine[k]) for k in mine
+                if theirs[k] != mine[k]}
+        if diff:
+            raise ValueError(
+                "append options differ from the store's recorded layout "
+                f"(recorded, requested): {diff}; match them or overwrite"
+            )
+
     def _meta_fields(self) -> dict:
         return dict(
             schema_json=self._schema.jsonValue(),
@@ -588,12 +690,20 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
         self._init_common(path, schema, options)
         self._overwrite = overwrite
         if not overwrite:
+            meta = _meta(path)
+            if meta.get("clustering") == "stream_append":
+                raise ValueError(
+                    "batch append into a stream-written store would "
+                    "collide with its part-id namespace; compact it or "
+                    "write elsewhere"
+                )
             self._check_append_schema()
+            self._check_append_layout(meta)
         self._token = uuid.uuid4().hex[:12]
         # append must not collide with committed part ids: offset new
         # parts past the existing range (driver-side metadata read)
         self._base = 0
-        if not overwrite and os.path.isdir(_blobs_dir(path)):
+        if not overwrite and _has_blobs(path):
             existing = _dataset(path).to_table(columns=["part_id"])
             ids = existing.column("part_id").to_pylist()
             self._base = (max(ids) + 1) if ids else 0
@@ -609,29 +719,35 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
     def commit(self, messages) -> None:
         bdir = _blobs_dir(self._path)
         os.makedirs(bdir, exist_ok=True)
-        if self._overwrite:
-            for f in os.listdir(bdir):
-                if not f.startswith("_tmp-"):
-                    os.remove(os.path.join(bdir, f))
         committed = 0
+        suffix = f"-{self._token}.parquet"
+        # rename the new files in FIRST (token-unique names can't clash),
+        # delete stale files last — a crash at any point leaves either
+        # the old store or the new one readable, never neither
         for m in messages:
             if m.tmp_name is None:
                 continue
-            final = f"part-{m.part_id:05d}-{self._token}.parquet"
+            final = f"part-{m.part_id:05d}{suffix}"
             os.replace(os.path.join(bdir, m.tmp_name),
                        os.path.join(bdir, final))
             committed += 1
+        if self._overwrite:
+            for f in os.listdir(bdir):
+                if not f.startswith("_") and not f.endswith(suffix):
+                    os.remove(os.path.join(bdir, f))
         self._cleanup_tmp()
-        meta_path = os.path.join(self._path, "_store_meta.json")
-        meta = _meta(self._path) if not self._overwrite else {}
-        meta.update(
-            clustering="upstream",
-            num_parts=self._base + committed if not self._overwrite
-            else committed,
-            **self._meta_fields(),
-        )
-        with open(meta_path, "w", encoding="utf-8") as f:
-            json.dump(meta, f)
+        if self._overwrite:
+            meta = {}
+            meta.update(clustering="upstream", num_parts=committed,
+                        **self._meta_fields())
+        else:
+            # append inherits the store's recorded layout (validated
+            # compatible in __init__) — only the part count moves
+            meta = _meta(self._path)
+            meta.setdefault("clustering", "upstream")
+            meta.setdefault("schema_json", self._schema.jsonValue())
+            meta["num_parts"] = self._base + committed
+        _write_meta(self._path, meta)
 
     def abort(self, messages) -> None:
         self._cleanup_tmp()
@@ -670,7 +786,14 @@ class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
         if overwrite:
             raise ValueError("pgs streaming sink is append-only")
         self._init_common(path, schema, options)
+        meta = _meta(path)
+        if meta and meta.get("clustering") != "stream_append":
+            raise ValueError(
+                "store was written by the batch writer; streaming into "
+                "it would collide with its part-id namespace"
+            )
         self._check_append_schema()
+        self._check_append_layout(meta)
 
     def write(self, iterator: Iterator) -> PGSCommitMessage:
         from pyspark import TaskContext
@@ -716,9 +839,7 @@ class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
                 last_committed_batch=batchId,
                 **self._meta_fields(),
             )
-            with open(os.path.join(self._path, "_store_meta.json"), "w",
-                      encoding="utf-8") as f:
-                json.dump(meta, f)
+            _write_meta(self._path, meta)
         self._cleanup_batch_tmp(batchId)
 
     def abort(self, messages, batchId: int) -> None:

@@ -216,6 +216,71 @@ def test_pushdown_empty_result(spark, range_store):
     assert back.filter(back.o_orderkey > 10**9).count() == 0
 
 
+def test_review_findings_regressions(spark, orders, tmp_path):
+    """Pins the code-review fixes: empty stores read/append cleanly,
+    non-finite filter values never prune, batch/stream mixing and
+    layout-flipping appends are rejected."""
+    from parquet_go_spark.sources.pgs_datasource import _stats_keep
+
+    # inf/NaN predicates must not prune (stats exclude non-finite values)
+    assert _stats_keep("1.0", "2.0", EqualTo(("c",), float("inf")))
+    assert _stats_keep("1.0", "2.0", GreaterThan(("c",), float("nan")))
+    assert _stats_keep("1.0", "2.0", In(("c",), (0.5, float("inf"))))
+
+    # an empty dataframe commits a store that reads back as 0 rows and
+    # accepts a later append starting at part 0
+    out = str(tmp_path / "empty")
+    empty = orders.limit(0).repartition(2)
+    empty.write.format("pgs").mode("overwrite").save(out)
+    assert spark.read.format("pgs").load(out).count() == 0
+    orders.limit(5).repartition(1).write.format("pgs").mode("append").save(
+        out
+    )
+    assert spark.read.format("pgs").load(out).count() == 5
+
+    # stream store rejects batch appends; batch store rejects streaming
+    sout = str(tmp_path / "stream")
+    orders.limit(20).repartition(1).write.parquet(str(tmp_path / "in"))
+    q = (
+        spark.readStream.schema(orders.schema)
+        .parquet(str(tmp_path / "in"))
+        .writeStream.format("pgs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start(sout)
+    )
+    q.awaitTermination(240)
+    with pytest.raises(Exception, match="part-id namespace"):
+        orders.limit(5).write.format("pgs").mode("append").save(sout)
+
+    # appends that flip the recorded layout are rejected
+    bout = str(tmp_path / "batch")
+    orders.repartition(2).write.format("pgs").mode("overwrite").option(
+        "bloom_cols", "o_custkey"
+    ).save(bout)
+    with pytest.raises(Exception, match="recorded layout"):
+        orders.limit(5).write.format("pgs").mode("append").save(bout)
+    # matching layout still appends
+    orders.limit(5).repartition(1).write.format("pgs").mode(
+        "append"
+    ).option("bloom_cols", "o_custkey").save(bout)
+    assert (
+        spark.read.format("pgs").load(bout).count() == orders.count() + 5
+    )
+
+    # bloom_cols with spaces still builds (and typos are rejected)
+    sp = str(tmp_path / "spaces")
+    orders.repartition(1).write.format("pgs").mode("overwrite").option(
+        "bloom_cols", "o_custkey, o_orderkey"
+    ).save(sp)
+    meta = json.load(open(os.path.join(sp, "_store_meta.json")))
+    assert meta["bloom_cols"] == ["o_custkey", "o_orderkey"]
+    with pytest.raises(Exception, match="bloom_cols not in schema"):
+        orders.write.format("pgs").mode("overwrite").option(
+            "bloom_cols", "nope"
+        ).save(str(tmp_path / "x"))
+
+
 def test_stats_keep_comparators():
     """The driver-side pruning comparators: parse in the filter value's
     domain, never prune on unparseable/absent bounds, exact int compare
@@ -265,9 +330,10 @@ def test_writer_roundtrip_and_append(spark, orders, tmp_out):
     assert meta["clustering"] == "upstream"
 
     # append offsets part ids past the committed range — no collisions
+    # (layout options must match the store's recorded policy)
     orders.limit(100).repartition(2).write.format("pgs").mode(
         "append"
-    ).save(tmp_out)
+    ).option("bloom_cols", "o_custkey").save(tmp_out)
     again = spark.read.format("pgs").load(tmp_out)
     assert again.count() == orders.count() + 100
     meta = json.load(open(os.path.join(tmp_out, "_store_meta.json")))
