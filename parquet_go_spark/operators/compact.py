@@ -160,6 +160,12 @@ def compact_store(
     meta = dict(src_meta)
     meta["num_parts"] = len(groups)
     meta["compacted_from"] = src_dir
+    if meta.get("clustering") == "stream_append":
+        # part ids were rebased to 0..N: the batch namespace (and with it
+        # as_of_batch history and the resume watermark) no longer applies;
+        # a stream must not resume into the compacted store
+        meta["clustering"] = "compacted"
+        meta.pop("last_committed_batch", None)
     meta["lineage"] = {str(i): g for i, g in enumerate(groups) if len(g) > 1}
     dst.write_meta(**meta)
     dst.write_manifest_snapshot(spark)

@@ -455,6 +455,15 @@ def test_stream_then_compact_then_read(spark, orders, tmp_path):
     back = spark.read.format("pgs").load(compacted)
     a = _sorted_pdf(orders)
     assert a.equals(_sorted_pdf(back, list(a.columns)))
+    # compaction rebased the part ids, so the batch namespace is gone:
+    # the store stops being a streaming sink target and rejects as_of
+    meta = json.load(open(os.path.join(compacted, "_store_meta.json")))
+    assert meta["clustering"] == "compacted"
+    assert "last_committed_batch" not in meta
+    with pytest.raises(Exception, match="as_of_batch"):
+        spark.read.format("pgs").option("as_of_batch", 0).load(
+            compacted
+        ).count()
 
 
 def test_streaming_sink_rejects_overwrite(spark, orders, tmp_path):
