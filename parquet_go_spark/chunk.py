@@ -631,9 +631,25 @@ def encode_chunk(
             cid = frame.PLAIN
             body = [plainc.encode_numeric(vals)]
         if len(vals):
-            finite = vals[np.isfinite(vals)]
-            if len(finite):  # NaN excluded from stats (writer/pages.go:237-246)
-                stats["min"], stats["max"] = finite.min().item(), finite.max().item()
+            # Total-order stats, matching how Spark and DuckDB actually
+            # compare floats (NaN greater than everything, ±inf ordinary
+            # values): ±inf stays in the bounds, any NaN pins the max at
+            # NaN, an all-NaN chunk pins both. Excluding inf (the old
+            # behavior) let a range filter prune a chunk whose only
+            # matching row was infinite; excluding NaN alone would do the
+            # same for NaN under Spark's NaN-greatest comparisons. The
+            # reference drops only NaN (writer/pages.go:237-246) because
+            # Parquet leaves NaN ordering undefined; our manifest defines
+            # total order instead so pruning stays lossless.
+            nan = np.isnan(vals)
+            nonnan = vals[~nan]
+            if len(nonnan):
+                stats["min"] = nonnan.min().item()
+                stats["max"] = (
+                    float("nan") if nan.any() else nonnan.max().item()
+                )
+            else:
+                stats["min"] = stats["max"] = float("nan")
         sections = body
     elif ltype == frame.LT_BOOL:
         vals = np.asarray(dense).astype(bool)

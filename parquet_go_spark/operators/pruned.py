@@ -174,7 +174,15 @@ def stats_candidates(
     if isinstance(lo, str) or isinstance(hi, str):
         vmin, vmax = F.col("vmin"), F.col("vmax")
     else:
-        vmin, vmax = F.col("vmin").cast("double"), F.col("vmax").cast("double")
+        # try_cast: an absent bound ("" — empty or all-null chunk) must
+        # yield NULL, not an ANSI cast error. NULL makes the keep
+        # predicate NULL -> pruned, which is correct: a chunk with no
+        # values has no row a range predicate can match (NULL rows fail
+        # every comparison). NaN bounds parse ('nan') and compare with
+        # Spark's NaN-greatest order, matching how the chunk stats were
+        # folded (total order, chunk.py float stats).
+        vmin = F.expr("try_cast(vmin as double)")
+        vmax = F.expr("try_cast(vmax as double)")
     keep = meta.filter(~((vmax < F.lit(lo)) | (vmin > F.lit(hi))))
     return [r["part_id"] for r in keep.select("part_id").collect()]
 

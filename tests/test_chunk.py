@@ -118,6 +118,30 @@ def test_float_roundtrip_with_nan_inf():
         )
 
 
+def test_float_stats_total_order():
+    """Bounds fold under the engine total order (Spark/DuckDB float
+    comparisons): ±inf are ordinary bound values, any NaN pins the max at
+    NaN (NaN compares greatest), an all-NaN chunk pins both. Excluding
+    non-finite values from stats let range pruning drop chunks whose only
+    matching rows were inf or NaN."""
+    import math
+
+    _, st = rt(pa.array([1.5, float("inf"), -3.0], type=pa.float64()))
+    assert st["min"] == -3.0 and st["max"] == float("inf")
+
+    _, st = rt(pa.array([float("-inf"), 2.0], type=pa.float64()))
+    assert st["min"] == float("-inf") and st["max"] == 2.0
+
+    _, st = rt(pa.array([1.0, float("nan"), 7.0], type=pa.float64()))
+    assert st["min"] == 1.0 and math.isnan(st["max"])
+
+    _, st = rt(pa.array([float("nan")] * 3, type=pa.float64()))
+    assert math.isnan(st["min"]) and math.isnan(st["max"])
+
+    _, st = rt(pa.array([None, None], type=pa.float64()))
+    assert st.get("min") is None and st.get("max") is None
+
+
 def test_float32_bss():
     rng = np.random.default_rng(3)
     vals = pa.array(rng.standard_normal(4096).astype(np.float32))

@@ -67,6 +67,65 @@ def test_float64_any(vals):
 
 @given(
     st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(width=64),  # NaN and infinities included
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.floats(width=64),
+    st.sampled_from(["eq", "gt", "ge", "lt", "le", "in"]),
+)
+@settings(**_SETTINGS)
+def test_float_stats_pruning_lossless(vals, fval, op):
+    """If _stats_keep says prune, NO row of the chunk may satisfy the
+    filter under engine float semantics (NaN greatest, NaN = NaN true,
+    ±inf in-band) — bounds folded by encode_chunk, compared through the
+    same string render the manifest uses."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from parquet_go_spark.sources.pgs_datasource import _stats_keep
+
+    _, stats = chunk.encode_chunk(pa.array(vals, type=pa.float64()))
+    vmin, vmax = stats.get("min"), stats.get("max")
+    smin = "" if vmin is None else str(vmin)
+    smax = "" if vmax is None else str(vmax)
+    fcls = {
+        "eq": EqualTo, "gt": GreaterThan, "ge": GreaterThanOrEqual,
+        "lt": LessThan, "le": LessThanOrEqual, "in": In,
+    }[op]
+    f = fcls(("c",), (fval, 0.25) if op == "in" else fval)
+
+    def k(x):  # the engine total order: NaN greatest
+        return (1, 0.0) if x != x else (0, x)
+
+    def matches(x):  # Spark filter semantics on a non-null row
+        if op == "eq":
+            return k(x) == k(fval)
+        if op == "gt":
+            return k(x) > k(fval)
+        if op == "ge":
+            return k(x) >= k(fval)
+        if op == "lt":
+            return k(x) < k(fval)
+        if op == "le":
+            return k(x) <= k(fval)
+        return k(x) in (k(fval), k(0.25))
+
+    if not _stats_keep(smin, smax, f):
+        assert not any(matches(v) for v in vals if v is not None)
+
+
+@given(
+    st.lists(
         st.one_of(st.none(), st.text(max_size=40), st.just(""), st.just("\x00")),
         max_size=200,
     )
