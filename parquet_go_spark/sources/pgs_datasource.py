@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -97,21 +98,88 @@ def _write_meta(path: str, meta: dict) -> None:
     os.replace(tmp, p)
 
 
+# batch-writer file names: part-<pid>-<12-hex job token>.parquet. The
+# pattern deliberately misses stream files (part-NNNNNNN-bK.parquet) and
+# Spark/operator-written parquet names — those are governed by their own
+# commit protocols and stay visible unconditionally.
+_GEN_RE = re.compile(r"^part-\d+-([0-9a-f]{12})\.parquet$")
+
+
+def _committed_files(path: str) -> list[str]:
+    """Blob files visible under the store's committed generations.
+
+    The batch writer's commit point is the meta write: a file whose job
+    token is not in meta ``generations`` was renamed in by a commit that
+    never finished (or whose overwritten predecessors are not yet swept)
+    and must stay invisible — that is what makes overwrite/append
+    old-or-new atomic instead of mixing generations in a crash window.
+    Stores without a ``generations`` key (operator-written, stream
+    sinks, pre-generation stores) are returned unfiltered."""
+    b = _blobs_dir(path)
+    if not os.path.isdir(b):
+        return []
+    names = sorted(
+        f for f in os.listdir(b)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    meta = _meta(path)
+    gens = meta.get("generations")
+    if gens is not None:
+        gset = set(gens)
+        # strict (set by overwrite): ONLY generation files are valid —
+        # leftovers of whatever the overwrite replaced (stream files,
+        # foreign names) stay invisible even if the sweep never ran.
+        # Non-strict (append to a pre-generation / operator-written
+        # store): non-token files remain visible unconditionally.
+        strict = bool(meta.get("generations_strict"))
+        names = [
+            f for f in names
+            if ((m := _GEN_RE.match(f)) is None and not strict)
+            or (m is not None and m.group(1) in gset)
+        ]
+    return [os.path.join(b, f) for f in names]
+
+
+def sweep_store(path: str) -> list[str]:
+    """Remove blob files no committed generation references: ``_tmp-*``
+    leftovers and token-named files of uncommitted generations (a commit
+    that crashed between its renames and the meta write). Safe under any
+    concurrent READER (they already ignore everything this deletes), but
+    it is a writer-side op: like the writers themselves it assumes the
+    single-writer protocol (an in-flight job's tmp files look like
+    leftovers). Returns the removed names.
+    CLI: ``tools/submit_encode.py sweep``."""
+    b = _blobs_dir(path)
+    if not os.path.isdir(b):
+        return []
+    visible = {os.path.basename(f) for f in _committed_files(path)}
+    removed = []
+    for f in sorted(os.listdir(b)):
+        dead = f.startswith("_tmp-") or (
+            f.endswith(".parquet")
+            and not f.startswith("_")
+            and f not in visible
+        )
+        if dead:
+            try:
+                os.remove(os.path.join(b, f))
+                removed.append(f)
+            except OSError:
+                pass
+    return removed
+
+
 def _has_blobs(path: str) -> bool:
     """A store with a committed (possibly empty) blobs dir may contain
     zero part files — e.g. an empty dataframe written through the sink;
     pyarrow cannot infer a schema from nothing, so guard every scan."""
-    b = _blobs_dir(path)
-    return os.path.isdir(b) and any(
-        f.endswith(".parquet") and not f.startswith("_")
-        for f in os.listdir(b)
-    )
+    return bool(_committed_files(path))
 
 
 def _dataset(path: str):
     import pyarrow.dataset as pads
 
-    return pads.dataset(_blobs_dir(path), format="parquet")
+    return pads.dataset(_committed_files(path), format="parquet")
 
 
 def _parse_keys(options) -> tuple[bytes | None, dict[str, bytes] | None]:
@@ -195,46 +263,52 @@ def _coerce(bound: str, like):
     return None
 
 
+def _tkey(x):
+    """Total-order sort key matching Spark's (and DuckDB's) float
+    comparison semantics: NaN compares greater than every other value,
+    ±inf are ordinary values. Chunk stats are folded under the same
+    order (chunk.py float stats), so pruning with this key is exact.
+    Non-floats order unchanged."""
+    if isinstance(x, float) and x != x:
+        return (1, 0.0)
+    return (0, x)
+
+
 def _stats_keep(vmin: str, vmax: str, f: Filter) -> bool:
     """May this chunk's [vmin, vmax] contain a row satisfying f? Truncated
     string bounds only ever widen the interval (stats_trunc.py), so a
-    False here is safe to prune on. Non-finite filter values never prune:
-    chunk stats exclude inf/NaN from the bounds, so the interval says
-    nothing about them."""
-    import math
-
-    def nonfinite(v):
-        return isinstance(v, float) and not math.isfinite(v)
-
+    False here is safe to prune on. Bounds and filter values compare
+    under the engine total order (NaN greatest, ±inf in-band) so
+    non-finite data and non-finite filter values both prune losslessly."""
     if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
                       LessThan, LessThanOrEqual)):
         v = f.value
-        if nonfinite(v):
-            return True
         lo, hi = _coerce(vmin, v), _coerce(vmax, v)
         if lo is None or hi is None:
             return True
         try:
+            kv, klo, khi = _tkey(v), _tkey(lo), _tkey(hi)
             if isinstance(f, EqualTo):
-                return lo <= v <= hi
+                return klo <= kv <= khi
             if isinstance(f, GreaterThan):
-                return hi > v
+                return khi > kv
             if isinstance(f, GreaterThanOrEqual):
-                return hi >= v
+                return khi >= kv
             if isinstance(f, LessThan):
-                return lo < v
-            return lo <= v
+                return klo < kv
+            return klo <= kv
         except TypeError:
             return True
     if isinstance(f, In):
         vs = [v for v in f.value if v is not None]
-        if not vs or any(nonfinite(v) for v in vs):
+        if not vs:
             return True
         lo, hi = _coerce(vmin, vs[0]), _coerce(vmax, vs[0])
         if lo is None or hi is None:
             return True
         try:
-            return hi >= min(vs) and lo <= max(vs)
+            kvs = sorted(_tkey(v) for v in vs)
+            return _tkey(hi) >= kvs[0] and _tkey(lo) <= kvs[-1]
         except TypeError:
             return True
     return True
@@ -467,10 +541,19 @@ class PGSReader(DataSourceReader):
             # committed-watermark cap are pure metadata filters. The cap
             # keeps a crash window (parts renamed, meta not yet written)
             # invisible until that batch's replay commits it.
+            committed = meta.get("last_committed_batch", -1)
+            if self._as_of_batch is not None and self._as_of_batch > committed:
+                # a snapshot beyond the watermark would expose the crash
+                # window the cap exists to hide (parts renamed, meta not
+                # yet written) — a torn batch that never committed
+                raise ValueError(
+                    f"as_of_batch {self._as_of_batch} is beyond the last "
+                    f"committed batch {committed}"
+                )
             last = (
                 self._as_of_batch
                 if self._as_of_batch is not None
-                else meta.get("last_committed_batch", -1)
+                else committed
             )
             limit = (last + 1) * PGSStreamWriter.STRIDE
             cands = [p for p in cands if p < limit]
@@ -679,11 +762,15 @@ class _WriterBase:
 
 
 class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
-    """Single-writer commit protocol: the rename-based commit assumes one
-    job writes a store at a time (same as a bare parquet directory; an
-    Iceberg catalog commit — the documented swap point in store.py — is
-    what arbitrates concurrent writers at scale). Readers are safe at any
-    time: uncommitted files are "_"-invisible."""
+    """Single-writer generation commit: tasks write "_"-invisible tmp
+    files; the driver renames them to token-named finals and then writes
+    the store meta with this job's token in ``generations`` — that meta
+    replace is the atomic commit point (readers ignore token-named files
+    of uncommitted generations, _committed_files). One job writes a
+    store at a time (same as a bare parquet directory; an Iceberg
+    catalog commit — the documented swap point in store.py — is what
+    arbitrates concurrent writers at scale). Readers are safe at any
+    instant: they see the last committed generation set, never a mix."""
 
     def __init__(self, path: str, schema: StructType, overwrite: bool,
                  options):
@@ -721,9 +808,14 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
         os.makedirs(bdir, exist_ok=True)
         committed = 0
         suffix = f"-{self._token}.parquet"
-        # rename the new files in FIRST (token-unique names can't clash),
-        # delete stale files last — a crash at any point leaves either
-        # the old store or the new one readable, never neither
+        # Commit order: rename the new files in (token-unique names can't
+        # clash with any committed generation), then the meta write with
+        # this job's token in ``generations`` — THE commit point: readers
+        # filter token-named files to committed generations, so a crash
+        # anywhere before the meta write leaves the previous store state
+        # exactly (the renamed files are invisible garbage), and a crash
+        # after it leaves the new state (stale files are swept below, or
+        # by any later overwrite). Never a mix of generations.
         for m in messages:
             if m.tmp_name is None:
                 continue
@@ -732,22 +824,36 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
                        os.path.join(bdir, final))
             committed += 1
         if self._overwrite:
-            for f in os.listdir(bdir):
-                if not f.startswith("_") and not f.endswith(suffix):
-                    os.remove(os.path.join(bdir, f))
-        self._cleanup_tmp()
-        if self._overwrite:
-            meta = {}
+            meta = {"generations": [self._token],
+                    "generations_strict": True}
             meta.update(clustering="upstream", num_parts=committed,
                         **self._meta_fields())
         else:
             # append inherits the store's recorded layout (validated
-            # compatible in __init__) — only the part count moves
+            # compatible in __init__) — the part count moves and this
+            # job's generation joins the committed set. A pre-generation
+            # store enumerates the tokens already on disk (same naming
+            # since the writer's first version); non-token files stay
+            # visible unconditionally, so nothing is orphaned.
             meta = _meta(self._path)
+            gens = meta.get("generations")
+            if gens is None:
+                gens = [
+                    mt.group(1) for f in sorted(os.listdir(bdir))
+                    if (mt := _GEN_RE.match(f))
+                ]
+            meta["generations"] = sorted(set(gens) | {self._token})
             meta.setdefault("clustering", "upstream")
             meta.setdefault("schema_json", self._schema.jsonValue())
             meta["num_parts"] = self._base + committed
         _write_meta(self._path, meta)
+        if self._overwrite:
+            # sweep everything the new generation replaced (crash-safe:
+            # already-invisible to readers since the meta write)
+            for f in os.listdir(bdir):
+                if not f.startswith("_") and not f.endswith(suffix):
+                    os.remove(os.path.join(bdir, f))
+        self._cleanup_tmp()
 
     def abort(self, messages) -> None:
         self._cleanup_tmp()
@@ -794,6 +900,17 @@ class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
             )
         self._check_append_schema()
         self._check_append_layout(meta)
+        if not meta:
+            # establish the stream namespace (and a -1 watermark) before
+            # any batch can rename files in: without this, a crash inside
+            # the very first commit (some files renamed, meta not yet
+            # written) leaves a store whose reads skip the watermark cap
+            # entirely and see the torn batch
+            os.makedirs(path, exist_ok=True)
+            _write_meta(path, dict(
+                clustering="stream_append", num_parts=0,
+                last_committed_batch=-1, **self._meta_fields(),
+            ))
 
     def write(self, iterator: Iterator) -> PGSCommitMessage:
         from pyspark import TaskContext

@@ -148,6 +148,72 @@ def test_pushdown_safety_wide_and_unsupported(range_store, spark, orders):
     assert got == orders.filter(orders.o_orderstatus.isin(["F"])).count()
 
 
+def test_generation_commit_atomicity(spark, orders, tmp_path):
+    """The meta write is the batch writer's commit point: token-named
+    part files whose generation never reached ``generations`` (a commit
+    that crashed between renames and the meta write) stay invisible to
+    reads, appends, and part-id offsetting — a crashed overwrite leaves
+    exactly the previous store state, never a mixed one."""
+    from parquet_go_spark.sources.pgs_datasource import _committed_files
+
+    out = str(tmp_path / "gen")
+    orders.limit(100).repartition(2).write.format("pgs").mode(
+        "overwrite"
+    ).save(out)
+    meta = json.load(open(os.path.join(out, "_store_meta.json")))
+    assert meta["generations_strict"] and len(meta["generations"]) == 1
+
+    # simulate the crash window: a foreign generation's file renamed in,
+    # meta never updated — it must not shadow part 0 or join the scan
+    bdir = os.path.join(out, "blobs")
+    real = next(f for f in os.listdir(bdir) if not f.startswith("_"))
+    shutil.copy(os.path.join(bdir, real),
+                os.path.join(bdir, "part-00000-deadbeefcafe.parquet"))
+    assert not any("deadbeefcafe" in f for f in _committed_files(out))
+    assert spark.read.format("pgs").load(out).count() == 100
+
+    # append commits a second generation; the ghost stays dead and the
+    # new parts offset past the committed ids only
+    orders.limit(7).repartition(1).write.format("pgs").mode(
+        "append"
+    ).save(out)
+    meta = json.load(open(os.path.join(out, "_store_meta.json")))
+    assert len(meta["generations"]) == 2 and meta["num_parts"] == 3
+    assert spark.read.format("pgs").load(out).count() == 107
+    assert not any("deadbeefcafe" in f for f in _committed_files(out))
+
+    # sweep removes exactly the dead generation's file, nothing visible
+    from parquet_go_spark.sources.pgs_datasource import sweep_store
+
+    removed = sweep_store(out)
+    assert removed == ["part-00000-deadbeefcafe.parquet"]
+    assert spark.read.format("pgs").load(out).count() == 107
+
+
+def test_pushdown_nonfinite_lossless(spark, tmp_path):
+    """Spark compares NaN greater than every double and ±inf in-band, so
+    chunk stats fold the same total order: a range filter must never
+    prune the partition whose only matching rows are inf or NaN. Two
+    single-partition appends pin the partition layout."""
+    register(spark)
+    out = str(tmp_path / "nonfinite")
+    spark.createDataFrame(
+        [(1, 0.5), (2, float("inf"))], "id int, v double"
+    ).coalesce(1).write.format("pgs").mode("overwrite").save(out)
+    spark.createDataFrame(
+        [(3, float("nan")), (4, 0.1)], "id int, v double"
+    ).coalesce(1).write.format("pgs").mode("append").save(out)
+
+    back = spark.read.format("pgs").load(out)
+    # under Spark semantics v > 5.0 matches inf AND NaN; with the old
+    # finite-only stats both partitions' vmax read 0.5/0.1 -> both pruned
+    assert sorted(r["id"] for r in back.filter("v > 5.0").collect()) == [2, 3]
+    assert sorted(r["id"] for r in back.filter("v < 1.0").collect()) == [1, 4]
+    # point lookups on the non-finite values themselves
+    assert [r["id"] for r in back.filter("v = double('Infinity')").collect()] == [2]
+    assert sorted(r["id"] for r in back.filter("v >= 0.0").collect()) == [1, 2, 3, 4]
+
+
 def test_part_file_map_narrows_task_reads(spark, orders, tmp_out):
     """Planning maps each part_id to the blob files whose row-group stats
     can hold it, so a task never lists the directory or reads foreign
@@ -222,10 +288,18 @@ def test_review_findings_regressions(spark, orders, tmp_path):
     layout-flipping appends are rejected."""
     from parquet_go_spark.sources.pgs_datasource import _stats_keep
 
-    # inf/NaN predicates must not prune (stats exclude non-finite values)
-    assert _stats_keep("1.0", "2.0", EqualTo(("c",), float("inf")))
-    assert _stats_keep("1.0", "2.0", GreaterThan(("c",), float("nan")))
+    # non-finite filter values prune EXACTLY under the engine total
+    # order (stats keep ±inf in-band and pin NaN as greatest): a finite
+    # [1, 2] chunk cannot hold inf, nor anything > NaN
+    assert not _stats_keep("1.0", "2.0", EqualTo(("c",), float("inf")))
+    assert not _stats_keep("1.0", "2.0", GreaterThan(("c",), float("nan")))
     assert _stats_keep("1.0", "2.0", In(("c",), (0.5, float("inf"))))
+    # and non-finite BOUNDS keep what Spark semantics can match
+    assert _stats_keep("1.0", "nan", GreaterThan(("c",), 5.0))
+    assert _stats_keep("1.0", "nan", GreaterThan(("c",), float("inf")))
+    assert _stats_keep("nan", "nan", EqualTo(("c",), float("nan")))
+    assert not _stats_keep("nan", "nan", LessThanOrEqual(("c",), 9e99))
+    assert _stats_keep("-inf", "2.0", LessThanOrEqual(("c",), -9e99))
 
     # an empty dataframe commits a store that reads back as 0 rows and
     # accepts a later append starting at part 0
@@ -510,6 +584,12 @@ def test_stream_as_of_batch_snapshot_read(spark, orders, tmp_path):
         .count()
     )
     assert at_last == total
+    # a snapshot beyond the watermark would expose the crash window the
+    # cap hides (renamed-but-uncommitted parts) — refuse it
+    with pytest.raises(Exception, match="beyond the last committed"):
+        spark.read.format("pgs").option(
+            "as_of_batch", last + 1
+        ).load(out).count()
     # batch-written stores reject the option
     bout = str(tmp_path / "batch_store")
     orders.repartition(2).write.format("pgs").mode("overwrite").save(bout)
@@ -531,6 +611,12 @@ def test_stream_commit_replay_is_idempotent(tmp_path):
     out = str(tmp_path / "s")
     schema = StructType([StructField("v", LongType())])
     w = PGSStreamWriter(out, schema, False, {})
+    # constructing the sink bootstraps the stream namespace BEFORE any
+    # batch can rename files in: a crash inside the very first commit is
+    # already capped by the -1 watermark instead of read as committed
+    meta = json.load(open(os.path.join(out, "_store_meta.json")))
+    assert meta["clustering"] == "stream_append"
+    assert meta["last_committed_batch"] == -1
     bdir = os.path.join(out, "blobs")
     os.makedirs(bdir)
 

@@ -149,6 +149,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Garbage-collect blob files no committed generation references
+    (tmp leftovers, crashed-commit renames). Metadata-only, no Spark."""
+    from parquet_go_spark.sources.pgs_datasource import sweep_store
+
+    removed = sweep_store(args.store)
+    print(json.dumps({"job": "sweep", "removed": removed}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Store -> parquet through the native source: any store (any schema,
     not just the token table) exports via spark.read.format("pgs"), with
@@ -224,6 +234,10 @@ def main() -> int:
     cpt.add_argument("--compression", default="zstd")
     cpt.add_argument("--encrypt-key-hex", default=None)
     cpt.set_defaults(fn=cmd_compact)
+
+    swp = sub.add_parser("sweep")
+    swp.add_argument("--store", required=True)
+    swp.set_defaults(fn=cmd_sweep)
 
     exp = sub.add_parser("export")
     exp.add_argument("--store", required=True)
