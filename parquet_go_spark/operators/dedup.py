@@ -508,7 +508,8 @@ NEAR_DUP_CLUSTER_ORACLE = f"""
 WITH RECURSIVE edges AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {CLUSTER_THR}
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {CLUSTER_THR}
 ), reach(id, r) AS (
   SELECT vec_id, vec_id FROM embeddings
   UNION

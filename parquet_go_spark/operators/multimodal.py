@@ -206,15 +206,48 @@ def _mulmod64_sql(z: str, c: int) -> str:
     )
 
 
+_SPLITMIX_A = 0x9E3779B97F4A7C15
+_SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C2 = 0x94D049BB133111EB
+
+
+def _splitmix64_ctes(src: str, carry: str, x_expr: str) -> str:
+    """CTE fragment computing splitmix64(x_expr) mod 2^64 over ``src``
+    (the single SQL spelling of sources/synth.py::_mix64, shared by
+    every oracle that re-derives splitmix-seeded data). Defines CTEs
+    x1/z1/z2; the caller reads z2.z and folds the final xor with
+    ``_splitmix64_final``. ``carry`` is the column list threaded through
+    the stages. Every 64-bit wrap is spelled out in HUGEINT arithmetic
+    because DuckDB integers trap on overflow instead of wrapping."""
+    c1 = _mulmod64_sql(
+        "xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT", _SPLITMIX_C1
+    )
+    c2 = _mulmod64_sql(
+        "xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT", _SPLITMIX_C2
+    )
+    return f"""x1 AS (
+  SELECT {carry},
+         ({x_expr} + {_SPLITMIX_A}::HUGEINT) % 18446744073709551616 AS x
+  FROM {src}
+), z1 AS (
+  SELECT {carry}, {c1} AS z
+  FROM x1
+), z2 AS (
+  SELECT {carry}, {c2} AS z
+  FROM z1
+)"""
+
+
+def _splitmix64_final(mod: int) -> str:
+    """Final splitmix64 xor-shift folded to ``% mod``, over z2.z."""
+    return f"CAST(xor(z::UBIGINT, (z // 2147483648)::UBIGINT) % {mod} AS BIGINT)"
+
+
 def _features_oracle() -> str:
     """DuckDB re-derivation of the payload bytes: byte k of doc d =
-    splitmix64(d * 0xC2B2AE3D27D4EB4F ^ k) & 0xFF, with every 64-bit
-    wrap spelled out in HUGEINT arithmetic (DuckDB integers trap on
-    overflow instead of wrapping)."""
+    splitmix64(d * 0xC2B2AE3D27D4EB4F ^ k) & 0xFF (HUGEINT mod-2^64,
+    shared CTE spelling in _splitmix64_ctes)."""
     C0 = 0xC2B2AE3D27D4EB4F
-    A = 0x9E3779B97F4A7C15
-    C1 = 0xBF58476D1CE4E5B9
-    C2 = 0x94D049BB133111EB
     return f"""
 WITH dims AS (
   SELECT doc_id,
@@ -226,22 +259,9 @@ WITH dims AS (
   FROM documents
 ), pos AS (
   SELECT doc_id, nb, dc, unnest(range(CAST(nb AS BIGINT))) AS k FROM dims
-), x1 AS (
-  SELECT doc_id, nb,
-         (xor(dc::UBIGINT, k::UBIGINT)::HUGEINT + {A}::HUGEINT)
-           % 18446744073709551616 AS x
-  FROM pos
-), z1 AS (
-  SELECT doc_id, nb,
-         {_mulmod64_sql("xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT", C1)} AS z
-  FROM x1
-), z2 AS (
-  SELECT doc_id, nb,
-         {_mulmod64_sql("xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT", C2)} AS z
-  FROM z1
-), bytes AS (
-  SELECT doc_id, nb,
-         CAST(xor(z::UBIGINT, (z // 2147483648)::UBIGINT) % 256 AS BIGINT) AS byte
+), {_splitmix64_ctes("pos", "doc_id, nb",
+                     "xor(dc::UBIGINT, k::UBIGINT)::HUGEINT")}, bytes AS (
+  SELECT doc_id, nb, {_splitmix64_final(256)} AS byte
   FROM z2
 )
 SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
@@ -357,11 +377,9 @@ def thumbnail_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _thumbnail_oracle() -> str:
     """Pixel (f2, y, x) of a doc's thumb is payload byte
     (2*f2)*(h*w) + (y*h//8)*w + (x*w//8) — frame-sample every 2nd frame,
-    nearest-neighbor 8x8 resize — and payload bytes are splitmix64."""
+    nearest-neighbor 8x8 resize — and payload bytes are splitmix64
+    (shared CTE spelling in _splitmix64_ctes)."""
     C0 = 0xC2B2AE3D27D4EB4F
-    A = 0x9E3779B97F4A7C15
-    C1 = 0xBF58476D1CE4E5B9
-    C2 = 0x94D049BB133111EB
     return f"""
 WITH dims AS (
   SELECT doc_id,
@@ -383,22 +401,9 @@ WITH dims AS (
            + ((pix % 8) * w // 8)
          AS HUGEINT) AS k, dc
   FROM pixels
-), x1 AS (
-  SELECT doc_id, pix,
-         (xor(dc::UBIGINT, k::UBIGINT)::HUGEINT + {A}::HUGEINT)
-           % 18446744073709551616 AS x
-  FROM src
-), z1 AS (
-  SELECT doc_id, pix,
-         {_mulmod64_sql("xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT", C1)} AS z
-  FROM x1
-), z2 AS (
-  SELECT doc_id, pix,
-         {_mulmod64_sql("xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT", C2)} AS z
-  FROM z1
-)
-SELECT doc_id, pix,
-       CAST(xor(z::UBIGINT, (z // 2147483648)::UBIGINT) % 256 AS BIGINT) AS val
+), {_splitmix64_ctes("src", "doc_id, pix",
+                     "xor(dc::UBIGINT, k::UBIGINT)::HUGEINT")}
+SELECT doc_id, pix, {_splitmix64_final(256)} AS val
 FROM z2
 """
 

@@ -104,7 +104,12 @@ def _topk_map_fn(bc, k: int, keep_rank: bool):
     return fn
 
 
-def cosine_topk_query(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+TOPK_K = 5  # cosine_topk_query default k — interpolated into its oracle
+
+
+def cosine_topk_query(
+    spark: SparkSession, sf_dir: str, k: int = TOPK_K
+) -> DataFrame:
     """Exact top-k neighbors per vector. Output is (vec_id, neighbor_id,
     rank) — the cosine value itself is dropped from the driver-checked
     output because its last-ulp float depends on summation order, while
@@ -134,10 +139,15 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
     return out.select("vec_id", "neighbor_id", "rank")
 
 
-COSINE_TOPK_ORACLE = """
+# cosines in DOUBLE on both sides (the Spark kernel computes float64):
+# float32 oracle cosines differ from the kernel's by ~1e-7, enough to
+# flip near-tied ranks; double-vs-double leaves only summation-order
+# noise (~1e-16), below any realistic cosine gap
+COSINE_TOPK_ORACLE = f"""
 WITH sims AS (
   SELECT a.vec_id, b.vec_id AS neighbor_id,
-         list_cosine_similarity(a.embedding, b.embedding) AS cos
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS cos
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT vec_id, neighbor_id,
@@ -146,7 +156,7 @@ WITH sims AS (
   FROM sims
 )
 SELECT vec_id, neighbor_id, CAST(rn AS INT) AS rank
-FROM ranked WHERE rn <= 5
+FROM ranked WHERE rn <= {TOPK_K}
 """
 
 
@@ -175,7 +185,8 @@ def nearest_neighbor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAREST_NEIGHBOR_ORACLE = """
 WITH sims AS (
   SELECT a.vec_id, b.vec_id AS neighbor_id,
-         list_cosine_similarity(a.embedding, b.embedding) AS cos
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS cos
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT vec_id, neighbor_id,
@@ -387,7 +398,8 @@ def embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_NEAR_DUP_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_THR}
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {NEAR_DUP_THR}
 """
 
 
@@ -396,6 +408,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_THR}
 N_PLANES = 6  # 64 buckets
 LSH_SEED = 42
 LSH_QUANT = 1024  # fixed-point scale for the signature dot product
+LSH_K = 3  # lsh_ann_query default k — interpolated into LSH_ANN_ORACLE,
+# so a different k needs a matching oracle (same lockstep as N_PLANES)
 
 
 def _lsh_planes_int(dim: int) -> np.ndarray:
@@ -454,15 +468,24 @@ def _lsh_bucket_topk(df: DataFrame, k: int) -> DataFrame:
     bucketed = _lsh_bucketed(df)
 
     def topk_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        # ascending-id order + stable argsort => cosine ties (exact
-        # duplicates) break by neighbor_id, matching the SQL row_number
+        # ascending-id order + stable argsort => cosine ties break by
+        # neighbor_id, matching the SQL row_number
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        m = m / norms[:, None]
-        sims = m @ m.T
+        # Quantized-cosine rank metric: the SAME fixed-point integers the
+        # bucket signature uses make every pairwise dot an exact int64,
+        # and dividing exact ints in correctly-rounded IEEE double ops
+        # (cast, multiply, sqrt, divide — all exactly specified) yields
+        # BIT-IDENTICAL scores in numpy and the DuckDB oracle. Ranking on
+        # a float cosine instead would depend on each engine's summation
+        # order and could flip near-tied ranks (~2^-10 quantization noise
+        # on the score is irrelevant for ANN quality).
+        q = np.floor(m * LSH_QUANT + 0.5).astype(np.int64)
+        d = (q @ q.T).astype(np.float64)
+        n2 = np.einsum("ij,ij->i", q, q).astype(np.float64)
+        n2[n2 == 0] = 1.0
+        sims = d / np.sqrt(n2[:, None] * n2[None, :])
         np.fill_diagonal(sims, -np.inf)
         kk = min(k, len(ids) - 1)
         if kk <= 0:
@@ -485,13 +508,14 @@ def _lsh_bucket_topk(df: DataFrame, k: int) -> DataFrame:
     )
 
 
-def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = LSH_K) -> DataFrame:
     """Bucketed ANN: hyperplane signs -> bucket id -> exact top-k inside the
     bucket via applyInPandas. The only shuffle is the groupBy(bucket).
-    Output is (vec_id, neighbor_id, rank) — integer-exact buckets plus
-    id-tiebroken ranks make the whole pipeline SQL-reproducible (oracle
-    LSH_ANN_ORACLE re-derives the hyperplanes from the same splitmix64
-    counter in HUGEINT arithmetic)."""
+    Output is (vec_id, neighbor_id, rank) — integer-exact buckets, a
+    quantized-cosine rank score whose IEEE ops are bit-identical across
+    engines, and id-tiebroken ranks make the whole pipeline
+    SQL-reproducible (LSH_ANN_ORACLE re-derives hyperplanes, buckets,
+    dots, and ranks from the same splitmix64 counter; it pins k=LSH_K)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(
@@ -506,37 +530,24 @@ def lsh_ann_query(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 def _lsh_ann_oracle() -> str:
     """DuckDB re-derivation of the full LSH pipeline: splitmix64 integer
-    hyperplanes (HUGEINT mod-2^64, the mm-oracle discipline), fixed-point
-    sign dots, bucket self-join, in-bucket cosine top-k with
-    neighbor-id-tiebroken row_number."""
-    from .multimodal import _mulmod64_sql
+    hyperplanes (shared HUGEINT mod-2^64 CTEs with the mm oracles),
+    fixed-point sign dots, bucket self-join, and the in-bucket top-k
+    ranked by the SAME quantized-cosine score the Spark kernel computes —
+    exact integer dots divided under correctly-rounded IEEE double ops,
+    so the rank ordering is bit-for-bit reproducible, with neighbor-id
+    tiebreaks for genuine ties."""
+    from .multimodal import _splitmix64_ctes, _splitmix64_final
 
-    A = 0x9E3779B97F4A7C15
-    C1 = 0xBF58476D1CE4E5B9
-    C2 = 0x94D049BB133111EB
     base = LSH_SEED << 16
     return f"""
 WITH dim AS (SELECT len(embedding) AS n FROM embeddings LIMIT 1),
 ds AS (SELECT unnest(range((SELECT n FROM dim))) AS d),
 grid AS (
   SELECT p, d FROM generate_series(0, {N_PLANES - 1}) t(p) CROSS JOIN ds
-), x1 AS (
-  SELECT p, d,
-         (CAST({base} + p * (SELECT n FROM dim) + d AS HUGEINT)
-          + {A}::HUGEINT) % 18446744073709551616 AS x
-  FROM grid
-), z1 AS (
-  SELECT p, d,
-         {_mulmod64_sql("xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT", C1)} AS z
-  FROM x1
-), z2 AS (
-  SELECT p, d,
-         {_mulmod64_sql("xor(z::UBIGINT, (z // 134217728)::UBIGINT)::HUGEINT", C2)} AS z
-  FROM z1
-), planes AS (
-  SELECT p, d,
-         CAST(xor(z::UBIGINT, (z // 2147483648)::UBIGINT) % 17 AS BIGINT)
-           - 8 AS h
+), {_splitmix64_ctes(
+        "grid", "p, d",
+        f"CAST({base} + p * (SELECT n FROM dim) + d AS HUGEINT)")}, planes AS (
+  SELECT p, d, {_splitmix64_final(17)} - 8 AS h
   FROM z2
 ), q AS (
   SELECT vec_id, d,
@@ -550,21 +561,31 @@ grid AS (
   SELECT vec_id,
          SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bucket
   FROM dots GROUP BY 1
-), pairs AS (
-  SELECT ba.vec_id, bb.vec_id AS neighbor_id,
-         list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+), qnorm AS (
+  SELECT vec_id, SUM(qv * qv) AS n2 FROM q GROUP BY 1
+), pairdots AS (
+  SELECT ba.vec_id, bb.vec_id AS neighbor_id, SUM(qa.qv * qb.qv) AS dp
   FROM buckets ba
   JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id <> bb.vec_id
-  JOIN embeddings ea ON ea.vec_id = ba.vec_id
-  JOIN embeddings eb ON eb.vec_id = bb.vec_id
+  JOIN q qa ON qa.vec_id = ba.vec_id
+  JOIN q qb ON qb.vec_id = bb.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2
 ), ranked AS (
-  SELECT vec_id, neighbor_id,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cos DESC, neighbor_id) AS rn
-  FROM pairs
+  SELECT pd.vec_id, pd.neighbor_id,
+         row_number() OVER (
+           PARTITION BY pd.vec_id
+           ORDER BY CAST(pd.dp AS DOUBLE)
+                    / sqrt(CAST(CASE WHEN na.n2 = 0 THEN 1 ELSE na.n2 END
+                                AS DOUBLE)
+                           * CAST(CASE WHEN nb.n2 = 0 THEN 1 ELSE nb.n2 END
+                                  AS DOUBLE)) DESC,
+                    pd.neighbor_id) AS rn
+  FROM pairdots pd
+  JOIN qnorm na ON na.vec_id = pd.vec_id
+  JOIN qnorm nb ON nb.vec_id = pd.neighbor_id
 )
 SELECT vec_id, neighbor_id, CAST(rn AS INT) AS rank
-FROM ranked WHERE rn <= 3
+FROM ranked WHERE rn <= {LSH_K}
 """
 
 
