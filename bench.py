@@ -192,6 +192,34 @@ def prepare_input(rows: int, path: str, cores: int) -> None:
         spark.stop()
 
 
+def host_probe() -> dict:
+    """1-GiB first-touch vs warm write-bandwidth probe.
+
+    This host intermittently throttles page faults and even warm memory
+    bandwidth 10-40x for hours (see BENCH/BASELINE.md "Host throttle").
+    Recording the probe next to the timings makes each bench run
+    self-describing: numbers taken with warm_gbps well under ~40 were
+    measured inside a throttled window and understate the engine.
+    """
+    import numpy as np
+
+    n = 1 << 27  # 1 GiB of float64
+    a = np.empty(n, dtype=np.float64)
+    t0 = time.time()
+    a[:] = 1.0
+    t1 = time.time()
+    a[:] = 2.0
+    t2 = time.time()
+    del a
+    cold = n * 8 / (t1 - t0) / 1e9
+    warm = n * 8 / (t2 - t1) / 1e9
+    return {
+        "cold_gbps": round(cold, 1),
+        "warm_gbps": round(warm, 1),
+        "throttled": warm < 40.0,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--encode-only", action="store_true")
@@ -209,7 +237,7 @@ def main() -> None:
     from parquet_go_spark.session import get_spark
 
     sf = _sf_from_dir(SF_DIR)
-    result: dict = {"sf": sf, "unit": "sec"}
+    result: dict = {"sf": sf, "unit": "sec", "host_probe_start": host_probe()}
 
     # --- family 1: headline queries at the SF dir ---
     # best of 2 passes, same rationale as encode_bench: pass 1 carries
@@ -313,6 +341,7 @@ def main() -> None:
             shutil.rmtree(scal_input, ignore_errors=True)
     shutil.rmtree(tok_input, ignore_errors=True)
 
+    result["host_probe_end"] = host_probe()
     result["queries"] = qtimes
     result["value"] = round(sum(qtimes.values()), 2)
     result["metric"] = (
