@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prune_bloom_point"] = _pruned.bloom_pruned_point_query
     # intra-chunk page pruning over the manifest's per-page index
     q["prune_pages"] = _pruned.page_pruned_range_query
+    # 2-D box on a z-order-clustered store: stats prune on BOTH columns
+    q["prune_zorder"] = _pruned.zorder_pruned_box_query
     # GEOMETRY column: WKB through the codec stack, GeospatialStatistics
     # bbox pruning from the manifest (types/geospatial.go analog)
     q["prune_geo_bbox"] = _pruned.geo_pruned_bbox_query
@@ -242,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
+    o["prune_zorder"] = _pruned.ZORDER_PRUNED_BOX_ORACLE
     o["prune_geo_bbox"] = _pruned.GEO_PRUNED_BBOX_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds

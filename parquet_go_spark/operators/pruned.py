@@ -57,13 +57,18 @@ def encode_generic(
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
     geo_cols: dict[str, dict] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> ManifestStore:
     """Encode an arbitrary table into a blob store with part_ids clustered
     on ``key_col``.
 
     ``clustering="range"`` gives tight per-partition [vmin, vmax] (the
     sorted-write case where column indexes prune well); ``"hash"`` spreads
-    keys uniformly (stats useless, blooms shine). num_parts is fixed here
+    keys uniformly (stats useless, blooms shine); ``"zorder"`` interleaves
+    the bits of ``zorder_cols`` grid cells into a Morton code so manifest
+    stats prune on ANY of those columns (multi-dimensional locality — the
+    Iceberg/Delta OPTIMIZE ZORDER layout, beyond the reference's single
+    declared sort, writer/sorting.go:9-48). num_parts is fixed here
     for determinism; at scale it is ceil(bytes / row_group_size) exactly as
     the reference's flush policy sizes row groups (writer/ops.go:244-281).
     """
@@ -85,6 +90,49 @@ def encode_generic(
         norm = F.greatest(F.least(c - F.lit(97), F.lit(25)), F.lit(0))
         pid = F.least(
             F.floor(norm * num_parts / 26), F.lit(num_parts - 1)
+        )
+    elif clustering == "zorder":
+        # Each zorder column is linearly scaled to a 2^bits grid cell
+        # (the same linear split the 1-D range clustering uses) and the
+        # cells' bits are interleaved into a Morton code; partitions are
+        # equal-width Morton ranges. Morton locality keeps every zorder
+        # column's per-partition [vmin, vmax] narrow, so the manifest
+        # prunes a predicate on ANY of them — a range-clustered store
+        # prunes only on its one key. Pure JVM bit expressions (the cell
+        # grid and interleave stay inside whole-stage codegen; no UDF).
+        if not zorder_cols or len(zorder_cols) < 2:
+            raise ValueError("clustering='zorder' needs >= 2 zorder_cols")
+        ndim = len(zorder_cols)
+        bits = max(1, 16 // ndim)
+        aggs = []
+        for c in zorder_cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        lohi = df.agg(*aggs).collect()[0]
+        cells = []
+        for c in zorder_cols:
+            lo, hi = float(lohi[f"lo_{c}"]), float(lohi[f"hi_{c}"])
+            width = max((hi - lo) / (1 << bits), 1e-9)
+            cells.append(
+                F.least(
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo)) / F.lit(width)
+                    ),
+                    F.lit((1 << bits) - 1),
+                ).cast("long")
+            )
+        morton = F.lit(0).cast("long")
+        for i in range(bits):
+            for d, cell in enumerate(cells):
+                morton = morton.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(cell, i).bitwiseAND(F.lit(1)),
+                        i * ndim + d,
+                    )
+                )
+        span = 1 << (bits * ndim)
+        pid = F.least(
+            F.floor(morton * F.lit(num_parts) / F.lit(span)),
+            F.lit(num_parts - 1),
         )
     else:
         pid = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_parts))
@@ -117,6 +165,7 @@ def encode_generic(
         # GEOMETRY/GEOGRAPHY logical annotations (crs, edges) — the
         # reference's types/geometry.go / geography.go schema surface
         geo_cols=geo_cols or {},
+        zorder_cols=zorder_cols or [],
     )
     return store
 
@@ -289,6 +338,10 @@ def auto_candidates(
         range_clustered = clustered_on == key_col and clustering.startswith(
             "range"
         )
+        if not range_clustered and clustering == "zorder":
+            # Morton locality bounds every zorder column, not just the
+            # primary key — stats prune on any of them
+            range_clustered = key_col in (meta.get("zorder_cols") or [])
         if not range_clustered:
             # fall back to the manifest itself: ASC/DESC boundary order
             # on every chunk of this column means stats prune losslessly
@@ -423,9 +476,42 @@ def page_pruned_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_pruned_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box predicate on a z-order-clustered store: manifest stats
+    prune on BOTH dimensions (intersection of each column's candidate
+    partitions), decode the survivors, exact filter. On a 1-D
+    range-clustered store only the key column could prune this query."""
+    df = _orders(spark, sf_dir)
+    cols = df.columns
+    schema, atypes = _schema_of(df, cols)
+    out = os.path.join("/tmp", f"pgs_pruned_zorder_{os.path.basename(sf_dir)}")
+    store = encode_generic(
+        spark, df, out, key_col="o_orderkey", clustering="zorder",
+        zorder_cols=["o_orderkey", "o_custkey"], num_parts=32,
+    )
+    ca = auto_candidates(spark, store, "o_orderkey", ZBOX_KEY_LO, ZBOX_KEY_HI)
+    cb = auto_candidates(spark, store, "o_custkey", ZBOX_CUST_LO, ZBOX_CUST_HI)
+    cand = sorted(set(ca) & set(cb))
+    dec = _decode_parts(spark, store, cand, cols, schema, atypes)
+    return dec.filter(
+        (F.col("o_orderkey") >= ZBOX_KEY_LO)
+        & (F.col("o_orderkey") <= ZBOX_KEY_HI)
+        & (F.col("o_custkey") >= ZBOX_CUST_LO)
+        & (F.col("o_custkey") <= ZBOX_CUST_HI)
+    )
+
+
+ZBOX_KEY_LO, ZBOX_KEY_HI = 200, 900
+ZBOX_CUST_LO, ZBOX_CUST_HI = 10, 120
+
 STATS_PRUNED_RANGE_ORACLE = (
     f"SELECT * FROM orders WHERE o_orderkey >= {RANGE_LO} "
     f"AND o_orderkey <= {RANGE_HI}"
+)
+ZORDER_PRUNED_BOX_ORACLE = (
+    f"SELECT * FROM orders WHERE o_orderkey >= {ZBOX_KEY_LO} "
+    f"AND o_orderkey <= {ZBOX_KEY_HI} AND o_custkey >= {ZBOX_CUST_LO} "
+    f"AND o_custkey <= {ZBOX_CUST_HI}"
 )
 PAGE_PRUNED_RANGE_ORACLE = STATS_PRUNED_RANGE_ORACLE
 BLOOM_PRUNED_POINT_ORACLE = (

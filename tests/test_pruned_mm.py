@@ -34,6 +34,38 @@ def test_stats_pruning_prunes_and_is_exact(spark, tmp_out):
     assert got == want > 0
 
 
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_out):
+    """Morton-interleaved clustering keeps every zorder column's
+    per-partition bounds narrow: a range predicate on EITHER column
+    prunes partitions (a 1-D range store prunes only its key), the 2-D
+    box intersects both candidate sets, and the pruned decode is exact."""
+    from parquet_go_spark.operators import pruned
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    store = pruned.encode_generic(
+        spark, df, tmp_out, key_col="o_orderkey", clustering="zorder",
+        zorder_cols=["o_orderkey", "o_custkey"], num_parts=32,
+    )
+    assert store.meta()["zorder_cols"] == ["o_orderkey", "o_custkey"]
+    total = store.completed_partitions(spark).count()
+    klo, khi, clo, chi = 100, 300, 10, 40
+    # auto_candidates routes to stats for ANY recorded zorder column
+    ca = pruned.auto_candidates(spark, store, "o_orderkey", klo, khi)
+    cb = pruned.auto_candidates(spark, store, "o_custkey", clo, chi)
+    assert 0 < len(ca) < total, "zorder must prune on the first column"
+    assert 0 < len(cb) < total, "zorder must prune on the second column"
+    cand = sorted(set(ca) & set(cb))
+    box = (
+        (F.col("o_orderkey") >= klo) & (F.col("o_orderkey") <= khi)
+        & (F.col("o_custkey") >= clo) & (F.col("o_custkey") <= chi)
+    )
+    cols = df.columns
+    schema, atypes = pruned._schema_of(df, cols)
+    dec = pruned._decode_parts(spark, store, cand, cols, schema, atypes)
+    got, want = dec.filter(box).count(), df.filter(box).count()
+    assert got == want > 0
+
+
 def test_bloom_pruning_no_false_negatives(spark, tmp_out):
     from parquet_go_spark.operators import pruned
 
