@@ -102,6 +102,15 @@ def encode_generic(
         # grid and interleave stay inside whole-stage codegen; no UDF).
         if not zorder_cols or len(zorder_cols) < 2:
             raise ValueError("clustering='zorder' needs >= 2 zorder_cols")
+        numeric = {
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() in
+            ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or f.dataType.simpleString().startswith("decimal")
+        }
+        bad = [c for c in zorder_cols if c not in numeric]
+        if bad:
+            raise ValueError(f"zorder_cols must be numeric, got {bad}")
         ndim = len(zorder_cols)
         bits = max(1, 16 // ndim)
         aggs = []

@@ -148,6 +148,33 @@ def test_pushdown_safety_wide_and_unsupported(range_store, spark, orders):
     assert got == orders.filter(orders.o_orderstatus.isin(["F"])).count()
 
 
+def test_zorder_store_pushdown_both_columns(spark, orders, tmp_path):
+    """The pgs reader's per-column stats pruning gets multi-dimensional
+    pruning on a z-order store for free: filters on EITHER Morton column
+    shrink the partition list, the conjunction intersects them, and the
+    answer stays exact."""
+    out = str(tmp_path / "z")
+    encode_generic(
+        spark, orders, out, key_col="o_orderkey", clustering="zorder",
+        zorder_cols=["o_orderkey", "o_custkey"], num_parts=32,
+    )
+    total = len(_candidate_parts(out, []))
+    ca = _candidate_parts(out, [GreaterThanOrEqual(("o_orderkey",), 100),
+                                LessThanOrEqual(("o_orderkey",), 300)])
+    cb = _candidate_parts(out, [GreaterThanOrEqual(("o_custkey",), 10),
+                                LessThanOrEqual(("o_custkey",), 40)])
+    both = _candidate_parts(out, [GreaterThanOrEqual(("o_orderkey",), 100),
+                                  LessThanOrEqual(("o_orderkey",), 300),
+                                  GreaterThanOrEqual(("o_custkey",), 10),
+                                  LessThanOrEqual(("o_custkey",), 40)])
+    assert 0 < len(ca) < total and 0 < len(cb) < total
+    assert set(both) <= (set(ca) & set(cb))
+    box = ("o_orderkey >= 100 AND o_orderkey <= 300 "
+           "AND o_custkey >= 10 AND o_custkey <= 40")
+    got = spark.read.format("pgs").load(out).filter(box).count()
+    assert got == orders.filter(box).count() > 0
+
+
 def test_generation_commit_atomicity(spark, orders, tmp_path):
     """The meta write is the batch writer's commit point: token-named
     part files whose generation never reached ``generations`` (a commit
