@@ -51,6 +51,20 @@ _INT_TYPES = {
 }
 _FLOAT_TYPES = {frame.LT_FLOAT32: np.float32, frame.LT_FLOAT64: np.float64}
 
+# LT_INT_EXT param values: arrow type name -> (signed, byte width)
+_EXT_INT_PARAMS = {
+    "int8": (1, 1), "int16": (1, 2),
+    "uint8": (0, 1), "uint16": (0, 2), "uint32": (0, 4), "uint64": (0, 8),
+}
+_EXT_INT_NPDT = {
+    (1, 1): np.int8, (1, 2): np.int16,
+    (0, 1): np.uint8, (0, 2): np.uint16, (0, 4): np.uint32, (0, 8): np.uint64,
+}
+
+# LT_TEMPORAL unit codes (shared by timestamp/time/duration params)
+_UNIT_CODES = {"s": 0, "ms": 1, "us": 2, "ns": 3}
+_UNIT_NAMES = {v: k for k, v in _UNIT_CODES.items()}
+
 
 def _logical_type(t: pa.DataType) -> int:
     if pa.types.is_int32(t):
@@ -68,7 +82,23 @@ def _logical_type(t: pa.DataType) -> int:
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return frame.LT_BINARY
     if pa.types.is_timestamp(t):
-        return frame.LT_TIMESTAMP_US
+        # unit-us naive keeps the original logical type (byte-compat with
+        # round-1 frames); any other unit or a tz rides LT_TEMPORAL — the
+        # old path silently cast ns->us (precision loss) and dropped tz
+        if t.unit == "us" and t.tz is None:
+            return frame.LT_TIMESTAMP_US
+        return frame.LT_TEMPORAL
+    if pa.types.is_time32(t) or pa.types.is_time64(t) or pa.types.is_duration(t):
+        return frame.LT_TEMPORAL
+    if (
+        pa.types.is_int8(t)
+        or pa.types.is_int16(t)
+        or pa.types.is_uint8(t)
+        or pa.types.is_uint16(t)
+        or pa.types.is_uint32(t)
+        or pa.types.is_uint64(t)
+    ):
+        return frame.LT_INT_EXT
     if pa.types.is_date32(t):
         return frame.LT_DATE32
     if pa.types.is_fixed_size_binary(t):
@@ -558,6 +588,65 @@ def encode_chunk(
         if len(vals):
             stats["min"], stats["max"] = _int_minmax(vals)
         sections = body
+    elif ltype == frame.LT_INT_EXT:
+        # extended integer physical types: the reference's INT_8/16 and
+        # UINT_8..64 converted types (common/functable.go:38-41). Narrow
+        # signed ints widen losslessly to the int32 menu, unsigned <= 32
+        # bits to the int64 menu; uint64 is bit-viewed through the int64
+        # menu (every int kernel is modular two's-complement, so the
+        # roundtrip is exact even when the signed view wraps) while the
+        # manifest stats come from the UNSIGNED view so pruning bounds
+        # order correctly — the uint64FuncTable analog.
+        sgn, width = _EXT_INT_PARAMS[str(arr.type)]
+        u = np.asarray(dense)
+        if sgn:
+            vals = u.astype(np.int32)
+            cid, body, bit_width = _encode_int_chunk(
+                vals, 4, codec, trial_comp, hint
+            )
+        elif width == 8:
+            vals = u.view(np.int64)
+            cid, body, bit_width = _encode_int_chunk(
+                vals, 8, codec, trial_comp, hint
+            )
+        else:
+            vals = u.astype(np.int64)
+            cid, body, bit_width = _encode_int_chunk(
+                vals, 8, codec, trial_comp, hint
+            )
+        if len(u):
+            stats["min"], stats["max"] = int(u.min()), int(u.max())
+        sections = body
+        param_sect = bytes([sgn, width])
+    elif ltype == frame.LT_TEMPORAL:
+        # timestamps at any unit/tz, time-of-day, durations (reference
+        # types/timestamp.go:10-57, types/time.go:10-93). The raw int64
+        # (int32 for time32) payload rides the full int codec menu; the
+        # param section carries (kind, unit) + tz so decode reconstructs
+        # the exact arrow type — no unit cast, no precision loss.
+        t = arr.type
+        if pa.types.is_timestamp(t):
+            kind, unit, tz = 0, t.unit, t.tz or ""
+        elif pa.types.is_time32(t):
+            kind, unit, tz = 1, t.unit, ""
+        elif pa.types.is_time64(t):
+            kind, unit, tz = 2, t.unit, ""
+        else:
+            kind, unit, tz = 3, t.unit, ""
+        if kind == 1:
+            vals = np.asarray(dense.view(pa.int32()))
+            cid, body, bit_width = _encode_int_chunk(
+                vals, 4, codec, trial_comp, hint
+            )
+        else:
+            vals = np.asarray(dense.view(pa.int64()))
+            cid, body, bit_width = _encode_int_chunk(
+                vals, 8, codec, trial_comp, hint
+            )
+        if len(vals):
+            stats["min"], stats["max"] = _int_minmax(vals)
+        sections = body
+        param_sect = bytes([kind, _UNIT_CODES[unit]]) + tz.encode("utf-8")
     elif ltype in _FLOAT_TYPES:
         dtype = _FLOAT_TYPES[ltype]
         vals = np.asarray(dense).astype(dtype, copy=False)
@@ -1062,7 +1151,13 @@ def _decode_chunk_inner(buf: bytes, encryption_key: bytes | None = None) -> pa.A
     valid = None
     s0 = 0
     params = None
-    if lt in (frame.LT_FLBA, frame.LT_DECIMAL, frame.LT_STRUCT):
+    if lt in (
+        frame.LT_FLBA,
+        frame.LT_DECIMAL,
+        frame.LT_STRUCT,
+        frame.LT_INT_EXT,
+        frame.LT_TEMPORAL,
+    ):
         params = meta.sections[0]  # param section precedes validity
         s0 = 1
     if meta.flags & frame.FLAG_HAS_VALIDITY:
@@ -1094,6 +1189,57 @@ def _decode_chunk_inner(buf: bytes, encryption_key: bytes | None = None) -> pa.A
         if lt == frame.LT_DATE32:
             return _expand_nulls_numeric(vals, valid, pa.int32()).cast(pa.date32())
         return _expand_nulls_numeric(vals, valid, pa_type)
+    if lt == frame.LT_INT_EXT:
+        if params is None or len(params) != 2:
+            raise ValueError("missing int_ext params")
+        sgn, width = params[0], params[1]
+        npdt = _EXT_INT_NPDT.get((sgn, width))
+        if npdt is None:
+            raise ValueError(f"invalid int_ext params ({sgn}, {width})")
+        npdt = np.dtype(npdt)
+        if sgn:
+            vals = _decode_int_sections(meta, dense_n, np.int32, 4, s0)
+        else:
+            vals = _decode_int_sections(meta, dense_n, np.int64, 8, s0)
+        if npdt == np.uint64:
+            out_np = vals.view(np.uint64)
+        else:
+            # widened storage: range-check before narrowing so a corrupt
+            # body raises instead of silently wrapping
+            info = np.iinfo(npdt)
+            if len(vals) and (vals.min() < info.min or vals.max() > info.max):
+                raise ValueError("int_ext values out of declared range")
+            out_np = vals.astype(npdt)
+        pa_type = pa.from_numpy_dtype(npdt)
+        if valid is None:
+            return pa.array(out_np, type=pa_type)
+        return _expand_nulls_numeric(out_np, valid, pa_type)
+    if lt == frame.LT_TEMPORAL:
+        if params is None or len(params) < 2:
+            raise ValueError("missing temporal params")
+        kind, ucode = params[0], params[1]
+        tz = bytes(params[2:]).decode("utf-8") or None
+        unit = _UNIT_NAMES.get(ucode)
+        if unit is None or kind > 3:
+            raise ValueError(f"invalid temporal params ({kind}, {ucode})")
+        if kind == 1:
+            if ucode > 1:
+                raise ValueError("time32 unit must be s or ms")
+            vals = _decode_int_sections(meta, dense_n, np.int32, 4, s0)
+            base, target = pa.int32(), pa.time32(unit)
+        else:
+            if kind == 2 and ucode < 2:
+                raise ValueError("time64 unit must be us or ns")
+            vals = _decode_int_sections(meta, dense_n, np.int64, 8, s0)
+            base = pa.int64()
+            target = (
+                pa.timestamp(unit, tz)
+                if kind == 0
+                else pa.time64(unit) if kind == 2 else pa.duration(unit)
+            )
+        if valid is None:
+            return pa.array(vals, type=base).view(target)
+        return _expand_nulls_numeric(vals, valid, base).view(target)
     if lt in _FLOAT_TYPES:
         dtype = np.dtype(_FLOAT_TYPES[lt])
         if meta.codec in (frame.DICT, frame.DICT_BSS, frame.DICT_RANS):

@@ -101,6 +101,12 @@ LT_STRUCT = 12    # struct; field names in the param section, one
                   # per level instead of def levels — SURVEY §1.4)
 LT_MAP = 13       # map; lengths sub-frame + entries struct sub-frame
 LT_FLOAT16 = 14   # half floats; stored as fixed 2-byte items (FLBA menu)
+LT_INT_EXT = 15   # int8/16 + uint8..64; (signed, width) param section —
+                  # the reference's INT_8/16 and UINT_8..64 converted
+                  # types with unsigned ordering (common/functable.go:38-41)
+LT_TEMPORAL = 16  # timestamp (any unit/tz), time32/64, duration;
+                  # (kind, unit) + tz param section (types/timestamp.go,
+                  # types/time.go analogs)
 
 # header: magic4 version u8 codec u8 comp u8 ltype u8 flags u8 bitwidth u8
 #         nsect u8 pad u8 count u64 nullcount u64 rawsize u64 payloadsize u64

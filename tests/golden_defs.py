@@ -201,4 +201,29 @@ CASES: dict = {
         {"codec": "fsst", "compression": "zstd",
          "encryption_key": GOLDEN_KEY},
     ),
+    "uint64_full_span": (
+        lambda: pa.array(
+            _rng(24).integers(-(2**63), 2**63, 3000).view(np.uint64)
+        ),
+        {"codec": "auto", "compression": "zstd"},
+    ),
+    "int16_dict": (
+        lambda: pa.array(
+            (_rng(25).integers(0, 12, 4000) * 37 - 200).astype(np.int16)
+        ),
+        {"codec": "dict", "compression": "zstd"},
+    ),
+    "timestamp_ns_tz": (
+        lambda: pa.array(
+            _rng(26).integers(0, 2**60, 2000), type=pa.int64()
+        ).view(pa.timestamp("ns", tz="UTC")),
+        {"codec": "auto", "compression": "zstd"},
+    ),
+    "time32_ms": (
+        lambda: pa.array(
+            _rng(27).integers(0, 86_400_000, 2500).astype(np.int32),
+            type=pa.int32(),
+        ).view(pa.time32("ms")),
+        {"codec": "auto", "compression": "zstd"},
+    ),
 }

@@ -710,3 +710,138 @@ def test_pick_cache_periodic_refresh(monkeypatch):
         chunk.encode_chunk(vals, pick_cache=cache, path="v")
     # uses 1..9 with refresh at use 4 and 8 -> selection at 1, 4, 8
     assert calls["n"] == 3
+
+
+# ---------------- extended ints + temporal types (round 2 late) ----------------
+
+def test_ext_int_roundtrip_matrix():
+    """int8/16 + uint8..64 — the reference's INT_8/16 and UINT_8..64
+    converted types (common/functable.go:38-41)."""
+    rng = np.random.default_rng(7)
+    cases = [
+        pa.array(rng.integers(-128, 128, 4000, dtype=np.int64).astype(np.int8)),
+        pa.array(rng.integers(-(2**15), 2**15, 4000,
+                              dtype=np.int64).astype(np.int16)),
+        pa.array(rng.integers(0, 256, 4000, dtype=np.int64).astype(np.uint8)),
+        pa.array(rng.integers(0, 2**16, 4000, dtype=np.int64).astype(np.uint16)),
+        pa.array(rng.integers(0, 2**32, 4000, dtype=np.int64).astype(np.uint32)),
+        pa.array((rng.integers(-(2**63), 2**63, 4000,
+                               dtype=np.int64)).view(np.uint64)),
+        # boundary values per dtype
+        pa.array(np.array([0, 127, -128, 1], dtype=np.int8)),
+        pa.array(np.array([0, 1, 2**63, 2**64 - 1, 2**63 - 1],
+                          dtype=np.uint64)),
+        # low cardinality (dict path) and constant (rle-ish)
+        pa.array(np.tile(np.array([3, 9, 250], dtype=np.uint8), 2000)),
+        pa.array(np.full(5000, 2**64 - 1, dtype=np.uint64)),
+    ]
+    for arr in cases:
+        for codec in ["auto", "plain", "for_bitpack", "delta_binary_packed",
+                      "dict"]:
+            out, _ = rt(arr, codec=codec)
+            assert out.type == arr.type, (arr.type, codec)
+            assert_equal_arrays(out, arr)
+
+
+def test_ext_int_nulls_and_empty():
+    arr = pa.array([1, None, 2**64 - 1, None, 2**63], type=pa.uint64())
+    out, stats = rt(arr)
+    assert stats["null_count"] == 2
+    assert_equal_arrays(out, arr)
+    empty = pa.array([], type=pa.uint32())
+    out, _ = rt(empty)
+    assert_equal_arrays(out, empty)
+
+
+def test_ext_int_unsigned_stats_order():
+    """Manifest bounds must come from the unsigned view: a signed view of
+    [1, 2^64-1] would order them backwards (uint64FuncTable analog)."""
+    arr = pa.array(np.array([1, 2**64 - 1, 2**63], dtype=np.uint64))
+    _, stats = rt(arr)
+    assert stats["min"] == 1
+    assert stats["max"] == 2**64 - 1
+
+
+def test_temporal_roundtrip_matrix():
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 2**40, 1000, dtype=np.int64)
+    cases = [
+        pa.array(base, type=pa.int64()).view(pa.timestamp("s")),
+        pa.array(base, type=pa.int64()).view(pa.timestamp("ms")),
+        pa.array(base, type=pa.int64()).view(pa.timestamp("ns")),
+        pa.array(base, type=pa.int64()).view(pa.timestamp("us", tz="UTC")),
+        pa.array(base, type=pa.int64()).view(
+            pa.timestamp("ns", tz="America/New_York")
+        ),
+        pa.array((base % 86_400).astype(np.int32),
+                 type=pa.int32()).view(pa.time32("s")),
+        pa.array((base % 86_400_000).astype(np.int32),
+                 type=pa.int32()).view(pa.time32("ms")),
+        pa.array(base % 86_400_000_000, type=pa.int64()).view(pa.time64("us")),
+        pa.array(base % 86_400_000_000_000,
+                 type=pa.int64()).view(pa.time64("ns")),
+        pa.array(base - 2**39, type=pa.int64()).view(pa.duration("ms")),
+    ]
+    for arr in cases:
+        for codec in ["auto", "plain", "delta_binary_packed"]:
+            out, _ = rt(arr, codec=codec)
+            assert out.type == arr.type, (arr.type, codec)
+            assert_equal_arrays(out, arr)
+
+
+def test_temporal_ns_precision_not_truncated():
+    """Regression: the old path cast every timestamp to us, silently
+    destroying sub-microsecond payloads (bit-identity violation)."""
+    vals = pa.array([1_000_000_001, 999, 123_456_789_123_456_789],
+                    type=pa.int64()).view(pa.timestamp("ns"))
+    out, _ = rt(vals)
+    assert out.type == pa.timestamp("ns")
+    assert_equal_arrays(out, vals)
+
+
+def test_temporal_nulls():
+    arr = pa.array([1, None, 3], type=pa.int64()).view(pa.timestamp("ns"))
+    out, _ = rt(arr)
+    assert_equal_arrays(out, arr)
+    t32 = pa.array([5, None, 9], type=pa.int32()).view(pa.time32("ms"))
+    out, _ = rt(t32)
+    assert_equal_arrays(out, t32)
+
+
+def test_us_naive_timestamp_keeps_legacy_frame_type():
+    """timestamp('us', tz=None) must stay on LT_TIMESTAMP_US so round-1
+    frames and byte invariants are untouched."""
+    arr = pa.array([1, 2, 3], type=pa.int64()).view(pa.timestamp("us"))
+    blob, _ = chunk.encode_chunk(arr, compression=None)
+    assert frame.read_frame(blob).logical_type == frame.LT_TIMESTAMP_US
+    arr2 = pa.array([1, 2, 3], type=pa.int64()).view(pa.timestamp("ns"))
+    blob2, _ = chunk.encode_chunk(arr2, compression=None)
+    assert frame.read_frame(blob2).logical_type == frame.LT_TEMPORAL
+
+
+def test_ext_int_malformed_params():
+    arr = pa.array(np.array([1, 2, 3], dtype=np.uint16))
+    blob, _ = chunk.encode_chunk(arr, compression=None)
+    meta = frame.read_frame(blob)
+    # rebuild the frame with a corrupted param section (bad width)
+    sections = list(meta.sections)
+    sections[0] = bytes([0, 7])
+    bad = frame.write_frame(
+        meta.codec, meta.logical_type, sections, count=meta.count,
+        null_count=meta.null_count, raw_size=meta.raw_size,
+        bit_width=meta.bit_width, flags=meta.flags, compression=None,
+    )
+    with pytest.raises(ValueError):
+        chunk.decode_chunk(bad)
+
+
+def test_ext_int_paged():
+    arr = pa.array(
+        np.random.default_rng(3).integers(0, 2**63, 30_000,
+                                          dtype=np.int64).view(np.uint64)
+    )
+    blob, _ = chunk.encode_chunk_paged(arr, page_rows=7_000)
+    out = chunk.decode_chunk(blob)
+    assert_equal_arrays(out, arr)
+    sub = chunk.decode_chunk_rows(blob, 6_999, 14_001)
+    assert_equal_arrays(sub, arr.slice(6_999, 14_001 - 6_999))
