@@ -141,6 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nested schemas (struct + map shredded into child sub-frames)
     q["rt_nested"] = _rt.nested_roundtrip_query
     q["rt_int96"] = _rt.int96_roundtrip_query
+    # extended ints (int8/16, uint32/64) + temporal units (ms/us ticks)
+    q["rt_typed_ext"] = _rt.typed_ext_roundtrip_query
+    # partial subtree read: decode one struct child, skip its siblings
+    q["rt_struct_project"] = _rt.struct_project_query
     q["rt_uuid"] = _rt.uuid_roundtrip_query
     q["rt_json"] = _rt.json_roundtrip_query
     q["rt_variant"] = _rt.variant_roundtrip_query
@@ -218,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
     o["rt_flba"] = _rt.FLBA_ORACLE
     o["rt_nested"] = _rt.NESTED_ORACLE
     o["rt_int96"] = _rt.INT96_ORACLE
+    o["rt_typed_ext"] = _rt.TYPED_EXT_ORACLE
+    o["rt_struct_project"] = _rt.STRUCT_PROJECT_ORACLE
     o["rt_uuid"] = _rt.UUID_ORACLE
     o["rt_json"] = _rt.JSON_ORACLE
     o["rt_variant"] = _rt.VARIANT_ORACLE

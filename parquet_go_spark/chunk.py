@@ -65,6 +65,15 @@ _EXT_INT_NPDT = {
 _UNIT_CODES = {"s": 0, "ms": 1, "us": 2, "ns": 3}
 _UNIT_NAMES = {v: k for k, v in _UNIT_CODES.items()}
 
+# logical types whose frames carry a param section before the validity
+_PARAM_LTS = (
+    frame.LT_FLBA,
+    frame.LT_DECIMAL,
+    frame.LT_STRUCT,
+    frame.LT_INT_EXT,
+    frame.LT_TEMPORAL,
+)
+
 
 def _logical_type(t: pa.DataType) -> int:
     if pa.types.is_int32(t):
@@ -1098,6 +1107,97 @@ def decode_chunk_rows(buf: bytes, start: int, stop: int,
     return _concat(out)
 
 
+def decode_chunk_partial(
+    buf: bytes,
+    path: str | list[str],
+    encryption_key: bytes | None = None,
+) -> pa.Array:
+    """Decode only the named subtree of a nested chunk — the reference's
+    partial read (``ReadPartial`` path-prefix filtering,
+    reader/reader.go:347-410): sibling sub-frames are never handed to a
+    decode kernel, so projecting one field of a wide struct skips the
+    expensive part (rANS/FSST/dict decode) of every other field.
+
+    ``path`` names struct fields (dotted string or list). List layers are
+    transparent — projecting ``"f"`` through ``list<struct<f,g>>`` returns
+    ``list<f>`` with the parent's offsets; for maps, ``"key"``/``"value"``
+    address the entry columns. A null parent yields a null child row."""
+    if isinstance(path, str):
+        path = [p for p in path.split(".") if p]
+    path = list(path)
+    if not path:
+        return decode_chunk(buf, encryption_key)
+    pages = split_pages(buf)
+    if pages is not None:
+        return _concat(
+            [_decode_partial_inner(p, path, encryption_key) for p in pages]
+        )
+    return _decode_partial_inner(buf, path, encryption_key)
+
+
+def _decode_partial_inner(
+    buf: bytes, path: list[str], encryption_key: bytes | None = None
+) -> pa.Array:
+    meta = frame.read_frame(buf, encryption_key)
+    n, lt = meta.count, meta.logical_type
+    s0 = 0
+    params = None
+    if lt in _PARAM_LTS:
+        params = meta.sections[0]
+        s0 = 1
+    valid = None
+    if meta.flags & frame.FLAG_HAS_VALIDITY:
+        valid = frame.unpack_validity(meta.sections[s0], n)
+        s0 += 1
+    dense_n = n - meta.null_count
+
+    if lt == frame.LT_STRUCT:
+        names = bytes(params).decode("utf-8").split("\x00") if params else []
+        name = path[0]
+        if name not in names:
+            raise KeyError(f"no struct field {name!r} (have {names})")
+        sub = meta.sections[s0 + names.index(name)]
+        child = (
+            _decode_partial_inner(sub, path[1:])
+            if len(path) > 1
+            else decode_chunk(sub)
+        )
+        if len(child) != dense_n:
+            raise ValueError("struct child length mismatch")
+        if valid is None:
+            return child
+        if dense_n == 0:
+            return pa.nulls(n, child.type)
+        # a null index propagates null through take: parent-null rows
+        # become null children (the def-level semantics of the full path)
+        idx = np.zeros(n, dtype=np.int64)
+        idx[valid] = np.arange(dense_n)
+        return child.take(pa.array(idx, mask=~valid))
+    if lt in (frame.LT_LIST_INT32, frame.LT_MAP):
+        # the repeated layer is transparent to the path; rebuild the list
+        # shape around the partially-decoded element subtree
+        lengths = np.asarray(decode_chunk(meta.sections[s0]), dtype=np.int64)
+        values = _decode_partial_inner(meta.sections[s0 + 1], path)
+        if valid is None:
+            off = np.zeros(dense_n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=off[1:])
+            return pa.ListArray.from_arrays(off.astype(np.int32), values)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid] = lengths
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(full_lens, out=off[1:])
+        return pa.Array.from_buffers(
+            pa.list_(values.type),
+            n,
+            [pa.py_buffer(frame.pack_validity(valid)),
+             pa.py_buffer(off.astype(np.int32).tobytes())],
+            children=[values],
+        )
+    raise ValueError(
+        f"cannot project path {'.'.join(path)!r} into logical type {lt}"
+    )
+
+
 # ---------------------------------------------------------------- decoding
 
 
@@ -1151,13 +1251,7 @@ def _decode_chunk_inner(buf: bytes, encryption_key: bytes | None = None) -> pa.A
     valid = None
     s0 = 0
     params = None
-    if lt in (
-        frame.LT_FLBA,
-        frame.LT_DECIMAL,
-        frame.LT_STRUCT,
-        frame.LT_INT_EXT,
-        frame.LT_TEMPORAL,
-    ):
+    if lt in _PARAM_LTS:
         params = meta.sections[0]  # param section precedes validity
         s0 = 1
     if meta.flags & frame.FLAG_HAS_VALIDITY:

@@ -29,19 +29,29 @@ def make_decode_fn(
     """Per-partition decode kernel; ``arrow_types`` restores exact logical
     types (e.g. timestamp[us]) when the frame's physical type is wider.
     ``column_keys``/``encryption_key`` follow the reference's
-    resolveColumnKey fallback chain (reader/encryption.go:311-366)."""
+    resolveColumnKey fallback chain (reader/encryption.go:311-366).
+
+    A dotted name (``payload.meta.lang``) projects a nested subtree via
+    ``decode_chunk_partial`` — sibling sub-frames never hit a decode
+    kernel (the reference's ReadPartial, reader/reader.go:347-410). The
+    output column is named with dots replaced by underscores."""
+
+    out_names = [c.replace(".", "_") for c in columns]
 
     def decode_group(table: pa.Table) -> pa.Table:
         cols = {c: b for c, b in zip(table.column("col").to_pylist(),
                                      table.column("blob").to_pylist())}
         arrays = []
         for name in columns:
-            if name not in cols:
-                raise ValueError(f"partition missing column chunk {name!r}")
+            top, _, sub = name.partition(".")
+            if top not in cols:
+                raise ValueError(f"partition missing column chunk {top!r}")
             try:
-                a = chunk.decode_chunk(
-                    cols[name],
-                    keysmod.key_for(name, column_keys, encryption_key),
+                key = keysmod.key_for(top, column_keys, encryption_key)
+                a = (
+                    chunk.decode_chunk_partial(cols[top], sub, key)
+                    if sub
+                    else chunk.decode_chunk(cols[top], key)
                 )
             except ValueError as e:
                 # name the column: a wrong/missing per-column key should
@@ -55,7 +65,7 @@ def make_decode_fn(
         for name, a in zip(columns, arrays):
             if len(a) != n:
                 raise ValueError(f"column {name} count mismatch: {len(a)} != {n}")
-        return pa.table(dict(zip(columns, arrays)))
+        return pa.table(dict(zip(out_names, arrays)))
 
     return decode_group
 
@@ -69,7 +79,8 @@ def decode_table(
     column_keys: dict[str, bytes] | None = None,
 ) -> DataFrame:
     store = ManifestStore(out_dir)
-    blobs = store.blobs(spark).filter(F.col("col").isin(columns))
+    tops = sorted({c.split(".", 1)[0] for c in columns})
+    blobs = store.blobs(spark).filter(F.col("col").isin(tops))
     return blobs.groupBy("part_id").applyInArrow(
         make_decode_fn(columns, spark_schema, encryption_key=encryption_key,
                        column_keys=column_keys),

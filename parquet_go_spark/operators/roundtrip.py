@@ -469,3 +469,132 @@ def bson_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BSON_ORACLE = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+
+
+def typed_ext_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended physical/logical types through the codec stack: int8/16,
+    uint32/uint64 (reference INT_8/16 + UINT converted types,
+    common/functable.go:38-41) and ms-timestamps / us-time-of-day /
+    ms-durations (types/timestamp.go, types/time.go). Typed arrays are
+    derived deterministically from o_orderkey, encoded, decoded, type-
+    checked in-kernel, and rendered to oracle-comparable scalars."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pick_cache: dict[str, list] = {}
+        for b in batches:
+            key = np.asarray(
+                pa.Table.from_batches([b]).column("o_orderkey").combine_chunks()
+            ).astype(np.int64)
+            uk = key.view(np.uint64)
+            typed = {
+                "i8": pa.array((key % 256 - 128).astype(np.int8)),
+                "i16": pa.array((key % 65536 - 32768).astype(np.int16)),
+                "u32": pa.array(
+                    ((uk * np.uint64(2654435761)) % np.uint64(2**32)).astype(
+                        np.uint32
+                    )
+                ),
+                "u64": pa.array(
+                    uk * np.uint64(11400714819323198485)
+                    + np.uint64(2246822507)
+                ),
+                "ts_ms": pa.array(key * 77_777, type=pa.int64()).view(
+                    pa.timestamp("ms")
+                ),
+                "t64": pa.array(
+                    (key * 1_000_003) % 86_400_000_000, type=pa.int64()
+                ).view(pa.time64("us")),
+                "dur": pa.array(key - 5000, type=pa.int64()).view(
+                    pa.duration("ms")
+                ),
+            }
+            decoded = {}
+            for name, arr in typed.items():
+                blob, _ = chunk.encode_chunk(
+                    arr, codec="auto", compression="zstd",
+                    pick_cache=pick_cache, path=name,
+                )
+                out = chunk.decode_chunk(blob)
+                if out.type != arr.type or not out.equals(arr):
+                    raise ValueError(f"typed roundtrip mismatch on {name}")
+                decoded[name] = out
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(key),
+                    pc.cast(decoded["i8"], pa.int32()),
+                    pc.cast(decoded["i16"], pa.int32()),
+                    pc.cast(decoded["u32"], pa.int64()),
+                    pc.cast(decoded["u64"], pa.string()),
+                    pc.cast(decoded["ts_ms"].view(pa.int64()), pa.int64()),
+                    pc.cast(decoded["t64"].view(pa.int64()), pa.int64()),
+                    pc.cast(decoded["dur"].view(pa.int64()), pa.int64()),
+                ],
+                names=["o_orderkey", "i8", "i16", "u32", "u64_str",
+                       "ts_ms_epoch", "t64_us", "dur_ms"],
+            )
+
+    return df.mapInArrow(
+        fn,
+        "o_orderkey long, i8 int, i16 int, u32 long, u64_str string, "
+        "ts_ms_epoch long, t64_us long, dur_ms long",
+    )
+
+
+TYPED_EXT_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(o_orderkey % 256 - 128 AS INT) AS i8,
+  CAST(o_orderkey % 65536 - 32768 AS INT) AS i16,
+  CAST((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+    AS u32,
+  CAST((CAST(o_orderkey AS HUGEINT) * 11400714819323198485 + 2246822507)
+       % 18446744073709551616 AS VARCHAR) AS u64_str,
+  o_orderkey * 77777 AS ts_ms_epoch,
+  (o_orderkey * 1000003) % 86400000000 AS t64_us,
+  o_orderkey - 5000 AS dur_ms
+FROM orders
+"""
+
+
+def struct_project_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial subtree read (reference ReadPartial,
+    reader/reader.go:347-410): a 3-field struct (one nested) is encoded
+    whole, then ONLY the requested subtrees are decoded via
+    decode_chunk_partial — the big text sibling's decode kernel never
+    runs (pinned by pytest; here the values prove correctness)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        "doc_id",
+        F.struct(
+            F.col("lang"),
+            F.struct(F.col("n_chars"), F.col("source")).alias("meta"),
+            F.col("text"),
+        ).alias("s"),
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pick_cache: dict[str, list] = {}
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            s = tbl.column("s").combine_chunks()
+            blob, _ = chunk.encode_chunk(
+                s, codec="auto", compression="zstd",
+                pick_cache=pick_cache, path="s",
+            )
+            lang = chunk.decode_chunk_partial(blob, "lang")
+            n_chars = chunk.decode_chunk_partial(blob, "meta.n_chars")
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("doc_id").combine_chunks(), lang, n_chars],
+                names=["doc_id", "lang", "n_chars"],
+            )
+
+    return df.mapInArrow(fn, "doc_id long, lang string, n_chars long")
+
+
+STRUCT_PROJECT_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+"""

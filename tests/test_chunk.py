@@ -845,3 +845,119 @@ def test_ext_int_paged():
     assert_equal_arrays(out, arr)
     sub = chunk.decode_chunk_rows(blob, 6_999, 14_001)
     assert_equal_arrays(sub, arr.slice(6_999, 14_001 - 6_999))
+
+
+# ---------------- partial subtree reads (ReadPartial analog) ----------------
+
+def _nested_struct_arr():
+    return pa.array(
+        [
+            {"meta": {"lang": "en", "score": 7}, "txt": "alpha beta"},
+            None,
+            {"meta": {"lang": "de", "score": None}, "txt": "gamma"},
+            {"meta": None, "txt": "delta"},
+        ],
+        type=pa.struct(
+            [
+                ("meta", pa.struct([("lang", pa.string()),
+                                    ("score", pa.int64())])),
+                ("txt", pa.string()),
+            ]
+        ),
+    )
+
+
+def test_partial_struct_matches_full_field():
+    arr = _nested_struct_arr()
+    blob, _ = chunk.encode_chunk(arr)
+    full = chunk.decode_chunk(blob)
+    for path, want in [
+        ("txt", full.field("txt")),
+        ("meta", full.field("meta")),
+        ("meta.lang", full.field("meta").field("lang")),
+        ("meta.score", full.field("meta").field("score")),
+    ]:
+        got = chunk.decode_chunk_partial(blob, path)
+        # field() of a masked StructArray keeps garbage under parent-null
+        # slots; compare with parent nulls folded in, as partial defines
+        mask = pa.compute.is_null(full) if "." not in path else None
+        if mask is not None:
+            want = pa.compute.if_else(mask, pa.nulls(len(arr), want.type), want)
+        else:
+            outer = pa.compute.is_null(full)
+            inner = pa.compute.is_null(full.field("meta"))
+            dead = pa.compute.or_(outer, inner)
+            want = pa.compute.if_else(dead, pa.nulls(len(arr), want.type), want)
+        assert got.equals(want.combine_chunks() if isinstance(
+            want, pa.ChunkedArray) else want), (path, got, want)
+
+
+def test_partial_list_of_struct():
+    arr = pa.array(
+        [[{"f": 1, "g": "a"}, {"f": 2, "g": "b"}], None, [], [{"f": 9, "g": "z"}]],
+        type=pa.list_(pa.struct([("f", pa.int64()), ("g", pa.string())])),
+    )
+    blob, _ = chunk.encode_chunk(arr)
+    got = chunk.decode_chunk_partial(blob, "f")
+    want = pa.array([[1, 2], None, [], [9]], type=pa.list_(pa.int64()))
+    assert got.equals(want), got
+
+
+def test_partial_map_value():
+    arr = pa.array(
+        [[("k1", 10), ("k2", 20)], None, [("k3", 30)]],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    blob, _ = chunk.encode_chunk(arr)
+    got_v = chunk.decode_chunk_partial(blob, "value")
+    assert got_v.equals(
+        pa.array([[10, 20], None, [30]], type=pa.list_(pa.int64()))
+    ), got_v
+    got_k = chunk.decode_chunk_partial(blob, "key")
+    assert got_k.equals(
+        pa.array([["k1", "k2"], None, ["k3"]], type=pa.list_(pa.string()))
+    ), got_k
+
+
+def test_partial_skips_sibling_decode(monkeypatch):
+    """The point of ReadPartial: the sibling's decode kernel must never
+    run. Force the sibling through FSST, then blow up fsst.decode —
+    partial decode of the other field must still succeed."""
+    from parquet_go_spark.codecs import fsst
+
+    txt = pa.array([f"value number {i % 7} padding padding" for i in
+                    range(2000)])
+    num = pa.array(np.arange(2000, dtype=np.int64))
+    arr = pa.StructArray.from_arrays([txt, num], ["txt", "num"])
+    # force fsst on the text child by encoding whole struct with auto and
+    # checking; instead pin it: encode children individually is internal,
+    # so just assert the monkeypatched path
+    blob, st = chunk.encode_chunk(arr)
+
+    def bomb(*a, **k):
+        raise AssertionError("sibling decode kernel invoked")
+
+    monkeypatch.setattr(fsst, "decode", bomb)
+    monkeypatch.setattr(chunk.deltaba, "decode_delta_length", bomb)
+    monkeypatch.setattr(chunk.deltaba, "decode_delta_ba", bomb)
+    monkeypatch.setattr(chunk.dictionary, "decode_indices", bomb)
+    monkeypatch.setattr(chunk.dictionary, "decode_codes_bss", bomb)
+    monkeypatch.setattr(chunk.plainc, "decode_byte_array", bomb)
+    got = chunk.decode_chunk_partial(blob, "num")
+    assert got.equals(num)
+
+
+def test_partial_paged_and_bad_path():
+    arr = pa.array(
+        [{"a": i, "b": str(i)} for i in range(30_000)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    blob, _ = chunk.encode_chunk_paged(arr, page_rows=8000)
+    got = chunk.decode_chunk_partial(blob, "a")
+    assert got.equals(pa.array(np.arange(30_000, dtype=np.int64)))
+    with pytest.raises(KeyError):
+        chunk.decode_chunk_partial(blob, "nope")
+    flat = pa.array(np.arange(10, dtype=np.int64))
+    fblob, _ = chunk.encode_chunk(flat)
+    with pytest.raises(ValueError):
+        chunk.decode_chunk_partial(fblob, "x")

@@ -298,3 +298,34 @@ def test_logical_uuid_json_converters(spark):
     ).collect()
     assert rows[0]["j"] == '{"lang":"en","n":42}'
     assert [(r["lang"], r["n"]) for r in rows] == [("en", "42"), ("zh", "7")]
+
+
+def test_decode_table_dotted_path_projection(spark, tmp_out):
+    """Dotted columns project nested subtrees through decode_table — the
+    distributed surface of decode_chunk_partial (ReadPartial analog,
+    reader/reader.go:347-410)."""
+    from parquet_go_spark.operators.pruned import encode_generic
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.struct(
+            (F.col("id") % 5).cast("string").alias("lang"),
+            F.struct(
+                (F.col("id") * 3).alias("n"),
+                F.concat(F.lit("txt"), F.col("id")).alias("t"),
+            ).alias("meta"),
+        ).alias("payload"),
+    )
+    encode_generic(spark, df, tmp_out, key_col="k", num_parts=4)
+    out = decode_table(
+        spark, tmp_out,
+        ["k", "payload.lang", "payload.meta.n"],
+        "k long, payload_lang string, payload_meta_n long",
+    )
+    want = df.select(
+        "k",
+        F.col("payload.lang").alias("payload_lang"),
+        F.col("payload.meta.n").alias("payload_meta_n"),
+    )
+    assert out.exceptAll(want).count() == 0
+    assert want.exceptAll(out).count() == 0
