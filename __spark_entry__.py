@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nested schemas (struct + map shredded into child sub-frames)
     q["rt_nested"] = _rt.nested_roundtrip_query
     q["rt_int96"] = _rt.int96_roundtrip_query
+    # INTERVAL logical type (12-byte mon/day/millis FLBA, reference
+    # types/interval.go:9-88) with the reference string rendering
+    q["rt_interval"] = _rt.interval_roundtrip_query
     # extended ints (int8/16, uint32/64) + temporal units (ms/us ticks)
     q["rt_typed_ext"] = _rt.typed_ext_roundtrip_query
     # partial subtree read: decode one struct child, skip its siblings
@@ -222,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_flba"] = _rt.FLBA_ORACLE
     o["rt_nested"] = _rt.NESTED_ORACLE
     o["rt_int96"] = _rt.INT96_ORACLE
+    o["rt_interval"] = _rt.INTERVAL_ORACLE
     o["rt_typed_ext"] = _rt.TYPED_EXT_ORACLE
     o["rt_struct_project"] = _rt.STRUCT_PROJECT_ORACLE
     o["rt_uuid"] = _rt.UUID_ORACLE

@@ -232,6 +232,86 @@ INT96_ORACLE = (
 )
 
 
+def interval_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL logical type (reference types/interval.go:9-88): three
+    LE-uint32 fields (months, days, millis) packed into fixed(12), the
+    FLBA codec stack, then the reference's "X mon X day X.xxx sec"
+    rendering — built JVM-side from the decoded fields, so the string
+    proves the decoded bytes and no Python touches the formatting."""
+    from .. import interval as ival
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % F.lit(25)).alias("months"),
+        (F.col("o_custkey") % F.lit(31)).alias("days"),
+        ((F.col("o_orderkey") * F.lit(7919)) % F.lit(90_061_000)).alias(
+            "millis"
+        ),
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            packed = ival.pack_interval(
+                *(
+                    np.asarray(tbl.column(c).combine_chunks(), dtype=np.int64)
+                    for c in ("months", "days", "millis")
+                )
+            )
+            blob, _ = chunk.encode_chunk(packed, codec="auto", compression="zstd")
+            m, d, ms = ival.unpack_interval(chunk.decode_chunk(blob))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("o_orderkey").combine_chunks(),
+                    pa.array(m.astype(np.int64)),
+                    pa.array(d.astype(np.int64)),
+                    pa.array(ms.astype(np.int64)),
+                ],
+                names=["o_orderkey", "months", "days", "millis"],
+            )
+
+    out = df.mapInArrow(fn, "o_orderkey long, months long, days long, millis long")
+    # interval.go:22-33: omit zero mon/day parts; emit the sec part when
+    # seconds > 0 or every other part was omitted.  concat_ws skips nulls
+    # in both engines; %.3f of millis/1000.0 can never sit on a half-way
+    # rounding tie (n/1000 is not exactly representable at 0.0005 steps),
+    # so Java HALF_UP and fmt round-half-even agree.
+    return out.select(
+        "o_orderkey",
+        "months",
+        "days",
+        "millis",
+        F.concat_ws(
+            " ",
+            F.when(F.col("months") > 0, F.format_string("%d mon", "months")),
+            F.when(F.col("days") > 0, F.format_string("%d day", "days")),
+            F.when(
+                (F.col("millis") > 0)
+                | ((F.col("months") == 0) & (F.col("days") == 0)),
+                F.format_string("%.3f sec", F.col("millis") / F.lit(1000.0)),
+            ),
+        ).alias("ival"),
+    )
+
+
+INTERVAL_ORACLE = """
+SELECT o_orderkey, months, days, millis,
+       concat_ws(' ',
+         CASE WHEN months > 0 THEN printf('%d mon', months) END,
+         CASE WHEN days > 0 THEN printf('%d day', days) END,
+         CASE WHEN millis > 0 OR (months = 0 AND days = 0)
+              THEN printf('%.3f sec', millis / 1000.0) END
+       ) AS ival
+FROM (SELECT o_orderkey,
+             o_orderkey % 25 AS months,
+             o_custkey % 31 AS days,
+             (o_orderkey * 7919) % 90061000 AS millis
+      FROM orders)
+"""
+
+
 def nested_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested schemas through the codec stack: a struct column and a map
     column (Dremel shredding into per-child sub-frames; reference
