@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # INTERVAL logical type (12-byte mon/day/millis FLBA, reference
     # types/interval.go:9-88) with the reference string rendering
     q["rt_interval"] = _rt.interval_roundtrip_query
+    # GEOMETRY -> GeoJSON logical conversion (reference types/geometry.go,
+    # types/geospatial_wkb.go:145-188)
+    q["rt_geojson"] = _rt.geojson_roundtrip_query
     # extended ints (int8/16, uint32/64) + temporal units (ms/us ticks)
     q["rt_typed_ext"] = _rt.typed_ext_roundtrip_query
     # partial subtree read: decode one struct child, skip its siblings
@@ -226,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_nested"] = _rt.NESTED_ORACLE
     o["rt_int96"] = _rt.INT96_ORACLE
     o["rt_interval"] = _rt.INTERVAL_ORACLE
+    o["rt_geojson"] = _rt.GEOJSON_ORACLE
     o["rt_typed_ext"] = _rt.TYPED_EXT_ORACLE
     o["rt_struct_project"] = _rt.STRUCT_PROJECT_ORACLE
     o["rt_uuid"] = _rt.UUID_ORACLE

@@ -249,3 +249,139 @@ def bbox_intersects(stats_json: str | None,
     xmin, ymin, xmax, ymax = bbox
     wxmin, wymin, wxmax, wymax = window
     return not (xmax < wxmin or xmin > wxmax or ymax < wymin or ymin > wymax)
+
+
+# ------------------------------------------------- GeoJSON logical surface
+
+MAX_COORD_PRECISION = 12  # reference types/geospatial.go:308
+
+
+def round_coord(v: float, precision: int) -> float:
+    """Reference roundCoordinate (types/geospatial_wkb.go:12-21):
+    precision < 0 leaves the value alone, >12 is capped; Go math.Round is
+    half-away-from-zero, so we avoid numpy's half-even round."""
+    if precision < 0:
+        return v
+    if precision > MAX_COORD_PRECISION:
+        precision = MAX_COORD_PRECISION
+    pow10 = 10.0 ** precision
+    import math
+
+    return math.copysign(math.floor(abs(v) * pow10 + 0.5), v) / pow10
+
+
+def _gj_coords(mv, off: int, npts: int, be: bool, dims: int,
+               precision: int) -> tuple[list[list[float]], int]:
+    xy, off = _coords(mv, off, npts, be, dims)
+    pts = xy.reshape(npts, 2)
+    return (
+        [[round_coord(float(p[0]), precision),
+          round_coord(float(p[1]), precision)] for p in pts],
+        off,
+    )
+
+
+def _gj_walk(mv, off: int, precision: int) -> tuple[dict, int]:
+    """One geometry -> (GeoJSON dict, offset past it). Mirrors the
+    reference's wkbToGeoJSON dispatch (types/geospatial_wkb.go:145-188)
+    over all seven kinds with per-sub-geometry byte order; unlike the
+    reference we honour Z/M dimension codes by keeping the XY prefix
+    (the reference assumes 2-D input there; its bbox walker strips
+    dims the way we do)."""
+    be = mv[off] == 0
+    raw_type = _u32(mv, off + 1, be)
+    base = raw_type % 1000
+    dims = 2 if raw_type < 1000 else (3 if raw_type < 3000 else 4)
+    off += 5
+    if base == POINT:
+        pts, off = _gj_coords(mv, off, 1, be, dims, precision)
+        return {"type": "Point", "coordinates": pts[0]}, off
+    if base == LINESTRING:
+        npts = _u32(mv, off, be)
+        pts, off = _gj_coords(mv, off + 4, npts, be, dims, precision)
+        return {"type": "LineString", "coordinates": pts}, off
+    if base == POLYGON:
+        nrings = _u32(mv, off, be)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            npts = _u32(mv, off, be)
+            pts, off = _gj_coords(mv, off + 4, npts, be, dims, precision)
+            rings.append(pts)
+        return {"type": "Polygon", "coordinates": rings}, off
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, COLLECTION):
+        nparts = _u32(mv, off, be)
+        off += 4
+        subs = []
+        for _ in range(nparts):
+            gj, off = _gj_walk(mv, off, precision)
+            subs.append(gj)
+        if base == COLLECTION:
+            return {"type": "GeometryCollection", "geometries": subs}, off
+        kind, inner = {
+            MULTIPOINT: ("MultiPoint", "Point"),
+            MULTILINESTRING: ("MultiLineString", "LineString"),
+            MULTIPOLYGON: ("MultiPolygon", "Polygon"),
+        }[base]
+        # readSubGeomHeader's expected-type check (geospatial_wkb.go:28-41)
+        for gj in subs:
+            if gj["type"] != inner:
+                raise ValueError(
+                    f"{kind} sub-geometry is {gj['type']}, expected {inner}"
+                )
+        return (
+            {"type": kind, "coordinates": [g["coordinates"] for g in subs]},
+            off,
+        )
+    raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+def wkb_to_geojson(b: bytes, precision: int = 6) -> dict | None:
+    """Reference wkbToGeoJSON (types/geospatial_wkb.go:145-188): WKB ->
+    GeoJSON geometry dict, or None when the bytes are not convertible
+    (the reference returns ok=false and the caller falls back to a
+    wkb_hex wrapper).  Converter boundary, per-value like the
+    reference's — not a decode hot-path kernel."""
+    if len(b) < 5:
+        return None
+    try:
+        gj, off = _gj_walk(memoryview(b), 0, precision)
+    except (ValueError, struct.error, IndexError):
+        return None
+    return gj if off <= len(b) else None
+
+
+def convert_geospatial_value(
+    b: bytes | None,
+    *,
+    crs: str = DEFAULT_CRS,
+    algorithm: str = EDGES_SPHERICAL,
+    mode: str = "geojson",
+    precision: int = 6,
+    as_feature: bool = False,
+    hybrid_b64: bool = False,
+) -> dict | None:
+    """Reference ConvertGeographyLogicalValue / ConvertGeometryLogicalValue
+    (types/geography.go:11-66, types/geometry.go:11): render a WKB value
+    as geojson / base64 / hybrid, annotated with crs + algorithm; a WKB
+    blob GeoJSON can't express falls back to the wkb_hex wrapper."""
+    if b is None:
+        return None
+    import base64 as b64mod
+
+    meta = {"crs": crs, "algorithm": algorithm}
+    if mode == "base64":
+        return {"wkb_b64": b64mod.b64encode(b).decode(), **meta}
+    gj = wkb_to_geojson(b, precision)
+    if gj is None:
+        return {"wkb_hex": b.hex(), **meta}
+    if mode == "hybrid":
+        wrapped = {"geojson": gj}
+        if hybrid_b64:
+            wrapped["wkb_b64"] = b64mod.b64encode(b).decode()
+        else:
+            wrapped["wkb_hex"] = b.hex()
+        return {**wrapped, **meta}
+    if as_feature:
+        return {"type": "Feature", "geometry": gj, "properties": meta}
+    return gj

@@ -312,6 +312,65 @@ FROM (SELECT o_orderkey,
 """
 
 
+def geojson_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY -> GeoJSON logical conversion (reference
+    types/geometry.go:11, wkbToGeoJSON types/geospatial_wkb.go:145-188):
+    deterministic lon/lat points packed as WKB (vectorized), the codec
+    stack, then the GeoJSON text — built JVM-side with format_string
+    from the decoded coordinates, so the string proves decode identity
+    and no per-row Python touches the rendering.  The full seven-kind
+    converter (multi*/collections, byte orders, Z/M) is pinned in
+    tests/test_geo.py against hand-built WKB."""
+    from .. import geo as geomod
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 360 - 180 + 0.5).cast("double").alias("x"),
+        (F.floor(F.col("o_orderkey") / 7) % 180 - 90 + 0.25)
+        .cast("double").alias("y"),
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            wkb = geomod.wkb_points(
+                np.asarray(tbl.column("x").combine_chunks(), dtype=np.float64),
+                np.asarray(tbl.column("y").combine_chunks(), dtype=np.float64),
+            )
+            blob, _ = chunk.encode_chunk(wkb, codec="auto", compression="zstd")
+            x, y = geomod.parse_points(chunk.decode_chunk(blob))
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("o_orderkey").combine_chunks(),
+                 pa.array(x, pa.float64()), pa.array(y, pa.float64())],
+                names=["o_orderkey", "x", "y"],
+            )
+
+    out = df.mapInArrow(fn, "o_orderkey long, x double, y double")
+    # %.6f is exact here (coords are k+0.5 / k+0.25), so Java and DuckDB
+    # printf render identically; crs/algorithm are the reference defaults
+    return out.select(
+        "o_orderkey",
+        F.format_string(
+            '{"type":"Point","coordinates":[%.6f,%.6f]}', "x", "y"
+        ).alias("geojson"),
+        F.lit(geomod.DEFAULT_CRS).alias("crs"),
+        F.lit(geomod.EDGES_PLANAR).alias("algorithm"),
+    )
+
+
+GEOJSON_ORACLE = """
+SELECT o_orderkey,
+       printf('{"type":"Point","coordinates":[%.6f,%.6f]}',
+              (o_orderkey % 360 - 180 + 0.5),
+              ((o_orderkey // 7) % 180 - 90 + 0.25)) AS geojson,
+       'OGC:CRS84' AS crs,
+       'planar' AS algorithm
+FROM orders
+"""
+
+
 def nested_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested schemas through the codec stack: a struct column and a map
     column (Dremel shredding into per-child sub-frames; reference

@@ -208,3 +208,86 @@ def test_geo_pruning_end_to_end(spark, tmp_out):
         if window[0] <= xs[i] <= window[2] and window[1] <= ys[i] <= window[3]
     }
     assert set(got_ids) == want
+
+
+# ------------------------------------------------- GeoJSON converter
+
+def test_geojson_all_kinds():
+    # point / linestring / polygon (types/geospatial_wkb.go:145-176)
+    assert geo.wkb_to_geojson(_pt(1.5, -2.25)) == {
+        "type": "Point", "coordinates": [1.5, -2.25]}
+    assert geo.wkb_to_geojson(_ls([(0.0, 0.0), (3.0, 4.0)])) == {
+        "type": "LineString", "coordinates": [[0.0, 0.0], [3.0, 4.0]]}
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    poly = _wkb(False, geo.POLYGON,
+                struct.pack("<I", 1) + struct.pack("<I", len(ring))
+                + b"".join(struct.pack("<2d", *xy) for xy in ring))
+    assert geo.wkb_to_geojson(poly) == {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]]]}
+    # multi* collapse to coordinate arrays; collection nests geometries
+    mp = _wkb(False, geo.MULTIPOINT,
+              struct.pack("<I", 2) + _pt(-9.0, 2.0) + _pt(1.0, 7.0))
+    assert geo.wkb_to_geojson(mp) == {
+        "type": "MultiPoint", "coordinates": [[-9.0, 2.0], [1.0, 7.0]]}
+    mls = _wkb(False, geo.MULTILINESTRING,
+               struct.pack("<I", 1) + _ls([(1.0, 1.0), (2.0, 2.0)]))
+    assert geo.wkb_to_geojson(mls) == {
+        "type": "MultiLineString", "coordinates": [[[1.0, 1.0], [2.0, 2.0]]]}
+    mpoly = _wkb(False, geo.MULTIPOLYGON, struct.pack("<I", 1) + poly)
+    assert geo.wkb_to_geojson(mpoly) == {
+        "type": "MultiPolygon",
+        "coordinates": [[[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]]]]}
+    coll = _wkb(False, geo.COLLECTION,
+                struct.pack("<I", 2) + _pt(9.0, -3.0)
+                + _ls([(0.0, 0.0), (1.0, 1.0)]))
+    assert geo.wkb_to_geojson(coll) == {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [9.0, -3.0]},
+            {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+        ]}
+
+
+def test_geojson_endianness_dims_and_precision():
+    # big-endian and Z/M variants parse; coordinates round half-away-
+    # from-zero at the requested precision (roundCoordinate semantics)
+    assert geo.wkb_to_geojson(_pt(1.23456789, -2.0, be=True)) == {
+        "type": "Point", "coordinates": [1.234568, -2.0]}
+    pz = _wkb(False, 1001, struct.pack("<3d", 7.0, 8.0, 99.0))
+    assert geo.wkb_to_geojson(pz) == {"type": "Point",
+                                      "coordinates": [7.0, 8.0]}
+    assert geo.round_coord(0.0000005, 6) == 0.000001   # half away from zero
+    assert geo.round_coord(-0.0000005, 6) == -0.000001
+    assert geo.round_coord(1.23456789, -1) == 1.23456789
+    assert geo.round_coord(1.5e-12, 99) == 2e-12       # capped at 12
+
+
+def test_geojson_rejects_malformed():
+    assert geo.wkb_to_geojson(b"\x01\x01") is None          # short header
+    assert geo.wkb_to_geojson(_wkb(False, 42, b"")) is None  # unknown kind
+    truncated = _pt(1.0, 2.0)[:-4]
+    assert geo.wkb_to_geojson(truncated) is None
+    # multi* sub-geometry of the wrong kind is rejected
+    bad_mp = _wkb(False, geo.MULTIPOINT,
+                  struct.pack("<I", 1) + _ls([(0.0, 0.0), (1.0, 1.0)]))
+    assert geo.wkb_to_geojson(bad_mp) is None
+
+
+def test_convert_geospatial_modes():
+    b = _pt(3.0, 4.0)
+    gj = {"type": "Point", "coordinates": [3.0, 4.0]}
+    assert geo.convert_geospatial_value(b) == gj
+    feat = geo.convert_geospatial_value(
+        b, as_feature=True, crs="EPSG:4326", algorithm="planar")
+    assert feat == {"type": "Feature", "geometry": gj,
+                    "properties": {"crs": "EPSG:4326", "algorithm": "planar"}}
+    hyb = geo.convert_geospatial_value(b, mode="hybrid")
+    assert hyb["geojson"] == gj and hyb["wkb_hex"] == b.hex()
+    b64 = geo.convert_geospatial_value(b, mode="base64")
+    assert "wkb_b64" in b64 and "geojson" not in b64
+    # non-convertible WKB falls back to the hex wrapper (geography.go:45)
+    bad = _wkb(False, 42, b"")
+    fb = geo.convert_geospatial_value(bad)
+    assert fb["wkb_hex"] == bad.hex() and fb["crs"] == geo.DEFAULT_CRS
+    assert geo.convert_geospatial_value(None) is None
