@@ -264,9 +264,11 @@ def round_coord(v: float, precision: int) -> float:
         return v
     if precision > MAX_COORD_PRECISION:
         precision = MAX_COORD_PRECISION
-    pow10 = 10.0 ** precision
     import math
 
+    if not math.isfinite(v):
+        return v  # Go: inf*pow/pow = inf, NaN stays NaN
+    pow10 = 10.0 ** precision
     return math.copysign(math.floor(abs(v) * pow10 + 0.5), v) / pow10
 
 

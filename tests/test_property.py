@@ -210,3 +210,32 @@ def test_rans_fuzz_roundtrip_and_mutation(vals, _salt, data):
                 assert len(out) == len(arr)
         except (ValueError, OverflowError):
             pass
+
+
+@given(st.binary(max_size=200))
+@settings(**_SETTINGS)
+def test_wkb_to_geojson_total(b):
+    # The GeoJSON converter is a logical boundary fed by decoded column
+    # bytes: arbitrary input must yield a dict or None, never an
+    # exception (the reference's ok=false contract,
+    # types/geospatial_wkb.go:145-188).
+    from parquet_go_spark import geo
+
+    out = geo.wkb_to_geojson(b)
+    assert out is None or isinstance(out, dict)
+
+
+@given(st.binary(min_size=5, max_size=200))
+@settings(**_SETTINGS)
+def test_wkb_to_geojson_point_prefix(b):
+    # Any buffer that starts as a valid LE point header converts its
+    # first 16 payload bytes; garbage after a complete geometry is
+    # tolerated by the reference (it stops at the parsed geometry).
+    from parquet_go_spark import geo
+
+    buf = b"\x01\x01\x00\x00\x00" + b[5:]
+    out = geo.wkb_to_geojson(buf)
+    if len(buf) >= 21:
+        assert out is None or out["type"] == "Point"
+    else:
+        assert out is None
