@@ -117,6 +117,47 @@ FLAG_ENCRYPTED = 2
 GCM_NONCE_LEN = 12
 GCM_TAG_LEN = 16
 
+CRC_MODES = ("strict", "auto", "ignore")
+
+
+@dataclass
+class SealOptions:
+    """Write-side encryption options, accepted anywhere ``encryption_key``
+    bytes are (reference WithAADPrefix, reader/options.go:56-62):
+    ``aad_prefix`` is prepended to the GCM associated data, binding the
+    sealed frame to an external identity (store path, tenant, file id) —
+    a frame copied into a store sealed under a different prefix fails
+    authentication even with the right key."""
+
+    key: bytes
+    aad_prefix: bytes = b""
+
+
+@dataclass
+class ReadOptions:
+    """Read-side options, accepted anywhere ``encryption_key`` bytes are
+    (reference ReaderOption surface, reader/options.go):
+
+    * ``key`` — AES key for sealed frames (as before).
+    * ``aad_prefix`` — must match the seal-time prefix.
+    * ``crc_mode`` — "strict"/"auto" validate the frame CRC ("auto" is
+      identical here because every PGS frame carries one; the reference
+      distinguishes them for CRC-less writers, common/crc.go:8-18);
+      "ignore" skips the checksum (CRCIgnore) — a measured scan-path
+      lever for bulk re-reads of already-verified stores. Sealed frames
+      keep GCM authentication regardless.
+    """
+
+    key: bytes | None = None
+    aad_prefix: bytes = b""
+    crc_mode: str = "strict"
+
+    def __post_init__(self):
+        if self.crc_mode not in CRC_MODES:
+            raise ValueError(
+                f"crc_mode must be one of {CRC_MODES}, got {self.crc_mode!r}"
+            )
+
 @dataclass
 class FrameMeta:
     codec: int
@@ -153,7 +194,7 @@ def write_frame(
     bit_width: int = 0,
     flags: int = 0,
     compression: str | None = "zstd",
-    encryption_key: bytes | None = None,
+    encryption_key: bytes | SealOptions | None = None,
 ) -> bytes:
     """``encryption_key`` (16/24/32 B) turns on modular encryption
     (reference reader/encryption.go + writer counterpart, AES-GCM as the
@@ -185,6 +226,10 @@ def write_frame(
 
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
+        if isinstance(encryption_key, SealOptions):
+            key, aad_prefix = encryption_key.key, encryption_key.aad_prefix
+        else:
+            key, aad_prefix = encryption_key, b""
         flags |= FLAG_ENCRYPTED
         header = _HDR.pack(
             MAGIC, VERSION, codec, comp_id, logical_type, flags, bit_width,
@@ -194,8 +239,8 @@ def write_frame(
             f"<{len(sections)}Q", *(len(s) for s in sections)
         )
         nonce = _os.urandom(GCM_NONCE_LEN)
-        body = nonce + AESGCM(encryption_key).encrypt(
-            nonce, body, header + sect_table
+        body = nonce + AESGCM(key).encrypt(
+            nonce, body, aad_prefix + header + sect_table
         )
     else:
         header = _HDR.pack(
@@ -215,8 +260,14 @@ def write_frame(
 
 
 def read_frame(
-    buf: bytes | memoryview, encryption_key: bytes | None = None
+    buf: bytes | memoryview,
+    encryption_key: bytes | ReadOptions | None = None,
 ) -> FrameMeta:
+    opts = (
+        encryption_key
+        if isinstance(encryption_key, ReadOptions)
+        else ReadOptions(key=encryption_key)
+    )
     buf = memoryview(buf)
     if len(buf) < _HDR.size + 4:
         raise ValueError("frame too short")
@@ -244,19 +295,19 @@ def read_frame(
     # uncompressed by the write-side probe) never copies the payload.
     body: bytes | memoryview = buf[pos : len(buf) - 4]
     (crc,) = struct.unpack_from("<I", buf, len(buf) - 4)
-    if zlib.crc32(buf[: len(buf) - 4]) != crc:
+    if opts.crc_mode != "ignore" and zlib.crc32(buf[: len(buf) - 4]) != crc:
         raise ValueError("frame CRC mismatch")
     if flags & FLAG_ENCRYPTED:
-        if encryption_key is None:
+        if opts.key is None:
             raise ValueError("frame is encrypted and no key was provided")
         from cryptography.hazmat.primitives.ciphers.aead import AESGCM
 
         if len(body) < GCM_NONCE_LEN + GCM_TAG_LEN:
             raise ValueError("truncated encrypted frame body")
         try:
-            body = AESGCM(encryption_key).decrypt(
+            body = AESGCM(opts.key).decrypt(
                 bytes(body[:GCM_NONCE_LEN]), bytes(body[GCM_NONCE_LEN:]),
-                bytes(buf[:pos]),
+                opts.aad_prefix + bytes(buf[:pos]),
             )
         except Exception as e:  # InvalidTag and friends
             raise ValueError(f"frame decryption failed: {e}") from e

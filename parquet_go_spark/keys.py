@@ -43,12 +43,24 @@ def key_for(
     col: str,
     column_keys: dict[str, bytes] | None,
     footer_key: bytes | None,
+    retriever=None,
 ) -> bytes | None:
     """The reference's resolveColumnKey fallback chain
-    (reader/encryption.go:311-366): explicit column key first, else the
-    store/footer key, else plaintext."""
+    (reader/encryption.go:311-366): explicit column key first, then the
+    ``retriever`` callback (reference WithKeyRetriever,
+    reader/options.go:48-54: resolve keys from a KMS / metadata at read
+    time — ``retriever(col) -> bytes | None``), else the store/footer
+    key, else plaintext."""
     if column_keys and col in column_keys:
         return column_keys[col]
+    if retriever is not None:
+        key = retriever(col)
+        if key is not None:
+            if not isinstance(key, (bytes, bytearray)) or len(key) not in _AES_KEY_LENS:
+                raise ValueError(
+                    f"key retriever returned a malformed key for {col!r}"
+                )
+            return bytes(key)
     return footer_key
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import chunk, keys as keysmod
+from ..frame import CRC_MODES as frame_CRC_MODES
 from .store import ManifestStore
 
 
@@ -25,11 +26,20 @@ def make_decode_fn(
     arrow_types: dict[str, pa.DataType] | None = None,
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
+    key_retriever=None,
+    crc_mode: str = "strict",
+    aad_prefix: bytes = b"",
+    case_insensitive: bool = False,
 ):
     """Per-partition decode kernel; ``arrow_types`` restores exact logical
     types (e.g. timestamp[us]) when the frame's physical type is wider.
-    ``column_keys``/``encryption_key`` follow the reference's
-    resolveColumnKey fallback chain (reader/encryption.go:311-366).
+    ``column_keys``/``encryption_key``/``key_retriever`` follow the
+    reference's resolveColumnKey fallback chain
+    (reader/encryption.go:311-366, WithKeyRetriever reader/options.go).
+    ``crc_mode``/``aad_prefix`` are the reference's WithCRCMode /
+    WithAADPrefix read options; ``case_insensitive`` matches requested
+    column names to stored chunks the way WithCaseInsensitive does
+    (reader/options.go:30-33), erroring on an ambiguous match.
 
     A dotted name (``payload.meta.lang``) projects a nested subtree via
     ``decode_chunk_partial`` — sibling sub-frames never hit a decode
@@ -38,20 +48,40 @@ def make_decode_fn(
 
     out_names = [c.replace(".", "_") for c in columns]
 
+    def _resolve(top: str, cols: dict) -> str:
+        if top in cols and not case_insensitive:
+            return top
+        if case_insensitive:
+            hits = [c for c in cols if c.lower() == top.lower()]
+            if len(hits) > 1:
+                raise ValueError(
+                    f"column {top!r} ambiguously matches {sorted(hits)} "
+                    "with case-insensitive matching enabled"
+                )
+            if hits:
+                return hits[0]
+        raise ValueError(f"partition missing column chunk {top!r}")
+
     def decode_group(table: pa.Table) -> pa.Table:
         cols = {c: b for c, b in zip(table.column("col").to_pylist(),
                                      table.column("blob").to_pylist())}
         arrays = []
+        from .. import frame as framemod
+
         for name in columns:
             top, _, sub = name.partition(".")
-            if top not in cols:
-                raise ValueError(f"partition missing column chunk {top!r}")
+            top = _resolve(top, cols)
             try:
-                key = keysmod.key_for(top, column_keys, encryption_key)
+                opts = framemod.ReadOptions(
+                    key=keysmod.key_for(top, column_keys, encryption_key,
+                                        key_retriever),
+                    aad_prefix=aad_prefix,
+                    crc_mode=crc_mode,
+                )
                 a = (
-                    chunk.decode_chunk_partial(cols[top], sub, key)
+                    chunk.decode_chunk_partial(cols[top], sub, opts)
                     if sub
-                    else chunk.decode_chunk(cols[top], key)
+                    else chunk.decode_chunk(cols[top], opts)
                 )
             except ValueError as e:
                 # name the column: a wrong/missing per-column key should
@@ -77,13 +107,27 @@ def decode_table(
     spark_schema: str,
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
+    key_retriever=None,
+    crc_mode: str = "strict",
+    aad_prefix: bytes = b"",
+    case_insensitive: bool = False,
 ) -> DataFrame:
+    if crc_mode not in frame_CRC_MODES:
+        raise ValueError(f"crc_mode must be one of {frame_CRC_MODES}")
     store = ManifestStore(out_dir)
     tops = sorted({c.split(".", 1)[0] for c in columns})
-    blobs = store.blobs(spark).filter(F.col("col").isin(tops))
+    blobs = store.blobs(spark)
+    if case_insensitive:
+        blobs = blobs.filter(
+            F.lower(F.col("col")).isin([t.lower() for t in tops])
+        )
+    else:
+        blobs = blobs.filter(F.col("col").isin(tops))
     return blobs.groupBy("part_id").applyInArrow(
         make_decode_fn(columns, spark_schema, encryption_key=encryption_key,
-                       column_keys=column_keys),
+                       column_keys=column_keys, key_retriever=key_retriever,
+                       crc_mode=crc_mode, aad_prefix=aad_prefix,
+                       case_insensitive=case_insensitive),
         schema=spark_schema,
     )
 

@@ -21,7 +21,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import chunk, geo as geomod, keys as keysmod, stats_trunc
+from .. import chunk, frame as framemod, geo as geomod, keys as keysmod, stats_trunc
 from ..plans.partitioner import DEFAULT_TARGET_TOKENS, plan_partitions
 from .store import BLOB_SCHEMA, ManifestStore
 
@@ -68,6 +68,16 @@ def _pages_json(pages: list[dict]) -> str:
     return json.dumps(out, separators=(",", ":"))
 
 
+def _seal_opts(key: bytes | None, aad_prefix: bytes):
+    """Wrap a resolved column key (+ optional AAD prefix) for
+    frame.write_frame; plaintext columns stay None."""
+    if key is None:
+        return None
+    if aad_prefix:
+        return framemod.SealOptions(key, aad_prefix)
+    return key
+
+
 def make_encode_fn(
     compression: str | None = "zstd",
     codec: str = "auto",
@@ -78,6 +88,7 @@ def make_encode_fn(
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
     geo_cols: set[str] | None = None,
+    aad_prefix: bytes = b"",
 ):
     """Build the per-group Arrow kernel. Emits one blob row per column.
 
@@ -120,8 +131,10 @@ def make_encode_fn(
             blob, stats = chunk.encode_chunk_paged(
                 arr, codec=cm.get(name, codec), compression=compression,
                 page_rows=page_rows,
-                encryption_key=keysmod.key_for(name, column_keys,
-                                               encryption_key),
+                encryption_key=_seal_opts(
+                    keysmod.key_for(name, column_keys, encryption_key),
+                    aad_prefix,
+                ),
                 pick_cache=pick_cache, path=name,
             )
             codec_label = stats["codec"]
@@ -191,12 +204,14 @@ def encode_blobs_df(
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
     geo_cols: set[str] | None = None,
+    aad_prefix: bytes = b"",
 ) -> DataFrame:
     """planned (with part_id) -> blob rows DataFrame (lazy)."""
     grouped = planned.groupBy("part_id")
     return grouped.applyInArrow(
         make_encode_fn(compression, codec, codec_map, bloom_cols, page_rows,
-                       sort_key, encryption_key, column_keys, geo_cols),
+                       sort_key, encryption_key, column_keys, geo_cols,
+                       aad_prefix=aad_prefix),
         schema=BLOB_SCHEMA,
     )
 
@@ -216,6 +231,7 @@ def encode_table(
     sort_cols: list[str] | None = None,
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
+    aad_prefix: bytes = b"",
 ):
     """Encode ``df`` into ``out_dir`` with checkpointed resumability.
 
@@ -245,7 +261,7 @@ def encode_table(
             encode_blobs_df(pending, compression, codec, codec_map=codec_map,
                             bloom_cols=bloom_cols, page_rows=page_rows,
                             encryption_key=encryption_key,
-                            column_keys=column_keys)
+                            column_keys=column_keys, aad_prefix=aad_prefix)
         )
     else:
         per = math.ceil(plan.num_partitions / waves)
@@ -261,7 +277,8 @@ def encode_table(
                                 codec_map=codec_map, bloom_cols=bloom_cols,
                                 page_rows=page_rows,
                                 encryption_key=encryption_key,
-                                column_keys=column_keys)
+                                column_keys=column_keys,
+                                aad_prefix=aad_prefix)
             )
     store.write_meta(
         key_col=None, clustering="token_weighted",
@@ -270,6 +287,9 @@ def encode_table(
         # makes the store self-describing for format("pgs") reads
         schema_json=df.schema.jsonValue(),
         encrypted=encryption_key is not None or bool(column_keys),
+        # store is bound to an external AAD prefix (reference
+        # WithAADPrefix); readers must supply the same bytes
+        aad_bound=bool(aad_prefix),
         # key NAMES only — which columns need their own key (the keyless-
         # readable part of the reference's key_metadata); never material
         column_key_cols=sorted(column_keys) if column_keys else [],

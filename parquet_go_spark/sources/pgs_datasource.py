@@ -182,6 +182,20 @@ def _dataset(path: str):
     return pads.dataset(_committed_files(path), format="parquet")
 
 
+def _parse_read_opts(options) -> tuple[str, bytes]:
+    """crc_mode / aad_prefix_hex read options (reference WithCRCMode /
+    WithAADPrefix, reader/options.go:35-62)."""
+    from .. import frame as framemod
+
+    crc_mode = options.get("crc_mode", "strict")
+    if crc_mode not in framemod.CRC_MODES:
+        raise ValueError(
+            f"crc_mode must be one of {framemod.CRC_MODES}, got {crc_mode!r}"
+        )
+    aad_prefix = bytes.fromhex(options.get("aad_prefix_hex", "") or "")
+    return crc_mode, aad_prefix
+
+
 def _parse_keys(options) -> tuple[bytes | None, dict[str, bytes] | None]:
     from .. import keys as keysmod
 
@@ -509,6 +523,7 @@ class PGSReader(DataSourceReader):
         self._columns = [f.name for f in schema.fields]
         self._schema = schema
         self._key, self._column_keys = _parse_keys(options)
+        self._crc_mode, self._aad_prefix = _parse_read_opts(options)
         ab = options.get("as_of_batch")
         if ab is not None and _meta(path).get("clustering") != "stream_append":
             raise ValueError(
@@ -622,7 +637,12 @@ class PGSReader(DataSourceReader):
                 raise ValueError(
                     f"partition {pid} missing column chunk {name!r}"
                 )
-            key = keysmod.key_for(name, self._column_keys, self._key)
+            from .. import frame as framemod
+
+            key = framemod.ReadOptions(
+                key=keysmod.key_for(name, self._column_keys, self._key),
+                crc_mode=self._crc_mode, aad_prefix=self._aad_prefix,
+            )
             if keep is not None:
                 # page-granular skip: pruned pages are never decompressed
                 a = chunk.decode_chunk_pages(
@@ -675,6 +695,9 @@ class _WriterBase:
         self._page_rows = int(pr) if pr else None
         self._sort_key = options.get("sort_key")
         self._key, self._column_keys = _parse_keys(options)
+        self._aad_prefix = bytes.fromhex(
+            options.get("aad_prefix_hex", "") or ""
+        )
 
     def _encode_task(self, iterator, pid: int, tmp: str) -> PGSCommitMessage:
         import pyarrow as pa
@@ -692,7 +715,7 @@ class _WriterBase:
         encode_group = make_encode_fn(
             self._compression, self._codec, self._codec_map,
             self._bloom_cols, self._page_rows, self._sort_key,
-            self._key, self._column_keys,
+            self._key, self._column_keys, aad_prefix=self._aad_prefix,
         )
         blob_tbl = encode_group(table)
         os.makedirs(_blobs_dir(self._path), exist_ok=True)
@@ -735,10 +758,11 @@ class _WriterBase:
             page_rows=self._page_rows,
             column_key_cols=sorted(self._column_keys)
             if self._column_keys else [],
+            aad_bound=bool(self._aad_prefix),
         )
         theirs = {
             k: meta.get(k, [] if k.endswith("cols") else
-               False if k == "encrypted" else None)
+               False if k in ("encrypted", "aad_bound") else None)
             for k in mine
         }
         diff = {k: (theirs[k], mine[k]) for k in mine
@@ -757,6 +781,7 @@ class _WriterBase:
             encrypted=self._key is not None or bool(self._column_keys),
             column_key_cols=sorted(self._column_keys)
             if self._column_keys else [],
+            aad_bound=bool(self._aad_prefix),
             key_col=self._sort_key,
         )
 

@@ -699,3 +699,39 @@ def test_encrypted_store_via_options(spark, orders, tmp_out):
     # keyless read must fail loudly, never return garbage
     with pytest.raises(Exception):
         spark.read.format("pgs").load(tmp_out).count()
+
+
+def test_read_write_options_aad_and_crc(spark, orders, tmp_out):
+    """aad_prefix_hex binds the sealed store to external bytes; crc_mode
+    is accepted on reads (reference WithAADPrefix / WithCRCMode)."""
+    key = bytes(range(16)).hex()
+    prefix = b"tenant-7".hex()
+    (
+        orders.select("o_orderkey", "o_totalprice")
+        .repartition(2)
+        .write.format("pgs")
+        .mode("overwrite")
+        .option("key_hex", key)
+        .option("aad_prefix_hex", prefix)
+        .save(tmp_out)
+    )
+    from parquet_go_spark.sources.pgs_datasource import _meta
+
+    assert _meta(tmp_out)["aad_bound"] is True
+    back = (
+        spark.read.format("pgs")
+        .option("key_hex", key)
+        .option("aad_prefix_hex", prefix)
+        .option("crc_mode", "ignore")
+        .load(tmp_out)
+    )
+    a = _sorted_pdf(orders.select("o_orderkey", "o_totalprice"))
+    assert a.equals(_sorted_pdf(back))
+    # right key, missing prefix -> authentication failure
+    with pytest.raises(Exception):
+        spark.read.format("pgs").option("key_hex", key).load(tmp_out).count()
+    # bad crc_mode rejected at plan time
+    with pytest.raises(Exception, match="crc_mode"):
+        spark.read.format("pgs").option("key_hex", key) \
+            .option("aad_prefix_hex", prefix) \
+            .option("crc_mode", "never").load(tmp_out).count()

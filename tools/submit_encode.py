@@ -80,6 +80,7 @@ def cmd_encode(args) -> int:
         page_rows=args.page_rows,
         encryption_key=key,
         column_keys=ckeys,
+        aad_prefix=bytes.fromhex(args.aad_prefix_hex or ""),
     )
     wall = time.time() - t0
     m = store.manifest(spark).selectExpr(
@@ -104,7 +105,9 @@ def cmd_decode(args) -> int:
     key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
     ckeys = keys.parse_hex_keys(args.column_keys_hex)
     dec = decode_table(spark, args.store, cols, SCHEMA, encryption_key=key,
-                       column_keys=ckeys)
+                       column_keys=ckeys,
+                       aad_prefix=bytes.fromhex(args.aad_prefix_hex or ""),
+                       crc_mode=args.crc_mode)
     dec.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"job": "decode", "rows": spark.read.parquet(args.out).count()}))
     return 0
@@ -209,6 +212,9 @@ def main() -> int:
                      help="split chunks into page frames of this many rows "
                           "with a per-page index in the manifest "
                           "(ColumnIndex/OffsetIndex analog)")
+    enc.add_argument("--aad-prefix-hex", default=None,
+                     help="bind sealed chunks to this AAD prefix "
+                          "(readers must supply the same bytes)")
     enc.add_argument("--encrypt-key-hex", default=None,
                      help="hex AES key (32/48/64 hex chars) for modular "
                           "encryption; pass the same key to decode/verify")
@@ -223,6 +229,10 @@ def main() -> int:
     dec.add_argument("--out", required=True)
     dec.add_argument("--encrypt-key-hex", default=None)
     dec.add_argument("--column-keys-hex", default=None)
+    dec.add_argument("--aad-prefix-hex", default=None)
+    dec.add_argument("--crc-mode", default="strict",
+                     choices=("strict", "auto", "ignore"),
+                     help="frame checksum policy (reference WithCRCMode)")
     dec.set_defaults(fn=cmd_decode)
 
     cpt = sub.add_parser("compact")
