@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_uuid"] = _rt.uuid_roundtrip_query
     q["rt_json"] = _rt.json_roundtrip_query
     q["rt_variant"] = _rt.variant_roundtrip_query
+    # shredded VARIANT: typed columns + residual + reconstruction
+    # (reference marshal/variant_reconstruct.go)
+    q["rt_variant_shredded"] = _rt.variant_shredded_query
     q["rt_bson"] = _rt.bson_roundtrip_query
 
     # --- statistics family (encode-kernel stats folding) ---
@@ -235,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_uuid"] = _rt.UUID_ORACLE
     o["rt_json"] = _rt.JSON_ORACLE
     o["rt_variant"] = _rt.VARIANT_ORACLE
+    o["rt_variant_shredded"] = _rt.VARIANT_SHREDDED_ORACLE
     o["rt_bson"] = _rt.BSON_ORACLE
     o["stats_lineitem"] = _rt.stats_oracle_sql("lineitem", NUM_LINEITEM)
     o["stats_orders"] = _rt.stats_oracle_sql(

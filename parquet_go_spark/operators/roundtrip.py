@@ -567,6 +567,103 @@ SELECT doc_id, lang, n_chars::INTEGER AS n_chars FROM documents
 """
 
 
+def variant_shredded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shredded VARIANT (parquet-format VariantShredding.md; reference
+    marshal/variant_reconstruct.go + schema.VariantSchemaInfo): ``lang``
+    and ``n_chars`` are pulled out of the opaque binary into TYPED
+    columns that ride the typed codec menu, a residual ``value`` column
+    keeps ``source`` and any type-mismatched field (every doc_id % 7 row
+    carries n_chars as a JSON string, so it must stay residual), and the
+    read side reconstructs full variants the way the reference's
+    Reconstruct does — semantically equal, canonically re-encoded. The
+    returned ``was_typed`` column exposes the shred decision itself to
+    the oracle."""
+    from .. import variant as varmod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nc = F.col("n_chars").cast("string")
+    j = F.concat(
+        F.lit('{"lang": "'), F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit('"'), nc,
+                                                  F.lit('"')))
+        .otherwise(nc),
+        F.lit(', "source": "'), F.col("source"), F.lit('"}'),
+    )
+    df = docs.select("doc_id", F.parse_json(j).alias("v"))
+    fields = {"lang": "string", "n_chars": "int"}
+    typed_arrow = {"lang": pa.utf8(), "n_chars": pa.int64()}
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pick_cache: dict[str, list] = {}
+
+        def rt(arr: pa.Array, path: str) -> pa.Array:
+            blob, _ = chunk.encode_chunk(arr, codec="auto",
+                                         compression="zstd",
+                                         pick_cache=pick_cache, path=path)
+            return chunk.decode_chunk(blob)
+
+        for b in batches:
+            v = b.column("v")
+            metas = v.field("metadata").to_pylist()
+            vals = v.field("value").to_pylist()
+            sh = varmod.shred_rows(metas, vals, fields)
+            # every shredded column crosses the codec stack: the typed
+            # ones as real typed chunks, metadata/residual as binary
+            dec = {
+                "metadata": rt(pa.array(sh["metadata"], pa.binary()),
+                               "v.metadata").to_pylist(),
+                "value": rt(pa.array(sh["value"], pa.binary()),
+                            "v.value").to_pylist(),
+            }
+            typed_dec = {
+                f: rt(pa.array(sh[f"typed_{f}"], typed_arrow[f]),
+                      f"v.typed.{f}").to_pylist()
+                for f in fields
+            }
+            m2, v2 = varmod.reconstruct_rows(dec["metadata"], dec["value"],
+                                             typed_dec)
+            out_v = pa.array(
+                [{"value": b_v, "metadata": b_m}
+                 for b_m, b_v in zip(m2, v2)],
+                pa.struct([pa.field("value", pa.binary(), nullable=False),
+                           pa.field("metadata", pa.binary(),
+                                    nullable=False)]),
+            )
+            was_typed = pa.array(
+                [t is not None for t in sh["typed_n_chars"]], pa.bool_()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), out_v, was_typed],
+                names=["doc_id", "v", "was_typed"],
+            )
+
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType, VariantType,
+    )
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("v", VariantType()),
+        StructField("was_typed", BooleanType()),
+    ])
+    out = df.mapInArrow(fn, out_schema)
+    return out.select(
+        "doc_id",
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+        F.variant_get("v", "$.n_chars", "int").alias("n_chars"),
+        F.variant_get("v", "$.source", "string").alias("source"),
+        "was_typed",
+    )
+
+
+VARIANT_SHREDDED_ORACLE = """
+SELECT doc_id, lang, n_chars::INTEGER AS n_chars, source,
+       (doc_id % 7 <> 0) AS was_typed
+FROM documents
+"""
+
+
 def bson_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BSON logical type (reference types/bson.go:10-35): pack a fixed
     scalar schema into real BSON documents with the vectorized builder,
