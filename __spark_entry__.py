@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ds_pruned_read"] = _ds.ds_pruned_read_query
     q["ds_write_roundtrip"] = _ds.ds_write_roundtrip_query
+    # shredded-variant store: typed chunks on write, transparent
+    # reconstruction on read (reference marshal/variant_reconstruct.go)
+    q["ds_variant_shredded"] = _ds.ds_variant_shredded_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -269,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["ds_write_roundtrip"] = _ds.DS_WRITE_ROUNDTRIP_ORACLE
+    o["ds_variant_shredded"] = _ds.DS_VARIANT_SHREDDED_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -196,6 +196,68 @@ def _parse_read_opts(options) -> tuple[str, bytes]:
     return crc_mode, aad_prefix
 
 
+def _parse_shred(options, schema: StructType) -> dict[str, dict[str, str]]:
+    """``shred_variant`` write option (parquet-format VariantShredding.md;
+    the reference reads this layout back transparently,
+    marshal/variant_reconstruct.go): ``"v:lang=string,n_chars=int"``
+    (``;``-separated for multiple variant columns). Each named column
+    must be a VariantType field; each field shreds into a typed chunk
+    that rides the typed codec menu, with a residual ``value`` chunk for
+    everything else."""
+    from .. import variant as varmod
+
+    spec = options.get("shred_variant")
+    if not spec:
+        return {}
+    by_name = {f.name: f for f in schema.fields}
+    out: dict[str, dict[str, str]] = {}
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        col, _, rest = part.partition(":")
+        col = col.strip()
+        f = by_name.get(col)
+        if f is None or f.dataType.simpleString() != "variant":
+            raise ValueError(
+                f"shred_variant column {col!r} is not a variant column "
+                f"of the written schema"
+            )
+        fields: dict[str, str] = {}
+        for kv in rest.split(","):
+            name, _, kind = kv.strip().partition("=")
+            if not name or kind not in varmod.SHRED_KINDS:
+                raise ValueError(
+                    f"shred_variant field {kv!r}: expected "
+                    f"name=kind with kind in {varmod.SHRED_KINDS}"
+                )
+            fields[name] = kind
+        if not fields:
+            raise ValueError(f"shred_variant column {col!r} has no fields")
+        out[col] = fields
+    return out
+
+
+_SHRED_ARROW = None
+
+
+def _shred_arrow_types():
+    global _SHRED_ARROW
+    if _SHRED_ARROW is None:
+        import pyarrow as pa
+
+        _SHRED_ARROW = {"int": pa.int64(), "double": pa.float64(),
+                        "string": pa.utf8(), "bool": pa.bool_()}
+    return _SHRED_ARROW
+
+
+def _shred_components(col: str, fields: dict[str, str]) -> list[str]:
+    """Stored chunk names for a shredded variant column — mirrors the
+    reference's shredded group layout (metadata / value / typed_value)."""
+    return ([f"{col}.metadata", f"{col}.value"]
+            + [f"{col}.typed_value.{f}" for f in sorted(fields)])
+
+
 def _parse_keys(options) -> tuple[bytes | None, dict[str, bytes] | None]:
     from .. import keys as keysmod
 
@@ -524,6 +586,12 @@ class PGSReader(DataSourceReader):
         self._schema = schema
         self._key, self._column_keys = _parse_keys(options)
         self._crc_mode, self._aad_prefix = _parse_read_opts(options)
+        # shredded variant columns reconstruct transparently on read
+        # (reference marshal/variant_reconstruct.go): the store meta maps
+        # each variant column to its typed-field kinds
+        self._shredded: dict[str, dict[str, str]] = (
+            _meta(path).get("shredded") or {}
+        )
         ab = options.get("as_of_batch")
         if ab is not None and _meta(path).get("clustering") != "stream_append":
             raise ValueError(
@@ -581,6 +649,30 @@ class PGSReader(DataSourceReader):
             for pid in cands
         ]
 
+    def _reconstruct_variant(self, name: str, dec, want):
+        """Shredded variant column -> struct<value, metadata> arrow array
+        (the reference's Reconstruct, variant_reconstruct.go:396-417):
+        typed chunks merge back into the residual, canonically
+        re-encoded. The typed chunks decoded here are the same arrays a
+        future stats-pruning lever would filter on."""
+        import pyarrow as pa
+
+        from .. import variant as varmod
+
+        fields = self._shredded[name]
+        metas = dec(f"{name}.metadata").to_pylist()
+        residuals = dec(f"{name}.value").to_pylist()
+        typed = {
+            f: dec(f"{name}.typed_value.{f}").to_pylist()
+            for f in sorted(fields)
+        }
+        m2, v2 = varmod.reconstruct_rows(metas, residuals, typed)
+        return pa.array(
+            [None if v is None else {"value": v, "metadata": m}
+             for m, v in zip(m2, v2)],
+            want,
+        )
+
     def read(self, partition: InputPartition) -> Iterator:
         if partition.value is None:
             return
@@ -601,16 +693,22 @@ class PGSReader(DataSourceReader):
             if files
             else _dataset(self._path)
         )
+        stored: list[str] = []
+        for name in self._columns:
+            if name in self._shredded:
+                stored.extend(_shred_components(name, self._shredded[name]))
+            else:
+                stored.append(name)
         t = src.to_table(
             columns=["col", "blob"],
             filter=(pads.field("part_id") == pid)
-            & pads.field("col").isin(self._columns),
+            & pads.field("col").isin(stored),
         )
         blobs = dict(zip(t.column("col").to_pylist(),
                          t.column("blob").to_pylist()))
         if keep is not None and any(
             chunk.split_pages(blobs.get(n, b"")) is None
-            for n in self._columns if n in blobs
+            for n in stored if n in blobs
         ):
             # a mixed paged/unpaged partition cannot take a page subset
             # (row alignment would break); decode it whole — still exact
@@ -630,26 +728,34 @@ class PGSReader(DataSourceReader):
                 return pa.map_(relax(t.key_type), relax(t.item_type))
             return t
 
-        target = to_arrow_schema(self._schema)
-        arrays = []
-        for name, field in zip(self._columns, target):
-            if name not in blobs:
-                raise ValueError(
-                    f"partition {pid} missing column chunk {name!r}"
-                )
-            from .. import frame as framemod
+        from .. import frame as framemod
 
+        def dec(chunk_name: str) -> pa.Array:
+            if chunk_name not in blobs:
+                raise ValueError(
+                    f"partition {pid} missing column chunk {chunk_name!r}"
+                )
             key = framemod.ReadOptions(
-                key=keysmod.key_for(name, self._column_keys, self._key),
+                key=keysmod.key_for(chunk_name, self._column_keys,
+                                    self._key),
                 crc_mode=self._crc_mode, aad_prefix=self._aad_prefix,
             )
             if keep is not None:
                 # page-granular skip: pruned pages are never decompressed
-                a = chunk.decode_chunk_pages(
-                    blobs[name], keep=list(keep), encryption_key=key,
+                return chunk.decode_chunk_pages(
+                    blobs[chunk_name], keep=list(keep), encryption_key=key,
                 )
-            else:
-                a = chunk.decode_chunk(blobs[name], key)
+            return chunk.decode_chunk(blobs[chunk_name], key)
+
+        target = to_arrow_schema(self._schema)
+        arrays = []
+        for name, field in zip(self._columns, target):
+            if name in self._shredded:
+                arrays.append(self._reconstruct_variant(
+                    name, dec, relax(field.type)
+                ))
+                continue
+            a = dec(name)
             want = relax(field.type)
             if a.type != want:
                 a = a.cast(want)
@@ -698,6 +804,40 @@ class _WriterBase:
         self._aad_prefix = bytes.fromhex(
             options.get("aad_prefix_hex", "") or ""
         )
+        self._shred = _parse_shred(options, schema)
+
+    def _shred_table(self, table):
+        """Replace each shredded variant column (struct<value,metadata>)
+        with its component chunks before encoding: typed fields become
+        real typed columns for the codec menu, the residual keeps
+        everything else."""
+        import pyarrow as pa
+
+        from .. import variant as varmod
+
+        atypes = _shred_arrow_types()
+        for colname, fields in self._shred.items():
+            col = table.column(colname).combine_chunks()
+            valid = col.is_valid().to_pylist()
+            vals = [v if ok else None for v, ok in
+                    zip(col.field("value").to_pylist(), valid)]
+            metas = [m if ok else None for m, ok in
+                     zip(col.field("metadata").to_pylist(), valid)]
+            sh = varmod.shred_rows(metas, vals, fields)
+            idx = table.column_names.index(colname)
+            table = table.remove_column(idx)
+            table = table.append_column(
+                f"{colname}.metadata", pa.array(sh["metadata"], pa.binary())
+            )
+            table = table.append_column(
+                f"{colname}.value", pa.array(sh["value"], pa.binary())
+            )
+            for f in sorted(fields):
+                table = table.append_column(
+                    f"{colname}.typed_value.{f}",
+                    pa.array(sh[f"typed_{f}"], atypes[fields[f]]),
+                )
+        return table
 
     def _encode_task(self, iterator, pid: int, tmp: str) -> PGSCommitMessage:
         import pyarrow as pa
@@ -709,6 +849,8 @@ class _WriterBase:
         if not batches:
             return PGSCommitMessage(part_id=pid, rows=0, tmp_name=None)
         table = pa.Table.from_batches(batches)
+        if self._shred:
+            table = self._shred_table(table)
         table = table.append_column(
             "part_id", pa.array([pid] * table.num_rows, pa.int32())
         )
@@ -759,10 +901,12 @@ class _WriterBase:
             column_key_cols=sorted(self._column_keys)
             if self._column_keys else [],
             aad_bound=bool(self._aad_prefix),
+            shredded=self._shred or {},
         )
         theirs = {
             k: meta.get(k, [] if k.endswith("cols") else
-               False if k in ("encrypted", "aad_bound") else None)
+               False if k in ("encrypted", "aad_bound") else
+               {} if k == "shredded" else None)
             for k in mine
         }
         diff = {k: (theirs[k], mine[k]) for k in mine
@@ -783,6 +927,7 @@ class _WriterBase:
             if self._column_keys else [],
             aad_bound=bool(self._aad_prefix),
             key_col=self._sort_key,
+            shredded=self._shred or {},
         )
 
 
@@ -1080,6 +1225,49 @@ def ds_write_roundtrip_query(spark, sf_dir: str):
 
 
 DS_WRITE_ROUNDTRIP_ORACLE = "SELECT * FROM customer"
+
+
+def ds_variant_shredded_query(spark, sf_dir: str):
+    """documents as a VARIANT column written through the source with
+    ``shred_variant`` (typed chunks + residual; every doc_id % 7 row
+    carries n_chars as a JSON string so it must stay residual), read
+    back with transparent reconstruction, fields re-extracted by the
+    JVM's variant_get — the datasource-level analog of the reference's
+    shredded variant reading (marshal/variant_reconstruct.go)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nc = F.col("n_chars").cast("string")
+    j = F.concat(
+        F.lit('{"lang": "'), F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit('"'), nc, F.lit('"'))).otherwise(nc),
+        F.lit(', "source": "'), F.col("source"), F.lit('"}'),
+    )
+    df = docs.select("doc_id", F.parse_json(j).alias("v"))
+    out = os.path.join("/tmp", f"pgs_ds_variant_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        df.repartition(2).write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:lang=string,n_chars=int")
+        .save(out)
+    )
+    back = spark.read.format("pgs").load(out)
+    return back.select(
+        "doc_id",
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+        F.variant_get("v", "$.n_chars", "int").alias("n_chars"),
+        F.variant_get("v", "$.source", "string").alias("source"),
+    )
+
+
+DS_VARIANT_SHREDDED_ORACLE = """
+SELECT doc_id, lang, n_chars::INTEGER AS n_chars, source FROM documents
+"""
 
 
 def register(spark) -> None:

@@ -735,3 +735,97 @@ def test_read_write_options_aad_and_crc(spark, orders, tmp_out):
         spark.read.format("pgs").option("key_hex", key) \
             .option("aad_prefix_hex", prefix) \
             .option("crc_mode", "never").load(tmp_out).count()
+
+
+def test_shredded_variant_store(spark, tmp_out):
+    """shred_variant write option: typed chunks in the manifest, residual
+    for type-mismatched rows, transparent reconstruction on read
+    (reference marshal/variant_reconstruct.go)."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    nc = F.col("n_chars").cast("string")
+    j = F.concat(
+        F.lit('{"lang": "'), F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit('"'), nc, F.lit('"'))).otherwise(nc),
+        F.lit(', "source": "'), F.col("source"), F.lit('"}'),
+    )
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.parse_json(j)).alias("v"),
+    )
+    (
+        df.repartition(2).write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:lang=string,n_chars=int")
+        .save(tmp_out)
+    )
+    from parquet_go_spark.sources.pgs_datasource import _meta
+
+    assert _meta(tmp_out)["shredded"] == {
+        "v": {"lang": "string", "n_chars": "int"}
+    }
+    # the variant column is stored as typed component chunks, never as
+    # an opaque 'v' chunk
+    import pyarrow.dataset as pads
+
+    from parquet_go_spark.sources.pgs_datasource import _committed_files
+
+    cols = set(
+        pads.dataset(_committed_files(tmp_out), format="parquet")
+        .to_table(columns=["col"]).column("col").to_pylist()
+    )
+    assert "v" not in cols
+    assert {"v.metadata", "v.value", "v.typed_value.lang",
+            "v.typed_value.n_chars"} <= cols
+
+    back = spark.read.format("pgs").load(tmp_out)
+    got = back.select(
+        "doc_id",
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+        F.variant_get("v", "$.n_chars", "int").alias("n_chars"),
+        F.variant_get("v", "$.source", "string").alias("source"),
+        F.isnull("v").alias("v_null"),
+    )
+    expect = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("n_chars").cast("int")).alias("n_chars"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("source")).alias("source"),
+        (F.col("doc_id") % 11 == 0).alias("v_null"),
+    )
+    a = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = expect.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
+    # projecting only the scalar column never touches variant chunks
+    assert back.select("doc_id").count() == docs.count()
+
+
+def test_shredded_variant_append_guard(spark, tmp_out):
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.select(
+        "doc_id", F.parse_json(F.lit('{"lang": "en"}')).alias("v")
+    )
+    (
+        df.write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:lang=string").save(tmp_out)
+    )
+    # append without the matching shred layout must be rejected
+    with pytest.raises(Exception, match="layout"):
+        df.write.format("pgs").mode("append").save(tmp_out)
+    # bad specs are rejected at plan time
+    with pytest.raises(Exception, match="not a variant column"):
+        df.write.format("pgs").mode("overwrite") \
+            .option("shred_variant", "doc_id:x=int").save(tmp_out + "2")
+    with pytest.raises(Exception, match="name=kind"):
+        df.write.format("pgs").mode("overwrite") \
+            .option("shred_variant", "v:lang=decimal").save(tmp_out + "2")
