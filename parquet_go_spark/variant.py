@@ -432,6 +432,85 @@ def encode_variant(v) -> tuple[bytes, bytes]:
 SHRED_KINDS = ("int", "double", "string", "bool")
 
 
+def _split_object(data: bytes) -> tuple[list[int], list[bytes]] | None:
+    """Parse ONLY the top-level object directory of a value and return
+    (field ids, raw value slices) — field values (arbitrarily nested)
+    are never decoded, just sliced. Returns None when the value is not
+    an object. This keeps shredding O(top-level fields) per row instead
+    of O(value tree)."""
+    mv = memoryview(data)
+    if not len(mv):
+        return None
+    vm = mv[0]
+    if vm & 0x03 != _BT_OBJECT:
+        return None
+    hdr = vm >> 2
+    id_sz = (hdr & 0x03) + 1
+    off_sz = ((hdr >> 2) & 0x03) + 1
+    large = bool((hdr >> 4) & 1)
+    pos = 1
+    if large:
+        if pos + 4 > len(mv):
+            raise ValueError("not enough data for num_elements")
+        n = _read_uint(mv, pos, 4)
+        pos += 4
+    else:
+        if pos >= len(mv):
+            raise ValueError("not enough data for num_elements")
+        n = mv[pos]
+        pos += 1
+    if n == 0:
+        return [], []
+    if pos + n * id_sz + (n + 1) * off_sz > len(mv):
+        raise ValueError("not enough data for object directory")
+    ids = [_read_uint(mv, pos + i * id_sz, id_sz) for i in range(n)]
+    pos += n * id_sz
+    offs = [_read_uint(mv, pos + i * off_sz, off_sz) for i in range(n + 1)]
+    pos += (n + 1) * off_sz
+    slices = []
+    for i in range(n):
+        s, e = pos + offs[i], pos + offs[i + 1]
+        if offs[i] > offs[i + 1] or e > len(mv):
+            raise ValueError("object field slice out of bounds")
+        slices.append(bytes(mv[s:e]))
+    return ids, slices
+
+
+def _decode_scalar(data: bytes):
+    """Decode one field slice only if it is a scalar the shredding
+    schema could claim; nested/other values return a sentinel without
+    being decoded."""
+    if not data:
+        raise ValueError("empty field value")
+    bt = data[0] & 0x03
+    if bt == _BT_SHORT_STR:
+        ln = data[0] >> 2
+        return bytes(data[1 : 1 + ln]).decode("utf-8")
+    if bt != _BT_PRIMITIVE:
+        return _NOT_SCALAR
+    pt = data[0] >> 2
+    if pt in (_P_TRUE, _P_FALSE):
+        return pt == _P_TRUE
+    if pt in _P_FIXED:
+        fmt, sz = _P_FIXED[pt]
+        if 1 + sz > len(data):
+            raise ValueError("truncated primitive")
+        return struct.unpack_from(fmt, data, 1)[0]
+    if pt == _P_STRING:
+        if len(data) < 5:
+            raise ValueError("truncated string")
+        ln = _read_uint(memoryview(data), 1, 4)
+        return bytes(data[5 : 5 + ln]).decode("utf-8")
+    return _NOT_SCALAR
+
+
+class _NotScalar:
+    __slots__ = ()
+
+
+_NOT_SCALAR = _NotScalar()
+
+
 def _matches(v, kind: str) -> bool:
     if kind == "int":
         return isinstance(v, int) and not isinstance(v, bool)
@@ -462,35 +541,58 @@ def shred_rows(
     "typed_<f>": [...] per field}`` — residual ``value`` is None only
     for SQL-null input rows; an all-shredded object leaves an empty
     object residual so "object row" stays distinguishable from "null
-    row" without the spec's group definition levels."""
+    row" without the spec's group definition levels.
+
+    Hot-path shape: only the top-level object DIRECTORY is parsed and
+    only candidate scalar fields are decoded — every other field value
+    (arbitrarily nested) moves as a raw byte slice, so cost is
+    O(top-level fields) per row, not O(value tree)."""
     for kind in fields.values():
         if kind not in SHRED_KINDS:
             raise ValueError(f"unknown shred kind {kind!r}")
     out: dict[str, list] = {"metadata": [], "value": []}
     for f in fields:
         out[f"typed_{f}"] = []
+    meta_cache: dict[bytes, list[str]] = {}
     for meta_b, val_b in zip(metas, values):
+        out["metadata"].append(meta_b)
         if meta_b is None or val_b is None:
-            out["metadata"].append(meta_b)
             out["value"].append(None)
             for f in fields:
                 out[f"typed_{f}"].append(None)
             continue
-        meta = decode_metadata(meta_b)
-        v = decode_value(val_b, meta)
-        out["metadata"].append(meta_b)
-        if not isinstance(v, dict):
+        split = _split_object(val_b)
+        if split is None:  # non-object row: passes through verbatim
             out["value"].append(val_b)
             for f in fields:
                 out[f"typed_{f}"].append(None)
             continue
-        residual = dict(v)
+        ids, slices = split
+        d = meta_cache.get(meta_b)
+        if d is None:
+            d = meta_cache[meta_b] = decode_metadata(meta_b).dictionary
+        by_name = {}
+        for fid, sl in zip(ids, slices):
+            if fid >= len(d):
+                raise ValueError(
+                    f"field id {fid} exceeds dictionary size {len(d)}"
+                )
+            by_name[d[fid]] = (fid, sl)
         for f, kind in fields.items():
-            if f in residual and _matches(residual[f], kind):
-                out[f"typed_{f}"].append(residual.pop(f))
-            else:
-                out[f"typed_{f}"].append(None)
-        out["value"].append(encode_value(residual, meta.ids()))
+            hit = by_name.get(f)
+            got = None
+            if hit is not None:
+                sv = _decode_scalar(hit[1])
+                if not isinstance(sv, _NotScalar) and _matches(sv, kind):
+                    got = sv
+                    del by_name[f]
+            out[f"typed_{f}"].append(got)
+        # residual: remaining raw slices, fields in name order (canonical
+        # when the dictionary is sorted, which Spark's writer emits)
+        rest = sorted(by_name.items())
+        out["value"].append(_encode_object(
+            [fid for _, (fid, _) in rest], [sl for _, (_, sl) in rest]
+        ))
     return out
 
 
@@ -500,13 +602,16 @@ def reconstruct_rows(
     typed: dict[str, list],
 ) -> tuple[list[bytes | None], list[bytes | None]]:
     """Merge typed columns back into full variants (reference
-    Reconstruct, variant_reconstruct.go:396-417): typed non-null wins;
-    output re-encoded canonically (sorted dictionary) — semantic, not
-    byte, equality with the pre-shred value, same caveat as the
-    reference. Returns (metadata, value) lists."""
+    Reconstruct, variant_reconstruct.go:396-417): typed non-null wins.
+    The original metadata passes through VERBATIM and residual field
+    values move as raw slices — only the typed scalars are re-encoded
+    (their int width may narrow, semantic equality unchanged, same
+    caveat as the reference's re-encode). Returns (metadata, value)
+    lists."""
     n = len(residuals)
     out_m: list[bytes | None] = []
     out_v: list[bytes | None] = []
+    meta_cache: dict[bytes, VariantMetadata] = {}
     for i in range(n):
         res_b, meta_b = residuals[i], metas[i]
         t_here = {f: col[i] for f, col in typed.items() if col[i] is not None}
@@ -515,14 +620,41 @@ def reconstruct_rows(
             out_v.append(None)
             continue
         if res_b is None:
-            v = t_here  # fully-shredded object with no residual column
-        else:
-            v = decode_value(res_b, decode_metadata(meta_b or b""))
-            if isinstance(v, dict):
-                v = {**v, **t_here}
-            # non-object residual: typed columns are all null by
-            # construction; v passes through
-        m2, v2 = encode_variant(v)
-        out_m.append(m2)
-        out_v.append(v2)
+            # fully-shredded object with no residual column (foreign
+            # store): canonical re-encode is the only option
+            m2, v2 = encode_variant(t_here)
+            out_m.append(m2)
+            out_v.append(v2)
+            continue
+        split = _split_object(res_b)
+        if split is None:
+            # non-object residual passes through byte-identical (typed
+            # columns are all null for such rows by construction)
+            out_m.append(meta_b)
+            out_v.append(res_b)
+            continue
+        md = meta_cache.get(meta_b)
+        if md is None:
+            md = meta_cache[meta_b] = decode_metadata(meta_b or b"")
+        fid_of = md.ids()
+        merged: list[tuple[str, int, bytes]] = []
+        for fid, sl in zip(*split):
+            if fid >= len(md.dictionary):
+                raise ValueError(
+                    f"field id {fid} exceeds dictionary size "
+                    f"{len(md.dictionary)}"
+                )
+            merged.append((md.dictionary[fid], fid, sl))
+        for f, val in t_here.items():
+            if f not in fid_of:
+                raise ValueError(
+                    f"typed field {f!r} missing from the row's metadata "
+                    "dictionary"
+                )
+            merged.append((f, fid_of[f], encode_value(val)))
+        merged.sort()
+        out_m.append(meta_b)
+        out_v.append(_encode_object(
+            [fid for _, fid, _ in merged], [sl for _, _, sl in merged]
+        ))
     return out_m, out_v

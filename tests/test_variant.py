@@ -333,3 +333,33 @@ def test_typed_shred_columns_ride_typed_codecs():
                              "dict_rans", "dict", "byte_stream_split")
     shredded_total = len(blob_lang) + len(blob_n) + len(blob_res)
     assert shredded_total < 0.7 * len(opaque)
+
+
+def test_shred_moves_raw_slices_not_reencodes():
+    """Raw-slice design pin: a non-shredded nested field's value bytes
+    survive shred -> reconstruct byte-identically (only the top-level
+    object directory is rebuilt; nothing else is decoded), and the
+    original metadata passes through verbatim."""
+    v = {"lang": "en", "n": 5,
+         "blob": {"deep": [1, "two", {"x": 3.5}], "b": b"\x00\x01"}}
+    meta, val = V.encode_variant(v)
+    blob_slice = None
+    ids, slices = V._split_object(val)
+    d = V.decode_metadata(meta).dictionary
+    for fid, sl in zip(ids, slices):
+        if d[fid] == "blob":
+            blob_slice = sl
+    assert blob_slice is not None
+
+    sh = V.shred_rows([meta], [val], {"lang": "string", "n": "int"})
+    rids, rslices = V._split_object(sh["value"][0])
+    assert [d[i] for i in rids] == ["blob"]
+    assert rslices[0] == blob_slice  # moved, never re-encoded
+
+    m2, v2 = V.reconstruct_rows(sh["metadata"], sh["value"],
+                                {"lang": sh["typed_lang"],
+                                 "n": sh["typed_n"]})
+    assert m2[0] == meta  # metadata verbatim
+    oids, oslices = V._split_object(v2[0])
+    assert oslices[[d[i] for i in oids].index("blob")] == blob_slice
+    assert V.decode_value(v2[0], V.decode_metadata(m2[0])) == v
