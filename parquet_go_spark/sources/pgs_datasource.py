@@ -258,6 +258,25 @@ def _shred_components(col: str, fields: dict[str, str]) -> list[str]:
             + [f"{col}.typed_value.{f}" for f in sorted(fields)])
 
 
+def _expand_shred_keys(
+    column_keys: dict[str, bytes] | None,
+    shredded: dict[str, dict[str, str]],
+) -> dict[str, bytes] | None:
+    """A per-column key declared for a shredded variant column applies
+    to every component chunk it becomes — without this, key_for('v.…')
+    would silently fall through to the footer key (or plaintext) while
+    the meta claims the column is keyed."""
+    if not column_keys or not shredded:
+        return column_keys
+    out = dict(column_keys)
+    for col, fields in shredded.items():
+        if col in out:
+            k = out.pop(col)
+            for comp in _shred_components(col, fields):
+                out.setdefault(comp, k)
+    return out
+
+
 def _parse_keys(options) -> tuple[bytes | None, dict[str, bytes] | None]:
     from .. import keys as keysmod
 
@@ -586,14 +605,17 @@ class PGSReader(DataSourceReader):
         self._schema = schema
         self._key, self._column_keys = _parse_keys(options)
         self._crc_mode, self._aad_prefix = _parse_read_opts(options)
+        meta = _meta(path)
         # shredded variant columns reconstruct transparently on read
         # (reference marshal/variant_reconstruct.go): the store meta maps
         # each variant column to its typed-field kinds
         self._shredded: dict[str, dict[str, str]] = (
-            _meta(path).get("shredded") or {}
+            meta.get("shredded") or {}
         )
+        self._column_keys = _expand_shred_keys(self._column_keys,
+                                               self._shredded)
         ab = options.get("as_of_batch")
-        if ab is not None and _meta(path).get("clustering") != "stream_append":
+        if ab is not None and meta.get("clustering") != "stream_append":
             raise ValueError(
                 "as_of_batch only applies to stores written by the "
                 "streaming sink (clustering=stream_append)"
@@ -805,6 +827,8 @@ class _WriterBase:
             options.get("aad_prefix_hex", "") or ""
         )
         self._shred = _parse_shred(options, schema)
+        self._column_keys = _expand_shred_keys(self._column_keys,
+                                               self._shred)
 
     def _shred_table(self, table):
         """Replace each shredded variant column (struct<value,metadata>)

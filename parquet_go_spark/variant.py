@@ -87,7 +87,12 @@ def decode_metadata(data: bytes) -> VariantMetadata:
     if header & 0x0F != 1:
         raise ValueError(f"unsupported variant metadata version: {header & 0x0F}")
     is_sorted = bool((header >> 4) & 1)
-    osz = ((header >> 5) & 0x03) + 1
+    # offset_size_minus_one lives at bits 6-7 (VariantEncoding.md; what
+    # Spark reads/writes — header 0x41 means offset_size=2). NOTE: the
+    # reference shifts by 5 here (types/variant.go:108-117), which
+    # diverges from the Apache spec for any metadata over 255 bytes; we
+    # follow the spec, pinned by the wide cross-checks in test_variant.
+    osz = ((header >> 6) & 0x03) + 1
     pos = 1
     if pos + osz > len(mv):
         raise ValueError("variant metadata too short for dictionary size")
@@ -129,10 +134,38 @@ def _decode_at(mv: memoryview, off: int, d: list[str], budget: list[int]):
     if bt == _BT_PRIMITIVE:
         return _decode_primitive(mv, off + 1, hdr)
 
-    # object / array share the offset-directory shape
+    ids, offs, pos = _parse_directory(mv, off, bt, hdr)
+    n = len(offs) - 1
     if bt == _BT_OBJECT:
-        id_sz = (hdr & 0x03) + 1
-        off_sz = ((hdr >> 2) & 0x03) + 1
+        out = {}
+        for i in range(n):
+            if ids[i] >= len(d):
+                raise ValueError(
+                    f"field id {ids[i]} exceeds dictionary size {len(d)}"
+                )
+            _, out[d[ids[i]]] = _decode_at(mv, pos + offs[i], d, budget)
+        return pos + offs[n] - off, out
+    out = []
+    for i in range(n):
+        _, v = _decode_at(mv, pos + offs[i], d, budget)
+        out.append(v)
+    return pos + offs[n] - off, out
+
+
+def _parse_directory(
+    mv: memoryview, off: int, bt: int, hdr: int
+) -> tuple[list[int], list[int], int]:
+    """Shared object/array directory parse -> (field ids, n+1 offsets,
+    values start). Bit layout per VariantEncoding.md (= Spark's reader):
+    object header = offset_size-1 (bits 0-1) | id_size-1 (bits 2-3) |
+    is_large (bit 4); array header = offset_size-1 (bits 0-1) |
+    is_large (bit 2). NOTE: the reference swaps the object id/offset
+    nibbles (types/variant_decode.go:258-261) — that diverges from the
+    spec whenever id_size != offset_size; we follow the spec, pinned by
+    the wide Spark cross-checks."""
+    if bt == _BT_OBJECT:
+        off_sz = (hdr & 0x03) + 1
+        id_sz = ((hdr >> 2) & 0x03) + 1
         large = bool((hdr >> 4) & 1)
     else:
         id_sz = 0
@@ -149,9 +182,7 @@ def _decode_at(mv: memoryview, off: int, d: list[str], budget: list[int]):
             raise ValueError("not enough data for num_elements")
         n = mv[pos]
         pos += 1
-    if n == 0:
-        return pos - off, ({} if bt == _BT_OBJECT else [])
-    ids = []
+    ids: list[int] = []
     if bt == _BT_OBJECT:
         if pos + n * id_sz > len(mv):
             raise ValueError("not enough data for object field ids")
@@ -161,20 +192,7 @@ def _decode_at(mv: memoryview, off: int, d: list[str], budget: list[int]):
         raise ValueError("not enough data for element offsets")
     offs = [_read_uint(mv, pos + i * off_sz, off_sz) for i in range(n + 1)]
     pos += (n + 1) * off_sz
-    if bt == _BT_OBJECT:
-        out = {}
-        for i in range(n):
-            if ids[i] >= len(d):
-                raise ValueError(
-                    f"field id {ids[i]} exceeds dictionary size {len(d)}"
-                )
-            _, out[d[ids[i]]] = _decode_at(mv, pos + offs[i], d, budget)
-        return pos + offs[n] - off, out
-    out = []
-    for i in range(n):
-        _, v = _decode_at(mv, pos + offs[i], d, budget)
-        out.append(v)
-    return pos + offs[n] - off, out
+    return ids, offs, pos
 
 
 _P_FIXED = {
@@ -283,8 +301,12 @@ def encode_metadata(dictionary: list[str]) -> bytes:
         return _EMPTY_METADATA
     raw = [s.encode("utf-8") for s in dictionary]
     total = sum(len(b) for b in raw)
-    osz = 1 if total <= 255 else (2 if total <= 65535 else 4)
-    header = 0x01 | ((osz - 1) << 5)
+    # the size field and every offset share offset_size, so it must
+    # cover the dictionary COUNT too (256 empty names still need 2 B)
+    osz = _sizes(max(total, len(raw)))
+    # offset_size_minus_one at bits 6-7 per the spec / Spark (the
+    # reference writes bit 5, types/variant_encode.go:42 — divergent)
+    header = 0x01 | ((osz - 1) << 6)
     if all(dictionary[i] <= dictionary[i + 1]
            for i in range(len(dictionary) - 1)):
         header |= 0x10
@@ -362,13 +384,13 @@ def _sizes(total: int) -> int:
 
 
 def _encode_object(ids: list[int], vals: list[bytes]) -> bytes:
-    if not ids:
-        return bytes([_BT_OBJECT, 0])
     total = sum(len(b) for b in vals)
-    id_sz = _sizes(max(ids))
+    id_sz = _sizes(max(ids)) if ids else 1
     off_sz = _sizes(total)
     large = len(ids) > 255
-    hdr = (id_sz - 1) | ((off_sz - 1) << 2) | (0x10 if large else 0)
+    # spec/Spark bit layout: offset_size-1 low, id_size-1 at bits 2-3
+    # (the reference swaps these two, types/variant_encode.go:205)
+    hdr = (off_sz - 1) | ((id_sz - 1) << 2) | (0x10 if large else 0)
     out = bytearray([_BT_OBJECT | (hdr << 2)])
     if large:
         out += struct.pack("<I", len(ids))
@@ -387,8 +409,6 @@ def _encode_object(ids: list[int], vals: list[bytes]) -> bytes:
 
 
 def _encode_array(elems: list[bytes]) -> bytes:
-    if not elems:
-        return bytes([_BT_ARRAY, 0])
     total = sum(len(b) for b in elems)
     off_sz = _sizes(total)
     large = len(elems) > 255
@@ -444,31 +464,9 @@ def _split_object(data: bytes) -> tuple[list[int], list[bytes]] | None:
     vm = mv[0]
     if vm & 0x03 != _BT_OBJECT:
         return None
-    hdr = vm >> 2
-    id_sz = (hdr & 0x03) + 1
-    off_sz = ((hdr >> 2) & 0x03) + 1
-    large = bool((hdr >> 4) & 1)
-    pos = 1
-    if large:
-        if pos + 4 > len(mv):
-            raise ValueError("not enough data for num_elements")
-        n = _read_uint(mv, pos, 4)
-        pos += 4
-    else:
-        if pos >= len(mv):
-            raise ValueError("not enough data for num_elements")
-        n = mv[pos]
-        pos += 1
-    if n == 0:
-        return [], []
-    if pos + n * id_sz + (n + 1) * off_sz > len(mv):
-        raise ValueError("not enough data for object directory")
-    ids = [_read_uint(mv, pos + i * id_sz, id_sz) for i in range(n)]
-    pos += n * id_sz
-    offs = [_read_uint(mv, pos + i * off_sz, off_sz) for i in range(n + 1)]
-    pos += (n + 1) * off_sz
+    ids, offs, pos = _parse_directory(mv, 0, _BT_OBJECT, vm >> 2)
     slices = []
-    for i in range(n):
+    for i in range(len(ids)):
         s, e = pos + offs[i], pos + offs[i + 1]
         if offs[i] > offs[i + 1] or e > len(mv):
             raise ValueError("object field slice out of bounds")
@@ -485,6 +483,8 @@ def _decode_scalar(data: bytes):
     bt = data[0] & 0x03
     if bt == _BT_SHORT_STR:
         ln = data[0] >> 2
+        if 1 + ln > len(data):
+            raise ValueError("short string length exceeds data")
         return bytes(data[1 : 1 + ln]).decode("utf-8")
     if bt != _BT_PRIMITIVE:
         return _NOT_SCALAR
@@ -500,6 +500,8 @@ def _decode_scalar(data: bytes):
         if len(data) < 5:
             raise ValueError("truncated string")
         ln = _read_uint(memoryview(data), 1, 4)
+        if 5 + ln > len(data):
+            raise ValueError("string length exceeds data")
         return bytes(data[5 : 5 + ln]).decode("utf-8")
     return _NOT_SCALAR
 

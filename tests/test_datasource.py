@@ -829,3 +829,52 @@ def test_shredded_variant_append_guard(spark, tmp_out):
     with pytest.raises(Exception, match="name=kind"):
         df.write.format("pgs").mode("overwrite") \
             .option("shred_variant", "v:lang=decimal").save(tmp_out + "2")
+
+
+def test_shredded_variant_column_key_covers_components(spark, tmp_out):
+    """A per-column key on a shredded variant column must seal every
+    component chunk — and a keyless read must fail, not return
+    plaintext."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    df = docs.select(
+        "doc_id",
+        F.parse_json(F.concat(F.lit('{"lang": "'), F.col("lang"),
+                              F.lit('"}'))).alias("v"),
+    )
+    key = bytes(range(16)).hex()
+    (
+        df.write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:lang=string")
+        .option("column_keys_json", json.dumps({"v": key}))
+        .save(tmp_out)
+    )
+    from parquet_go_spark import chunk
+    from parquet_go_spark.sources.pgs_datasource import (
+        _committed_files, _meta,
+    )
+    import pyarrow.dataset as pads
+
+    assert _meta(tmp_out)["encrypted"] is True
+    t = pads.dataset(_committed_files(tmp_out), format="parquet").to_table(
+        columns=["col", "blob"])
+    comps = dict(zip(t.column("col").to_pylist(),
+                     t.column("blob").to_pylist()))
+    for name in ("v.metadata", "v.value", "v.typed_value.lang"):
+        with pytest.raises(ValueError, match="encrypted|key"):
+            chunk.decode_chunk(comps[name])  # sealed, keyless must fail
+    # doc_id was not keyed and stays readable keylessly
+    chunk.decode_chunk(comps["doc_id"])
+    back = (
+        spark.read.format("pgs")
+        .option("column_keys_json", json.dumps({"v": key}))
+        .load(tmp_out)
+        .select("doc_id", F.variant_get("v", "$.lang", "string")
+                .alias("lang"))
+    )
+    a = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = docs.select("doc_id", "lang").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

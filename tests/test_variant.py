@@ -363,3 +363,96 @@ def test_shred_moves_raw_slices_not_reencodes():
     oids, oslices = V._split_object(v2[0])
     assert oslices[[d[i] for i in oids].index("blob")] == blob_slice
     assert V.decode_value(v2[0], V.decode_metadata(m2[0])) == v
+
+
+def test_spark_cross_check_wide_object(spark):
+    """Interop pin for header bit layouts the small cases can't see:
+    an object whose payload needs offset_size=2 while id_size=1, both
+    directions vs the JVM."""
+    import json
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, StructField, StructType, VariantType,
+    )
+
+    obj = {"a": "x" * 300, "b": 1, "z": "tail"}
+    # Spark -> us
+    df = spark.range(1).select(
+        F.parse_json(F.lit(json.dumps(obj))).alias("v")
+    )
+    row = df.select("v").toArrow().column("v")[0].as_py()
+    got = V.decode_value(row["value"], V.decode_metadata(row["metadata"]))
+    assert got == obj
+    # us -> Spark
+    meta, val = V.encode_variant(obj)
+    tbl = pa.table({"v": pa.array(
+        [{"value": val, "metadata": meta}],
+        pa.struct([pa.field("value", pa.binary(), nullable=False),
+                   pa.field("metadata", pa.binary(), nullable=False)]),
+    )})
+    sdf = spark.createDataFrame(
+        tbl, StructType([StructField("v", VariantType())])
+    )
+    out = sdf.select(
+        F.variant_get("v", "$.a", "string").alias("a"),
+        F.variant_get("v", "$.b", "int").alias("b"),
+        F.variant_get("v", "$.z", "string").alias("z"),
+    ).collect()[0]
+    assert (out.a, out.b, out.z) == (obj["a"], obj["b"], obj["z"])
+
+
+def test_spark_cross_check_wide_metadata(spark):
+    """Interop pin for metadata offset_size=2 (>255 bytes of field
+    names), both directions vs the JVM."""
+    import json
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, StructField, StructType, VariantType,
+    )
+
+    obj = {f"field_name_{i:03d}": i for i in range(40)}  # >255 name bytes
+    df = spark.range(1).select(
+        F.parse_json(F.lit(json.dumps(obj))).alias("v")
+    )
+    row = df.select("v").toArrow().column("v")[0].as_py()
+    md = V.decode_metadata(row["metadata"])
+    assert V.decode_value(row["value"], md) == obj
+    meta, val = V.encode_variant(obj)
+    tbl = pa.table({"v": pa.array(
+        [{"value": val, "metadata": meta}],
+        pa.struct([pa.field("value", pa.binary(), nullable=False),
+                   pa.field("metadata", pa.binary(), nullable=False)]),
+    )})
+    sdf = spark.createDataFrame(
+        tbl, StructType([StructField("v", VariantType())])
+    )
+    out = sdf.select(
+        *[F.variant_get("v", f"$.field_name_{i:03d}", "int").alias(f"c{i}")
+          for i in range(0, 40, 7)]
+    ).collect()[0]
+    assert list(out) == list(range(0, 40, 7))
+
+
+def test_empty_object_and_array_carry_trailing_offset(spark):
+    """Spec compliance: empty containers still emit num_elements + one
+    offset; the JVM must read them back."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType, VariantType
+
+    assert V.encode_value([]) == bytes([0x03, 0x00, 0x00])
+    meta, val = V.encode_variant({"e": {}, "a": []})
+    tbl = pa.table({"v": pa.array(
+        [{"value": val, "metadata": meta}],
+        pa.struct([pa.field("value", pa.binary(), nullable=False),
+                   pa.field("metadata", pa.binary(), nullable=False)]),
+    )})
+    sdf = spark.createDataFrame(
+        tbl, StructType([StructField("v", VariantType())])
+    )
+    s = sdf.select(F.to_json("v").alias("j")).collect()[0].j
+    assert s == '{"a":[],"e":{}}'
