@@ -269,7 +269,15 @@ def round_coord(v: float, precision: int) -> float:
     if not math.isfinite(v):
         return v  # Go: inf*pow/pow = inf, NaN stays NaN
     pow10 = 10.0 ** precision
-    return math.copysign(math.floor(abs(v) * pow10 + 0.5), v) / pow10
+    scaled = abs(v) * pow10
+    if not math.isfinite(scaled):
+        # |v| * 10^p overflowed double range (v near 1e308). Deliberate
+        # divergence: Go's Round(v*pow)/pow yields +/-inf here, which its
+        # JSON marshaller then rejects; keeping the (finite) coordinate
+        # unchanged loses nothing — rounding at <= 12 decimals cannot
+        # alter a double this large.
+        return v
+    return math.copysign(math.floor(scaled + 0.5), v) / pow10
 
 
 def _gj_coords(mv, off: int, npts: int, be: bool, dims: int,

@@ -248,6 +248,8 @@ def _shred_arrow_types():
 
         _SHRED_ARROW = {"int": pa.int64(), "double": pa.float64(),
                         "string": pa.utf8(), "bool": pa.bool_()}
+        for k, t in list(_SHRED_ARROW.items()):
+            _SHRED_ARROW[f"array<{k}>"] = pa.list_(t)
     return _SHRED_ARROW
 
 

@@ -449,7 +449,16 @@ def encode_variant(v) -> tuple[bytes, bytes]:
 
 # --------------------------------------------------------------- shredding
 
-SHRED_KINDS = ("int", "double", "string", "bool")
+SHRED_KINDS = (
+    "int", "double", "string", "bool",
+    # homogeneous arrays shred into list-typed chunks (the token-array
+    # case: a variant field of token ids becomes list<int64> and rides
+    # the list codec stack — rans/for_bitpack — instead of opaque bytes).
+    # All-or-nothing per row: any non-conforming element keeps the whole
+    # array in the residual (a legal writer choice per
+    # VariantShredding.md — writers may decline to shred any value).
+    "array<int>", "array<double>", "array<string>", "array<bool>",
+)
 
 
 def _split_object(data: bytes) -> tuple[list[int], list[bytes]] | None:
@@ -465,12 +474,22 @@ def _split_object(data: bytes) -> tuple[list[int], list[bytes]] | None:
     if vm & 0x03 != _BT_OBJECT:
         return None
     ids, offs, pos = _parse_directory(mv, 0, _BT_OBJECT, vm >> 2)
+    # object field OFFSETS are in directory (name-sorted) order while the
+    # values region is laid out in whatever order the writer chose (Spark
+    # keeps JSON insertion order), so a field's value ends at the NEXT
+    # GREATER offset — not at offs[i+1]
+    import bisect
+
+    ordered = sorted(set(offs))
+    end_region = offs[-1]
     slices = []
     for i in range(len(ids)):
-        s, e = pos + offs[i], pos + offs[i + 1]
-        if offs[i] > offs[i + 1] or e > len(mv):
+        s = offs[i]
+        j = bisect.bisect_right(ordered, s)
+        e = ordered[j] if j < len(ordered) else end_region
+        if s > e or pos + e > len(mv):
             raise ValueError("object field slice out of bounds")
-        slices.append(bytes(mv[s:e]))
+        slices.append(bytes(mv[pos + s : pos + e]))
     return ids, slices
 
 
@@ -511,6 +530,60 @@ class _NotScalar:
 
 
 _NOT_SCALAR = _NotScalar()
+
+_INT_PRIM_WIDTH = {_P_INT8: 1, _P_INT16: 2, _P_INT32: 4, _P_INT64: 8}
+_INT_NP_DTYPE = {1: "<i1", 2: "<i2", 4: "<i4", 8: "<i8"}
+
+
+def _decode_array_field(data: bytes, elem_kind: str):
+    """Field slice -> list of ``elem_kind`` scalars, or _NOT_SCALAR when
+    the slice is not an array or any element doesn't conform. Int arrays
+    take a vectorized numpy path (token arrays are the headline case):
+    offsets come out of one frombuffer per width class, element payloads
+    out of masked gathers — no per-element Python on conforming rows."""
+    if not data or data[0] & 0x03 != _BT_ARRAY:
+        return _NOT_SCALAR
+    mv = memoryview(data)
+    _, offs, pos = _parse_directory(mv, 0, _BT_ARRAY, mv[0] >> 2)
+    n = len(offs) - 1
+    if n == 0:
+        return []
+    if pos + offs[n] > len(mv):
+        raise ValueError("array element slice out of bounds")
+    if elem_kind == "int":
+        import numpy as np
+
+        starts = np.asarray(offs[:-1], dtype=np.int64) + pos
+        widths = np.diff(np.asarray(offs, dtype=np.int64))
+        buf = np.frombuffer(mv, dtype=np.uint8)
+        heads = buf[starts]
+        # every element must be a primitive int of width = size - 1
+        prim = np.array(
+            [_INT_PRIM_WIDTH.get(h >> 2, -1) if (h & 0x03) == 0 else -1
+             for h in heads.tolist()],
+            dtype=np.int64,
+        )
+        if not np.array_equal(prim + 1, widths):
+            return _NOT_SCALAR
+        out = np.empty(n, dtype=np.int64)
+        for w, dt in _INT_NP_DTYPE.items():
+            m = prim == w
+            if not m.any():
+                continue
+            s = starts[m] + 1
+            idx = (s[:, None] + np.arange(w)).ravel()
+            out[m] = np.frombuffer(
+                buf[idx].tobytes(), dtype=dt
+            ).astype(np.int64)
+        return out.tolist()
+    out = []
+    for i in range(n):
+        sl = bytes(mv[pos + offs[i] : pos + offs[i + 1]])
+        sv = _decode_scalar(sl)
+        if isinstance(sv, _NotScalar) or not _matches(sv, elem_kind):
+            return _NOT_SCALAR
+        out.append(sv)
+    return out
 
 
 def _matches(v, kind: str) -> bool:
@@ -584,8 +657,14 @@ def shred_rows(
             hit = by_name.get(f)
             got = None
             if hit is not None:
-                sv = _decode_scalar(hit[1])
-                if not isinstance(sv, _NotScalar) and _matches(sv, kind):
+                if kind.startswith("array<"):
+                    sv = _decode_array_field(hit[1], kind[6:-1])
+                else:
+                    sv = _decode_scalar(hit[1])
+                    if not isinstance(sv, _NotScalar) \
+                            and not _matches(sv, kind):
+                        sv = _NOT_SCALAR
+                if not isinstance(sv, _NotScalar):
                     got = sv
                     del by_name[f]
             out[f"typed_{f}"].append(got)

@@ -878,3 +878,50 @@ def test_shredded_variant_column_key_covers_components(spark, tmp_out):
     b = docs.select("doc_id", "lang").toPandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_shredded_variant_token_arrays(spark, tmp_out):
+    """array<int> shredding through the store: a variant field of token
+    ids becomes a list<int64> chunk riding the list codec stack instead
+    of opaque binary."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    j = F.concat(
+        F.lit('{"lang": "'), F.col("lang"), F.lit('", "toks": ['),
+        F.concat_ws(",", F.transform(
+            F.sequence(F.lit(1), F.lit(50)),
+            lambda i: ((F.col("doc_id") * 131 + i * 2654435761) % 50000)
+            .cast("string"),
+        )),
+        F.lit("]}"),
+    )
+    df = docs.select("doc_id", F.parse_json(j).alias("v"))
+    (
+        df.write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:lang=string,toks=array<int>")
+        .save(tmp_out)
+    )
+    import pyarrow.dataset as pads
+
+    from parquet_go_spark.sources.pgs_datasource import _committed_files
+
+    t = pads.dataset(_committed_files(tmp_out), format="parquet").to_table(
+        columns=["col", "codec"])
+    codecs = dict(zip(t.column("col").to_pylist(),
+                      t.column("codec").to_pylist()))
+    assert codecs["v.typed_value.toks"].startswith("list<")
+    back = spark.read.format("pgs").load(tmp_out).select(
+        "doc_id",
+        F.variant_get("v", "$.toks[49]", "long").alias("t49"),
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+    )
+    expect = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 131 + 50 * 2654435761) % 50000).alias("t49"),
+        "lang",
+    )
+    a = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = expect.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])

@@ -456,3 +456,83 @@ def test_empty_object_and_array_carry_trailing_offset(spark):
     )
     s = sdf.select(F.to_json("v").alias("j")).collect()[0].j
     assert s == '{"a":[],"e":{}}'
+
+
+def test_shred_array_int_vectorized():
+    """array<int> shredding: mixed int widths take the numpy path; any
+    non-int element keeps the whole array residual (all-or-nothing)."""
+    rows = [
+        {"toks": [1, 2, 3]},                              # int8s
+        {"toks": [5, 300, 70000, 2**40, -7]},             # mixed widths
+        {"toks": []},                                     # empty
+        {"toks": [1, "x", 3]},                            # mixed type
+        {"toks": [1, [2], 3]},                            # nested
+        {"toks": [1, None, 3]},                           # null element
+        {"toks": "not an array"},
+        {"toks": [True, 2]},                              # bool is not int
+        {"other": 1},
+    ]
+    metas, vals = _mk(rows)
+    sh = V.shred_rows(metas, vals, {"toks": "array<int>"})
+    assert sh["typed_toks"][:3] == [[1, 2, 3],
+                                    [5, 300, 70000, 2**40, -7], []]
+    assert sh["typed_toks"][3:] == [None] * 6
+    # mismatching arrays kept their exact bytes in the residual
+    d = V.decode_metadata(metas[3]).dictionary
+    ids, slices = V._split_object(sh["value"][3])
+    orig_ids, orig_slices = V._split_object(vals[3])
+    assert slices == orig_slices and ids == orig_ids
+    m2, v2 = V.reconstruct_rows(sh["metadata"], sh["value"],
+                                {"toks": sh["typed_toks"]})
+    for i, r in enumerate(rows):
+        assert V.decode_value(v2[i], V.decode_metadata(m2[i])) == r
+
+
+def test_shred_array_other_kinds():
+    rows = [
+        {"xs": [1.5, -2.0], "ss": ["a", "b" * 80], "bs": [True, False]},
+        {"xs": [1.5, 2], "ss": ["a", 1], "bs": [True, 0]},  # all mismatch
+    ]
+    metas, vals = _mk(rows)
+    sh = V.shred_rows(metas, vals, {"xs": "array<double>",
+                                    "ss": "array<string>",
+                                    "bs": "array<bool>"})
+    assert sh["typed_xs"] == [[1.5, -2.0], None]
+    assert sh["typed_ss"] == [["a", "b" * 80], None]
+    assert sh["typed_bs"] == [[True, False], None]
+    m2, v2 = V.reconstruct_rows(sh["metadata"], sh["value"],
+                                {f: sh[f"typed_{f}"]
+                                 for f in ("xs", "ss", "bs")})
+    for i, r in enumerate(rows):
+        assert V.decode_value(v2[i], V.decode_metadata(m2[i])) == r
+
+
+def test_shred_array_spark_cross_check(spark):
+    """Spark-encoded int arrays shred on our side; our reconstruction
+    reads back element-wise through the JVM."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType, VariantType
+
+    df = spark.range(1).select(F.parse_json(F.lit(
+        '{"toks": [5, 300, 70000, 1099511627776], "lang": "en"}'
+    )).alias("v"))
+    row = df.select("v").toArrow().column("v")[0].as_py()
+    sh = V.shred_rows([row["metadata"]], [row["value"]],
+                      {"toks": "array<int>"})
+    assert sh["typed_toks"] == [[5, 300, 70000, 2**40]]
+    m2, v2 = V.reconstruct_rows(sh["metadata"], sh["value"],
+                                {"toks": sh["typed_toks"]})
+    tbl = pa.table({"v": pa.array(
+        [{"value": v2[0], "metadata": m2[0]}],
+        pa.struct([pa.field("value", pa.binary(), nullable=False),
+                   pa.field("metadata", pa.binary(), nullable=False)]),
+    )})
+    sdf = spark.createDataFrame(
+        tbl, StructType([StructField("v", VariantType())])
+    )
+    out = sdf.select(
+        F.variant_get("v", "$.toks[3]", "long").alias("t3"),
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+    ).collect()[0]
+    assert (out.t3, out.lang) == (2**40, "en")
