@@ -598,6 +598,83 @@ def _matches(v, kind: str) -> bool:
     raise ValueError(f"unknown shred kind {kind!r}; one of {SHRED_KINDS}")
 
 
+def _fields_tree(fields: dict[str, str]) -> dict[str, tuple]:
+    """Dotted shred paths -> nested tree ``{head: (leaf_kind | None,
+    subtree)}`` (the spec's recursive typed_value group shape). A path
+    may not be both a leaf and a prefix of another path."""
+    tree: dict[str, tuple] = {}
+    for path, kind in fields.items():
+        if kind not in SHRED_KINDS:
+            raise ValueError(f"unknown shred kind {kind!r}")
+        parts = path.split(".")
+        node = tree
+        for p in parts[:-1]:
+            leaf, sub = node.setdefault(p, (None, {}))
+            if leaf is not None:
+                raise ValueError(
+                    f"shred path {path!r} descends through leaf {p!r}"
+                )
+            node = sub
+        last = parts[-1]
+        if last in node and node[last][1]:
+            raise ValueError(
+                f"shred path {path!r} is a prefix of another shred path"
+            )
+        if last in node and node[last][0] is not None:
+            raise ValueError(f"duplicate shred path {path!r}")
+        node[last] = (kind, node.get(last, (None, {}))[1])
+    return tree
+
+
+def _extract_typed(sl: bytes, kind: str):
+    if kind.startswith("array<"):
+        return _decode_array_field(sl, kind[6:-1])
+    sv = _decode_scalar(sl)
+    if isinstance(sv, _NotScalar) or not _matches(sv, kind):
+        return _NOT_SCALAR
+    return sv
+
+
+def _shred_value(
+    val_b: bytes, tree: dict[str, tuple], d: list[str],
+    prefix: str, got: dict[str, object],
+) -> bytes:
+    """Recursive raw-slice shred: returns the residual bytes for this
+    (sub-)value and fills ``got[path]`` for every extracted leaf.
+    Non-object values (or non-object inner fields) pass through
+    verbatim; only the object DIRECTORIES on shred paths are parsed."""
+    split = _split_object(val_b)
+    if split is None:
+        return val_b
+    ids, slices = split
+    by_name: dict[str, tuple[int, bytes]] = {}
+    for fid, sl in zip(ids, slices):
+        if fid >= len(d):
+            raise ValueError(
+                f"field id {fid} exceeds dictionary size {len(d)}"
+            )
+        by_name[d[fid]] = (fid, sl)
+    for head, (leaf_kind, sub) in tree.items():
+        hit = by_name.get(head)
+        path = prefix + head
+        if leaf_kind is not None:
+            if hit is not None:
+                sv = _extract_typed(hit[1], leaf_kind)
+                if not isinstance(sv, _NotScalar):
+                    got[path] = sv
+                    del by_name[head]
+        elif hit is not None:
+            by_name[head] = (hit[0], _shred_value(
+                hit[1], sub, d, path + ".", got
+            ))
+    # residual: remaining raw slices, fields in name order (canonical
+    # when the dictionary is sorted, which Spark's writer emits)
+    rest = sorted(by_name.items())
+    return _encode_object(
+        [fid for _, (fid, _) in rest], [sl for _, (_, sl) in rest]
+    )
+
+
 def shred_rows(
     metas: list[bytes | None],
     values: list[bytes | None],
@@ -605,7 +682,8 @@ def shred_rows(
 ) -> dict[str, list]:
     """Shred a variant column into typed columns + residual
     (VariantShredding.md; reference variant_reconstruct.go reads this
-    layout back). For each row:
+    layout back). Field paths may be dotted (``meta.lang``) — the
+    spec's recursive object shredding. For each row:
 
     * object row, field present with the declared kind -> the TYPED
       column gets the value, the field leaves the residual object;
@@ -618,13 +696,11 @@ def shred_rows(
     object residual so "object row" stays distinguishable from "null
     row" without the spec's group definition levels.
 
-    Hot-path shape: only the top-level object DIRECTORY is parsed and
-    only candidate scalar fields are decoded — every other field value
-    (arbitrarily nested) moves as a raw byte slice, so cost is
-    O(top-level fields) per row, not O(value tree)."""
-    for kind in fields.values():
-        if kind not in SHRED_KINDS:
-            raise ValueError(f"unknown shred kind {kind!r}")
+    Hot-path shape: only the object DIRECTORIES on shred paths are
+    parsed and only candidate scalar/array fields are decoded — every
+    other field value (arbitrarily nested) moves as a raw byte slice,
+    so cost is O(shred paths) per row, not O(value tree)."""
+    tree = _fields_tree(fields)
     out: dict[str, list] = {"metadata": [], "value": []}
     for f in fields:
         out[f"typed_{f}"] = []
@@ -636,44 +712,13 @@ def shred_rows(
             for f in fields:
                 out[f"typed_{f}"].append(None)
             continue
-        split = _split_object(val_b)
-        if split is None:  # non-object row: passes through verbatim
-            out["value"].append(val_b)
-            for f in fields:
-                out[f"typed_{f}"].append(None)
-            continue
-        ids, slices = split
         d = meta_cache.get(meta_b)
         if d is None:
             d = meta_cache[meta_b] = decode_metadata(meta_b).dictionary
-        by_name = {}
-        for fid, sl in zip(ids, slices):
-            if fid >= len(d):
-                raise ValueError(
-                    f"field id {fid} exceeds dictionary size {len(d)}"
-                )
-            by_name[d[fid]] = (fid, sl)
-        for f, kind in fields.items():
-            hit = by_name.get(f)
-            got = None
-            if hit is not None:
-                if kind.startswith("array<"):
-                    sv = _decode_array_field(hit[1], kind[6:-1])
-                else:
-                    sv = _decode_scalar(hit[1])
-                    if not isinstance(sv, _NotScalar) \
-                            and not _matches(sv, kind):
-                        sv = _NOT_SCALAR
-                if not isinstance(sv, _NotScalar):
-                    got = sv
-                    del by_name[f]
-            out[f"typed_{f}"].append(got)
-        # residual: remaining raw slices, fields in name order (canonical
-        # when the dictionary is sorted, which Spark's writer emits)
-        rest = sorted(by_name.items())
-        out["value"].append(_encode_object(
-            [fid for _, (fid, _) in rest], [sl for _, (_, sl) in rest]
-        ))
+        got: dict[str, object] = {}
+        out["value"].append(_shred_value(val_b, tree, d, "", got))
+        for f in fields:
+            out[f"typed_{f}"].append(got.get(f))
     return out
 
 
@@ -703,12 +748,11 @@ def reconstruct_rows(
         if res_b is None:
             # fully-shredded object with no residual column (foreign
             # store): canonical re-encode is the only option
-            m2, v2 = encode_variant(t_here)
+            m2, v2 = encode_variant(_nest_paths(t_here))
             out_m.append(m2)
             out_v.append(v2)
             continue
-        split = _split_object(res_b)
-        if split is None:
+        if _split_object(res_b) is None:
             # non-object residual passes through byte-identical (typed
             # columns are all null for such rows by construction)
             out_m.append(meta_b)
@@ -717,25 +761,65 @@ def reconstruct_rows(
         md = meta_cache.get(meta_b)
         if md is None:
             md = meta_cache[meta_b] = decode_metadata(meta_b or b"")
-        fid_of = md.ids()
-        merged: list[tuple[str, int, bytes]] = []
-        for fid, sl in zip(*split):
-            if fid >= len(md.dictionary):
-                raise ValueError(
-                    f"field id {fid} exceeds dictionary size "
-                    f"{len(md.dictionary)}"
-                )
-            merged.append((md.dictionary[fid], fid, sl))
-        for f, val in t_here.items():
-            if f not in fid_of:
-                raise ValueError(
-                    f"typed field {f!r} missing from the row's metadata "
-                    "dictionary"
-                )
-            merged.append((f, fid_of[f], encode_value(val)))
-        merged.sort()
         out_m.append(meta_b)
-        out_v.append(_encode_object(
-            [fid for _, fid, _ in merged], [sl for _, _, sl in merged]
-        ))
+        out_v.append(_merge_value(res_b, _nest_paths(t_here),
+                                  md.dictionary, md.ids()))
     return out_m, out_v
+
+
+def _nest_paths(t_here: dict[str, object]) -> dict:
+    """{'meta.lang': v, 'n': w} -> {'meta': {'lang': v}, 'n': w}."""
+    out: dict = {}
+    for path, val in t_here.items():
+        parts = path.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+def _merge_value(
+    res_b: bytes, t_tree: dict, d: list[str], fid_of: dict[str, int]
+) -> bytes:
+    """Recursive raw-slice merge of typed values (possibly nested) into
+    a residual object; inner slices not on a merge path move verbatim."""
+    split = _split_object(res_b)
+    if split is None:
+        raise ValueError(
+            "typed fields present under a non-object residual"
+        )
+    merged: list[tuple[str, int, bytes]] = []
+    seen: set[str] = set()
+    for fid, sl in zip(*split):
+        if fid >= len(d):
+            raise ValueError(
+                f"field id {fid} exceeds dictionary size {len(d)}"
+            )
+        name = d[fid]
+        sub = t_tree.get(name)
+        if sub is not None and isinstance(sub, dict):
+            sl = _merge_value(sl, sub, d, fid_of)
+        elif sub is not None:
+            raise ValueError(
+                f"typed field {name!r} collides with a residual field"
+            )
+        seen.add(name)
+        merged.append((name, fid, sl))
+    for f, val in t_tree.items():
+        if f in seen:
+            continue
+        if f not in fid_of:
+            raise ValueError(
+                f"typed field {f!r} missing from the row's metadata "
+                "dictionary"
+            )
+        merged.append((
+            f, fid_of[f],
+            _merge_value(_encode_object([], []), val, d, fid_of)
+            if isinstance(val, dict) else encode_value(val),
+        ))
+    merged.sort()
+    return _encode_object(
+        [fid for _, fid, _ in merged], [sl for _, _, sl in merged]
+    )

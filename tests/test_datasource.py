@@ -925,3 +925,34 @@ def test_shredded_variant_token_arrays(spark, tmp_out):
     a = back.toPandas().sort_values("doc_id").reset_index(drop=True)
     b = expect.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_shredded_variant_nested_path_store(spark, tmp_out):
+    """Dotted shred paths through the store option."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    j = F.concat(
+        F.lit('{"meta": {"lang": "'), F.col("lang"),
+        F.lit('", "src": "'), F.col("source"),
+        F.lit('"}, "n": '), F.col("n_chars").cast("string"), F.lit("}"),
+    )
+    df = docs.select("doc_id", F.parse_json(j).alias("v"))
+    (
+        df.write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:meta.lang=string,n=int")
+        .save(tmp_out)
+    )
+    back = spark.read.format("pgs").load(tmp_out).select(
+        "doc_id",
+        F.variant_get("v", "$.meta.lang", "string").alias("lang"),
+        F.variant_get("v", "$.meta.src", "string").alias("src"),
+        F.variant_get("v", "$.n", "long").alias("n"),
+    )
+    expect = docs.select("doc_id", "lang",
+                         F.col("source").alias("src"),
+                         F.col("n_chars").alias("n"))
+    a = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = expect.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])

@@ -536,3 +536,46 @@ def test_shred_array_spark_cross_check(spark):
         F.variant_get("v", "$.lang", "string").alias("lang"),
     ).collect()[0]
     assert (out.t3, out.lang) == (2**40, "en")
+
+
+def test_shred_nested_paths():
+    """Dotted shred paths (the spec's recursive object shredding):
+    inner fields extract into typed columns, sibling bytes move
+    verbatim, reconstruction restores the full tree."""
+    rows = [
+        {"meta": {"lang": "en", "w": 1.5}, "n": 3},
+        {"meta": {"lang": 7, "w": 2.5}, "n": 4},       # inner mismatch
+        {"meta": "not an object", "n": 5},
+        {"meta": {"w": 3.5}, "n": 6},                   # inner absent
+        {"n": 7},                                       # head absent
+        {"meta": {"lang": "de"}},                       # inner fully shred
+        None,
+    ]
+    metas, vals = _mk(rows)
+    fields = {"meta.lang": "string", "n": "int"}
+    sh = V.shred_rows(metas, vals, fields)
+    assert sh["typed_meta.lang"] == ["en", None, None, None, None, "de",
+                                     None]
+    assert sh["typed_n"] == [3, 4, 5, 6, 7, None, None]
+    # sibling 'w' inside meta kept its exact bytes
+    d = V.decode_metadata(metas[0]).dictionary
+    ids, slices = V._split_object(sh["value"][0])
+    meta_sl = slices[[d[i] for i in ids].index("meta")]
+    iids, islices = V._split_object(meta_sl)
+    oids, oslices = V._split_object(V._split_object(vals[0])[1][
+        [d[i] for i in V._split_object(vals[0])[0]].index("meta")])
+    assert islices == [oslices[[d[i] for i in oids].index("w")]]
+    m2, v2 = V.reconstruct_rows(sh["metadata"], sh["value"],
+                                {f: sh[f"typed_{f}"] for f in fields})
+    for i, r in enumerate(rows):
+        if r is None:
+            assert v2[i] is None
+            continue
+        assert V.decode_value(v2[i], V.decode_metadata(m2[i])) == r
+
+
+def test_shred_path_validation():
+    with pytest.raises(ValueError, match="leaf"):
+        V.shred_rows([], [], {"a": "int", "a.b": "int"})
+    with pytest.raises(ValueError, match="prefix"):
+        V.shred_rows([], [], {"a.b": "int", "a": "string"})
