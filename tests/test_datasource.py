@@ -956,3 +956,42 @@ def test_shredded_variant_nested_path_store(spark, tmp_out):
     a = back.toPandas().sort_values("doc_id").reset_index(drop=True)
     b = expect.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_streaming_sink_with_shredded_variant(spark, tmp_path):
+    """shred_variant flows through the streaming sink's shared encode
+    path; the reconstructed reads stay exact across micro-batches."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit('{"lang": "'), F.col("lang"), F.lit('", "n": '),
+                 F.col("n_chars").cast("string"), F.lit("}")).alias("j"),
+    )
+    src.write.parquet(indir)
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .select("doc_id", F.parse_json("j").alias("v"))
+        .writeStream.format("pgs")
+        .option("checkpointLocation", ckpt)
+        .option("shred_variant", "v:lang=string,n=int")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(240)
+    back = spark.read.format("pgs").load(out).select(
+        "doc_id",
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+        F.variant_get("v", "$.n", "long").alias("n"),
+    )
+    expect = docs.select("doc_id", "lang", F.col("n_chars").alias("n"))
+    a = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = expect.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
