@@ -138,3 +138,13 @@ def test_similarity_broadcast_path_no_shuffle(spark):
 
     plan = _plan(cosine_topk_query(spark, SF, k=3))
     assert _count_exchanges(plan) == 0, plan
+
+
+def test_variant_shredded_roundtrip_no_shuffle(spark):
+    """The shredded-variant roundtrip is scan -> mapInArrow -> project:
+    zero exchanges, like every rt_* roundtrip (PLANS.md §2)."""
+    from parquet_go_spark.operators.roundtrip import variant_shredded_query
+
+    plan = _plan(variant_shredded_query(spark, SF))
+    assert _count_exchanges(plan) == 0
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan
