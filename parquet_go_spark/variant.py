@@ -186,13 +186,27 @@ def _parse_directory(
     if bt == _BT_OBJECT:
         if pos + n * id_sz > len(mv):
             raise ValueError("not enough data for object field ids")
-        ids = [_read_uint(mv, pos + i * id_sz, id_sz) for i in range(n)]
+        ids = _read_uints(mv, pos, n, id_sz)
         pos += n * id_sz
     if pos + (n + 1) * off_sz > len(mv):
         raise ValueError("not enough data for element offsets")
-    offs = [_read_uint(mv, pos + i * off_sz, off_sz) for i in range(n + 1)]
+    offs = _read_uints(mv, pos, n + 1, off_sz)
     pos += (n + 1) * off_sz
     return ids, offs, pos
+
+
+_BULK_FMT = {2: "H", 4: "I"}
+
+
+def _read_uints(mv: memoryview, pos: int, n: int, size: int) -> list[int]:
+    """n little-endian uints in one C call (the per-value _read_uint loop
+    dominated the shred profile at width-1/2/4; width 3 stays scalar)."""
+    if size == 1:
+        return list(mv[pos : pos + n])
+    fmt = _BULK_FMT.get(size)
+    if fmt is not None:
+        return list(struct.unpack_from(f"<{n}{fmt}", mv, pos))
+    return [_read_uint(mv, pos + i * size, size) for i in range(n)]
 
 
 _P_FIXED = {
@@ -551,6 +565,23 @@ def _decode_array_field(data: bytes, elem_kind: str):
     if pos + offs[n] > len(mv):
         raise ValueError("array element slice out of bounds")
     if elem_kind == "int":
+        if n < 256:
+            # short arrays: a C-int loop beats numpy's per-call overhead
+            # (~100us/row of fixed np setup dominated the shred profile
+            # on 64-token arrays)
+            data_b = bytes(mv[pos : pos + offs[n]])
+            out_i = []
+            widths = _INT_PRIM_WIDTH
+            from_bytes = int.from_bytes
+            for i in range(n):
+                s, e = offs[i], offs[i + 1]
+                h = data_b[s]
+                w = widths.get(h >> 2) if (h & 0x03) == 0 else None
+                if w is None or w != e - s - 1:
+                    return _NOT_SCALAR
+                out_i.append(from_bytes(data_b[s + 1 : e], "little",
+                                        signed=True))
+            return out_i
         import numpy as np
 
         starts = np.asarray(offs[:-1], dtype=np.int64) + pos
@@ -558,16 +589,16 @@ def _decode_array_field(data: bytes, elem_kind: str):
         buf = np.frombuffer(mv, dtype=np.uint8)
         heads = buf[starts]
         # every element must be a primitive int of width = size - 1
-        prim = np.array(
-            [_INT_PRIM_WIDTH.get(h >> 2, -1) if (h & 0x03) == 0 else -1
-             for h in heads.tolist()],
-            dtype=np.int64,
-        )
-        if not np.array_equal(prim + 1, widths):
+        prim_w = np.full(n, -1, dtype=np.int64)
+        is_prim = (heads & 0x03) == 0
+        pt = heads >> 2
+        for p, w in _INT_PRIM_WIDTH.items():
+            prim_w[is_prim & (pt == p)] = w
+        if not np.array_equal(prim_w + 1, widths):
             return _NOT_SCALAR
         out = np.empty(n, dtype=np.int64)
         for w, dt in _INT_NP_DTYPE.items():
-            m = prim == w
+            m = prim_w == w
             if not m.any():
                 continue
             s = starts[m] + 1
