@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_count"] = _text.bpe_count_query
     q["text_quality"] = _text.quality_query
     q["text_lang_signal"] = _text.lang_signal_query
+    # sequence packing: fixed-width training windows from the global
+    # token stream (distributed prefix sum + one window_id shuffle)
+    from parquet_go_spark.operators import packing as _pack
+    q["pack_sequences"] = _pack.pack_sequences_query
     q["text_fingerprint"] = _text.fingerprint_query
 
     # --- similarity family ---
@@ -256,6 +260,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_bpe_count"] = _text.BPE_COUNT_ORACLE
     o["text_quality"] = _text.QUALITY_ORACLE
     o["text_lang_signal"] = _text.LANG_SIGNAL_ORACLE
+    from parquet_go_spark.operators import packing as _pack
+    o["pack_sequences"] = _pack.PACK_SEQUENCES_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
     o["sim_cosine_topk"] = _sim.COSINE_TOPK_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
