@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token stream (distributed prefix sum + one window_id shuffle)
     from parquet_go_spark.operators import packing as _pack
     q["pack_sequences"] = _pack.pack_sequences_query
+    # composition: packed windows through encode_table -> decode, digest
+    q["pack_encode_roundtrip"] = _pack.pack_encode_roundtrip_query
     q["text_fingerprint"] = _text.fingerprint_query
 
     # --- similarity family ---
@@ -262,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_signal"] = _text.LANG_SIGNAL_ORACLE
     from parquet_go_spark.operators import packing as _pack
     o["pack_sequences"] = _pack.PACK_SEQUENCES_ORACLE
+    o["pack_encode_roundtrip"] = _pack.PACK_ENCODE_ROUNDTRIP_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
     o["sim_cosine_topk"] = _sim.COSINE_TOPK_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE

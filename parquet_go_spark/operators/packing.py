@@ -132,7 +132,45 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PACK_SEQUENCES_ORACLE = f"""
+def pack_encode_roundtrip_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Composition: pack documents into 512-token windows, push the
+    packed table through the ENGINE (encode_table -> pgs store ->
+    decode_table), and digest the decoded windows. The oracle is the
+    same DuckDB packing digest — so this row is green only if the
+    engine reproduced the packed token arrays bit-identically (the
+    north rule's roundtrip guarantee on derived, not synthetic,
+    tokens)."""
+    import os
+    import shutil
+
+    from .decode_job import decode_table
+    from .encode_job import encode_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    packed = pack_sequences(df, WINDOW).select(
+        F.col("seq_id").cast("string").alias("doc_id"),
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.size("tokens").alias("n_tok"),
+        F.lit("packed").alias("source"),
+    )
+    out = os.path.join("/tmp", f"pgs_packed_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(spark, packed, out, target_tokens=200_000, resume=False)
+    dec = decode_table(
+        spark, out, ["doc_id", "tokens", "n_tok"],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    return dec.select(
+        F.col("doc_id").cast("long").alias("seq_id"),
+        "n_tok",
+        F.md5(F.to_json(F.col("tokens").cast("array<long>")))
+        .alias("tok_digest"),
+    )
+
+
+_WIN_CTE = f"""
 WITH toks AS (
   SELECT doc_id,
          [CAST(ascii(w) AS BIGINT) * 1009 + length(w)
@@ -159,7 +197,17 @@ win AS (
   FROM stream
   GROUP BY 1
 )
+"""
+
+PACK_SEQUENCES_ORACLE = f"""{_WIN_CTE}
 SELECT seq_id, n_docs, first_doc, last_doc,
+       md5(to_json(tokens)::VARCHAR) AS tok_digest
+FROM win
+WHERE len(tokens) = {WINDOW}
+"""
+
+PACK_ENCODE_ROUNDTRIP_ORACLE = f"""{_WIN_CTE}
+SELECT seq_id, CAST({WINDOW} AS INTEGER) AS n_tok,
        md5(to_json(tokens)::VARCHAR) AS tok_digest
 FROM win
 WHERE len(tokens) = {WINDOW}
