@@ -184,6 +184,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_encode_roundtrip"] = _pack.pack_encode_roundtrip_query
     q["text_fingerprint"] = _text.fingerprint_query
 
+    # --- curation family (deterministic hash-threshold policies) ---
+    from parquet_go_spark.operators import curation as _cur
+    q["curate_sample"] = _cur.sample_weighted_query
+    q["curate_split"] = _cur.split_assign_query
+    q["curate_mix"] = _cur.mix_sources_query
+    q["curate_shuffle"] = _cur.global_shuffle_query
+
     # --- similarity family ---
     q["sim_cosine_topk"] = _sim.cosine_topk_query
     q["sim_nearest_neighbor"] = _sim.nearest_neighbor_query
@@ -266,6 +273,11 @@ def oracle_sql() -> dict[str, str]:
     o["pack_sequences"] = _pack.PACK_SEQUENCES_ORACLE
     o["pack_encode_roundtrip"] = _pack.PACK_ENCODE_ROUNDTRIP_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
+    from parquet_go_spark.operators import curation as _cur
+    o["curate_sample"] = _cur.SAMPLE_ORACLE
+    o["curate_split"] = _cur.SPLIT_ORACLE
+    o["curate_mix"] = _cur.MIX_ORACLE
+    o["curate_shuffle"] = _cur.SHUFFLE_ORACLE
     o["sim_cosine_topk"] = _sim.COSINE_TOPK_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
     o["sim_lsh_ann"] = _sim.LSH_ANN_ORACLE
