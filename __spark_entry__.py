@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curate_split"] = _cur.split_assign_query
     q["curate_mix"] = _cur.mix_sources_query
     q["curate_shuffle"] = _cur.global_shuffle_query
+    # flagship composition: sample -> train split -> shuffle -> pack
+    # -> encode -> decode -> digest, all one oracle
+    q["curate_pipeline_e2e"] = _cur.pipeline_pack_encode_query
 
     # --- similarity family ---
     q["sim_cosine_topk"] = _sim.cosine_topk_query
@@ -278,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
     o["curate_split"] = _cur.SPLIT_ORACLE
     o["curate_mix"] = _cur.MIX_ORACLE
     o["curate_shuffle"] = _cur.SHUFFLE_ORACLE
+    o["curate_pipeline_e2e"] = _cur.PIPELINE_ORACLE
     o["sim_cosine_topk"] = _sim.COSINE_TOPK_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
     o["sim_lsh_ann"] = _sim.LSH_ANN_ORACLE

@@ -79,6 +79,8 @@ def sample_weighted(df: DataFrame, rates: dict[str, float],
     """Deterministic per-source Bernoulli sampling: keep a row iff
     h60(seed, doc_id) < rate[source] * 2^60. Sources absent from
     `rates` are dropped (explicit policy, like a curation manifest).
+    All input columns are preserved so the output composes with
+    downstream operators (split/shuffle/pack/encode).
 
     Map-only: broadcast-join the tiny policy table, codegen filter."""
     spark = df.sparkSession
@@ -87,7 +89,7 @@ def sample_weighted(df: DataFrame, rates: dict[str, float],
     return (
         df.join(F.broadcast(rdf), "source", "inner")
         .filter(_h60(seed) < F.col("thr"))
-        .select("doc_id", "source")
+        .select(*df.columns)
     )
 
 
@@ -100,7 +102,7 @@ def _policy_values(rows: list[tuple]) -> str:
 
 def sample_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return sample_weighted(docs, SAMPLE_RATES)
+    return sample_weighted(docs, SAMPLE_RATES).select("doc_id", "source")
 
 
 SAMPLE_ORACLE = f"""
@@ -121,23 +123,23 @@ def split_assign(df: DataFrame, fracs: tuple[float, float] = SPLIT_FRACS,
                  seed: str = SEED_SPLIT) -> DataFrame:
     """Assign every document to train/val/test by hash bucket:
     train if h < fracs[0]*2^60, val if h < fracs[1]*2^60, else test.
-    Pure projection — zero shuffles, stable across reruns and across
-    any re-partitioning of the input (the split follows doc_id, not
+    Appends a `split` column (input columns preserved). Pure
+    projection — zero shuffles, stable across reruns and across any
+    re-partitioning of the input (the split follows doc_id, not
     physical placement)."""
     t1, t2 = _thr(fracs[0]), _thr(fracs[1])
     h = _h60(seed)
-    return df.select(
-        "doc_id",
+    return df.withColumn(
+        "split",
         F.when(h < t1, F.lit("train"))
         .when(h < t2, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        .otherwise(F.lit("test")),
     )
 
 
 def split_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return split_assign(docs)
+    return split_assign(docs).select("doc_id", "split")
 
 
 SPLIT_ORACLE = f"""
@@ -158,8 +160,9 @@ def mix_sources(df: DataFrame, weights: dict[str, float],
     """Weighted source mixing with epoch-style oversampling: a document
     from a source with weight w appears floor(w) times, plus once more
     with probability frac(w) (decided by the hash — deterministic).
-    Emits (doc_id, source, epoch) with epoch in 1..n_copies; weight 0
-    (or a source absent from `weights`) drops the document.
+    Appends an `epoch` column in 1..n_copies (input columns
+    preserved, one output row per copy); weight 0 (or a source absent
+    from `weights`) drops the document.
 
     Map-only: broadcast policy join + JVM-side sequence explode."""
     spark = df.sparkSession
@@ -170,13 +173,13 @@ def mix_sources(df: DataFrame, weights: dict[str, float],
     copies = (
         F.col("base")
         + (_h60(seed) < F.col("thr")).cast("int")
-    ).alias("n_copies")
+    )
     return (
         df.join(F.broadcast(rdf), "source", "inner")
-        .select("doc_id", "source", copies)
+        .withColumn("n_copies", copies)
         .filter(F.col("n_copies") >= 1)
         .select(
-            "doc_id", "source",
+            *df.columns,
             F.explode(F.sequence(
                 F.lit(1).cast("bigint"),
                 F.col("n_copies").cast("bigint"),
@@ -187,7 +190,7 @@ def mix_sources(df: DataFrame, weights: dict[str, float],
 
 def mix_sources_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return mix_sources(docs, MIX_WEIGHTS)
+    return mix_sources(docs, MIX_WEIGHTS).select("doc_id", "source", "epoch")
 
 
 MIX_ORACLE = f"""
@@ -213,8 +216,11 @@ WHERE n_copies >= 1
 
 def global_shuffle(df: DataFrame, seed: str = SEED_SHUFFLE) -> DataFrame:
     """Seeded global pseudo-random permutation: every document gets an
-    exact position 0..n-1 in md5(seed|doc_id) order. Reproducible
-    (same seed → same order, independent of input partitioning).
+    exact position 0..n-1 in md5(seed|doc_id) order, appended as a
+    `pos` column (input columns preserved — shuffling the corpus into
+    training order is exactly when the full rows must move once).
+    Reproducible (same seed → same order, independent of input
+    partitioning).
 
     Distributed exactly like pack_sequences' offset pass: range-
     partition on the hash key (range boundaries preserve the global
@@ -231,11 +237,11 @@ def global_shuffle(df: DataFrame, seed: str = SEED_SHUFFLE) -> DataFrame:
     ).alias("skey")
     n_parts = max(df.rdd.getNumPartitions(), 1)
     ranged = (
-        df.select("doc_id", skey)
+        df.select(*df.columns, skey)
         .repartitionByRange(n_parts, "skey")
         .sortWithinPartitions("skey", "doc_id")
         .select(
-            "doc_id",
+            *df.columns,
             F.spark_partition_id().alias("pid"),
             # low 33 bits = row index within the partition, in the
             # sorted order (the projection sits above the Sort and
@@ -264,7 +270,7 @@ def global_shuffle(df: DataFrame, seed: str = SEED_SHUFFLE) -> DataFrame:
             .select(
                 (F.coalesce(F.col("base"), F.lit(0))
                  + F.col("loc")).alias("pos"),
-                "doc_id",
+                *df.columns,
             )
         )
         # materialize BEFORE unpersisting: the collected base offsets
@@ -279,7 +285,7 @@ def global_shuffle(df: DataFrame, seed: str = SEED_SHUFFLE) -> DataFrame:
 
 def global_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return global_shuffle(docs)
+    return global_shuffle(docs).select("pos", "doc_id")
 
 
 SHUFFLE_ORACLE = f"""
@@ -289,3 +295,80 @@ SELECT CAST(row_number() OVER (
        doc_id
 FROM documents
 """
+
+
+# -------------------------------------------------------------- pipeline
+
+def pipeline_pack_encode_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline through the ENGINE:
+
+        documents -> weighted sampling -> keep the train split ->
+        seeded global shuffle -> pack into 512-token windows ->
+        encode_table (pgs store) -> decode_table -> window digest
+
+    Every stage is deterministic, so ONE DuckDB oracle replicates the
+    whole chain; the row is green only if the curation decisions, the
+    shuffle order, the window boundaries, AND the engine's
+    encode->decode all agree bit-for-bit. This is the flagship "a
+    user could run their whole pipeline here" composition."""
+    import os
+    import shutil
+
+    from .decode_job import decode_table
+    from .encode_job import encode_table
+    from .packing import WINDOW, _SPARK_TOKS, pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = split_assign(
+        sample_weighted(docs, SAMPLE_RATES)
+    ).filter(F.col("split") == "train")
+    ordered = global_shuffle(train)
+    stream = ordered.select(
+        F.col("pos").alias("doc_id"), F.expr(_SPARK_TOKS).alias("toks")
+    )
+    packed = pack_sequences(stream, WINDOW).select(
+        F.col("seq_id").cast("string").alias("doc_id"),
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.size("tokens").alias("n_tok"),
+        F.lit("pipeline").alias("source"),
+    )
+    out = os.path.join("/tmp", f"pgs_pipeline_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(spark, packed, out, target_tokens=200_000, resume=False)
+    dec = decode_table(
+        spark, out, ["doc_id", "tokens", "n_tok"],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    return dec.select(
+        F.col("doc_id").cast("long").alias("seq_id"),
+        "n_tok",
+        F.md5(F.to_json(F.col("tokens").cast("array<long>")))
+        .alias("tok_digest"),
+    )
+
+
+def _pipeline_oracle() -> str:
+    from .packing import WINDOW, _DUCK_TOKS, win_cte
+
+    toks_sql = f"""
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5('{SEED_SHUFFLE}|' || CAST(doc_id AS VARCHAR)),
+                    doc_id) - 1 AS BIGINT) AS doc_id,
+         {_DUCK_TOKS} AS toks
+  FROM documents d
+  JOIN (VALUES {_policy_values(
+      [(s, _thr(v)) for s, v in sorted(SAMPLE_RATES.items())])}
+  ) r(source, thr) USING (source)
+  WHERE {_h60_duck(SEED_SAMPLE)} < r.thr
+    AND {_h60_duck(SEED_SPLIT)} < {_thr(SPLIT_FRACS[0])}
+"""
+    return f"""{win_cte(toks_sql, WINDOW)}
+SELECT seq_id, CAST({WINDOW} AS INTEGER) AS n_tok,
+       md5(to_json(tokens)::VARCHAR) AS tok_digest
+FROM win
+WHERE len(tokens) = {WINDOW}
+"""
+
+
+PIPELINE_ORACLE = _pipeline_oracle()

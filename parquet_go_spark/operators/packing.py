@@ -170,13 +170,22 @@ def pack_encode_roundtrip_query(spark: SparkSession,
     )
 
 
-_WIN_CTE = f"""
-WITH toks AS (
-  SELECT doc_id,
-         [CAST(ascii(w) AS BIGINT) * 1009 + length(w)
-          FOR w IN string_split(text, ' ') IF w <> ''] AS toks
-  FROM documents
-),
+# DuckDB token derivation matching _SPARK_TOKS, over any row source
+# exposing (doc_id, text)
+_DUCK_TOKS = (
+    "[CAST(ascii(w) AS BIGINT) * 1009 + length(w)"
+    " FOR w IN string_split(text, ' ') IF w <> '']"
+)
+
+
+def win_cte(toks_sql: str, window: int = WINDOW) -> str:
+    """DuckDB CTE chain replicating pack_sequences over any token
+    source: ``toks_sql`` must yield (doc_id, toks array<bigint>); the
+    result exposes a ``win`` CTE of (seq_id, tokens, n_docs,
+    first_doc, last_doc). Shared by the plain packing oracles and the
+    end-to-end curation pipeline oracle."""
+    return f"""
+WITH toks AS ({toks_sql}),
 offs AS (
   SELECT doc_id, toks, len(toks) AS n,
          CAST(SUM(len(toks)) OVER (ORDER BY doc_id) - len(toks)
@@ -189,7 +198,7 @@ stream AS (
   FROM offs, UNNEST(generate_series(1, n)) AS u(i)
 ),
 win AS (
-  SELECT CAST(gpos // {WINDOW} AS BIGINT) AS seq_id,
+  SELECT CAST(gpos // {window} AS BIGINT) AS seq_id,
          list(tok ORDER BY gpos) AS tokens,
          COUNT(DISTINCT doc_id) AS n_docs,
          MIN(doc_id) AS first_doc,
@@ -198,6 +207,8 @@ win AS (
   GROUP BY 1
 )
 """
+
+_WIN_CTE = win_cte(f"SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents")
 
 PACK_SEQUENCES_ORACLE = f"""{_WIN_CTE}
 SELECT seq_id, n_docs, first_doc, last_doc,
