@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composition: packed windows through encode_table -> decode, digest
     q["pack_encode_roundtrip"] = _pack.pack_encode_roundtrip_query
     q["text_fingerprint"] = _text.fingerprint_query
+    # corpus hygiene: benchmark decontamination, PII redaction, Gopher
+    # duplicate-n-gram quality signal
+    from parquet_go_spark.operators import contamination as _con
+    q["decontam_overlap"] = _con.decontam_overlap_query
+    q["pii_scrub"] = _con.pii_scrub_query
+    q["text_dup_ngram"] = _con.dup_ngram_query
 
     # --- curation family (deterministic hash-threshold policies) ---
     from parquet_go_spark.operators import curation as _cur
@@ -276,6 +282,10 @@ def oracle_sql() -> dict[str, str]:
     o["pack_sequences"] = _pack.PACK_SEQUENCES_ORACLE
     o["pack_encode_roundtrip"] = _pack.PACK_ENCODE_ROUNDTRIP_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
+    from parquet_go_spark.operators import contamination as _con
+    o["decontam_overlap"] = _con.DECONTAM_ORACLE
+    o["pii_scrub"] = _con.PII_SCRUB_ORACLE
+    o["text_dup_ngram"] = _con.DUP_NGRAM_ORACLE
     from parquet_go_spark.operators import curation as _cur
     o["curate_sample"] = _cur.SAMPLE_ORACLE
     o["curate_split"] = _cur.SPLIT_ORACLE
