@@ -53,6 +53,31 @@ def _merge_pass(codes: np.ndarray, a: int, b: int, new_code: int) -> np.ndarray:
     return codes[keep]
 
 
+def _replay(codes: np.ndarray, triples: list[tuple[int, int, int]]) -> np.ndarray:
+    """Apply ranked (a, b, new_code) merges in order. Dispatches to the C
+    twin (native.pgs_fsst_replay) when available — the greedy left-to-right
+    scan there consumes exactly the even-offset members of every run of
+    adjacent hits, i.e. the same selection _nonoverlapping makes, so the
+    surviving code sequence (and therefore the blob) is byte-identical."""
+    if not triples:
+        return codes
+    from .. import native
+
+    if native.HAVE and len(codes):
+        if not (codes.flags.c_contiguous and codes.flags.writeable):
+            codes = np.ascontiguousarray(codes)
+        t = np.asarray(triples, dtype=np.int64)
+        ma, mb, mc = (np.ascontiguousarray(t[:, j]) for j in range(3))
+        n2 = native.lib.pgs_fsst_replay(
+            codes.ctypes.data, len(codes),
+            ma.ctypes.data, mb.ctypes.data, mc.ctypes.data, len(t),
+        )
+        return codes[:n2]
+    for a, b, nc in triples:
+        codes = _merge_pass(codes, a, b, nc)
+    return codes
+
+
 def train(
     data: bytes,
     offsets: np.ndarray,
@@ -117,7 +142,7 @@ def train(
         merges.append((a, b))
         symbols.append(sym)
         sym_len[new_code] = len(sym)
-        codes = _merge_pass(codes, a, b, new_code)
+        codes = _replay(codes, [(a, b, new_code)])
 
     # fill the remaining code space with frequent single bytes (real FSST
     # tables are mostly 1-byte symbols): a covered byte costs 1 output byte
@@ -152,19 +177,51 @@ def encode(
     arr = np.frombuffer(data, dtype=np.uint8)
     lengths = np.diff(offsets)
     total = int(lengths.sum())
+
+    lut = np.full(256, -1, dtype=np.int64)  # byte -> single-byte symbol code
+    triples = []
+    for i, (a, b) in enumerate(merges):
+        if b == -1:
+            lut[a] = i
+        else:
+            triples.append((a, b, FIRST_SYMBOL_CODE + i))
+
+    from .. import native
+
+    if native.HAVE and n:
+        # fused per-string C encode: the merge passes run over one string
+        # at a time in an L1-resident scratch, so the chunk is touched
+        # exactly twice (read data, write payload) instead of ~64 full
+        # sweeps of a uint32 code stream
+        t = (np.asarray(triples, dtype=np.int64).reshape(-1, 3)
+             if triples else np.zeros((0, 3), dtype=np.int64))
+        ma, mb, mc = (np.ascontiguousarray(t[:, j]) for j in range(3))
+        lut16 = lut.astype(np.int16)
+        max_len = int(lengths.max()) if n else 0
+        scratch = np.empty(max(max_len, 1), dtype=np.uint16)
+        payload_buf = np.empty(2 * max(total, 1), dtype=np.uint8)
+        enc_lengths = np.empty(n, dtype=np.int64)
+        plen = native.lib.pgs_fsst_encode_all(
+            arr.ctypes.data, offsets.ctypes.data, n,
+            ma.ctypes.data, mb.ctypes.data, mc.ctypes.data, len(t),
+            lut16.ctypes.data, scratch.ctypes.data,
+            payload_buf.ctypes.data, enc_lengths.ctypes.data,
+        )
+        payload = payload_buf[:plen]
+        head = len(symbols).to_bytes(2, "little")
+        head += bytes(len(s) for s in symbols)
+        head += b"".join(symbols)
+        len_blob = delta.encode(enc_lengths, itemsize=4)
+        return (head + len(len_blob).to_bytes(4, "little") + len_blob
+                + payload.tobytes())
+
     codes = np.empty(total + n, dtype=np.uint32)
     dst = np.arange(total, dtype=np.int64) + np.repeat(
         np.arange(n, dtype=np.int64), lengths
     )
     codes[:] = SEP
     codes[dst] = arr[int(offsets[0]) : int(offsets[-1])]
-
-    lut = np.full(256, -1, dtype=np.int64)  # byte -> single-byte symbol code
-    for i, (a, b) in enumerate(merges):
-        if b == -1:
-            lut[a] = i
-        else:
-            codes = _merge_pass(codes, a, b, FIRST_SYMBOL_CODE + i)
+    codes = _replay(codes, triples)
 
     is_sep = codes == SEP
     is_sym = (codes >= FIRST_SYMBOL_CODE) & ~is_sep
@@ -230,6 +287,28 @@ def decode(buf: bytes) -> tuple[bytes, np.ndarray]:
     payload = np.frombuffer(buf, dtype=np.uint8, offset=pos)
     if int(enc_lengths.sum()) != len(payload):
         raise ValueError("FSST payload size mismatch")
+
+    from .. import native
+
+    if native.HAVE and len(enc_lengths):
+        enc_off = np.zeros(len(enc_lengths) + 1, dtype=np.int64)
+        np.cumsum(enc_lengths, out=enc_off[1:])
+        total = native.lib.pgs_fsst_dsize(
+            payload.ctypes.data, enc_off.ctypes.data, len(enc_lengths),
+            sym_lens.ctypes.data, n_sym,
+        )
+        if total >= 0:
+            out = np.empty(total, dtype=np.uint8)
+            offsets = np.empty(len(enc_lengths) + 1, dtype=np.int64)
+            native.lib.pgs_fsst_decode(
+                payload.ctypes.data, enc_off.ctypes.data, len(enc_lengths),
+                sym_flat.ctypes.data, sym_off.ctypes.data,
+                sym_lens.ctypes.data, out.ctypes.data, offsets.ctypes.data,
+            )
+            return out.tobytes(), offsets
+        # dangling escape / out-of-range code under the strict per-string
+        # C rules: fall through so malformed blobs keep the numpy path's
+        # exact error surface
 
     # classify positions: escapes always come in (ESCAPE, literal) pairs and
     # literals can be ESCAPE themselves — resolve via runs of 255

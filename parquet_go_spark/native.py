@@ -196,6 +196,148 @@ int64_t NAME(const TYPE *v, int64_t n, int64_t rows, int64_t lanes,         \
 
 PGS_ENC_DIRECT(pgs_rans_encode32, int32_t)
 PGS_ENC_DIRECT(pgs_rans_encode64, int64_t)
+
+/* ---- FSST merge replay / payload emission / decode ---------------------
+   Twins of the numpy kernels in codecs/fsst.py. Replay semantics: for
+   each ranked merge, leftmost-first non-overlapping replacement of
+   (a, b) adjacencies — provably identical to _merge_pass's run-parity
+   selection (a greedy left-to-right scan consumes exactly the
+   even-offset members of every run of adjacent hits). The prescan
+   avoids the compaction write pass entirely for merges that no longer
+   occur in the chunk (common for late-ranked symbols). */
+
+int64_t pgs_fsst_replay(uint32_t *codes, int64_t n,
+                        const int64_t *ma, const int64_t *mb,
+                        const int64_t *mc, int64_t m)
+{
+    for (int64_t i = 0; i < m; i++) {
+        uint32_t a = (uint32_t)ma[i], b = (uint32_t)mb[i];
+        uint32_t nc = (uint32_t)mc[i];
+        int64_t f = -1;
+        for (int64_t r = 0; r + 1 < n; r++)
+            if (codes[r] == a && codes[r + 1] == b) { f = r; break; }
+        if (f < 0) continue;
+        int64_t w = f, r = f;
+        while (r < n) {
+            if (r + 1 < n && codes[r] == a && codes[r + 1] == b) {
+                codes[w++] = nc; r += 2;
+            } else {
+                codes[w++] = codes[r++];
+            }
+        }
+        n = w;
+    }
+    return n;
+}
+
+/* Fused whole-chunk encode: per string, copy its bytes into an
+   L1-resident uint16 scratch, run every ranked merge over just that
+   string (SEP sentinels made the global passes per-segment anyway, so
+   per-string replay is exactly equivalent), then emit payload bytes.
+   Memory traffic is one read of data + one write of payload — the
+   separate build/replay/emit sweeps of the numpy formulation touched
+   the full uint32 code stream ~64 times. lut[byte] >= 0 names a
+   single-byte symbol code; scratch needs max-string-length capacity;
+   payload needs 2*total_bytes. */
+int64_t pgs_fsst_encode_all(const uint8_t *data, const int64_t *offsets,
+                            int64_t ns,
+                            const int64_t *ma, const int64_t *mb,
+                            const int64_t *mc, int64_t m,
+                            const int16_t *lut, uint16_t *scratch,
+                            uint8_t *payload, int64_t *enc_lengths)
+{
+    int64_t p = 0;
+    for (int64_t s = 0; s < ns; s++) {
+        int64_t start = offsets[s], len = offsets[s + 1] - start;
+        uint64_t seen[8] = {0, 0, 0, 0, 0, 0, 0, 0};  /* codes 0..511 */
+        for (int64_t i = 0; i < len; i++) {
+            uint8_t c = data[start + i];
+            scratch[i] = c;
+            seen[c >> 6] |= 1ULL << (c & 63);
+        }
+        int64_t n = len;
+        for (int64_t i = 0; i < m; i++) {
+            uint16_t a = (uint16_t)ma[i], b = (uint16_t)mb[i];
+            uint16_t nc = (uint16_t)mc[i];
+            /* conservative presence gate: a merge whose inputs never
+               appeared in this string (e.g. a child of a merge that
+               never fired) is skipped without scanning */
+            if (!(seen[a >> 6] >> (a & 63) & 1) ||
+                !(seen[b >> 6] >> (b & 63) & 1))
+                continue;
+            int64_t f = -1;
+            for (int64_t r = 0; r + 1 < n; r++)
+                if (scratch[r] == a && scratch[r + 1] == b) { f = r; break; }
+            if (f < 0) continue;
+            seen[nc >> 6] |= 1ULL << (nc & 63);
+            int64_t w = f, r = f;
+            while (r < n) {
+                if (r + 1 < n && scratch[r] == a && scratch[r + 1] == b) {
+                    scratch[w++] = nc; r += 2;
+                } else {
+                    scratch[w++] = scratch[r++];
+                }
+            }
+            n = w;
+        }
+        int64_t ps = p;
+        for (int64_t i = 0; i < n; i++) {
+            uint16_t c = scratch[i];
+            if (c >= 256) payload[p++] = (uint8_t)(c - 256);
+            else {
+                int16_t v = lut[c];
+                if (v >= 0) payload[p++] = (uint8_t)v;
+                else { payload[p++] = 255; payload[p++] = (uint8_t)c; }
+            }
+        }
+        enc_lengths[s] = p - ps;
+    }
+    return p;
+}
+
+/* Decoded-size + validity pass: returns total output bytes, or -1 on a
+   dangling escape / out-of-range code (the wrapper then falls back to
+   the numpy path so malformed blobs keep its exact error surface). */
+int64_t pgs_fsst_dsize(const uint8_t *payload, const int64_t *enc_off,
+                       int64_t ns, const int64_t *sym_lens, int64_t n_sym)
+{
+    int64_t total = 0;
+    for (int64_t s = 0; s < ns; s++) {
+        int64_t p = enc_off[s], e = enc_off[s + 1];
+        while (p < e) {
+            uint8_t c = payload[p];
+            if (c == 255) { if (p + 1 >= e) return -1; total += 1; p += 2; }
+            else { if (c >= n_sym) return -1; total += sym_lens[c]; p += 1; }
+        }
+    }
+    return total;
+}
+
+/* Fill pass (inputs validated by pgs_fsst_dsize): expand symbols /
+   escaped literals per string, recording per-string output offsets. */
+int64_t pgs_fsst_decode(const uint8_t *payload, const int64_t *enc_off,
+                        int64_t ns, const uint8_t *sym_flat,
+                        const int64_t *sym_off, const int64_t *sym_lens,
+                        uint8_t *out, int64_t *offsets)
+{
+    int64_t o = 0;
+    offsets[0] = 0;
+    for (int64_t s = 0; s < ns; s++) {
+        int64_t p = enc_off[s], e = enc_off[s + 1];
+        while (p < e) {
+            uint8_t c = payload[p];
+            if (c == 255) { out[o++] = payload[p + 1]; p += 2; }
+            else {
+                const uint8_t *sp = sym_flat + sym_off[c];
+                int64_t L = sym_lens[c];
+                for (int64_t j = 0; j < L; j++) out[o + j] = sp[j];
+                o += L; p += 1;
+            }
+        }
+        offsets[s + 1] = o;
+    }
+    return o;
+}
 """
 
 
@@ -252,6 +394,30 @@ if not os.environ.get("PGS_NO_NATIVE"):
                 ctypes.c_int64, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
+        lib.pgs_fsst_replay.restype = ctypes.c_int64
+        lib.pgs_fsst_replay.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.pgs_fsst_encode_all.restype = ctypes.c_int64
+        lib.pgs_fsst_encode_all.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pgs_fsst_dsize.restype = ctypes.c_int64
+        lib.pgs_fsst_dsize.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.pgs_fsst_decode.restype = ctypes.c_int64
+        lib.pgs_fsst_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
     except Exception:
         lib = None
 

@@ -372,6 +372,44 @@ def test_fsst_malformed():
         fsst.decode(b"\x01")  # truncated
 
 
+def test_fsst_native_numpy_byte_identical():
+    """The C FSST kernels (native.py: per-string merge replay + emit,
+    decode expansion) must produce byte-identical blobs to the canonical
+    numpy kernels and each must decode the other's output — the on-disk
+    format may never depend on which kernel ran."""
+    import pytest as _pytest
+
+    from parquet_go_spark import native
+
+    if not native.HAVE:
+        _pytest.skip("no C compiler in environment")
+    rng = np.random.default_rng(41)
+    corpora = [
+        [b"a" * k for k in range(0, 40)],            # adjacent-run overlap
+        [bytes([255]) * 9, b"", b"\xff\xfe\xff", b"x"],  # escape-heavy
+        [f"user/alpha/{i}".encode() for i in range(300)],
+        [bytes(rng.integers(0, 256, size=int(k), dtype=np.uint8))
+         for k in rng.integers(0, 50, 200)],         # high entropy + empties
+        [b"the quick brown fox " * 10] * 50,         # long runs of merges
+    ]
+    for strs in corpora:
+        data, offsets = _mk(strs)
+        merges, symbols = fsst.train(data, offsets)
+        blob_c = fsst.encode(data, offsets, merges, symbols)
+        native.HAVE = False
+        try:
+            merges_np, symbols_np = fsst.train(data, offsets)
+            assert merges_np == merges and symbols_np == symbols
+            blob_np = fsst.encode(data, offsets, merges, symbols)
+            d_np, o_np = fsst.decode(blob_c)
+        finally:
+            native.HAVE = True
+        d_c, o_c = fsst.decode(blob_np)
+        assert blob_c == blob_np
+        assert d_np == data and np.array_equal(o_np, offsets)
+        assert d_c == data and np.array_equal(o_c, offsets)
+
+
 def test_dict_bss_codes_roundtrip_all_widths():
     rng = np.random.default_rng(11)
     for card in (2, 200, 300, 70_000):  # widths 1, 1, 2, 4
