@@ -58,6 +58,15 @@ def common_prefix_lengths(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     prefixes = np.zeros(n, dtype=np.int64)
     if n <= 1:
         return prefixes
+    from .. import native
+
+    if native.HAVE:
+        data = np.ascontiguousarray(data)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        native.lib.pgs_dba_prefixes(
+            data.ctypes.data, offsets.ctypes.data, n, prefixes.ctypes.data
+        )
+        return prefixes
     lengths = np.diff(offsets)
     ml = np.minimum(lengths[:-1], lengths[1:])  # pair i compares value i and i+1
     pairs = np.flatnonzero(ml > 0)
@@ -113,6 +122,30 @@ def decode_delta_ba(buf: bytes) -> tuple[bytes, np.ndarray]:
     n = len(prefixes)
     if len(suf_off) - 1 != n:
         raise ValueError("prefix/suffix count mismatch")
+
+    from .. import native
+
+    if native.HAVE and n:
+        # Validate BEFORE allocating sum(prefixes) bytes: value i's length is
+        # prefixes[i] + suf_len[i], and prefixes[i] may not exceed value i-1's
+        # length — checkable in one vector pass since lens[i-1] is what the
+        # previous value's length will be whenever everything before it is
+        # valid. A malformed blob must raise, never trigger a giant alloc.
+        lens = prefixes + np.diff(suf_off)
+        if prefixes[0] != 0 or (n > 1 and np.any(prefixes[1:] > lens[:-1])):
+            raise ValueError("prefix length exceeds previous value")
+        total = int(lens.sum())
+        out_buf = np.empty(max(total, 1), dtype=np.uint8)
+        out_off = np.empty(n + 1, dtype=np.int64)
+        suf_arr = np.frombuffer(suf_data, dtype=np.uint8)
+        got = native.lib.pgs_dba_reconstruct(
+            suf_arr.ctypes.data, suf_off.ctypes.data, prefixes.ctypes.data,
+            n, out_buf.ctypes.data, out_off.ctypes.data,
+        )
+        if got >= 0:
+            return out_buf[:got].tobytes(), out_off
+        # unreachable after the check above; belt-and-braces fall-through
+        # keeps the numpy path's exact error surface
     out = bytearray()
     offsets = np.zeros(n + 1, dtype=np.int64)
     prev_start = 0

@@ -47,40 +47,39 @@ def build_bytes(
 ):
     """Dictionary for a byte-array column given Arrow-style (data, offsets).
 
-    Uses np.unique over per-value byte objects via a void-dtype view when
-    values are fixed width, else over an object array (still one numpy sort,
-    not per-row Python in the Spark sense — this runs once per column chunk).
+    Uses Arrow's hash-based dictionary_encode (C++, single pass — the
+    same family as the reference's per-value hash-map insert,
+    dictpage.go:150-204) instead of sorting an object array; the final
+    code order is then replicated exactly as before — descending
+    frequency with lexicographic tie-break — so encoded blobs are
+    byte-identical to the historical np.unique formulation.
     """
-    offsets = np.asarray(offsets, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if n == 0:
         return np.array([], dtype=object), np.zeros(0, dtype=np.uint64)
-    arr = np.frombuffer(data, dtype=np.uint8)
-    lengths = np.diff(offsets)
-    # fixed-width fast path: view as void records
-    if lengths.min() == lengths.max() and lengths[0] > 0:
-        w = int(lengths[0])
-        recs = arr[int(offsets[0]) : int(offsets[-1])].reshape(n, w)
-        recs_v = np.ascontiguousarray(recs).view(np.dtype((np.void, w))).ravel()
-        uniq_v, codes, counts = np.unique(
-            recs_v, return_inverse=True, return_counts=True
-        )
-        uniq_bytes = [bytes(u) for u in uniq_v.view(np.uint8).reshape(-1, w)]
-    else:
-        objs = np.empty(n, dtype=object)
-        mv = memoryview(data)
-        starts = offsets[:-1]
-        ends = offsets[1:]
-        objs[:] = [bytes(mv[int(s) : int(e)]) for s, e in zip(starts, ends)]
-        uniq, codes, counts = np.unique(objs, return_inverse=True, return_counts=True)
-        uniq_bytes = list(uniq)
-    # frequency-order codes (see build_numeric)
-    order = np.argsort(-counts, kind="stable")
-    rank = np.empty(len(uniq_bytes), dtype=np.int64)
-    rank[order] = np.arange(len(uniq_bytes))
-    uniq_bytes = [uniq_bytes[i] for i in order]
-    codes = rank[codes]
-    size = sum(len(u) for u in uniq_bytes) + 4 * len(uniq_bytes)
+    import pyarrow as pa
+
+    arr = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets), pa.py_buffer(data)],
+        null_count=0,
+    )
+    denc = arr.dictionary_encode()
+    codes0 = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_list = denc.dictionary.to_pylist()  # first-occurrence order
+    k = len(uniq_list)
+    counts = np.bincount(codes0, minlength=k)
+    # replicate np.unique + stable argsort(-counts): lexicographic uniques,
+    # then descending frequency with ties kept in lex order
+    lex = sorted(range(k), key=lambda i: uniq_list[i])
+    order = np.argsort(-counts[lex], kind="stable")
+    final = [lex[int(i)] for i in order]
+    rank = np.empty(k, dtype=np.int64)
+    rank[final] = np.arange(k)
+    uniq_bytes = [uniq_list[i] for i in final]
+    codes = rank[codes0]
+    size = sum(len(u) for u in uniq_bytes) + 4 * k
     if size > budget:
         return None
     return uniq_bytes, codes.astype(np.uint64)

@@ -313,6 +313,53 @@ int64_t pgs_fsst_dsize(const uint8_t *payload, const int64_t *enc_off,
     return total;
 }
 
+/* ---- DELTA_BYTE_ARRAY (front coding) twins ----------------------------
+   codecs/deltaba.py's numpy prefix pass materializes a full pairwise
+   comparison grid (~500 MB of temporaries for a 1M-row id column); the
+   scalar loop with early exit touches only the compared bytes. */
+
+void pgs_dba_prefixes(const uint8_t *data, const int64_t *offsets,
+                      int64_t n, int64_t *prefixes)
+{
+    prefixes[0] = 0;
+    for (int64_t i = 1; i < n; i++) {
+        const uint8_t *a = data + offsets[i - 1];
+        const uint8_t *b = data + offsets[i];
+        int64_t la = offsets[i] - offsets[i - 1];
+        int64_t lb = offsets[i + 1] - offsets[i];
+        int64_t ml = la < lb ? la : lb;
+        int64_t j = 0;
+        while (j < ml && a[j] == b[j]) j++;
+        prefixes[i] = j;
+    }
+}
+
+/* Sequential front-coding reconstruction (inherently order-dependent —
+   the numpy path is a Python loop over a bytearray). out must have
+   sum(prefixes) + sum(suffix lengths) capacity, computed by the caller.
+   Returns total output bytes, or -1 when a prefix over-references the
+   previous value (wrapper falls back to numpy for its error surface). */
+int64_t pgs_dba_reconstruct(const uint8_t *suf, const int64_t *suf_off,
+                            const int64_t *prefixes, int64_t n,
+                            uint8_t *out, int64_t *out_off)
+{
+    int64_t o = 0, prev = 0, prev_len = 0;
+    out_off[0] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t pl = prefixes[i];
+        if (pl > prev_len) return -1;
+        for (int64_t j = 0; j < pl; j++) out[o + j] = out[prev + j];
+        int64_t sl = suf_off[i + 1] - suf_off[i];
+        const uint8_t *sp = suf + suf_off[i];
+        for (int64_t j = 0; j < sl; j++) out[o + pl + j] = sp[j];
+        prev = o;
+        prev_len = pl + sl;
+        o += prev_len;
+        out_off[i + 1] = o;
+    }
+    return o;
+}
+
 /* Fill pass (inputs validated by pgs_fsst_dsize): expand symbols /
    escaped literals per string, recording per-string output offsets. */
 int64_t pgs_fsst_decode(const uint8_t *payload, const int64_t *enc_off,
@@ -406,6 +453,15 @@ if not os.environ.get("PGS_NO_NATIVE"):
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pgs_dba_prefixes.restype = None
+        lib.pgs_dba_prefixes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.pgs_dba_reconstruct.restype = ctypes.c_int64
+        lib.pgs_dba_reconstruct.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.pgs_fsst_dsize.restype = ctypes.c_int64
         lib.pgs_fsst_dsize.argtypes = [
