@@ -419,6 +419,104 @@ SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM sums
 SIMHASH_ORACLE = _simhash_oracle()
 
 
+# ------------------------------------------- exact substring spans (windows)
+
+SUBSTR_W = 8  # window length in words; spans are unions of [pos, pos+W)
+
+
+def substring_spans_query(spark: SparkSession, sf_dir: str,
+                          hash_impl: str = "md5") -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" signal, windowed): every
+    W-word window whose content occurs >= 2 times ANYWHERE in the corpus
+    (cross-document or a repeat inside one document) is duplicated; per
+    document the duplicated window positions are merged into maximal spans
+    and reported as (dup_windows, dup_spans, dup_tokens = union size).
+    A downstream cleaner drops exactly those spans; suffix-array pipelines
+    compute the same set for unbounded match lengths, this is the
+    fixed-W streaming form that distributes.
+
+    Plan/scale: the window explode is LINEAR — one row per word position,
+    never a pair materialization (a window shared by k docs costs k rows,
+    not k^2, so no skew guard is needed, unlike the shingle self-join).
+    Three shuffles total: hash count (map-side combinable), count-back
+    join on the hash, and the per-doc position sort — each keyed on a
+    high-cardinality column. At 10^12-sequence scale you would put a
+    count-min / Bloom prefilter in front of the count join to drop the
+    ~95% singleton windows before they shuffle; semantics here are the
+    exact oracle-checked form.
+
+    hash_impl='md5' (default) is reproducible in DuckDB; 'xxhash64' is
+    the cheaper JVM-side production hash (engine-specific, no oracle).
+    """
+    from pyspark.sql import Window
+
+    W = SUBSTR_W
+    df = _fan_out(_docs(spark, sf_dir), "doc_id")
+    hfn = "xxhash64" if hash_impl == "xxhash64" else "md5"
+    win = F.expr(
+        f"transform(sequence(0, size(w) - {W}),"
+        f" i -> {hfn}(concat_ws(' ', slice(w, i + 1, {W}))))"
+    )
+    wins = (
+        df.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= W)
+        .select("doc_id", F.posexplode(win).alias("pos", "h"))
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    d = wins.join(dup_h, "h").select("doc_id", "pos")
+    gap = F.col("pos") - F.lag("pos").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    g = d.withColumn("gap", gap)
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") >= W), 1).otherwise(0)
+        ).alias("dup_spans"),
+        F.sum(
+            F.when(F.col("gap").isNull(), W)
+            .otherwise(F.least(F.lit(W), F.col("gap")))
+        ).cast("long").alias("dup_tokens"),
+    )
+
+
+SUBSTRING_SPANS_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), wins AS (
+  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {SUBSTR_W - 2}), i ->
+             {{'pos': i - 1,
+               'h': md5(array_to_string(w[i:i + {SUBSTR_W - 1}], ' '))}})) AS u
+    FROM ws WHERE len(w) >= {SUBSTR_W}
+  )
+), dups AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+), d AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (h)
+), g AS (
+  SELECT doc_id, pos,
+         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+  FROM d
+)
+SELECT doc_id,
+       count(*) AS dup_windows,
+       CAST(sum(CASE WHEN gap IS NULL OR gap >= {SUBSTR_W} THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_spans,
+       CAST(sum(CASE WHEN gap IS NULL THEN {SUBSTR_W}
+                     WHEN gap >= {SUBSTR_W} THEN {SUBSTR_W}
+                     ELSE gap END) AS BIGINT) AS dup_tokens
+FROM g GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------- near-dup clustering (CC)
 
 CLUSTER_THR = 0.42  # same threshold as similarity.embedding_near_dup_query

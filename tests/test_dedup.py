@@ -219,3 +219,31 @@ def test_minhash_bucket_cap_degrades_gracefully(spark, tmp_path):
                for a, b in capped), capped
     # the genuine near-dup pair (bucket size 2 <= cap) survives
     assert ("x", "y") in capped, capped
+
+
+def test_substring_spans_hand_computed(spark, tmp_path):
+    """Cross-doc share, intra-doc repeat, and overlapping-window merge,
+    against hand-computed window/span/token counts (W=8)."""
+    P = " ".join(f"p{i}" for i in range(8))   # 8-word shared phrase
+    Q = " ".join(f"q{i}" for i in range(8))   # 8-word intra-doc repeat
+    R = " ".join(f"r{i}" for i in range(9))   # 9-word phrase -> 2 windows
+    rows = [
+        ("d1", f"a1 a2 {P} b1 b2"),   # P at pos 2: 1 window, 1 span, 8 tok
+        ("d2", f"c1 c2 c3 {P}"),      # P at pos 3: 1 window, 1 span, 8 tok
+        ("d3", f"{Q} m1 {Q}"),        # Q at pos 0 and 9: 2 windows, 2 spans
+        ("d4", " ".join(f"u{i}" for i in range(12))),  # all unique: absent
+        ("d5", R),                    # R windows at 0,1: merged span of 9
+        ("d6", f"e1 {R}"),            # R windows at 1,2: merged span of 9
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["dup_windows"], r["dup_spans"], r["dup_tokens"])
+        for r in dedup.substring_spans_query(spark, sf).collect()
+    }
+    assert got == {
+        "d1": (1, 1, 8),
+        "d2": (1, 1, 8),
+        "d3": (2, 2, 16),
+        "d5": (2, 1, 9),
+        "d6": (2, 1, 9),
+    }, got
