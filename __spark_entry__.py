@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = _dedup.minhash_lsh_query
     q["dedup_simhash"] = _dedup.simhash_query
     q["dedup_substring_spans"] = _dedup.substring_spans_query
+    q["dedup_substring_scrub"] = _dedup.substring_scrub_query
 
     # --- text analysis family ---
     q["text_token_count"] = _text.token_count_query
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = _dedup.MINHASH_LSH_ORACLE
     o["dedup_simhash"] = _dedup.SIMHASH_ORACLE
     o["dedup_substring_spans"] = _dedup.SUBSTRING_SPANS_ORACLE
+    o["dedup_substring_scrub"] = _dedup.SUBSTRING_SCRUB_ORACLE
     o["text_token_count"] = _text.TOKEN_COUNT_ORACLE
     o["text_bpe_count"] = _text.BPE_COUNT_ORACLE
     o["text_quality"] = _text.QUALITY_ORACLE

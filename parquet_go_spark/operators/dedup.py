@@ -424,6 +424,27 @@ SIMHASH_ORACLE = _simhash_oracle()
 SUBSTR_W = 8  # window length in words; spans are unions of [pos, pos+W)
 
 
+def _windows(df: DataFrame, hash_impl: str = "md5") -> DataFrame:
+    """doc_id -> (pos, h): hash of every W-word window at word offset pos.
+
+    Linear explode — one output row per word position. The transform's
+    array is built once per input row inside the single generator
+    expression (see _shingles for the projection-collapse trap this
+    layout avoids)."""
+    W = SUBSTR_W
+    hfn = "xxhash64" if hash_impl == "xxhash64" else "md5"
+    win = F.expr(
+        f"transform(sequence(0, size(w) - {W}),"
+        f" i -> {hfn}(concat_ws(' ', slice(w, i + 1, {W}))))"
+    )
+    return (
+        _fan_out(df, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= W)
+        .select("doc_id", F.posexplode(win).alias("pos", "h"))
+    )
+
+
 def substring_spans_query(spark: SparkSession, sf_dir: str,
                           hash_impl: str = "md5") -> DataFrame:
     """Exact duplicated-substring spans (the Lee et al. 2021 "Deduplicating
@@ -452,17 +473,7 @@ def substring_spans_query(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     W = SUBSTR_W
-    df = _fan_out(_docs(spark, sf_dir), "doc_id")
-    hfn = "xxhash64" if hash_impl == "xxhash64" else "md5"
-    win = F.expr(
-        f"transform(sequence(0, size(w) - {W}),"
-        f" i -> {hfn}(concat_ws(' ', slice(w, i + 1, {W}))))"
-    )
-    wins = (
-        df.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-        .filter(F.size("w") >= W)
-        .select("doc_id", F.posexplode(win).alias("pos", "h"))
-    )
+    wins = _windows(_docs(spark, sf_dir), hash_impl)
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -514,6 +525,106 @@ SELECT doc_id,
                      WHEN gap >= {SUBSTR_W} THEN {SUBSTR_W}
                      ELSE gap END) AS BIGINT) AS dup_tokens
 FROM g GROUP BY doc_id
+"""
+
+
+def substring_scrub_query(spark: SparkSession, sf_dir: str,
+                          hash_impl: str = "md5") -> DataFrame:
+    """Duplicated-substring REMOVAL (the cleaning step after
+    substring_spans_query, Lee et al. 2021 semantics at word-window
+    granularity): for every W-word window content that occurs >= 2 times
+    in the corpus, the globally first occurrence — ordered by
+    (doc_id, pos) — is kept and every other occurrence's W words are
+    removed. Emits the full cleaned corpus: (doc_id, clean_text,
+    n_removed), docs without duplicates passing through verbatim and a
+    fully-duplicated doc collapsing to ''.
+
+    Every stage is linear: window explode (one row per word position),
+    row_number per window hash to pick the keeper (one shuffle+sort on
+    the hash), marked windows expanded to exactly W covered word indices
+    each, a word-level anti-join, and one per-doc reassembly sort. No
+    per-doc O(words x spans) membership scan and no pair
+    materialization anywhere, so the worst corpus (everything
+    duplicated) still costs O(total words) rows per stage."""
+    W = SUBSTR_W
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    wins = _windows(docs, hash_impl)
+    rk = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")
+    )
+    marked = wins.withColumn("rk", rk).filter(F.col("rk") > 1)
+    removed = (
+        marked.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {W - 1})")).alias("idx"),
+        )
+        .distinct()
+    )
+    words = (
+        _fan_out(docs, "doc_id")
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("idx", "w"))
+    )
+    kept = words.join(removed, ["doc_id", "idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, w))),"
+            " s -> s.w), ' ')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
+SUBSTRING_SCRUB_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), wins AS (
+  SELECT doc_id, u['pos'] AS pos, u['h'] AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {SUBSTR_W - 2}), i ->
+             {{'pos': i - 1,
+               'h': md5(array_to_string(w[i:i + {SUBSTR_W - 1}], ' '))}})) AS u
+    FROM ws WHERE len(w) >= {SUBSTR_W}
+  )
+), marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+    FROM wins
+  ) WHERE rk > 1
+), removed AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM marked, unnest(range(0, {SUBSTR_W})) AS t(j)
+), words AS (
+  SELECT doc_id, u['idx'] AS idx, u['w'] AS w FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) + 1), i ->
+             {{'idx': i - 1, 'w': w[i]}})) AS u
+    FROM ws
+  )
+), kept AS (
+  SELECT words.* FROM words ANTI JOIN removed USING (doc_id, idx)
+), agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

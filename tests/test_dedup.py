@@ -247,3 +247,33 @@ def test_substring_spans_hand_computed(spark, tmp_path):
         "d5": (2, 1, 9),
         "d6": (2, 1, 9),
     }, got
+
+
+def test_substring_scrub_keeps_first_occurrence(spark, tmp_path):
+    """Keeper = globally-first (doc_id, pos) occurrence; all other
+    occurrences' words are removed; clean docs pass through verbatim."""
+    P = " ".join(f"p{i}" for i in range(8))
+    Q = " ".join(f"q{i}" for i in range(8))
+    R = " ".join(f"r{i}" for i in range(9))
+    d4_text = " ".join(f"u{i}" for i in range(12))
+    rows = [
+        ("d1", f"a1 a2 {P} b1 b2"),
+        ("d2", f"c1 c2 c3 {P}"),
+        ("d3", f"{Q} m1 {Q}"),
+        ("d4", d4_text),
+        ("d5", R),
+        ("d6", f"e1 {R}"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.substring_scrub_query(spark, sf).collect()
+    }
+    assert got == {
+        "d1": (f"a1 a2 {P} b1 b2", 0),  # keeper of P: untouched
+        "d2": ("c1 c2 c3", 8),          # loses its P copy
+        "d3": (f"{Q} m1", 8),           # intra-doc repeat: second Q goes
+        "d4": (d4_text, 0),             # no duplicates: verbatim
+        "d5": (R, 0),                   # keeper of both R windows
+        "d6": ("e1", 9),                # overlapping windows merge: R goes
+    }, got
