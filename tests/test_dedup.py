@@ -277,3 +277,17 @@ def test_substring_scrub_keeps_first_occurrence(spark, tmp_path):
         "d5": (R, 0),                   # keeper of both R windows
         "d6": ("e1", 9),                # overlapping windows merge: R goes
     }, got
+
+
+def test_window_build_stays_in_one_generate(spark):
+    """The W-word window hash build (concat_ws over a slice) must appear
+    exactly once, inside the Generate above the fan-out exchange — the
+    same projection-collapse / pushdown traps _shingles pins. Below the
+    exchange only the cheap size(split(...)) guard is allowed."""
+    plan = _plan(dedup._windows(dedup._docs(spark, SF)))
+    assert plan.count("concat_ws") == 1, plan
+    for section in plan.split("\n\n"):
+        head = section.split("\n", 1)[0]
+        if "Filter" in head or "Scan" in head:
+            assert "concat_ws" not in section and "transform" not in section, (
+                head, section)
