@@ -33,6 +33,29 @@ def build_numeric(values: np.ndarray, budget: int = DEFAULT_DICT_BUDGET):
     order, dictpage.go:150-204; order is irrelevant to correctness since
     the dictionary is stored explicitly.)
     """
+    if values.dtype.kind in "iu" and len(values):
+        # Hash-based single pass (Arrow) instead of np.unique's O(n log n)
+        # sort, then replicate the exact historical order: value-sorted
+        # uniques re-ranked by descending frequency with value-order
+        # tie-break. Ints only — Arrow hashes floats by BITS (NaN payloads
+        # and -0.0 become distinct dict entries where np.unique's
+        # compare-based path merges them), so floats keep the canonical
+        # sort path.
+        import pyarrow as pa
+
+        denc = pa.array(values).dictionary_encode()
+        uniq0 = denc.dictionary.to_numpy(zero_copy_only=False)
+        if uniq0.nbytes > budget:
+            return None
+        codes0 = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(uniq0)
+        counts = np.bincount(codes0, minlength=k)
+        lex = np.argsort(uniq0, kind="stable")
+        order = np.argsort(-counts[lex], kind="stable")
+        final = lex[order]
+        rank = np.empty(k, dtype=np.int64)
+        rank[final] = np.arange(k)
+        return uniq0[final], rank[codes0].astype(np.uint64)
     uniques, codes, counts = np.unique(values, return_inverse=True, return_counts=True)
     if uniques.nbytes > budget:
         return None
