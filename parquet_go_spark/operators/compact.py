@@ -166,6 +166,14 @@ def compact_store(
         # a stream must not resume into the compacted store
         meta["clustering"] = "compacted"
         meta.pop("last_committed_batch", None)
+    # generation-commit metadata likewise belongs to the SOURCE's writer
+    # protocol: compacted blobs are operator-named, so a carried
+    # generations(+strict) set would hide every file of the new store
+    # (reads returned 0 rows), and part-id rebasing invalidates the
+    # append-commit history caps
+    meta.pop("generations", None)
+    meta.pop("generations_strict", None)
+    meta.pop("history", None)
     meta["lineage"] = {str(i): g for i, g in enumerate(groups) if len(g) > 1}
     dst.write_meta(**meta)
     dst.write_manifest_snapshot(spark)

@@ -38,6 +38,13 @@ DataSourceArrowWriter (task-local encode, atomic driver-side commit):
                     skew planning stays in ``encode_table`` — this writer
                     honors whatever partitioning the caller declared.
 
+  * time travel   — ``.option("as_of_commit", k)`` reads a batch-writer
+                    store exactly as of its k-th commit (1-based): append
+                    part ids are strictly increasing, so each commit's
+                    cumulative part-id cap (meta ``history``) is an exact
+                    metadata filter — the batch twin of the stream sink's
+                    ``as_of_batch``. Overwrite starts a new timeline.
+
 At 100 TB: planning reads only manifest columns (never blob bytes), the
 per-task scan pushes ``part_id = N`` into parquet row-group pruning, and no
 driver collect ever touches row data — candidate part ids are the only
@@ -623,6 +630,19 @@ class PGSReader(DataSourceReader):
                 "streaming sink (clustering=stream_append)"
             )
         self._as_of_batch = int(ab) if ab is not None else None
+        ac = options.get("as_of_commit")
+        if ac is not None:
+            if meta.get("clustering") == "stream_append":
+                raise ValueError(
+                    "as_of_commit applies to batch-writer stores; use "
+                    "as_of_batch for a streaming-sink store"
+                )
+            if not meta.get("history"):
+                raise ValueError(
+                    "store records no append-commit history "
+                    "(operator-written or pre-history store)"
+                )
+        self._as_of_commit = int(ac) if ac is not None else None
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -664,6 +684,18 @@ class PGSReader(DataSourceReader):
             )
             limit = (last + 1) * PGSStreamWriter.STRIDE
             cands = [p for p in cands if p < limit]
+        if self._as_of_commit is not None:
+            # snapshot read: part ids are strictly increasing across
+            # append commits, so history[k-1] is an exact id cap (the
+            # batch twin of the stream watermark filter above)
+            hist = meta.get("history") or []
+            k = self._as_of_commit
+            if not 1 <= k <= len(hist):
+                raise ValueError(
+                    f"as_of_commit {k} out of range: store has "
+                    f"{len(hist)} committed snapshots"
+                )
+            cands = [p for p in cands if p < hist[k - 1]]
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
         files = _part_file_map(self._path, cands, d)
@@ -1042,6 +1074,27 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
             meta.setdefault("clustering", "upstream")
             meta.setdefault("schema_json", self._schema.jsonValue())
             meta["num_parts"] = self._base + committed
+        # append-commit history: cumulative part-id cap after each batch
+        # commit. Part ids are strictly increasing across appends (base =
+        # max existing id + 1), so "the store as of commit k" is the pure
+        # metadata filter part_id < history[k-1] — the batch twin of the
+        # stream sink's as_of_batch snapshot reads. Overwrite starts a new
+        # timeline (its sweep deletes the files earlier snapshots need).
+        max_pid = max(
+            (m.part_id for m in messages if m.tmp_name is not None),
+            default=None,
+        )
+        cap = (max_pid + 1) if max_pid is not None else self._base
+        if self._overwrite:
+            meta["history"] = [cap]
+        else:
+            hist = meta.get("history")
+            if hist is None:
+                # pre-history store: everything already committed is one
+                # combined first snapshot
+                hist = [self._base] if self._base > 0 else []
+            hist.append(cap)
+            meta["history"] = hist
         _write_meta(self._path, meta)
         if self._overwrite:
             # sweep everything the new generation replaced (crash-safe:

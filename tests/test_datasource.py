@@ -995,3 +995,63 @@ def test_streaming_sink_with_shredded_variant(spark, tmp_path):
     a = back.toPandas().sort_values("doc_id").reset_index(drop=True)
     b = expect.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_as_of_commit_snapshot_reads(spark, tmp_path):
+    """Append-commit time travel: history records a cumulative part-id cap
+    per batch commit (ids strictly increase across appends), so
+    as_of_commit k reproduces the store exactly as of commit k."""
+    register(spark)
+    out = str(tmp_path / "hist_store")
+    mk = lambda a, b, p: spark.range(a, b).selectExpr(
+        "id", "cast(id % 7 as string) s").repartition(p)
+    mk(0, 1000, 8).write.format("pgs").mode("overwrite").save(out)
+    mk(1000, 1200, 2).write.format("pgs").mode("append").save(out)
+    mk(1200, 1500, 3).write.format("pgs").mode("append").save(out)
+    rd = lambda **o: spark.read.format("pgs").options(**o).load(out)
+    assert rd().count() == 1500
+    assert rd(as_of_commit=3).count() == 1500
+    assert rd(as_of_commit=2).count() == 1200
+    k1 = rd(as_of_commit=1)
+    assert k1.count() == 1000
+    assert k1.selectExpr("max(id) m").collect()[0]["m"] == 999
+    for bad in (0, 4):
+        with pytest.raises(Exception, match="as_of_commit|out of range"):
+            rd(as_of_commit=bad).count()
+    # overwrite starts a new timeline: one snapshot again
+    mk(0, 50, 1).write.format("pgs").mode("overwrite").save(out)
+    assert rd(as_of_commit=1).count() == 50
+    with pytest.raises(Exception, match="out of range"):
+        rd(as_of_commit=2).count()
+
+
+def test_as_of_commit_rejected_on_stream_and_plain_stores(
+    spark, orders, range_store, tmp_path
+):
+    register(spark)
+    # operator-written store: no history recorded
+    with pytest.raises(Exception, match="history"):
+        spark.read.format("pgs").option("as_of_commit", 1) \
+            .load(range_store).count()
+
+
+def test_compact_generation_store_stays_readable(spark, tmp_path):
+    """Compacting a batch-writer store must retire the generation-commit
+    metadata: compacted blobs are operator-named, and a carried
+    generations_strict set hid every file (reads returned 0 rows)."""
+    from parquet_go_spark.operators.compact import compact_store
+    from parquet_go_spark.sources.pgs_datasource import _meta
+
+    register(spark)
+    src = str(tmp_path / "gen_src"); dst = str(tmp_path / "gen_dst")
+    mk = lambda a, b, p: spark.range(a, b).selectExpr(
+        "id", "cast(id % 7 as string) s").repartition(p)
+    mk(0, 1000, 8).write.format("pgs").mode("overwrite").save(src)
+    mk(1000, 1200, 2).write.format("pgs").mode("append").save(src)
+    compact_store(spark, src, dst, target_raw=1 << 30)
+    m = _meta(dst)
+    assert "generations" not in m and "generations_strict" not in m
+    assert "history" not in m
+    got = spark.read.format("pgs").load(dst)
+    assert got.count() == 1200
+    assert got.selectExpr("sum(id) t").collect()[0]["t"] == sum(range(1200))
