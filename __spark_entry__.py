@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shredded-variant store: typed chunks on write, transparent
     # reconstruction on read (reference marshal/variant_reconstruct.go)
     q["ds_variant_shredded"] = _ds.ds_variant_shredded_query
+    # row-level deletes: merge-on-read tombstones, then materialized via
+    # compaction (Iceberg positional-delete analog; no reference analog —
+    # parquet-go files are immutable)
+    q["ds_delete_read"] = _ds.ds_delete_read_query
+    q["ds_delete_compact"] = _ds.ds_delete_compact_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -312,6 +317,8 @@ def oracle_sql() -> dict[str, str]:
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["ds_write_roundtrip"] = _ds.DS_WRITE_ROUNDTRIP_ORACLE
     o["ds_variant_shredded"] = _ds.DS_VARIANT_SHREDDED_ORACLE
+    o["ds_delete_read"] = _ds.DS_DELETE_READ_ORACLE
+    o["ds_delete_compact"] = _ds.DS_DELETE_READ_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -57,27 +57,47 @@ def plan_compaction(
     return groups
 
 
-def _make_recode_fn(encode_group, decryption_key):
+def _make_recode_fn(encode_group, decryption_key, src_dir=None,
+                    del_names=()):
     """Blob rows of one destination partition -> recoded blob rows.
 
     Decodes each column's chunks in source part_id order, concatenates,
-    and hands the rebuilt data table to the encode job's own kernel."""
+    and hands the rebuilt data table to the encode job's own kernel.
+    Committed tombstones (``del_names``) are materialized here: each
+    source chunk drops its deleted positions before the merge, so the
+    destination store needs no delete metadata at all."""
 
     def recode(table: pa.Table) -> pa.Table:
         import numpy as np
 
         new_id = table.column("new_part")[0].as_py()
-        order = np.argsort(
-            table.column("part_id").to_numpy(zero_copy_only=False),
-            kind="stable",
-        )
+        part_ids = table.column("part_id").to_pylist()
+        order = np.argsort(np.asarray(part_ids), kind="stable")
+        del_pos: dict = {}
+        if del_names:
+            from ..sources.pgs_datasource import _delete_positions
+
+            del_pos = _delete_positions(
+                src_dir, del_names, sorted(set(part_ids))
+            )
         cols: dict[str, list] = {}
         col_names = table.column("col").to_pylist()
         blobs = table.column("blob").to_pylist()
         for i in order:
-            cols.setdefault(col_names[i], []).append(
-                chunk.decode_chunk(blobs[i], encryption_key=decryption_key)
-            )
+            a = chunk.decode_chunk(blobs[i], encryption_key=decryption_key)
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            dels = del_pos.get(part_ids[i])
+            if dels is not None and dels.size:
+                if dels[-1] >= len(a):
+                    raise ValueError(
+                        f"tombstone position {dels[-1]} out of range for "
+                        f"part {part_ids[i]} ({len(a)} rows)"
+                    )
+                m = np.ones(len(a), dtype=bool)
+                m[dels] = False
+                a = a.filter(pa.array(m))
+            cols.setdefault(col_names[i], []).append(a)
         n = sum(len(a) for a in next(iter(cols.values())))
         data = {"part_id": pa.array(np.full(n, new_id, dtype=np.int32))}
         for name, arrs in cols.items():
@@ -121,8 +141,39 @@ def compact_store(
         page_rows = src_meta["page_rows"]
     geo_cols = set(src_meta["geo_cols"]) if src_meta.get("geo_cols") else None
 
+    # read only COMMITTED blobs: a generation store may hold renamed files
+    # of a crashed job, and a stream store a torn last batch — both are
+    # invisible to readers and must stay invisible to compaction
+    from ..sources.pgs_datasource import (
+        PGSStreamWriter, _committed_files, _delete_files,
+    )
+
+    files = _committed_files(src_dir)
+    if not files:
+        raise ValueError(f"source store has no committed blobs: {src_dir}")
+    src_blobs = spark.read.schema(BLOB_SCHEMA).parquet(*files)
+    if src_meta.get("clustering") == "stream_append":
+        cap = (
+            src_meta.get("last_committed_batch", -1) + 1
+        ) * PGSStreamWriter.STRIDE
+        src_blobs = src_blobs.filter(F.col("part_id") < cap)
+
+    # committed tombstones materialize here: their partitions are forced
+    # through the recode arm (even singletons) with deleted rows dropped
+    del_entries = src_meta.get("deletes") or []
+    del_names = tuple(e["name"] for e in del_entries)
+    deleted_pids: set[int] = set()
+    if del_names:
+        import pyarrow.dataset as pads
+
+        dd = pads.dataset(_delete_files(src_dir, del_names),
+                          format="parquet")
+        deleted_pids = set(
+            dd.to_table(columns=["part_id"]).column("part_id").to_pylist()
+        )
+
     sizes = (
-        src.manifest(spark)
+        src_blobs
         .groupBy("part_id")
         .agg(F.sum("raw_size").alias("raw"))
         .collect()
@@ -130,7 +181,7 @@ def compact_store(
     groups = plan_compaction([(r["part_id"], r["raw"]) for r in sizes],
                              target_raw)
     mapping = [
-        (pid, new_id, len(g) > 1)
+        (pid, new_id, len(g) > 1 or pid in deleted_pids)
         for new_id, g in enumerate(groups)
         for pid in g
     ]
@@ -138,7 +189,7 @@ def compact_store(
         mapping, "part_id int, new_part int, merged boolean"
     )
 
-    blobs = src.blobs(spark).join(F.broadcast(map_df), "part_id")
+    blobs = src_blobs.join(F.broadcast(map_df), "part_id")
     passthrough = (
         blobs.filter(~F.col("merged"))
         .drop("part_id", "merged")
@@ -152,7 +203,8 @@ def compact_store(
     recoded = (
         blobs.filter(F.col("merged"))
         .groupBy("new_part")
-        .applyInArrow(_make_recode_fn(encode_group, encryption_key),
+        .applyInArrow(_make_recode_fn(encode_group, encryption_key,
+                                      src_dir, del_names),
                       schema=BLOB_SCHEMA)
     )
     dst.append_blobs(passthrough.unionByName(recoded))
@@ -174,6 +226,8 @@ def compact_store(
     meta.pop("generations", None)
     meta.pop("generations_strict", None)
     meta.pop("history", None)
+    # tombstones were materialized into the rewritten chunks above
+    meta.pop("deletes", None)
     meta["lineage"] = {str(i): g for i, g in enumerate(groups) if len(g) > 1}
     dst.write_meta(**meta)
     dst.write_manifest_snapshot(spark)
@@ -181,4 +235,5 @@ def compact_store(
         "src_parts": len(sizes),
         "dst_parts": len(groups),
         "merged_groups": sum(1 for g in groups if len(g) > 1),
+        "deletes_applied": sum(e.get("rows", 0) for e in del_entries),
     }

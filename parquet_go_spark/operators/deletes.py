@@ -1,0 +1,135 @@
+"""Row-level deletes on a PGS store: merge-on-read positional tombstones.
+
+The capability the reference cannot have (a parquet-go file is written
+once and immutable) but a 100 TB training-data store cannot live without:
+PII takedowns, contaminated-document removal, and opt-outs must not
+rewrite the store. This is the Iceberg positional-delete-file model over
+our blob layout:
+
+  * ``delete_where`` runs ONE distributed job: read the store through the
+    native source with its virtual row-address columns
+    (``with_pos`` -> ``_pgs_part``/``_pgs_pos``), filter by the
+    condition (pushFilters prunes partitions/pages from manifest stats
+    before any task launches), and write the matching addresses as
+    parquet tombstone files under ``<store>/deletes/del-<token>/``.
+    Row data never crosses to the driver — only the commit metadata does.
+  * The commit point is the store-meta write (same protocol as the batch
+    writer's generations): a tombstone dir not listed in meta
+    ``deletes`` is invisible, so a crash mid-delete leaves the store
+    exactly as it was. ``sweep_store`` collects such orphans.
+  * Every read path applies committed tombstones (pgs_datasource read():
+    tasks fetch only their own partition's positions via parquet
+    row-group pruning on ``part_id``, then drop rows with one vectorized
+    mask). Deletes are retroactive across ``as_of_batch``/``as_of_commit``
+    snapshots by design — takedown semantics, the opposite of Iceberg's
+    frozen snapshots, because the point is that the data is GONE.
+  * ``compact_store`` materializes tombstones: affected partitions are
+    forced through the re-encode arm with deleted rows dropped, and the
+    destination store carries no ``deletes`` metadata.
+
+At 100 TB: the delete scan is an ordinary pruned read (stats/blooms/pages
+cut it to the partitions that can match); tombstone files are written by
+executors and only their (lo, hi, rows) summary is read driver-side from
+parquet footers; read-side application is per-task and proportional to
+the partition's own tombstones.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.pgs_datasource import _meta, _write_meta, register
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    read_options: dict | None = None,
+) -> dict:
+    """Tombstone every live row of the store matching ``condition``
+    (a Spark SQL boolean expression over the store's columns; the
+    virtual ``_pgs_part``/``_pgs_pos`` are also addressable). Returns
+    ``{"deleted_rows": n, "name": tombstone-dir or None}``.
+
+    Already-deleted rows are invisible to the scan (the read applies
+    existing tombstones), so re-running the same delete is a no-op.
+    Single-writer, like the store writers themselves.
+    """
+    register(spark)
+    reader = spark.read.format("pgs").option("with_pos", "true")
+    for k, v in (read_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    hits = df.filter(condition).select(
+        F.col("_pgs_part").alias("part_id"),
+        F.col("_pgs_pos").alias("pos"),
+    )
+    token = uuid.uuid4().hex[:12]
+    ddir = os.path.join(path, "deletes")
+    tmp = os.path.join(ddir, f"_tmp-{token}")
+    # executor-written tombstones; nothing but metadata reaches the driver
+    hits.write.mode("overwrite").parquet(tmp)
+    lo, hi, rows = _tombstone_summary(tmp)
+    if rows == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"deleted_rows": 0, "name": None}
+    name = f"del-{token}"
+    os.replace(tmp, os.path.join(ddir, name))
+    meta = _meta(path)
+    meta.setdefault("deletes", []).append(
+        {"name": name, "lo": lo, "hi": hi, "rows": rows}
+    )
+    _write_meta(path, meta)  # THE commit point
+    return {"deleted_rows": rows, "name": name}
+
+
+def _tombstone_summary(d: str) -> tuple[int | None, int | None, int]:
+    """(min part_id, max part_id, row count) from parquet footers only;
+    falls back to reading the one int column if a footer lacks stats."""
+    import pyarrow.dataset as pads
+
+    files = [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    if not files:
+        return None, None, 0
+    ds = pads.dataset(files, format="parquet")
+    rows, lo, hi, exact = 0, None, None, True
+    for frag in ds.get_fragments():
+        md = frag.metadata
+        rows += md.num_rows
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            idx = next(
+                (j for j in range(rg.num_columns)
+                 if rg.column(j).path_in_schema == "part_id"),
+                None,
+            )
+            st = rg.column(idx).statistics if idx is not None else None
+            if st is None or not st.has_min_max:
+                exact = False
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if rows and (not exact or lo is None):
+        t = ds.to_table(columns=["part_id"])
+        ids = t.column("part_id").to_pylist()
+        lo, hi = min(ids), max(ids)
+    return lo, hi, rows
+
+
+def delete_stats(path: str) -> dict:
+    """Committed tombstone summary for a store: per-dir rows + totals."""
+    entries = _meta(path).get("deletes") or []
+    return {
+        "tombstone_dirs": len(entries),
+        "deleted_rows": sum(e.get("rows", 0) for e in entries),
+        "entries": entries,
+    }

@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import uuid
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -80,6 +81,12 @@ from pyspark.sql.types import StructType
 
 _MANIFEST_COLUMNS = ["part_id", "col", "vmin", "vmax", "count", "null_count"]
 _READ_BATCH_ROWS = 32768
+
+# Virtual read columns (option ``with_pos``): the partition id and the
+# row's ordinal within its partition. Together they are the store's row
+# address — the coordinate system positional tombstones (delete_where)
+# record. Never stored as chunks; synthesized at read time.
+_VIRTUAL_COLS = ("_pgs_part", "_pgs_pos")
 
 
 # --------------------------------------------------------------- store access
@@ -157,23 +164,78 @@ def sweep_store(path: str) -> list[str]:
     leftovers). Returns the removed names.
     CLI: ``tools/submit_encode.py sweep``."""
     b = _blobs_dir(path)
-    if not os.path.isdir(b):
-        return []
-    visible = {os.path.basename(f) for f in _committed_files(path)}
     removed = []
-    for f in sorted(os.listdir(b)):
-        dead = f.startswith("_tmp-") or (
-            f.endswith(".parquet")
-            and not f.startswith("_")
-            and f not in visible
-        )
-        if dead:
-            try:
-                os.remove(os.path.join(b, f))
-                removed.append(f)
-            except OSError:
-                pass
+    if os.path.isdir(b):
+        visible = {os.path.basename(f) for f in _committed_files(path)}
+        for f in sorted(os.listdir(b)):
+            dead = f.startswith("_tmp-") or (
+                f.endswith(".parquet")
+                and not f.startswith("_")
+                and f not in visible
+            )
+            if dead:
+                try:
+                    os.remove(os.path.join(b, f))
+                    removed.append(f)
+                except OSError:
+                    pass
+    # tombstone dirs follow the same commit protocol: the meta write is
+    # the commit point, so any dir not listed there (crashed delete_where,
+    # or an overwrite that raced the sweep) is invisible garbage
+    ddir = os.path.join(path, "deletes")
+    if os.path.isdir(ddir):
+        committed = {e["name"] for e in (_meta(path).get("deletes") or [])}
+        for d in sorted(os.listdir(ddir)):
+            if d not in committed:
+                shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+                removed.append(f"deletes/{d}")
     return removed
+
+
+# ------------------------------------------------------- positional deletes
+
+def _delete_files(path: str, names) -> list[str]:
+    """Parquet files of the named committed tombstone dirs (skips Spark's
+    ``_SUCCESS`` markers)."""
+    out: list[str] = []
+    for nm in names:
+        d = os.path.join(path, "deletes", nm)
+        if not os.path.isdir(d):
+            raise ValueError(f"store meta references missing tombstones {nm}")
+        out.extend(
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return out
+
+
+def _delete_positions(path: str, names, part_ids):
+    """(part_id -> sorted positions) for the given parts from the named
+    tombstone dirs. Each caller fetches only its own parts — parquet
+    row-group pruning on ``part_id`` keeps the read proportional to the
+    partition's own tombstones, not the store's (the Iceberg
+    positional-delete read discipline)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    files = _delete_files(path, names)
+    if not files:
+        return {}
+    d = pads.dataset(files, format="parquet")
+    pids = list(part_ids)
+    t = d.to_table(
+        columns=["part_id", "pos"],
+        filter=pads.field("part_id").isin(pids)
+        if len(pids) > 1
+        else pads.field("part_id") == pids[0],
+    )
+    out: dict[int, "np.ndarray"] = {}
+    parts = t.column("part_id").to_numpy(zero_copy_only=False)
+    pos = t.column("pos").to_numpy(zero_copy_only=False)
+    for pid in set(parts.tolist()):
+        out[int(pid)] = np.unique(pos[parts == pid])
+    return out
 
 
 def _has_blobs(path: str) -> bool:
@@ -488,6 +550,11 @@ def _candidate_parts(
         if attr is None or len(attr) != 1:
             continue
         col = attr[0]
+        if col == "_pgs_part":
+            # the virtual partition-id column prunes from the id itself —
+            # delete_where("_pgs_part = k AND ...") plans one partition
+            keep = {p for p in keep if _stats_keep(str(p), str(p), f)}
+            continue
         rows = by_col.get(col)
         if rows is None:
             continue
@@ -623,6 +690,11 @@ class PGSReader(DataSourceReader):
         )
         self._column_keys = _expand_shred_keys(self._column_keys,
                                                self._shredded)
+        # committed positional tombstones (delete_where): applied on every
+        # read path, including snapshot reads — a takedown must disappear
+        # from time travel too (the opposite of Iceberg's snapshot
+        # semantics, deliberately: this is the PII-removal primitive)
+        self._deletes: list[dict] = meta.get("deletes") or []
         ab = options.get("as_of_batch")
         if ab is not None and meta.get("clustering") != "stream_append":
             raise ValueError(
@@ -700,8 +772,18 @@ class PGSReader(DataSourceReader):
             return [InputPartition(None)]  # schema-only empty scan
         files = _part_file_map(self._path, cands, d)
         pagemap = _page_keep_map(self._path, cands, self._filters, d, meta)
+        # tombstone dirs assigned per partition from their recorded
+        # [lo, hi] part-id range — a task only ever opens delete files
+        # that can name its rows
+        dels = [
+            (e["name"], e.get("lo"), e.get("hi")) for e in self._deletes
+        ]
         return [
-            InputPartition((pid, files.get(pid), pagemap.get(pid)))
+            InputPartition((
+                pid, files.get(pid), pagemap.get(pid),
+                tuple(nm for nm, lo, hi in dels
+                      if lo is None or hi is None or lo <= pid <= hi),
+            ))
             for pid in cands
         ]
 
@@ -738,7 +820,9 @@ class PGSReader(DataSourceReader):
 
         from .. import chunk, keys as keysmod
 
-        pid, files, keep = partition.value
+        import numpy as np
+
+        pid, files, keep, ddirs = partition.value
         if keep == ():
             return  # chunk bounds intersected but no single page does
         # the planner resolved which blob files can hold this part_id from
@@ -751,24 +835,65 @@ class PGSReader(DataSourceReader):
         )
         stored: list[str] = []
         for name in self._columns:
+            if name in _VIRTUAL_COLS:
+                continue  # synthesized below, never a chunk
             if name in self._shredded:
                 stored.extend(_shred_components(name, self._shredded[name]))
             else:
                 stored.append(name)
-        t = src.to_table(
-            columns=["col", "blob"],
-            filter=(pads.field("part_id") == pid)
-            & pads.field("col").isin(stored),
-        )
-        blobs = dict(zip(t.column("col").to_pylist(),
-                         t.column("blob").to_pylist()))
-        if keep is not None and any(
+        if stored:
+            t = src.to_table(
+                columns=["col", "blob", "count"],
+                filter=(pads.field("part_id") == pid)
+                & pads.field("col").isin(stored),
+            )
+            blobs = dict(zip(t.column("col").to_pylist(),
+                             t.column("blob").to_pylist()))
+        else:
+            # virtual-only projection (e.g. SELECT _pgs_part): chunks are
+            # row-aligned, so any manifest row's count is the row count —
+            # a metadata read, no blob bytes touched
+            t = src.to_table(
+                columns=["count"], filter=pads.field("part_id") == pid
+            )
+            blobs = {}
+        n_rows = t.column("count")[0].as_py() if t.num_rows else 0
+        if keep is not None and (not stored or any(
             chunk.split_pages(blobs.get(n, b"")) is None
             for n in stored if n in blobs
-        ):
+        )):
             # a mixed paged/unpaged partition cannot take a page subset
             # (row alignment would break); decode it whole — still exact
             keep = None
+        # absolute row positions of the rows this task decodes — the
+        # coordinate tombstones are recorded in. Computed from page
+        # headers only (no decompression) when a page subset is kept.
+        need_pos = bool(ddirs) or any(
+            c in _VIRTUAL_COLS for c in self._columns
+        )
+        abs_pos = None
+        if need_pos:
+            if keep is None:
+                abs_pos = np.arange(n_rows, dtype=np.int64)
+            else:
+                counts = chunk.page_counts(blobs[stored[0]])
+                starts = np.concatenate(
+                    ([0], np.cumsum(counts[:-1], dtype=np.int64))
+                ) if counts else np.zeros(0, dtype=np.int64)
+                abs_pos = (
+                    np.concatenate([
+                        np.arange(starts[i], starts[i] + counts[i],
+                                  dtype=np.int64)
+                        for i in keep
+                    ]) if keep else np.zeros(0, dtype=np.int64)
+                )
+        mask = None
+        if ddirs:
+            dels = _delete_positions(self._path, ddirs, [pid]).get(pid)
+            if dels is not None and dels.size:
+                m = ~np.isin(abs_pos, dels)
+                if not m.all():
+                    mask = m
         def relax(t):
             # arrow nullability is advisory here (Spark enforces its own);
             # casting into a not-null nested field would spuriously fail
@@ -806,6 +931,13 @@ class PGSReader(DataSourceReader):
         target = to_arrow_schema(self._schema)
         arrays = []
         for name, field in zip(self._columns, target):
+            if name == "_pgs_part":
+                n = len(abs_pos) if abs_pos is not None else n_rows
+                arrays.append(pa.array(np.full(n, pid, dtype=np.int32)))
+                continue
+            if name == "_pgs_pos":
+                arrays.append(pa.array(abs_pos))
+                continue
             if name in self._shredded:
                 arrays.append(self._reconstruct_variant(
                     name, dec, relax(field.type)
@@ -817,6 +949,10 @@ class PGSReader(DataSourceReader):
                 a = a.cast(want)
             arrays.append(a)
         tbl = pa.table(dict(zip(self._columns, arrays)))
+        if mask is not None:
+            # merge-on-read: tombstoned rows leave every column here, in
+            # one vectorized filter over the assembled batch
+            tbl = tbl.filter(pa.array(mask))
         yield from tbl.to_batches(max_chunksize=_READ_BATCH_ROWS)
 
 
@@ -836,6 +972,12 @@ class _WriterBase:
         if "part_id" in schema.fieldNames():
             raise ValueError(
                 "'part_id' is reserved by the pgs store; rename the column"
+            )
+        reserved = [n for n in schema.fieldNames() if n.startswith("_pgs_")]
+        if reserved:
+            raise ValueError(
+                f"column names {reserved} collide with the store's virtual "
+                "read columns ('_pgs_' prefix is reserved)"
             )
         self._path = path
         self._schema = schema
@@ -1102,6 +1244,11 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
             for f in os.listdir(bdir):
                 if not f.startswith("_") and not f.endswith(suffix):
                     os.remove(os.path.join(bdir, f))
+            # tombstones addressed the replaced generation's rows; the new
+            # meta (written above) carries no ``deletes`` key, so these
+            # dirs are already invisible — physical cleanup only
+            shutil.rmtree(os.path.join(self._path, "deletes"),
+                          ignore_errors=True)
         self._cleanup_tmp()
 
     def abort(self, messages) -> None:
@@ -1247,6 +1394,8 @@ class PGSDataSource(DataSource):
         return p
 
     def schema(self):
+        from pyspark.sql.types import IntegerType, LongType, StructField
+
         full = _infer_schema(self._path(), self.options)
         cols = self.options.get("columns")
         if cols:
@@ -1255,7 +1404,15 @@ class PGSDataSource(DataSource):
             missing = [c for c in want if c not in by_name]
             if missing:
                 raise ValueError(f"columns not in store schema: {missing}")
-            return StructType([by_name[c] for c in want])
+            full = StructType([by_name[c] for c in want])
+        if self.options.get("with_pos", "").lower() in ("true", "1"):
+            # row-address columns for delete planning / debugging; never
+            # stored, synthesized per task (part id + row ordinal)
+            full = StructType(
+                full.fields
+                + [StructField("_pgs_part", IntegerType(), False),
+                   StructField("_pgs_pos", LongType(), False)]
+            )
         return full
 
     def reader(self, schema: StructType) -> PGSReader:
@@ -1347,6 +1504,58 @@ def ds_variant_shredded_query(spark, sf_dir: str):
 DS_VARIANT_SHREDDED_ORACLE = """
 SELECT doc_id, lang, n_chars::INTEGER AS n_chars, source FROM documents
 """
+
+
+def ds_delete_read_query(spark, sf_dir: str):
+    """documents written through the source, then ``delete_where`` (the
+    PII-takedown primitive: positional tombstones, no store rewrite),
+    read back merge-on-read. The reference has no delete surface (files
+    are immutable); this is the Iceberg positional-delete analog."""
+    import shutil
+
+    from ..operators.deletes import delete_where
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = os.path.join("/tmp", f"pgs_ds_delete_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    delete_where(spark, out, "lang = 'de' OR doc_id % 17 = 3")
+    return spark.read.format("pgs").load(out)
+
+
+DS_DELETE_READ_ORACLE = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE NOT (lang = 'de' OR doc_id % 17 = 3)
+"""
+
+
+def ds_delete_compact_query(spark, sf_dir: str):
+    """Delete, then compact: tombstones are materialized into rewritten
+    chunks and the destination store is delete-free — proving
+    merge-on-read and materialized reads agree (same oracle as
+    ds_delete_read)."""
+    import shutil
+
+    from ..operators.compact import compact_store
+    from ..operators.deletes import delete_where
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = os.path.join(
+        "/tmp", f"pgs_ds_delc_src_{os.path.basename(sf_dir)}"
+    )
+    dst = os.path.join("/tmp", f"pgs_ds_delc_dst_{os.path.basename(sf_dir)}")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(base)
+    delete_where(spark, base, "lang = 'de' OR doc_id % 17 = 3")
+    compact_store(spark, base, dst)
+    return spark.read.format("pgs").load(dst)
 
 
 def register(spark) -> None:

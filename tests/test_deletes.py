@@ -1,0 +1,211 @@
+"""Row-level deletes: positional tombstones, merge-on-read application,
+materialization through compaction, and the commit/cleanup protocol.
+
+The reference has no delete surface (a parquet-go file is immutable);
+this is the Iceberg positional-delete analog over the PGS store — the
+takedown primitive a mutable 100 TB training store needs."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from parquet_go_spark.operators.compact import compact_store
+from parquet_go_spark.operators.deletes import delete_stats, delete_where
+from parquet_go_spark.sources.pgs_datasource import (
+    _meta,
+    register,
+    sweep_store,
+)
+
+
+def _mkstore(spark, path, n=600, parts=3, **write_opts):
+    register(spark)
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(0, n).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp", "concat('r-', id) AS name"
+    )
+    w = df.repartition(parts).write.format("pgs").mode("overwrite")
+    for k, v in write_opts.items():
+        w = w.option(k, v)
+    w.save(path)
+    return df
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_delete_merge_on_read(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    res = delete_where(spark, tmp_out, "grp = 2 OR k < 7")
+    assert res["deleted_rows"] == df.filter("grp = 2 OR k < 7").count()
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("NOT (grp = 2 OR k < 7)"))
+    # stats surface agrees
+    st = delete_stats(tmp_out)
+    assert st["tombstone_dirs"] == 1
+    assert st["deleted_rows"] == res["deleted_rows"]
+
+
+def test_delete_idempotent_and_cumulative(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    delete_where(spark, tmp_out, "grp = 2")
+    # re-running the same condition sees only live rows -> no-op
+    res2 = delete_where(spark, tmp_out, "grp = 2")
+    assert res2 == {"deleted_rows": 0, "name": None}
+    assert len(_meta(tmp_out)["deletes"]) == 1
+    # a second, overlapping delete tombstones only the still-live matches
+    res3 = delete_where(spark, tmp_out, "k % 2 = 0")
+    assert res3["deleted_rows"] == df.filter(
+        "grp != 2 AND k % 2 = 0").count()
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("grp != 2 AND k % 2 = 1"))
+
+
+def test_delete_with_paged_store_and_pushed_filter(spark, tmp_out):
+    """Tombstone positions are absolute; a page-granular keep list must
+    still address (and drop) the right rows."""
+    df = _mkstore(spark, tmp_out, n=1000, parts=2, page_rows="64")
+    delete_where(spark, tmp_out, "k BETWEEN 100 AND 140")
+    got = (
+        spark.read.format("pgs").load(tmp_out)
+        .filter("k >= 90 AND k <= 160")
+    )
+    exp = df.filter(
+        "NOT (k BETWEEN 100 AND 140) AND k >= 90 AND k <= 160"
+    )
+    assert _same(got, exp)
+
+
+def test_with_pos_row_addresses_are_stable(spark, tmp_out):
+    """Surviving rows keep their ORIGINAL positions after a delete — the
+    property that makes later deletes and compaction address the right
+    rows."""
+    _mkstore(spark, tmp_out, n=100, parts=1)
+    wp = spark.read.format("pgs").option("with_pos", "true").load(tmp_out)
+    before = {r.k: (r._pgs_part, r._pgs_pos) for r in wp.collect()}
+    delete_where(spark, tmp_out, "k < 50")
+    wp2 = spark.read.format("pgs").option("with_pos", "true").load(tmp_out)
+    after = {r.k: (r._pgs_part, r._pgs_pos) for r in wp2.collect()}
+    assert set(after) == {k for k in before if k >= 50}
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_virtual_only_projection_and_part_pruning(spark, tmp_out):
+    _mkstore(spark, tmp_out, n=200, parts=4)
+    wp = spark.read.format("pgs").option("with_pos", "true").load(tmp_out)
+    # virtual-only projection never touches blob bytes (count from
+    # manifest rows)
+    assert wp.select("_pgs_part").count() == 200
+    # filtering on _pgs_part prunes to one partition and returns its rows
+    one = wp.filter("_pgs_part = 2")
+    assert one.count() > 0
+    assert one.select("_pgs_part").distinct().collect()[0][0] == 2
+
+
+def test_delete_on_encrypted_store(spark, tmp_out):
+    key = "00112233445566778899aabbccddeeff"
+    df = _mkstore(spark, tmp_out, key_hex=key)
+    res = delete_where(spark, tmp_out, "grp = 0",
+                       read_options={"key_hex": key})
+    assert res["deleted_rows"] == df.filter("grp = 0").count()
+    back = spark.read.format("pgs").option("key_hex", key).load(tmp_out)
+    assert _same(back, df.filter("grp != 0"))
+
+
+def test_append_after_delete(spark, tmp_out):
+    """Appended partitions get fresh ids past the committed range, so
+    existing tombstones never address them; old deletes stay applied."""
+    df = _mkstore(spark, tmp_out, n=300, parts=2)
+    delete_where(spark, tmp_out, "k < 100")
+    extra = spark.range(1000, 1100).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp", "concat('r-', id) AS name"
+    )
+    extra.repartition(1).write.format("pgs").mode("append").save(tmp_out)
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("k >= 100").unionAll(extra))
+
+
+def test_compact_materializes_deletes(spark, tmp_out, tmp_path):
+    df = _mkstore(spark, tmp_out, n=500, parts=4)
+    delete_where(spark, tmp_out, "grp = 1")
+    dst = str(tmp_path / "compacted")
+    summ = compact_store(spark, tmp_out, dst)
+    assert summ["deletes_applied"] == df.filter("grp = 1").count()
+    back = spark.read.format("pgs").load(dst)
+    assert _same(back, df.filter("grp != 1"))
+    # destination is delete-free: no metadata, no tombstone dirs
+    assert not _meta(dst).get("deletes")
+    assert not os.path.isdir(os.path.join(dst, "deletes"))
+
+
+def test_overwrite_clears_tombstones(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    delete_where(spark, tmp_out, "grp = 2")
+    df.limit(10).repartition(1).write.format("pgs").mode(
+        "overwrite").save(tmp_out)
+    assert not _meta(tmp_out).get("deletes")
+    assert not os.path.isdir(os.path.join(tmp_out, "deletes"))
+    assert spark.read.format("pgs").load(tmp_out).count() == 10
+
+
+def test_sweep_collects_uncommitted_tombstones(spark, tmp_out):
+    _mkstore(spark, tmp_out)
+    delete_where(spark, tmp_out, "k = 1")
+    committed = _meta(tmp_out)["deletes"][0]["name"]
+    os.makedirs(os.path.join(tmp_out, "deletes", "_tmp-0000feed"))
+    os.makedirs(os.path.join(tmp_out, "deletes", "del-0000feed"))
+    removed = sweep_store(tmp_out)
+    assert "deletes/_tmp-0000feed" in removed
+    assert "deletes/del-0000feed" in removed
+    assert f"deletes/{committed}" not in removed
+    assert os.path.isdir(os.path.join(tmp_out, "deletes", committed))
+
+
+def test_reserved_pgs_prefix_rejected(spark, tmp_out):
+    register(spark)
+    df = spark.range(5).selectExpr("id AS k", "id AS _pgs_pos")
+    with pytest.raises(Exception, match="_pgs_"):
+        df.write.format("pgs").mode("overwrite").save(tmp_out)
+
+
+def test_delete_applies_to_snapshot_reads(spark, tmp_out):
+    """Takedown semantics: a deleted row is gone from every as_of
+    snapshot too (deliberately NOT Iceberg's frozen-snapshot rule)."""
+    df = _mkstore(spark, tmp_out, n=200, parts=2)
+    extra = spark.range(500, 550).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp", "concat('r-', id) AS name"
+    )
+    extra.repartition(1).write.format("pgs").mode("append").save(tmp_out)
+    delete_where(spark, tmp_out, "k < 20")
+    snap1 = (
+        spark.read.format("pgs").option("as_of_commit", "1").load(tmp_out)
+    )
+    assert _same(snap1, df.filter("k >= 20"))
+
+
+def test_delete_on_stream_store(spark, tmp_out, tmp_path):
+    """The streaming sink's stores take deletes like any other (part ids
+    are stable across batch replay, so positions stay valid)."""
+    register(spark)
+    src = str(tmp_path / "stream_src")
+    df = spark.range(0, 120).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp", "concat('r-', id) AS name"
+    )
+    df.write.parquet(src)
+    stream = (
+        spark.readStream.schema("k long, grp int, name string").parquet(src)
+    )
+    q = (
+        stream.repartition(2).writeStream.format("pgs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start(tmp_out)
+    )
+    q.awaitTermination(120)
+    delete_where(spark, tmp_out, "grp = 4")
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("grp != 4"))
