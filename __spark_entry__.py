@@ -235,6 +235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parquet-go files are immutable)
     q["ds_delete_read"] = _ds.ds_delete_read_query
     q["ds_delete_compact"] = _ds.ds_delete_compact_query
+    # schema evolution: drop/add(default)/rename, appends under the
+    # evolved schema, per-partition alias resolution on read
+    q["ds_schema_evolution"] = _ds.ds_schema_evolution_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -319,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_variant_shredded"] = _ds.DS_VARIANT_SHREDDED_ORACLE
     o["ds_delete_read"] = _ds.DS_DELETE_READ_ORACLE
     o["ds_delete_compact"] = _ds.DS_DELETE_READ_ORACLE
+    o["ds_schema_evolution"] = _ds.DS_SCHEMA_EVOLUTION_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -58,21 +58,28 @@ def plan_compaction(
 
 
 def _make_recode_fn(encode_group, decryption_key, src_dir=None,
-                    del_names=()):
+                    del_names=(), evolve=None):
     """Blob rows of one destination partition -> recoded blob rows.
 
     Decodes each column's chunks in source part_id order, concatenates,
     and hands the rebuilt data table to the encode job's own kernel.
     Committed tombstones (``del_names``) are materialized here: each
     source chunk drops its deleted positions before the merge, so the
-    destination store needs no delete metadata at all."""
+    destination store needs no delete metadata at all. Schema evolution
+    (``evolve``: current_of / added / keep_names from operators/
+    evolve.py metadata) is materialized too: chunks come out under
+    CURRENT names, added columns get their default filled in, retired
+    chunks are dropped."""
+    ev = evolve or {}
+    current_of: dict = ev.get("current_of") or {}
+    added: dict = ev.get("added") or {}  # name -> (default, arrow type)
+    keep_names = ev.get("keep_names")  # None = keep everything
 
     def recode(table: pa.Table) -> pa.Table:
         import numpy as np
 
         new_id = table.column("new_part")[0].as_py()
         part_ids = table.column("part_id").to_pylist()
-        order = np.argsort(np.asarray(part_ids), kind="stable")
         del_pos: dict = {}
         if del_names:
             from ..sources.pgs_datasource import _delete_positions
@@ -80,24 +87,46 @@ def _make_recode_fn(encode_group, decryption_key, src_dir=None,
             del_pos = _delete_positions(
                 src_dir, del_names, sorted(set(part_ids))
             )
-        cols: dict[str, list] = {}
         col_names = table.column("col").to_pylist()
         blobs = table.column("blob").to_pylist()
-        for i in order:
-            a = chunk.decode_chunk(blobs[i], encryption_key=decryption_key)
-            if isinstance(a, pa.ChunkedArray):
-                a = a.combine_chunks()
-            dels = del_pos.get(part_ids[i])
-            if dels is not None and dels.size:
-                if dels[-1] >= len(a):
-                    raise ValueError(
-                        f"tombstone position {dels[-1]} out of range for "
-                        f"part {part_ids[i]} ({len(a)} rows)"
-                    )
-                m = np.ones(len(a), dtype=bool)
-                m[dels] = False
-                a = a.filter(pa.array(m))
-            cols.setdefault(col_names[i], []).append(a)
+        by_part: dict[int, list[int]] = {}
+        for i, pid in enumerate(part_ids):
+            by_part.setdefault(pid, []).append(i)
+        cols: dict[str, list] = {}
+        for pid in sorted(by_part):
+            mine: dict[str, pa.Array] = {}
+            n_part = None
+            for i in by_part[pid]:
+                name = current_of.get(col_names[i], col_names[i])
+                if keep_names is not None and name not in keep_names:
+                    continue  # retired (dropped) column: chunks end here
+                a = chunk.decode_chunk(
+                    blobs[i], encryption_key=decryption_key
+                )
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                n_part = len(a)
+                dels = del_pos.get(pid)
+                if dels is not None and dels.size:
+                    if dels[-1] >= len(a):
+                        raise ValueError(
+                            f"tombstone position {dels[-1]} out of range "
+                            f"for part {pid} ({len(a)} rows)"
+                        )
+                    m = np.ones(len(a), dtype=bool)
+                    m[dels] = False
+                    a = a.filter(pa.array(m))
+                mine[name] = a
+            for name, (default, atype) in added.items():
+                if name in mine or n_part is None:
+                    continue
+                n_live = len(next(iter(mine.values())))
+                mine[name] = (
+                    pa.nulls(n_live, atype) if default is None
+                    else pa.array([default] * n_live).cast(atype)
+                )
+            for name, a in mine.items():
+                cols.setdefault(name, []).append(a)
         n = sum(len(a) for a in next(iter(cols.values())))
         data = {"part_id": pa.array(np.full(n, new_id, dtype=np.int32))}
         for name, arrs in cols.items():
@@ -172,6 +201,42 @@ def compact_store(
             dd.to_table(columns=["part_id"]).column("part_id").to_pylist()
         )
 
+    # schema evolution is materialized by compaction: every partition is
+    # rewritten under CURRENT column names with added-column defaults
+    # filled in and retired (dropped/renamed-away) chunks removed, so the
+    # destination needs no evolution metadata and add_column's
+    # "chunk name already exists" refusal clears
+    renames = src_meta.get("column_renames") or {}
+    added_meta = src_meta.get("added_columns") or {}
+    retired = src_meta.get("retired_columns") or []
+    evolved = bool(renames or added_meta or retired)
+    evolve_info = None
+    if evolved:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        if not src_meta.get("schema_json"):
+            raise ValueError(
+                "evolved store records no schema; cannot normalize"
+            )
+        schema = StructType.fromJson(src_meta["schema_json"])
+        arrow = to_arrow_schema(schema)
+        keep_names = set(schema.fieldNames())
+        for c, fields in (src_meta.get("shredded") or {}).items():
+            from ..sources.pgs_datasource import _shred_components
+
+            keep_names |= set(_shred_components(c, fields))
+        evolve_info = {
+            "current_of": {o: cur for cur, olds in renames.items()
+                           for o in olds},
+            "added": {
+                n: (spec.get("default"), arrow.field(n).type)
+                for n, spec in added_meta.items()
+                if n in arrow.names
+            },
+            "keep_names": keep_names,
+        }
+
     sizes = (
         src_blobs
         .groupBy("part_id")
@@ -181,7 +246,7 @@ def compact_store(
     groups = plan_compaction([(r["part_id"], r["raw"]) for r in sizes],
                              target_raw)
     mapping = [
-        (pid, new_id, len(g) > 1 or pid in deleted_pids)
+        (pid, new_id, len(g) > 1 or pid in deleted_pids or evolved)
         for new_id, g in enumerate(groups)
         for pid in g
     ]
@@ -204,7 +269,7 @@ def compact_store(
         blobs.filter(F.col("merged"))
         .groupBy("new_part")
         .applyInArrow(_make_recode_fn(encode_group, encryption_key,
-                                      src_dir, del_names),
+                                      src_dir, del_names, evolve_info),
                       schema=BLOB_SCHEMA)
     )
     dst.append_blobs(passthrough.unionByName(recoded))
@@ -228,6 +293,11 @@ def compact_store(
     meta.pop("history", None)
     # tombstones were materialized into the rewritten chunks above
     meta.pop("deletes", None)
+    # schema evolution was materialized: chunks carry current names,
+    # defaults are filled, retired chunks are gone
+    meta.pop("added_columns", None)
+    meta.pop("column_renames", None)
+    meta.pop("retired_columns", None)
     meta["lineage"] = {str(i): g for i, g in enumerate(groups) if len(g) > 1}
     dst.write_meta(**meta)
     dst.write_manifest_snapshot(spark)

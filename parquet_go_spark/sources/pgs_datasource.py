@@ -480,9 +480,11 @@ def _stats_keep(vmin: str, vmax: str, f: Filter) -> bool:
     return True
 
 
-def _bloom_hits(d, col: str, values: list) -> set[int] | None:
+def _bloom_hits(d, aliases: list[str], values: list) -> set[int] | None:
     """part_ids whose split-block bloom may contain any of ``values``;
-    None when the column has no blooms (cannot prune)."""
+    None when the column has no blooms (cannot prune). ``aliases`` are
+    the column's current + historical names (schema evolution): each
+    partition stores the chunk (and its bloom) under exactly one."""
     import numpy as np
     import pyarrow.dataset as pads
 
@@ -500,7 +502,8 @@ def _bloom_hits(d, col: str, values: list) -> set[int] | None:
     else:
         return None
     t = d.to_table(
-        columns=["part_id", "bloom"], filter=pads.field("col") == col
+        columns=["part_id", "bloom"],
+        filter=pads.field("col").isin(aliases),
     )
     hits: set[int] = set()
     saw_bloom = False
@@ -542,9 +545,10 @@ def _candidate_parts(
         parts.add(pid)
         by_col.setdefault(col, {})[pid] = (vmin, vmax, cnt, nulls)
     keep = parts
-    bloom_cols = set(
-        (_meta(path) if meta is None else meta).get("bloom_cols") or []
-    )
+    meta = _meta(path) if meta is None else meta
+    bloom_cols = set(meta.get("bloom_cols") or [])
+    renames = meta.get("column_renames") or {}
+    added = meta.get("added_columns") or {}
     for f in filters:
         attr = getattr(f, "attribute", None)
         if attr is None or len(attr) != 1:
@@ -555,8 +559,15 @@ def _candidate_parts(
             # delete_where("_pgs_part = k AND ...") plans one partition
             keep = {p for p in keep if _stats_keep(str(p), str(p), f)}
             continue
-        rows = by_col.get(col)
-        if rows is None:
+        # schema evolution: a renamed column's stats live under whichever
+        # alias each partition was written with (disjoint per part); a
+        # partition predating an added column has no row at all and is
+        # kept — Spark re-evaluates the filter on the synthesized default
+        aliases = [col] + list(renames.get(col) or [])
+        rows: dict[int, tuple] = {}
+        for c in aliases:
+            rows.update(by_col.get(c) or {})
+        if not rows:
             continue
         if isinstance(f, IsNotNull):
             keep = {p for p in keep
@@ -566,9 +577,10 @@ def _candidate_parts(
             p for p in keep
             if p not in rows or _stats_keep(rows[p][0], rows[p][1], f)
         }
-        if col in bloom_cols and isinstance(f, (EqualTo, In)):
+        if col in bloom_cols and isinstance(f, (EqualTo, In)) \
+                and col not in added:
             vals = [f.value] if isinstance(f, EqualTo) else list(f.value)
-            hits = _bloom_hits(d, col, vals)
+            hits = _bloom_hits(d, aliases, vals)
             if hits is not None:
                 keep = keep & hits
     return sorted(keep)
@@ -599,7 +611,13 @@ def _page_keep_map(
         return {}
     if d is None:
         d = _dataset(path)
-    cols = {f.attribute[0] for f in usable}
+    renames = meta.get("column_renames") or {}
+    alias_of = {
+        f.attribute[0]: [f.attribute[0]]
+        + list(renames.get(f.attribute[0]) or [])
+        for f in usable
+    }
+    cols = {c for al in alias_of.values() for c in al}
     t = d.to_table(
         columns=["part_id", "col", "pages"],
         filter=pads.field("col").isin(sorted(cols))
@@ -615,7 +633,11 @@ def _page_keep_map(
         keep: set[int] | None = None
         npages = 0
         for f in usable:
-            pages = per_col.get(f.attribute[0])
+            pages = next(
+                (per_col[c] for c in alias_of[f.attribute[0]]
+                 if per_col.get(c)),
+                None,
+            )
             if not pages:
                 continue
             npages = max(npages, len(pages))
@@ -695,6 +717,11 @@ class PGSReader(DataSourceReader):
         # from time travel too (the opposite of Iceberg's snapshot
         # semantics, deliberately: this is the PII-removal primitive)
         self._deletes: list[dict] = meta.get("deletes") or []
+        # schema evolution (operators/evolve.py): per-partition alias
+        # resolution for renamed columns, default synthesis for columns
+        # added after a partition was written
+        self._added: dict[str, dict] = meta.get("added_columns") or {}
+        self._renames: dict[str, list] = meta.get("column_renames") or {}
         ab = options.get("as_of_batch")
         if ab is not None and meta.get("clustering") != "stream_append":
             raise ValueError(
@@ -834,13 +861,17 @@ class PGSReader(DataSourceReader):
             else _dataset(self._path)
         )
         stored: list[str] = []
+        cands: dict[str, list[str]] = {}
         for name in self._columns:
             if name in _VIRTUAL_COLS:
                 continue  # synthesized below, never a chunk
             if name in self._shredded:
                 stored.extend(_shred_components(name, self._shredded[name]))
             else:
-                stored.append(name)
+                # a renamed column resolves per partition: old partitions
+                # carry the chunk under a historical alias
+                cands[name] = [name] + list(self._renames.get(name) or [])
+                stored.extend(cands[name])
         if stored:
             t = src.to_table(
                 columns=["col", "blob", "count"],
@@ -871,12 +902,15 @@ class PGSReader(DataSourceReader):
         need_pos = bool(ddirs) or any(
             c in _VIRTUAL_COLS for c in self._columns
         )
+        n_eff = n_rows  # rows this task yields before tombstones
         abs_pos = None
+        if keep is not None:
+            counts = chunk.page_counts(next(iter(blobs.values())))
+            n_eff = sum(counts[i] for i in keep)
         if need_pos:
             if keep is None:
                 abs_pos = np.arange(n_rows, dtype=np.int64)
             else:
-                counts = chunk.page_counts(blobs[stored[0]])
                 starts = np.concatenate(
                     ([0], np.cumsum(counts[:-1], dtype=np.int64))
                 ) if counts else np.zeros(0, dtype=np.int64)
@@ -932,8 +966,7 @@ class PGSReader(DataSourceReader):
         arrays = []
         for name, field in zip(self._columns, target):
             if name == "_pgs_part":
-                n = len(abs_pos) if abs_pos is not None else n_rows
-                arrays.append(pa.array(np.full(n, pid, dtype=np.int32)))
+                arrays.append(pa.array(np.full(n_eff, pid, dtype=np.int32)))
                 continue
             if name == "_pgs_pos":
                 arrays.append(pa.array(abs_pos))
@@ -943,8 +976,18 @@ class PGSReader(DataSourceReader):
                     name, dec, relax(field.type)
                 ))
                 continue
-            a = dec(name)
             want = relax(field.type)
+            actual = next((c for c in cands[name] if c in blobs), None)
+            if actual is None and name in self._added:
+                # column added after this partition was written: the
+                # recorded default stands in (schema evolution)
+                d = self._added[name].get("default")
+                arrays.append(
+                    pa.nulls(n_eff, want) if d is None
+                    else pa.array([d] * n_eff).cast(want)
+                )
+                continue
+            a = dec(actual if actual is not None else name)
             if a.type != want:
                 a = a.cast(want)
             arrays.append(a)
@@ -1556,6 +1599,51 @@ def ds_delete_compact_query(spark, sf_dir: str):
     delete_where(spark, base, "lang = 'de' OR doc_id % 17 = 3")
     compact_store(spark, base, dst)
     return spark.read.format("pgs").load(dst)
+
+
+def ds_schema_evolution_query(spark, sf_dir: str):
+    """The full evolution lifecycle on one store: write the even-doc_id
+    half, drop a column, add ``quality`` (default 0.5), rename
+    ``n_chars`` -> ``size_chars``, then append the odd half under the
+    evolved schema — the read resolves aliases per partition and fills
+    defaults for pre-evolution partitions. The reference fixes its
+    schema at write time (schema/schemahandler.go); this is the
+    Iceberg-style mutable-table surface over our store."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.evolve import add_column, drop_column, rename_column
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = os.path.join("/tmp", f"pgs_ds_evolve_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        docs.filter("doc_id % 2 = 0")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(2).write.format("pgs").mode("overwrite").save(out)
+    )
+    drop_column(out, "source")
+    add_column(out, "quality", "double", default=0.5)
+    rename_column(out, "n_chars", "size_chars")
+    (
+        docs.filter("doc_id % 2 = 1")
+        .select(
+            "doc_id", "lang",
+            F.col("n_chars").alias("size_chars"),
+            (F.col("n_chars") / F.lit(100.0)).alias("quality"),
+        )
+        .repartition(2).write.format("pgs").mode("append").save(out)
+    )
+    return spark.read.format("pgs").load(out)
+
+
+DS_SCHEMA_EVOLUTION_ORACLE = """
+SELECT doc_id, lang, n_chars AS size_chars,
+       CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE n_chars / 100.0 END AS quality
+FROM documents
+"""
 
 
 def register(spark) -> None:
