@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # schema evolution: drop/add(default)/rename, appends under the
     # evolved schema, per-partition alias resolution on read
     q["ds_schema_evolution"] = _ds.ds_schema_evolution_query
+    # MERGE by key: semi-join tombstones + append (upsert_by_key)
+    q["ds_upsert"] = _ds.ds_upsert_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -323,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_delete_read"] = _ds.DS_DELETE_READ_ORACLE
     o["ds_delete_compact"] = _ds.DS_DELETE_READ_ORACLE
     o["ds_schema_evolution"] = _ds.DS_SCHEMA_EVOLUTION_ORACLE
+    o["ds_upsert"] = _ds.DS_UPSERT_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -62,11 +62,68 @@ def delete_where(
     Single-writer, like the store writers themselves.
     """
     register(spark)
+    df = _read_with_pos(spark, path, read_options)
+    hits = df.filter(condition)
+    return _commit_tombstones(path, hits)
+
+
+def delete_matching(
+    spark: SparkSession,
+    path: str,
+    keys,
+    key_cols: list[str] | str,
+    read_options: dict | None = None,
+) -> dict:
+    """Tombstone every live row whose key matches a row of ``keys`` (a
+    DataFrame carrying ``key_cols``). The match is a distributed
+    semi-join — no key list ever crosses to the driver, so a
+    billion-row takedown list is fine (AQE broadcasts it when small)."""
+    register(spark)
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    df = _read_with_pos(spark, path, read_options)
+    hits = df.join(
+        keys.select(*key_cols).distinct(), on=key_cols, how="left_semi"
+    )
+    return _commit_tombstones(path, hits)
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    df,
+    key_cols: list[str] | str,
+    read_options: dict | None = None,
+    write_options: dict | None = None,
+) -> dict:
+    """MERGE by key: rows of ``df`` replace the store's rows with the
+    same key, the rest insert — tombstone-matching + append, the
+    Iceberg merge-on-read upsert shape. NOT a single atomic commit: a
+    crash between the two leaves the deletes applied and the append
+    absent (re-running the upsert converges). Single-writer, like every
+    store mutation."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    deleted = delete_matching(spark, path, df, key_cols, read_options)
+    w = df.write.format("pgs").mode("append")
+    for k, v in (write_options or {}).items():
+        w = w.option(k, v)
+    w.save(path)
+    return {"deleted_rows": deleted["deleted_rows"]}
+
+
+def _read_with_pos(spark: SparkSession, path: str,
+                   read_options: dict | None):
     reader = spark.read.format("pgs").option("with_pos", "true")
     for k, v in (read_options or {}).items():
         reader = reader.option(k, v)
-    df = reader.load(path)
-    hits = df.filter(condition).select(
+    return reader.load(path)
+
+
+def _commit_tombstones(path: str, hits) -> dict:
+    """One Spark job writes the matching row addresses as tombstone
+    parquet; the store-meta write is the commit point."""
+    hits = hits.select(
         F.col("_pgs_part").alias("part_id"),
         F.col("_pgs_pos").alias("pos"),
     )

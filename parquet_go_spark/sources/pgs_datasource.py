@@ -1646,6 +1646,51 @@ FROM documents
 """
 
 
+def ds_upsert_query(spark, sf_dir: str):
+    """MERGE by key: every doc_id % 5 = 0 document gets a corrected
+    n_chars (+1000) plus a synthetic new document per lang — replaced
+    rows tombstone via a distributed semi-join, the batch appends
+    (operators/deletes.py upsert_by_key; Iceberg merge-on-read shape)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.deletes import upsert_by_key
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join("/tmp", f"pgs_ds_upsert_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    batch = (
+        docs.filter("doc_id % 5 = 0")
+        .select("doc_id", "lang",
+                (F.col("n_chars") + F.lit(1000)).alias("n_chars"))
+        .unionAll(
+            docs.groupBy("lang").agg(
+                (F.max("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.lit(1).alias("n_chars"),
+            ).select("doc_id", "lang", "n_chars")
+        )
+    )
+    upsert_by_key(spark, out, batch, "doc_id")
+    return spark.read.format("pgs").load(out)
+
+
+DS_UPSERT_ORACLE = """
+SELECT doc_id,
+       lang,
+       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars
+FROM documents
+UNION ALL
+SELECT max(doc_id) + 10000000 AS doc_id, lang, 1 AS n_chars
+FROM documents GROUP BY lang
+"""
+
+
 def register(spark) -> None:
     """Make ``format("pgs")`` available on this session. Also enables
     Python-data-source filter pushdown (off by default; Spark refuses to

@@ -13,7 +13,12 @@ import shutil
 import pytest
 
 from parquet_go_spark.operators.compact import compact_store
-from parquet_go_spark.operators.deletes import delete_stats, delete_where
+from parquet_go_spark.operators.deletes import (
+    delete_matching,
+    delete_stats,
+    delete_where,
+    upsert_by_key,
+)
 from parquet_go_spark.sources.pgs_datasource import (
     _meta,
     register,
@@ -185,6 +190,36 @@ def test_delete_applies_to_snapshot_reads(spark, tmp_out):
         spark.read.format("pgs").option("as_of_commit", "1").load(tmp_out)
     )
     assert _same(snap1, df.filter("k >= 20"))
+
+
+def test_delete_matching_semi_join(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    keys = spark.range(0, 600, 3).selectExpr("id AS k")  # every 3rd key
+    res = delete_matching(spark, tmp_out, keys, "k")
+    assert res["deleted_rows"] == 200
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("k % 3 != 0"))
+    # keys absent from the store are simply no-ops
+    res2 = delete_matching(
+        spark, tmp_out, spark.range(10**6, 10**6 + 5).selectExpr("id AS k"),
+        "k",
+    )
+    assert res2["deleted_rows"] == 0
+
+
+def test_upsert_by_key(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    up = spark.range(550, 650).selectExpr(
+        "id AS k", "CAST(9 AS INT) AS grp", "concat('new-', id) AS name"
+    )  # 550-599 replace, 600-649 insert
+    res = upsert_by_key(spark, tmp_out, up, "k")
+    assert res["deleted_rows"] == 50
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("k < 550").unionAll(up))
+    # re-running the same upsert converges to the same content
+    upsert_by_key(spark, tmp_out, up, "k")
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("k < 550").unionAll(up))
 
 
 def test_delete_on_stream_store(spark, tmp_out, tmp_path):
