@@ -35,12 +35,44 @@ the evolution metadata — reads are correct at every point.
 from __future__ import annotations
 
 import json
+import re
 
+from pyspark.sql import types as T
 from pyspark.sql.types import StructField, StructType
 
 from ..sources.pgs_datasource import _dataset, _has_blobs, _meta, _write_meta
 
 _SCALAR_DEFAULTS = (type(None), bool, int, float, str)
+
+_SIMPLE_TYPES = {
+    "boolean": T.BooleanType, "bool": T.BooleanType,
+    "byte": T.ByteType, "tinyint": T.ByteType,
+    "short": T.ShortType, "smallint": T.ShortType,
+    "int": T.IntegerType, "integer": T.IntegerType,
+    "long": T.LongType, "bigint": T.LongType,
+    "float": T.FloatType, "real": T.FloatType,
+    "double": T.DoubleType,
+    "string": T.StringType, "binary": T.BinaryType,
+    "date": T.DateType, "timestamp": T.TimestampType,
+    "timestamp_ntz": T.TimestampNTZType,
+}
+
+
+def _parse_ddl_type(ddl: str) -> T.DataType:
+    """Spark DDL type string -> DataType without a live SparkContext
+    (evolution is a metadata operation; it must work from a bare CLI).
+    Covers scalars, decimal, and array nesting; anything fancier falls
+    back to Spark's own parser, which needs an active session."""
+    s = ddl.strip().lower()
+    if s in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[s]()
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"array\s*<(.+)>", s)
+    if m:
+        return T.ArrayType(_parse_ddl_type(m.group(1)))
+    return StructType.fromDDL(f"`c` {ddl}")[0].dataType
 
 
 def _load_schema(path: str, meta: dict) -> StructType:
@@ -90,9 +122,9 @@ def add_column(
             f"chunks named {name!r} already exist in the store (a dropped "
             "column?); compact to retire them, or pick another name"
         )
-    field = StructType.fromDDL(f"`{name}` {ddl_type}")[0]
+    dtype = _parse_ddl_type(ddl_type)
     json.dumps(default)  # must survive the meta file round-trip
-    schema = StructType(schema.fields + [StructField(name, field.dataType)])
+    schema = StructType(schema.fields + [StructField(name, dtype)])
     meta["schema_json"] = schema.jsonValue()
     meta.setdefault("added_columns", {})[name] = {"default": default}
     _write_meta(path, meta)  # THE commit point

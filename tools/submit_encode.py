@@ -162,6 +162,43 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Row-level delete: tombstone every live row matching --where
+    (merge-on-read; compact to materialize). The takedown surface."""
+    from parquet_go_spark.operators.deletes import delete_where
+
+    spark = _get_session("pgs-delete")
+    ropts = {}
+    if args.encrypt_key_hex:
+        ropts["key_hex"] = args.encrypt_key_hex
+    if args.column_keys_hex:
+        ropts["column_keys_json"] = args.column_keys_hex
+    res = delete_where(spark, args.store, args.where, ropts or None)
+    print(json.dumps({"job": "delete", **res}))
+    return 0
+
+
+def cmd_evolve(args) -> int:
+    """Schema evolution: add/rename/drop a column (metadata commit,
+    no Spark job; compact to materialize)."""
+    from parquet_go_spark.operators import evolve
+
+    if args.op == "add":
+        if not args.type:
+            raise SystemExit("evolve add needs --type")
+        default = json.loads(args.default) if args.default else None
+        evolve.add_column(args.store, args.column, args.type, default)
+    elif args.op == "rename":
+        if not args.to:
+            raise SystemExit("evolve rename needs --to")
+        evolve.rename_column(args.store, args.column, args.to)
+    else:
+        evolve.drop_column(args.store, args.column)
+    print(json.dumps({"job": "evolve", "op": args.op,
+                      "column": args.column}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Store -> parquet through the native source: any store (any schema,
     not just the token table) exports via spark.read.format("pgs"), with
@@ -248,6 +285,27 @@ def main() -> int:
     swp = sub.add_parser("sweep")
     swp.add_argument("--store", required=True)
     swp.set_defaults(fn=cmd_sweep)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("--store", required=True)
+    dl.add_argument("--where", required=True,
+                    help='SQL predicate naming the rows to delete, e.g. '
+                         '"doc_id IN (7, 9) OR lang = \'xx\'"')
+    dl.add_argument("--encrypt-key-hex", default=None)
+    dl.add_argument("--column-keys-hex", default=None)
+    dl.set_defaults(fn=cmd_delete)
+
+    ev = sub.add_parser("evolve")
+    ev.add_argument("op", choices=("add", "rename", "drop"))
+    ev.add_argument("--store", required=True)
+    ev.add_argument("--column", required=True)
+    ev.add_argument("--type", default=None,
+                    help="Spark DDL type for add, e.g. double")
+    ev.add_argument("--default", default=None,
+                    help="JSON scalar default for add (pre-existing "
+                         "partitions read this value)")
+    ev.add_argument("--to", default=None, help="new name for rename")
+    ev.set_defaults(fn=cmd_evolve)
 
     exp = sub.add_parser("export")
     exp.add_argument("--store", required=True)
