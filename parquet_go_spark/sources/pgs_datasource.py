@@ -612,17 +612,27 @@ def _page_keep_map(
     if d is None:
         d = _dataset(path)
     renames = meta.get("column_renames") or {}
+    # _pgs_pos filters skip pages by ROW POSITION (the reference's
+    # SkipRows-over-OffsetIndex, reader/columnbuffer_offset_index.go):
+    # page row ranges are in the index, so "rows 1000..2000 of each
+    # partition" never decompresses any other page
+    pos_filters = [f for f in usable if f.attribute[0] == "_pgs_pos"]
+    usable = [f for f in usable
+              if f.attribute[0] not in _VIRTUAL_COLS]
+    if not usable and not pos_filters:
+        return {}
     alias_of = {
         f.attribute[0]: [f.attribute[0]]
         + list(renames.get(f.attribute[0]) or [])
         for f in usable
     }
     cols = {c for al in alias_of.values() for c in al}
-    t = d.to_table(
-        columns=["part_id", "col", "pages"],
-        filter=pads.field("col").isin(sorted(cols))
-        & pads.field("part_id").isin(part_ids),
-    )
+    filt = pads.field("part_id").isin(part_ids)
+    if not pos_filters:
+        # a pos filter needs one column's page index per part (pages are
+        # row-aligned, any column's ranges serve) — fetch all columns then
+        filt = filt & pads.field("col").isin(sorted(cols))
+    t = d.to_table(columns=["part_id", "col", "pages"], filter=filt)
     by_part: dict[int, dict[str, list]] = {}
     for pid, col, pages in zip(t.column("part_id").to_pylist(),
                                t.column("col").to_pylist(),
@@ -647,6 +657,17 @@ def _page_keep_map(
                 or _stats_keep(p["lo"], p["hi"], f)
             }
             keep = mine if keep is None else keep & mine
+        if pos_filters:
+            pages = next((v for v in per_col.values() if v), None)
+            if pages and all("r" in p and "n" in p for p in pages):
+                npages = max(npages, len(pages))
+                for f in pos_filters:
+                    mine = {
+                        i for i, p in enumerate(pages)
+                        if _stats_keep(str(p["r"]), str(p["r"] + p["n"] - 1),
+                                       f)
+                    }
+                    keep = mine if keep is None else keep & mine
         if keep is not None and npages and len(keep) < npages:
             out[pid] = tuple(sorted(keep))
     return out

@@ -192,6 +192,29 @@ def test_delete_applies_to_snapshot_reads(spark, tmp_out):
     assert _same(snap1, df.filter("k >= 20"))
 
 
+def test_pos_filter_page_skip(spark, tmp_out):
+    """A _pgs_pos range filter skips pages by row position — the
+    SkipRows-over-OffsetIndex analog through the native source."""
+    from parquet_go_spark.sources.pgs_datasource import (
+        GreaterThanOrEqual,
+        LessThan,
+        PGSReader,
+    )
+
+    _mkstore(spark, tmp_out, n=1024, parts=1, page_rows="64")
+    wp = spark.read.format("pgs").option("with_pos", "true").load(tmp_out)
+    r = PGSReader(tmp_out, wp.schema, {"with_pos": "true"})
+    r.pushFilters([GreaterThanOrEqual(("_pgs_pos",), 128),
+                   LessThan(("_pgs_pos",), 256)])
+    parts = r.partitions()
+    assert len(parts) == 1
+    keep = parts[0].value[2]
+    assert keep == (2, 3)  # exactly pages [128,192) and [192,256)
+    got = wp.filter("_pgs_pos >= 128 AND _pgs_pos < 256")
+    assert got.count() == 128
+    assert sorted(x._pgs_pos for x in got.collect()) == list(range(128, 256))
+
+
 def test_delete_matching_semi_join(spark, tmp_out):
     df = _mkstore(spark, tmp_out)
     keys = spark.range(0, 600, 3).selectExpr("id AS k")  # every 3rd key
