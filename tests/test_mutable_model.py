@@ -1,0 +1,205 @@
+"""Randomized model check of the mutable-table surface: a seeded
+sequence of append / delete / upsert / add / rename / drop / compact
+operations runs against a real store AND a driver-side model; after
+every step the store read must equal the model exactly.
+
+This is the cross-operation interaction net the per-feature tests can't
+cast: deletes addressing rows through a later rename, upserts over
+added-column defaults, compaction mid-history, tombstones surviving
+appends — any divergence pinpoints the op sequence (printed seed)."""
+
+from __future__ import annotations
+
+import random
+import shutil
+
+import pytest
+
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from parquet_go_spark.operators.compact import compact_store
+from parquet_go_spark.operators.deletes import (
+    delete_matching,
+    delete_where,
+    upsert_by_key,
+)
+from parquet_go_spark.operators.evolve import (
+    add_column,
+    drop_column,
+    rename_column,
+)
+from parquet_go_spark.sources.pgs_datasource import register
+
+_TYPES = {"long": LongType(), "int": IntegerType(),
+          "double": DoubleType(), "string": StringType()}
+
+
+class _Model:
+    """Driver-side mirror: rows as dicts keyed by k, plus the schema."""
+
+    def __init__(self):
+        self.fields: list[tuple[str, str]] = [
+            ("k", "long"), ("a", "int"), ("b", "string")
+        ]
+        self.rows: dict[int, dict] = {}
+        self.next_k = 0
+
+    def schema(self) -> StructType:
+        return StructType(
+            [StructField(n, _TYPES[t]) for n, t in self.fields]
+        )
+
+    def fresh_batch(self, rng, n) -> list[dict]:
+        out = []
+        for _ in range(n):
+            k = self.next_k
+            self.next_k += 1
+            row = {}
+            for name, t in self.fields:
+                if name == "k":
+                    row[name] = k
+                elif t == "int":
+                    row[name] = rng.randrange(100)
+                elif t == "long":
+                    row[name] = rng.randrange(10**6)
+                elif t == "double":
+                    row[name] = rng.randrange(1000) / 4.0
+                else:
+                    row[name] = f"s{rng.randrange(50)}"
+            out.append(row)
+        return out
+
+    def df(self, spark):
+        cols = [n for n, _ in self.fields]
+        data = [tuple(r[c] for c in cols)
+                for r in sorted(self.rows.values(), key=lambda r: r["k"])]
+        return spark.createDataFrame(data, self.schema())
+
+
+def _check(spark, path, model, step):
+    got = spark.read.format("pgs").load(path)
+    exp = model.df(spark)
+    assert got.columns == [n for n, _ in model.fields], step
+    extra = got.exceptAll(exp).count()
+    missing = exp.exceptAll(got).count()
+    assert extra == 0 and missing == 0, (
+        f"step {step}: store has {extra} extra / {missing} missing rows"
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_mutable_surface_model(spark, tmp_path, seed):
+    register(spark)
+    rng = random.Random(seed)
+    path = str(tmp_path / "store0")
+    model = _Model()
+
+    # initial generation
+    batch = model.fresh_batch(rng, 120)
+    for r in batch:
+        model.rows[r["k"]] = r
+    spark.createDataFrame(
+        [tuple(r[c] for c, _ in model.fields) for r in batch],
+        model.schema(),
+    ).repartition(3).write.format("pgs").mode("overwrite").save(path)
+    _check(spark, path, model, "init")
+
+    added_n = 0
+    gen = 0
+    for step in range(10):
+        live = sorted(model.rows)
+        op = rng.choice(
+            ["append", "delete_where", "delete_keys", "upsert",
+             "add", "rename", "drop", "compact"]
+        )
+        desc = op
+        if op == "append":
+            batch = model.fresh_batch(rng, rng.randrange(20, 60))
+            for r in batch:
+                model.rows[r["k"]] = r
+            spark.createDataFrame(
+                [tuple(r[c] for c, _ in model.fields) for r in batch],
+                model.schema(),
+            ).repartition(2).write.format("pgs").mode("append").save(path)
+        elif op == "delete_where" and live:
+            m, r0 = rng.choice([2, 3, 5, 7]), rng.randrange(7)
+            lo = rng.choice(live)
+            cond = f"(k % {m} = {r0} AND k >= {lo})"
+            desc += f" {cond}"
+            delete_where(spark, path, cond)
+            model.rows = {k: v for k, v in model.rows.items()
+                          if not (k % m == r0 and k >= lo)}
+        elif op == "delete_keys" and live:
+            keys = rng.sample(live, min(len(live), rng.randrange(1, 25)))
+            delete_matching(
+                spark, path,
+                spark.createDataFrame([(k,) for k in keys], "k long"), "k",
+            )
+            for k in keys:
+                model.rows.pop(k, None)
+        elif op == "upsert" and live:
+            repl = rng.sample(live, min(len(live), rng.randrange(1, 15)))
+            batch = model.fresh_batch(rng, rng.randrange(5, 15))
+            for k in repl:
+                row = dict(model.rows[k])
+                for name, t in model.fields:
+                    if name != "k" and t == "int":
+                        row[name] = rng.randrange(1000, 2000)
+                batch.append(row)
+            up = spark.createDataFrame(
+                [tuple(r[c] for c, _ in model.fields) for r in batch],
+                model.schema(),
+            )
+            upsert_by_key(spark, path, up, "k")
+            for r in batch:
+                model.rows[r["k"]] = r
+        elif op == "add":
+            added_n += 1
+            name = f"x{added_n}"
+            t = rng.choice(["int", "double", "string"])
+            default = {"int": 5, "double": 0.25, "string": "dflt"}[t]
+            if rng.random() < 0.3:
+                default = None
+            desc += f" {name}:{t}={default}"
+            add_column(path, name, t, default)
+            model.fields.append((name, t))
+            for r in model.rows.values():
+                r[name] = default
+        elif op == "rename":
+            cand = [n for n, _ in model.fields if n != "k"]
+            old = rng.choice(cand)
+            added_n += 1
+            new = f"r{added_n}"
+            desc += f" {old}->{new}"
+            rename_column(path, old, new)
+            model.fields = [(new if n == old else n, t)
+                            for n, t in model.fields]
+            for r in model.rows.values():
+                r[new] = r.pop(old)
+        elif op == "drop":
+            cand = [n for n, _ in model.fields if n != "k"]
+            if len(cand) < 2:
+                continue
+            name = rng.choice(cand)
+            desc += f" {name}"
+            drop_column(path, name)
+            model.fields = [(n, t) for n, t in model.fields if n != name]
+            for r in model.rows.values():
+                r.pop(name, None)
+        elif op == "compact":
+            gen += 1
+            dst = str(tmp_path / f"store{gen}")
+            shutil.rmtree(dst, ignore_errors=True)
+            compact_store(spark, path, dst,
+                          target_raw=rng.choice([1 << 12, 1 << 30]))
+            path = dst
+        else:
+            continue
+        _check(spark, path, model, f"{step}:{desc} (seed {seed})")
