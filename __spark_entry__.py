@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # GEOMETRY column: WKB through the codec stack, GeospatialStatistics
     # bbox pruning from the manifest (types/geospatial.go analog)
     q["prune_geo_bbox"] = _pruned.geo_pruned_bbox_query
+    # element blooms on an array column: token/word membership probe
+    q["prune_token_bloom"] = _pruned.token_membership_query
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
 
     # --- native Spark source: spark.read/write.format("pgs") ---
@@ -316,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
     o["prune_zorder"] = _pruned.ZORDER_PRUNED_BOX_ORACLE
     o["prune_geo_bbox"] = _pruned.GEO_PRUNED_BBOX_ORACLE
+    o["prune_token_bloom"] = _pruned.TOKEN_MEMBERSHIP_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 

@@ -230,10 +230,21 @@ def hash_values(arr) -> np.ndarray:
 
 
 def build_bloom(arr, fpp: float = 0.01) -> bytes:
-    """Build a chunk bloom over the distinct values of an Arrow array."""
+    """Build a chunk bloom over the distinct values of an Arrow array.
+
+    List columns bloom their ELEMENTS: membership probes ("which
+    partitions may contain token T / word W") are the inverted-index
+    primitive a token store needs — the reference blooms scalar columns
+    only (writer/bloomfilter.go), this extends the same split-block
+    filter to array cells."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    uniq = pc.unique(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    while pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        arr = arr.flatten()
+    uniq = pc.unique(arr).drop_null()
     h = hash_values(uniq)
     bf = SplitBlockBloom.sized(max(len(uniq), 1), fpp)
     if len(h):

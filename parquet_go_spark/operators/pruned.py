@@ -183,14 +183,32 @@ def encode_generic(
 
 def _schema_of(df: DataFrame, columns: list[str]) -> tuple[str, dict]:
     """(spark DDL schema, arrow types) for the selected columns — one
-    projection plan and one empty-batch arrow conversion, not two."""
+    projection plan and one empty-batch arrow conversion, not two.
+
+    Nested nullability is relaxed: the DDL simpleString the decode UDF
+    declares always maps to nullable children, so a source column typed
+    ``array<string not null>`` (e.g. the output of ``split``) must cast
+    to the nullable twin or applyInArrow rejects the batch."""
+    import pyarrow as pa
+
+    def relax(t):
+        if pa.types.is_struct(t):
+            return pa.struct([pa.field(f.name, relax(f.type)) for f in t])
+        if pa.types.is_list(t):
+            return pa.list_(relax(t.value_type))
+        if pa.types.is_large_list(t):
+            return pa.large_list(relax(t.value_type))
+        if pa.types.is_map(t):
+            return pa.map_(relax(t.key_type), relax(t.item_type))
+        return t
+
     sel = df.select(*columns)
     ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sel.schema.fields
     )
     arrow = dict(
         zip((f.name for f in sel.schema.fields),
-            sel.limit(0).toArrow().schema.types)
+            (relax(t) for t in sel.limit(0).toArrow().schema.types))
     )
     return ddl, arrow
 
@@ -459,6 +477,40 @@ def bloom_pruned_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = auto_candidates(spark, store, "o_custkey", keys=POINT_KEYS)
     dec = _decode_parts(spark, store, cand, cols, schema, atypes)
     return dec.filter(F.col("o_custkey").isin(POINT_KEYS))
+
+
+MEMBER_WORD = "dup"
+
+
+def token_membership_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element blooms over an array column: which documents contain a
+    given word. Blooms are built over the FLATTENED cells of the words
+    array (bloom.build_bloom list path), so a point probe prunes whole
+    partitions before any text is decoded — the inverted-index primitive
+    a token store needs for PII strings and contamination canaries. The
+    sandbox corpus's rarest word still lands in ~5% of docs (little to
+    prune at this scale); at 10^12 docs a rare token prunes nearly
+    everything. Exact array_contains post-filter as always."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select("doc_id", F.split("text", " ").alias("words"))
+    cols = df.columns
+    schema, atypes = _schema_of(df, cols)
+    out = os.path.join("/tmp", f"pgs_pruned_elem_{os.path.basename(sf_dir)}")
+    store = encode_generic(
+        spark, df, out, key_col="doc_id", clustering="hash",
+        bloom_cols={"words"},
+    )
+    cand = auto_candidates(spark, store, "words", keys=[MEMBER_WORD])
+    dec = _decode_parts(spark, store, cand, cols, schema, atypes)
+    return dec.filter(
+        F.array_contains("words", MEMBER_WORD)
+    ).select("doc_id")
+
+
+TOKEN_MEMBERSHIP_ORACLE = f"""
+SELECT doc_id FROM documents
+WHERE list_contains(string_split(text, ' '), '{MEMBER_WORD}')
+"""
 
 
 def page_pruned_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:

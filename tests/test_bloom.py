@@ -76,3 +76,33 @@ def test_bloom_string_and_int_types_via_arrow():
     blob = build_bloom(ints)
     bf = SplitBlockBloom.frombytes(blob)
     assert bf.check_hashes(hash_values(pa.array([7], pa.int32()))).all()
+
+
+def test_element_bloom_over_list_columns():
+    """List columns bloom their flattened cells: every element present
+    anywhere in the array column must hit; absent probes mostly miss."""
+    import pyarrow as pa
+
+    from parquet_go_spark import bloom as bloommod
+
+    rng = np.random.default_rng(11)
+    lists = [rng.integers(0, 5000, size=rng.integers(1, 30)).tolist()
+             for _ in range(400)]
+    lists[17] = None  # null row
+    lists[18] = [7, None, 9]  # null element
+    arr = pa.array(lists, pa.list_(pa.int64()))
+    bf = bloommod.SplitBlockBloom.frombytes(bloommod.build_bloom(arr))
+    present = sorted({v for l in lists if l for v in l if v is not None})
+    h = bloommod.xxhash64_u64(np.asarray(present, dtype=np.int64))
+    assert bool(bf.check_hashes(h).all())  # zero false negatives
+    absent = np.arange(100_000, 102_000, dtype=np.int64)
+    fp = bf.check_hashes(bloommod.xxhash64_u64(absent)).mean()
+    assert fp < 0.05
+    # string elements too (the word-membership path)
+    sarr = pa.array([["aa", "bb"], ["cc"], None], pa.list_(pa.string()))
+    sbf = bloommod.SplitBlockBloom.frombytes(bloommod.build_bloom(sarr))
+    sh = bloommod.xxhash64_bytes([b"aa", b"bb", b"cc"])
+    assert bool(sbf.check_hashes(sh).all())
+    assert not bool(
+        sbf.check_hashes(bloommod.xxhash64_bytes([b"zz-not-there"])).any()
+    )
