@@ -715,6 +715,60 @@ def _part_file_map(
     return out
 
 
+def describe_store(path: str) -> dict:
+    """Operational summary of a store from metadata only (manifest
+    columns + store meta; blob bytes never read — the footer-scale
+    inspection a table format owes its operators). Live row counts
+    subtract committed tombstones."""
+    meta = _meta(path)
+    out: dict = {
+        "path": path,
+        "clustering": meta.get("clustering"),
+        "key_col": meta.get("key_col"),
+        "page_rows": meta.get("page_rows"),
+        "encrypted": bool(meta.get("encrypted")),
+        "bloom_cols": meta.get("bloom_cols") or [],
+        "columns": [],
+        "parts": 0, "rows": 0, "live_rows": 0,
+        "raw_bytes": 0, "encoded_bytes": 0,
+        "deleted_rows": sum(e.get("rows", 0)
+                            for e in meta.get("deletes") or []),
+        "tombstone_dirs": len(meta.get("deletes") or []),
+        "added_columns": sorted(meta.get("added_columns") or {}),
+        "renamed_columns": {k: v[0] for k, v in
+                            (meta.get("column_renames") or {}).items()},
+        "snapshots": len(meta.get("history") or []),
+    }
+    if meta.get("schema_json"):
+        sch = StructType.fromJson(meta["schema_json"])
+        out["columns"] = [f"{f.name} {f.dataType.simpleString()}"
+                          for f in sch.fields]
+    if not _has_blobs(path):
+        return out
+    t = _dataset(path).to_table(
+        columns=["part_id", "col", "codec", "count",
+                 "raw_size", "encoded_size"]
+    )
+    pids = set(t.column("part_id").to_pylist())
+    out["parts"] = len(pids)
+    rows_by_part: dict[int, int] = {}
+    codecs: dict[str, int] = {}
+    for pid, col, codec, cnt, raw, enc in zip(*(t.column(c).to_pylist()
+                                                for c in t.column_names)):
+        rows_by_part[pid] = cnt
+        codecs[codec] = codecs.get(codec, 0) + 1
+        out["raw_bytes"] += raw
+        out["encoded_bytes"] += enc
+    out["rows"] = sum(rows_by_part.values())
+    out["live_rows"] = out["rows"] - out["deleted_rows"]
+    out["codecs"] = dict(sorted(codecs.items()))
+    if out["encoded_bytes"]:
+        out["compression_ratio"] = round(
+            out["raw_bytes"] / out["encoded_bytes"], 3
+        )
+    return out
+
+
 # ------------------------------------------------------------------- reader
 
 class PGSReader(DataSourceReader):

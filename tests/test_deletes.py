@@ -192,6 +192,23 @@ def test_delete_applies_to_snapshot_reads(spark, tmp_out):
     assert _same(snap1, df.filter("k >= 20"))
 
 
+def test_describe_store(spark, tmp_out):
+    from parquet_go_spark.operators.evolve import add_column
+    from parquet_go_spark.sources.pgs_datasource import describe_store
+
+    df = _mkstore(spark, tmp_out, n=300, parts=3)
+    delete_where(spark, tmp_out, "grp = 0")
+    add_column(tmp_out, "w", "double", 1.0)
+    d = describe_store(tmp_out)
+    assert d["parts"] == 3 and d["rows"] == 300
+    assert d["deleted_rows"] == df.filter("grp = 0").count()
+    assert d["live_rows"] == 300 - d["deleted_rows"]
+    assert d["added_columns"] == ["w"]
+    assert "k bigint" in d["columns"] and "w double" in d["columns"]
+    assert d["compression_ratio"] > 1
+    assert sum(d["codecs"].values()) == 9  # 3 parts x 3 stored columns
+
+
 def test_pos_filter_page_skip(spark, tmp_out):
     """A _pgs_pos range filter skips pages by row position — the
     SkipRows-over-OffsetIndex analog through the native source."""

@@ -162,6 +162,14 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """Metadata-only store summary (no Spark, no blob bytes)."""
+    from parquet_go_spark.sources.pgs_datasource import describe_store
+
+    print(json.dumps(describe_store(args.store)))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Row-level delete: tombstone every live row matching --where
     (merge-on-read; compact to materialize). The takedown surface."""
@@ -285,6 +293,10 @@ def main() -> int:
     swp = sub.add_parser("sweep")
     swp.add_argument("--store", required=True)
     swp.set_defaults(fn=cmd_sweep)
+
+    dsc = sub.add_parser("describe")
+    dsc.add_argument("--store", required=True)
+    dsc.set_defaults(fn=cmd_describe)
 
     dl = sub.add_parser("delete")
     dl.add_argument("--store", required=True)
