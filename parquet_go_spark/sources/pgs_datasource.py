@@ -817,6 +817,25 @@ class PGSReader(DataSourceReader):
                     "(operator-written or pre-history store)"
                 )
         self._as_of_commit = int(ac) if ac is not None else None
+        sc = options.get("since_commit")
+        if sc is not None:
+            if meta.get("clustering") == "stream_append":
+                raise ValueError(
+                    "since_commit applies to batch-writer stores; cap a "
+                    "stream store with as_of_batch instead"
+                )
+            if not meta.get("history"):
+                raise ValueError(
+                    "store records no append-commit history "
+                    "(operator-written or pre-history store)"
+                )
+            if ac is not None:
+                raise ValueError(
+                    "since_commit and as_of_commit are mutually exclusive; "
+                    "an intermediate window is since_commit=k on an "
+                    "as_of-style cap applied by the caller's filter"
+                )
+        self._since_commit = int(sc) if sc is not None else None
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -870,6 +889,20 @@ class PGSReader(DataSourceReader):
                     f"{len(hist)} committed snapshots"
                 )
             cands = [p for p in cands if p < hist[k - 1]]
+        if self._since_commit is not None:
+            # incremental read (CDC-style): only partitions appended
+            # AFTER snapshot k — the id-cap complement of as_of_commit.
+            # A daily pipeline reads since_commit=<last processed> and
+            # touches no already-consumed partition's metadata or bytes.
+            hist = meta.get("history") or []
+            k = self._since_commit
+            if not 0 <= k <= len(hist):
+                raise ValueError(
+                    f"since_commit {k} out of range: store has "
+                    f"{len(hist)} committed snapshots"
+                )
+            floor = hist[k - 1] if k else 0
+            cands = [p for p in cands if p >= floor]
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
         files = _part_file_map(self._path, cands, d)

@@ -1025,6 +1025,37 @@ def test_as_of_commit_snapshot_reads(spark, tmp_path):
         rd(as_of_commit=2).count()
 
 
+def test_since_commit_incremental_reads(spark, tmp_path):
+    """The CDC-style complement of as_of_commit: only partitions appended
+    AFTER snapshot k — a daily pipeline consumes since_commit=<last
+    processed> and never touches already-consumed partitions."""
+    register(spark)
+    out = str(tmp_path / "incr_store")
+    mk = lambda a, b, p: spark.range(a, b).selectExpr(
+        "id", "cast(id % 7 as string) s").repartition(p)
+    mk(0, 1000, 8).write.format("pgs").mode("overwrite").save(out)
+    mk(1000, 1200, 2).write.format("pgs").mode("append").save(out)
+    mk(1200, 1500, 3).write.format("pgs").mode("append").save(out)
+    rd = lambda **o: spark.read.format("pgs").options(**o).load(out)
+    assert rd(since_commit=0).count() == 1500
+    inc1 = rd(since_commit=1)
+    assert inc1.count() == 500
+    assert inc1.selectExpr("min(id) m").collect()[0]["m"] == 1000
+    inc2 = rd(since_commit=2)
+    assert inc2.count() == 300
+    assert inc2.selectExpr("min(id) m").collect()[0]["m"] == 1200
+    assert rd(since_commit=3).count() == 0
+    with pytest.raises(Exception, match="out of range"):
+        rd(since_commit=4).count()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        rd(since_commit=1, as_of_commit=2).count()
+    # deletes apply to incremental reads too (takedown semantics)
+    from parquet_go_spark.operators.deletes import delete_where
+
+    delete_where(spark, out, "id >= 1400")
+    assert rd(since_commit=2).count() == 200
+
+
 def test_as_of_commit_rejected_on_stream_and_plain_stores(
     spark, orders, range_store, tmp_path
 ):
