@@ -38,6 +38,7 @@ from parquet_go_spark.operators import multimodal as _mm
 from parquet_go_spark.operators import pruned as _pruned
 from parquet_go_spark.operators import roundtrip as _rt
 from parquet_go_spark.operators import similarity as _sim
+from parquet_go_spark.operators import sketch as _sketch
 from parquet_go_spark.operators import text as _text
 
 LINEITEM_COLS = [
@@ -222,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prune_geo_bbox"] = _pruned.geo_pruned_bbox_query
     # element blooms on an array column: token/word membership probe
     q["prune_token_bloom"] = _pruned.token_membership_query
+    # HyperLogLog distinct sketch, pure relational (no Python in the
+    # data path); oracle re-derives Spark's xxhash64 in DuckDB SQL
+    q["stats_hll_distinct"] = _sketch.hll_distinct_query
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
 
     # --- native Spark source: spark.read/write.format("pgs") ---
@@ -319,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
     o["prune_zorder"] = _pruned.ZORDER_PRUNED_BOX_ORACLE
     o["prune_geo_bbox"] = _pruned.GEO_PRUNED_BBOX_ORACLE
     o["prune_token_bloom"] = _pruned.TOKEN_MEMBERSHIP_ORACLE
+    o["stats_hll_distinct"] = _sketch.HLL_DISTINCT_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 
