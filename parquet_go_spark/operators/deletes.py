@@ -82,9 +82,22 @@ def delete_matching(
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     df = _read_with_pos(spark, path, read_options)
-    hits = df.join(
-        keys.select(*key_cols).distinct(), on=key_cols, how="left_semi"
-    )
+    keys = keys.select(*key_cols).distinct()
+    # key-range pre-prune: rows outside the batch's [min, max] on each
+    # key column cannot match the semi-join, and a range predicate DOES
+    # push down (stats/blooms/pages prune partitions before any decode)
+    # while a join never does. One tiny agg on the key batch buys a
+    # pruned store scan — the difference between "touch 3 partitions"
+    # and "scan 100 TB" for a small upsert.
+    bounds = keys.agg(*(
+        f(c).alias(f"{f.__name__}_{c}")
+        for c in key_cols for f in (F.min, F.max)
+    )).collect()[0]
+    for c in key_cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        if lo is not None and hi is not None:
+            df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    hits = df.join(keys, on=key_cols, how="left_semi")
     return _commit_tombstones(path, hits)
 
 

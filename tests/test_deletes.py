@@ -247,6 +247,32 @@ def test_delete_matching_semi_join(spark, tmp_out):
     assert res2["deleted_rows"] == 0
 
 
+def test_delete_matching_range_pruned(spark, tmp_out):
+    """The key batch's [min, max] becomes a pushed range filter, so a
+    range-clustered store decodes only the partitions that can match
+    (lossless: out-of-range rows cannot join)."""
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    df = spark.range(0, 2000).selectExpr("id AS k", "concat('r-', id) AS v")
+    (
+        df.repartitionByRange(8, "k").write.format("pgs")
+        .mode("overwrite").save(tmp_out)
+    )
+    keys = spark.createDataFrame([(500,), (510,), (777,)], "k long")
+    res = delete_matching(spark, tmp_out, keys, "k")
+    assert res["deleted_rows"] == 3
+    # tombstones land only in partitions covering [500, 777]
+    st = delete_stats(tmp_out)["entries"][0]
+    assert st["hi"] - st["lo"] <= 2  # at most the 2-3 covering parts
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("k NOT IN (500, 510, 777)"))
+    # null-bound / empty batches stay safe (no filter, no crash)
+    res2 = delete_matching(
+        spark, tmp_out, spark.createDataFrame([], "k long"), "k"
+    )
+    assert res2["deleted_rows"] == 0
+
+
 def test_upsert_by_key(spark, tmp_out):
     df = _mkstore(spark, tmp_out)
     up = spark.range(550, 650).selectExpr(
