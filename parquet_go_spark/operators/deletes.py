@@ -118,8 +118,19 @@ def upsert_by_key(
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     deleted = delete_matching(spark, path, df, key_cols, read_options)
+    # the append must match the store's recorded layout; inherit the
+    # non-secret knobs so an upsert on a bloomed/paged/sorted store
+    # works without re-declaring them (keys stay caller-supplied)
+    meta = _meta(path)
+    wo = dict(write_options or {})
+    if meta.get("bloom_cols") and "bloom_cols" not in wo:
+        wo["bloom_cols"] = ",".join(meta["bloom_cols"])
+    if meta.get("page_rows") and "page_rows" not in wo:
+        wo["page_rows"] = str(meta["page_rows"])
+    if meta.get("key_col") and "sort_key" not in wo:
+        wo["sort_key"] = meta["key_col"]
     w = df.write.format("pgs").mode("append")
-    for k, v in (write_options or {}).items():
+    for k, v in wo.items():
         w = w.option(k, v)
     w.save(path)
     return {"deleted_rows": deleted["deleted_rows"]}

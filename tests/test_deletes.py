@@ -288,6 +288,26 @@ def test_upsert_by_key(spark, tmp_out):
     assert _same(back, df.filter("k < 550").unionAll(up))
 
 
+def test_upsert_inherits_store_layout(spark, tmp_out):
+    """An upsert on a bloomed/paged store works without re-declaring
+    the layout options (the append arm inherits non-secret knobs)."""
+    df = _mkstore(spark, tmp_out, bloom_cols="k", page_rows="64")
+    up = spark.range(100, 120).selectExpr(
+        "id AS k", "CAST(1 AS INT) AS grp", "concat('u-', id) AS name"
+    )
+    res = upsert_by_key(spark, tmp_out, up, "k")
+    assert res["deleted_rows"] == 20
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, _fresh(spark).filter(
+        "k < 100 OR k >= 120").unionAll(up))
+
+
+def _fresh(spark):
+    return spark.range(0, 600).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp", "concat('r-', id) AS name"
+    )
+
+
 def test_delete_on_stream_store(spark, tmp_out, tmp_path):
     """The streaming sink's stores take deletes like any other (part ids
     are stable across batch replay, so positions stay valid)."""
