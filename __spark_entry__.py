@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # HyperLogLog distinct sketch, pure relational (no Python in the
     # data path); oracle re-derives Spark's xxhash64 in DuckDB SQL
     q["stats_hll_distinct"] = _sketch.hll_distinct_query
+    # count-min frequency sketch (d=4 x w=8192 counters), same contract
+    q["stats_cms_freq"] = _sketch.cms_topk_query
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
 
     # --- native Spark source: spark.read/write.format("pgs") ---
@@ -324,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
     o["prune_geo_bbox"] = _pruned.GEO_PRUNED_BBOX_ORACLE
     o["prune_token_bloom"] = _pruned.TOKEN_MEMBERSHIP_ORACLE
     o["stats_hll_distinct"] = _sketch.HLL_DISTINCT_ORACLE
+    o["stats_cms_freq"] = _sketch.CMS_TOPK_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 

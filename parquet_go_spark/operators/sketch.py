@@ -139,17 +139,15 @@ def _xor_shr_sql(z: str, r: int) -> str:
             "::HUGEINT")
 
 
-def _oracle_sql() -> str:
+def xxh64_long_ctes(src: str, carry: str, val_expr: str,
+                    prefix: str = "s") -> tuple[str, str]:
+    """DuckDB CTE chain computing Spark's ``xxhash64(BIGINT)`` — XXH64
+    of the 8-byte LE value, seed 42, unrolled for the one-lane length-8
+    case — over ``src``. Returns (cte_sql, final_cte_name); the final
+    CTE exposes ``carry`` plus the UBIGINT hash column ``h``. Shared by
+    every sketch oracle that must reproduce Spark's hash exactly."""
     from .multimodal import _mulmod64_sql
 
-    # Spark's xxhash64(BIGINT) = XXH64(8-byte LE value, seed 42),
-    # unrolled for the one-lane length-8 case — each stage one CTE
-    unions = " UNION ALL ".join(
-        f"SELECT '{c}' AS name, "
-        f"({c}::HUGEINT % 18446744073709551616) AS val "
-        f"FROM lineitem WHERE {c} IS NOT NULL"
-        for c in HLL_COLS
-    )
     k1a = _mulmod64_sql("val", _P2)
     k1b = _rotl_sql("k1a", 31)
     k1 = _mulmod64_sql("k1b", _P1)
@@ -162,19 +160,37 @@ def _oracle_sql() -> str:
     acc6 = _xor_shr_sql("acc5", 29)
     acc7 = _mulmod64_sql("acc6", _P3)
     h = _xor_shr_sql("acc7", 32)
+    p = prefix
+    sql = f"""{p}0 AS (SELECT {carry}, ({val_expr}) AS val FROM {src}),
+{p}1 AS (SELECT {carry}, {k1a} AS k1a FROM {p}0),
+{p}2 AS (SELECT {carry}, {k1b} AS k1b FROM {p}1),
+{p}3 AS (SELECT {carry}, {k1} AS k1 FROM {p}2),
+{p}4 AS (SELECT {carry}, {acc1} AS acc1 FROM {p}3),
+{p}5 AS (SELECT {carry}, {acc2} AS acc2 FROM {p}4),
+{p}6 AS (SELECT {carry}, {acc3} AS acc3 FROM {p}5),
+{p}7 AS (SELECT {carry}, {acc4} AS acc4 FROM {p}6),
+{p}8 AS (SELECT {carry}, {acc5} AS acc5 FROM {p}7),
+{p}9 AS (SELECT {carry}, {acc6} AS acc6 FROM {p}8),
+{p}10 AS (SELECT {carry}, {acc7} AS acc7 FROM {p}9),
+{p}11 AS (SELECT {carry}, ({h})::UBIGINT AS h FROM {p}10)"""
+    return sql, f"{p}11"
+
+
+def _oracle_sql() -> str:
+    # Spark's xxhash64(BIGINT) re-derived in HUGEINT CTEs (shared
+    # spelling, xxh64_long_ctes)
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS name, {c}::HUGEINT AS v "
+        f"FROM lineitem WHERE {c} IS NOT NULL"
+        for c in HLL_COLS
+    )
+    hash_ctes, last = xxh64_long_ctes(
+        "vals", "name", "v % 18446744073709551616"
+    )
     return f"""
 WITH vals AS ({unions}),
-s1 AS (SELECT name, {k1a} AS k1a FROM vals),
-s2 AS (SELECT name, {k1b} AS k1b FROM s1),
-s3 AS (SELECT name, {k1} AS k1 FROM s2),
-s4 AS (SELECT name, {acc1} AS acc1 FROM s3),
-s5 AS (SELECT name, {acc2} AS acc2 FROM s4),
-s6 AS (SELECT name, {acc3} AS acc3 FROM s5),
-s7 AS (SELECT name, {acc4} AS acc4 FROM s6),
-s8 AS (SELECT name, {acc5} AS acc5 FROM s7),
-s9 AS (SELECT name, {acc6} AS acc6 FROM s8),
-s10 AS (SELECT name, {acc7} AS acc7 FROM s9),
-hashed AS (SELECT name, ({h})::UBIGINT AS h FROM s10),
+{hash_ctes},
+hashed AS (SELECT name, h FROM {last}),
 rank_ AS (
   SELECT name,
          (h // 4503599627370496) AS bucket,
@@ -208,3 +224,119 @@ FROM agg
 
 
 HLL_DISTINCT_ORACLE = _oracle_sql()
+
+
+# --------------------------------------------------- count-min sketch (CMS)
+
+CMS_D = 4         # hash rows
+CMS_W = 8192      # counters per row (power of two: bucket = low bits)
+# row derivation: hash_i(v) = xxhash64(v XOR C_i) — XOR is ANSI-safe in
+# Spark and exactly mirrored in the oracle; constants are splitmix64
+# outputs of 1..4 (public PRNG, arbitrary distinct values)
+CMS_ROW_XOR = [
+    0x910A2DEC89025CC1, 0xBEEB8DA1658EEC67,
+    0xF893A2EEA86BF4C6, 0x71C18690EE42C90B,
+]
+
+
+def _sgn(c: int) -> int:
+    """64-bit constant as the signed two's-complement long Spark wants."""
+    return c - (1 << 64) if c >= (1 << 63) else c
+
+
+def cms_counters_df(df: DataFrame, col: str) -> DataFrame:
+    """(row, bucket, cnt) counters of a d=4, w=8192 count-min sketch
+    over ``col`` (Cormode & Muthukrishnan 2005, public) — pure
+    relational: explode d derived hashes per value, one map-side-
+    combinable groupBy. At most d*w rows survive regardless of input."""
+    rows = ", ".join(
+        f"{i}, (xxhash64(v ^ {_sgn(c)}L) & {CMS_W - 1}L)"
+        for i, c in enumerate(CMS_ROW_XOR)
+    )
+    return (
+        df.selectExpr(f"{col} AS v")
+        .where("v IS NOT NULL")
+        .selectExpr(f"stack({CMS_D}, {rows}) AS (row, bucket)")
+        .groupBy("row", "bucket")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def cms_estimate_df(counters: DataFrame, probes: DataFrame,
+                    col: str) -> DataFrame:
+    """(key, est) for each probe key: min over the d counters its hash
+    rows land in. Absent counters mean a zero cell -> est 0. The
+    estimate never undercounts (CMS guarantee); exact integer output."""
+    rows = ", ".join(
+        f"{i}, (xxhash64(k ^ {_sgn(c)}L) & {CMS_W - 1}L)"
+        for i, c in enumerate(CMS_ROW_XOR)
+    )
+    addr = (
+        probes.selectExpr(f"{col} AS k").distinct()
+        .selectExpr("k", f"stack({CMS_D}, {rows}) AS (row, bucket)")
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        addr.join(counters, ["row", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .selectExpr("k AS key", "CAST(est AS BIGINT) AS est")
+    )
+
+
+def cms_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimates for a fixed probe set of part keys over
+    lineitem — the heavy-hitter question ("how often does key X
+    occur?") answered from d*w = 32k counters instead of a full
+    count shuffle. Exact-integer output, oracle-identical."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counters = cms_counters_df(df, "l_partkey")
+    probes = df.selectExpr("l_partkey").where(
+        f"l_partkey % 37 = 3"
+    )
+    return cms_estimate_df(counters, probes, "l_partkey")
+
+
+def _cms_oracle_sql() -> str:
+    hash_ctes, last = xxh64_long_ctes(
+        "expanded", "orig, row",
+        "xor(orig::UBIGINT, xc::UBIGINT)::HUGEINT", prefix="c",
+    )
+    phash_ctes, plast = xxh64_long_ctes(
+        "pexpanded", "orig, row",
+        "xor(orig::UBIGINT, xc::UBIGINT)::HUGEINT", prefix="q",
+    )
+    consts = ", ".join(
+        f"({i}, {c}::UBIGINT)" for i, c in enumerate(CMS_ROW_XOR)
+    )
+    return f"""
+WITH rowc(row, xc) AS (VALUES {consts}),
+vals AS (
+  SELECT l_partkey::UBIGINT AS orig FROM lineitem
+  WHERE l_partkey IS NOT NULL
+),
+expanded AS (SELECT orig, row, xc FROM vals CROSS JOIN rowc),
+{hash_ctes},
+counters AS (
+  SELECT row, (h % {CMS_W}::UBIGINT) AS bucket, count(*) AS cnt
+  FROM {last} GROUP BY row, bucket
+),
+probes AS (
+  SELECT DISTINCT l_partkey::UBIGINT AS orig FROM lineitem
+  WHERE l_partkey % 37 = 3
+),
+pexpanded AS (SELECT orig, row, xc FROM probes CROSS JOIN rowc),
+{phash_ctes},
+addr AS (
+  SELECT orig, row, (h % {CMS_W}::UBIGINT) AS bucket FROM {plast}
+)
+SELECT CAST(a.orig AS BIGINT) AS key,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+FROM addr a LEFT JOIN counters c USING (row, bucket)
+GROUP BY a.orig
+"""
+
+
+CMS_TOPK_ORACLE = _cms_oracle_sql()

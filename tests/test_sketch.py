@@ -72,3 +72,54 @@ def test_hll_plan_is_pure_jvm(spark, lineitem):
                    "FlatMapGroupsInArrow"):
         assert marker not in plan, marker
     assert "xxhash64" in plan
+
+# ------------------------------------------------------- count-min sketch
+
+def test_cms_matches_duckdb_bit_exactly(spark, lineitem):
+    from parquet_go_spark.operators.sketch import (
+        CMS_TOPK_ORACLE,
+        cms_counters_df,
+        cms_estimate_df,
+    )
+
+    counters = cms_counters_df(lineitem, "l_partkey")
+    probes = lineitem.selectExpr("l_partkey").where("l_partkey % 37 = 3")
+    got = {r["key"]: r["est"]
+           for r in cms_estimate_df(counters, probes,
+                                    "l_partkey").collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+    )
+    assert got == dict(con.execute(CMS_TOPK_ORACLE).fetchall())
+    assert len(got) > 0
+
+
+def test_cms_never_undercounts_and_collides_gracefully(spark):
+    """CMS guarantee: est >= true count always; with w smaller than the
+    key space, collisions only ever overcount."""
+    import parquet_go_spark.operators.sketch as sk
+
+    df = spark.range(0, 5000).selectExpr("(id % 500) AS k")  # 10 each
+    counters = sk.cms_counters_df(df, "k")
+    probes = spark.range(0, 500).selectExpr("id AS k")
+    est = {r["key"]: r["est"]
+           for r in sk.cms_estimate_df(counters, probes, "k").collect()}
+    assert set(est) == set(range(500))
+    assert all(v >= 10 for v in est.values())
+    # absent key: its counters may alias to occupied cells (small w)
+    # but with w=8192 >> 500 they are empty -> exact zero
+    miss = sk.cms_estimate_df(
+        counters, spark.range(10**7, 10**7 + 3).selectExpr("id AS k"), "k"
+    ).collect()
+    assert all(r["est"] == 0 for r in miss)
+
+
+def test_cms_plan_is_pure_jvm(spark, lineitem):
+    from parquet_go_spark.operators.sketch import cms_counters_df
+
+    plan = cms_counters_df(lineitem, "l_partkey")._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, marker
+    assert "xxhash64" in plan
