@@ -136,6 +136,45 @@ def upsert_by_key(
     return {"deleted_rows": deleted["deleted_rows"]}
 
 
+def compact_tombstones(spark: SparkSession, path: str) -> dict:
+    """Merge every committed tombstone dir into one (the Iceberg
+    rewrite_position_delete_files maintenance action): a store that has
+    taken N delete operations makes readers open N dirs per partition;
+    after this, one. Range-partitioned on part_id so each reader task's
+    pushdown touches one file. The meta replace is the commit point;
+    the superseded dirs become invisible there and are removed (any
+    crash leftover is ``sweep_store`` food)."""
+    from ..sources.pgs_datasource import _delete_files
+
+    meta = _meta(path)
+    entries = meta.get("deletes") or []
+    if len(entries) <= 1:
+        return {"merged_dirs": 0, "deleted_rows": sum(
+            e.get("rows", 0) for e in entries)}
+    files = _delete_files(path, [e["name"] for e in entries])
+    df = (
+        spark.read.parquet(*files)
+        .select("part_id", "pos")
+        .distinct()  # overlapping deletes tombstone the same address
+        .repartitionByRange(max(1, len(files) // 8), "part_id")
+        .sortWithinPartitions("part_id", "pos")
+    )
+    token = uuid.uuid4().hex[:12]
+    ddir = os.path.join(path, "deletes")
+    tmp = os.path.join(ddir, f"_tmp-{token}")
+    df.write.mode("overwrite").parquet(tmp)
+    lo, hi, rows = _tombstone_summary(tmp)
+    name = f"del-{token}"
+    os.replace(tmp, os.path.join(ddir, name))
+    meta = _meta(path)
+    old = [e["name"] for e in meta.get("deletes") or []]
+    meta["deletes"] = [{"name": name, "lo": lo, "hi": hi, "rows": rows}]
+    _write_meta(path, meta)  # THE commit point
+    for nm in old:
+        shutil.rmtree(os.path.join(ddir, nm), ignore_errors=True)
+    return {"merged_dirs": len(old), "deleted_rows": rows}
+
+
 def _read_with_pos(spark: SparkSession, path: str,
                    read_options: dict | None):
     reader = spark.read.format("pgs").option("with_pos", "true")

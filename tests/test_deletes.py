@@ -288,6 +288,31 @@ def test_upsert_by_key(spark, tmp_out):
     assert _same(back, df.filter("k < 550").unionAll(up))
 
 
+def test_compact_tombstones(spark, tmp_out):
+    """N delete ops merge into one tombstone dir; reads unchanged,
+    superseded dirs removed, re-run is a no-op."""
+    from parquet_go_spark.operators.deletes import compact_tombstones
+
+    df = _mkstore(spark, tmp_out)
+    delete_where(spark, tmp_out, "grp = 1")
+    delete_where(spark, tmp_out, "k BETWEEN 300 AND 340")
+    delete_where(spark, tmp_out, "k % 11 = 0")
+    total = delete_stats(tmp_out)["deleted_rows"]
+    assert delete_stats(tmp_out)["tombstone_dirs"] == 3
+    res = compact_tombstones(spark, tmp_out)
+    assert res["merged_dirs"] == 3
+    assert res["deleted_rows"] == total  # disjoint live-row tombstones
+    st = delete_stats(tmp_out)
+    assert st["tombstone_dirs"] == 1 and st["deleted_rows"] == total
+    assert len(os.listdir(os.path.join(tmp_out, "deletes"))) == 1
+    back = spark.read.format("pgs").load(tmp_out)
+    exp = df.filter(
+        "NOT (grp = 1) AND NOT (k BETWEEN 300 AND 340) AND NOT (k % 11 = 0)"
+    )
+    assert _same(back, exp)
+    assert compact_tombstones(spark, tmp_out)["merged_dirs"] == 0
+
+
 def test_upsert_inherits_store_layout(spark, tmp_out):
     """An upsert on a bloomed/paged store works without re-declaring
     the layout options (the append arm inherits non-secret knobs)."""

@@ -186,6 +186,16 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_compact_deletes(args) -> int:
+    """Merge all tombstone dirs into one (delete-file maintenance)."""
+    from parquet_go_spark.operators.deletes import compact_tombstones
+
+    spark = _get_session("pgs-compact-deletes")
+    res = compact_tombstones(spark, args.store)
+    print(json.dumps({"job": "compact-deletes", **res}))
+    return 0
+
+
 def cmd_evolve(args) -> int:
     """Schema evolution: add/rename/drop a column (metadata commit,
     no Spark job; compact to materialize)."""
@@ -306,6 +316,10 @@ def main() -> int:
     dl.add_argument("--encrypt-key-hex", default=None)
     dl.add_argument("--column-keys-hex", default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    cdl = sub.add_parser("compact-deletes")
+    cdl.add_argument("--store", required=True)
+    cdl.set_defaults(fn=cmd_compact_deletes)
 
     ev = sub.add_parser("evolve")
     ev.add_argument("op", choices=("add", "rename", "drop"))
