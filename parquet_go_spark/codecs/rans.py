@@ -69,8 +69,18 @@ def _pick_k(nfreq: int) -> int:
 
 
 def _pick_lanes(n: int) -> int:
-    # ~1k vectorized steps regardless of n; per-lane cost is 8 B of state
-    return int(np.clip(n // 1024, 4, MAX_LANES)) if n >= 4 else max(n, 1)
+    # Every lane flushes an 8-byte final state, so lane count is pure
+    # size overhead: n//1024 cost 0.0625 bits/value — ~0.7% of the token
+    # store. n//8192 cuts that 8x (measured -0.043 bits/value on a Zipf
+    # alphabet; C encode got FASTER, decode unchanged). The floor keeps
+    # rows within MAX_ROWS; the numpy fallback's vector width shrinks
+    # accordingly (the C twin is the production path). Lane count is
+    # self-described in the header, so blobs written under any previous
+    # policy keep decoding.
+    if n < 4:
+        return max(n, 1)
+    floor_lanes = -(-n // MAX_ROWS)
+    return int(np.clip(max(n // 8192, floor_lanes), 4, MAX_LANES))
 
 
 def quantize_freqs(counts: np.ndarray, k: int) -> np.ndarray:
