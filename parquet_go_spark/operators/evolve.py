@@ -76,6 +76,16 @@ def _parse_ddl_type(ddl: str) -> T.DataType:
 
 
 def _load_schema(path: str, meta: dict) -> StructType:
+    if meta.get("clustering") == "stream_append":
+        # the sink re-records its own schema on every micro-batch commit,
+        # which would silently revert a metadata-only evolution — and a
+        # running stream's appends would stop matching the evolved
+        # schema anyway. Stop the stream and compact first.
+        raise ValueError(
+            "schema evolution on a stream-written store would be undone "
+            "by the sink's next commit; stop the stream and compact the "
+            "store, then evolve the compacted store"
+        )
     if not meta.get("schema_json"):
         raise ValueError(
             "store records no schema (operator-written or legacy store); "

@@ -198,6 +198,25 @@ def test_guard_column_key_and_key_col(spark, tmp_out):
         drop_column(tmp_out, "name")
 
 
+def test_evolution_refused_on_stream_stores(spark, tmp_out, tmp_path):
+    """The sink re-records its schema every commit, which would silently
+    revert a metadata-only evolution — refuse loudly instead."""
+    register(spark)
+    src = str(tmp_path / "stream_in")
+    spark.range(20).selectExpr("id AS k").write.parquet(src)
+    q = (
+        spark.readStream.schema("k long").parquet(src)
+        .writeStream.format("pgs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start(tmp_out)
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="stream-written"):
+        add_column(tmp_out, "x", "int")
+    with pytest.raises(ValueError, match="stream-written"):
+        rename_column(tmp_out, "k", "kk")
+
+
 def test_legacy_store_without_schema_refused(spark, tmp_out):
     import json
 
