@@ -29,6 +29,26 @@ from .codecs import (
 )
 
 
+def relax_nullability(t: pa.DataType) -> pa.DataType:
+    """Nested twin of a type with every child field nullable. Spark's
+    arrow bridges treat nullability as advisory (Spark re-enforces its
+    own), but pyarrow casts INTO a not-null nested field fail — decoded
+    chunks must cast to the relaxed twin. One spelling, shared by the
+    native source reader and the operator decode path."""
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, relax_nullability(f.type)) for f in t]
+        )
+    if pa.types.is_list(t):
+        return pa.list_(relax_nullability(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(relax_nullability(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(relax_nullability(t.key_type),
+                       relax_nullability(t.item_type))
+    return t
+
+
 def _int_minmax(vals: np.ndarray) -> tuple[int, int]:
     """Min/max for manifest stats — one C pass when the native kernels are
     available (instead of numpy's two), numpy otherwise."""

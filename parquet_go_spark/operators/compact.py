@@ -36,6 +36,21 @@ from .store import BLOB_SCHEMA, ManifestStore
 DEFAULT_TARGET_RAW = 256 << 20
 
 
+def _empty_blob_table() -> pa.Table:
+    """Zero blob rows in the BLOB_SCHEMA shape (applyInArrow validates
+    names and types even for empty groups)."""
+    types = {
+        "part_id": pa.int32(), "col": pa.string(), "codec": pa.string(),
+        "compression": pa.string(), "count": pa.int64(),
+        "null_count": pa.int64(), "raw_size": pa.int64(),
+        "encoded_size": pa.int64(), "vmin": pa.string(),
+        "vmax": pa.string(), "boundary_order": pa.string(),
+        "pages": pa.string(), "size_stats": pa.string(),
+        "geo": pa.string(), "bloom": pa.binary(), "blob": pa.binary(),
+    }
+    return pa.table({k: pa.array([], type=t) for k, t in types.items()})
+
+
 def plan_compaction(
     parts: list[tuple[int, int]], target_raw: int
 ) -> list[list[int]]:
@@ -89,6 +104,7 @@ def _make_recode_fn(encode_group, decryption_key, src_dir=None,
             )
         col_names = table.column("col").to_pylist()
         blobs = table.column("blob").to_pylist()
+        counts = table.column("count").to_pylist()
         by_part: dict[int, list[int]] = {}
         for i, pid in enumerate(part_ids):
             by_part.setdefault(pid, []).append(i)
@@ -97,6 +113,9 @@ def _make_recode_fn(encode_group, decryption_key, src_dir=None,
             mine: dict[str, pa.Array] = {}
             n_part = None
             for i in by_part[pid]:
+                # manifest count = the partition's row count (chunks are
+                # row-aligned) — known even when every chunk is retired
+                n_part = counts[i]
                 name = current_of.get(col_names[i], col_names[i])
                 if keep_names is not None and name not in keep_names:
                     continue  # retired (dropped) column: chunks end here
@@ -105,7 +124,6 @@ def _make_recode_fn(encode_group, decryption_key, src_dir=None,
                 )
                 if isinstance(a, pa.ChunkedArray):
                     a = a.combine_chunks()
-                n_part = len(a)
                 dels = del_pos.get(pid)
                 if dels is not None and dels.size:
                     if dels[-1] >= len(a):
@@ -118,16 +136,30 @@ def _make_recode_fn(encode_group, decryption_key, src_dir=None,
                     a = a.filter(pa.array(m))
                 mine[name] = a
             for name, (default, atype) in added.items():
+                # synthesized at full partition length then tombstoned,
+                # exactly like a physical chunk — a partition whose every
+                # chunk was retired still contributes its rows
                 if name in mine or n_part is None:
                     continue
-                n_live = len(next(iter(mine.values())))
-                mine[name] = (
-                    pa.nulls(n_live, atype) if default is None
-                    else pa.array([default] * n_live).cast(atype)
+                full = (
+                    pa.nulls(n_part, atype) if default is None
+                    else pa.array([default] * n_part).cast(atype)
                 )
+                dels = del_pos.get(pid)
+                if dels is not None and dels.size:
+                    m = np.ones(n_part, dtype=bool)
+                    m[dels] = False
+                    full = full.filter(pa.array(m))
+                mine[name] = full
             for name, a in mine.items():
                 cols.setdefault(name, []).append(a)
+        if not cols:
+            return _empty_blob_table()
         n = sum(len(a) for a in next(iter(cols.values())))
+        if n == 0:
+            # tombstones removed every row of the group: the partition
+            # simply does not exist in the destination
+            return _empty_blob_table()
         data = {"part_id": pa.array(np.full(n, new_id, dtype=np.int32))}
         for name, arrs in cols.items():
             data[name] = (

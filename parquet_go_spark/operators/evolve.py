@@ -134,6 +134,18 @@ def add_column(
         )
     dtype = _parse_ddl_type(ddl_type)
     json.dumps(default)  # must survive the meta file round-trip
+    if default is not None:
+        # a miscast default would fail on EVERY later read of every
+        # pre-evolution partition — validate at the commit point
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        try:
+            pa.array([default]).cast(to_arrow_type(dtype))
+        except Exception as e:
+            raise ValueError(
+                f"default {default!r} is not castable to {ddl_type}: {e}"
+            ) from e
     schema = StructType(schema.fields + [StructField(name, dtype)])
     meta["schema_json"] = schema.jsonValue()
     meta.setdefault("added_columns", {})[name] = {"default": default}

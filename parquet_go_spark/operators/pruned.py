@@ -189,18 +189,7 @@ def _schema_of(df: DataFrame, columns: list[str]) -> tuple[str, dict]:
     declares always maps to nullable children, so a source column typed
     ``array<string not null>`` (e.g. the output of ``split``) must cast
     to the nullable twin or applyInArrow rejects the batch."""
-    import pyarrow as pa
-
-    def relax(t):
-        if pa.types.is_struct(t):
-            return pa.struct([pa.field(f.name, relax(f.type)) for f in t])
-        if pa.types.is_list(t):
-            return pa.list_(relax(t.value_type))
-        if pa.types.is_large_list(t):
-            return pa.large_list(relax(t.value_type))
-        if pa.types.is_map(t):
-            return pa.map_(relax(t.key_type), relax(t.item_type))
-        return t
+    from ..chunk import relax_nullability as relax
 
     sel = df.select(*columns)
     ddl = ", ".join(

@@ -627,10 +627,20 @@ def _page_keep_map(
         for f in usable
     }
     cols = {c for al in alias_of.values() for c in al}
+    if pos_filters and not cols:
+        # a pos filter needs ONE physical column's page index per part
+        # (pages are row-aligned, any column's ranges serve) — pick the
+        # first always-stored schema column and its aliases rather than
+        # fetching every column's index across every candidate partition
+        added = meta.get("added_columns") or {}
+        shredded = meta.get("shredded") or {}
+        if meta.get("schema_json"):
+            for f0 in StructType.fromJson(meta["schema_json"]).fields:
+                if f0.name not in added and f0.name not in shredded:
+                    cols = {f0.name, *(renames.get(f0.name) or [])}
+                    break
     filt = pads.field("part_id").isin(part_ids)
-    if not pos_filters:
-        # a pos filter needs one column's page index per part (pages are
-        # row-aligned, any column's ranges serve) — fetch all columns then
+    if cols:
         filt = filt & pads.field("col").isin(sorted(cols))
     t = d.to_table(columns=["part_id", "col", "pages"], filter=filt)
     by_part: dict[int, dict[str, list]] = {}
@@ -980,6 +990,8 @@ class PGSReader(DataSourceReader):
                 # carry the chunk under a historical alias
                 cands[name] = [name] + list(self._renames.get(name) or [])
                 stored.extend(cands[name])
+        blobs = {}
+        n_rows = None
         if stored:
             t = src.to_table(
                 columns=["col", "blob", "count"],
@@ -988,16 +1000,18 @@ class PGSReader(DataSourceReader):
             )
             blobs = dict(zip(t.column("col").to_pylist(),
                              t.column("blob").to_pylist()))
-        else:
-            # virtual-only projection (e.g. SELECT _pgs_part): chunks are
-            # row-aligned, so any manifest row's count is the row count —
-            # a metadata read, no blob bytes touched
+            if t.num_rows:
+                n_rows = t.column("count")[0].as_py()
+        if n_rows is None:
+            # no physical chunk matched: a virtual-only projection, or a
+            # pre-evolution partition read through added columns only.
+            # Chunks are row-aligned, so ANY manifest row of the part
+            # carries the row count — a metadata read, no blob bytes
             t = src.to_table(
                 columns=["count"], filter=pads.field("part_id") == pid
             )
-            blobs = {}
-        n_rows = t.column("count")[0].as_py() if t.num_rows else 0
-        if keep is not None and (not stored or any(
+            n_rows = t.column("count")[0].as_py() if t.num_rows else 0
+        if keep is not None and (not blobs or any(
             chunk.split_pages(blobs.get(n, b"")) is None
             for n in stored if n in blobs
         )):
@@ -1036,20 +1050,9 @@ class PGSReader(DataSourceReader):
                 m = ~np.isin(abs_pos, dels)
                 if not m.all():
                     mask = m
-        def relax(t):
-            # arrow nullability is advisory here (Spark enforces its own);
-            # casting into a not-null nested field would spuriously fail
-            if pa.types.is_struct(t):
-                return pa.struct(
-                    [pa.field(f.name, relax(f.type)) for f in t]
-                )
-            if pa.types.is_list(t):
-                return pa.list_(relax(t.value_type))
-            if pa.types.is_large_list(t):
-                return pa.large_list(relax(t.value_type))
-            if pa.types.is_map(t):
-                return pa.map_(relax(t.key_type), relax(t.item_type))
-            return t
+        # arrow nullability is advisory here (Spark enforces its own);
+        # casting into a not-null nested field would spuriously fail
+        relax = chunk.relax_nullability
 
         from .. import frame as framemod
 

@@ -134,6 +134,22 @@ def test_append_after_delete(spark, tmp_out):
     assert _same(back, df.filter("k >= 100").unionAll(extra))
 
 
+def test_compact_fully_deleted_partition(spark, tmp_out, tmp_path):
+    """Tombstoning every row of a partition must not break compaction:
+    the partition simply does not exist in the destination."""
+    df = _mkstore(spark, tmp_out, n=600, parts=3)
+    # partitions hold interleaved keys (repartition is hash-ish); delete
+    # by a full-partition-covering predicate instead: everything
+    delete_where(spark, tmp_out, "k < 200")      # a chunk of the space
+    delete_where(spark, tmp_out, "k >= 200")     # and the rest: all rows
+    dst = str(tmp_path / "empty_dst")
+    summ = compact_store(spark, tmp_out, dst)
+    assert summ["deletes_applied"] == 600
+    back = spark.read.format("pgs").load(dst)
+    assert back.count() == 0
+    assert back.columns == ["k", "grp", "name"]  # schema preserved
+
+
 def test_compact_materializes_deletes(spark, tmp_out, tmp_path):
     df = _mkstore(spark, tmp_out, n=500, parts=4)
     delete_where(spark, tmp_out, "grp = 1")

@@ -198,6 +198,52 @@ def test_guard_column_key_and_key_col(spark, tmp_out):
         drop_column(tmp_out, "name")
 
 
+def test_added_only_projection_reads_all_rows(spark, tmp_out):
+    """Projecting ONLY an added column must still return every
+    pre-evolution row (at the default) — the row count comes from the
+    manifest, not from the matched chunks."""
+    _mkstore(spark, tmp_out, n=150, parts=2)
+    add_column(tmp_out, "quality", "double", default=0.5)
+    only = (
+        spark.read.format("pgs").option("columns", "quality").load(tmp_out)
+    )
+    assert only.count() == 150
+    assert only.filter("quality = 0.5").count() == 150
+    # and through the virtual row-address columns
+    wp = (
+        spark.read.format("pgs").option("columns", "quality")
+        .option("with_pos", "true").load(tmp_out)
+    )
+    assert wp.count() == 150
+    assert wp.selectExpr("max(_pgs_pos)").collect()[0][0] > 0
+
+
+def test_compact_survives_all_columns_retired(spark, tmp_out, tmp_path):
+    """A partition whose every physical chunk was dropped still
+    contributes its rows (added-column defaults at full length)."""
+    df = _mkstore(spark, tmp_out, n=120, parts=2)
+    add_column(tmp_out, "w", "double", default=2.5)
+    drop_column(tmp_out, "name")
+    drop_column(tmp_out, "n_chars")
+    drop_column(tmp_out, "k")
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.columns == ["w"] and back.count() == 120
+    dst = str(tmp_path / "retired_dst")
+    compact_store(spark, tmp_out, dst)
+    cb = spark.read.format("pgs").load(dst)
+    assert cb.count() == 120
+    assert cb.filter("w = 2.5").count() == 120
+
+
+def test_add_column_invalid_default_refused(spark, tmp_out):
+    _mkstore(spark, tmp_out)
+    with pytest.raises(ValueError, match="not castable"):
+        add_column(tmp_out, "quality", "double", default="high")
+    # the refusal left no metadata behind
+    back = spark.read.format("pgs").load(tmp_out)
+    assert "quality" not in back.columns
+
+
 def test_evolution_refused_on_stream_stores(spark, tmp_out, tmp_path):
     """The sink re-records its schema every commit, which would silently
     revert a metadata-only evolution — refuse loudly instead."""
