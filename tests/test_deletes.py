@@ -371,3 +371,34 @@ def test_delete_on_stream_store(spark, tmp_out, tmp_path):
     delete_where(spark, tmp_out, "grp = 4")
     back = spark.read.format("pgs").load(tmp_out)
     assert _same(back, df.filter("grp != 4"))
+
+
+def test_streaming_upsert_cdc_apply(spark, tmp_out, tmp_path):
+    """A stream of keyed corrections upserts into the store per
+    micro-batch; replaying the stream from scratch converges to the
+    same content (convergent at-least-once)."""
+    from parquet_go_spark.streaming.upsert import upsert_stream
+
+    df = _mkstore(spark, tmp_out, n=400, parts=2)
+    src = str(tmp_path / "cdc_src")
+    changes = spark.range(350, 450).selectExpr(
+        "id AS k", "CAST(8 AS INT) AS grp", "concat('cdc-', id) AS name"
+    )  # 350-399 replace, 400-449 insert
+    changes.write.parquet(src)
+
+    def run(ck):
+        q = upsert_stream(
+            spark.readStream.schema("k long, grp int, name string")
+            .parquet(src),
+            tmp_out, "k", str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    back = spark.read.format("pgs").load(tmp_out)
+    exp = df.filter("k < 350").unionAll(changes)
+    assert _same(back, exp)
+    # full replay (fresh checkpoint) converges to identical content
+    run("ck2")
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, exp)
