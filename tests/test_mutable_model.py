@@ -83,7 +83,7 @@ class _Model:
         return spark.createDataFrame(data, self.schema())
 
 
-def _check(spark, path, model, step):
+def _check(spark, path, model, step, rng=None):
     got = spark.read.format("pgs").load(path)
     exp = model.df(spark)
     assert got.columns == [n for n, _ in model.fields], step
@@ -92,10 +92,28 @@ def _check(spark, path, model, step):
     assert extra == 0 and missing == 0, (
         f"step {step}: store has {extra} extra / {missing} missing rows"
     )
+    if rng is None:
+        return
+    # a random FILTERED read too: pushed predicates exercise stats and
+    # page-index pruning over whatever alias chains / tombstones /
+    # added-column defaults the sequence has built up — pruning must
+    # stay lossless through all of it
+    name, t = rng.choice(model.fields)
+    if t == "string":
+        cond = f"{name} IS NOT NULL"
+    else:
+        vals = [r.get(name) for r in model.rows.values()
+                if r.get(name) is not None]
+        pivot = rng.choice(sorted(vals)) if vals else 0
+        cond = f"{name} >= {pivot}"
+    fgot = got.filter(cond)
+    fexp = exp.filter(cond)
+    d1, d2 = fgot.exceptAll(fexp).count(), fexp.exceptAll(fgot).count()
+    assert d1 == 0 and d2 == 0, f"step {step} filtered [{cond}]: {d1}/{d2}"
 
 
-@pytest.mark.parametrize("seed", [7, 23])
-def test_mutable_surface_model(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,page_rows", [(7, None), (23, 16)])
+def test_mutable_surface_model(spark, tmp_path, seed, page_rows):
     register(spark)
     rng = random.Random(seed)
     path = str(tmp_path / "store0")
@@ -105,10 +123,13 @@ def test_mutable_surface_model(spark, tmp_path, seed):
     batch = model.fresh_batch(rng, 120)
     for r in batch:
         model.rows[r["k"]] = r
-    spark.createDataFrame(
+    w = spark.createDataFrame(
         [tuple(r[c] for c, _ in model.fields) for r in batch],
         model.schema(),
-    ).repartition(3).write.format("pgs").mode("overwrite").save(path)
+    ).repartition(3).write.format("pgs").mode("overwrite")
+    if page_rows:
+        w = w.option("page_rows", str(page_rows))
+    w.save(path)
     _check(spark, path, model, "init")
 
     added_n = 0
@@ -124,10 +145,13 @@ def test_mutable_surface_model(spark, tmp_path, seed):
             batch = model.fresh_batch(rng, rng.randrange(20, 60))
             for r in batch:
                 model.rows[r["k"]] = r
-            spark.createDataFrame(
+            w = spark.createDataFrame(
                 [tuple(r[c] for c, _ in model.fields) for r in batch],
                 model.schema(),
-            ).repartition(2).write.format("pgs").mode("append").save(path)
+            ).repartition(2).write.format("pgs").mode("append")
+            if page_rows:
+                w = w.option("page_rows", str(page_rows))
+            w.save(path)
         elif op == "delete_where" and live:
             m, r0 = rng.choice([2, 3, 5, 7]), rng.randrange(7)
             lo = rng.choice(live)
@@ -202,4 +226,4 @@ def test_mutable_surface_model(spark, tmp_path, seed):
             path = dst
         else:
             continue
-        _check(spark, path, model, f"{step}:{desc} (seed {seed})")
+        _check(spark, path, model, f"{step}:{desc} (seed {seed})", rng)
