@@ -227,3 +227,21 @@ CASES: dict = {
         {"codec": "auto", "compression": "zstd"},
     ),
 }
+
+# --- appended after the rANS lane-policy change (n//8192 picker): these
+# pin the NEW policy's bytes while the earlier rans_* files keep pinning
+# the OLD one (lane count is self-described; both must decode forever)
+CASES.update({
+    "rans_tokens_lanes8192": (
+        lambda: pa.array(
+            _rng(30).integers(0, 50_000, 120_000).astype(np.int64)
+        ),
+        {"codec": "rans", "compression": None},
+    ),
+    "paged_rans_lanes8192": (
+        lambda: pa.array(
+            (_rng(31).integers(0, 900, 90_000) ** 2 % 7000).astype(np.int32)
+        ),
+        {"codec": "rans", "compression": "zstd", "page_rows": 16_000},
+    ),
+})
