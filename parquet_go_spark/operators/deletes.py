@@ -117,7 +117,6 @@ def upsert_by_key(
     store mutation."""
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    deleted = delete_matching(spark, path, df, key_cols, read_options)
     # the append must match the store's recorded layout; inherit the
     # non-secret knobs so an upsert on a bloomed/paged/sorted store
     # works without re-declaring them (keys stay caller-supplied)
@@ -129,10 +128,23 @@ def upsert_by_key(
         wo["page_rows"] = str(meta["page_rows"])
     if meta.get("key_col") and "sort_key" not in wo:
         wo["sort_key"] = meta["key_col"]
-    w = df.write.format("pgs").mode("append")
-    for k, v in wo.items():
-        w = w.option(k, v)
-    w.save(path)
+    # PRE-FLIGHT the append before tombstoning anything: constructing
+    # the writer runs every schema/layout/stream-store check without
+    # writing a byte. Without this, a mismatched batch would commit the
+    # deletes durably and then fail the append on every retry — the
+    # matched rows would be gone, not replaced.
+    from ..sources.pgs_datasource import PGSArrowWriter
+
+    PGSArrowWriter(path, df.schema, False, wo)
+    df = df.persist()  # scanned by bounds + semi-join + append
+    try:
+        deleted = delete_matching(spark, path, df, key_cols, read_options)
+        w = df.write.format("pgs").mode("append")
+        for k, v in wo.items():
+            w = w.option(k, v)
+        w.save(path)
+    finally:
+        df.unpersist()
     return {"deleted_rows": deleted["deleted_rows"]}
 
 
@@ -170,9 +182,11 @@ def compact_tombstones(spark: SparkSession, path: str) -> dict:
     old = [e["name"] for e in meta.get("deletes") or []]
     meta["deletes"] = [{"name": name, "lo": lo, "hi": hi, "rows": rows}]
     _write_meta(path, meta)  # THE commit point
-    for nm in old:
-        shutil.rmtree(os.path.join(ddir, nm), ignore_errors=True)
-    return {"merged_dirs": len(old), "deleted_rows": rows}
+    # the superseded dirs became invisible at the meta write; leave them
+    # for sweep_store so a reader that planned against the OLD meta can
+    # still finish its tasks ("readers are safe at any instant")
+    return {"merged_dirs": len(old), "deleted_rows": rows,
+            "superseded": old}
 
 
 def _read_with_pos(spark: SparkSession, path: str,

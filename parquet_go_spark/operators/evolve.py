@@ -26,10 +26,11 @@ of field ids:
     the same name is refused until then (see above).
 
 All three are metadata commits (the atomic store-meta replace), same
-protocol as the writers. Compaction materializes evolution: rewritten
-partitions come out under current names with defaults filled in, while
-passthrough partitions keep their aliases and the destination retains
-the evolution metadata — reads are correct at every point.
+protocol as the writers. Compaction MATERIALIZES evolution completely:
+an evolved store forces every partition through the recode arm, so the
+destination's chunks carry current names with defaults filled in and
+retired chunks gone, and the destination carries no evolution metadata
+at all — which is also what frees a retired name for re-use.
 """
 
 from __future__ import annotations

@@ -759,16 +759,23 @@ def describe_store(path: str) -> dict:
         columns=["part_id", "col", "codec", "count",
                  "raw_size", "encoded_size"]
     )
-    pids = set(t.column("part_id").to_pylist())
-    out["parts"] = len(pids)
+    # stream stores: a crashed commit can leave renamed files of a torn
+    # batch — invisible to readers (watermark cap) and to this summary
+    cap = None
+    if meta.get("clustering") == "stream_append":
+        cap = (meta.get("last_committed_batch", -1) + 1) \
+            * PGSStreamWriter.STRIDE
     rows_by_part: dict[int, int] = {}
     codecs: dict[str, int] = {}
     for pid, col, codec, cnt, raw, enc in zip(*(t.column(c).to_pylist()
                                                 for c in t.column_names)):
+        if cap is not None and pid >= cap:
+            continue
         rows_by_part[pid] = cnt
         codecs[codec] = codecs.get(codec, 0) + 1
         out["raw_bytes"] += raw
         out["encoded_bytes"] += enc
+    out["parts"] = len(rows_by_part)
     out["rows"] = sum(rows_by_part.values())
     out["live_rows"] = out["rows"] - out["deleted_rows"]
     out["codecs"] = dict(sorted(codecs.items()))

@@ -139,3 +139,21 @@ def test_compact_encrypted_store(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(dst_dir, ignore_errors=True)
+
+
+def test_empty_blob_table_matches_blob_schema(spark):
+    """_empty_blob_table is a hand-written pyarrow twin of BLOB_SCHEMA
+    (executors cannot parse DDL without a session); this pins the two
+    spellings together so a schema change cannot silently diverge the
+    fully-deleted/all-retired compaction branch."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from parquet_go_spark.operators.compact import _empty_blob_table
+    from parquet_go_spark.operators.store import BLOB_SCHEMA
+
+    want = to_arrow_schema(StructType.fromDDL(BLOB_SCHEMA))
+    got = _empty_blob_table().schema
+    assert got.names == want.names
+    for g, w in zip(got, want):
+        assert g.type == w.type, g.name

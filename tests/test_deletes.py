@@ -320,6 +320,12 @@ def test_compact_tombstones(spark, tmp_out):
     assert res["deleted_rows"] == total  # disjoint live-row tombstones
     st = delete_stats(tmp_out)
     assert st["tombstone_dirs"] == 1 and st["deleted_rows"] == total
+    # superseded dirs stay on disk (an in-flight reader that planned
+    # against the old meta must still finish) until a sweep collects them
+    assert len(os.listdir(os.path.join(tmp_out, "deletes"))) == 4
+    removed = sweep_store(tmp_out)
+    assert sorted(r.split("/")[1] for r in removed
+                  if r.startswith("deletes/")) == sorted(res["superseded"])
     assert len(os.listdir(os.path.join(tmp_out, "deletes"))) == 1
     back = spark.read.format("pgs").load(tmp_out)
     exp = df.filter(
