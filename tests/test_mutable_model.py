@@ -113,7 +113,7 @@ def _check(spark, path, model, step, rng=None):
 
 
 @pytest.mark.parametrize("seed,page_rows", [(7, None), (23, 16)])
-def test_mutable_surface_model(spark, tmp_path, seed, page_rows):
+def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
     register(spark)
     rng = random.Random(seed)
     path = str(tmp_path / "store0")
@@ -134,7 +134,7 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows):
 
     added_n = 0
     gen = 0
-    for step in range(10):
+    for step in range(n_ops):
         live = sorted(model.rows)
         op = rng.choice(
             ["append", "delete_where", "delete_keys", "upsert",
