@@ -483,10 +483,15 @@ def _decimal_phys(precision: int) -> int:
 def _decimal_unscaled(dense: pa.Array, phys: int) -> np.ndarray:
     """Unscaled int32/int64 values of a decimal128 array (precision<=18:
     the 128-bit little-endian limbs are a sign-extended 64-bit value)."""
+    if len(dense) == 0:
+        return np.zeros(0, dtype=np.int32 if phys == 4 else np.int64)
+    # slice by BYTES before reinterpreting: a cast/flatten child can carry
+    # a stray buffer whose total size is not a multiple of 16 even though
+    # the [offset, offset+len) window itself is well-formed
     buf = dense.buffers()[1]
-    raw = np.frombuffer(buf, dtype="<i8")[
-        dense.offset * 2 : (dense.offset + len(dense)) * 2
-    ]
+    raw = np.frombuffer(
+        buf, dtype=np.uint8, count=len(dense) * 16, offset=dense.offset * 16
+    ).view("<i8")
     lo = raw[0::2]
     hi = raw[1::2]
     if not np.array_equal(hi, lo >> 63):
