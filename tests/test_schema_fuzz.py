@@ -241,6 +241,34 @@ def test_random_schema_roundtrip(seed):
                          ctx + f" partial {'.'.join(path)}")
 
 
+@pytest.mark.parametrize("seed", range(100, 110))
+def test_random_schema_sealed_and_tampered(seed):
+    """Random schemas through the encryption and integrity layers: a
+    sealed frame must roundtrip with the key, refuse decode without it,
+    and refuse a tampered byte; an unencrypted frame must catch a
+    random payload flip via CRC (strict default)."""
+    rng = random.Random(seed)
+    key = bytes(rng.randrange(256) for _ in range(16))
+    for case in range(4):
+        t = _rand_type(rng)
+        arr = _rand_array(rng, t, rng.choice([1, 5, 40]))
+        ctx = f"seed {seed} case {case}"
+        blob, _ = chunk.encode_chunk(arr, encryption_key=key)
+        _assert_same(chunk.decode_chunk(blob, encryption_key=key), arr, ctx)
+        with pytest.raises(Exception):
+            chunk.decode_chunk(blob)  # keyless read of sealed data
+        pos = rng.randrange(len(blob) // 2, len(blob))
+        bad = blob[:pos] + bytes([blob[pos] ^ 0x40]) + blob[pos + 1:]
+        with pytest.raises(Exception):
+            chunk.decode_chunk(bad, encryption_key=key)  # GCM auth
+
+        plain, _ = chunk.encode_chunk(arr)
+        pos = rng.randrange(len(plain) // 2, len(plain))
+        bad = plain[:pos] + bytes([plain[pos] ^ 0x40]) + plain[pos + 1:]
+        with pytest.raises(Exception):
+            chunk.decode_chunk(bad)  # CRC
+
+
 @pytest.mark.parametrize("seed", range(24, 32))
 def test_random_schema_all_null_and_empty(seed):
     """Degenerate shapes crossed with random schemas: all-null columns,
