@@ -268,6 +268,10 @@ def test_random_schema_sealed_and_tampered(seed):
         with pytest.raises(Exception):
             chunk.decode_chunk(bad)  # CRC
 
+        cut = rng.randrange(1, len(plain))
+        with pytest.raises(Exception):
+            chunk.decode_chunk(plain[:cut])  # truncation, any schema
+
 
 @pytest.mark.parametrize("seed", range(24, 32))
 def test_random_schema_all_null_and_empty(seed):
