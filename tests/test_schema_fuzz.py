@@ -191,6 +191,46 @@ def _descend(v, path: list[str]):
     return v
 
 
+def _rand_partial_path(rng: random.Random, t: pa.DataType) -> list[str]:
+    """A random projection path into t (decode_chunk_partial semantics:
+    struct segments name fields, list layers are transparent, map layers
+    take 'key'/'value'); [] when t has no projectable spine."""
+    path: list[str] = []
+    while True:
+        if pa.types.is_struct(t):
+            f = t.field(rng.randrange(t.num_fields))
+            path.append(f.name)
+            t = f.type
+            if rng.random() < 0.5:
+                return path
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            t = t.value_type  # transparent layer, no path segment
+        elif pa.types.is_map(t):
+            seg = rng.choice(["key", "value"])
+            path.append(seg)
+            t = t.key_type if seg == "key" else t.item_type
+            if rng.random() < 0.5:
+                return path
+        else:
+            return path
+
+
+def _project(v, path: list[str], t: pa.DataType):
+    """Expected projection of one python value along a partial path."""
+    if not path:
+        return v
+    if v is None:
+        return None
+    if pa.types.is_struct(t):
+        return _project(v[path[0]], path[1:], t.field(path[0]).type)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return [_project(e, path, t.value_type) for e in v]
+    if pa.types.is_map(t):
+        pick, sub = (0, t.key_type) if path[0] == "key" else (1, t.item_type)
+        return [_project(e[pick], path[1:], sub) for e in v]
+    raise AssertionError(f"path {path} into leaf {t}")
+
+
 def _assert_same(decoded: pa.Array, arr: pa.Array, ctx: str) -> None:
     if decoded.type != arr.type:
         # large_* inputs store as their regular twins; value identity is
@@ -225,18 +265,12 @@ def test_random_schema_roundtrip(seed):
             _assert_same(got, arr.slice(lo, hi - lo),
                          ctx + f" rows[{lo}:{hi}]")
 
-        if pa.types.is_struct(t):
-            # random-depth field projection (ReadPartial analog): descend
-            # while the picked child is itself a struct
-            path, cur = [], t
-            while pa.types.is_struct(cur):
-                f = cur.field(rng.randrange(cur.num_fields))
-                path.append(f.name)
-                cur = f.type
-                if rng.random() < 0.5:
-                    break
+        path = _rand_partial_path(rng, t)
+        if path:
+            # random-depth projection (ReadPartial analog) through any
+            # struct/list/map spine
             got = chunk.decode_chunk_partial(blob, path)
-            exp = [_descend(v, path) for v in arr.to_pylist()]
+            exp = [_project(v, path, t) for v in arr.to_pylist()]
             _assert_same(got, pa.array(exp, type=got.type),
                          ctx + f" partial {'.'.join(path)}")
 
