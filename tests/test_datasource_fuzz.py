@@ -193,3 +193,28 @@ def test_datasource_random_schema_roundtrip(spark, tmp_path, seed):
             f"seed {seed}: filtered read mismatch on {name} "
             f"({dt.simpleString()}) pred kind {kind}"
         )
+
+    # virtual row-address columns: filters on _pgs_part / _pgs_pos prune
+    # partitions and pages; a filtered read must equal the client-side
+    # filter of the unfiltered with_pos read (self-consistency — the
+    # addresses are store-assigned, so the store itself is the oracle)
+    wp = spark.read.format("pgs").option("with_pos", "true").load(path)
+    base = _json_rows(wp)
+    import json as _json
+
+    parts = sorted({_json.loads(r)["_pgs_part"] for r in base})
+    pivot_part = rng.choice(parts)
+    pivot_pos = rng.randrange(0, max(1, n // 3))
+    for pred_sql, keepfn in [
+        (f"_pgs_part = {pivot_part}",
+         lambda r: r["_pgs_part"] == pivot_part),
+        (f"_pgs_pos >= {pivot_pos}",
+         lambda r: r["_pgs_pos"] >= pivot_pos),
+        (f"_pgs_part >= {pivot_part} AND _pgs_pos < {pivot_pos}",
+         lambda r: r["_pgs_part"] >= pivot_part
+         and r["_pgs_pos"] < pivot_pos),
+    ]:
+        exp = sorted(r for r in base if keepfn(_json.loads(r)))
+        assert _json_rows(wp.filter(pred_sql)) == exp, (
+            f"seed {seed}: virtual-column filter mismatch [{pred_sql}]"
+        )
