@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ds_schema_evolution"] = _ds.ds_schema_evolution_query
     # MERGE by key: semi-join tombstones + append (upsert_by_key)
     q["ds_upsert"] = _ds.ds_upsert_query
+    # equality deletes: key-value delete files, scan-free takedown,
+    # read-time anti-join scoped by part-id cap (Iceberg eq-delete analog)
+    q["ds_eq_delete"] = _ds.ds_eq_delete_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -337,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_delete_compact"] = _ds.DS_DELETE_READ_ORACLE
     o["ds_schema_evolution"] = _ds.DS_SCHEMA_EVOLUTION_ORACLE
     o["ds_upsert"] = _ds.DS_UPSERT_ORACLE
+    o["ds_eq_delete"] = _ds.DS_EQ_DELETE_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -73,7 +73,7 @@ def plan_compaction(
 
 
 def _make_recode_fn(encode_group, decryption_key, src_dir=None,
-                    del_names=(), evolve=None):
+                    del_names=(), evolve=None, eq_entries=()):
     """Blob rows of one destination partition -> recoded blob rows.
 
     Decodes each column's chunks in source part_id order, concatenates,
@@ -89,6 +89,7 @@ def _make_recode_fn(encode_group, decryption_key, src_dir=None,
     current_of: dict = ev.get("current_of") or {}
     added: dict = ev.get("added") or {}  # name -> (default, arrow type)
     keep_names = ev.get("keep_names")  # None = keep everything
+    eq_keys: dict = {}  # per-worker cache of loaded key tables
 
     def recode(table: pa.Table) -> pa.Table:
         import numpy as np
@@ -151,6 +152,31 @@ def _make_recode_fn(encode_group, decryption_key, src_dir=None,
                     m[dels] = False
                     full = full.filter(pa.array(m))
                 mine[name] = full
+            # equality deletes materialize here too: one null-safe
+            # anti-join per in-scope entry (pid below the entry's cap),
+            # over the positionally-filtered columns. Chunk names in
+            # ``mine`` are already CURRENT (current_of applied), which
+            # is the namespace entry key_cols live in.
+            applicable = [e for e in eq_entries if pid < e["cap"]]
+            if applicable and mine:
+                from .. import eqdel
+
+                keep = None
+                for e in applicable:
+                    if e["name"] not in eq_keys:
+                        eq_keys[e["name"]] = eqdel.load_key_table(
+                            src_dir, e["name"], e["file_cols"]
+                        )
+                    kt = eq_keys[e["name"]]
+                    km = eqdel.keep_mask(
+                        [mine[c] for c in e["key_cols"]],
+                        [kt.column(c) for c in e["file_cols"]],
+                    )
+                    if km is not None:
+                        keep = km if keep is None else (keep & km)
+                if keep is not None:
+                    sel = pa.array(keep)
+                    mine = {n: a.filter(sel) for n, a in mine.items()}
             for name, a in mine.items():
                 cols.setdefault(name, []).append(a)
         if not cols:
@@ -223,6 +249,10 @@ def compact_store(
     # through the recode arm (even singletons) with deleted rows dropped
     del_entries = src_meta.get("deletes") or []
     del_names = tuple(e["name"] for e in del_entries)
+    # equality deletes likewise: every partition below any entry's cap
+    # carries potentially-matching rows and must recode
+    eq_entries = tuple(src_meta.get("eq_deletes") or [])
+    eq_cap = max((e["cap"] for e in eq_entries), default=0)
     deleted_pids: set[int] = set()
     if del_names:
         import pyarrow.dataset as pads
@@ -278,7 +308,8 @@ def compact_store(
     groups = plan_compaction([(r["part_id"], r["raw"]) for r in sizes],
                              target_raw)
     mapping = [
-        (pid, new_id, len(g) > 1 or pid in deleted_pids or evolved)
+        (pid, new_id,
+         len(g) > 1 or pid in deleted_pids or evolved or pid < eq_cap)
         for new_id, g in enumerate(groups)
         for pid in g
     ]
@@ -301,7 +332,8 @@ def compact_store(
         blobs.filter(F.col("merged"))
         .groupBy("new_part")
         .applyInArrow(_make_recode_fn(encode_group, encryption_key,
-                                      src_dir, del_names, evolve_info),
+                                      src_dir, del_names, evolve_info,
+                                      eq_entries),
                       schema=BLOB_SCHEMA)
     )
     dst.append_blobs(passthrough.unionByName(recoded))
@@ -325,6 +357,7 @@ def compact_store(
     meta.pop("history", None)
     # tombstones were materialized into the rewritten chunks above
     meta.pop("deletes", None)
+    meta.pop("eq_deletes", None)
     # schema evolution was materialized: chunks carry current names,
     # defaults are filled, retired chunks are gone
     meta.pop("added_columns", None)
@@ -338,4 +371,5 @@ def compact_store(
         "dst_parts": len(groups),
         "merged_groups": sum(1 for g in groups if len(g) > 1),
         "deletes_applied": sum(e.get("rows", 0) for e in del_entries),
+        "eq_deletes_applied": sum(e.get("keys", 0) for e in eq_entries),
     }

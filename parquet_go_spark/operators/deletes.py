@@ -101,6 +101,103 @@ def delete_matching(
     return _commit_tombstones(path, hits)
 
 
+def delete_values(
+    spark: SparkSession,
+    path: str,
+    keys,
+    key_cols: list[str] | str,
+) -> dict:
+    """Equality delete (Iceberg's second delete flavor): commit the key
+    VALUES themselves — ``keys`` is a DataFrame carrying ``key_cols`` —
+    and let every reader drop matching rows. Unlike ``delete_matching``
+    this runs NO store scan at all: the only job is writing the
+    distinct keys as parquet under ``deletes/eq-<token>/``, so a
+    takedown of a million keys over a 100 TB store is O(keys).
+
+    Scope is the store AS OF the delete: the entry records ``cap`` (one
+    past the highest committed part id; appended part ids are strictly
+    increasing), and readers apply the entry only to partitions below
+    it — a row with the same key appended LATER survives, which is what
+    makes the lazy upsert correct. Matching is null-safe (null key
+    matches null rows) and exact; float/double/nested key columns are
+    refused (see ``eqdel.py``). Returns ``{"keys": n, "name": ...,
+    "cap": ...}``.
+    """
+    import pyarrow.dataset as pads
+
+    from .. import eqdel
+    from ..sources.pgs_datasource import (
+        PGSStreamWriter, _committed_files,
+    )
+
+    register(spark)
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    store_schema = spark.read.format("pgs").load(path).schema
+    meta = _meta(path)
+    for c in key_cols:
+        if c.startswith("_pgs_") or c == "part_id":
+            raise ValueError(
+                f"virtual/reserved column {c!r} cannot key an equality "
+                "delete (use delete_where for address-based deletes)"
+            )
+        if c in (meta.get("shredded") or {}):
+            raise ValueError(
+                f"shredded variant column {c!r} cannot key an equality "
+                "delete; delete by a typed field instead"
+            )
+        if c not in store_schema.fieldNames():
+            raise ValueError(f"no column {c!r} in the store schema")
+        eqdel.check_key_field(store_schema[c])
+
+    # cap = one past the highest COMMITTED part id right now (stream
+    # stores additionally cap at the batch watermark) — metadata-scale:
+    # one manifest row per chunk, no blob bytes
+    files = _committed_files(path)
+    cap = 0
+    if files:
+        t = pads.dataset(files, format="parquet").to_table(
+            columns=["part_id"]
+        )
+        pids = t.column("part_id").to_numpy()
+        if meta.get("clustering") == "stream_append":
+            wm = (
+                meta.get("last_committed_batch", -1) + 1
+            ) * PGSStreamWriter.STRIDE
+            pids = pids[pids < wm]
+        if len(pids):
+            cap = int(pids.max()) + 1
+    if cap == 0:
+        return {"keys": 0, "name": None, "cap": 0}
+
+    token = uuid.uuid4().hex[:12]
+    ddir = os.path.join(path, "deletes")
+    tmp = os.path.join(ddir, f"_tmp-{token}")
+    # executor-written key files; only the row count reaches the driver
+    keys.select(*key_cols).distinct().write.mode("overwrite").parquet(tmp)
+    n_keys = sum(
+        f.metadata.num_rows
+        for f in pads.dataset(tmp, format="parquet").get_fragments()
+    )
+    if n_keys == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"keys": 0, "name": None, "cap": cap}
+    name = f"eq-{token}"
+    os.replace(tmp, os.path.join(ddir, name))
+    meta = _meta(path)
+    meta.setdefault("eq_deletes", []).append({
+        "name": name,
+        # logical names (maintained by rename_column) vs the physical
+        # parquet column names inside the key files (fixed forever)
+        "key_cols": list(key_cols),
+        "file_cols": list(key_cols),
+        "keys": n_keys,
+        "cap": cap,
+    })
+    _write_meta(path, meta)  # THE commit point
+    return {"keys": n_keys, "name": name, "cap": cap}
+
+
 def upsert_by_key(
     spark: SparkSession,
     path: str,
@@ -108,13 +205,20 @@ def upsert_by_key(
     key_cols: list[str] | str,
     read_options: dict | None = None,
     write_options: dict | None = None,
+    lazy: bool = False,
 ) -> dict:
     """MERGE by key: rows of ``df`` replace the store's rows with the
     same key, the rest insert — tombstone-matching + append, the
     Iceberg merge-on-read upsert shape. NOT a single atomic commit: a
     crash between the two leaves the deletes applied and the append
     absent (re-running the upsert converges). Single-writer, like every
-    store mutation."""
+    store mutation.
+
+    ``lazy=True`` switches the delete arm to ``delete_values``
+    (equality deletes): the store is never scanned — the whole upsert
+    is one key-file write plus the append, with matching deferred to
+    readers. The appended rows survive their own delete because the
+    entry's part-id cap predates them."""
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     # the append must match the store's recorded layout; inherit the
@@ -136,15 +240,22 @@ def upsert_by_key(
     from ..sources.pgs_datasource import PGSArrowWriter
 
     PGSArrowWriter(path, df.schema, False, wo)
-    df = df.persist()  # scanned by bounds + semi-join + append
+    df = df.persist()  # scanned by bounds + semi-join/keys + append
     try:
-        deleted = delete_matching(spark, path, df, key_cols, read_options)
+        if lazy:
+            deleted = delete_values(spark, path, df, key_cols)
+        else:
+            deleted = delete_matching(
+                spark, path, df, key_cols, read_options
+            )
         w = df.write.format("pgs").mode("append")
         for k, v in wo.items():
             w = w.option(k, v)
         w.save(path)
     finally:
         df.unpersist()
+    if lazy:
+        return {"deleted_keys": deleted["keys"]}
     return {"deleted_rows": deleted["deleted_rows"]}
 
 
@@ -260,10 +371,17 @@ def _tombstone_summary(d: str) -> tuple[int | None, int | None, int]:
 
 
 def delete_stats(path: str) -> dict:
-    """Committed tombstone summary for a store: per-dir rows + totals."""
-    entries = _meta(path).get("deletes") or []
+    """Committed tombstone summary for a store: per-dir rows + totals.
+    Positional tombstones count deleted ROWS exactly; equality entries
+    count delete KEYS (matched rows are only known at read time)."""
+    meta = _meta(path)
+    entries = meta.get("deletes") or []
+    eq = meta.get("eq_deletes") or []
     return {
         "tombstone_dirs": len(entries),
         "deleted_rows": sum(e.get("rows", 0) for e in entries),
         "entries": entries,
+        "eq_delete_dirs": len(eq),
+        "eq_delete_keys": sum(e.get("keys", 0) for e in eq),
+        "eq_entries": eq,
     }

@@ -180,6 +180,11 @@ def rename_column(path: str, old: str, new: str) -> None:
     added = meta.get("added_columns") or {}
     if old in added:
         added[new] = added.pop(old)
+    # equality-delete entries key on LOGICAL names (their parquet files
+    # keep the physical file_cols); the rename must follow or readers
+    # would resolve a stale name against new partitions
+    for e in meta.get("eq_deletes") or []:
+        e["key_cols"] = [new if c == old else c for c in e["key_cols"]]
     if meta.get("bloom_cols") and old in meta["bloom_cols"]:
         meta["bloom_cols"] = sorted(
             {new if c == old else c for c in meta["bloom_cols"]}
@@ -199,6 +204,11 @@ def drop_column(path: str, name: str) -> None:
     if len(schema.fields) == 1:
         raise ValueError("cannot drop the store's only column")
     _guard_untouchable(meta, name, "drop")
+    if any(name in e["key_cols"] for e in meta.get("eq_deletes") or []):
+        raise ValueError(
+            f"column {name!r} keys committed equality deletes; compact "
+            "the store to materialize them first"
+        )
     meta["schema_json"] = StructType(
         [f for f in schema.fields if f.name != name]
     ).jsonValue()

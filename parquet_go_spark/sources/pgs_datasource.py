@@ -184,7 +184,9 @@ def sweep_store(path: str) -> list[str]:
     # or an overwrite that raced the sweep) is invisible garbage
     ddir = os.path.join(path, "deletes")
     if os.path.isdir(ddir):
-        committed = {e["name"] for e in (_meta(path).get("deletes") or [])}
+        m = _meta(path)
+        committed = {e["name"] for e in (m.get("deletes") or [])}
+        committed |= {e["name"] for e in (m.get("eq_deletes") or [])}
         for d in sorted(os.listdir(ddir)):
             if d not in committed:
                 shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
@@ -744,6 +746,12 @@ def describe_store(path: str) -> dict:
         "deleted_rows": sum(e.get("rows", 0)
                             for e in meta.get("deletes") or []),
         "tombstone_dirs": len(meta.get("deletes") or []),
+        # equality deletes count KEYS, not rows — the matched-row count
+        # exists only at read time, so live_rows stays an upper bound
+        # whenever eq_delete_dirs > 0
+        "eq_delete_dirs": len(meta.get("eq_deletes") or []),
+        "eq_delete_keys": sum(e.get("keys", 0)
+                              for e in meta.get("eq_deletes") or []),
         "added_columns": sorted(meta.get("added_columns") or {}),
         "renamed_columns": {k: v[0] for k, v in
                             (meta.get("column_renames") or {}).items()},
@@ -809,6 +817,11 @@ class PGSReader(DataSourceReader):
         # from time travel too (the opposite of Iceberg's snapshot
         # semantics, deliberately: this is the PII-removal primitive)
         self._deletes: list[dict] = meta.get("deletes") or []
+        # committed equality deletes (delete_values): key-value entries
+        # applied as a per-task anti-join to partitions below the
+        # entry's part-id cap (rows appended after the delete survive)
+        self._eq_deletes: list[dict] = meta.get("eq_deletes") or []
+        self._schema_json = meta.get("schema_json")
         # schema evolution (operators/evolve.py): per-partition alias
         # resolution for renamed columns, default synthesis for columns
         # added after a partition was written
@@ -930,11 +943,20 @@ class PGSReader(DataSourceReader):
         dels = [
             (e["name"], e.get("lo"), e.get("hi")) for e in self._deletes
         ]
+        # equality entries attach by their part-id cap: a partition at or
+        # above the cap postdates the delete and is out of scope
+        eqs = [
+            (e["name"], tuple(e["key_cols"]), tuple(e["file_cols"]),
+             e["cap"])
+            for e in self._eq_deletes
+        ]
         return [
             InputPartition((
                 pid, files.get(pid), pagemap.get(pid),
                 tuple(nm for nm, lo, hi in dels
                       if lo is None or hi is None or lo <= pid <= hi),
+                tuple((nm, kc, fc) for nm, kc, fc, cap in eqs
+                      if pid < cap),
             ))
             for pid in cands
         ]
@@ -974,7 +996,7 @@ class PGSReader(DataSourceReader):
 
         import numpy as np
 
-        pid, files, keep, ddirs = partition.value
+        pid, files, keep, ddirs, eqs = partition.value
         if keep == ():
             return  # chunk bounds intersected but no single page does
         # the planner resolved which blob files can hold this part_id from
@@ -987,12 +1009,18 @@ class PGSReader(DataSourceReader):
         )
         stored: list[str] = []
         cands: dict[str, list[str]] = {}
-        for name in self._columns:
+        # equality-delete key columns must decode even when not
+        # projected (never virtual/shredded — refused at delete time)
+        eq_extra = [
+            c for _, kc, _ in eqs for c in kc
+            if c not in self._columns
+        ]
+        for name in self._columns + eq_extra:
             if name in _VIRTUAL_COLS:
                 continue  # synthesized below, never a chunk
             if name in self._shredded:
                 stored.extend(_shred_components(name, self._shredded[name]))
-            else:
+            elif name not in cands:
                 # a renamed column resolves per partition: old partitions
                 # carry the chunk under a historical alias
                 cands[name] = [name] + list(self._renames.get(name) or [])
@@ -1109,6 +1137,40 @@ class PGSReader(DataSourceReader):
             if a.type != want:
                 a = a.cast(want)
             arrays.append(a)
+        if eqs:
+            # equality deletes (merge-on-read anti-join): one null-safe
+            # vectorized membership pass per entry over the key columns,
+            # folded into the same single filter as the positional mask
+            from .. import eqdel
+
+            colmap = dict(zip(self._columns, arrays))
+
+            def key_values(name: str) -> pa.Array:
+                if name in colmap:
+                    return colmap[name]
+                actual = next((c for c in cands[name] if c in blobs), None)
+                if actual is None and name in self._added:
+                    from pyspark.sql.pandas.types import to_arrow_type
+                    from pyspark.sql.types import StructType as _ST
+
+                    d0 = self._added[name].get("default")
+                    atype = to_arrow_type(
+                        _ST.fromJson(self._schema_json)[name].dataType
+                    )
+                    return (
+                        pa.nulls(n_eff, atype) if d0 is None
+                        else pa.array([d0] * n_eff).cast(atype)
+                    )
+                return dec(actual if actual is not None else name)
+
+            for nm, kc, fc in eqs:
+                keys_tbl = eqdel.load_key_table(self._path, nm, fc)
+                km = eqdel.keep_mask(
+                    [key_values(c) for c in kc],
+                    [keys_tbl.column(c) for c in fc],
+                )
+                if km is not None:
+                    mask = km if mask is None else (mask & km)
         tbl = pa.table(dict(zip(self._columns, arrays)))
         if mask is not None:
             # merge-on-read: tombstoned rows leave every column here, in
@@ -1806,6 +1868,51 @@ FROM documents
 UNION ALL
 SELECT max(doc_id) + 10000000 AS doc_id, lang, 1 AS n_chars
 FROM documents GROUP BY lang
+"""
+
+
+def ds_eq_delete_query(spark, sf_dir: str):
+    """Equality deletes (Iceberg's second delete flavor): commit key
+    VALUES with no store scan at all, applied by readers as a null-safe
+    anti-join scoped to partitions that existed at delete time — so the
+    post-delete append re-inserts matching keys and they survive
+    (operators/deletes.py delete_values; the lazy-upsert primitive)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.deletes import delete_values
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = os.path.join("/tmp", f"pgs_ds_eqdel_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    keys = docs.filter("n_chars % 5 = 0").select("lang", "source")
+    delete_values(spark, out, keys, ["lang", "source"])
+    appended = docs.filter("doc_id % 3 = 0").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "lang", "source", "n_chars",
+    )
+    appended.write.format("pgs").mode("append").save(out)
+    return spark.read.format("pgs").load(out)
+
+
+DS_EQ_DELETE_ORACLE = """
+WITH delkeys AS (
+    SELECT DISTINCT lang, source FROM documents WHERE n_chars % 5 = 0
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM delkeys k
+    WHERE k.lang = d.lang AND k.source = d.source
+)
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+FROM documents WHERE doc_id % 3 = 0
 """
 
 

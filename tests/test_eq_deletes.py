@@ -1,0 +1,263 @@
+"""Equality deletes: key-value delete files applied as a read-time
+anti-join (the Iceberg equality-delete analog; no store scan at delete
+time), their part-id cap scoping, interplay with positional tombstones,
+evolution, compaction, and the lazy upsert built on them."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from parquet_go_spark.operators.compact import compact_store
+from parquet_go_spark.operators.deletes import (
+    delete_stats,
+    delete_values,
+    delete_where,
+    upsert_by_key,
+)
+from parquet_go_spark.operators.evolve import (
+    add_column,
+    drop_column,
+    rename_column,
+)
+from parquet_go_spark.sources.pgs_datasource import (
+    _meta,
+    describe_store,
+    register,
+    sweep_store,
+)
+
+
+def _mkstore(spark, path, n=600, parts=3, **write_opts):
+    register(spark)
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(0, n).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp", "concat('r-', id) AS name"
+    )
+    w = df.repartition(parts).write.format("pgs").mode("overwrite")
+    for k, v in write_opts.items():
+        w = w.option(k, v)
+    w.save(path)
+    return df
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_eq_delete_basic(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    keys = spark.createDataFrame([(2,), (4,)], "grp int")
+    res = delete_values(spark, tmp_out, keys, "grp")
+    assert res["keys"] == 2 and res["name"].startswith("eq-")
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("grp NOT IN (2, 4)"))
+    st = delete_stats(tmp_out)
+    assert st["eq_delete_dirs"] == 1 and st["eq_delete_keys"] == 2
+
+
+def test_eq_delete_multi_column_key(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    keys = df.filter("k % 7 = 0").select("grp", "name").distinct()
+    delete_values(spark, tmp_out, keys, ["grp", "name"])
+    # name is unique per row here, so exactly the k%7 rows disappear
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("k % 7 != 0"))
+
+
+def test_eq_delete_key_not_projected(spark, tmp_out):
+    """The key column decodes for matching even when the read projects
+    other columns only."""
+    df = _mkstore(spark, tmp_out)
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(1,)], "grp int"), "grp"
+    )
+    got = spark.read.format("pgs").load(tmp_out).select("k", "name")
+    assert _same(got, df.filter("grp != 1").select("k", "name"))
+
+
+def test_eq_delete_null_safe(spark, tmp_out):
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    df = spark.range(0, 100).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 10 = 0 THEN NULL "
+        "ELSE concat('g', id % 3) END AS tag",
+    )
+    df.repartition(2).write.format("pgs").mode("overwrite").save(tmp_out)
+    keys = spark.createDataFrame([(None,), ("g1",)], "tag string")
+    delete_values(spark, tmp_out, keys, "tag")
+    back = spark.read.format("pgs").load(tmp_out)
+    # null key matches null rows (Iceberg equality-field semantics) —
+    # the opposite of SQL join semantics, so spell the oracle with
+    # null-safe equality
+    expect = df.filter("NOT (tag <=> 'g1' OR tag IS NULL)")
+    assert _same(back, expect)
+
+
+def test_eq_delete_cap_scopes_to_delete_time(spark, tmp_out):
+    """Rows appended AFTER the delete survive even with matching keys;
+    a second delete catches them."""
+    df = _mkstore(spark, tmp_out)
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(3,)], "grp int"), "grp"
+    )
+    extra = spark.range(1000, 1060).selectExpr(
+        "id AS k", "CAST(3 AS INT) AS grp", "concat('x-', id) AS name"
+    )
+    extra.write.format("pgs").mode("append").save(tmp_out)
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("grp != 3").unionAll(extra))
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(3,)], "grp int"), "grp"
+    )
+    back2 = spark.read.format("pgs").load(tmp_out)
+    assert _same(back2, df.filter("grp != 3"))
+
+
+def test_eq_delete_combines_with_positional_and_pages(spark, tmp_out):
+    df = _mkstore(spark, tmp_out, n=1000, parts=2, page_rows="64")
+    delete_where(spark, tmp_out, "k BETWEEN 100 AND 140")
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(0,)], "grp int"), "grp"
+    )
+    got = (
+        spark.read.format("pgs").load(tmp_out)
+        .filter("k >= 90 AND k <= 300")
+    )
+    expect = df.filter(
+        "NOT (k BETWEEN 100 AND 140) AND grp != 0 "
+        "AND k >= 90 AND k <= 300"
+    )
+    assert _same(got, expect)
+
+
+def test_eq_delete_refuses_bad_key_columns(spark, tmp_out):
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    df = spark.range(0, 50).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS score",
+        "array(id, id + 1) AS toks",
+    )
+    df.repartition(1).write.format("pgs").mode("overwrite").save(tmp_out)
+    for col in ("score", "toks", "missing", "_pgs_part"):
+        with pytest.raises(ValueError):
+            delete_values(spark, tmp_out, df.selectExpr("k AS x"), col)
+
+
+def test_eq_delete_rename_follows_and_drop_refused(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(2,)], "grp int"), "grp"
+    )
+    rename_column(tmp_out, "grp", "bucket")
+    e = _meta(tmp_out)["eq_deletes"][0]
+    assert e["key_cols"] == ["bucket"] and e["file_cols"] == ["grp"]
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(
+        back,
+        df.filter("grp != 2").withColumnRenamed("grp", "bucket"),
+    )
+    with pytest.raises(ValueError, match="equality deletes"):
+        drop_column(tmp_out, "bucket")
+
+
+def test_eq_delete_on_added_column_default(spark, tmp_out):
+    """A key column added after some partitions were written matches
+    those partitions through its synthesized default."""
+    df = _mkstore(spark, tmp_out)
+    add_column(tmp_out, "src", "string", default="legacy")
+    extra = spark.range(1000, 1050).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp",
+        "concat('x-', id) AS name", "'fresh' AS src",
+    )
+    extra.write.format("pgs").mode("append").save(tmp_out)
+    delete_values(
+        spark, tmp_out,
+        spark.createDataFrame([("legacy",)], "src string"), "src",
+    )
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, extra)
+    assert back.count() == 50 and df.count() == 600
+
+
+def test_eq_delete_compaction_materializes(spark, tmp_out, tmp_path):
+    df = _mkstore(spark, tmp_out)
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(1,)], "grp int"), "grp"
+    )
+    delete_where(spark, tmp_out, "k < 10")
+    dst = str(tmp_path / "compacted")
+    res = compact_store(spark, tmp_out, dst)
+    assert res["eq_deletes_applied"] == 1
+    meta = _meta(dst)
+    assert "eq_deletes" not in meta and "deletes" not in meta
+    assert not os.path.isdir(os.path.join(dst, "deletes"))
+    back = spark.read.format("pgs").load(dst)
+    assert _same(back, df.filter("grp != 1 AND k >= 10"))
+
+
+def test_eq_delete_sweep_and_describe(spark, tmp_out):
+    _mkstore(spark, tmp_out)
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(2,)], "grp int"), "grp"
+    )
+    # an orphan eq dir (crashed delete: renamed but never committed)
+    orphan = os.path.join(tmp_out, "deletes", "eq-deadbeef0000")
+    os.makedirs(orphan)
+    removed = sweep_store(tmp_out)
+    assert "deletes/eq-deadbeef0000" in removed
+    committed = _meta(tmp_out)["eq_deletes"][0]["name"]
+    assert os.path.isdir(os.path.join(tmp_out, "deletes", committed))
+    d = describe_store(tmp_out)
+    assert d["eq_delete_dirs"] == 1 and d["eq_delete_keys"] == 1
+
+
+def test_eq_delete_idempotent_noop(spark, tmp_out):
+    _mkstore(spark, tmp_out)
+    res = delete_values(
+        spark, tmp_out,
+        spark.createDataFrame([], "grp int"), "grp",
+    )
+    assert res == {"keys": 0, "name": None, "cap": res["cap"]}
+    assert "eq_deletes" not in (_meta(tmp_out) or {})
+
+
+def test_eq_delete_encrypted_store(spark, tmp_out):
+    key = "00112233445566778899aabbccddeeff"
+    df = _mkstore(spark, tmp_out, key_hex=key)
+    delete_values(
+        spark, tmp_out,
+        spark.createDataFrame([(4,)], "grp int"), "grp",
+    )
+    back = spark.read.format("pgs").option("key_hex", key).load(tmp_out)
+    assert _same(back, df.filter("grp != 4"))
+
+
+def test_upsert_lazy_converges(spark, tmp_out):
+    df = _mkstore(spark, tmp_out)
+    batch = spark.range(590, 650).selectExpr(
+        "id AS k", "CAST(9 AS INT) AS grp", "concat('u-', id) AS name"
+    )
+    res = upsert_by_key(spark, tmp_out, batch, "k", lazy=True)
+    assert res == {"deleted_keys": 60}
+    back = spark.read.format("pgs").load(tmp_out)
+    expect = df.filter("k < 590").unionAll(batch)
+    assert _same(back, expect)
+    # replay converges (the second delete caps before the second append)
+    upsert_by_key(spark, tmp_out, batch, "k", lazy=True)
+    assert _same(spark.read.format("pgs").load(tmp_out), expect)
+
+
+def test_eq_delete_int_type_widening(spark, tmp_out):
+    """int64 keys match int32 store chunks (and an out-of-range key
+    simply matches nothing)."""
+    df = _mkstore(spark, tmp_out)
+    keys = spark.createDataFrame(
+        [(2,), (1 << 40,)], "grp bigint"
+    )
+    delete_values(spark, tmp_out, keys, "grp")
+    back = spark.read.format("pgs").load(tmp_out)
+    assert _same(back, df.filter("grp != 2"))

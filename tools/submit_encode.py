@@ -186,6 +186,21 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_delete_values(args) -> int:
+    """Equality delete: commit the key VALUES in --keys-parquet (no
+    store scan; readers anti-join). Scoped to rows present now — later
+    appends with the same keys survive."""
+    from parquet_go_spark.operators.deletes import delete_values
+
+    spark = _get_session("pgs-delete-values")
+    keys = spark.read.parquet(args.keys_parquet)
+    res = delete_values(
+        spark, args.store, keys, args.key_cols.split(",")
+    )
+    print(json.dumps({"job": "delete-values", **res}))
+    return 0
+
+
 def cmd_compact_deletes(args) -> int:
     """Merge all tombstone dirs into one (delete-file maintenance)."""
     from parquet_go_spark.operators.deletes import compact_tombstones
@@ -316,6 +331,14 @@ def main() -> int:
     dl.add_argument("--encrypt-key-hex", default=None)
     dl.add_argument("--column-keys-hex", default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    dv = sub.add_parser("delete-values")
+    dv.add_argument("--store", required=True)
+    dv.add_argument("--keys-parquet", required=True,
+                    help="parquet file/dir holding the delete keys")
+    dv.add_argument("--key-cols", required=True,
+                    help="comma-separated key column names")
+    dv.set_defaults(fn=cmd_delete_values)
 
     cdl = sub.add_parser("compact-deletes")
     cdl.add_argument("--store", required=True)
