@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # equality deletes: key-value delete files, scan-free takedown,
     # read-time anti-join scoped by part-id cap (Iceberg eq-delete analog)
     q["ds_eq_delete"] = _ds.ds_eq_delete_query
+    # UPDATE ... SET: tombstone-old + append-new with expressions over
+    # the old row values (completes the DML triad)
+    q["ds_update"] = _ds.ds_update_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -341,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_schema_evolution"] = _ds.DS_SCHEMA_EVOLUTION_ORACLE
     o["ds_upsert"] = _ds.DS_UPSERT_ORACLE
     o["ds_eq_delete"] = _ds.DS_EQ_DELETE_ORACLE
+    o["ds_update"] = _ds.DS_UPDATE_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -259,6 +259,87 @@ def upsert_by_key(
     return {"deleted_rows": deleted["deleted_rows"]}
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    read_options: dict | None = None,
+    write_options: dict | None = None,
+) -> dict:
+    """UPDATE ... SET over the store (the remaining DML verb next to
+    delete_where and upsert_by_key): rows matching ``condition`` get
+    each ``set_exprs`` column replaced by its SQL expression (evaluated
+    over the OLD row, so ``{"n_chars": "n_chars + 1"}`` works), as
+    tombstone-old + append-new — merge-on-read, no partition rewrite.
+
+    Like the upsert this is two commits, not one, but with a
+    compensator: the matched rows are materialized (localCheckpoint)
+    BEFORE the tombstone commit, the append is pre-flighted before
+    anything is deleted, and if the append still fails the tombstone
+    entry is rolled back (positions stay live, so removing the meta
+    entry restores the exact prior store). The remaining window is a
+    process crash between the two meta writes; the returned tombstone
+    ``name`` is what an operator would roll back by hand."""
+    from ..sources.pgs_datasource import PGSArrowWriter
+
+    register(spark)
+    store_schema = spark.read.format("pgs").load(path).schema
+    meta = _meta(path)
+    for c in set_exprs:
+        if c not in store_schema.fieldNames():
+            raise ValueError(f"no column {c!r} in the store schema")
+        if c in (meta.get("shredded") or {}):
+            raise ValueError(
+                f"cannot update shredded variant column {c!r}"
+            )
+    wo = dict(write_options or {})
+    if meta.get("bloom_cols") and "bloom_cols" not in wo:
+        wo["bloom_cols"] = ",".join(meta["bloom_cols"])
+    if meta.get("page_rows") and "page_rows" not in wo:
+        wo["page_rows"] = str(meta["page_rows"])
+    if meta.get("key_col") and "sort_key" not in wo:
+        wo["sort_key"] = meta["key_col"]
+    # pre-flight the append (schema/layout/stream checks) before any
+    # mutation — a refused append must leave the store untouched
+    PGSArrowWriter(path, store_schema, False, wo)
+
+    df = _read_with_pos(spark, path, read_options)
+    # materialize matches (addresses AND old values) before the
+    # tombstone commit: the updated rows derive FROM the store, so a
+    # lazy recompute after the delete would see them already gone
+    hits = df.filter(condition).localCheckpoint()
+    n = hits.count()
+    if n == 0:
+        return {"updated_rows": 0, "name": None}
+    updated = hits.select(*[
+        F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+        if f.name in set_exprs else F.col(f.name)
+        for f in store_schema.fields
+    ])
+    res = _commit_tombstones(path, hits)
+    try:
+        _append(updated, path, wo)
+    except BaseException:
+        # compensate: the tombstoned positions still hold their bytes,
+        # so dropping the meta entry restores the exact prior store
+        # (the orphaned dir is sweep_store food)
+        m = _meta(path)
+        m["deletes"] = [
+            e for e in m.get("deletes") or [] if e["name"] != res["name"]
+        ]
+        _write_meta(path, m)
+        raise
+    return {"updated_rows": n, "name": res["name"]}
+
+
+def _append(df, path: str, write_options: dict) -> None:
+    w = df.write.format("pgs").mode("append")
+    for k, v in write_options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
 def compact_tombstones(spark: SparkSession, path: str) -> dict:
     """Merge every committed tombstone dir into one (the Iceberg
     rewrite_position_delete_files maintenance action): a store that has

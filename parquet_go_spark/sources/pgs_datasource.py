@@ -1916,6 +1916,51 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def ds_update_query(spark, sf_dir: str):
+    """UPDATE ... SET over the store (operators/deletes.py
+    update_where): matching rows are tombstoned and re-appended with
+    expressions evaluated over their OLD values — the DML verb
+    completing delete_where + upsert_by_key; merge-on-read, no
+    partition rewrite. Two sequential updates prove the re-appended
+    rows stay addressable."""
+    import shutil
+
+    from ..operators.deletes import update_where
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = os.path.join("/tmp", f"pgs_ds_update_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    update_where(
+        spark, out, "lang = 'en'",
+        {"n_chars": "n_chars * 2 + 1", "source": "concat(source, '!')"},
+    )
+    update_where(
+        spark, out, "n_chars % 2 = 1 AND lang = 'en'",
+        {"n_chars": "n_chars - 1"},
+    )
+    return spark.read.format("pgs").load(out)
+
+
+DS_UPDATE_ORACLE = """
+WITH u1 AS (
+    SELECT doc_id, lang,
+           CASE WHEN lang = 'en' THEN source || '!' ELSE source END
+               AS source,
+           CASE WHEN lang = 'en' THEN n_chars * 2 + 1 ELSE n_chars END
+               AS n_chars
+    FROM documents
+)
+SELECT doc_id, lang, source,
+       CASE WHEN n_chars % 2 = 1 AND lang = 'en' THEN n_chars - 1
+            ELSE n_chars END AS n_chars
+FROM u1
+"""
+
+
 def register(spark) -> None:
     """Make ``format("pgs")`` available on this session. Also enables
     Python-data-source filter pushdown (off by default; Spark refuses to

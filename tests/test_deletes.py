@@ -408,3 +408,60 @@ def test_streaming_upsert_cdc_apply(spark, tmp_out, tmp_path):
     run("ck2")
     back = spark.read.format("pgs").load(tmp_out)
     assert _same(back, exp)
+
+
+def test_update_where_basic(spark, tmp_out):
+    from parquet_go_spark.operators.deletes import update_where
+
+    df = _mkstore(spark, tmp_out)
+    res = update_where(
+        spark, tmp_out, "grp = 2",
+        {"name": "concat(name, '+')", "grp": "grp + 10"},
+    )
+    assert res["updated_rows"] == df.filter("grp = 2").count()
+    back = spark.read.format("pgs").load(tmp_out)
+    exp = df.selectExpr(
+        "k",
+        "CASE WHEN grp = 2 THEN CAST(grp + 10 AS INT) ELSE grp END AS grp",
+        "CASE WHEN grp = 2 THEN concat(name, '+') ELSE name END AS name",
+    ).select("k", "grp", "name")
+    assert _same(back, exp)
+    # updated rows stay addressable: a second update over them works
+    update_where(spark, tmp_out, "grp = 12", {"grp": "grp - 12"})
+    back2 = spark.read.format("pgs").load(tmp_out)
+    assert back2.filter("grp = 12").count() == 0
+    assert back2.filter("grp = 0").count() == df.filter(
+        "grp IN (0, 2)").count()
+
+
+def test_update_where_noop_and_validation(spark, tmp_out):
+    from parquet_go_spark.operators.deletes import update_where
+
+    df = _mkstore(spark, tmp_out)
+    assert update_where(spark, tmp_out, "k < 0", {"grp": "0"}) == {
+        "updated_rows": 0, "name": None,
+    }
+    with pytest.raises(ValueError, match="no column"):
+        update_where(spark, tmp_out, "k < 5", {"missing": "1"})
+    assert _same(spark.read.format("pgs").load(tmp_out), df)
+
+
+def test_update_where_append_failure_compensates(spark, tmp_out,
+                                                 monkeypatch):
+    """If the append arm fails after the tombstone commit, the entry is
+    rolled back and the store reads exactly as before."""
+    from parquet_go_spark.operators import deletes as dmod
+
+    df = _mkstore(spark, tmp_out)
+
+    def boom(updated, path, wo):
+        raise RuntimeError("injected append failure")
+
+    monkeypatch.setattr(dmod, "_append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        dmod.update_where(spark, tmp_out, "grp = 1", {"grp": "99"})
+    assert not (_meta(tmp_out).get("deletes") or [])
+    assert _same(spark.read.format("pgs").load(tmp_out), df)
+    # the orphaned tombstone dir is sweep food, not a reader hazard
+    sweep_store(tmp_out)
+    assert _same(spark.read.format("pgs").load(tmp_out), df)

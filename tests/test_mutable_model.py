@@ -27,7 +27,9 @@ from pyspark.sql.types import (
 from parquet_go_spark.operators.compact import compact_store
 from parquet_go_spark.operators.deletes import (
     delete_matching,
+    delete_values,
     delete_where,
+    update_where,
     upsert_by_key,
 )
 from parquet_go_spark.operators.evolve import (
@@ -137,8 +139,8 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
     for step in range(n_ops):
         live = sorted(model.rows)
         op = rng.choice(
-            ["append", "delete_where", "delete_keys", "upsert",
-             "add", "rename", "drop", "compact"]
+            ["append", "delete_where", "delete_keys", "delete_values",
+             "update", "upsert", "add", "rename", "drop", "compact"]
         )
         desc = op
         if op == "append":
@@ -168,6 +170,36 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
             )
             for k in keys:
                 model.rows.pop(k, None)
+        elif op == "delete_values" and live:
+            # equality delete scoped to NOW: keys committed, matching
+            # applied by readers; a row appended later with the same k
+            # must survive (the model mirrors by deleting immediately —
+            # later fresh_batch ks are always new, matching the cap)
+            keys = rng.sample(live, min(len(live), rng.randrange(1, 20)))
+            desc += f" {len(keys)} keys"
+            delete_values(
+                spark, path,
+                spark.createDataFrame([(k,) for k in keys], "k long"), "k",
+            )
+            for k in keys:
+                model.rows.pop(k, None)
+        elif op == "update" and live:
+            m, r0 = rng.choice([2, 3, 5]), rng.randrange(3)
+            cond = f"k % {m} = {r0}"
+            intcols = [n for n, t in model.fields
+                       if t == "int" and n != "k"]
+            if not intcols:
+                continue
+            target = rng.choice(intcols)
+            bump = rng.randrange(1, 9)
+            desc += f" {cond} SET {target}+={bump}"
+            update_where(
+                spark, path, cond,
+                {target: f"coalesce({target}, 0) + {bump}"},
+            )
+            for k, r in model.rows.items():
+                if k % m == r0:
+                    r[target] = (r.get(target) or 0) + bump
         elif op == "upsert" and live:
             repl = rng.sample(live, min(len(live), rng.randrange(1, 15)))
             batch = model.fresh_batch(rng, rng.randrange(5, 15))

@@ -201,6 +201,23 @@ def cmd_delete_values(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """UPDATE ... SET: tombstone the matching rows and append their
+    updated twins (merge-on-read; no partition rewrite)."""
+    from parquet_go_spark.operators.deletes import update_where
+
+    sets = {}
+    for s in args.set:
+        col, _, expr = s.partition("=")
+        if not expr:
+            raise SystemExit(f"--set needs col=expr, got {s!r}")
+        sets[col.strip()] = expr.strip()
+    spark = _get_session("pgs-update")
+    res = update_where(spark, args.store, args.where, sets)
+    print(json.dumps({"job": "update", **res}))
+    return 0
+
+
 def cmd_compact_deletes(args) -> int:
     """Merge all tombstone dirs into one (delete-file maintenance)."""
     from parquet_go_spark.operators.deletes import compact_tombstones
@@ -331,6 +348,14 @@ def main() -> int:
     dl.add_argument("--encrypt-key-hex", default=None)
     dl.add_argument("--column-keys-hex", default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update")
+    up.add_argument("--store", required=True)
+    up.add_argument("--where", required=True)
+    up.add_argument("--set", action="append", required=True,
+                    help='assignment col=SQL-expr (repeatable), e.g. '
+                         '--set "n_chars = n_chars + 1"')
+    up.set_defaults(fn=cmd_update)
 
     dv = sub.add_parser("delete-values")
     dv.add_argument("--store", required=True)
