@@ -17,9 +17,10 @@ DataSourceArrowWriter (task-local encode, atomic driver-side commit):
                     only those columns' chunks are fetched (the parquet
                     scan under the store never reads pruned ``blob`` bytes;
                     reader/reader.go:126-138 per-leaf buffers analog).
-  * pushFilters   — EqualTo/In/range/IsNotNull prune *partitions* on the
-                    driver from manifest stats ([vmin,vmax] ColumnIndex
-                    analog) and split-block blooms (BloomFilterCheck,
+  * pushFilters   — EqualTo/EqualNullSafe/In/range/StringStartsWith/
+                    IsNull/IsNotNull prune *partitions* on the driver
+                    from manifest stats ([vmin,vmax] + null_count
+                    ColumnIndex analog) and split-block blooms (BloomFilterCheck,
                     reader/bloom.go:61-126) before any task launches. The
                     pruning is advisory-lossless: every filter is also
                     returned to Spark for exact post-evaluation, so a
@@ -66,6 +67,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -73,8 +75,10 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -448,15 +452,29 @@ def _stats_keep(vmin: str, vmax: str, f: Filter) -> bool:
     False here is safe to prune on. Bounds and filter values compare
     under the engine total order (NaN greatest, ±inf in-band) so
     non-finite data and non-finite filter values both prune losslessly."""
-    if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                      LessThan, LessThanOrEqual)):
+    if isinstance(f, StringStartsWith):
+        # may [vmin, vmax] hold a string starting with p? Any such s has
+        # s >= p (so vmax < p prunes) and s[:len(p)] == p with
+        # vmin <= s implying vmin[:len(p)] <= p (so a greater cut-down
+        # vmin prunes). Truncated bounds only widen the interval.
+        p = f.value
+        if not isinstance(p, str) or not p or not isinstance(vmin, str) \
+                or not isinstance(vmax, str) or not vmin or not vmax:
+            return True
+        return vmax >= p and vmin[:len(p)] <= p
+    if isinstance(f, EqualNullSafe) and f.value is None:
+        # null-matching handled by null_count in _candidate_parts;
+        # value stats cannot speak to it
+        return True
+    if isinstance(f, (EqualTo, EqualNullSafe, GreaterThan,
+                      GreaterThanOrEqual, LessThan, LessThanOrEqual)):
         v = f.value
         lo, hi = _coerce(vmin, v), _coerce(vmax, v)
         if lo is None or hi is None:
             return True
         try:
             kv, klo, khi = _tkey(v), _tkey(lo), _tkey(hi)
-            if isinstance(f, EqualTo):
+            if isinstance(f, (EqualTo, EqualNullSafe)):
                 return klo <= kv <= khi
             if isinstance(f, GreaterThan):
                 return khi > kv
@@ -575,13 +593,25 @@ def _candidate_parts(
             keep = {p for p in keep
                     if p not in rows or rows[p][3] < rows[p][2]}
             continue
+        if isinstance(f, IsNull) or (
+            isinstance(f, EqualNullSafe) and f.value is None
+        ):
+            # null_count is exact per chunk: an all-non-null partition
+            # cannot satisfy IS NULL / <=> NULL (a partition predating
+            # an added column stays — its default may be null)
+            keep = {p for p in keep
+                    if p not in rows or rows[p][3] > 0}
+            continue
         keep = {
             p for p in keep
             if p not in rows or _stats_keep(rows[p][0], rows[p][1], f)
         }
-        if col in bloom_cols and isinstance(f, (EqualTo, In)) \
-                and col not in added:
-            vals = [f.value] if isinstance(f, EqualTo) else list(f.value)
+        if col in bloom_cols and col not in added and (
+            isinstance(f, (EqualTo, In))
+            or (isinstance(f, EqualNullSafe) and f.value is not None)
+        ):
+            vals = (list(f.value) if isinstance(f, In)
+                    else [f.value])
             hits = _bloom_hits(d, aliases, vals)
             if hits is not None:
                 keep = keep & hits
@@ -603,8 +633,9 @@ def _page_keep_map(
 
     usable = [
         f for f in filters
-        if isinstance(f, (EqualTo, In, GreaterThan, GreaterThanOrEqual,
-                          LessThan, LessThanOrEqual))
+        if isinstance(f, (EqualTo, EqualNullSafe, In, GreaterThan,
+                          GreaterThanOrEqual, LessThan, LessThanOrEqual,
+                          StringStartsWith))
         and len(f.attribute) == 1
     ]
     if meta is None:
@@ -872,8 +903,9 @@ class PGSReader(DataSourceReader):
         for f in filters:
             attr = getattr(f, "attribute", None)
             if attr is not None and len(attr) == 1 and isinstance(
-                f, (EqualTo, In, GreaterThan, GreaterThanOrEqual,
-                    LessThan, LessThanOrEqual, IsNotNull)
+                f, (EqualTo, EqualNullSafe, In, GreaterThan,
+                    GreaterThanOrEqual, LessThan, LessThanOrEqual,
+                    IsNotNull, IsNull, StringStartsWith)
             ):
                 self._filters.append(f)
         # pruning is advisory: Spark re-evaluates every filter exactly, so

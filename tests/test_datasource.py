@@ -11,12 +11,15 @@ import shutil
 
 import pytest
 from pyspark.sql.datasource import (
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     In,
     IsNotNull,
+    IsNull,
     LessThanOrEqual,
+    StringStartsWith,
 )
 
 from parquet_go_spark.operators.pruned import encode_generic
@@ -1086,3 +1089,66 @@ def test_compact_generation_store_stays_readable(spark, tmp_path):
     got = spark.read.format("pgs").load(dst)
     assert got.count() == 1200
     assert got.selectExpr("sum(id) t").collect()[0]["t"] == sum(range(1200))
+
+
+def test_pushdown_is_null_and_null_safe_eq(spark, tmp_path):
+    """IS NULL prunes partitions whose chunk null_count is 0 (exact
+    metadata), and <=> pushes as EqualNullSafe: null-valued probes
+    prune like IS NULL, non-null probes prune like EqualTo + bloom."""
+    register(spark)
+    out = str(tmp_path / "nullstore")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k",
+        # nulls exist ONLY in the id < 100 range -> first partition
+        "CASE WHEN id < 100 AND id % 3 = 0 THEN NULL "
+        "ELSE concat('v', id) END AS v",
+    )
+    from parquet_go_spark.operators.pruned import encode_generic
+    encode_generic(spark, df, out, key_col="k", clustering="range",
+                   num_parts=8)
+    total = len(_candidate_parts(out, []))
+    nul = _candidate_parts(out, [IsNull(("v",))])
+    assert 1 <= len(nul) < total
+    nse = _candidate_parts(out, [EqualNullSafe(("v",), None)])
+    assert nse == nul
+    # non-null probe behaves like EqualTo on stats
+    eq = _candidate_parts(out, [EqualNullSafe(("v",), "v250")])
+    assert len(eq) < total
+    # answers stay exact through the live read path
+    back = spark.read.format("pgs").load(out)
+    assert back.filter("v IS NULL").count() == df.filter(
+        "v IS NULL").count()
+    assert back.filter("v <=> 'v250'").count() == 1
+
+
+def test_pushdown_starts_with(spark, tmp_path):
+    """StringStartsWith prunes from [vmin, vmax] string bounds —
+    including truncated bounds and non-ASCII values — and the answer
+    stays exact."""
+    register(spark)
+    out = str(tmp_path / "swstore")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k",
+        # keys cluster by range so string prefixes group by partition;
+        # include multibyte chars and strings longer than the stats
+        # truncation limit
+        "concat(CASE WHEN id < 100 THEN 'alpha-é' "
+        "            WHEN id < 200 THEN 'beta-'   "
+        "            WHEN id < 300 THEN 'gamma-中' "
+        "            ELSE 'delta-' END, "
+        "       lpad(CAST(id AS STRING), 60, '0')) AS name",
+    )
+    from parquet_go_spark.operators.pruned import encode_generic
+    encode_generic(spark, df, out, key_col="k", clustering="range",
+                   num_parts=8)
+    total = len(_candidate_parts(out, []))
+    pruned = _candidate_parts(out, [StringStartsWith(("name",), "beta-")])
+    assert 1 <= len(pruned) < total
+    # a prefix matching nothing prunes everything
+    assert _candidate_parts(
+        out, [StringStartsWith(("name",), "zz")]) == []
+    back = spark.read.format("pgs").load(out)
+    for p in ("alpha-é", "beta-", "gamma-中", "q"):
+        got = back.filter(f"name LIKE '{p}%'").count()
+        exp = df.filter(f"name LIKE '{p}%'").count()
+        assert got == exp, p
