@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stats_hll_distinct"] = _sketch.hll_distinct_query
     # count-min frequency sketch (d=4 x w=8192 counters), same contract
     q["stats_cms_freq"] = _sketch.cms_topk_query
+    # exact distributed quantiles (groupBy counts + distributed prefix
+    # sum; no single-partition window); integer-rank oracle
+    q["stats_quantiles"] = _sketch.quantiles_query
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
 
     # --- native Spark source: spark.read/write.format("pgs") ---
@@ -333,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
     o["prune_token_bloom"] = _pruned.TOKEN_MEMBERSHIP_ORACLE
     o["stats_hll_distinct"] = _sketch.HLL_DISTINCT_ORACLE
     o["stats_cms_freq"] = _sketch.CMS_TOPK_ORACLE
+    o["stats_quantiles"] = _sketch.QUANTILES_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 

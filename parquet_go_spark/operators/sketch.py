@@ -340,3 +340,128 @@ GROUP BY a.orig
 
 
 CMS_TOPK_ORACLE = _cms_oracle_sql()
+
+
+# ----------------------------------------------------- exact quantiles
+
+# rational targets: rank = (num * (n-1)) // den is exact integer
+# arithmetic in both engines (a float q*(n-1) could round differently)
+QUANTILES = [(0, 1), (1, 4), (1, 2), (3, 4), (99, 100), (1, 1)]
+QUANTILE_COLS = ["l_extendedprice", "l_quantity"]
+_QPARTS = 32
+
+
+def exact_quantiles_df(spark: SparkSession, df: DataFrame, col: str,
+                       quantiles=None) -> DataFrame:
+    """EXACT discrete quantiles of a numeric column, distributed: the
+    value at 0-based rank ``(num*(n-1)) // den`` of the sorted column
+    (lower/"disc" interpolation). The curation question ("what's the
+    p99 document length?") answered without ``sort().collect()``:
+
+      1. groupBy(value).count() — ONE shuffle, map-side combinable;
+         only DISTINCT values survive it.
+      2. range-partition the counts by value; cumulative ranks via a
+         per-partition window plus per-partition totals broadcast back
+         as base offsets (the pack_sequences distributed prefix sum —
+         NO single-partition window anywhere).
+      3. each distinct value owns a rank interval [cum-cnt, cum); the
+         tiny target-rank list broadcast-joins against it.
+
+    Returns (q_num, q_den, rank, value DOUBLE). Exact: every rank is
+    integer arithmetic, so the oracle (row_number in DuckDB) matches
+    bit-for-bit. No reference analog (its stats are min/max only,
+    writer/pages.go); this is the stats-layer percentile a table
+    format's planner wants."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    quantiles = quantiles or QUANTILES
+    counts = (
+        df.selectExpr(f"CAST({col} AS DOUBLE) AS v")
+        .where("v IS NOT NULL")
+        .groupBy("v").count()
+        .withColumnRenamed("count", "cnt")
+    )
+    pc = (
+        counts.repartitionByRange(_QPARTS, "v")
+        .withColumn("pid", F.spark_partition_id())
+        # pin the partition assignment: a lazy recompute of
+        # repartitionByRange resamples its boundaries, which would
+        # shift pids out from under the collected base offsets
+        .localCheckpoint()
+    )
+    totals = {
+        r["pid"]: r["t"]
+        for r in pc.groupBy("pid").agg(
+            F.sum("cnt").alias("t")).collect()
+    }
+    n = int(sum(totals.values()))
+    if n == 0:
+        return spark.createDataFrame(
+            [], "q_num int, q_den int, rank bigint, value double"
+        )
+    base, acc = {}, 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += totals[pid]
+    ranks = spark.createDataFrame(
+        [(num, den, num * (n - 1) // den) for num, den in quantiles],
+        "q_num int, q_den int, rank bigint",
+    )
+    base_df = spark.createDataFrame(
+        [(int(p), int(b)) for p, b in base.items()], "pid int, base long"
+    )
+    w = (
+        Window.partitionBy("pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        pc.withColumn("cum_in", F.sum("cnt").over(w))
+        .join(F.broadcast(base_df), "pid")
+        .selectExpr(
+            "v", "base + cum_in - cnt AS lo", "base + cum_in AS hi"
+        )
+    )
+    return (
+        spans.join(
+            F.broadcast(ranks),
+            (F.col("lo") <= F.col("rank")) & (F.col("rank") < F.col("hi")),
+        )
+        .selectExpr("q_num", "q_den", "rank", "v AS value")
+    )
+
+
+def quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles of lineitem's price and quantity columns
+    (driver-gate entry): one row per (column, quantile)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = [
+        exact_quantiles_df(spark, df, c).withColumn("name", F.lit(c))
+        for c in QUANTILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("name", "q_num", "q_den", "rank", "value")
+
+
+def _quantiles_oracle_sql() -> str:
+    qvals = ", ".join(f"({num}, {den})" for num, den in QUANTILES)
+    selects = []
+    for c in QUANTILE_COLS:
+        selects.append(f"""
+SELECT '{c}' AS name, q_num, q_den,
+       (q_num * (n.c - 1)) // q_den AS rank, r.v AS value
+FROM (VALUES {qvals}) qs(q_num, q_den)
+CROSS JOIN (SELECT count(*) AS c FROM lineitem
+            WHERE {c} IS NOT NULL) n
+JOIN (SELECT CAST({c} AS DOUBLE) AS v,
+             row_number() OVER (ORDER BY CAST({c} AS DOUBLE)) - 1 AS rk
+      FROM lineitem WHERE {c} IS NOT NULL) r
+  ON r.rk = (q_num * (n.c - 1)) // q_den""")
+    return " UNION ALL ".join(selects)
+
+
+QUANTILES_ORACLE = _quantiles_oracle_sql()

@@ -163,3 +163,57 @@ def test_hll_sketch_is_mergeable(spark):
     direct = registers(whole)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_quantiles_exact_vs_numpy(spark):
+    """Exact discrete quantiles equal the rank-indexed sorted array —
+    duplicates, negatives, and a skewed distribution included."""
+    import numpy as np
+
+    from parquet_go_spark.operators.sketch import (
+        QUANTILES, exact_quantiles_df,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.integers(-50, 50, 3000).astype(float),  # heavy duplicates
+        rng.pareto(2.0, 2000) * 100.0,              # skewed tail
+    ])
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {
+        (r["q_num"], r["q_den"]): (r["rank"], r["value"])
+        for r in exact_quantiles_df(spark, df, "x").collect()
+    }
+    s = np.sort(vals)
+    n = len(s)
+    for num, den in QUANTILES:
+        r = num * (n - 1) // den
+        assert got[(num, den)] == (r, s[r]), (num, den)
+
+
+def test_quantiles_empty_and_nulls(spark):
+    from parquet_go_spark.operators.sketch import exact_quantiles_df
+
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles_df(spark, empty, "x").count() == 0
+    some = spark.createDataFrame(
+        [(None,), (4.0,), (None,), (1.0,), (9.0,)], "x double"
+    )
+    rows = {(r["q_num"], r["q_den"]): r["value"]
+            for r in exact_quantiles_df(spark, some, "x").collect()}
+    assert rows[(0, 1)] == 1.0 and rows[(1, 1)] == 9.0
+    assert rows[(1, 2)] == 4.0  # rank (n-1)//2 of [1,4,9]
+
+
+def test_quantiles_plan_no_global_window(spark, lineitem):
+    """The cumulative ranks come from a per-pid window over the
+    range-partitioned counts — no single-partition exchange anywhere
+    (the scale hazard of the naive orderBy window)."""
+    from parquet_go_spark.operators.sketch import exact_quantiles_df
+
+    plan = exact_quantiles_df(
+        spark, lineitem, "l_extendedprice"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # and the big side never broadcasts: only ranks/base do
+    assert plan.count("BroadcastExchange") <= 2
