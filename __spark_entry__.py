@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # UPDATE ... SET: tombstone-old + append-new with expressions over
     # the old row values (completes the DML triad)
     q["ds_update"] = _ds.ds_update_query
+    # snapshot rollback: durable as_of_commit (bad append undone;
+    # part ids never reused — tombstones/eq-caps stay exact)
+    q["ds_rollback"] = _ds.ds_rollback_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -349,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_upsert"] = _ds.DS_UPSERT_ORACLE
     o["ds_eq_delete"] = _ds.DS_EQ_DELETE_ORACLE
     o["ds_update"] = _ds.DS_UPDATE_ORACLE
+    o["ds_rollback"] = _ds.DS_ROLLBACK_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -355,6 +355,7 @@ def compact_store(
     meta.pop("generations", None)
     meta.pop("generations_strict", None)
     meta.pop("history", None)
+    meta.pop("pid_floor", None)  # part ids were rebased to 0..N
     # tombstones were materialized into the rewritten chunks above
     meta.pop("deletes", None)
     meta.pop("eq_deletes", None)

@@ -200,6 +200,84 @@ def sweep_store(path: str) -> list[str]:
 
 # ------------------------------------------------------- positional deletes
 
+def rollback_to_commit(path: str, k: int) -> dict:
+    """Durably restore a batch-writer store to append-commit snapshot
+    ``k`` (the writable twin of the ``as_of_commit`` read): commits
+    after ``k`` leave ``generations`` — their files become invisible at
+    the meta write (THE commit point) and are sweep_store food — and
+    ``history`` truncates, so time travel and ``since_commit`` stay
+    consistent.
+
+    ``pid_floor`` is the load-bearing detail: future appends must NOT
+    reuse the rolled-back part-id range, or positional tombstone
+    addresses and equality-delete caps recorded before the rollback
+    would hit rows appended after it. The floor pins the id allocator
+    above everything the store has ever assigned.
+
+    Deletes are NOT undone (takedown semantics — a PII removal must
+    survive a rollback), and the CURRENT schema stands (schema
+    evolution is metadata, not data). Stream stores are refused (cap
+    them with ``as_of_batch``), as are stores without generation
+    bookkeeping (operator-written)."""
+    meta = _meta(path)
+    if meta.get("clustering") == "stream_append":
+        raise ValueError(
+            "rollback applies to batch-writer stores; a stream store is "
+            "capped by as_of_batch reads"
+        )
+    hist = meta.get("history") or []
+    gens = meta.get("generations")
+    if not hist or gens is None:
+        raise ValueError(
+            "store records no generation/commit history "
+            "(operator-written or pre-history store)"
+        )
+    if not 1 <= k <= len(hist):
+        raise ValueError(
+            f"rollback target {k} out of range: store has "
+            f"{len(hist)} committed snapshots"
+        )
+    if k == len(hist):
+        return {"rolled_back_commits": 0, "removed_parts": 0}
+    cap = hist[k - 1]
+    gset = set(gens)
+    b = _blobs_dir(path)
+    keep_tok: set[str] = set()
+    drop_tok: set[str] = set()
+    removed = kept_parts = 0
+    max_pid = -1
+    for f in sorted(os.listdir(b)) if os.path.isdir(b) else []:
+        if not f.endswith(".parquet") or f.startswith("_"):
+            continue
+        m = _GEN_RE.match(f)
+        if m is None:
+            # pre-generation file: part of the first snapshot, kept
+            kept_parts += 1
+            continue
+        if m.group(1) not in gset:
+            continue  # already-invisible leftover
+        pid = int(f.split("-")[1])
+        max_pid = max(max_pid, pid)
+        if pid >= cap:
+            drop_tok.add(m.group(1))
+            removed += 1
+        else:
+            keep_tok.add(m.group(1))
+            kept_parts += 1
+    spanning = keep_tok & drop_tok
+    if spanning:
+        raise ValueError(
+            f"generation(s) {sorted(spanning)} span the rollback cap — "
+            "the store's commits are not cleanly separable"
+        )
+    meta["generations"] = sorted(gset - drop_tok)
+    meta["history"] = hist[:k]
+    meta["num_parts"] = kept_parts
+    meta["pid_floor"] = max(max_pid + 1, meta.get("pid_floor", 0))
+    _write_meta(path, meta)  # THE commit point
+    return {"rolled_back_commits": len(hist) - k, "removed_parts": removed}
+
+
 def _delete_files(path: str, names) -> list[str]:
     """Parquet files of the named committed tombstone dirs (skips Spark's
     ``_SUCCESS`` markers)."""
@@ -1419,6 +1497,13 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
             existing = _dataset(path).to_table(columns=["part_id"])
             ids = existing.column("part_id").to_pylist()
             self._base = (max(ids) + 1) if ids else 0
+        if not overwrite:
+            # a rollback pins the id allocator above every id the store
+            # has EVER assigned — reusing a rolled-back pid would put
+            # new rows under old tombstone addresses / eq-delete caps
+            self._base = max(
+                self._base, _meta(path).get("pid_floor", 0)
+            )
 
     def write(self, iterator: Iterator) -> PGSCommitMessage:
         from pyspark import TaskContext
@@ -1990,6 +2075,47 @@ SELECT doc_id, lang, source,
        CASE WHEN n_chars % 2 = 1 AND lang = 'en' THEN n_chars - 1
             ELSE n_chars END AS n_chars
 FROM u1
+"""
+
+
+def ds_rollback_query(spark, sf_dir: str):
+    """Snapshot rollback (the writable twin of as_of_commit): a bad
+    append is durably undone by truncating the commit history — its
+    files turn invisible at the meta write — and the id allocator stays
+    pinned above the rolled-back range, so a follow-up append gets
+    fresh part ids (rollback_to_commit)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join(
+        "/tmp", f"pgs_ds_rollback_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    # the bad append: corrupted duplicates (same schema, wrong values)
+    docs.select(
+        "doc_id", F.lit("xx").alias("lang"),
+        F.lit(-1).cast(dict(docs.dtypes)["n_chars"]).alias("n_chars"),
+    ).write.format("pgs").mode("append").save(out)
+    rollback_to_commit(out, 1)
+    good = docs.filter("doc_id % 4 = 0").select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        "lang", "n_chars",
+    )
+    good.write.format("pgs").mode("append").save(out)
+    return spark.read.format("pgs").load(out)
+
+
+DS_ROLLBACK_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, lang, n_chars
+FROM documents WHERE doc_id % 4 = 0
 """
 
 

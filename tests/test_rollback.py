@@ -1,0 +1,134 @@
+"""Snapshot rollback: durably restoring a batch-writer store to an
+earlier append commit, and the part-id floor that keeps tombstone
+addresses and equality-delete caps exact across it."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from parquet_go_spark.operators.deletes import delete_values, delete_where
+from parquet_go_spark.sources.pgs_datasource import (
+    _meta,
+    register,
+    rollback_to_commit,
+    sweep_store,
+)
+
+
+def _write(spark, path, lo, hi, mode, parts=2):
+    df = spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp", "concat('r-', id) AS name"
+    )
+    df.repartition(parts).write.format("pgs").mode(mode).save(path)
+    return df
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rollback_basic(spark, tmp_out):
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    d1 = _write(spark, tmp_out, 0, 100, "overwrite")
+    _write(spark, tmp_out, 100, 200, "append")
+    _write(spark, tmp_out, 200, 300, "append")
+    assert len(_meta(tmp_out)["history"]) == 3
+    res = rollback_to_commit(tmp_out, 2)
+    assert res["rolled_back_commits"] == 1 and res["removed_parts"] > 0
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 200 and back.filter("k >= 200").count() == 0
+    assert len(_meta(tmp_out)["history"]) == 2
+    # rolling back to the current snapshot is a no-op
+    assert rollback_to_commit(tmp_out, 2) == {
+        "rolled_back_commits": 0, "removed_parts": 0}
+    # all the way to the first commit
+    rollback_to_commit(tmp_out, 1)
+    assert _same(spark.read.format("pgs").load(tmp_out), d1)
+    # rolled-back files are sweep food, and the sweep changes nothing
+    removed = sweep_store(tmp_out)
+    assert removed
+    assert _same(spark.read.format("pgs").load(tmp_out), d1)
+
+
+def test_rollback_pid_floor_protects_delete_caps(spark, tmp_out):
+    """The exact hazard the floor exists for: an equality delete whose
+    cap covers the rolled-back id range must NOT hit rows appended
+    after the rollback (their ids would otherwise be reused)."""
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    _write(spark, tmp_out, 0, 100, "overwrite")
+    _write(spark, tmp_out, 100, 200, "append")
+    # eq delete on grp=3: cap covers both commits' partitions
+    delete_values(
+        spark, tmp_out, spark.createDataFrame([(3,)], "grp int"), "grp"
+    )
+    rollback_to_commit(tmp_out, 1)
+    floor = _meta(tmp_out)["pid_floor"]
+    assert floor > 0
+    # rows appended AFTER the delete (and after the rollback) with the
+    # deleted key must survive
+    extra = spark.range(500, 540).selectExpr(
+        "id AS k", "CAST(3 AS INT) AS grp", "concat('x-', id) AS name"
+    )
+    extra.write.format("pgs").mode("append").save(tmp_out)
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.filter("k >= 500").count() == 40  # all survived
+    assert back.filter("k < 100 AND grp = 3").count() == 0  # still deleted
+    # the new partitions really do sit above the floor
+    wp = (
+        spark.read.format("pgs").option("with_pos", "true").load(tmp_out)
+    )
+    new_pids = [
+        r[0] for r in
+        wp.filter("k >= 500").select("_pgs_part").distinct().collect()
+    ]
+    assert min(new_pids) >= floor
+
+
+def test_rollback_keeps_takedowns(spark, tmp_out):
+    """Positional tombstones on surviving rows are NOT undone by a
+    rollback (takedown semantics)."""
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    _write(spark, tmp_out, 0, 100, "overwrite")
+    _write(spark, tmp_out, 100, 200, "append")
+    delete_where(spark, tmp_out, "k < 10")
+    rollback_to_commit(tmp_out, 1)
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 90 and back.filter("k < 10").count() == 0
+
+
+def test_rollback_refusals(spark, tmp_out, tmp_path):
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    _write(spark, tmp_out, 0, 50, "overwrite")
+    with pytest.raises(ValueError, match="out of range"):
+        rollback_to_commit(tmp_out, 2)
+    with pytest.raises(ValueError, match="out of range"):
+        rollback_to_commit(tmp_out, 0)
+    # operator-written stores record no commit history
+    from parquet_go_spark.operators.pruned import encode_generic
+
+    op_store = str(tmp_path / "op")
+    df = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+    encode_generic(spark, df, op_store, key_col="k", clustering="range",
+                   num_parts=2)
+    with pytest.raises(ValueError, match="no generation/commit history"):
+        rollback_to_commit(op_store, 1)
+
+
+def test_rollback_then_compact(spark, tmp_out, tmp_path):
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    d1 = _write(spark, tmp_out, 0, 100, "overwrite")
+    _write(spark, tmp_out, 100, 200, "append")
+    rollback_to_commit(tmp_out, 1)
+    from parquet_go_spark.operators.compact import compact_store
+
+    dst = str(tmp_path / "c")
+    compact_store(spark, tmp_out, dst)
+    assert _same(spark.read.format("pgs").load(dst), d1)
+    assert "pid_floor" not in _meta(dst)

@@ -218,6 +218,16 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    """Restore the store to append-commit snapshot k (metadata-only;
+    later commits' files become sweep food; part ids never reused)."""
+    from parquet_go_spark.sources.pgs_datasource import rollback_to_commit
+
+    res = rollback_to_commit(args.store, args.to_commit)
+    print(json.dumps({"job": "rollback", **res}))
+    return 0
+
+
 def cmd_compact_deletes(args) -> int:
     """Merge all tombstone dirs into one (delete-file maintenance)."""
     from parquet_go_spark.operators.deletes import compact_tombstones
@@ -348,6 +358,13 @@ def main() -> int:
     dl.add_argument("--encrypt-key-hex", default=None)
     dl.add_argument("--column-keys-hex", default=None)
     dl.set_defaults(fn=cmd_delete)
+
+    rb = sub.add_parser("rollback")
+    rb.add_argument("--store", required=True)
+    rb.add_argument("--to-commit", type=int, required=True,
+                    help="snapshot number to restore (1-based, as in "
+                         "as_of_commit)")
+    rb.set_defaults(fn=cmd_rollback)
 
     up = sub.add_parser("update")
     up.add_argument("--store", required=True)
