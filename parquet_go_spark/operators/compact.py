@@ -356,6 +356,7 @@ def compact_store(
     meta.pop("generations_strict", None)
     meta.pop("history", None)
     meta.pop("pid_floor", None)  # part ids were rebased to 0..N
+    meta.pop("tags", None)  # tags index the retired history
     # tombstones were materialized into the rewritten chunks above
     meta.pop("deletes", None)
     meta.pop("eq_deletes", None)

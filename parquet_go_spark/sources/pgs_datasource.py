@@ -200,6 +200,47 @@ def sweep_store(path: str) -> list[str]:
 
 # ------------------------------------------------------- positional deletes
 
+def tag_commit(path: str, name: str, k: int | None = None) -> int:
+    """Name an append-commit snapshot (Iceberg tag analog): reads pass
+    ``option("as_of_tag", name)`` instead of remembering a number.
+    Defaults to the latest commit; pure metadata. Returns the tagged
+    snapshot number."""
+    meta = _meta(path)
+    if meta.get("clustering") == "stream_append":
+        raise ValueError("tags apply to batch-writer stores")
+    hist = meta.get("history") or []
+    if not hist:
+        raise ValueError(
+            "store records no append-commit history "
+            "(operator-written or pre-history store)"
+        )
+    if k is None:
+        k = len(hist)
+    if not 1 <= k <= len(hist):
+        raise ValueError(
+            f"tag target {k} out of range: store has {len(hist)} "
+            "committed snapshots"
+        )
+    tags = meta.setdefault("tags", {})
+    if name in tags and tags[name] != k:
+        raise ValueError(
+            f"tag {name!r} already names snapshot {tags[name]}; "
+            "drop_tag it first"
+        )
+    tags[name] = k
+    _write_meta(path, meta)
+    return k
+
+
+def drop_tag(path: str, name: str) -> None:
+    meta = _meta(path)
+    tags = meta.get("tags") or {}
+    if name not in tags:
+        raise ValueError(f"no tag {name!r}")
+    del tags[name]
+    _write_meta(path, meta)
+
+
 def rollback_to_commit(path: str, k: int) -> dict:
     """Durably restore a batch-writer store to append-commit snapshot
     ``k`` (the writable twin of the ``as_of_commit`` read): commits
@@ -274,6 +315,9 @@ def rollback_to_commit(path: str, k: int) -> dict:
     meta["history"] = hist[:k]
     meta["num_parts"] = kept_parts
     meta["pid_floor"] = max(max_pid + 1, meta.get("pid_floor", 0))
+    if meta.get("tags"):
+        # tags naming rolled-back snapshots die with them
+        meta["tags"] = {t: v for t, v in meta["tags"].items() if v <= k}
     _write_meta(path, meta)  # THE commit point
     return {"rolled_back_commits": len(hist) - k, "removed_parts": removed}
 
@@ -865,6 +909,7 @@ def describe_store(path: str) -> dict:
         "renamed_columns": {k: v[0] for k, v in
                             (meta.get("column_renames") or {}).items()},
         "snapshots": len(meta.get("history") or []),
+        "tags": dict(sorted((meta.get("tags") or {}).items())),
     }
     if meta.get("schema_json"):
         sch = StructType.fromJson(meta["schema_json"])
@@ -944,6 +989,18 @@ class PGSReader(DataSourceReader):
             )
         self._as_of_batch = int(ab) if ab is not None else None
         ac = options.get("as_of_commit")
+        tag = options.get("as_of_tag")
+        if tag is not None:
+            if ac is not None:
+                raise ValueError(
+                    "as_of_tag and as_of_commit are mutually exclusive"
+                )
+            tags = meta.get("tags") or {}
+            if tag not in tags:
+                raise ValueError(
+                    f"no tag {tag!r} (have {sorted(tags)})"
+                )
+            ac = tags[tag]
         if ac is not None:
             if meta.get("clustering") == "stream_append":
                 raise ValueError(

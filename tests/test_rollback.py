@@ -132,3 +132,34 @@ def test_rollback_then_compact(spark, tmp_out, tmp_path):
     compact_store(spark, tmp_out, dst)
     assert _same(spark.read.format("pgs").load(dst), d1)
     assert "pid_floor" not in _meta(dst)
+
+
+def test_snapshot_tags(spark, tmp_out):
+    from parquet_go_spark.sources.pgs_datasource import (
+        describe_store, drop_tag, tag_commit,
+    )
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    d1 = _write(spark, tmp_out, 0, 100, "overwrite")
+    assert tag_commit(tmp_out, "v1") == 1
+    _write(spark, tmp_out, 100, 200, "append")
+    assert tag_commit(tmp_out, "v2") == 2
+
+    by_tag = (
+        spark.read.format("pgs").option("as_of_tag", "v1").load(tmp_out)
+    )
+    assert _same(by_tag, d1)
+    assert describe_store(tmp_out)["tags"] == {"v1": 1, "v2": 2}
+    # re-tagging the same snapshot is idempotent; a different one refuses
+    assert tag_commit(tmp_out, "v1", 1) == 1
+    with pytest.raises(ValueError, match="already names"):
+        tag_commit(tmp_out, "v1", 2)
+    with pytest.raises(Exception, match="no tag"):
+        spark.read.format("pgs").option("as_of_tag", "nope") \
+            .load(tmp_out).count()
+    # rollback drops tags that name rolled-back snapshots
+    rollback_to_commit(tmp_out, 1)
+    assert describe_store(tmp_out)["tags"] == {"v1": 1}
+    drop_tag(tmp_out, "v1")
+    assert describe_store(tmp_out)["tags"] == {}
