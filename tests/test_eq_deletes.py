@@ -261,3 +261,53 @@ def test_eq_delete_int_type_widening(spark, tmp_out):
     delete_values(spark, tmp_out, keys, "grp")
     back = spark.read.format("pgs").load(tmp_out)
     assert _same(back, df.filter("grp != 2"))
+
+
+def test_eq_keep_mask_fuzz_vs_python_sets():
+    """The factorize+np.unique membership kernel vs a row-at-a-time
+    Python tuple-set reference, across random type mixes, null rates,
+    widths, and duplicate-heavy domains."""
+    import random
+
+    import pyarrow as pa
+
+    from parquet_go_spark import eqdel
+
+    rng = random.Random(404)
+
+    def col(n, kind, null_p):
+        def one():
+            if rng.random() < null_p:
+                return None
+            if kind == "i32":
+                return rng.randrange(-5, 6)
+            if kind == "i64":
+                return rng.randrange(-3, 4) * (1 << 40)
+            if kind == "str":
+                return rng.choice(["a", "b", "c", "", "αβ", "d"])
+            if kind == "bin":
+                return bytes([rng.randrange(4)])
+            return rng.random() < 0.5  # bool
+        t = {"i32": pa.int32(), "i64": pa.int64(), "str": pa.utf8(),
+             "bin": pa.binary(), "bool": pa.bool_()}[kind]
+        return pa.array([one() for _ in range(n)], type=t)
+
+    for trial in range(60):
+        ncols = rng.randrange(1, 4)
+        kinds = [rng.choice(["i32", "i64", "str", "bin", "bool"])
+                 for _ in range(ncols)]
+        null_p = rng.choice([0.0, 0.1, 0.5])
+        n, m = rng.randrange(0, 40), rng.randrange(0, 12)
+        rows = [col(n, k, null_p) for k in kinds]
+        keys = [col(m, k, null_p) for k in kinds]
+        got = eqdel.keep_mask(rows, keys) if n else None
+        key_set = set(zip(*(k.to_pylist() for k in keys))) if m else set()
+        want = [
+            tuple(r[i] for r in (c.to_pylist() for c in rows))
+            not in key_set
+            for i in range(n)
+        ] if n and m else [True] * n
+        if got is None:
+            assert all(want), (trial, kinds, null_p)
+        else:
+            assert got.tolist() == want, (trial, kinds, null_p)
