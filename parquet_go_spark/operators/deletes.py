@@ -225,13 +225,7 @@ def upsert_by_key(
     # non-secret knobs so an upsert on a bloomed/paged/sorted store
     # works without re-declaring them (keys stay caller-supplied)
     meta = _meta(path)
-    wo = dict(write_options or {})
-    if meta.get("bloom_cols") and "bloom_cols" not in wo:
-        wo["bloom_cols"] = ",".join(meta["bloom_cols"])
-    if meta.get("page_rows") and "page_rows" not in wo:
-        wo["page_rows"] = str(meta["page_rows"])
-    if meta.get("key_col") and "sort_key" not in wo:
-        wo["sort_key"] = meta["key_col"]
+    wo = _inherit_layout(meta, write_options)
     # PRE-FLIGHT the append before tombstoning anything: constructing
     # the writer runs every schema/layout/stream-store check without
     # writing a byte. Without this, a mismatched batch would commit the
@@ -293,13 +287,7 @@ def update_where(
             raise ValueError(
                 f"cannot update shredded variant column {c!r}"
             )
-    wo = dict(write_options or {})
-    if meta.get("bloom_cols") and "bloom_cols" not in wo:
-        wo["bloom_cols"] = ",".join(meta["bloom_cols"])
-    if meta.get("page_rows") and "page_rows" not in wo:
-        wo["page_rows"] = str(meta["page_rows"])
-    if meta.get("key_col") and "sort_key" not in wo:
-        wo["sort_key"] = meta["key_col"]
+    wo = _inherit_layout(meta, write_options)
     # pre-flight the append (schema/layout/stream checks) before any
     # mutation — a refused append must leave the store untouched
     PGSArrowWriter(path, store_schema, False, wo)
@@ -331,6 +319,28 @@ def update_where(
         _write_meta(path, m)
         raise
     return {"updated_rows": n, "name": res["name"]}
+
+
+def _inherit_layout(meta: dict, write_options: dict | None) -> dict:
+    """Append-arm write options inherited from the store's recorded
+    layout (an upsert/update on a bloomed/paged/sorted/shredded store
+    must not re-declare it — and the layout guard would refuse a
+    mismatch anyway). Keys stay caller-supplied."""
+    wo = dict(write_options or {})
+    if meta.get("bloom_cols") and "bloom_cols" not in wo:
+        wo["bloom_cols"] = ",".join(meta["bloom_cols"])
+    if meta.get("page_rows") and "page_rows" not in wo:
+        wo["page_rows"] = str(meta["page_rows"])
+    if meta.get("key_col") and "sort_key" not in wo:
+        wo["sort_key"] = meta["key_col"]
+    if meta.get("shredded") and "shred_variant" not in wo:
+        wo["shred_variant"] = ";".join(
+            f"{col}:" + ",".join(
+                f"{f}={k}" for f, k in sorted(fields.items())
+            )
+            for col, fields in sorted(meta["shredded"].items())
+        )
+    return wo
 
 
 def _append(df, path: str, write_options: dict) -> None:

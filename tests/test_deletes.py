@@ -465,3 +465,43 @@ def test_update_where_append_failure_compensates(spark, tmp_out,
     # the orphaned tombstone dir is sweep food, not a reader hazard
     sweep_store(tmp_out)
     assert _same(spark.read.format("pgs").load(tmp_out), df)
+
+
+def test_update_where_inherits_shredded_layout(spark, tmp_out):
+    """The append arm of an update on a shredded-variant store inherits
+    the recorded shred layout (the layout guard would refuse a bare
+    append), and reconstruction round-trips through the rewrite."""
+    from pyspark.sql import functions as F
+
+    from parquet_go_spark.operators.deletes import update_where
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    df = spark.range(0, 60).selectExpr(
+        "id AS k",
+        """parse_json(concat('{"lang": "l', id % 3, '", "n": ', id, '}'))
+           AS v""",
+        "concat('s', id) AS s",
+    )
+    (
+        df.repartition(2).write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:lang=string,n=int")
+        .save(tmp_out)
+    )
+    update_where(spark, tmp_out, "k % 4 = 1", {"s": "concat(s, '!')"})
+    back = spark.read.format("pgs").load(tmp_out).select(
+        "k",
+        F.variant_get("v", "$.lang", "string").alias("lang"),
+        F.variant_get("v", "$.n", "int").alias("n"),
+        "s",
+    )
+    exp = df.selectExpr(
+        "k",
+        "CASE WHEN k % 3 = 0 THEN 'l0' WHEN k % 3 = 1 THEN 'l1' "
+        "ELSE 'l2' END AS lang",
+        "CAST(k AS INT) AS n",
+        "CASE WHEN k % 4 = 1 THEN concat(s, '!') ELSE s END AS s",
+    )
+    assert _same(back, exp)
+    assert _meta(tmp_out)["shredded"] == {"v": {"lang": "string",
+                                                "n": "int"}}
