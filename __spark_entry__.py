@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # snapshot rollback: durable as_of_commit (bad append undone;
     # part ids never reused — tombstones/eq-caps stay exact)
     q["ds_rollback"] = _ds.ds_rollback_query
+    # the store consumed as a stream: commits -> micro-batches
+    q["ds_stream_source"] = _ds.ds_stream_source_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -353,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_eq_delete"] = _ds.DS_EQ_DELETE_ORACLE
     o["ds_update"] = _ds.DS_UPDATE_ORACLE
     o["ds_rollback"] = _ds.DS_ROLLBACK_ORACLE
+    o["ds_stream_source"] = _ds.DS_STREAM_SOURCE_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -67,6 +67,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -1769,6 +1770,86 @@ class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
 
 # --------------------------------------------------------------- data source
 
+class PGSStreamSourceReader(DataSourceStreamReader):
+    """``readStream.format("pgs")``: consume a store's commits as
+    micro-batches (the source twin of the stream sink — together they
+    make a store a durable queue). An offset is the number of consumed
+    snapshots: append-commit count for batch-writer stores, the
+    micro-batch watermark for stream-written stores; both map to exact
+    part-id windows (ids are strictly increasing, rollback keeps them
+    so), so a micro-batch is a pure metadata slice of partitions —
+    the continuous twin of ``option("since_commit", k)``.
+
+    Each batch reads through the SAME task machinery as batch reads
+    (PGSReader.read): decode kernels, alias resolution, defaults, and
+    the delete masks — a row taken down between commits is never
+    emitted if its partition is still unconsumed. Exactly-once per
+    partition via Spark's offset log."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        for bad in ("as_of_commit", "as_of_batch", "since_commit",
+                    "with_pos"):
+            if options.get(bad) is not None:
+                raise ValueError(
+                    f"option {bad!r} does not apply to streaming reads "
+                    "(offsets ARE the snapshot cursor)"
+                )
+        meta = _meta(path)
+        self._stream_store = meta.get("clustering") == "stream_append"
+        if not self._stream_store and not meta.get("history"):
+            raise ValueError(
+                "store records no commit bookkeeping (operator-written "
+                "store); streaming reads need a datasource-written store"
+            )
+        self._path = path
+        self._start = int(options.get("start_commit", 0))
+        # the batch-read machinery: partition planning (files, page
+        # keeps, tombstones, eq entries) and the task-side decode
+        self._reader = PGSReader(path, schema, options)
+        self._schema = schema
+        self._options = options
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"commit": self._start}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        meta = _meta(self._path)
+        if self._stream_store:
+            k = meta.get("last_committed_batch", -1) + 1
+        else:
+            k = len(meta.get("history") or [])
+        return {"commit": max(k, self._start)}
+
+    def _pid_window(self, s: int, e: int) -> tuple[int, int]:
+        if self._stream_store:
+            return s * PGSStreamWriter.STRIDE, e * PGSStreamWriter.STRIDE
+        hist = _meta(self._path).get("history") or []
+        if e > len(hist):
+            raise ValueError(
+                f"offset {e} beyond the store's {len(hist)} commits "
+                "(rolled back mid-stream?); restart from a fresh "
+                "checkpoint"
+            )
+        return (hist[s - 1] if s >= 1 else 0), (hist[e - 1] if e else 0)
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = self._pid_window(start["commit"], end["commit"])
+        # fresh planning pass: the new commits' files/tombstones are in
+        # the CURRENT meta, not the one captured at reader construction
+        self._reader = PGSReader(self._path, self._schema, self._options)
+        parts = [
+            p for p in self._reader.partitions()
+            if p.value is not None and lo <= p.value[0] < hi
+        ]
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        yield from self._reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: offsets are pure metadata
+
+
 class PGSDataSource(DataSource):
     """``format("pgs")``: read/write PGS blob stores as a native source.
 
@@ -1821,6 +1902,9 @@ class PGSDataSource(DataSource):
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> PGSStreamWriter:  # noqa: N802
         return PGSStreamWriter(self._path(), schema, overwrite, self.options)
+
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return PGSStreamSourceReader(self._path(), schema, self.options)
 
 
 # ------------------------------------------------------------ driver queries
@@ -2173,6 +2257,58 @@ SELECT doc_id, lang, n_chars FROM documents
 UNION ALL
 SELECT doc_id + 2000000 AS doc_id, lang, n_chars
 FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+def ds_stream_source_query(spark, sf_dir: str):
+    """The store consumed as a STREAM (readStream.format("pgs")): two
+    commits drain as micro-batches under availableNow, a takedown
+    between them never emits, and the batched union equals the batch
+    read — proving offsets slice the commit timeline exactly
+    (PGSStreamSourceReader)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.deletes import delete_where
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join(
+        "/tmp", f"pgs_ds_streamsrc_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(2).write.format("pgs").mode("overwrite").save(out)
+    docs.filter("doc_id % 3 = 0").select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        "lang", "n_chars",
+    ).write.format("pgs").mode("append").save(out)
+    delete_where(spark, out, "lang = 'de'")
+
+    rows: list = []
+    ckpt = tempfile.mkdtemp()
+    q = (
+        spark.readStream.format("pgs").load(out)
+        .writeStream.foreachBatch(lambda df, b: rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, spark.read.format("pgs").load(out).schema
+    )
+
+
+DS_STREAM_SOURCE_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'de'
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id, lang, n_chars
+FROM documents WHERE doc_id % 3 = 0 AND lang <> 'de'
 """
 
 
