@@ -184,6 +184,12 @@ def delete_values(
         return {"keys": 0, "name": None, "cap": cap}
     name = f"eq-{token}"
     os.replace(tmp, os.path.join(ddir, name))
+    # integer key bounds from the key files' parquet footers: readers
+    # skip the anti-join entirely for partitions whose manifest stats
+    # cannot intersect (advisory-lossless — a partition with unknown
+    # stats just pays the join). Strings are skipped: footer stats may
+    # be writer-truncated, and exactness here is non-negotiable.
+    bounds = _int_key_bounds(os.path.join(ddir, name), key_cols)
     meta = _meta(path)
     meta.setdefault("eq_deletes", []).append({
         "name": name,
@@ -193,6 +199,7 @@ def delete_values(
         "file_cols": list(key_cols),
         "keys": n_keys,
         "cap": cap,
+        "bounds": bounds,
     })
     _write_meta(path, meta)  # THE commit point
     return {"keys": n_keys, "name": name, "cap": cap}
@@ -321,6 +328,53 @@ def update_where(
     return {"updated_rows": n, "name": res["name"]}
 
 
+def _int_key_bounds(d: str, key_cols: list[str]) -> dict:
+    """{logical key position -> [lo, hi]} for integer-typed key columns,
+    from the key files' parquet footers only. A column any of whose
+    row groups lacks exact stats is omitted (cannot prune on it)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    files = [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    ds = pads.dataset(files, format="parquet")
+    int_cols = {
+        f.name for f in ds.schema
+        if pa.types.is_integer(f.type)
+    } & set(key_cols)
+    out: dict[str, list[int]] = {}
+    for frag in ds.get_fragments():
+        md = frag.metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                nm = c.path_in_schema
+                if nm not in int_cols:
+                    continue
+                st = c.statistics
+                # a NULL key matches null rows, which value stats say
+                # nothing about — a column with any null key must not
+                # carry bounds at all
+                if st is None or not st.has_min_max \
+                        or st.null_count is None or st.null_count > 0:
+                    int_cols.discard(nm)
+                    out.pop(nm, None)
+                    continue
+                lo, hi = int(st.min), int(st.max)
+                if nm in out:
+                    out[nm] = [min(out[nm][0], lo), max(out[nm][1], hi)]
+                else:
+                    out[nm] = [lo, hi]
+    # keyed by position so rename_column need not rewrite it
+    return {
+        str(key_cols.index(nm)): b for nm, b in out.items()
+        if nm in int_cols
+    }
+
+
 def _inherit_layout(meta: dict, write_options: dict | None) -> dict:
     """Append-arm write options inherited from the store's recorded
     layout (an upsert/update on a bloomed/paged/sorted/shredded store
@@ -393,7 +447,12 @@ def compact_tombstones(spark: SparkSession, path: str) -> dict:
 
 def _read_with_pos(spark: SparkSession, path: str,
                    read_options: dict | None):
-    reader = spark.read.format("pgs").option("with_pos", "true")
+    # single-use load per delete (fresh relation), so the pruning reader
+    # is safe to opt into — a takedown scan should prune
+    reader = (
+        spark.read.format("pgs")
+        .option("with_pos", "true").option("pushdown", "true")
+    )
     for k, v in (read_options or {}).items():
         reader = reader.option(k, v)
     return reader.load(path)

@@ -1035,24 +1035,14 @@ class PGSReader(DataSourceReader):
         self._since_commit = int(sc) if sc is not None else None
         self._filters: list[Filter] = []
 
-    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            if attr is not None and len(attr) == 1 and isinstance(
-                f, (EqualTo, EqualNullSafe, In, GreaterThan,
-                    GreaterThanOrEqual, LessThan, LessThanOrEqual,
-                    IsNotNull, IsNull, StringStartsWith)
-            ):
-                self._filters.append(f)
-        # pruning is advisory: Spark re-evaluates every filter exactly, so
-        # truncated/absent stats can only cost IO, never correctness
-        return filters
-
     def partitions(self) -> Sequence[InputPartition]:
+        # consume the pushed filters (see pushFilters): this planning
+        # pass's filters must never leak into the next execution
+        filters, self._filters = self._filters, []
         # one dataset open + one meta read for the whole planning pass
         meta = _meta(self._path)
         d = _dataset(self._path) if _has_blobs(self._path) else None
-        cands = _candidate_parts(self._path, self._filters, d, meta)
+        cands = _candidate_parts(self._path, filters, d, meta)
         if meta.get("clustering") == "stream_append":
             # stream stores encode the micro-batch in the part id
             # (pid // STRIDE == batch), so both snapshot reads and the
@@ -1104,7 +1094,7 @@ class PGSReader(DataSourceReader):
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
         files = _part_file_map(self._path, cands, d)
-        pagemap = _page_keep_map(self._path, cands, self._filters, d, meta)
+        pagemap = _page_keep_map(self._path, cands, filters, d, meta)
         # tombstone dirs assigned per partition from their recorded
         # [lo, hi] part-id range — a task only ever opens delete files
         # that can name its rows
@@ -1112,10 +1102,52 @@ class PGSReader(DataSourceReader):
             (e["name"], e.get("lo"), e.get("hi")) for e in self._deletes
         ]
         # equality entries attach by their part-id cap: a partition at or
-        # above the cap postdates the delete and is out of scope
+        # above the cap postdates the delete and is out of scope. Integer
+        # key bounds recorded at delete time prune further: a partition
+        # whose manifest stats cannot intersect the key range on some
+        # bounded column skips the anti-join entirely (lossless — bounds
+        # omit null-containing key sets, and unknown stats always keep).
+        eq_stats: dict[tuple[int, str], tuple] = {}
+        bound_cols: dict[str, list[str]] = {}
+        for e in self._eq_deletes:
+            for pos in (e.get("bounds") or {}):
+                c = e["key_cols"][int(pos)]
+                bound_cols.setdefault(
+                    c, [c] + list(self._renames.get(c) or [])
+                )
+        if bound_cols and d is not None:
+            import pyarrow.dataset as pads
+
+            alias_of = {a: c for c, al in bound_cols.items() for a in al}
+            t = d.to_table(
+                columns=["part_id", "col", "vmin", "vmax"],
+                filter=pads.field("col").isin(list(alias_of)),
+            )
+            for p, cname, vmin, vmax in zip(
+                t.column("part_id").to_pylist(),
+                t.column("col").to_pylist(),
+                t.column("vmin").to_pylist(),
+                t.column("vmax").to_pylist(),
+            ):
+                eq_stats[(p, alias_of[cname])] = (vmin, vmax)
+
+        def eq_attaches(e: dict, pid: int) -> bool:
+            if pid >= e["cap"]:
+                return False
+            for pos, (klo, khi) in (e.get("bounds") or {}).items():
+                st = eq_stats.get((pid, e["key_cols"][int(pos)]))
+                if st is None:
+                    continue  # unknown stats: pay the join
+                try:
+                    vmin, vmax = int(st[0]), int(st[1])
+                except (TypeError, ValueError):
+                    continue
+                if vmax < klo or vmin > khi:
+                    return False  # disjoint on this key col: no match
+            return True
+
         eqs = [
-            (e["name"], tuple(e["key_cols"]), tuple(e["file_cols"]),
-             e["cap"])
+            (e, (e["name"], tuple(e["key_cols"]), tuple(e["file_cols"])))
             for e in self._eq_deletes
         ]
         return [
@@ -1123,8 +1155,7 @@ class PGSReader(DataSourceReader):
                 pid, files.get(pid), pagemap.get(pid),
                 tuple(nm for nm, lo, hi in dels
                       if lo is None or hi is None or lo <= pid <= hi),
-                tuple((nm, kc, fc) for nm, kc, fc, cap in eqs
-                      if pid < cap),
+                tuple(tup for e, tup in eqs if eq_attaches(e, pid)),
             ))
             for pid in cands
         ]
@@ -1770,6 +1801,45 @@ class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
 
 # --------------------------------------------------------------- data source
 
+class PGSPruningReader(PGSReader):
+    """PGSReader + partition/page pruning from pushed filters — OPT-IN
+    via ``option("pushdown", "true")`` because of an upstream defect in
+    this Spark release's Python data source scan cache:
+    ``PythonScanBuilder.pushFilters`` stores the post-pushdown read
+    plan on the relation's shared ``PythonDataSourceV2``
+    (``setReadInfo``), and ``PythonBatch`` reuses that cache for LATER
+    executions of the same loaded DataFrame even when their filters
+    differ — so an unfiltered action after a filtered one would replay
+    the pruned partition list and silently drop rows. The default
+    reader does not implement ``pushFilters`` at all (Spark detects the
+    override by identity), so the poisoned-cache path cannot engage and
+    every action on a reused DataFrame is exact.
+
+    Opting in is safe under single-use discipline — one ``.load()``
+    per logical query — which every engine-internal reader and driver
+    query follows. The pruning itself is advisory-lossless: every
+    filter is returned to Spark for exact re-evaluation."""
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        # REPLACE, never accumulate, and partitions() consumes the
+        # list: a stale filter list from an earlier planning pass must
+        # never shrink a later query's partitions. Both resets err
+        # toward MORE partitions, which Spark's re-filter makes
+        # harmless.
+        self._filters = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is not None and len(attr) == 1 and isinstance(
+                f, (EqualTo, EqualNullSafe, In, GreaterThan,
+                    GreaterThanOrEqual, LessThan, LessThanOrEqual,
+                    IsNotNull, IsNull, StringStartsWith)
+            ):
+                self._filters.append(f)
+        # pruning is advisory: Spark re-evaluates every filter exactly, so
+        # truncated/absent stats can only cost IO, never correctness
+        return filters
+
+
 class PGSStreamSourceReader(DataSourceStreamReader):
     """``readStream.format("pgs")``: consume a store's commits as
     micro-batches (the source twin of the stream sink — together they
@@ -1894,6 +1964,8 @@ class PGSDataSource(DataSource):
         return full
 
     def reader(self, schema: StructType) -> PGSReader:
+        if self.options.get("pushdown", "").lower() in ("true", "1"):
+            return PGSPruningReader(self._path(), schema, self.options)
         return PGSReader(self._path(), schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> PGSArrowWriter:
@@ -1922,7 +1994,9 @@ def ds_pruned_read_query(spark, sf_dir: str):
         spark, df, out, key_col="o_orderkey", clustering="range",
         num_parts=16,
     )
-    back = spark.read.format("pgs").load(out)
+    back = (
+        spark.read.format("pgs").option("pushdown", "true").load(out)
+    )  # single-use load: the pruning reader is safe here
     return back.filter(
         (back.o_orderkey >= RANGE_LO) & (back.o_orderkey <= RANGE_HI)
     )

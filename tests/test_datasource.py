@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
 
 from parquet_go_spark.operators.pruned import encode_generic
 from parquet_go_spark.sources.pgs_datasource import (
+    PGSPruningReader,
     PGSReader,
     _candidate_parts,
     register,
@@ -111,7 +112,7 @@ def test_schema_inference_without_recorded_schema(spark, orders, range_store):
 def test_filter_pushdown_prunes_range(spark, orders, range_store):
     back = spark.read.format("pgs").load(range_store)
     # reader-level: a narrow range keeps a strict subset of partitions
-    r = PGSReader(range_store, back.schema, {})
+    r = PGSPruningReader(range_store, back.schema, {})
     leftover = list(r.pushFilters([
         GreaterThanOrEqual(("o_orderkey",), 100),
         LessThanOrEqual(("o_orderkey",), 300),
@@ -130,7 +131,7 @@ def test_filter_pushdown_prunes_range(spark, orders, range_store):
 
 def test_filter_pushdown_bloom_point(spark, orders, hash_store):
     back = spark.read.format("pgs").load(hash_store)
-    r = PGSReader(hash_store, back.schema, {})
+    r = PGSPruningReader(hash_store, back.schema, {})
     r.pushFilters([EqualTo(("o_orderkey",), 777)])
     # one bloom hit (plus any false positives) out of 16 hash partitions
     assert len(r.partitions()) < 16
@@ -283,7 +284,7 @@ def test_page_pruned_read(spark, orders, tmp_path):
     a = _sorted_pdf(want)
     assert a.equals(_sorted_pdf(got, list(a.columns)))
     # reader-level: the surviving partition carries a proper page subset
-    r = PGSReader(out, back.schema, {})
+    r = PGSPruningReader(out, back.schema, {})
     r.pushFilters([
         GreaterThanOrEqual(("o_orderkey",), lo),
         LessThanOrEqual(("o_orderkey",), hi),
@@ -1152,3 +1153,51 @@ def test_pushdown_starts_with(spark, tmp_path):
         got = back.filter(f"name LIKE '{p}%'").count()
         exp = df.filter(f"name LIKE '{p}%'").count()
         assert got == exp, p
+
+
+def test_default_reader_immune_to_scan_cache_poisoning(spark, orders,
+                                                       range_store):
+    """Spark's Python DS scan cache (PythonDataSourceV2.setReadInfo)
+    replays the post-pushdown partition list for LATER executions of
+    the same loaded DataFrame even when their filters differ. The
+    default pgs reader therefore implements no pushFilters at all —
+    mixed actions on one loaded DataFrame must all be exact."""
+    back = spark.read.format("pgs").load(range_store)
+    total = back.count()
+    narrow = back.filter(
+        (back.o_orderkey >= 100) & (back.o_orderkey <= 110)
+    ).count()
+    assert 0 < narrow < total
+    assert back.count() == total  # the poisoning would return `narrow`-ish
+    other = back.filter(back.o_orderkey >= 1000).count()
+    assert other == orders.filter(orders.o_orderkey >= 1000).count()
+    assert back.count() == total
+
+
+def test_pushdown_optin_prunes_and_pins_the_engine_hazard(spark, orders,
+                                                          range_store):
+    """option("pushdown", "true") restores partition pruning for
+    single-use loads (one .load() per query — always exact), and this
+    test PINS the engine-level hazard that forced the opt-in split: on
+    a REUSED DataFrame, an unfiltered action after a filtered one
+    replays the stale pruned scan. If this assertion ever flips to
+    equality, the Spark release fixed its scan cache — make the pruning
+    reader the default again."""
+    one_shot = (
+        spark.read.format("pgs").option("pushdown", "true")
+        .load(range_store)
+        .filter("o_orderkey >= 100 AND o_orderkey <= 300")
+    )
+    want = orders.filter("o_orderkey >= 100 AND o_orderkey <= 300")
+    assert one_shot.count() == want.count() > 0
+
+    reused = (
+        spark.read.format("pgs").option("pushdown", "true")
+        .load(range_store)
+    )
+    total_first = reused.count()  # planned before any pushdown: exact
+    assert total_first == orders.count()
+    assert reused.filter(
+        "o_orderkey >= 100 AND o_orderkey <= 110").count() > 0
+    stale = reused.count()
+    assert stale < total_first  # the upstream bug, pinned

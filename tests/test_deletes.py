@@ -231,12 +231,12 @@ def test_pos_filter_page_skip(spark, tmp_out):
     from parquet_go_spark.sources.pgs_datasource import (
         GreaterThanOrEqual,
         LessThan,
-        PGSReader,
+        PGSPruningReader,
     )
 
     _mkstore(spark, tmp_out, n=1024, parts=1, page_rows="64")
     wp = spark.read.format("pgs").option("with_pos", "true").load(tmp_out)
-    r = PGSReader(tmp_out, wp.schema, {"with_pos": "true"})
+    r = PGSPruningReader(tmp_out, wp.schema, {"with_pos": "true"})
     r.pushFilters([GreaterThanOrEqual(("_pgs_pos",), 128),
                    LessThan(("_pgs_pos",), 256)])
     parts = r.partitions()

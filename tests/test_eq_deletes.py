@@ -311,3 +311,62 @@ def test_eq_keep_mask_fuzz_vs_python_sets():
             assert all(want), (trial, kinds, null_p)
         else:
             assert got.tolist() == want, (trial, kinds, null_p)
+
+
+def test_eq_delete_bounds_prune_attachment(spark, tmp_out):
+    """Integer key bounds recorded at delete time keep the anti-join
+    off partitions whose stats cannot intersect — and the answer stays
+    exact, including after a rename of the key column."""
+    from parquet_go_spark.operators.pruned import encode_generic
+    from parquet_go_spark.sources.pgs_datasource import PGSReader
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    # m tracks k, so range clustering on k gives m tight per-partition
+    # stats too — the eq key is m, which stays renameable
+    df = spark.range(0, 800).selectExpr(
+        "id AS k", "id + 10000 AS m", "concat('n', id) AS name"
+    )
+    encode_generic(spark, df, tmp_out, key_col="k", clustering="range",
+                   num_parts=8)
+    keys = spark.createDataFrame(
+        [(10100,), (10105,), (10110,)], "m bigint"
+    )
+    delete_values(spark, tmp_out, keys, "m")
+    e = _meta(tmp_out)["eq_deletes"][0]
+    assert e["bounds"] == {"0": [10100, 10110]}
+
+    back = spark.read.format("pgs").load(tmp_out)
+    r = PGSReader(tmp_out, back.schema, {})
+    parts = r.partitions()
+    attached = [p for p in parts if p.value is not None and p.value[4]]
+    assert 1 <= len(attached) < len(parts)
+    assert _same(back, df.filter("m NOT IN (10100, 10105, 10110)"))
+
+    # rename the key column: entry key_cols follow, stats rows resolve
+    # through the alias chain, pruning and exactness both survive
+    rename_column(tmp_out, "m", "mm")
+    back2 = spark.read.format("pgs").load(tmp_out)
+    r2 = PGSReader(tmp_out, back2.schema, {})
+    attached2 = [p for p in r2.partitions()
+                 if p.value is not None and p.value[4]]
+    assert len(attached2) == len(attached)
+    assert back2.filter("mm IN (10100, 10105, 10110)").count() == 0
+    assert back2.count() == 797
+
+
+def test_eq_delete_null_keys_suppress_bounds(spark, tmp_out):
+    """A key set containing NULL must not record bounds for that
+    column — null keys match null rows that value stats cannot see."""
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    df = spark.range(0, 200).selectExpr(
+        "id AS k",
+        "CASE WHEN id >= 190 THEN NULL ELSE id END AS v",
+    )
+    df.repartition(4).write.format("pgs").mode("overwrite").save(tmp_out)
+    keys = spark.createDataFrame([(5,), (None,)], "v bigint")
+    delete_values(spark, tmp_out, keys, "v")
+    assert _meta(tmp_out)["eq_deletes"][0]["bounds"] == {}
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 189  # 200 - one v=5 row - ten null rows

@@ -24,7 +24,7 @@ from parquet_go_spark.sources.pgs_datasource import (
     EqualTo,
     GreaterThanOrEqual,
     LessThanOrEqual,
-    PGSReader,
+    PGSPruningReader,
     _meta,
     register,
 )
@@ -106,7 +106,7 @@ def test_rename_keeps_stats_and_page_pruning(spark, tmp_out):
                   page_rows="32")
     rename_column(tmp_out, "k", "key")
     back = spark.read.format("pgs").load(tmp_out)
-    r = PGSReader(tmp_out, back.schema, {})
+    r = PGSPruningReader(tmp_out, back.schema, {})
     r.pushFilters([GreaterThanOrEqual(("key",), 100),
                    LessThanOrEqual(("key",), 150)])
     parts = r.partitions()
@@ -123,7 +123,7 @@ def test_rename_keeps_bloom_pruning(spark, tmp_out):
     rename_column(tmp_out, "k", "key")
     assert _meta(tmp_out)["bloom_cols"] == ["key"]
     back = spark.read.format("pgs").load(tmp_out)
-    r = PGSReader(tmp_out, back.schema, {})
+    r = PGSPruningReader(tmp_out, back.schema, {})
     r.pushFilters([EqualTo(("key",), 777)])
     assert len(r.partitions()) < 16  # blooms fire through the alias
     assert back.filter("key = 777").count() == 1
