@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ds_rollback"] = _ds.ds_rollback_query
     # the store consumed as a stream: commits -> micro-batches
     q["ds_stream_source"] = _ds.ds_stream_source_query
+    # write-audit-publish: staged branch appends invisible to main
+    # until publish; dropped branches never surface
+    q["ds_branch_wap"] = _ds.ds_branch_wap_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -356,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_update"] = _ds.DS_UPDATE_ORACLE
     o["ds_rollback"] = _ds.DS_ROLLBACK_ORACLE
     o["ds_stream_source"] = _ds.DS_STREAM_SOURCE_ORACLE
+    o["ds_branch_wap"] = _ds.DS_BRANCH_WAP_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -233,8 +233,12 @@ def compact_store(
     # invisible to readers and must stay invisible to compaction
     from ..sources.pgs_datasource import (
         PGSStreamWriter, _committed_files, _delete_files,
+        _require_no_branches,
     )
 
+    # compaction rebases part ids; open branches hold files addressed in
+    # the OLD namespace and would silently detach — main-only op
+    _require_no_branches(src_meta, "compact_store")
     files = _committed_files(src_dir)
     if not files:
         raise ValueError(f"source store has no committed blobs: {src_dir}")

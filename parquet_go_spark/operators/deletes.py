@@ -43,7 +43,9 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.pgs_datasource import _meta, _write_meta, register
+from ..sources.pgs_datasource import (
+    _meta, _require_no_branches, _write_meta, register,
+)
 
 
 def delete_where(
@@ -62,6 +64,7 @@ def delete_where(
     Single-writer, like the store writers themselves.
     """
     register(spark)
+    _require_no_branches(_meta(path), "delete_where")
     df = _read_with_pos(spark, path, read_options)
     hits = df.filter(condition)
     return _commit_tombstones(path, hits)
@@ -79,6 +82,7 @@ def delete_matching(
     semi-join — no key list ever crosses to the driver, so a
     billion-row takedown list is fine (AQE broadcasts it when small)."""
     register(spark)
+    _require_no_branches(_meta(path), "delete_matching")
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     df = _read_with_pos(spark, path, read_options)
@@ -131,6 +135,7 @@ def delete_values(
     )
 
     register(spark)
+    _require_no_branches(_meta(path), "delete_values")
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     store_schema = spark.read.format("pgs").load(path).schema
@@ -232,6 +237,7 @@ def upsert_by_key(
     # non-secret knobs so an upsert on a bloomed/paged/sorted store
     # works without re-declaring them (keys stay caller-supplied)
     meta = _meta(path)
+    _require_no_branches(meta, "upsert_by_key")
     wo = _inherit_layout(meta, write_options)
     # PRE-FLIGHT the append before tombstoning anything: constructing
     # the writer runs every schema/layout/stream-store check without
@@ -285,6 +291,7 @@ def update_where(
     from ..sources.pgs_datasource import PGSArrowWriter
 
     register(spark)
+    _require_no_branches(_meta(path), "update_where")
     store_schema = spark.read.format("pgs").load(path).schema
     meta = _meta(path)
     for c in set_exprs:
@@ -415,6 +422,7 @@ def compact_tombstones(spark: SparkSession, path: str) -> dict:
     from ..sources.pgs_datasource import _delete_files
 
     meta = _meta(path)
+    _require_no_branches(meta, "compact_tombstones")
     entries = meta.get("deletes") or []
     if len(entries) <= 1:
         return {"merged_dirs": 0, "deleted_rows": sum(

@@ -41,7 +41,9 @@ import re
 from pyspark.sql import types as T
 from pyspark.sql.types import StructField, StructType
 
-from ..sources.pgs_datasource import _dataset, _has_blobs, _meta, _write_meta
+from ..sources.pgs_datasource import (
+    _dataset, _has_blobs, _meta, _require_no_branches, _write_meta,
+)
 
 _SCALAR_DEFAULTS = (type(None), bool, int, float, str)
 
@@ -124,6 +126,7 @@ def add_column(
     if not isinstance(default, _SCALAR_DEFAULTS):
         raise ValueError("default must be a JSON scalar (or None)")
     meta = _meta(path)
+    _require_no_branches(meta, "add_column")
     schema = _load_schema(path, meta)
     if name in schema.fieldNames() or name == "part_id" or \
             name.startswith("_pgs_"):
@@ -157,6 +160,7 @@ def rename_column(path: str, old: str, new: str) -> None:
     """Rename ``old`` to ``new`` — metadata only; every partition keeps
     its bytes and reads resolve the physical alias per partition."""
     meta = _meta(path)
+    _require_no_branches(meta, "rename_column")
     schema = _load_schema(path, meta)
     if old not in schema.fieldNames():
         raise ValueError(f"no column {old!r} in the store schema")
@@ -198,6 +202,7 @@ def drop_column(path: str, name: str) -> None:
     metadata operation, not an erase — use ``delete_where`` +
     ``compact_store`` when the point is that data must be GONE)."""
     meta = _meta(path)
+    _require_no_branches(meta, "drop_column")
     schema = _load_schema(path, meta)
     if name not in schema.fieldNames():
         raise ValueError(f"no column {name!r} in the store schema")

@@ -124,7 +124,7 @@ def _write_meta(path: str, meta: dict) -> None:
 _GEN_RE = re.compile(r"^part-\d+-([0-9a-f]{12})\.parquet$")
 
 
-def _committed_files(path: str) -> list[str]:
+def _committed_files(path: str, branch: str | None = None) -> list[str]:
     """Blob files visible under the store's committed generations.
 
     The batch writer's commit point is the meta write: a file whose job
@@ -133,7 +133,14 @@ def _committed_files(path: str) -> list[str]:
     and must stay invisible — that is what makes overwrite/append
     old-or-new atomic instead of mixing generations in a crash window.
     Stores without a ``generations`` key (operator-written, stream
-    sinks, pre-generation stores) are returned unfiltered."""
+    sinks, pre-generation stores) are returned unfiltered.
+
+    ``branch`` selects a staging branch's view (write-audit-publish,
+    the Iceberg branch-ref analog): main as of the branch point (its
+    ``base_gens`` snapshot) plus the branch's own commits. Main commits
+    after the branch point add tokens outside ``base_gens`` and so never
+    leak into the branch view; branch tokens live only under the branch
+    entry and never leak into main's."""
     b = _blobs_dir(path)
     if not os.path.isdir(b):
         return []
@@ -143,6 +150,11 @@ def _committed_files(path: str) -> list[str]:
     )
     meta = _meta(path)
     gens = meta.get("generations")
+    if branch is not None:
+        ent = (meta.get("branches") or {}).get(branch)
+        if ent is None:
+            raise ValueError(f"no branch {branch!r}")
+        gens = list(ent["base_gens"]) + list(ent["gens"])
     if gens is not None:
         gset = set(gens)
         # strict (set by overwrite): ONLY generation files are valid —
@@ -172,6 +184,9 @@ def sweep_store(path: str) -> list[str]:
     removed = []
     if os.path.isdir(b):
         visible = {os.path.basename(f) for f in _committed_files(path)}
+        for br in (_meta(path).get("branches") or {}):
+            visible |= {os.path.basename(f)
+                        for f in _committed_files(path, branch=br)}
         for f in sorted(os.listdir(b)):
             dead = f.startswith("_tmp-") or (
                 f.endswith(".parquet")
@@ -242,6 +257,120 @@ def drop_tag(path: str, name: str) -> None:
     _write_meta(path, meta)
 
 
+# --------------------------------------------------- branches (WAP staging)
+
+def _require_no_branches(meta: dict, op: str) -> None:
+    """Store-shape mutations and timeline surgery are main-only ops: a
+    rollback/overwrite would orphan branch bases, compaction would
+    rebase part ids out from under branch files, and DML/evolution
+    commits record part-id caps and schema state the branch views would
+    disagree with. Publish or drop open branches first."""
+    brs = meta.get("branches") or {}
+    if brs:
+        raise ValueError(
+            f"{op} refused while branches exist ({sorted(brs)}); "
+            "publish_branch or drop_branch first"
+        )
+
+
+def create_branch(path: str, name: str) -> dict:
+    """Open a staging branch at the store's current state (Iceberg
+    branch ref; the write-audit-publish pattern): appends with
+    ``option("branch", name)`` commit to the branch only, reads with the
+    same option see main-as-of-branch-point plus the branch's commits,
+    and ``publish_branch`` fast-forwards main once the staged data
+    audits clean. Pure metadata — the entry snapshots main's committed
+    generation set (``base_gens``) and commit count (``base_commit``).
+
+    Positional/equality takedowns committed on main while the branch is
+    open still apply to branch reads of SHARED partitions (the delete
+    machinery is keyed by part id, and branch part ids never collide
+    with main's) — takedown semantics, same as snapshot reads."""
+    meta = _meta(path)
+    if meta.get("clustering") == "stream_append":
+        raise ValueError("branches apply to batch-writer stores")
+    if meta.get("generations") is None or not meta.get("history"):
+        raise ValueError(
+            "store records no generation/commit history "
+            "(operator-written or pre-history store)"
+        )
+    brs = meta.setdefault("branches", {})
+    if name in brs:
+        raise ValueError(f"branch {name!r} already exists")
+    brs[name] = {
+        "base_gens": list(meta["generations"]),
+        "base_commit": len(meta["history"]),
+        "gens": [],
+        "history": [],
+    }
+    _write_meta(path, meta)
+    return dict(brs[name])
+
+
+def publish_branch(path: str, name: str) -> dict:
+    """Fast-forward main to the branch head (the WAP publish step): the
+    branch's generations join main's committed set and its commit
+    history extends main's timeline — a pure metadata write, no data
+    moves. Requires main unchanged since the branch point (commits to
+    main while staging make the histories diverge; there is no rebase —
+    re-stage on a fresh branch instead)."""
+    meta = _meta(path)
+    brs = meta.get("branches") or {}
+    ent = brs.get(name)
+    if ent is None:
+        raise ValueError(f"no branch {name!r}")
+    hist = meta.get("history") or []
+    if len(hist) != ent["base_commit"] or \
+            set(meta.get("generations") or []) != set(ent["base_gens"]):
+        raise ValueError(
+            f"main advanced since branch {name!r} was created "
+            f"(now {len(hist)} commits, branch based at "
+            f"{ent['base_commit']}); re-stage on a fresh branch"
+        )
+    meta["generations"] = sorted(
+        set(meta["generations"]) | set(ent["gens"])
+    )
+    meta["history"] = hist + list(ent["history"])
+    if ent["history"]:
+        meta["num_parts"] = ent["history"][-1]
+    del brs[name]
+    _write_meta(path, meta)  # THE commit point
+    return {"published_commits": len(ent["history"]),
+            "published_generations": len(ent["gens"])}
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Abandon a staging branch: the entry leaves the meta (THE commit
+    point — its files become invisible instantly) and the orphaned
+    blob files are sweep_store food."""
+    meta = _meta(path)
+    brs = meta.get("branches") or {}
+    if name not in brs:
+        raise ValueError(f"no branch {name!r}")
+    del brs[name]
+    _write_meta(path, meta)
+
+
+def _branch_max_pid(path: str, meta: dict) -> int:
+    """Highest part id any branch file holds, parsed from the committed
+    token-named file names (branch files are invisible to main's
+    dataset scan, but main appends must still allocate above them —
+    part ids are globally unique across main and every branch)."""
+    brs = meta.get("branches") or {}
+    if not brs:
+        return -1
+    toks = {t for e in brs.values() for t in e["gens"]}
+    if not toks:
+        return -1
+    hi = -1
+    b = _blobs_dir(path)
+    for f in os.listdir(b) if os.path.isdir(b) else []:
+        m = _GEN_RE.match(f)
+        if m is not None and m.group(1) in toks:
+            hi = max(hi, int(f.split("-")[1]))
+    return hi
+
+
 def rollback_to_commit(path: str, k: int) -> dict:
     """Durably restore a batch-writer store to append-commit snapshot
     ``k`` (the writable twin of the ``as_of_commit`` read): commits
@@ -274,6 +403,7 @@ def rollback_to_commit(path: str, k: int) -> dict:
             "store records no generation/commit history "
             "(operator-written or pre-history store)"
         )
+    _require_no_branches(meta, "rollback")
     if not 1 <= k <= len(hist):
         raise ValueError(
             f"rollback target {k} out of range: store has "
@@ -367,17 +497,17 @@ def _delete_positions(path: str, names, part_ids):
     return out
 
 
-def _has_blobs(path: str) -> bool:
+def _has_blobs(path: str, branch: str | None = None) -> bool:
     """A store with a committed (possibly empty) blobs dir may contain
     zero part files — e.g. an empty dataframe written through the sink;
     pyarrow cannot infer a schema from nothing, so guard every scan."""
-    return bool(_committed_files(path))
+    return bool(_committed_files(path, branch))
 
 
-def _dataset(path: str):
+def _dataset(path: str, branch: str | None = None):
     import pyarrow.dataset as pads
 
-    return pads.dataset(_committed_files(path), format="parquet")
+    return pads.dataset(_committed_files(path, branch), format="parquet")
 
 
 def _parse_read_opts(options) -> tuple[str, bytes]:
@@ -669,10 +799,11 @@ def _candidate_parts(
     only metadata columns of the blob files (parquet column pruning keeps
     blob bytes untouched) — the footer read, bounded by parts x cols.
     ``d``/``meta`` let the caller open the dataset and store meta once
-    for the whole planning pass."""
-    if not _has_blobs(path):
-        return []
+    for the whole planning pass (and select the view — a branch read's
+    ``d`` already holds the branch's file set)."""
     if d is None:
+        if not _has_blobs(path):
+            return []
         d = _dataset(path)
     stats = d.to_table(columns=_MANIFEST_COLUMNS)
     by_col: dict[str, dict[int, tuple]] = {}
@@ -982,6 +1113,24 @@ class PGSReader(DataSourceReader):
         # added after a partition was written
         self._added: dict[str, dict] = meta.get("added_columns") or {}
         self._renames: dict[str, list] = meta.get("column_renames") or {}
+        # staging-branch view (write-audit-publish): main as of the
+        # branch point plus the branch's own commits. Time travel stays
+        # a main-timeline concept — the branch's audit read IS its head.
+        br = options.get("branch")
+        if br is not None:
+            if (meta.get("branches") or {}).get(br) is None:
+                raise ValueError(
+                    f"no branch {br!r} "
+                    f"(have {sorted(meta.get('branches') or {})})"
+                )
+            for bad in ("as_of_commit", "as_of_tag", "since_commit",
+                        "as_of_batch"):
+                if options.get(bad) is not None:
+                    raise ValueError(
+                        f"option {bad!r} addresses main's timeline and "
+                        "cannot combine with a branch read"
+                    )
+        self._branch = br
         ab = options.get("as_of_batch")
         if ab is not None and meta.get("clustering") != "stream_append":
             raise ValueError(
@@ -1041,7 +1190,11 @@ class PGSReader(DataSourceReader):
         filters, self._filters = self._filters, []
         # one dataset open + one meta read for the whole planning pass
         meta = _meta(self._path)
-        d = _dataset(self._path) if _has_blobs(self._path) else None
+        d = (
+            _dataset(self._path, self._branch)
+            if _has_blobs(self._path, self._branch)
+            else None
+        )
         cands = _candidate_parts(self._path, filters, d, meta)
         if meta.get("clustering") == "stream_append":
             # stream stores encode the micro-batch in the part id
@@ -1204,7 +1357,7 @@ class PGSReader(DataSourceReader):
         src = (
             pads.dataset(list(files), format="parquet")
             if files
-            else _dataset(self._path)
+            else _dataset(self._path, self._branch)
         )
         stored: list[str] = []
         cands: dict[str, list[str]] = {}
@@ -1568,6 +1721,21 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
                  options):
         self._init_common(path, schema, options)
         self._overwrite = overwrite
+        self._branch = options.get("branch")
+        if self._branch is not None:
+            if overwrite:
+                raise ValueError(
+                    "branches are append-only staging surfaces; "
+                    "overwrite targets main (and is refused while "
+                    "branches exist)"
+                )
+            ent = (_meta(path).get("branches") or {}).get(self._branch)
+            if ent is None:
+                raise ValueError(
+                    f"no branch {self._branch!r}; create_branch first"
+                )
+        if overwrite:
+            _require_no_branches(_meta(path), "overwrite")
         if not overwrite:
             meta = _meta(path)
             if meta.get("clustering") == "stream_append":
@@ -1589,9 +1757,16 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
         if not overwrite:
             # a rollback pins the id allocator above every id the store
             # has EVER assigned — reusing a rolled-back pid would put
-            # new rows under old tombstone addresses / eq-delete caps
+            # new rows under old tombstone addresses / eq-delete caps.
+            # Branch files are invisible to the dataset scan above but
+            # their ids are allocated from the same namespace: every
+            # append (main or branch) lands above ALL of them, so a
+            # published branch never collides with interleaved commits.
+            meta = _meta(path)
             self._base = max(
-                self._base, _meta(path).get("pid_floor", 0)
+                self._base,
+                meta.get("pid_floor", 0),
+                _branch_max_pid(path, meta) + 1,
             )
 
     def write(self, iterator: Iterator) -> PGSCommitMessage:
@@ -1622,6 +1797,31 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
             os.replace(os.path.join(bdir, m.tmp_name),
                        os.path.join(bdir, final))
             committed += 1
+        if self._branch is not None:
+            # branch commit: the token joins the BRANCH entry, never
+            # main's generation set — main readers stay blind to these
+            # files until publish_branch fast-forwards them in. Same
+            # atomicity: a crash before this meta write leaves the
+            # renamed files invisible (sweep food).
+            meta = _meta(self._path)
+            ent = (meta.get("branches") or {}).get(self._branch)
+            if ent is None:
+                self._cleanup_tmp()
+                raise ValueError(
+                    f"branch {self._branch!r} was dropped while this "
+                    "write ran; nothing committed"
+                )
+            max_pid = max(
+                (m.part_id for m in messages if m.tmp_name is not None),
+                default=None,
+            )
+            ent["gens"] = sorted(set(ent["gens"]) | {self._token})
+            ent["history"] = list(ent["history"]) + [
+                (max_pid + 1) if max_pid is not None else self._base
+            ]
+            _write_meta(self._path, meta)
+            self._cleanup_tmp()
+            return
         if self._overwrite:
             meta = {"generations": [self._token],
                     "generations_strict": True}
@@ -1858,7 +2058,7 @@ class PGSStreamSourceReader(DataSourceStreamReader):
 
     def __init__(self, path: str, schema: StructType, options):
         for bad in ("as_of_commit", "as_of_batch", "since_commit",
-                    "with_pos"):
+                    "with_pos", "branch"):
             if options.get(bad) is not None:
                 raise ValueError(
                     f"option {bad!r} does not apply to streaming reads "
@@ -2331,6 +2531,62 @@ SELECT doc_id, lang, n_chars FROM documents
 UNION ALL
 SELECT doc_id + 2000000 AS doc_id, lang, n_chars
 FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+def ds_branch_wap_query(spark, sf_dir: str):
+    """Write-audit-publish through staging branches (the Iceberg
+    branch-ref pattern): stage an append on a branch — main readers
+    stay blind to it — audit the branch view, publish to fast-forward
+    main, and drop a second (failed-audit) branch whose files never
+    reach main (create_branch / publish_branch / drop_branch +
+    option("branch") on both read and write paths)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join("/tmp", f"pgs_ds_branch_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+
+    # the failed audit: staged, read back (the audit), then dropped —
+    # nothing of it may surface in the final read
+    create_branch(out, "reject")
+    bad = docs.select(
+        (F.col("doc_id") + F.lit(9_000_000)).alias("doc_id"),
+        F.lit("zz").alias("lang"),
+        F.lit(-1).cast(dict(docs.dtypes)["n_chars"]).alias("n_chars"),
+    )
+    (bad.write.format("pgs").mode("append")
+        .option("branch", "reject").save(out))
+    audited = (spark.read.format("pgs").option("branch", "reject")
+               .load(out))
+    assert audited.count() == 2 * docs.count()
+    drop_branch(out, "reject")
+    sweep_store(out)
+
+    # the passing audit: staged on a fresh branch, published
+    create_branch(out, "stage")
+    good = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        "lang",
+        (F.col("n_chars") * 2).alias("n_chars"),
+    )
+    (good.write.format("pgs").mode("append")
+        .option("branch", "stage").save(out))
+    publish_branch(out, "stage")
+    return spark.read.format("pgs").load(out)
+
+
+DS_BRANCH_WAP_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id, lang, n_chars * 2 AS n_chars
+FROM documents WHERE doc_id % 5 = 0
 """
 
 

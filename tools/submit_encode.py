@@ -228,6 +228,29 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Staging-branch lifecycle (write-audit-publish): create opens a
+    branch at the store's current state, publish fast-forwards main to
+    the branch head, drop abandons it (files become sweep food). Stage
+    data with ``.option("branch", name)`` on append writes; audit with
+    the same option on reads."""
+    from parquet_go_spark.sources.pgs_datasource import (
+        create_branch, drop_branch, publish_branch,
+    )
+
+    if args.action == "create":
+        res = create_branch(args.store, args.name)
+        res = {"base_commit": res["base_commit"]}
+    elif args.action == "publish":
+        res = publish_branch(args.store, args.name)
+    else:
+        drop_branch(args.store, args.name)
+        res = {}
+    print(json.dumps({"job": "branch", "action": args.action,
+                      "name": args.name, **res}))
+    return 0
+
+
 def cmd_compact_deletes(args) -> int:
     """Merge all tombstone dirs into one (delete-file maintenance)."""
     from parquet_go_spark.operators.deletes import compact_tombstones
@@ -381,6 +404,12 @@ def main() -> int:
     dv.add_argument("--key-cols", required=True,
                     help="comma-separated key column names")
     dv.set_defaults(fn=cmd_delete_values)
+
+    br = sub.add_parser("branch")
+    br.add_argument("action", choices=["create", "publish", "drop"])
+    br.add_argument("store")
+    br.add_argument("name")
+    br.set_defaults(fn=cmd_branch)
 
     cdl = sub.add_parser("compact-deletes")
     cdl.add_argument("--store", required=True)
