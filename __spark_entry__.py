@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # write-audit-publish: staged branch appends invisible to main
     # until publish; dropped branches never surface
     q["ds_branch_wap"] = _ds.ds_branch_wap_query
+    # conditional MERGE INTO: matched update over old values +
+    # unmatched insert, one source, one append
+    q["ds_merge"] = _ds.ds_merge_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -360,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_rollback"] = _ds.DS_ROLLBACK_ORACLE
     o["ds_stream_source"] = _ds.DS_STREAM_SOURCE_ORACLE
     o["ds_branch_wap"] = _ds.DS_BRANCH_WAP_ORACLE
+    o["ds_merge"] = _ds.DS_MERGE_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -335,6 +335,220 @@ def update_where(
     return {"updated_rows": n, "name": res["name"]}
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source,
+    on: list[str] | str,
+    when_matched: dict[str, str] | str | None = None,
+    matched_condition: str | None = None,
+    when_not_matched: dict[str, str] | bool = False,
+    not_matched_condition: str | None = None,
+    read_options: dict | None = None,
+    write_options: dict | None = None,
+) -> dict:
+    """Conditional MERGE INTO (the Iceberg/ANSI verb the simple
+    ``upsert_by_key`` is a special case of): join ``source`` to the
+    store on the ``on`` key columns, then
+
+      * ``when_matched``: ``"delete"`` removes matched store rows, or a
+        ``{col: sql_expr}`` dict rewrites them — expressions see BOTH
+        sides as ``t.col`` (the store's old values) and ``s.col`` (the
+        source row), so ``{"qty": "t.qty + s.qty"}`` accumulates.
+        ``matched_condition`` (over ``t``/``s``) narrows which matched
+        rows the action touches; the rest stay as they are.
+      * ``when_not_matched``: ``True`` inserts unmatched source rows
+        verbatim (source must carry the store schema), or a
+        ``{col: sql_expr}`` dict over ``s`` builds them;
+        ``not_matched_condition`` narrows which source rows insert.
+
+    Matching is ANSI ``=`` on the keys (null keys never match, same as
+    SQL MERGE ON). A source with duplicate keys that HIT the store is
+    refused (one target row must not merge twice — the ANSI ambiguity
+    rule); duplicates confined to the insert arm are allowed.
+
+    Execution is tombstone-matched + one append (merge-on-read, no
+    partition rewrite), with ``update_where``'s crash discipline: both
+    arms are materialized (localCheckpoint) BEFORE the tombstone commit
+    — the insert anti-join derives from the store, so computing it
+    lazily after the delete would re-insert rows the matched arm just
+    removed — the append is pre-flighted before any mutation, and a
+    failed append rolls the tombstone entry back (exact restore).
+
+    At 100 TB: the matched arm is one equi-join against a store scan
+    pre-pruned by the source's key range (same lever as
+    ``delete_matching``); the insert arm is a left-anti join on the
+    same keys; AQE broadcasts small sources on both.
+    """
+    from ..sources.pgs_datasource import PGSArrowWriter
+
+    register(spark)
+    _require_no_branches(_meta(path), "merge_into")
+    if isinstance(on, str):
+        on = [on]
+    if when_matched is None and not when_not_matched:
+        raise ValueError(
+            "merge_into needs at least one action: when_matched "
+            "and/or when_not_matched"
+        )
+    if isinstance(when_matched, str) and when_matched != "delete":
+        raise ValueError(
+            "when_matched must be 'delete', a {col: expr} dict, or None"
+        )
+    store_schema = spark.read.format("pgs").load(path).schema
+    meta = _meta(path)
+    store_cols = store_schema.fieldNames()
+    for c in on:
+        if c.startswith("_pgs_") or c == "part_id":
+            raise ValueError(f"virtual/reserved column {c!r} cannot key "
+                             "a merge")
+        if c not in store_cols:
+            raise ValueError(f"no column {c!r} in the store schema")
+        if c not in source.columns:
+            raise ValueError(f"no column {c!r} in the source")
+    upd = when_matched if isinstance(when_matched, dict) else {}
+    for c in upd:
+        if c not in store_cols:
+            raise ValueError(f"no column {c!r} in the store schema")
+        if c in (meta.get("shredded") or {}):
+            raise ValueError(
+                f"cannot update shredded variant column {c!r}"
+            )
+    wo = _inherit_layout(meta, write_options)
+    # pre-flight the append (schema/layout/stream checks) before any
+    # mutation — a refused merge must leave the store untouched
+    PGSArrowWriter(path, store_schema, False, wo)
+
+    source = source.persist()  # ambiguity check + both join arms
+    try:
+        target = _read_with_pos(spark, path, read_options)
+        # key-range pre-prune, same lever as delete_matching: a range
+        # predicate pushes into stats/bloom/page pruning, a join never
+        # does
+        bounds = source.agg(*(
+            f(c).alias(f"{f.__name__}_{c}")
+            for c in on for f in (F.min, F.max)
+        )).collect()[0]
+        pruned = target
+        for c in on:
+            lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+            if lo is not None and hi is not None:
+                pruned = pruned.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        t, s = pruned.alias("t"), source.alias("s")
+        cond = None
+        for c in on:
+            eq = F.col(f"t.{c}") == F.col(f"s.{c}")
+            cond = eq if cond is None else (cond & eq)
+        act = t.join(s, cond, "inner")
+        if matched_condition is not None:
+            act = act.filter(matched_condition)
+        n_matched = 0
+        hits = updated = None
+        if when_matched is not None:
+            # project addresses (+ the rewritten row, if updating) while
+            # the t/s qualifiers still resolve, THEN materialize —
+            # localCheckpoint cuts lineage and with it the join aliases,
+            # and the matched rows derive from the store so they must be
+            # real before the tombstone commit
+            proj = [
+                F.col("t._pgs_part").alias("_pgs_part"),
+                F.col("t._pgs_pos").alias("_pgs_pos"),
+            ]
+            if upd:
+                proj += [
+                    F.expr(upd[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in upd else
+                    F.col(f"t.{f.name}").alias(f.name)
+                    for f in store_schema.fields
+                ]
+            act = act.select(*proj).localCheckpoint()
+            n_matched = act.count()
+            # ANSI ambiguity rule: one target row merged by two source
+            # rows is an error, not a nondeterministic pick
+            if n_matched and act.groupBy("_pgs_part", "_pgs_pos") \
+                    .count().filter("count > 1").limit(1).count():
+                raise ValueError(
+                    "source has duplicate keys matching the same store "
+                    "row; deduplicate the source or tighten "
+                    "matched_condition"
+                )
+            hits = act.select("_pgs_part", "_pgs_pos")
+            if upd:
+                updated = act.drop("_pgs_part", "_pgs_pos")
+        inserts = None
+        n_inserted = 0
+        if when_not_matched:
+            # the pruned target is sufficient here too: the prune bounds
+            # come FROM the source keys, so no source row can match a
+            # target row outside them
+            ins = source.alias("s").join(
+                pruned.alias("t2"),
+                [F.col(f"s.{c}") == F.col(f"t2.{c}") for c in on],
+                "left_anti",
+            )
+            if not_matched_condition is not None:
+                ins = ins.filter(not_matched_condition)
+            if isinstance(when_not_matched, dict):
+                missing = [f.name for f in store_schema.fields
+                           if f.name not in when_not_matched]
+                if missing:
+                    raise ValueError(
+                        f"when_not_matched leaves columns {missing} "
+                        "unset; give every store column an expression"
+                    )
+                ins = ins.select(*[
+                    F.expr(when_not_matched[f.name])
+                    .cast(f.dataType).alias(f.name)
+                    for f in store_schema.fields
+                ])
+            else:
+                missing = [c for c in store_cols
+                           if c not in source.columns]
+                if missing:
+                    raise ValueError(
+                        f"source lacks store columns {missing}; pass a "
+                        "when_not_matched projection dict instead"
+                    )
+                ins = ins.select(*[
+                    F.col(f"s.{f.name}").cast(f.dataType).alias(f.name)
+                    for f in store_schema.fields
+                ])
+            # the anti-join derives from the store: materialize before
+            # the tombstone commit or deleted matches would re-insert
+            inserts = ins.localCheckpoint()
+            n_inserted = inserts.count()
+
+        appended = None
+        if updated is not None and inserts is not None:
+            appended = updated.unionAll(inserts)
+        else:
+            appended = updated if updated is not None else inserts
+
+        if n_matched == 0 and n_inserted == 0:
+            return {"matched_rows": 0, "inserted_rows": 0, "name": None}
+        res = {"deleted_rows": 0, "name": None}
+        if when_matched is not None and n_matched:
+            res = _commit_tombstones(path, hits)
+        if appended is not None and (n_matched if upd else 0) + n_inserted:
+            try:
+                _append(appended, path, wo)
+            except BaseException:
+                if res["name"] is not None:
+                    # compensate exactly like update_where: positions
+                    # still hold bytes, dropping the entry restores them
+                    m = _meta(path)
+                    m["deletes"] = [
+                        e for e in m.get("deletes") or []
+                        if e["name"] != res["name"]
+                    ]
+                    _write_meta(path, m)
+                raise
+        return {"matched_rows": n_matched, "inserted_rows": n_inserted,
+                "name": res["name"]}
+    finally:
+        source.unpersist()
+
+
 def _int_key_bounds(d: str, key_cols: list[str]) -> dict:
     """{logical key position -> [lo, hi]} for integer-typed key columns,
     from the key files' parquet footers only. A column any of whose

@@ -121,6 +121,39 @@ def _write_meta(path: str, meta: dict) -> None:
 # pattern deliberately misses stream files (part-NNNNNNN-bK.parquet) and
 # Spark/operator-written parquet names — those are governed by their own
 # commit protocols and stay visible unconditionally.
+def _merge_nullable_schema(existing: StructType,
+                           incoming: StructType) -> StructType:
+    """Nullability union of two name/type-identical schemas (append
+    validation already guarantees names+types match). An append whose
+    data is nullable where the recorded schema says required MUST relax
+    the record at the commit: Spark trusts the recorded schema in
+    whole-stage codegen, so a decoded null under a required column is
+    an executor crash (ArrowColumnVector getLong on a null), not a
+    clean error. Relaxing is always sound — old rows simply never
+    exercise the nulls. The stream sink uses the same union so a later
+    all-non-null batch can never TIGHTEN the schema out from under
+    earlier batches' nulls."""
+    import pyspark.sql.types as T
+
+    def mt(a, b):
+        if isinstance(a, T.StructType):
+            return T.StructType([
+                T.StructField(fa.name, mt(fa.dataType, fb.dataType),
+                              fa.nullable or fb.nullable, fa.metadata)
+                for fa, fb in zip(a.fields, b.fields)
+            ])
+        if isinstance(a, T.ArrayType):
+            return T.ArrayType(mt(a.elementType, b.elementType),
+                               a.containsNull or b.containsNull)
+        if isinstance(a, T.MapType):
+            return T.MapType(mt(a.keyType, b.keyType),
+                             mt(a.valueType, b.valueType),
+                             a.valueContainsNull or b.valueContainsNull)
+        return a
+
+    return mt(existing, incoming)
+
+
 _GEN_RE = re.compile(r"^part-\d+-([0-9a-f]{12})\.parquet$")
 
 
@@ -1819,6 +1852,13 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
             ent["history"] = list(ent["history"]) + [
                 (max_pid + 1) if max_pid is not None else self._base
             ]
+            if meta.get("schema_json"):
+                # branch files share main's recorded schema; nullable
+                # staged data must relax it now, not at publish
+                meta["schema_json"] = _merge_nullable_schema(
+                    StructType.fromJson(meta["schema_json"]),
+                    self._schema,
+                ).jsonValue()
             _write_meta(self._path, meta)
             self._cleanup_tmp()
             return
@@ -1843,7 +1883,13 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
                 ]
             meta["generations"] = sorted(set(gens) | {self._token})
             meta.setdefault("clustering", "upstream")
-            meta.setdefault("schema_json", self._schema.jsonValue())
+            if meta.get("schema_json"):
+                meta["schema_json"] = _merge_nullable_schema(
+                    StructType.fromJson(meta["schema_json"]),
+                    self._schema,
+                ).jsonValue()
+            else:
+                meta["schema_json"] = self._schema.jsonValue()
             meta["num_parts"] = self._base + committed
         # append-commit history: cumulative part-id cap after each batch
         # commit. Part ids are strictly increasing across appends (base =
@@ -1975,11 +2021,17 @@ class PGSStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
                 os.replace(os.path.join(bdir, m.tmp_name),
                            os.path.join(bdir, final))
                 committed += 1
+            fields = self._meta_fields()
+            if meta.get("schema_json"):
+                fields["schema_json"] = _merge_nullable_schema(
+                    StructType.fromJson(meta["schema_json"]),
+                    self._schema,
+                ).jsonValue()
             meta.update(
                 clustering="stream_append",
                 num_parts=committed,
                 last_committed_batch=batchId,
-                **self._meta_fields(),
+                **fields,
             )
             _write_meta(self._path, meta)
         self._cleanup_batch_tmp(batchId)
@@ -2531,6 +2583,62 @@ SELECT doc_id, lang, n_chars FROM documents
 UNION ALL
 SELECT doc_id + 2000000 AS doc_id, lang, n_chars
 FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+def ds_merge_query(spark, sf_dir: str):
+    """Conditional MERGE INTO (operators/deletes.py merge_into): one
+    source both updates matched store rows — accumulating over the OLD
+    values, narrowed by a matched_condition — and inserts its unmatched
+    rows; tombstone-matched + one append, both arms materialized before
+    the tombstone commit."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..operators.deletes import merge_into
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join("/tmp", f"pgs_ds_merge_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    src = (
+        docs.filter("doc_id % 3 = 0").select("doc_id", "lang", "n_chars")
+        .unionAll(
+            docs.filter("doc_id % 7 = 0").select(
+                (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+                "lang", "n_chars",
+            )
+        )
+    )
+    merge_into(
+        spark, out, src, "doc_id",
+        when_matched={"n_chars": "t.n_chars + s.n_chars"},
+        matched_condition="s.n_chars % 2 = 0",
+        when_not_matched=True,
+    )
+    return spark.read.format("pgs").load(out)
+
+
+DS_MERGE_ORACLE = """
+WITH src AS (
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 = 0
+            THEN d.n_chars + s.n_chars ELSE d.n_chars END AS n_chars
+FROM documents d LEFT JOIN src s ON d.doc_id = s.doc_id
+UNION ALL
+SELECT s.doc_id, s.lang, s.n_chars FROM src s
+WHERE NOT EXISTS (
+    SELECT 1 FROM documents d WHERE d.doc_id = s.doc_id
+)
 """
 
 

@@ -13,6 +13,7 @@ from parquet_go_spark.operators.compact import compact_store
 from parquet_go_spark.operators.deletes import (
     delete_values,
     delete_where,
+    merge_into,
     update_where,
     upsert_by_key,
 )
@@ -177,6 +178,8 @@ def test_mutations_refused_while_branch_open(spark, tmp_out):
         lambda: update_where(spark, tmp_out, "grp = 1",
                              {"name": "concat(name, '!')"}),
         lambda: upsert_by_key(spark, tmp_out, batch, "k"),
+        lambda: merge_into(spark, tmp_out, batch, "k",
+                           when_matched={"name": "s.name"}),
         lambda: add_column(tmp_out, "extra", "int", 0),
         lambda: rollback_to_commit(tmp_out, 1),
         lambda: compact_store(spark, tmp_out, tmp_out + "-c"),

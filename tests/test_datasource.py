@@ -1201,3 +1201,67 @@ def test_pushdown_optin_prunes_and_pins_the_engine_hazard(spark, orders,
         "o_orderkey >= 100 AND o_orderkey <= 110").count() > 0
     stale = reused.count()
     assert stale < total_first  # the upstream bug, pinned
+
+
+def test_append_nullable_data_relaxes_recorded_schema(spark, tmp_out):
+    """An append whose fields are nullable where the recorded schema
+    says required must relax the record at the commit — Spark trusts
+    the recorded schema in codegen, so a decoded null under a required
+    column is an executor CRASH (ArrowColumnVector.getLong on null),
+    not a clean error."""
+    import shutil
+
+    from parquet_go_spark.sources.pgs_datasource import _meta, register
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    # spark.range ids are non-nullable -> recorded schema says required
+    base = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+    base.write.format("pgs").mode("overwrite").save(tmp_out)
+    from pyspark.sql.types import StructType
+    rec = StructType.fromJson(_meta(tmp_out)["schema_json"])
+    assert not rec["k"].nullable
+    nullable = spark.createDataFrame(
+        [(None, 7), (1000, None)], "k long, v long"
+    )
+    nullable.write.format("pgs").mode("append").save(tmp_out)
+    rec2 = StructType.fromJson(_meta(tmp_out)["schema_json"])
+    assert rec2["k"].nullable and rec2["v"].nullable
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 52
+    assert back.filter("k IS NULL").count() == 1
+    assert back.filter("v IS NULL").count() == 1
+
+
+def test_stream_sink_never_tightens_nullability(spark, tmp_out):
+    """A later all-non-null micro-batch must not tighten the recorded
+    schema out from under earlier batches' nulls."""
+    import shutil
+
+    from parquet_go_spark.sources.pgs_datasource import _meta, register
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    ckpt = tmp_out + "-ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src_dir = tmp_out + "-in"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    # batch 1 carries a null; batch 2 is fully non-null
+    spark.createDataFrame([(None, 1)], "k long, v long") \
+        .write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src_dir)
+        .writeStream.format("pgs")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    stream.start(tmp_out).awaitTermination(120)
+    spark.createDataFrame([(5, 2)], "k long, v long") \
+        .write.mode("append").parquet(src_dir)
+    stream.start(tmp_out).awaitTermination(120)
+    from pyspark.sql.types import StructType
+    rec = StructType.fromJson(_meta(tmp_out)["schema_json"])
+    assert rec["k"].nullable  # batch 2 did not tighten it
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 2 and back.filter("k IS NULL").count() == 1

@@ -29,6 +29,7 @@ from parquet_go_spark.operators.deletes import (
     delete_matching,
     delete_values,
     delete_where,
+    merge_into,
     update_where,
     upsert_by_key,
 )
@@ -140,7 +141,8 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
         live = sorted(model.rows)
         op = rng.choice(
             ["append", "delete_where", "delete_keys", "delete_values",
-             "update", "upsert", "add", "rename", "drop", "compact"]
+             "update", "upsert", "merge", "add", "rename", "drop",
+             "compact"]
         )
         desc = op
         if op == "append":
@@ -215,6 +217,38 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
             )
             upsert_by_key(spark, path, up, "k")
             for r in batch:
+                model.rows[r["k"]] = r
+        elif op == "merge" and live:
+            intcols = [n for n, t in model.fields
+                       if t == "int" and n != "k"]
+            if not intcols:
+                continue
+            target = rng.choice(intcols)
+            matched = rng.sample(live, min(len(live),
+                                           rng.randrange(1, 12)))
+            deltas = {k: rng.randrange(1, 9) for k in matched}
+            fresh = model.fresh_batch(rng, rng.randrange(3, 8))
+            src_rows = []
+            for k in matched:
+                row = dict(model.rows[k])
+                row[target] = deltas[k]
+                src_rows.append(row)
+            src_rows += fresh
+            src = spark.createDataFrame(
+                [tuple(r[c] for c, _ in model.fields) for r in src_rows],
+                model.schema(),
+            )
+            desc += f" {len(matched)} upd + {len(fresh)} ins SET {target}"
+            merge_into(
+                spark, path, src, "k",
+                when_matched={target: f"coalesce(t.{target}, 0) + "
+                                      f"coalesce(s.{target}, 0)"},
+                when_not_matched=True,
+            )
+            for k in matched:
+                r = model.rows[k]
+                r[target] = (r.get(target) or 0) + deltas[k]
+            for r in fresh:
                 model.rows[r["k"]] = r
         elif op == "add":
             added_n += 1

@@ -218,6 +218,38 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Conditional MERGE INTO: join a source parquet to the store on
+    key columns; matched rows update (--set, expressions over t./s.)
+    or delete (--delete-matched), unmatched source rows insert
+    (--insert)."""
+    from parquet_go_spark.operators.deletes import merge_into
+
+    when_matched = None
+    if args.delete_matched:
+        if args.set:
+            raise SystemExit("--set and --delete-matched are exclusive")
+        when_matched = "delete"
+    elif args.set:
+        when_matched = {}
+        for s in args.set:
+            col, _, expr = s.partition("=")
+            if not expr:
+                raise SystemExit(f"--set needs col=expr, got {s!r}")
+            when_matched[col.strip()] = expr.strip()
+    spark = _get_session("pgs-merge")
+    source = spark.read.parquet(args.source_parquet)
+    res = merge_into(
+        spark, args.store, source, args.on.split(","),
+        when_matched=when_matched,
+        matched_condition=args.matched_where,
+        when_not_matched=args.insert,
+        not_matched_condition=args.not_matched_where,
+    )
+    print(json.dumps({"job": "merge", **res}))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     """Restore the store to append-commit snapshot k (metadata-only;
     later commits' files become sweep food; part ids never reused)."""
@@ -396,6 +428,22 @@ def main() -> int:
                     help='assignment col=SQL-expr (repeatable), e.g. '
                          '--set "n_chars = n_chars + 1"')
     up.set_defaults(fn=cmd_update)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("--store", required=True)
+    mg.add_argument("--source-parquet", required=True)
+    mg.add_argument("--on", required=True,
+                    help="comma-separated key columns")
+    mg.add_argument("--set", action="append", default=[],
+                    help='matched-row assignment col=SQL-expr over '
+                         't./s. (repeatable), e.g. '
+                         '--set "qty = t.qty + s.qty"')
+    mg.add_argument("--delete-matched", action="store_true")
+    mg.add_argument("--insert", action="store_true",
+                    help="insert unmatched source rows")
+    mg.add_argument("--matched-where", default=None)
+    mg.add_argument("--not-matched-where", default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     dv = sub.add_parser("delete-values")
     dv.add_argument("--store", required=True)
