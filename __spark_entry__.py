@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # conditional MERGE INTO: matched update over old values +
     # unmatched insert, one source, one append
     q["ds_merge"] = _ds.ds_merge_query
+    # rewrite with a sort order: one range shuffle -> disjoint key
+    # bounds per partition (exact-range stats pruning)
+    q["ds_recluster"] = _ds.ds_recluster_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -364,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_stream_source"] = _ds.DS_STREAM_SOURCE_ORACLE
     o["ds_branch_wap"] = _ds.DS_BRANCH_WAP_ORACLE
     o["ds_merge"] = _ds.DS_MERGE_ORACLE
+    o["ds_recluster"] = _ds.DS_RECLUSTER_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

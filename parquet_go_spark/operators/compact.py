@@ -379,3 +379,88 @@ def compact_store(
         "deletes_applied": sum(e.get("rows", 0) for e in del_entries),
         "eq_deletes_applied": sum(e.get("keys", 0) for e in eq_entries),
     }
+
+
+def recluster_store(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    key: str,
+    target_rows: int | None = None,
+    read_options: dict | None = None,
+    write_options: dict | None = None,
+) -> dict:
+    """Rewrite the store globally ordered by ``key`` (the Iceberg
+    ``rewrite_data_files`` with a sort order — the cluster-by
+    maintenance action ``compact_store`` deliberately is not: adjacent
+    merges preserve whatever order exists; this CHANGES it). One range
+    shuffle: ``repartitionByRange(key)`` + an in-partition sort, then
+    the ordinary batch writer into a fresh destination store.
+
+    Reads go through the native source, so positional tombstones,
+    equality deletes, alias resolution, and added-column defaults all
+    materialize into the rewrite — same guarantee as compact_store's
+    recode arm. After it, every partition's [vmin, vmax] on ``key`` is
+    non-overlapping, so stats pruning on key ranges reads exactly the
+    partitions that can match — the difference between scanning a
+    shuffled 100 TB store and touching two partitions for a range query.
+
+    Layout (blooms, pages, shredding) is inherited from the source;
+    encryption keys are NOT (keys stay caller-supplied — pass
+    ``read_options={"key_hex": ...}`` and the write twin). Partition
+    sizing: ``target_rows`` per output partition, defaulting to the
+    source's mean partition size (same partition count).
+    """
+    import math
+    import os
+
+    from ..sources.pgs_datasource import (
+        _dataset, _has_blobs, _meta, _require_no_branches, _write_meta,
+        register,
+    )
+    from .deletes import _inherit_layout
+
+    register(spark)
+    src_meta = _meta(src_dir)
+    _require_no_branches(src_meta, "recluster_store")
+    if os.path.exists(dst_dir):
+        raise ValueError(f"destination store already exists: {dst_dir}")
+    if not _has_blobs(src_dir):
+        raise ValueError(f"source store has no committed blobs: {src_dir}")
+
+    reader = spark.read.format("pgs")
+    for k, v in (read_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(src_dir)
+    if key not in df.columns:
+        raise ValueError(f"no column {key!r} in the store schema")
+
+    # partition sizing from manifest metadata only (chunk row counts are
+    # row-aligned, so any one chunk's count is the partition's; the sum
+    # ignores tombstoned rows — an upper bound is fine for sizing)
+    t = _dataset(src_dir).to_table(columns=["part_id", "count"])
+    rows_by_part: dict[int, int] = {}
+    for p, c in zip(t.column("part_id").to_pylist(),
+                    t.column("count").to_pylist()):
+        rows_by_part.setdefault(p, c)
+    total = sum(rows_by_part.values())
+    if target_rows is None:
+        n_out = max(1, len(rows_by_part))
+    else:
+        n_out = max(1, math.ceil(total / target_rows))
+
+    wo = _inherit_layout(src_meta, write_options)
+    wo["sort_key"] = key
+    out = (
+        df.repartitionByRange(n_out, F.col(key))
+        .sortWithinPartitions(key)
+    )
+    w = out.write.format("pgs").mode("overwrite")
+    for k, v in wo.items():
+        w = w.option(k, v)
+    w.save(dst_dir)
+    meta = _meta(dst_dir)
+    meta["reclustered_from"] = os.path.abspath(src_dir)
+    _write_meta(dst_dir, meta)
+    return {"src_parts": len(rows_by_part), "dst_parts": n_out,
+            "rows_upper_bound": total, "key": key}

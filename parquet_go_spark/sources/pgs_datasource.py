@@ -2586,6 +2586,39 @@ FROM documents WHERE doc_id % 4 = 0
 """
 
 
+def ds_recluster_query(spark, sf_dir: str):
+    """Rewrite-with-sort-order (operators/compact.py recluster_store;
+    Iceberg rewrite_data_files with a sort order): a key-shuffled store
+    with tombstones is globally range-clustered on doc_id in one range
+    shuffle — content identical minus the deletes, every partition's
+    key bounds disjoint afterwards."""
+    import shutil
+
+    from ..operators.compact import recluster_store
+    from ..operators.deletes import delete_where
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join(
+        "/tmp", f"pgs_ds_recluster_{os.path.basename(sf_dir)}"
+    )
+    dst = out + "-ranged"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    # scatter the key across partitions so the rewrite has work to do
+    docs.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    delete_where(spark, out, "n_chars % 9 = 0")
+    recluster_store(spark, out, dst, "doc_id")
+    return spark.read.format("pgs").load(dst)
+
+
+DS_RECLUSTER_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE n_chars % 9 != 0
+"""
+
+
 def ds_merge_query(spark, sf_dir: str):
     """Conditional MERGE INTO (operators/deletes.py merge_into): one
     source both updates matched store rows — accumulating over the OLD

@@ -157,3 +157,77 @@ def test_empty_blob_table_matches_blob_schema(spark):
     assert got.names == want.names
     for g, w in zip(got, want):
         assert g.type == w.type, g.name
+
+
+# ---------- recluster (rewrite with sort order) ----------
+
+def test_recluster_store_orders_and_materializes(spark, tmp_path):
+    from parquet_go_spark.operators.compact import recluster_store
+    from parquet_go_spark.operators.deletes import delete_where
+    from parquet_go_spark.sources.pgs_datasource import (
+        _dataset, _meta, register,
+    )
+
+    register(spark)
+    src = str(tmp_path / "shuffled")
+    dst = str(tmp_path / "ranged")
+    # keys deliberately scattered across partitions: every partition's
+    # [vmin, vmax] on k covers nearly the whole domain
+    df = spark.range(0, 900).selectExpr(
+        "id AS k", "CAST(id % 7 AS INT) AS grp"
+    ).repartition(4)
+    df.write.format("pgs").mode("overwrite").save(src)
+    delete_where(spark, src, "grp = 3")
+
+    res = recluster_store(spark, src, dst, "k")
+    assert res["dst_parts"] == res["src_parts"] == 4
+
+    back = spark.read.format("pgs").load(dst)
+    expect = df.filter("grp != 3")
+    assert back.exceptAll(expect).count() == 0
+    assert expect.exceptAll(back).count() == 0
+
+    # the whole point: per-partition key bounds are now non-overlapping
+    t = _dataset(dst).to_table(columns=["part_id", "col", "vmin", "vmax"])
+    bounds = sorted(
+        (int(vmin), int(vmax))
+        for c, vmin, vmax in zip(t.column("col").to_pylist(),
+                                 t.column("vmin").to_pylist(),
+                                 t.column("vmax").to_pylist())
+        if c == "k"
+    )
+    assert len(bounds) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2  # disjoint ranges
+
+    # tombstones materialized; lineage recorded; sort key declared
+    m = _meta(dst)
+    assert not m.get("deletes")
+    assert m["reclustered_from"].endswith("shuffled")
+    assert m["key_col"] == "k"
+
+    # a range read through pushdown now plans a strict partition subset
+    one = (
+        spark.read.format("pgs").option("pushdown", "true").load(dst)
+        .filter("k >= 10 AND k <= 20")
+    )
+    assert one.count() == expect.filter("k >= 10 AND k <= 20").count()
+
+
+def test_recluster_store_target_rows_and_guards(spark, tmp_path):
+    from parquet_go_spark.operators.compact import recluster_store
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    register(spark)
+    src = str(tmp_path / "src2")
+    spark.range(0, 600).selectExpr("id AS k", "id * 2 AS v") \
+        .repartition(3).write.format("pgs").mode("overwrite").save(src)
+    dst = str(tmp_path / "dst2")
+    res = recluster_store(spark, src, dst, "k", target_rows=100)
+    assert res["dst_parts"] == 6
+    back = spark.read.format("pgs").load(dst)
+    assert back.count() == 600
+    with pytest.raises(ValueError, match="already exists"):
+        recluster_store(spark, src, dst, "k")
+    with pytest.raises(ValueError, match="no column"):
+        recluster_store(spark, src, str(tmp_path / "dst3"), "nope")

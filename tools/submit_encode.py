@@ -260,6 +260,22 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_recluster(args) -> int:
+    """Rewrite the store globally range-ordered by a key (Iceberg
+    rewrite_data_files with a sort order): one range shuffle into a
+    fresh destination; tombstones/evolution materialize; per-partition
+    key bounds become disjoint, so range reads prune exactly."""
+    from parquet_go_spark.operators.compact import recluster_store
+
+    spark = _get_session("pgs-recluster")
+    res = recluster_store(
+        spark, args.src, args.dst, args.key,
+        target_rows=args.target_rows,
+    )
+    print(json.dumps({"job": "recluster", **res}))
+    return 0
+
+
 def cmd_branch(args) -> int:
     """Staging-branch lifecycle (write-audit-publish): create opens a
     branch at the store's current state, publish fast-forwards main to
@@ -452,6 +468,13 @@ def main() -> int:
     dv.add_argument("--key-cols", required=True,
                     help="comma-separated key column names")
     dv.set_defaults(fn=cmd_delete_values)
+
+    rc = sub.add_parser("recluster")
+    rc.add_argument("src")
+    rc.add_argument("dst")
+    rc.add_argument("key")
+    rc.add_argument("--target-rows", type=int, default=None)
+    rc.set_defaults(fn=cmd_recluster)
 
     br = sub.add_parser("branch")
     br.add_argument("action", choices=["create", "publish", "drop"])
