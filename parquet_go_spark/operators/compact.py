@@ -381,11 +381,57 @@ def compact_store(
     }
 
 
+_Z_BITS = 16
+
+
+def _zvalue(df, keys: list[str]):
+    """Interleaved-bit (Morton / Z-order) cluster key over numeric or
+    temporal columns, entirely in JVM expressions: each key linearly
+    normalizes to a ``_Z_BITS``-bit code via its global [min, max] (one
+    metadata-scale agg), and the codes' bits interleave into one BIGINT.
+    Linear normalization is the standard practical scheme (what Delta's
+    OSS Z-order does via range ids); heavy skew degrades locality but
+    never correctness — clustering is a pruning lever, not a semantic.
+    Null keys code to 0 (cluster first). Strings are refused: hashing
+    would destroy the locality that is the entire point."""
+    row = df.agg(*(
+        f(c).alias(f"{f.__name__}_{c}") for c in keys for f in (F.min, F.max)
+    )).collect()[0]
+    top = (1 << _Z_BITS) - 1
+    codes = []
+    for c in keys:
+        lo, hi = row[f"min_{c}"], row[f"max_{c}"]
+        if lo is None:  # all-null column: constant code
+            codes.append(F.lit(0).cast("long"))
+            continue
+        lo_d, hi_d = float(lo), float(hi)
+        span = (hi_d - lo_d) or 1.0
+        code = F.floor(
+            (F.col(c).cast("double") - F.lit(lo_d)) / F.lit(span)
+            * F.lit(float(top))
+        ).cast("long")
+        codes.append(F.coalesce(
+            F.least(F.lit(top).cast("long"),
+                    F.greatest(F.lit(0).cast("long"), code)),
+            F.lit(0).cast("long"),
+        ))
+    z = F.lit(0).cast("long")
+    for b in range(_Z_BITS):
+        for i, code in enumerate(codes):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(code, b).bitwiseAND(F.lit(1)),
+                    b * len(codes) + i,
+                )
+            )
+    return z
+
+
 def recluster_store(
     spark: SparkSession,
     src_dir: str,
     dst_dir: str,
-    key: str,
+    key: str | list[str],
     target_rows: int | None = None,
     read_options: dict | None = None,
     write_options: dict | None = None,
@@ -404,6 +450,12 @@ def recluster_store(
     non-overlapping, so stats pruning on key ranges reads exactly the
     partitions that can match — the difference between scanning a
     shuffled 100 TB store and touching two partitions for a range query.
+
+    A LIST of keys Z-orders instead (Iceberg rewrite with a zorder
+    strategy): rows cluster by the interleaved-bit Morton code of the
+    keys, so a range filter on ANY of them prunes — the
+    multi-dimensional twin of the single-key linear order, for stores
+    queried along more than one axis.
 
     Layout (blooms, pages, shredding) is inherited from the source;
     encryption keys are NOT (keys stay caller-supplied — pass
@@ -428,12 +480,21 @@ def recluster_store(
     if not _has_blobs(src_dir):
         raise ValueError(f"source store has no committed blobs: {src_dir}")
 
+    keys = [key] if isinstance(key, str) else list(key)
+    zorder = len(keys) > 1
     reader = spark.read.format("pgs")
     for k, v in (read_options or {}).items():
         reader = reader.option(k, v)
     df = reader.load(src_dir)
-    if key not in df.columns:
-        raise ValueError(f"no column {key!r} in the store schema")
+    for c in keys:
+        if c not in df.columns:
+            raise ValueError(f"no column {c!r} in the store schema")
+        if zorder and dict(df.dtypes)[c] in ("string", "binary"):
+            raise ValueError(
+                f"zorder key {c!r} is {dict(df.dtypes)[c]}; interleaved "
+                "bits need numeric/temporal keys (hashing a string "
+                "would destroy the locality zorder exists to create)"
+            )
 
     # partition sizing from manifest metadata only (chunk row counts are
     # row-aligned, so any one chunk's count is the partition's; the sum
@@ -450,17 +511,34 @@ def recluster_store(
         n_out = max(1, math.ceil(total / target_rows))
 
     wo = _inherit_layout(src_meta, write_options)
-    wo["sort_key"] = key
-    out = (
-        df.repartitionByRange(n_out, F.col(key))
-        .sortWithinPartitions(key)
-    )
+    if zorder:
+        # cluster on the Morton code, then drop it: the range exchange
+        # and the in-partition order both survive the projection. The
+        # writer's own sort_key would re-sort per partition by ONE key
+        # and undo the interleaving — strip it.
+        wo.pop("sort_key", None)
+        zc = "__pgs_zcluster"
+        out = (
+            df.withColumn(zc, _zvalue(df, keys))
+            .repartitionByRange(n_out, F.col(zc))
+            .sortWithinPartitions(zc)
+            .drop(zc)
+        )
+    else:
+        wo["sort_key"] = keys[0]
+        out = (
+            df.repartitionByRange(n_out, F.col(keys[0]))
+            .sortWithinPartitions(keys[0])
+        )
     w = out.write.format("pgs").mode("overwrite")
     for k, v in wo.items():
         w = w.option(k, v)
     w.save(dst_dir)
     meta = _meta(dst_dir)
     meta["reclustered_from"] = os.path.abspath(src_dir)
+    if zorder:
+        meta["zorder_by"] = keys
     _write_meta(dst_dir, meta)
     return {"src_parts": len(rows_by_part), "dst_parts": n_out,
-            "rows_upper_bound": total, "key": key}
+            "rows_upper_bound": total,
+            "key": keys[0] if not zorder else keys}

@@ -249,6 +249,58 @@ def sweep_store(path: str) -> list[str]:
 
 # ------------------------------------------------------- positional deletes
 
+def _hist_state(meta: dict) -> tuple[list, int, int]:
+    """(retained caps, expired count, last expired snapshot's cap).
+    ``expire_snapshots`` drops the oldest history entries but snapshot
+    numbers stay ABSOLUTE — snapshot k's cap is ``hist[k - 1 - base]``,
+    and k <= base is expired (unreadable, like an Iceberg snapshot past
+    retention). Total commits ever = base + len(hist)."""
+    return (meta.get("history") or [], meta.get("history_base", 0),
+            meta.get("history_base_cap", 0))
+
+
+def expire_snapshots(path: str, keep_last: int) -> dict:
+    """Retire time-travel addressability of all but the last
+    ``keep_last`` append commits (Iceberg expire_snapshots). Pure
+    metadata — the timeline is append-only, so every data file is still
+    referenced by the CURRENT state and nothing is deleted; what this
+    bounds is the history list itself (a store taking a commit per
+    micro-batch for a year carries ~10^5 caps in its meta — every read
+    parses it). Expired ``as_of_commit`` / ``since_commit`` /
+    stream-source offsets raise; tags naming expired snapshots drop."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = _meta(path)
+    if meta.get("clustering") == "stream_append":
+        raise ValueError(
+            "expire_snapshots applies to batch-writer stores (stream "
+            "stores snapshot by micro-batch watermark, not history)"
+        )
+    hist, base, _ = _hist_state(meta)
+    if not hist:
+        raise ValueError(
+            "store records no append-commit history "
+            "(operator-written or pre-history store)"
+        )
+    _require_no_branches(meta, "expire_snapshots")
+    total = base + len(hist)
+    drop = max(0, total - keep_last - base)
+    if drop == 0:
+        return {"expired": 0, "retained": len(hist), "base": base}
+    meta["history_base"] = base + drop
+    meta["history_base_cap"] = hist[drop - 1]
+    meta["history"] = hist[drop:]
+    tags = meta.get("tags") or {}
+    dropped_tags = sorted(
+        t for t, k in tags.items() if k <= base + drop
+    )
+    for t in dropped_tags:
+        del tags[t]
+    _write_meta(path, meta)  # THE commit point
+    return {"expired": drop, "retained": len(meta["history"]),
+            "base": meta["history_base"], "dropped_tags": dropped_tags}
+
+
 def tag_commit(path: str, name: str, k: int | None = None) -> int:
     """Name an append-commit snapshot (Iceberg tag analog): reads pass
     ``option("as_of_tag", name)`` instead of remembering a number.
@@ -257,18 +309,18 @@ def tag_commit(path: str, name: str, k: int | None = None) -> int:
     meta = _meta(path)
     if meta.get("clustering") == "stream_append":
         raise ValueError("tags apply to batch-writer stores")
-    hist = meta.get("history") or []
+    hist, base, _ = _hist_state(meta)
     if not hist:
         raise ValueError(
             "store records no append-commit history "
             "(operator-written or pre-history store)"
         )
     if k is None:
-        k = len(hist)
-    if not 1 <= k <= len(hist):
+        k = base + len(hist)
+    if not base + 1 <= k <= base + len(hist):
         raise ValueError(
-            f"tag target {k} out of range: store has {len(hist)} "
-            "committed snapshots"
+            f"tag target {k} out of range: store has snapshots "
+            f"{base + 1}..{base + len(hist)} (earlier ones expired)"
         )
     tags = meta.setdefault("tags", {})
     if name in tags and tags[name] != k:
@@ -332,7 +384,7 @@ def create_branch(path: str, name: str) -> dict:
         raise ValueError(f"branch {name!r} already exists")
     brs[name] = {
         "base_gens": list(meta["generations"]),
-        "base_commit": len(meta["history"]),
+        "base_commit": meta.get("history_base", 0) + len(meta["history"]),
         "gens": [],
         "history": [],
     }
@@ -352,12 +404,12 @@ def publish_branch(path: str, name: str) -> dict:
     ent = brs.get(name)
     if ent is None:
         raise ValueError(f"no branch {name!r}")
-    hist = meta.get("history") or []
-    if len(hist) != ent["base_commit"] or \
+    hist, base, _ = _hist_state(meta)
+    if base + len(hist) != ent["base_commit"] or \
             set(meta.get("generations") or []) != set(ent["base_gens"]):
         raise ValueError(
             f"main advanced since branch {name!r} was created "
-            f"(now {len(hist)} commits, branch based at "
+            f"(now {base + len(hist)} commits, branch based at "
             f"{ent['base_commit']}); re-stage on a fresh branch"
         )
     meta["generations"] = sorted(
@@ -429,7 +481,7 @@ def rollback_to_commit(path: str, k: int) -> dict:
             "rollback applies to batch-writer stores; a stream store is "
             "capped by as_of_batch reads"
         )
-    hist = meta.get("history") or []
+    hist, base, _ = _hist_state(meta)
     gens = meta.get("generations")
     if not hist or gens is None:
         raise ValueError(
@@ -437,14 +489,14 @@ def rollback_to_commit(path: str, k: int) -> dict:
             "(operator-written or pre-history store)"
         )
     _require_no_branches(meta, "rollback")
-    if not 1 <= k <= len(hist):
+    if not base + 1 <= k <= base + len(hist):
         raise ValueError(
-            f"rollback target {k} out of range: store has "
-            f"{len(hist)} committed snapshots"
+            f"rollback target {k} out of range: store has snapshots "
+            f"{base + 1}..{base + len(hist)} (earlier ones expired)"
         )
-    if k == len(hist):
+    if k == base + len(hist):
         return {"rolled_back_commits": 0, "removed_parts": 0}
-    cap = hist[k - 1]
+    cap = hist[k - 1 - base]
     gset = set(gens)
     b = _blobs_dir(path)
     keep_tok: set[str] = set()
@@ -476,14 +528,15 @@ def rollback_to_commit(path: str, k: int) -> dict:
             "the store's commits are not cleanly separable"
         )
     meta["generations"] = sorted(gset - drop_tok)
-    meta["history"] = hist[:k]
+    meta["history"] = hist[:k - base]
     meta["num_parts"] = kept_parts
     meta["pid_floor"] = max(max_pid + 1, meta.get("pid_floor", 0))
     if meta.get("tags"):
         # tags naming rolled-back snapshots die with them
         meta["tags"] = {t: v for t, v in meta["tags"].items() if v <= k}
     _write_meta(path, meta)  # THE commit point
-    return {"rolled_back_commits": len(hist) - k, "removed_parts": removed}
+    return {"rolled_back_commits": base + len(hist) - k,
+            "removed_parts": removed}
 
 
 def _delete_files(path: str, names) -> list[str]:
@@ -1073,7 +1126,9 @@ def describe_store(path: str) -> dict:
         "added_columns": sorted(meta.get("added_columns") or {}),
         "renamed_columns": {k: v[0] for k, v in
                             (meta.get("column_renames") or {}).items()},
-        "snapshots": len(meta.get("history") or []),
+        "snapshots": (meta.get("history_base", 0)
+                      + len(meta.get("history") or [])),
+        "expired_snapshots": meta.get("history_base", 0),
         "tags": dict(sorted((meta.get("tags") or {}).items())),
     }
     if meta.get("schema_json"):
@@ -1254,28 +1309,33 @@ class PGSReader(DataSourceReader):
         if self._as_of_commit is not None:
             # snapshot read: part ids are strictly increasing across
             # append commits, so history[k-1] is an exact id cap (the
-            # batch twin of the stream watermark filter above)
-            hist = meta.get("history") or []
+            # batch twin of the stream watermark filter above).
+            # Snapshot numbers are absolute; expire_snapshots shifts the
+            # list under a history_base offset
+            hist, base, _ = _hist_state(meta)
             k = self._as_of_commit
-            if not 1 <= k <= len(hist):
+            if not base + 1 <= k <= base + len(hist):
                 raise ValueError(
                     f"as_of_commit {k} out of range: store has "
-                    f"{len(hist)} committed snapshots"
+                    f"snapshots {base + 1}..{base + len(hist)} "
+                    "(earlier ones expired)"
                 )
-            cands = [p for p in cands if p < hist[k - 1]]
+            cands = [p for p in cands if p < hist[k - 1 - base]]
         if self._since_commit is not None:
             # incremental read (CDC-style): only partitions appended
             # AFTER snapshot k — the id-cap complement of as_of_commit.
             # A daily pipeline reads since_commit=<last processed> and
             # touches no already-consumed partition's metadata or bytes.
-            hist = meta.get("history") or []
+            hist, base, base_cap = _hist_state(meta)
             k = self._since_commit
-            if not 0 <= k <= len(hist):
+            if not base <= k <= base + len(hist):
                 raise ValueError(
                     f"since_commit {k} out of range: store has "
-                    f"{len(hist)} committed snapshots"
+                    f"snapshots {base + 1}..{base + len(hist)} "
+                    "(earlier ones expired — an expired cursor must "
+                    "re-read from a full scan)"
                 )
-            floor = hist[k - 1] if k else 0
+            floor = hist[k - 1 - base] if k > base else base_cap
             cands = [p for p in cands if p >= floor]
         if not cands:
             return [InputPartition(None)]  # schema-only empty scan
@@ -2139,20 +2199,33 @@ class PGSStreamSourceReader(DataSourceStreamReader):
         if self._stream_store:
             k = meta.get("last_committed_batch", -1) + 1
         else:
-            k = len(meta.get("history") or [])
+            hist, base, _ = _hist_state(meta)
+            k = base + len(hist)
         return {"commit": max(k, self._start)}
 
     def _pid_window(self, s: int, e: int) -> tuple[int, int]:
         if self._stream_store:
             return s * PGSStreamWriter.STRIDE, e * PGSStreamWriter.STRIDE
-        hist = _meta(self._path).get("history") or []
-        if e > len(hist):
+        hist, base, base_cap = _hist_state(_meta(self._path))
+        if e > base + len(hist):
             raise ValueError(
-                f"offset {e} beyond the store's {len(hist)} commits "
-                "(rolled back mid-stream?); restart from a fresh "
+                f"offset {e} beyond the store's {base + len(hist)} "
+                "commits (rolled back mid-stream?); restart from a "
+                "fresh checkpoint"
+            )
+        if s < base:
+            raise ValueError(
+                f"offset {s} predates the store's retained history "
+                f"(snapshots <= {base} expired); restart from a fresh "
                 "checkpoint"
             )
-        return (hist[s - 1] if s >= 1 else 0), (hist[e - 1] if e else 0)
+
+        def cap(k: int) -> int:
+            if k <= 0:
+                return 0
+            return hist[k - 1 - base] if k > base else base_cap
+
+        return cap(s), cap(e)
 
     def partitions(self, start: dict, end: dict):
         lo, hi = self._pid_window(start["commit"], end["commit"])

@@ -231,3 +231,75 @@ def test_recluster_store_target_rows_and_guards(spark, tmp_path):
         recluster_store(spark, src, dst, "k")
     with pytest.raises(ValueError, match="no column"):
         recluster_store(spark, src, str(tmp_path / "dst3"), "nope")
+
+
+def test_recluster_zorder_multi_key_locality(spark, tmp_path):
+    """Z-order (list of keys): a box filter on BOTH axes — and a range
+    on EITHER single axis — must intersect a strict subset of the
+    partitions' stats bounds, which a linear single-key order cannot
+    give for the second axis."""
+    from parquet_go_spark.operators.compact import recluster_store
+    from parquet_go_spark.sources.pgs_datasource import (
+        _dataset, _meta, register,
+    )
+
+    register(spark)
+    src = str(tmp_path / "grid")
+    dst = str(tmp_path / "zordered")
+    # a 64x64 grid, scattered: every source partition spans both axes
+    df = spark.range(0, 64 * 64).selectExpr(
+        "CAST(id % 64 AS INT) AS x",
+        "CAST(id DIV 64 AS INT) AS y",
+        "id AS payload",
+    ).repartition(8)
+    df.write.format("pgs").mode("overwrite").save(src)
+
+    res = recluster_store(spark, src, dst, ["x", "y"], target_rows=256)
+    assert res["dst_parts"] == 16
+    assert _meta(dst)["zorder_by"] == ["x", "y"]
+
+    back = spark.read.format("pgs").load(dst)
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+    assert "__pgs_zcluster" not in back.columns
+
+    t = _dataset(dst).to_table(columns=["part_id", "col", "vmin", "vmax"])
+    bounds: dict[str, dict[int, tuple[int, int]]] = {"x": {}, "y": {}}
+    for p, c, vmin, vmax in zip(
+        t.column("part_id").to_pylist(), t.column("col").to_pylist(),
+        t.column("vmin").to_pylist(), t.column("vmax").to_pylist(),
+    ):
+        if c in bounds:
+            bounds[c][p] = (int(vmin), int(vmax))
+    parts = sorted(bounds["x"])
+    assert len(parts) == 16
+
+    def hits(col, lo, hi):
+        return sum(
+            1 for p in parts
+            if not (bounds[col][p][1] < lo or bounds[col][p][0] > hi)
+        )
+
+    # a 16-wide slab on either axis intersects a strict subset; the box
+    # on both axes intersects very few (Morton locality)
+    assert hits("x", 0, 15) <= 8
+    assert hits("y", 0, 15) <= 8
+    box = sum(
+        1 for p in parts
+        if not (bounds["x"][p][1] < 0 or bounds["x"][p][0] > 15)
+        and not (bounds["y"][p][1] < 0 or bounds["y"][p][0] > 15)
+    )
+    assert box <= 4
+
+
+def test_recluster_zorder_guards(spark, tmp_path):
+    from parquet_go_spark.operators.compact import recluster_store
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    register(spark)
+    src = str(tmp_path / "src3")
+    spark.range(0, 100).selectExpr(
+        "id AS k", "concat('s', id) AS name"
+    ).write.format("pgs").mode("overwrite").save(src)
+    with pytest.raises(ValueError, match="zorder key"):
+        recluster_store(spark, src, str(tmp_path / "d"), ["k", "name"])

@@ -148,3 +148,65 @@ def test_variant_shredded_roundtrip_no_shuffle(spark):
     plan = _plan(variant_shredded_query(spark, SF))
     assert _count_exchanges(plan) == 0
     assert "ArrowEvalPython" in plan or "MapInArrow" in plan
+
+
+def test_recluster_plan_single_range_exchange(spark, tmp_out):
+    """Recluster = exactly one Exchange (rangepartitioning) + an
+    in-partition sort; zorder adds only a projection for the Morton
+    code, never a second shuffle."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parquet_go_spark.operators.compact import _zvalue
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    spark.range(0, 500).selectExpr(
+        "CAST(id % 20 AS INT) AS x", "CAST(id DIV 20 AS INT) AS y",
+        "id AS payload",
+    ).repartition(4).write.format("pgs").mode("overwrite").save(tmp_out)
+    df = spark.read.format("pgs").load(tmp_out)
+
+    linear = df.repartitionByRange(4, F.col("x")).sortWithinPartitions("x")
+    p = _plan(linear)
+    assert _count_exchanges(p) == 1 and "rangepartitioning" in p
+
+    zc = "__pgs_zcluster"
+    z = (
+        df.withColumn(zc, _zvalue(df, ["x", "y"]))
+        .repartitionByRange(4, F.col(zc)).sortWithinPartitions(zc).drop(zc)
+    )
+    pz = _plan(z)
+    assert _count_exchanges(pz) == 1 and "rangepartitioning" in pz
+
+
+def test_merge_matched_arm_key_range_reaches_scan(spark, tmp_out):
+    """merge_into's matched arm pre-prunes the store scan by the
+    source's key range: the range predicate must appear as a Filter in
+    the physical plan of the joined frame (the partition-level pruning
+    itself happens in the Python DS planner, pinned by the datasource
+    suite — this pins that the predicate exists to push)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parquet_go_spark.operators.deletes import _read_with_pos
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    spark.range(0, 300).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).repartition(3).write.format("pgs").mode("overwrite").save(tmp_out)
+    src = spark.range(100, 120).selectExpr("id AS k", "id AS v")
+
+    target = _read_with_pos(spark, tmp_out, None)
+    pruned = target.filter((F.col("k") >= 100) & (F.col("k") <= 119))
+    joined = pruned.alias("t").join(
+        src.alias("s"), F.col("t.k") == F.col("s.k"), "inner"
+    )
+    p = _plan(joined)
+    assert "BatchScan pgs" in p or "BatchScan" in p
+    assert "k#" in p and ">= 100" in p and "<= 119" in p

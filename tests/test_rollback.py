@@ -163,3 +163,85 @@ def test_snapshot_tags(spark, tmp_out):
     assert describe_store(tmp_out)["tags"] == {"v1": 1}
     drop_tag(tmp_out, "v1")
     assert describe_store(tmp_out)["tags"] == {}
+
+
+# ---------- expire_snapshots (retention) ----------
+
+def test_expire_snapshots_absolute_numbering(spark, tmp_out):
+    """Expired snapshots become unreadable; retained ones keep their
+    ABSOLUTE numbers; tags on expired snapshots drop; the incremental
+    cursor at the expiry base still works (base_cap floor)."""
+    from parquet_go_spark.sources.pgs_datasource import (
+        expire_snapshots, tag_commit,
+    )
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    _write(spark, tmp_out, 0, 100, "overwrite")
+    _write(spark, tmp_out, 100, 200, "append")
+    _write(spark, tmp_out, 200, 300, "append")
+    _write(spark, tmp_out, 300, 400, "append")
+    tag_commit(tmp_out, "old", 1)
+    tag_commit(tmp_out, "recent", 3)
+
+    res = expire_snapshots(tmp_out, keep_last=2)
+    assert res["expired"] == 2 and res["retained"] == 2
+    assert res["dropped_tags"] == ["old"]
+    m = _meta(tmp_out)
+    assert m["history_base"] == 2 and len(m["history"]) == 2
+    assert m["tags"] == {"recent": 3}
+
+    # full read unaffected
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 400
+    # retained snapshot 3 keeps its absolute number
+    snap3 = (spark.read.format("pgs").option("as_of_commit", 3)
+             .load(tmp_out))
+    assert snap3.count() == 300
+    # expired snapshots raise
+    with pytest.raises(Exception, match="expired"):
+        (spark.read.format("pgs").option("as_of_commit", 1)
+         .load(tmp_out).count())
+    # since_commit at the expiry base uses the recorded base cap
+    inc = (spark.read.format("pgs").option("since_commit", 2)
+           .load(tmp_out))
+    assert inc.count() == 200  # commits 3 and 4
+    with pytest.raises(Exception, match="expired"):
+        (spark.read.format("pgs").option("since_commit", 1)
+         .load(tmp_out).count())
+    # idempotent / no-op when already within retention
+    assert expire_snapshots(tmp_out, keep_last=5)["expired"] == 0
+
+
+def test_expire_then_rollback_and_append(spark, tmp_out):
+    """Rollback cannot target an expired snapshot; rolling back to a
+    retained one and appending keeps absolute numbering intact."""
+    from parquet_go_spark.sources.pgs_datasource import expire_snapshots
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    _write(spark, tmp_out, 0, 100, "overwrite")
+    _write(spark, tmp_out, 100, 200, "append")
+    _write(spark, tmp_out, 200, 300, "append")
+    _write(spark, tmp_out, 300, 400, "append")
+    expire_snapshots(tmp_out, keep_last=3)  # base = 1
+    with pytest.raises(ValueError, match="out of range"):
+        rollback_to_commit(tmp_out, 1)
+    res = rollback_to_commit(tmp_out, 3)
+    assert res["rolled_back_commits"] == 1
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 300
+    _write(spark, tmp_out, 400, 450, "append")  # snapshot 4 again
+    snap4 = (spark.read.format("pgs").option("as_of_commit", 4)
+             .load(tmp_out))
+    assert snap4.count() == 350
+
+
+def test_expire_guards(spark, tmp_out):
+    from parquet_go_spark.sources.pgs_datasource import expire_snapshots
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    _write(spark, tmp_out, 0, 50, "overwrite")
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(tmp_out, 0)

@@ -120,3 +120,33 @@ def test_stream_source_refusals(spark, tmp_out, tmp_path):
             .option("checkpointLocation", str(tmp_path / "ck2"))
             .trigger(availableNow=True).start().awaitTermination(60)
         )
+
+
+def test_stream_source_expired_offset_raises(spark, tmp_out):
+    """A checkpointed cursor that predates the retained history must
+    fail loudly (the data it would window is no longer addressable),
+    while a cursor at/after the expiry base still drains exactly."""
+    import shutil
+
+    from parquet_go_spark.sources.pgs_datasource import (
+        PGSStreamSourceReader, expire_snapshots, register,
+    )
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    for lo, mode in ((0, "overwrite"), (100, "append"), (200, "append")):
+        spark.range(lo, lo + 100).selectExpr("id AS k") \
+            .repartition(2).write.format("pgs").mode(mode).save(tmp_out)
+    expire_snapshots(tmp_out, keep_last=1)  # base = 2
+    schema = spark.read.format("pgs").load(tmp_out).schema
+    r = PGSStreamSourceReader(tmp_out, schema, {})
+    assert r.latestOffset() == {"commit": 3}
+    with pytest.raises(ValueError, match="expired"):
+        r._pid_window(0, 3)
+    parts = r.partitions({"commit": 2}, {"commit": 3})
+    rows = sum(
+        b.num_rows
+        for p in parts if p.value is not None
+        for b in r.read(p)
+    )
+    assert rows == 100  # exactly the third commit

@@ -267,12 +267,25 @@ def cmd_recluster(args) -> int:
     key bounds become disjoint, so range reads prune exactly."""
     from parquet_go_spark.operators.compact import recluster_store
 
+    keys = [k.strip() for k in args.key.split(",") if k.strip()]
     spark = _get_session("pgs-recluster")
     res = recluster_store(
-        spark, args.src, args.dst, args.key,
+        spark, args.src, args.dst,
+        keys[0] if len(keys) == 1 else keys,
         target_rows=args.target_rows,
     )
     print(json.dumps({"job": "recluster", **res}))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    """Retire time-travel addressability of all but the last N append
+    commits (Iceberg expire_snapshots; pure metadata — the append-only
+    timeline references every file from the current state)."""
+    from parquet_go_spark.sources.pgs_datasource import expire_snapshots
+
+    res = expire_snapshots(args.store, args.keep_last)
+    print(json.dumps({"job": "expire", **res}))
     return 0
 
 
@@ -472,9 +485,14 @@ def main() -> int:
     rc = sub.add_parser("recluster")
     rc.add_argument("src")
     rc.add_argument("dst")
-    rc.add_argument("key")
+    rc.add_argument("key", help="sort key; comma-separated list zorders")
     rc.add_argument("--target-rows", type=int, default=None)
     rc.set_defaults(fn=cmd_recluster)
+
+    ex = sub.add_parser("expire")
+    ex.add_argument("store")
+    ex.add_argument("--keep-last", type=int, required=True)
+    ex.set_defaults(fn=cmd_expire)
 
     br = sub.add_parser("branch")
     br.add_argument("action", choices=["create", "publish", "drop"])
