@@ -178,6 +178,14 @@ def delete_values(
     token = uuid.uuid4().hex[:12]
     ddir = os.path.join(path, "deletes")
     tmp = os.path.join(ddir, f"_tmp-{token}")
+    # optimistic concurrency: the part-id cap computed above is only
+    # exact against THIS meta state (a concurrent rollback/compaction
+    # would re-scope the entry); refuse the commit if it moved
+    from ..sources.pgs_datasource import (
+        _check_commit_token, _meta_fingerprint,
+    )
+
+    fp = _meta_fingerprint(path)
     # executor-written key files; only the row count reaches the driver
     keys.select(*key_cols).distinct().write.mode("overwrite").parquet(tmp)
     n_keys = sum(
@@ -188,6 +196,7 @@ def delete_values(
         shutil.rmtree(tmp, ignore_errors=True)
         return {"keys": 0, "name": None, "cap": cap}
     name = f"eq-{token}"
+    _check_commit_token(path, fp, "delete_values")
     os.replace(tmp, os.path.join(ddir, name))
     # integer key bounds from the key files' parquet footers: readers
     # skip the anti-join entirely for partitions whose manifest stats
@@ -682,7 +691,16 @@ def _read_with_pos(spark: SparkSession, path: str,
 
 def _commit_tombstones(path: str, hits) -> dict:
     """One Spark job writes the matching row addresses as tombstone
-    parquet; the store-meta write is the commit point."""
+    parquet; the store-meta write is the commit point. Optimistic
+    concurrency: the positions are computed against the state captured
+    here — a concurrent compaction/rollback would rebase or retire the
+    part ids they address, so a meta change during the scan refuses the
+    commit (single-writer violation detected, not silently applied)."""
+    from ..sources.pgs_datasource import (
+        _check_commit_token, _meta_fingerprint,
+    )
+
+    fp = _meta_fingerprint(path)
     hits = hits.select(
         F.col("_pgs_part").alias("part_id"),
         F.col("_pgs_pos").alias("pos"),
@@ -697,6 +715,7 @@ def _commit_tombstones(path: str, hits) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
         return {"deleted_rows": 0, "name": None}
     name = f"del-{token}"
+    _check_commit_token(path, fp, "delete")  # dir not yet committed
     os.replace(tmp, os.path.join(ddir, name))
     meta = _meta(path)
     meta.setdefault("deletes", []).append(

@@ -117,6 +117,32 @@ def _write_meta(path: str, meta: dict) -> None:
     os.replace(tmp, p)
 
 
+def _meta_fingerprint(path: str) -> str:
+    """Content hash of the store meta, the optimistic-concurrency token
+    (an Iceberg catalog CAS without the catalog): a committer captures
+    it when it starts and refuses its own commit if the meta changed
+    underneath — turning the documented single-writer assumption into a
+    DETECTED violation instead of a silent clobber. '' = no meta yet."""
+    import hashlib
+
+    p = os.path.join(path, "_store_meta.json")
+    try:
+        with open(p, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()
+    except FileNotFoundError:
+        return ""
+
+
+def _check_commit_token(path: str, token: str, op: str) -> None:
+    if _meta_fingerprint(path) != token:
+        raise RuntimeError(
+            f"concurrent store mutation detected: the meta of {path} "
+            f"changed while this {op} ran; nothing was committed — "
+            "re-run against the current state (stores are single-writer; "
+            "an Iceberg catalog commit is the multi-writer upgrade path)"
+        )
+
+
 # batch-writer file names: part-<pid>-<12-hex job token>.parquet. The
 # pattern deliberately misses stream files (part-NNNNNNN-bK.parquet) and
 # Spark/operator-written parquet names — those are governed by their own
@@ -1861,6 +1887,10 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
                 meta.get("pid_floor", 0),
                 _branch_max_pid(path, meta) + 1,
             )
+        # optimistic concurrency: the state this job planned against —
+        # pid base, schema/layout checks, branch entry — must still be
+        # the state it commits into
+        self._meta_fp = _meta_fingerprint(path)
 
     def write(self, iterator: Iterator) -> PGSCommitMessage:
         from pyspark import TaskContext
@@ -1873,6 +1903,16 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
     def commit(self, messages) -> None:
         bdir = _blobs_dir(self._path)
         os.makedirs(bdir, exist_ok=True)
+        # CAS before any rename: renamed-but-uncommitted files would be
+        # harmless sweep food, but failing early keeps the store clean
+        try:
+            _check_commit_token(self._path, self._meta_fp,
+                                "branch append" if self._branch
+                                else "overwrite" if self._overwrite
+                                else "append")
+        except RuntimeError:
+            self._cleanup_tmp()
+            raise
         committed = 0
         suffix = f"-{self._token}.parquet"
         # Commit order: rename the new files in (token-unique names can't

@@ -1265,3 +1265,45 @@ def test_stream_sink_never_tightens_nullability(spark, tmp_out):
     assert rec["k"].nullable  # batch 2 did not tighten it
     back = spark.read.format("pgs").load(tmp_out)
     assert back.count() == 2 and back.filter("k IS NULL").count() == 1
+
+
+def test_commit_conflict_detected(spark, tmp_out):
+    """Optimistic concurrency: a committer whose planning state went
+    stale (the store meta changed underneath) must refuse its own
+    commit instead of silently clobbering the interleaved one."""
+    import shutil
+
+    from parquet_go_spark.sources.pgs_datasource import (
+        PGSArrowWriter, register,
+    )
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    df = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+    df.write.format("pgs").mode("overwrite").save(tmp_out)
+
+    stale = PGSArrowWriter(tmp_out, df.schema, False, {})
+    # another writer commits while `stale` is (conceptually) mid-job
+    spark.range(100, 120).selectExpr("id AS k", "id * 2 AS v") \
+        .write.format("pgs").mode("append").save(tmp_out)
+    with pytest.raises(RuntimeError, match="concurrent store mutation"):
+        stale.commit([])
+    # the interleaved commit survives untouched
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 70
+
+
+def test_meta_fingerprint_cas_helper(tmp_path):
+    from parquet_go_spark.sources.pgs_datasource import (
+        _check_commit_token, _meta_fingerprint, _write_meta,
+    )
+
+    p = str(tmp_path / "s")
+    os.makedirs(p)
+    fp0 = _meta_fingerprint(p)
+    assert fp0 == ""
+    _check_commit_token(p, fp0, "probe")  # no meta yet: fine
+    _write_meta(p, {"a": 1})
+    with pytest.raises(RuntimeError, match="concurrent store mutation"):
+        _check_commit_token(p, fp0, "probe")
+    _check_commit_token(p, _meta_fingerprint(p), "probe")
