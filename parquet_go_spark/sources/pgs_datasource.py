@@ -1124,6 +1124,63 @@ def _part_file_map(
     return out
 
 
+def inspect_files(spark, path: str):
+    """The store's manifest as a DataFrame (Iceberg ``table.files``
+    metadata table): one row per committed chunk — partition, column,
+    codec, row/null counts, raw/encoded sizes, stats bounds, boundary
+    order, plus the blob file it lives in. Column pruning keeps the
+    blob bytes untouched (this is a footer-scale scan at any store
+    size). Reports the PHYSICAL state: dropped/renamed columns appear
+    under their stored names, tombstoned rows still count — the
+    inspection surface for compaction/retention decisions, not a data
+    read."""
+    from pyspark.sql import functions as F
+
+    files = _committed_files(path)
+    if not files:
+        raise ValueError(f"store has no committed blobs: {path}")
+    return (
+        spark.read.parquet(*files)
+        .select(
+            "part_id", "col", "codec", "compression", "count",
+            "null_count", "raw_size", "encoded_size", "vmin", "vmax",
+            "boundary_order",
+            F.col("pages").isNotNull().alias("paged"),
+            F.col("bloom").isNotNull().alias("has_bloom"),
+            F.input_file_name().alias("file"),
+        )
+    )
+
+
+def inspect_snapshots(spark, path: str):
+    """The store's commit timeline as a DataFrame (Iceberg
+    ``table.snapshots``): one row per retained append commit with its
+    ABSOLUTE snapshot number, exclusive part-id cap, expiry status, and
+    any tags naming it. Driver-side metadata only."""
+    meta = _meta(path)
+    if meta.get("clustering") == "stream_append":
+        raise ValueError(
+            "snapshots apply to batch-writer stores; a stream store's "
+            "timeline is its micro-batch watermark (describe_store)"
+        )
+    hist, base, _ = _hist_state(meta)
+    if not hist:
+        raise ValueError(
+            "store records no append-commit history "
+            "(operator-written or pre-history store)"
+        )
+    by_snap: dict[int, list[str]] = {}
+    for t, k in (meta.get("tags") or {}).items():
+        by_snap.setdefault(k, []).append(t)
+    rows = [
+        (base + i + 1, cap, sorted(by_snap.get(base + i + 1, [])))
+        for i, cap in enumerate(hist)
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot bigint, part_id_cap bigint, tags array<string>"
+    )
+
+
 def describe_store(path: str) -> dict:
     """Operational summary of a store from metadata only (manifest
     columns + store meta; blob bytes never read — the footer-scale

@@ -1307,3 +1307,41 @@ def test_meta_fingerprint_cas_helper(tmp_path):
     with pytest.raises(RuntimeError, match="concurrent store mutation"):
         _check_commit_token(p, fp0, "probe")
     _check_commit_token(p, _meta_fingerprint(p), "probe")
+
+
+def test_inspect_files_and_snapshots(spark, tmp_out):
+    """Metadata tables (Iceberg table.files / table.snapshots): the
+    manifest and commit timeline as DataFrames, blob bytes untouched."""
+    import shutil
+
+    from parquet_go_spark.sources.pgs_datasource import (
+        expire_snapshots, inspect_files, inspect_snapshots, register,
+        tag_commit,
+    )
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    spark.range(0, 200).selectExpr("id AS k", "id * 2 AS v") \
+        .repartition(2).write.format("pgs").mode("overwrite").save(tmp_out)
+    spark.range(200, 300).selectExpr("id AS k", "id * 2 AS v") \
+        .write.format("pgs").mode("append").save(tmp_out)
+    tag_commit(tmp_out, "v1", 1)
+
+    f = inspect_files(spark, tmp_out)
+    pdf = f.toPandas()
+    assert set(pdf["col"]) == {"k", "v"}
+    assert pdf[pdf["col"] == "k"]["count"].sum() == 300
+    assert (pdf["encoded_size"] > 0).all()
+    assert pdf["file"].str.contains("part-").all()
+
+    s = inspect_snapshots(spark, tmp_out).toPandas()
+    assert list(s["snapshot"]) == [1, 2]
+    assert s["part_id_cap"].is_monotonic_increasing
+    assert s[s["snapshot"] == 1]["tags"].iloc[0] == ["v1"]
+
+    # after another commit + expiry, absolute numbering holds
+    spark.range(300, 350).selectExpr("id AS k", "id * 2 AS v") \
+        .write.format("pgs").mode("append").save(tmp_out)
+    expire_snapshots(tmp_out, keep_last=2)
+    s2 = inspect_snapshots(spark, tmp_out).toPandas()
+    assert list(s2["snapshot"]) == [2, 3]
