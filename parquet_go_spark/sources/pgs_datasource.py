@@ -91,7 +91,7 @@ _READ_BATCH_ROWS = 32768
 # row's ordinal within its partition. Together they are the store's row
 # address — the coordinate system positional tombstones (delete_where)
 # record. Never stored as chunks; synthesized at read time.
-_VIRTUAL_COLS = ("_pgs_part", "_pgs_pos")
+_VIRTUAL_COLS = ("_pgs_part", "_pgs_pos", "_pgs_commit")
 
 
 # --------------------------------------------------------------- store access
@@ -945,6 +945,32 @@ def _candidate_parts(
             # delete_where("_pgs_part = k AND ...") plans one partition
             keep = {p for p in keep if _stats_keep(str(p), str(p), f)}
             continue
+        if col == "_pgs_commit":
+            # the lineage column prunes from the commit timeline itself:
+            # a filter like _pgs_commit > k is the incremental-read
+            # predicate, and partition→commit is pure metadata (history
+            # caps) — so a CDC consumer's filter never touches data of
+            # already-processed commits. Unresolvable arrivals (expired
+            # base, stream stores handled by their own id arithmetic)
+            # are kept: Spark re-evaluates exactly.
+            import bisect as _bisect
+
+            hist, base, base_cap = _hist_state(meta)
+            stream = meta.get("clustering") == "stream_append"
+
+            def _kof(p: int):
+                if stream:
+                    return p // PGSStreamWriter.STRIDE
+                i = _bisect.bisect_right(hist, p)
+                if p < base_cap or i >= len(hist):
+                    return None
+                return base + i + 1
+
+            keep = {
+                p for p in keep
+                if (k := _kof(p)) is None or _stats_keep(str(k), str(k), f)
+            }
+            continue
         # schema evolution: a renamed column's stats live under whichever
         # alias each partition was written with (disjoint per part); a
         # partition predating an added column has no row at all and is
@@ -1353,6 +1379,21 @@ class PGSReader(DataSourceReader):
                     "as_of-style cap applied by the caller's filter"
                 )
         self._since_commit = int(sc) if sc is not None else None
+        # pid -> arrival-snapshot resolution for the _pgs_commit virtual
+        # column: retained history caps + expiry base (batch stores) or
+        # the micro-batch stride (stream stores). Captured here so tasks
+        # resolve without re-reading meta.
+        self._commit_hist = list(meta.get("history") or [])
+        self._commit_base = meta.get("history_base", 0)
+        self._commit_base_cap = meta.get("history_base_cap", 0)
+        self._commit_stream = meta.get("clustering") == "stream_append"
+        if "_pgs_commit" in self._columns and not (
+            self._commit_stream or self._commit_hist
+        ):
+            raise ValueError(
+                "_pgs_commit needs commit bookkeeping (a datasource-"
+                "written store); this store records none"
+            )
         self._filters: list[Filter] = []
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -1584,9 +1625,7 @@ class PGSReader(DataSourceReader):
         # absolute row positions of the rows this task decodes — the
         # coordinate tombstones are recorded in. Computed from page
         # headers only (no decompression) when a page subset is kept.
-        need_pos = bool(ddirs) or any(
-            c in _VIRTUAL_COLS for c in self._columns
-        )
+        need_pos = bool(ddirs) or "_pgs_pos" in self._columns
         n_eff = n_rows  # rows this task yields before tombstones
         abs_pos = None
         if keep is not None:
@@ -1644,6 +1683,27 @@ class PGSReader(DataSourceReader):
                 continue
             if name == "_pgs_pos":
                 arrays.append(pa.array(abs_pos))
+                continue
+            if name == "_pgs_commit":
+                if self._commit_stream:
+                    k = pid // PGSStreamWriter.STRIDE
+                else:
+                    import bisect
+
+                    # first retained cap > pid names the arrival commit;
+                    # below the expiry base or beyond the caps (branch-
+                    # staged rows) the arrival is not addressable: null
+                    i = bisect.bisect_right(self._commit_hist, pid)
+                    k = (
+                        None
+                        if pid < self._commit_base_cap
+                        or i >= len(self._commit_hist)
+                        else self._commit_base + i + 1
+                    )
+                arrays.append(
+                    pa.nulls(n_eff, pa.int64()) if k is None
+                    else pa.array(np.full(n_eff, k, dtype=np.int64))
+                )
                 continue
             if name in self._shredded:
                 arrays.append(self._reconstruct_variant(
@@ -2382,6 +2442,16 @@ class PGSDataSource(DataSource):
                 full.fields
                 + [StructField("_pgs_part", IntegerType(), False),
                    StructField("_pgs_pos", LongType(), False)]
+            )
+        if self.options.get("with_commit", "").lower() in ("true", "1"):
+            # row-lineage column (Iceberg _commit-style metadata): the
+            # snapshot a row arrived in — batch commit number, or the
+            # micro-batch id on stream stores. Null for rows whose
+            # arrival snapshot expired or is not on main's timeline
+            # (branch-staged rows read before publish)
+            full = StructType(
+                full.fields
+                + [StructField("_pgs_commit", LongType(), True)]
             )
         return full
 

@@ -1345,3 +1345,44 @@ def test_inspect_files_and_snapshots(spark, tmp_out):
     expire_snapshots(tmp_out, keep_last=2)
     s2 = inspect_snapshots(spark, tmp_out).toPandas()
     assert list(s2["snapshot"]) == [2, 3]
+
+
+def test_with_commit_lineage_column(spark, tmp_out):
+    """`option("with_commit")` synthesizes the arrival snapshot per row
+    (Iceberg row-lineage analog); filters on it prune partitions from
+    the commit timeline alone, and arrivals whose snapshot expired read
+    null."""
+    import shutil
+
+    from pyspark.sql.datasource import EqualTo
+
+    from parquet_go_spark.sources.pgs_datasource import (
+        PGSPruningReader, expire_snapshots, register,
+    )
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    for lo, mode in ((0, "overwrite"), (100, "append"), (200, "append")):
+        spark.range(lo, lo + 100).selectExpr("id AS k") \
+            .repartition(2).write.format("pgs").mode(mode).save(tmp_out)
+
+    df = (spark.read.format("pgs").option("with_commit", "true")
+          .load(tmp_out))
+    counts = {r["_pgs_commit"]: r["cnt"] for r in
+              df.groupBy("_pgs_commit").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert counts == {1: 100, 2: 100, 3: 100}
+    assert (df.filter("_pgs_commit = 2").agg({"k": "min"})
+            .collect()[0][0] == 100)
+
+    # timeline pruning: an equality filter plans only that commit's parts
+    r = PGSPruningReader(tmp_out, df.schema,
+                         {"with_commit": "true"})
+    r.pushFilters([EqualTo(("_pgs_commit",), 2)])
+    assert len(r.partitions()) == 2  # of 6
+
+    expire_snapshots(tmp_out, keep_last=2)
+    df2 = (spark.read.format("pgs").option("with_commit", "true")
+           .load(tmp_out))
+    assert df2.filter("_pgs_commit IS NULL").count() == 100  # expired
+    assert df2.filter("_pgs_commit = 3").count() == 100
