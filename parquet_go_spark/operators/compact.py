@@ -384,27 +384,73 @@ def compact_store(
 _Z_BITS = 16
 
 
-def _zvalue(df, keys: list[str]):
+def _manifest_bounds(src_dir: str, keys: list[str]) -> dict:
+    """Global [lo, hi] per key from the manifest's per-chunk vmin/vmax —
+    a footer-scale driver read, no data decode. A key whose bounds are
+    missing or non-numeric-formatted (e.g. timestamp strings) is simply
+    absent; the caller falls back to one column-pruned agg for it.
+    Tombstoned rows only widen the bounds, which is harmless for
+    normalization."""
+    from ..sources.pgs_datasource import _dataset, _meta
+
+    renames = _meta(src_dir).get("column_renames") or {}
+    alias_of = {a: c for c in keys
+                for a in [c] + list(renames.get(c) or [])}
+    t = _dataset(src_dir).to_table(columns=["col", "vmin", "vmax"])
+    out: dict[str, list[float]] = {}
+    bad: set[str] = set()
+    for cname, vmin, vmax in zip(t.column("col").to_pylist(),
+                                 t.column("vmin").to_pylist(),
+                                 t.column("vmax").to_pylist()):
+        c = alias_of.get(cname)
+        if c is None or c in bad:
+            continue
+        try:
+            lo, hi = float(vmin), float(vmax)
+        except (TypeError, ValueError):
+            bad.add(c)
+            out.pop(c, None)
+            continue
+        cur = out.setdefault(c, [lo, hi])
+        cur[0] = min(cur[0], lo)
+        cur[1] = max(cur[1], hi)
+    return out
+
+
+def _zvalue(df, keys: list[str], src_dir: str | None = None):
     """Interleaved-bit (Morton / Z-order) cluster key over numeric or
     temporal columns, entirely in JVM expressions: each key linearly
-    normalizes to a ``_Z_BITS``-bit code via its global [min, max] (one
-    metadata-scale agg), and the codes' bits interleave into one BIGINT.
-    Linear normalization is the standard practical scheme (what Delta's
-    OSS Z-order does via range ids); heavy skew degrades locality but
-    never correctness — clustering is a pruning lever, not a semantic.
-    Null keys code to 0 (cluster first). Strings are refused: hashing
-    would destroy the locality that is the entire point."""
-    row = df.agg(*(
-        f(c).alias(f"{f.__name__}_{c}") for c in keys for f in (F.min, F.max)
-    )).collect()[0]
-    top = (1 << _Z_BITS) - 1
+    normalizes to a per-key bit budget via its global [min, max], and
+    the codes' bits interleave into one BIGINT. Bounds come from the
+    store manifest when ``src_dir`` is given (footer-scale, no data
+    read); keys whose manifest stats aren't numeric (timestamps) fall
+    back to one column-pruned agg cast to double. The per-key budget is
+    ``min(_Z_BITS, 63 // n_keys)`` — interleaved positions must stay
+    below the BIGINT sign bit, and wrapping shifts past 63 would fold
+    different keys onto the same bits. Linear normalization is the
+    standard practical scheme (what Delta's OSS Z-order does via range
+    ids); heavy skew degrades locality but never correctness. Null keys
+    code to 0 (cluster first). Strings are refused: hashing would
+    destroy the locality that is the entire point."""
+    bits = min(_Z_BITS, 63 // len(keys))
+    top = (1 << bits) - 1
+    bounds = _manifest_bounds(src_dir, keys) if src_dir else {}
+    missing = [c for c in keys if c not in bounds]
+    if missing:
+        row = df.agg(*(
+            f(F.col(c).cast("double")).alias(f"{f.__name__}_{c}")
+            for c in missing for f in (F.min, F.max)
+        )).collect()[0]
+        for c in missing:
+            lo, hi = row[f"min_{c}"], row[f"max_{c}"]
+            if lo is not None:
+                bounds[c] = [float(lo), float(hi)]
     codes = []
     for c in keys:
-        lo, hi = row[f"min_{c}"], row[f"max_{c}"]
-        if lo is None:  # all-null column: constant code
+        if c not in bounds:  # all-null column: constant code
             codes.append(F.lit(0).cast("long"))
             continue
-        lo_d, hi_d = float(lo), float(hi)
+        lo_d, hi_d = bounds[c]
         span = (hi_d - lo_d) or 1.0
         code = F.floor(
             (F.col(c).cast("double") - F.lit(lo_d)) / F.lit(span)
@@ -416,7 +462,7 @@ def _zvalue(df, keys: list[str]):
             F.lit(0).cast("long"),
         ))
     z = F.lit(0).cast("long")
-    for b in range(_Z_BITS):
+    for b in range(bits):
         for i, code in enumerate(codes):
             z = z.bitwiseOR(
                 F.shiftleft(
@@ -519,7 +565,7 @@ def recluster_store(
         wo.pop("sort_key", None)
         zc = "__pgs_zcluster"
         out = (
-            df.withColumn(zc, _zvalue(df, keys))
+            df.withColumn(zc, _zvalue(df, keys, src_dir=src_dir))
             .repartitionByRange(n_out, F.col(zc))
             .sortWithinPartitions(zc)
             .drop(zc)

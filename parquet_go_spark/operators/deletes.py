@@ -416,6 +416,13 @@ def merge_into(
         if c not in source.columns:
             raise ValueError(f"no column {c!r} in the source")
     upd = when_matched if isinstance(when_matched, dict) else {}
+    if isinstance(when_matched, dict) and not upd:
+        # {} would tombstone matches and append nothing — a silent
+        # DELETE the caller did not ask for
+        raise ValueError(
+            "when_matched={} updates no columns; pass assignments, "
+            "'delete', or None"
+        )
     for c in upd:
         if c not in store_cols:
             raise ValueError(f"no column {c!r} in the store schema")
@@ -430,7 +437,6 @@ def merge_into(
 
     source = source.persist()  # ambiguity check + both join arms
     try:
-        target = _read_with_pos(spark, path, read_options)
         # key-range pre-prune, same lever as delete_matching: a range
         # predicate pushes into stats/bloom/page pruning, a join never
         # does
@@ -438,12 +444,23 @@ def merge_into(
             f(c).alias(f"{f.__name__}_{c}")
             for c in on for f in (F.min, F.max)
         )).collect()[0]
-        pruned = target
-        for c in on:
-            lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
-            if lo is not None and hi is not None:
-                pruned = pruned.filter((F.col(c) >= lo) & (F.col(c) <= hi))
-        t, s = pruned.alias("t"), source.alias("s")
+
+        def _pruned_target():
+            # ONE load per executed arm: the pushdown reader's scan
+            # plan is cached on the loaded relation (the pinned engine
+            # hazard), so the matched arm and the insert arm must each
+            # execute a FRESH single-use load — sharing one would let
+            # the second execution replay the first's pruned partition
+            # list (e.g. a pushed t-side matched_condition) and
+            # misclassify its rows
+            df = _read_with_pos(spark, path, read_options)
+            for c in on:
+                lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+                if lo is not None and hi is not None:
+                    df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+            return df
+
+        t, s = _pruned_target().alias("t"), source.alias("s")
         cond = None
         for c in on:
             eq = F.col(f"t.{c}") == F.col(f"s.{c}")
@@ -487,11 +504,12 @@ def merge_into(
         inserts = None
         n_inserted = 0
         if when_not_matched:
-            # the pruned target is sufficient here too: the prune bounds
+            # the pruned target is sufficient here too (the prune bounds
             # come FROM the source keys, so no source row can match a
-            # target row outside them
+            # target row outside them) — but through a FRESH load, never
+            # the matched arm's (see _pruned_target)
             ins = source.alias("s").join(
-                pruned.alias("t2"),
+                _pruned_target().alias("t2"),
                 [F.col(f"s.{c}") == F.col(f"t2.{c}") for c in on],
                 "left_anti",
             )

@@ -393,10 +393,12 @@ def create_branch(path: str, name: str) -> dict:
     audits clean. Pure metadata — the entry snapshots main's committed
     generation set (``base_gens``) and commit count (``base_commit``).
 
-    Positional/equality takedowns committed on main while the branch is
-    open still apply to branch reads of SHARED partitions (the delete
-    machinery is keyed by part id, and branch part ids never collide
-    with main's) — takedown semantics, same as snapshot reads."""
+    Takedowns committed on main BEFORE the branch opened keep applying
+    to branch reads of shared partitions (the delete machinery is keyed
+    by part id, and branch part ids never collide with main's) —
+    takedown semantics, same as snapshot reads. While a branch is open,
+    DML/evolution/rollback/overwrite/compaction on main are refused
+    (_require_no_branches): publish or drop first."""
     meta = _meta(path)
     if meta.get("clustering") == "stream_append":
         raise ValueError("branches apply to batch-writer stores")
@@ -1407,6 +1409,11 @@ class PGSReader(DataSourceReader):
             if _has_blobs(self._path, self._branch)
             else None
         )
+        if d is None and self._branch is not None:
+            # an EMPTY branch view must not fall through to
+            # _candidate_parts' main-dataset default — that would leak
+            # post-branch main commits into the branch read
+            return [InputPartition(None)]
         cands = _candidate_parts(self._path, filters, d, meta)
         if meta.get("clustering") == "stream_append":
             # stream stores encode the micro-batch in the part id
@@ -2370,14 +2377,21 @@ class PGSStreamSourceReader(DataSourceStreamReader):
                 "commits (rolled back mid-stream?); restart from a "
                 "fresh checkpoint"
             )
-        if s < base:
+        if 0 < s < base:
+            # a RESUMING consumer inside the expired range is stuck: its
+            # last-processed cap is gone, so neither replay-from-zero
+            # (double-processing) nor skip-to-base (data loss) is sound
             raise ValueError(
                 f"offset {s} predates the store's retained history "
-                f"(snapshots <= {base} expired); restart from a fresh "
-                "checkpoint"
+                f"(snapshots <= {base} expired); a fresh consumer "
+                "(offset 0) can still full-sync — expiry is metadata "
+                "and every file is present"
             )
 
         def cap(k: int) -> int:
+            # offset 0 = nothing processed: pid floor 0 is always sound,
+            # expired or not (the expired commits' rows all have
+            # pid < base_cap and drain in the first batch)
             if k <= 0:
                 return 0
             return hist[k - 1 - base] if k > base else base_cap

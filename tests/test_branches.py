@@ -210,3 +210,23 @@ def test_branch_guards(spark, tmp_out):
     drop_branch(tmp_out, "b")
     with pytest.raises(ValueError, match="no branch"):
         publish_branch(tmp_out, "b")
+
+
+def test_empty_branch_view_does_not_leak_main(spark, tmp_out):
+    """A branch whose view holds zero files must read as empty — never
+    fall back to main's current dataset (post-branch main commits would
+    leak in)."""
+    import pyspark.sql.types as T
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    empty = spark.createDataFrame(
+        [], T.StructType.fromDDL("k long, grp int, name string")
+    )
+    empty.write.format("pgs").mode("overwrite").save(tmp_out)
+    create_branch(tmp_out, "b")
+    _batch(spark, 0, 40).write.format("pgs").mode("append").save(tmp_out)
+    br = spark.read.format("pgs").option("branch", "b").load(tmp_out)
+    assert br.count() == 0
+    assert spark.read.format("pgs").load(tmp_out).count() == 40
+    drop_branch(tmp_out, "b")

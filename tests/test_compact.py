@@ -303,3 +303,34 @@ def test_recluster_zorder_guards(spark, tmp_path):
     ).write.format("pgs").mode("overwrite").save(src)
     with pytest.raises(ValueError, match="zorder key"):
         recluster_store(spark, src, str(tmp_path / "d"), ["k", "name"])
+
+
+def test_recluster_zorder_temporal_and_many_keys(spark, tmp_path):
+    """Temporal keys normalize through a double cast (manifest stats
+    are not numeric-formatted for them), and a 5-key list shrinks the
+    per-key bit budget so no interleaved position reaches the BIGINT
+    sign bit — content stays exact in both cases."""
+    from parquet_go_spark.operators.compact import recluster_store
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    register(spark)
+    src = str(tmp_path / "tsrc")
+    df = spark.range(0, 500).selectExpr(
+        "id AS k",
+        "timestamp_seconds(1700000000 + id * 60) AS ts",
+        "CAST(id % 9 AS INT) AS a", "CAST(id % 7 AS INT) AS b",
+        "CAST(id % 5 AS INT) AS c",
+    ).repartition(3)
+    df.write.format("pgs").mode("overwrite").save(src)
+
+    dst1 = str(tmp_path / "tz")
+    recluster_store(spark, src, dst1, ["ts", "k"])
+    back1 = spark.read.format("pgs").load(dst1)
+    assert back1.exceptAll(df).count() == 0
+    assert df.exceptAll(back1).count() == 0
+
+    dst2 = str(tmp_path / "z5")
+    recluster_store(spark, src, dst2, ["k", "a", "b", "c", "ts"])
+    back2 = spark.read.format("pgs").load(dst2)
+    assert back2.exceptAll(df).count() == 0
+    assert df.exceptAll(back2).count() == 0

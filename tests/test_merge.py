@@ -158,3 +158,40 @@ def test_merge_null_keys_never_match(spark, tmp_out):
     back = spark.read.format("pgs").load(tmp_out)
     assert back.filter("k IS NULL").count() == 1
     assert _same(back.filter("k IS NOT NULL"), df)
+
+
+def test_merge_tside_condition_insert_arm_exact(spark, tmp_out):
+    """The matched arm pushes a t-side condition into its scan; the
+    insert arm must plan on a FRESH load (the engine's scan cache
+    replays a prior pushdown for later executions of the same loaded
+    relation), or matched rows in pruned-away partitions would
+    misclassify as unmatched and re-insert."""
+    df = _mkstore(spark, tmp_out, n=400, parts=4)
+    # source hits every grp; the matched condition touches only grp=1
+    src = df.select("k", "grp").selectExpr(
+        "k", "grp", "CAST(1 AS INT) AS qty"
+    )
+    res = merge_into(
+        spark, tmp_out, src, "k",
+        when_matched={"qty": "t.qty + s.qty"},
+        matched_condition="t.grp = 1",
+        when_not_matched=True,
+    )
+    # every source row matches SOME store row: nothing may insert
+    assert res["inserted_rows"] == 0
+    back = spark.read.format("pgs").load(tmp_out)
+    assert back.count() == 400
+    expect = df.withColumn(
+        "qty",
+        F.when(F.col("grp") == 1, F.col("qty") + 1)
+        .otherwise(F.col("qty")).cast("int"),
+    )
+    assert _same(back, expect)
+
+
+def test_merge_empty_update_dict_refused(spark, tmp_out):
+    _mkstore(spark, tmp_out, n=50)
+    src = spark.createDataFrame([(1, 0, 1)], "k long, grp int, qty int")
+    with pytest.raises(ValueError, match="updates no columns"):
+        merge_into(spark, tmp_out, src, "k", when_matched={})
+    assert spark.read.format("pgs").load(tmp_out).count() == 50

@@ -141,8 +141,18 @@ def test_stream_source_expired_offset_raises(spark, tmp_out):
     schema = spark.read.format("pgs").load(tmp_out).schema
     r = PGSStreamSourceReader(tmp_out, schema, {})
     assert r.latestOffset() == {"commit": 3}
+    # a RESUMING cursor inside the expired range is unrecoverable
     with pytest.raises(ValueError, match="expired"):
-        r._pid_window(0, 3)
+        r._pid_window(1, 3)
+    # a FRESH consumer (offset 0) still full-syncs: expiry is metadata
+    assert r._pid_window(0, 3)[0] == 0
+    full = sum(
+        b.num_rows
+        for p in r.partitions({"commit": 0}, {"commit": 3})
+        if p.value is not None
+        for b in r.read(p)
+    )
+    assert full == 300
     parts = r.partitions({"commit": 2}, {"commit": 3})
     rows = sum(
         b.num_rows
