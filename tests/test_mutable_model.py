@@ -142,7 +142,7 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
         op = rng.choice(
             ["append", "delete_where", "delete_keys", "delete_values",
              "update", "upsert", "merge", "add", "rename", "drop",
-             "compact"]
+             "compact", "recluster", "expire", "branch"]
         )
         desc = op
         if op == "append":
@@ -290,6 +290,60 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
             compact_store(spark, path, dst,
                           target_raw=rng.choice([1 << 12, 1 << 30]))
             path = dst
+        elif op == "recluster":
+            from parquet_go_spark.operators.compact import recluster_store
+
+            gen += 1
+            dst = str(tmp_path / f"store{gen}")
+            shutil.rmtree(dst, ignore_errors=True)
+            intcols = [n for n, t in model.fields if t == "int"]
+            key = (
+                "k" if len(intcols) < 2 or rng.random() < 0.5
+                else rng.sample(["k"] + [c for c in intcols if c != "k"],
+                                2)
+            )
+            desc += f" by {key}"
+            recluster_store(spark, path, dst, key)
+            path = dst
+        elif op == "expire":
+            from parquet_go_spark.sources.pgs_datasource import (
+                _meta as _m, expire_snapshots,
+            )
+
+            hist = _m(path).get("history") or []
+            if len(hist) < 2:
+                continue
+            keep = rng.randrange(1, len(hist))
+            desc += f" keep_last={keep}"
+            expire_snapshots(path, keep_last=keep)
+            # pure metadata: the model's live-row mirror is unchanged
+        elif op == "branch":
+            from parquet_go_spark.sources.pgs_datasource import (
+                _meta as _m, create_branch, drop_branch, publish_branch,
+            )
+
+            if not (_m(path).get("history") and
+                    _m(path).get("generations") is not None):
+                continue
+            create_branch(path, "chaos")
+            staged = model.fresh_batch(rng, rng.randrange(5, 15))
+            w = (spark.createDataFrame(
+                [tuple(r[c] for c, _ in model.fields) for r in staged],
+                model.schema(),
+            ).write.format("pgs").mode("append")
+             .option("branch", "chaos"))
+            if page_rows:
+                w = w.option("page_rows", str(page_rows))
+            w.save(path)
+            if rng.random() < 0.5:
+                desc += " publish"
+                publish_branch(path, "chaos")
+                for r in staged:
+                    model.rows[r["k"]] = r
+            else:
+                desc += " drop"
+                drop_branch(path, "chaos")
+                # staged rows never reach main: model unchanged
         else:
             continue
         _check(spark, path, model, f"{step}:{desc} (seed {seed})", rng)
