@@ -271,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rewrite with a sort order: one range shuffle -> disjoint key
     # bounds per partition (exact-range stats pruning)
     q["ds_recluster"] = _ds.ds_recluster_query
+    # typed-field projection of a shredded variant: one typed chunk,
+    # no reconstruction (strictly typed semantics)
+    q["ds_shred_project"] = _ds.ds_shred_project_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -368,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
     o["ds_branch_wap"] = _ds.DS_BRANCH_WAP_ORACLE
     o["ds_merge"] = _ds.DS_MERGE_ORACLE
     o["ds_recluster"] = _ds.DS_RECLUSTER_ORACLE
+    o["ds_shred_project"] = _ds.DS_SHRED_PROJECT_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

@@ -695,6 +695,46 @@ def _shred_arrow_types():
     return _SHRED_ARROW
 
 
+def _shred_spark_type(kind: str):
+    """Shred kind -> Spark type, built from type objects directly (the
+    Python DS worker has no SparkContext, so DDL parsing is off-limits
+    here)."""
+    import pyspark.sql.types as T
+
+    base = {"int": T.LongType(), "double": T.DoubleType(),
+            "string": T.StringType(), "bool": T.BooleanType()}
+    if kind in base:
+        return base[kind]
+    inner = kind.removeprefix("array<").removesuffix(">")
+    return T.ArrayType(base[inner], True)
+
+
+def _shred_field_projection(name: str, shredded: dict) -> tuple | None:
+    """Resolve a dotted projection ``v.f`` against the store's shredded
+    layout -> (variant col, field, kind) or None. Reading the typed
+    field directly is the shredded store's scale lever: ONE typed chunk
+    decodes instead of reconstructing whole variants (metadata +
+    residual + every typed field). Semantics are STRICTLY typed (the
+    Iceberg shredded-column read): the write shredded a field into the
+    typed chunk exactly when it matched the declared kind, so rows
+    where it was absent, null, or of another type read null — a
+    same-kind re-extraction from the residual could never recover more
+    (a write-time mismatch is a read-time mismatch). Note this is
+    narrower than ``try_variant_get``, which CASTS across types (a
+    string "78" satisfies a 'long' get); a consumer needing cast
+    semantics reads the full variant column and pays reconstruction."""
+    col, _, fld = name.partition(".")
+    if not fld or col not in shredded:
+        return None
+    kind = shredded[col].get(fld)
+    if kind is None:
+        raise ValueError(
+            f"variant column {col!r} is not shredded on field {fld!r} "
+            f"(have {sorted(shredded[col])})"
+        )
+    return col, fld, kind
+
+
 def _shred_components(col: str, fields: dict[str, str]) -> list[str]:
     """Stored chunk names for a shredded variant column — mirrors the
     reference's shredded group layout (metadata / value / typed_value)."""
@@ -978,6 +1018,14 @@ def _candidate_parts(
         # partition predating an added column has no row at all and is
         # kept — Spark re-evaluates the filter on the synthesized default
         aliases = [col] + list(renames.get(col) or [])
+        if "." in col:
+            # typed-field projection of a shredded variant: the
+            # projected values ARE the typed chunk's (absent/mismatched
+            # rows read null, and null never satisfies a pushed
+            # comparison), so its stats prune losslessly
+            vcol, _, fld = col.partition(".")
+            if fld in ((meta.get("shredded") or {}).get(vcol) or {}):
+                aliases.append(f"{vcol}.typed_value.{fld}")
         rows: dict[int, tuple] = {}
         for c in aliases:
             rows.update(by_col.get(c) or {})
@@ -1297,6 +1345,15 @@ class PGSReader(DataSourceReader):
         )
         self._column_keys = _expand_shred_keys(self._column_keys,
                                                self._shredded)
+        # typed-field projections of shredded variant columns ("v.f"):
+        # resolved once; each reads ONE typed chunk instead of
+        # reconstructing the whole variant
+        self._shred_proj: dict[str, tuple] = {}
+        for c in self._columns:
+            if "." in c and c.split(".", 1)[0] in self._shredded:
+                proj = _shred_field_projection(c, self._shredded)
+                if proj is not None:
+                    self._shred_proj[c] = proj
         # committed positional tombstones (delete_where): applied on every
         # read path, including snapshot reads — a takedown must disappear
         # from time travel too (the opposite of Iceberg's snapshot
@@ -1594,7 +1651,10 @@ class PGSReader(DataSourceReader):
         for name in self._columns + eq_extra:
             if name in _VIRTUAL_COLS:
                 continue  # synthesized below, never a chunk
-            if name in self._shredded:
+            if name in self._shred_proj:
+                vcol, fld, _ = self._shred_proj[name]
+                stored.append(f"{vcol}.typed_value.{fld}")
+            elif name in self._shredded:
                 stored.extend(_shred_components(name, self._shredded[name]))
             elif name not in cands:
                 # a renamed column resolves per partition: old partitions
@@ -1711,6 +1771,12 @@ class PGSReader(DataSourceReader):
                     pa.nulls(n_eff, pa.int64()) if k is None
                     else pa.array(np.full(n_eff, k, dtype=np.int64))
                 )
+                continue
+            if name in self._shred_proj:
+                vcol, fld, _ = self._shred_proj[name]
+                a = dec(f"{vcol}.typed_value.{fld}")
+                want = relax(field.type)
+                arrays.append(a.cast(want) if a.type != want else a)
                 continue
             if name in self._shredded:
                 arrays.append(self._reconstruct_variant(
@@ -2445,10 +2511,29 @@ class PGSDataSource(DataSource):
         if cols:
             want = [c.strip() for c in cols.split(",")]
             by_name = {f.name: f for f in full.fields}
-            missing = [c for c in want if c not in by_name]
+            shredded = _meta(self._path()).get("shredded") or {}
+            fields = []
+            missing = []
+            for c in want:
+                if c in by_name:
+                    fields.append(by_name[c])
+                    continue
+                proj = (
+                    _shred_field_projection(c, shredded)
+                    if "." in c else None
+                )
+                if proj is None:
+                    missing.append(c)
+                    continue
+                # typed-field projection of a shredded variant column:
+                # the column is literally named "v.f" (backtick it in
+                # SQL) with the declared shred kind's type
+                fields.append(
+                    StructField(c, _shred_spark_type(proj[2]), True)
+                )
             if missing:
                 raise ValueError(f"columns not in store schema: {missing}")
-            full = StructType([by_name[c] for c in want])
+            full = StructType(fields)
         if self.options.get("with_pos", "").lower() in ("true", "1"):
             # row-address columns for delete planning / debugging; never
             # stored, synthesized per task (part id + row ordinal)
@@ -2564,6 +2649,61 @@ def ds_variant_shredded_query(spark, sf_dir: str):
 
 DS_VARIANT_SHREDDED_ORACLE = """
 SELECT doc_id, lang, n_chars::INTEGER AS n_chars, source FROM documents
+"""
+
+
+def ds_shred_project_query(spark, sf_dir: str):
+    """Typed-field projection of a shredded variant store
+    (``columns="v.f"``): ONE typed chunk decodes per projected field —
+    no variant reconstruction. Strictly typed: the doc_id % 7 rows
+    (n_chars written as a JSON string, so residual-held) and the
+    doc_id % 11 null rows read null."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nc = F.col("n_chars").cast("string")
+    j = F.concat(
+        F.lit('{"lang": "'), F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit('"'), nc, F.lit('"'))).otherwise(nc),
+        F.lit("}"),
+    )
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.parse_json(j)).alias("v"),
+    )
+    out = os.path.join(
+        "/tmp", f"pgs_ds_shredproj_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        df.repartition(2).write.format("pgs").mode("overwrite")
+        .option("shred_variant", "v:lang=string,n_chars=int")
+        .save(out)
+    )
+    proj = (
+        spark.read.format("pgs")
+        .option("columns", "doc_id,v.lang,v.n_chars")
+        .load(out)
+    )
+    return proj.select(
+        "doc_id",
+        F.col("`v.lang`").alias("lang_typed"),
+        F.col("`v.n_chars`").alias("n_chars_typed"),
+    )
+
+
+DS_SHRED_PROJECT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang_typed,
+       CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN NULL
+            ELSE n_chars END AS n_chars_typed
+FROM documents
 """
 
 

@@ -1386,3 +1386,70 @@ def test_with_commit_lineage_column(spark, tmp_out):
            .load(tmp_out))
     assert df2.filter("_pgs_commit IS NULL").count() == 100  # expired
     assert df2.filter("_pgs_commit = 3").count() == 100
+
+
+def test_shredded_typed_field_projection(spark, tmp_out):
+    """`columns="v.f"` reads ONE typed chunk of a shredded variant
+    column instead of reconstructing whole variants — semantics equal
+    to try_variant_get(v, '$.f', <kind>): absent/mismatched/null rows
+    read null. Filters on the projected column prune from the typed
+    chunk's manifest stats (lossless: projected values ARE the typed
+    chunk's; null never matches a pushed comparison)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    register(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    nc = F.col("n_chars").cast("string")
+    j = F.concat(
+        F.lit('{"lang": "'), F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit('"'), nc, F.lit('"'))).otherwise(nc),
+        F.lit("}"),
+    )
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.parse_json(j)).alias("v"),
+    )
+    (df.repartition(2).write.format("pgs").mode("overwrite")
+       .option("shred_variant", "v:lang=string,n_chars=int")
+       .save(tmp_out))
+
+    proj = (
+        spark.read.format("pgs")
+        .option("columns", "doc_id,v.n_chars,v.lang")
+        .load(tmp_out)
+    )
+    assert proj.columns == ["doc_id", "v.n_chars", "v.lang"]
+    # JVM cross-check: full reconstruction + variant_get must agree on
+    # every row whose write-time value MATCHED the declared kind; the
+    # strictly-typed projection reads null where try_variant_get would
+    # CAST (doc_id % 7: n_chars written as a JSON string)
+    full = spark.read.format("pgs").load(tmp_out).selectExpr(
+        "doc_id",
+        "try_variant_get(v, '$.n_chars', 'long') AS nc",
+        "try_variant_get(v, '$.lang', 'string') AS lg",
+    )
+    a = proj.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = full.toPandas().sort_values("doc_id").reset_index(drop=True)
+    matched = (a["doc_id"] % 7 != 0)
+    assert a.loc[matched, "v.n_chars"].equals(b.loc[matched, "nc"])
+    assert a["v.lang"].equals(b["lg"])  # lang always string-typed
+    assert a.loc[~matched, "v.n_chars"].isna().all()  # strict, no cast
+    assert a[a["doc_id"] % 11 == 0]["v.lang"].isna().all()  # null rows
+
+    # unknown shred field is a clean error
+    with pytest.raises(Exception, match="not shredded on field"):
+        (spark.read.format("pgs").option("columns", "v.nope")
+         .load(tmp_out).count())
+
+    # pruning: an impossible equality on the typed field's stats plans
+    # the schema-only empty scan
+    schema = (spark.read.format("pgs")
+              .option("columns", "v.n_chars").load(tmp_out).schema)
+    r = PGSPruningReader(tmp_out, schema, {"columns": "v.n_chars"})
+    r.pushFilters([EqualTo(("v.n_chars",), -999)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].value is None
