@@ -274,6 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # typed-field projection of a shredded variant: one typed chunk,
     # no reconstruction (strictly typed semantics)
     q["ds_shred_project"] = _ds.ds_shred_project_query
+    # changelog read (Iceberg CDC analog): window inserts + delete-
+    # address events; since_commit completed with delete visibility
+    from parquet_go_spark.operators import changes as _chg
+
+    q["ds_changes_feed"] = _chg.ds_changes_feed_query
 
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
@@ -372,6 +377,9 @@ def oracle_sql() -> dict[str, str]:
     o["ds_merge"] = _ds.DS_MERGE_ORACLE
     o["ds_recluster"] = _ds.DS_RECLUSTER_ORACLE
     o["ds_shred_project"] = _ds.DS_SHRED_PROJECT_ORACLE
+    from parquet_go_spark.operators import changes as _chg
+
+    o["ds_changes_feed"] = _chg.DS_CHANGES_FEED_ORACLE
     o["mm_metadata"] = _mm.METADATA_ORACLE
     o["mm_features"] = _mm.FEATURES_ORACLE
     o["mm_thumbnail"] = _mm.THUMBNAIL_ORACLE

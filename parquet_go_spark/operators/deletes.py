@@ -44,8 +44,18 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.pgs_datasource import (
-    _meta, _require_no_branches, _write_meta, register,
+    _hist_state, _meta, _require_no_branches, _write_meta, register,
 )
+
+
+def _snapshot_now(meta: dict) -> int:
+    """The append-commit snapshot that is current under this meta — the
+    changelog tag for a delete committed now (``changes.read_changes``
+    emits the entry to windows crossing it). 0 on stores without
+    append-commit history (operator-written / stream stores, where the
+    changelog is refused anyway)."""
+    hist, base, _ = _hist_state(meta)
+    return base + len(hist)
 
 
 def delete_where(
@@ -207,6 +217,10 @@ def delete_values(
     meta = _meta(path)
     meta.setdefault("eq_deletes", []).append({
         "name": name,
+        # changelog tag: equality deletes are key predicates, not row
+        # addresses, so read_changes refuses windows crossing this
+        # snapshot (compact_store materializes them away)
+        "at": _snapshot_now(meta),
         # logical names (maintained by rename_column) vs the physical
         # parquet column names inside the key files (fixed forever)
         "key_cols": list(key_cols),
@@ -684,8 +698,20 @@ def compact_tombstones(spark: SparkSession, path: str) -> dict:
     name = f"del-{token}"
     os.replace(tmp, os.path.join(ddir, name))
     meta = _meta(path)
-    old = [e["name"] for e in meta.get("deletes") or []]
-    meta["deletes"] = [{"name": name, "lo": lo, "hi": hi, "rows": rows}]
+    ents = meta.get("deletes") or []
+    old = [e["name"] for e in ents]
+    merged = {"name": name, "lo": lo, "hi": hi, "rows": rows}
+    ats = [e.get("at") for e in ents]
+    if ats and None not in ats:
+        # the merged entry inherits the LATEST tag: a changelog window
+        # reaching max(at) re-emits every merged address — re-deleting an
+        # address the consumer already applied (or whose row its sync
+        # never saw: tombstones apply at sync time) is a no-op, whereas
+        # min(at) could hide a later delete from the window that owes it.
+        # Windows ending before max(at) see those events once their
+        # cursor passes it (deferred, never lost).
+        merged["at"] = max(ats)
+    meta["deletes"] = [merged]
     _write_meta(path, meta)  # THE commit point
     # the superseded dirs became invisible at the meta write; leave them
     # for sweep_store so a reader that planned against the OLD meta can
@@ -737,7 +763,12 @@ def _commit_tombstones(path: str, hits) -> dict:
     os.replace(tmp, os.path.join(ddir, name))
     meta = _meta(path)
     meta.setdefault("deletes", []).append(
-        {"name": name, "lo": lo, "hi": hi, "rows": rows}
+        # "at": the snapshot current when this delete committed — the
+        # changelog tag (changes.read_changes emits the entry to windows
+        # crossing it; apply order is "inserts of commit k, then deletes
+        # tagged at k")
+        {"name": name, "lo": lo, "hi": hi, "rows": rows,
+         "at": _snapshot_now(meta)}
     )
     _write_meta(path, meta)  # THE commit point
     return {"deleted_rows": rows, "name": name}

@@ -559,6 +559,14 @@ def rollback_to_commit(path: str, k: int) -> dict:
     meta["history"] = hist[:k - base]
     meta["num_parts"] = kept_parts
     meta["pid_floor"] = max(max_pid + 1, meta.get("pid_floor", 0))
+    # surviving delete entries keep applying to every read (takedown),
+    # so for the changelog they now happened "at" the rollback target:
+    # clamping keeps them inside any window a consumer can still open
+    # (an un-clamped at past the truncated history would never be
+    # emitted while the tombstone still drops rows)
+    for e in (meta.get("deletes") or []) + (meta.get("eq_deletes") or []):
+        if e.get("at") is not None:
+            e["at"] = min(e["at"], k)
     if meta.get("tags"):
         # tags naming rolled-back snapshots die with them
         meta["tags"] = {t: v for t, v in meta["tags"].items() if v <= k}
