@@ -46,10 +46,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.pgs_datasource import _hist_state, _meta, register
-
-#: change-event discriminator column (last column of the result)
-CHANGE_COL = "_change_type"
+from ..sources.pgs_datasource import (
+    CHANGE_COL,  # noqa: F401  (canonical home; re-exported for callers)
+    _hist_state,
+    _meta,
+    register,
+)
 
 
 def read_changes(

@@ -359,6 +359,13 @@ def compact_store(
     meta.pop("generations", None)
     meta.pop("generations_strict", None)
     meta.pop("history", None)
+    # expiry state indexes the retired history too: a stale
+    # history_base(+cap) under a FRESH history rebuilt by later appends
+    # mis-numbers snapshots and resolves _pgs_commit against rebased
+    # part ids (found by the chaos model's changelog-replay arm)
+    meta.pop("history_base", None)
+    meta.pop("history_base_cap", None)
+    meta.pop("delete_seq", None)  # tombstone counter: new feed namespace
     meta.pop("pid_floor", None)  # part ids were rebased to 0..N
     meta.pop("tags", None)  # tags index the retired history
     # tombstones were materialized into the rewritten chunks above

@@ -711,6 +711,12 @@ def compact_tombstones(spark: SparkSession, path: str) -> dict:
         # Windows ending before max(at) see those events once their
         # cursor passes it (deferred, never lost).
         merged["at"] = max(ats)
+    seqs = [e.get("seq") for e in ents]
+    if seqs and None not in seqs:
+        # same rule on the change-feed counter: a cursor past max(seq)
+        # consumed every merged entry (never re-emitted); a cursor
+        # before it re-receives the merged addresses (idempotent)
+        merged["seq"] = max(seqs)
     meta["deletes"] = [merged]
     _write_meta(path, meta)  # THE commit point
     # the superseded dirs became invisible at the meta write; leave them
@@ -762,13 +768,17 @@ def _commit_tombstones(path: str, hits) -> dict:
     _check_commit_token(path, fp, "delete")  # dir not yet committed
     os.replace(tmp, os.path.join(ddir, name))
     meta = _meta(path)
+    # "at": the snapshot current when this delete committed — the
+    # changelog tag (changes.read_changes emits the entry to windows
+    # crossing it; apply order is "inserts of commit k, then deletes
+    # tagged at k"). "seq": the store-lifetime tombstone counter — the
+    # change-feed stream's offset coordinate (snapshots don't advance
+    # on deletes, and list positions don't survive compact_tombstones).
+    seq = meta.get("delete_seq", 0) + 1
+    meta["delete_seq"] = seq
     meta.setdefault("deletes", []).append(
-        # "at": the snapshot current when this delete committed — the
-        # changelog tag (changes.read_changes emits the entry to windows
-        # crossing it; apply order is "inserts of commit k, then deletes
-        # tagged at k")
         {"name": name, "lo": lo, "hi": hi, "rows": rows,
-         "at": _snapshot_now(meta)}
+         "at": _snapshot_now(meta), "seq": seq}
     )
     _write_meta(path, meta)  # THE commit point
     return {"deleted_rows": rows, "name": name}

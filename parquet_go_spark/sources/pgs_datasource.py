@@ -93,6 +93,10 @@ _READ_BATCH_ROWS = 32768
 # record. Never stored as chunks; synthesized at read time.
 _VIRTUAL_COLS = ("_pgs_part", "_pgs_pos", "_pgs_commit")
 
+#: change-event discriminator column (changelog reads + change-feed
+#: streams; re-exported by operators.changes)
+CHANGE_COL = "_change_type"
+
 
 # --------------------------------------------------------------- store access
 
@@ -2404,11 +2408,26 @@ class PGSStreamSourceReader(DataSourceStreamReader):
     (PGSReader.read): decode kernels, alias resolution, defaults, and
     the delete masks — a row taken down between commits is never
     emitted if its partition is still unconsumed. Exactly-once per
-    partition via Spark's offset log."""
+    partition via Spark's offset log.
+
+    ``option("change_feed", "true")`` (batch-writer stores only) is the
+    streaming twin of ``operators.changes.read_changes``: rows gain
+    ``_pgs_part``/``_pgs_pos``/``_pgs_commit`` and a ``_change_type``
+    discriminator, and micro-batches additionally carry address-only
+    ``delete`` events for tombstones committed since the last batch
+    (data columns null — takedown semantics). Because delete commits do
+    not advance the append-snapshot counter, change-feed offsets carry
+    tombstone/equality-entry counters alongside the commit cursor.
+    Delete events are at-least-once per address (``compact_tombstones``
+    may merge dirs mid-stream and force a re-emit) — a mirror applies
+    them idempotently, exactly the ``read_changes`` replay contract. A
+    batch whose window gains an equality-delete commit fails (key
+    predicates have no address events; ``compact_store`` materializes
+    them away)."""
 
     def __init__(self, path: str, schema: StructType, options):
         for bad in ("as_of_commit", "as_of_batch", "since_commit",
-                    "with_pos", "branch"):
+                    "with_pos", "with_commit", "branch"):
             if options.get(bad) is not None:
                 raise ValueError(
                     f"option {bad!r} does not apply to streaming reads "
@@ -2421,16 +2440,43 @@ class PGSStreamSourceReader(DataSourceStreamReader):
                 "store records no commit bookkeeping (operator-written "
                 "store); streaming reads need a datasource-written store"
             )
+        self._change_feed = (
+            options.get("change_feed", "").lower() in ("true", "1")
+        )
+        if self._change_feed and self._stream_store:
+            raise ValueError(
+                "change_feed applies to batch-writer stores (a stream "
+                "store is append-only: the plain streaming read IS its "
+                "change feed)"
+            )
         self._path = path
         self._start = int(options.get("start_commit", 0))
+        self._schema = schema
+        inner = schema
+        if self._change_feed:
+            if schema.fields[-1].name != CHANGE_COL:
+                raise ValueError(
+                    f"change_feed schema must end with {CHANGE_COL!r} "
+                    "(schema projection may drop data columns, never "
+                    "the event columns)"
+                )
+            inner = StructType(schema.fields[:-1])
         # the batch-read machinery: partition planning (files, page
         # keeps, tombstones, eq entries) and the task-side decode
-        self._reader = PGSReader(path, schema, options)
-        self._schema = schema
+        self._reader = PGSReader(path, inner, options)
+        self._inner_schema = inner
         self._options = options
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
-        return {"commit": self._start}
+        off = {"commit": self._start}
+        if self._change_feed:
+            # entries already committed are materialized in the feed's
+            # insert side (every read applies tombstones), so the
+            # cursor starts past them — their events would be no-ops
+            meta = _meta(self._path)
+            off["dels"] = meta.get("delete_seq", 0)
+            off["eqs"] = len(meta.get("eq_deletes") or [])
+        return off
 
     def latestOffset(self) -> dict:  # noqa: N802
         meta = _meta(self._path)
@@ -2439,7 +2485,15 @@ class PGSStreamSourceReader(DataSourceStreamReader):
         else:
             hist, base, _ = _hist_state(meta)
             k = base + len(hist)
-        return {"commit": max(k, self._start)}
+        off = {"commit": max(k, self._start)}
+        if self._change_feed:
+            # delete cursor = the store-lifetime tombstone counter, NOT
+            # the entry-list length: compact_tombstones merges entries
+            # (list shrinks), and a later delete would hide inside a
+            # count window. The eq list only ever grows on one store.
+            off["dels"] = meta.get("delete_seq", 0)
+            off["eqs"] = len(meta.get("eq_deletes") or [])
+        return off
 
     def _pid_window(self, s: int, e: int) -> tuple[int, int]:
         if self._stream_store:
@@ -2476,15 +2530,110 @@ class PGSStreamSourceReader(DataSourceStreamReader):
         lo, hi = self._pid_window(start["commit"], end["commit"])
         # fresh planning pass: the new commits' files/tombstones are in
         # the CURRENT meta, not the one captured at reader construction
-        self._reader = PGSReader(self._path, self._schema, self._options)
+        self._reader = PGSReader(self._path, self._inner_schema,
+                                 self._options)
         parts = [
             p for p in self._reader.partitions()
             if p.value is not None and lo <= p.value[0] < hi
         ]
+        if self._change_feed:
+            parts.extend(self._delete_partitions(start, end))
         return parts or [InputPartition(None)]
 
+    #: marker heading a change-feed delete partition's value tuple
+    _DELS_MARK = "__pgs_change_dels__"
+
+    def _delete_partitions(self, start: dict, end: dict) -> list:
+        """The window's tombstone entries as one address-only partition
+        (delete files are row addresses — metadata-scale next to data).
+        Entry identity is the store-lifetime ``seq`` counter; a merged
+        entry (compact_tombstones) carries max(seq) of its inputs, so a
+        cursor past it never re-receives it, while a cursor before it
+        re-receives every merged address — idempotent for a mirror."""
+        meta = _meta(self._path)
+        s_eq, e_eq = start.get("eqs", 0), end.get("eqs", 0)
+        eq_ents = meta.get("eq_deletes") or []
+        if e_eq > s_eq:
+            names = [e["name"] for e in eq_ents[s_eq:e_eq]]
+            raise ValueError(
+                f"change-feed window gained equality-delete commits "
+                f"{names}: key predicates have no address events — "
+                "compact_store materializes them into a delete-free "
+                "store, then restart the feed from a fresh sync"
+            )
+        s_d, e_d = start.get("dels", 0), end.get("dels", 0)
+        window = []
+        for e in meta.get("deletes") or []:
+            seq = e.get("seq")
+            if seq is None or e.get("at") is None:
+                raise ValueError(
+                    f"tombstone entry {e['name']!r} predates change-feed "
+                    "tagging (no 'seq'/'at' recorded) — compact_store "
+                    "materializes it into a delete-free store"
+                )
+            if s_d < seq <= e_d:
+                window.append(e)
+        if not window:
+            return []
+        return [InputPartition((
+            self._DELS_MARK,
+            tuple((e["name"], int(e["at"])) for e in window),
+        ))]
+
+    def _read_delete_events(self, entries):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        tabs = []
+        for name, at in entries:
+            t = pads.dataset(
+                os.path.join(self._path, "deletes", name),
+                format="parquet",
+            ).to_table(columns=["part_id", "pos"])
+            tabs.append(t.append_column(
+                "at", pa.array(np.full(t.num_rows, at, dtype=np.int64))
+            ))
+        t = pa.concat_tables(tabs)
+        # one event per address; the earliest tag wins (mirrors
+        # read_changes — merged dirs stay defensive)
+        t = t.group_by(["part_id", "pos"]).aggregate([("at", "min")])
+        n = t.num_rows
+        cols = {}
+        for f in to_arrow_schema(self._schema):
+            if f.name == "_pgs_part":
+                cols[f.name] = t.column("part_id").cast(f.type)
+            elif f.name == "_pgs_pos":
+                cols[f.name] = t.column("pos").cast(f.type)
+            elif f.name == "_pgs_commit":
+                cols[f.name] = t.column("at_min").cast(f.type)
+            elif f.name == CHANGE_COL:
+                cols[f.name] = pa.array(["delete"] * n)
+            else:
+                # data columns withheld on delete events: positional
+                # deletes are takedowns; replaying bytes defeats them
+                cols[f.name] = pa.nulls(n, f.type)
+        yield from pa.table(cols).to_batches(
+            max_chunksize=_READ_BATCH_ROWS
+        )
+
     def read(self, partition: InputPartition):
-        yield from self._reader.read(partition)
+        import pyarrow as pa
+
+        v = partition.value
+        if (self._change_feed and v is not None
+                and v[0] == self._DELS_MARK):
+            yield from self._read_delete_events(v[1])
+            return
+        if not self._change_feed:
+            yield from self._reader.read(partition)
+            return
+        for b in self._reader.read(partition):
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(["insert"] * b.num_rows)],
+                names=list(b.schema.names) + [CHANGE_COL],
+            )
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: offsets are pure metadata
@@ -2542,6 +2691,21 @@ class PGSDataSource(DataSource):
             if missing:
                 raise ValueError(f"columns not in store schema: {missing}")
             full = StructType(fields)
+        if self.options.get("change_feed", "").lower() in ("true", "1"):
+            # change-feed stream: address + lineage + event type ride
+            # along with the data columns. Delete events carry only the
+            # address, so EVERY data column must relax to nullable —
+            # a null under a required column is a JVM codegen crash
+            from pyspark.sql.types import StringType
+
+            return StructType(
+                [StructField(f.name, f.dataType, True)
+                 for f in full.fields]
+                + [StructField("_pgs_part", IntegerType(), True),
+                   StructField("_pgs_pos", LongType(), True),
+                   StructField("_pgs_commit", LongType(), True),
+                   StructField(CHANGE_COL, StringType(), False)]
+            )
         if self.options.get("with_pos", "").lower() in ("true", "1"):
             # row-address columns for delete planning / debugging; never
             # stored, synthesized per task (part id + row ordinal)
@@ -2563,6 +2727,11 @@ class PGSDataSource(DataSource):
         return full
 
     def reader(self, schema: StructType) -> PGSReader:
+        if self.options.get("change_feed", "").lower() in ("true", "1"):
+            raise ValueError(
+                "change_feed is a streaming option (readStream); the "
+                "batch changelog is operators.changes.read_changes"
+            )
         if self.options.get("pushdown", "").lower() in ("true", "1"):
             return PGSPruningReader(self._path(), schema, self.options)
         return PGSReader(self._path(), schema, self.options)

@@ -334,3 +334,49 @@ def test_recluster_zorder_temporal_and_many_keys(spark, tmp_path):
     back2 = spark.read.format("pgs").load(dst2)
     assert back2.exceptAll(df).count() == 0
     assert df.exceptAll(back2).count() == 0
+
+
+def test_compact_clears_expiry_state(spark, tmp_path):
+    """Compacting an expired store must drop history_base(+cap) and
+    delete_seq with the history: part ids are rebased to 0..N, so stale
+    expiry state under a FRESH history rebuilt by later appends would
+    mis-number snapshots and null out _pgs_commit lineage (found by the
+    chaos model's changelog-replay arm, seed 7)."""
+    from parquet_go_spark.operators.changes import read_changes
+    from parquet_go_spark.operators.deletes import delete_where
+    from parquet_go_spark.sources.pgs_datasource import (
+        _meta, expire_snapshots, register,
+    )
+
+    register(spark)
+    src = str(tmp_path / "exp_src")
+    for lo, mode in ((0, "overwrite"), (100, "append"), (200, "append")):
+        spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "CAST(id % 5 AS INT) AS grp"
+        ).repartition(2).write.format("pgs").mode(mode).save(src)
+    delete_where(spark, src, "grp = 2")
+    expire_snapshots(src, keep_last=1)
+    assert _meta(src)["history_base"] == 2
+
+    dst = str(tmp_path / "exp_dst")
+    compact_store(spark, src, dst, target_raw=1 << 30)
+    m = _meta(dst)
+    for stale in ("history", "history_base", "history_base_cap",
+                  "delete_seq", "deletes", "tags", "pid_floor"):
+        assert stale not in m, stale
+
+    # appends rebuild a CLEAN timeline: the compacted dataset becomes
+    # the synthesized snapshot 1, the append snapshot 2, every row's
+    # lineage resolves, and the changelog replays exactly
+    spark.range(300, 360).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS grp"
+    ).repartition(2).write.format("pgs").mode("append").save(dst)
+    rows = (
+        spark.read.format("pgs").option("with_commit", "true")
+        .load(dst).collect()
+    )
+    assert {r["_pgs_commit"] for r in rows if r["k"] >= 300} == {2}
+    assert {r["_pgs_commit"] for r in rows if r["k"] < 300} == {1}
+    ev = read_changes(spark, dst, since_commit=1).collect()
+    assert sorted(r["k"] for r in ev) == list(range(300, 360))
+    assert {r["_pgs_commit"] for r in ev} == {2}

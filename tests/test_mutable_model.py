@@ -86,6 +86,64 @@ class _Model:
         return spark.createDataFrame(data, self.schema())
 
 
+def _changelog_check(spark, path, model, step, rng):
+    """Replay-contract arm: sync a mirror at a random past snapshot,
+    apply read_changes(s, now) (inserts of commit k before deletes
+    tagged at=k; unknown delete addresses are no-ops), and require it
+    to equal the model. Windows the changelog documents as unreadable
+    (equality-delete crossings, stores without append history) skip —
+    but only for those documented reasons."""
+    from parquet_go_spark.operators.changes import read_changes
+    from parquet_go_spark.sources.pgs_datasource import _hist_state, _meta
+
+    meta = _meta(path)
+    if meta.get("clustering") == "stream_append":
+        return
+    hist, base, _ = _hist_state(meta)
+    if not hist:
+        return
+    s = rng.randrange(base, base + len(hist) + 1)
+    try:
+        ev = read_changes(spark, path, s).collect()
+    except ValueError as exc:
+        assert ("equality-delete" in str(exc)
+                or "predates changelog" in str(exc)), (
+            f"step {step}: unexpected changelog refusal: {exc}"
+        )
+        return
+    cols = [n for n, _ in model.fields]
+    if s == base:
+        if base > 0:
+            return  # snapshot `base` itself expired: nothing to sync at
+        mirror = {}  # replay-from-empty: the full feed IS the table
+    else:
+        sync = (
+            spark.read.format("pgs").option("with_pos", "true")
+            .option("as_of_commit", str(s)).load(path)
+        ).collect()
+        mirror = {
+            (r["_pgs_part"], r["_pgs_pos"]): tuple(r[c] for c in cols)
+            for r in sync
+        }
+    for c in sorted({r["_pgs_commit"] for r in ev}):
+        for r in ev:
+            if r["_pgs_commit"] == c and r["_change_type"] == "insert":
+                mirror[(r["_pgs_part"], r["_pgs_pos"])] = tuple(
+                    r[x] for x in cols
+                )
+        for r in ev:
+            if r["_pgs_commit"] == c and r["_change_type"] == "delete":
+                mirror.pop((r["_pgs_part"], r["_pgs_pos"]), None)
+    want = sorted(
+        tuple(r[c] for c in cols) for r in model.rows.values()
+    )
+    got = sorted(mirror.values())
+    assert got == want, (
+        f"step {step}: changelog replay from snapshot {s} diverged "
+        f"({len(got)} vs {len(want)} rows)"
+    )
+
+
 def _check(spark, path, model, step, rng=None):
     got = spark.read.format("pgs").load(path)
     exp = model.df(spark)
@@ -347,3 +405,5 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
         else:
             continue
         _check(spark, path, model, f"{step}:{desc} (seed {seed})", rng)
+        _changelog_check(spark, path, model,
+                         f"{step}:{desc} (seed {seed})", rng)
