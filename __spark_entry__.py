@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # composition: packed windows through encode_table -> decode, digest
     q["pack_encode_roundtrip"] = _pack.pack_encode_roundtrip_query
     q["text_fingerprint"] = _text.fingerprint_query
+    # corpus-trained bigram-LM quality score (KenLM-style filter):
+    # exact-integer count aggregates + one IEEE division per value
+    q["text_bigram_lm"] = _text.bigram_lm_query
     # corpus hygiene: benchmark decontamination, PII redaction, Gopher
     # duplicate-n-gram quality signal
     from parquet_go_spark.operators import contamination as _con
@@ -335,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
     o["pack_sequences"] = _pack.PACK_SEQUENCES_ORACLE
     o["pack_encode_roundtrip"] = _pack.PACK_ENCODE_ROUNDTRIP_ORACLE
     o["text_fingerprint"] = _text.FINGERPRINT_ORACLE
+    o["text_bigram_lm"] = _text.BIGRAM_LM_ORACLE
     from parquet_go_spark.operators import contamination as _con
     o["decontam_overlap"] = _con.DECONTAM_ORACLE
     o["pii_scrub"] = _con.PII_SCRUB_ORACLE

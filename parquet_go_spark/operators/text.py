@@ -143,3 +143,90 @@ GROUP BY doc_id
 
 def fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, FINGERPRINT_SPARK)
+
+
+# ------------------------------------------------------- bigram LM quality
+
+# Corpus-trained bigram language-model score (the KenLM-style quality
+# filter of LLM data pipelines, count-based): train word-bigram and
+# unigram counts over the WHOLE corpus, then score each document by its
+# average bigram conditional frequency. Everything stays exact-integer
+# until one correctly-rounded IEEE double division per output value
+# (sum ratios and an order-insensitive MIN of per-bigram ratios), so
+# Spark and DuckDB agree bit-for-bit — no log-sum whose float summation
+# order could drift between engines.
+#
+# Plan shape (pinned in PLANS.md): two map-side-combinable count
+# shuffles (bigram, unigram vocab), two equi-joins of the exploded doc
+# bigrams against them, one final per-doc hash agg. At 100 TB the skew
+# keys are stopword bigrams — AQE skew-join splits them, or broadcast
+# the top-K hot entries; the vocab tables are corpus-scale, never
+# driver-collected.
+
+# Spark's arrays_zip yields struct fields named "0"/"1"; project them
+# out of the exploded struct
+BIGRAM_LM_SPARK = """
+WITH ws AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents_v
+),
+bg AS (
+  SELECT doc_id, z['0'] AS w1, z['1'] AS b FROM (
+    SELECT doc_id,
+           explode(arrays_zip(
+             slice(w, 1, size(w) - 1),
+             transform(sequence(1, size(w) - 1),
+                       i -> concat(element_at(w, i), ' ',
+                                   element_at(w, i + 1)))
+           )) AS z
+    FROM ws WHERE size(w) > 1
+  )
+),
+bgc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+unc AS (
+  SELECT u, count(*) AS cu
+  FROM (SELECT explode(w) AS u FROM ws) GROUP BY u
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bg,
+       CAST(sum(cb) AS BIGINT) AS sum_cb,
+       CAST(sum(cu) AS BIGINT) AS sum_cu,
+       CAST(sum(cb) AS DOUBLE) / CAST(sum(cu) AS DOUBLE) AS lm_score,
+       min(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS min_cond
+FROM bg
+JOIN bgc ON bg.b = bgc.b
+JOIN unc ON bg.w1 = unc.u
+GROUP BY bg.doc_id
+"""
+
+BIGRAM_LM_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(w[1:len(w) - 1]) AS w1,
+         unnest(list_transform(range(2, len(w) + 1),
+                               i -> w[i - 1] || ' ' || w[i])) AS b
+  FROM ws WHERE len(w) > 1
+),
+bgc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+unc AS (
+  SELECT u, count(*) AS cu
+  FROM (SELECT unnest(w) AS u FROM ws) GROUP BY u
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bg,
+       CAST(sum(cb) AS BIGINT) AS sum_cb,
+       CAST(sum(cu) AS BIGINT) AS sum_cu,
+       CAST(CAST(sum(cb) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) AS lm_score,
+       min(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS min_cond
+FROM bg
+JOIN bgc ON bg.b = bgc.b
+JOIN unc ON bg.w1 = unc.u
+GROUP BY bg.doc_id
+"""
+
+
+def bigram_lm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, BIGRAM_LM_SPARK)
