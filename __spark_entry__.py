@@ -213,6 +213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ivf_ann"] = _sim.ivf_ann_query                      # rows-only
     q["dedup_embedding_cosine"] = _sim.embedding_near_dup_query
     q["dedup_near_dup_cluster"] = _dedup.near_dup_cluster_query
+    # as-of join (state lookup per key/time; Spark lacks the operator,
+    # DuckDB's native ASOF JOIN is the oracle)
+    from parquet_go_spark.operators import asof as _asof
+
+    q["join_asof"] = _asof.join_asof_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -354,6 +359,9 @@ def oracle_sql() -> dict[str, str]:
     o["sim_lsh_ann"] = _sim.LSH_ANN_ORACLE
     o["dedup_embedding_cosine"] = _sim.EMBEDDING_NEAR_DUP_ORACLE
     o["dedup_near_dup_cluster"] = _dedup.NEAR_DUP_CLUSTER_ORACLE
+    from parquet_go_spark.operators import asof as _asof
+
+    o["join_asof"] = _asof.JOIN_ASOF_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
