@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import asof as _asof
 
     q["join_asof"] = _asof.join_asof_query
+    # pure range join via bucketized equi-join (no nested loop)
+    from parquet_go_spark.operators import rangejoin as _rj
+
+    q["join_range"] = _rj.join_range_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -362,6 +366,9 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import asof as _asof
 
     o["join_asof"] = _asof.JOIN_ASOF_ORACLE
+    from parquet_go_spark.operators import rangejoin as _rj
+
+    o["join_range"] = _rj.JOIN_RANGE_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
