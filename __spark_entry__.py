@@ -222,6 +222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import rangejoin as _rj
 
     q["join_range"] = _rj.join_range_query
+    # gap-based sessionization (one shuffle, lag + running cumsum)
+    from parquet_go_spark.operators import sessions as _sess
+
+    q["sessionize"] = _sess.sessionize_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -369,6 +373,9 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import rangejoin as _rj
 
     o["join_range"] = _rj.JOIN_RANGE_ORACLE
+    from parquet_go_spark.operators import sessions as _sess
+
+    o["sessionize"] = _sess.SESSIONIZE_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
