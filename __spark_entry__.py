@@ -226,6 +226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import sessions as _sess
 
     q["sessionize"] = _sess.sessionize_query
+    # vocab training + tokenization, and the engine roundtrip on the
+    # learned tokens
+    from parquet_go_spark.operators import tokenize as _tokz
+
+    q["text_tokenize"] = _tokz.text_tokenize_query
+    q["tokenize_encode_roundtrip"] = _tokz.tokenize_encode_roundtrip_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -376,6 +382,10 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import sessions as _sess
 
     o["sessionize"] = _sess.SESSIONIZE_ORACLE
+    from parquet_go_spark.operators import tokenize as _tokz
+
+    o["text_tokenize"] = _tokz.TEXT_TOKENIZE_ORACLE
+    o["tokenize_encode_roundtrip"] = _tokz.TOKENIZE_ENCODE_ROUNDTRIP_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
