@@ -23,8 +23,23 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _micros(df: DataFrame, col: str) -> Column:
+    """Exact integer epoch-microseconds of a timestamp column.
+    unix_micros only accepts TIMESTAMP (ltz); for TIMESTAMP_NTZ use a
+    timezone-free diff from the NTZ epoch instead of casting to ltz —
+    an ltz cast goes through the session zone, which is not
+    order-preserving across DST transitions."""
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
 
 
 def join_point_in_interval(
@@ -38,18 +53,29 @@ def join_point_in_interval(
     """Inner-join points (timestamp ``t_col``) to intervals
     ``[start_col, end_col)``. Returns the combined columns; points
     covered by no interval are absent (inner semantics)."""
-    b = int(bucket_seconds)
+    # Bucket on unix_micros, not unix_timestamp: unix_timestamp TRUNCATES
+    # to whole seconds, so an interval whose fractional-second end lands
+    # in the first second of a bucket computed its upper bucket one too
+    # low — the exact re-filter can only drop rows, so that was a missed
+    # match, not a false positive. Micros keep the arithmetic exact
+    # integers (the double division below is exact for |micros| < 2^53,
+    # i.e. until year ~2255).
+    m = int(bucket_seconds) * 1_000_000
     p = points.withColumn(
-        "__pb", F.floor(F.unix_timestamp(F.col(t_col)) / b)
+        "__pb", F.floor(_micros(points, t_col) / m)
     )
-    iv = intervals.withColumn(
+    iv = intervals.filter(
+        # also guards F.sequence against hi < lo (it would generate a
+        # DESCENDING bucket range for an empty/inverted interval —
+        # correct after the re-filter, but a copy blowup)
+        F.col(end_col) > F.col(start_col)
+    ).withColumn(
         "__ib",
         F.explode(F.sequence(
-            F.floor(F.unix_timestamp(F.col(start_col)) / b),
-            # end is exclusive: a zero-length interval matches nothing,
-            # and an interval ending exactly on a bucket boundary must
-            # not be copied into the next bucket
-            F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b),
+            F.floor(_micros(intervals, start_col) / m),
+            # end is exclusive: an interval ending exactly on a bucket
+            # boundary must not be copied into the next bucket
+            F.floor((_micros(intervals, end_col) - 1) / m),
         )),
     )
     return (
