@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ds_pruned_read"] = _ds.ds_pruned_read_query
     q["ds_write_roundtrip"] = _ds.ds_write_roundtrip_query
+    # manifest-only aggregates (Iceberg aggregate-pushdown analog):
+    # count/min/max answered from chunk metadata, zero blob reads
+    q["stats_agg_manifest"] = _ds.stats_agg_manifest_query
     # shredded-variant store: typed chunks on write, transparent
     # reconstruction on read (reference marshal/variant_reconstruct.go)
     q["ds_variant_shredded"] = _ds.ds_variant_shredded_query
@@ -400,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["ds_write_roundtrip"] = _ds.DS_WRITE_ROUNDTRIP_ORACLE
+    o["stats_agg_manifest"] = _ds.STATS_AGG_MANIFEST_ORACLE
     o["ds_variant_shredded"] = _ds.DS_VARIANT_SHREDDED_ORACLE
     o["ds_delete_read"] = _ds.DS_DELETE_READ_ORACLE
     o["ds_delete_compact"] = _ds.DS_DELETE_READ_ORACLE

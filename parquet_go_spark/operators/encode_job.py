@@ -151,15 +151,32 @@ def make_encode_fn(
             rows["raw_size"].append(stats["raw_size"])
             rows["encoded_size"].append(stats["encoded_size"])
             vmin, vmax = stats.get("min"), stats.get("max")
+            bounds_exact = True
             if isinstance(vmin, (str, bytes)) or isinstance(vmax, (str, bytes)):
-                # bounded metadata with safe round-up (statistics.go:10-203)
+                # bounded metadata with safe round-up (statistics.go:10-203).
+                # Exactness is undecidable from the stored bound alone (a
+                # rounded-up vmax can be any length), so record it at write
+                # time — the is_min/max_value_exact analog of parquet-format
+                # Statistics — for manifest-only aggregates to consult.
+                def _blen(v):
+                    if v is None:
+                        return 0
+                    return len(v.encode("utf-8", "surrogatepass")) \
+                        if isinstance(v, str) else len(v)
+
+                bounds_exact = (
+                    _blen(vmin) <= stats_trunc.DEFAULT_TRUNCATE_LEN
+                    and _blen(vmax) <= stats_trunc.DEFAULT_TRUNCATE_LEN
+                )
                 vmin, vmax = stats_trunc.truncate_bounds(vmin, vmax)
             rows["vmin"].append("" if vmin is None else str(vmin))
             rows["vmax"].append("" if vmax is None else str(vmax))
             rows["boundary_order"].append(boundary_order_of(stats["pages"]))
             rows["pages"].append(_pages_json(stats["pages"]))
+            ss = chunk.size_stats_of(arr)
+            ss["bx"] = int(bounds_exact)
             rows["size_stats"].append(
-                json.dumps(chunk.size_stats_of(arr), separators=(",", ":"))
+                json.dumps(ss, separators=(",", ":"))
             )
             rows["geo"].append(
                 geomod.geo_stats_json(arr) if name in gc else None

@@ -1339,6 +1339,131 @@ def describe_store(path: str) -> dict:
     return out
 
 
+def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
+    """EXACT count/null_count/min/max per column from the manifest alone
+    — zero data (blob) bytes read. The Iceberg/Spark aggregate-pushdown
+    analog: at 100 TB this answers ``SELECT count(*), min(k), max(k)``
+    in footer-scale time instead of a full scan.
+
+    Exactness is the contract, so anything that would make the manifest
+    an approximation REFUSES (callers fall back to a real scan):
+
+      * positional tombstones / equality deletes (a deleted row may have
+        been the min — Iceberg likewise disables aggregate pushdown when
+        delete files exist);
+      * schema evolution (added-column defaults and aliases are
+        read-time synthesis; ``compact_store`` materializes them);
+      * shredded variant columns (reconstructed on read);
+      * string bounds whose chunk lacks a write-time exactness marker
+        (``bx`` in size_stats, the is_max_value_exact analog): a
+        truncated vmax is a rounded-up BOUND, not an attained value,
+        and rounding is undecidable from the stored string alone;
+      * column types whose manifest bounds don't parse back losslessly
+        (supported: integer family, float/double, string).
+
+    Stream stores are capped at the committed-batch watermark; committed
+    generations only — same visibility as a read.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    meta = _meta(path)
+    if meta.get("deletes"):
+        raise ValueError("manifest_aggregates: store has positional "
+                         "tombstones (compact first or scan)")
+    if meta.get("eq_deletes"):
+        raise ValueError("manifest_aggregates: store has equality "
+                         "deletes (compact first or scan)")
+    if (meta.get("added_columns") or meta.get("column_renames")
+            or meta.get("retired_columns")):
+        raise ValueError("manifest_aggregates: store has uncompacted "
+                         "schema evolution (compact first or scan)")
+    for c in cols:
+        if c in (meta.get("shredded") or {}):
+            raise ValueError(f"manifest_aggregates: {c!r} is a shredded "
+                             "variant column (reconstructed on read)")
+    if not meta.get("schema_json"):
+        raise ValueError("manifest_aggregates: store records no schema")
+    sch = StructType.fromJson(meta["schema_json"])
+    types = {f.name: f.dataType for f in sch.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"manifest_aggregates: no column {c!r}")
+    if not _has_blobs(path):
+        return [{"col": c, "count": 0, "nulls": 0, "min": None,
+                 "max": None} for c in cols]
+
+    t = _dataset(path).to_table(
+        columns=["part_id", "col", "count", "null_count",
+                 "vmin", "vmax", "size_stats"]
+    )
+    cap = None
+    if meta.get("clustering") == "stream_append":
+        cap = (meta.get("last_committed_batch", -1) + 1) \
+            * PGSStreamWriter.STRIDE
+    rows_by_part: dict[int, int] = {}
+    per_col: dict[str, list[tuple]] = {c: [] for c in cols}
+    for pid, col, cnt, nulls, vmin, vmax, ss in zip(
+        *(t.column(c).to_pylist() for c in t.column_names)
+    ):
+        if cap is not None and pid >= cap:
+            continue
+        rows_by_part[pid] = cnt
+        if col in per_col:
+            per_col[col].append((pid, cnt, nulls, vmin, vmax, ss))
+
+    def parse(s: str, dt, what: str):
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return int(s)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float(s)
+        if isinstance(dt, T.StringType):
+            return s
+        raise ValueError(f"manifest_aggregates: {what}: unsupported "
+                         f"type {dt.simpleString()} for manifest bounds")
+
+    # engine total order (how Spark and DuckDB compare doubles): NaN is
+    # the greatest value — chunk stats pin it the same way
+    def okey(v):
+        if isinstance(v, float):
+            return (1 if math.isnan(v) else 0, v if not math.isnan(v)
+                    else 0.0)
+        return (0, v)
+
+    out = []
+    for c in cols:
+        chunks = per_col[c]
+        if {p for p, *_ in chunks} != set(rows_by_part):
+            raise ValueError(f"manifest_aggregates: column {c!r} missing "
+                             "from some partitions")
+        total = sum(cnt for _, cnt, *_ in chunks)
+        nulls = sum(n for _, _, n, *_ in chunks)
+        lo = hi = None
+        for _, cnt, n, vmin, vmax, ss in chunks:
+            if cnt == n:  # all-null chunk: bounds are meaningless
+                continue
+            if vmin == "" or vmax == "":
+                raise ValueError(f"manifest_aggregates: column {c!r} "
+                                 "has chunks without bounds")
+            if isinstance(types[c], T.StringType):
+                bx = (json.loads(ss) if ss else {}).get("bx")
+                if bx != 1:
+                    raise ValueError(
+                        f"manifest_aggregates: column {c!r} has "
+                        "truncated or unmarked string bounds (store "
+                        "predates the exactness marker, or values "
+                        "exceed the truncation limit)")
+            cmin = parse(vmin, types[c], c)
+            cmax = parse(vmax, types[c], c)
+            lo = cmin if lo is None or okey(cmin) < okey(lo) else lo
+            hi = cmax if hi is None or okey(cmax) > okey(hi) else hi
+        out.append({"col": c, "count": total, "nulls": nulls,
+                    "min": lo, "max": hi})
+    return out
+
+
 # ------------------------------------------------------------------- reader
 
 class PGSReader(DataSourceReader):
@@ -2784,6 +2909,59 @@ def ds_write_roundtrip_query(spark, sf_dir: str):
 
 
 DS_WRITE_ROUNDTRIP_ORACLE = "SELECT * FROM customer"
+
+
+def stats_agg_manifest_query(spark, sf_dir: str):
+    """orders written through the source, then count/nulls/min/max per
+    column answered by ``manifest_aggregates`` — manifest metadata only,
+    zero blob bytes touched (the Iceberg aggregate-pushdown analog).
+    The oracle computes the same aggregates by scanning the table, so a
+    green row proves the metadata path equals the scan."""
+    import shutil
+
+    register(spark)
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = os.path.join("/tmp", f"pgs_agg_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    df.repartition(4).write.format("pgs").mode("overwrite").save(out)
+    aggs = manifest_aggregates(
+        out, ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    )
+    rows = []
+    for a in aggs:
+        num = isinstance(a["min"], (int, float)) and a["min"] is not None
+        rows.append((
+            a["col"], a["count"], a["nulls"],
+            float(a["min"]) if num else None,
+            float(a["max"]) if num else None,
+            None if num else a["min"],
+            None if num else a["max"],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "col string, cnt long, nulls long, min_num double, "
+        "max_num double, min_str string, max_str string",
+    )
+
+
+STATS_AGG_MANIFEST_ORACLE = """
+SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS nulls,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       min(o_totalprice), max(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+FROM orders
+"""
 
 
 def ds_variant_shredded_query(spark, sf_dir: str):
