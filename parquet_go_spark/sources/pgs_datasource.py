@@ -1414,6 +1414,8 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
             per_col[col].append((pid, cnt, nulls, vmin, vmax, ss))
 
     def parse(s: str, dt, what: str):
+        import datetime as _dt
+
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
                            T.LongType)):
             return int(s)
@@ -1421,6 +1423,16 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
             return float(s)
         if isinstance(dt, T.StringType):
             return s
+        if isinstance(dt, T.DateType):  # bounds are epoch days
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(s))
+        if isinstance(dt, T.TimestampNTZType):  # bounds are epoch micros
+            return (_dt.datetime(1970, 1, 1)
+                    + _dt.timedelta(microseconds=int(s)))
+        if isinstance(dt, T.TimestampType):
+            raise ValueError(
+                f"manifest_aggregates: {what}: TIMESTAMP (ltz) bounds "
+                "render through the session timezone — store as "
+                "timestamp_ntz or scan")
         raise ValueError(f"manifest_aggregates: {what}: unsupported "
                          f"type {dt.simpleString()} for manifest bounds")
 

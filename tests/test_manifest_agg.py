@@ -114,12 +114,31 @@ def test_refuses_deletes_and_evolution(spark, tmp_out):
         manifest_aggregates(tmp_out, ["k"])
 
 
+def test_temporal_bounds(spark, tmp_out):
+    df = spark.range(0, 90).selectExpr(
+        "id AS k",
+        "to_date(concat('2026-01-', 1 + id % 28)) AS d",
+        "timestamp_ntz'2026-03-01 00:00:00' "
+        "+ make_interval(0,0,0,0,0,0,id*3.25) AS t",
+    )
+    _write(spark, tmp_out, df)
+    for c in ["d", "t"]:
+        (a,) = manifest_aggregates(tmp_out, [c])
+        cnt, nulls, lo, hi = _spark_aggs(df, c)
+        assert (a["count"], a["min"], a["max"]) == (cnt, lo, hi), c
+
+
 def test_refuses_unsupported_bound_types(spark, tmp_out):
     df = spark.range(0, 30).selectExpr(
-        "id AS k", "to_date(concat('2026-01-', 1 + id % 28)) AS d"
+        "id AS k",
+        "CAST(id AS DECIMAL(10,2)) AS dec",
+        "timestamp'2026-01-01 00:00:00' "
+        "+ make_interval(0,0,0,0,0,0,id) AS tl",
     )
     _write(spark, tmp_out, df)
     with pytest.raises(ValueError, match="unsupported type"):
-        manifest_aggregates(tmp_out, ["d"])
+        manifest_aggregates(tmp_out, ["dec"])
+    with pytest.raises(ValueError, match="session timezone"):
+        manifest_aggregates(tmp_out, ["tl"])
     with pytest.raises(ValueError, match="no column"):
         manifest_aggregates(tmp_out, ["zzz"])
