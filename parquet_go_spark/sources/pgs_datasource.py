@@ -1394,24 +1394,32 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
         return [{"col": c, "count": 0, "nulls": 0, "min": None,
                  "max": None} for c in cols]
 
-    t = _dataset(path).to_table(
+    import pyarrow.compute as pc
+
+    ds = _dataset(path)
+    # only the requested columns' metadata rows are materialized (the
+    # filter also row-group-prunes the manifest parquet itself); the
+    # part-id universe for the completeness check reads one int column
+    t = ds.to_table(
         columns=["part_id", "col", "count", "null_count",
-                 "vmin", "vmax", "size_stats"]
+                 "vmin", "vmax", "size_stats"],
+        filter=pc.field("col").isin(list(cols)),
+    )
+    universe = set(
+        ds.to_table(columns=["part_id"]).column("part_id").to_pylist()
     )
     cap = None
     if meta.get("clustering") == "stream_append":
         cap = (meta.get("last_committed_batch", -1) + 1) \
             * PGSStreamWriter.STRIDE
-    rows_by_part: dict[int, int] = {}
+        universe = {p for p in universe if p < cap}
     per_col: dict[str, list[tuple]] = {c: [] for c in cols}
     for pid, col, cnt, nulls, vmin, vmax, ss in zip(
         *(t.column(c).to_pylist() for c in t.column_names)
     ):
         if cap is not None and pid >= cap:
             continue
-        rows_by_part[pid] = cnt
-        if col in per_col:
-            per_col[col].append((pid, cnt, nulls, vmin, vmax, ss))
+        per_col[col].append((pid, cnt, nulls, vmin, vmax, ss))
 
     def parse(s: str, dt, what: str):
         import datetime as _dt
@@ -1447,7 +1455,7 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
     out = []
     for c in cols:
         chunks = per_col[c]
-        if {p for p, *_ in chunks} != set(rows_by_part):
+        if {p for p, *_ in chunks} != universe:
             raise ValueError(f"manifest_aggregates: column {c!r} missing "
                              "from some partitions")
         total = sum(cnt for _, cnt, *_ in chunks)
