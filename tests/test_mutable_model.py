@@ -38,7 +38,10 @@ from parquet_go_spark.operators.evolve import (
     drop_column,
     rename_column,
 )
-from parquet_go_spark.sources.pgs_datasource import register
+from parquet_go_spark.sources.pgs_datasource import (
+    manifest_aggregates,
+    register,
+)
 
 _TYPES = {"long": LongType(), "int": IntegerType(),
           "double": DoubleType(), "string": StringType()}
@@ -171,6 +174,23 @@ def _check(spark, path, model, step, rng=None):
     fexp = exp.filter(cond)
     d1, d2 = fgot.exceptAll(fexp).count(), fexp.exceptAll(fgot).count()
     assert d1 == 0 and d2 == 0, f"step {step} filtered [{cond}]: {d1}/{d2}"
+
+    # manifest-aggregate arm: whatever tombstone/evolution state the
+    # sequence has built, manifest_aggregates must either REFUSE or
+    # equal the mirror exactly — a wrong metadata answer is silent data
+    # corruption at 100 TB scale
+    name, t = rng.choice(model.fields)
+    try:
+        (agg,) = manifest_aggregates(path, [name])
+    except ValueError:
+        agg = None
+    if agg is not None:
+        vals = [r.get(name) for r in model.rows.values()]
+        nn = [v for v in vals if v is not None]
+        assert agg["count"] == len(vals), (step, name)
+        assert agg["nulls"] == len(vals) - len(nn), (step, name)
+        assert agg["min"] == (min(nn) if nn else None), (step, name)
+        assert agg["max"] == (max(nn) if nn else None), (step, name)
 
 
 @pytest.mark.parametrize("seed,page_rows", [(7, None), (23, 16)])
