@@ -1037,10 +1037,24 @@ def encode_chunk_paged(
         )
         agg["null_count"] += fst["null_count"]
         agg["raw_size"] += fst["raw_size"]
-        for key, fold in (("min", min), ("max", max)):
+        # fold page stats under the engine TOTAL order (NaN greatest),
+        # not plain min/max: max(16.0, nan) == 16.0 in Python, which
+        # would un-pin NaN from a paged chunk's vmax and let a pushed
+        # v > K filter prune a partition whose NaN rows match (Spark
+        # treats NaN as greater than any number)
+        def _tkey(v):
+            return (1, 0.0) if isinstance(v, float) and v != v else (0, v)
+
+        for key in ("min", "max"):
             v = fst.get(key)
-            if v is not None:
-                agg[key] = v if key not in agg else fold(agg[key], v)
+            if v is None:
+                continue
+            if key not in agg:
+                agg[key] = v
+            elif key == "min":
+                agg[key] = v if _tkey(v) < _tkey(agg[key]) else agg[key]
+            else:
+                agg[key] = v if _tkey(v) > _tkey(agg[key]) else agg[key]
     header = PAGE_MAGIC + struct.pack("<I", len(frames))
     header += struct.pack(f"<{len(frames)}Q", *(len(f) for f in frames))
     blob = header + b"".join(frames)

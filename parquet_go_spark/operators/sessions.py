@@ -32,15 +32,20 @@ def sessionize(
     """Add a ``session_no`` column (1-based per key): a new session
     starts at the first event and whenever the gap since the previous
     event is > ``gap_seconds``."""
+    from .rangejoin import _micros
+
     order = [F.col(ts_col).asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
     w = Window.partitionBy(key).orderBy(*order)
-    prev = F.lag(F.col(ts_col)).over(w)
+    # gap measured in exact integer epoch-microseconds (unix_timestamp
+    # truncates to whole seconds, which merged sessions whose true gap
+    # was e.g. 1800.9s > 1800 — same bug class as the range-join
+    # bucketing; the oracle diffs microseconds identically)
+    mu = _micros(df, ts_col)
+    prev = F.lag(mu).over(w)
     is_break = F.when(
-        prev.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
-           > gap_seconds),
+        prev.isNull() | (mu - prev > gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     return df.withColumn(
@@ -84,7 +89,8 @@ WITH o AS (
 b AS (
   SELECT user_id, event_id, ts,
          CASE WHEN prev_ts IS NULL
-                   OR date_diff('second', prev_ts, ts) > {_GAP_MIN * 60}
+                   OR date_diff('microsecond', prev_ts, ts)
+                      > {_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS brk
   FROM o
 ),

@@ -1269,6 +1269,17 @@ def inspect_snapshots(spark, path: str):
     )
 
 
+def _stream_cap(meta: dict) -> int | None:
+    """Part-id visibility cap of a stream store: ids at or above
+    (last_committed_batch + 1) · STRIDE belong to a crash window (parts
+    renamed, meta not yet written) and must stay invisible everywhere —
+    reads, describe, and manifest aggregates share this one rule."""
+    if meta.get("clustering") != "stream_append":
+        return None
+    return (meta.get("last_committed_batch", -1) + 1) \
+        * PGSStreamWriter.STRIDE
+
+
 def describe_store(path: str) -> dict:
     """Operational summary of a store from metadata only (manifest
     columns + store meta; blob bytes never read — the footer-scale
@@ -1314,10 +1325,7 @@ def describe_store(path: str) -> dict:
     )
     # stream stores: a crashed commit can leave renamed files of a torn
     # batch — invisible to readers (watermark cap) and to this summary
-    cap = None
-    if meta.get("clustering") == "stream_append":
-        cap = (meta.get("last_committed_batch", -1) + 1) \
-            * PGSStreamWriter.STRIDE
+    cap = _stream_cap(meta)
     rows_by_part: dict[int, int] = {}
     codecs: dict[str, int] = {}
     for pid, col, codec, cnt, raw, enc in zip(*(t.column(c).to_pylist()
@@ -1408,10 +1416,8 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
     universe = set(
         ds.to_table(columns=["part_id"]).column("part_id").to_pylist()
     )
-    cap = None
-    if meta.get("clustering") == "stream_append":
-        cap = (meta.get("last_committed_batch", -1) + 1) \
-            * PGSStreamWriter.STRIDE
+    cap = _stream_cap(meta)
+    if cap is not None:
         universe = {p for p in universe if p < cap}
     per_col: dict[str, list[tuple]] = {c: [] for c in cols}
     for pid, col, cnt, nulls, vmin, vmax, ss in zip(
@@ -1464,7 +1470,12 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
         for _, cnt, n, vmin, vmax, ss in chunks:
             if cnt == n:  # all-null chunk: bounds are meaningless
                 continue
-            if vmin == "" or vmax == "":
+            # "" is the None sentinel for missing stats — except for
+            # string columns, where "" is a legal ATTAINED bound (the
+            # engine always writes byte-array stats, so a string chunk
+            # with live rows cannot be stats-less)
+            if not isinstance(types[c], T.StringType) and (
+                    vmin == "" or vmax == ""):
                 raise ValueError(f"manifest_aggregates: column {c!r} "
                                  "has chunks without bounds")
             if isinstance(types[c], T.StringType):

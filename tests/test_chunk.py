@@ -947,6 +947,32 @@ def test_partial_skips_sibling_decode(monkeypatch):
     assert got.equals(num)
 
 
+def test_paged_stats_fold_total_order():
+    """Page-stat folding must keep the engine total order (NaN greatest):
+    plain Python max(16.0, nan) == 16.0 would un-pin NaN from a paged
+    chunk's vmax and a pushed v > K filter could prune a partition whose
+    NaN rows match (Spark: NaN > any number)."""
+    import math
+
+    vals = np.arange(32, dtype=np.float64)
+    vals[20] = np.nan  # NaN in the SECOND page
+    _, st = chunk.encode_chunk_paged(pa.array(vals), page_rows=16)
+    assert math.isnan(st["max"]) and st["min"] == 0.0
+
+    # an all-NaN FIRST page must not poison min either
+    v2 = np.full(32, np.nan)
+    v2[16:] = np.arange(16, dtype=np.float64)
+    _, s2 = chunk.encode_chunk_paged(pa.array(v2), page_rows=16)
+    assert s2["min"] == 0.0 and math.isnan(s2["max"])
+
+    # ±inf stay in-band extremes across pages
+    v3 = np.arange(32, dtype=np.float64)
+    v3[3] = -np.inf
+    v3[29] = np.inf
+    _, s3 = chunk.encode_chunk_paged(pa.array(v3), page_rows=16)
+    assert s3["min"] == -np.inf and s3["max"] == np.inf
+
+
 def test_partial_paged_and_bad_path():
     arr = pa.array(
         [{"a": i, "b": str(i)} for i in range(30_000)],

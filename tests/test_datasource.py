@@ -244,6 +244,19 @@ def test_pushdown_nonfinite_lossless(spark, tmp_path):
     assert [r["id"] for r in back.filter("v = double('Infinity')").collect()] == [2]
     assert sorted(r["id"] for r in back.filter("v >= 0.0").collect()) == [1, 2, 3, 4]
 
+    # paged store, pushdown ON: the page-stat fold must pin NaN into the
+    # chunk-level vmax too (a plain max() fold dropped it) — v > 5.0
+    # must still see the NaN row through partition pruning
+    out2 = str(tmp_path / "nonfinite_paged")
+    spark.createDataFrame(
+        [(i, float("nan") if i == 20 else float(i)) for i in range(32)],
+        "id int, v double",
+    ).coalesce(1).write.format("pgs").mode("overwrite") \
+        .option("page_rows", "16").save(out2)
+    got = spark.read.format("pgs").option("pushdown", "true").load(out2) \
+        .filter("v > 100.0").collect()
+    assert [r["id"] for r in got] == [20]
+
 
 def test_part_file_map_narrows_task_reads(spark, orders, tmp_out):
     """Planning maps each part_id to the blob files whose row-group stats

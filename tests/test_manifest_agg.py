@@ -68,6 +68,18 @@ def test_nan_pins_max(spark, tmp_out):
     assert got[0] == a["min"] and math.isnan(got[1])
 
 
+def test_empty_string_is_an_attained_bound(spark, tmp_out):
+    # "" doubles as the missing-stats sentinel in the manifest; for
+    # string columns it is a legal attained min and must NOT refuse
+    df = spark.range(0, 40).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 10 = 0 THEN '' ELSE concat('w-', id) END AS s",
+    )
+    _write(spark, tmp_out, df)
+    (a,) = manifest_aggregates(tmp_out, ["s"])
+    assert a["min"] == "" and a["max"] == "w-9" and a["count"] == 40
+
+
 def test_all_null_column(spark, tmp_out):
     df = spark.range(0, 50).selectExpr(
         "id AS k", "CAST(NULL AS DOUBLE) AS v"

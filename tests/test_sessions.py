@@ -32,6 +32,32 @@ def test_sessionize_gap_semantics(spark):
                    (2, 20): 1}
 
 
+def test_sessionize_subsecond_gap(spark):
+    """Gaps are exact microseconds: 120.5s > 120 must break even though
+    whole-second truncation reads it as 120 (the unix_timestamp bug),
+    and 120.0s exactly must NOT break; TIMESTAMP_NTZ works too."""
+    us = datetime.timedelta(microseconds=1)
+    df = spark.createDataFrame(
+        [
+            (1, 10, _t(0)),
+            (1, 11, _t(120) + 500_000 * us),   # 120.5s > 120: break
+            (1, 12, _t(240) + 500_000 * us),   # exactly 120s: stays
+        ],
+        "k int, eid int, ts timestamp",
+    )
+    for cast_ntz in (False, True):
+        d = df
+        if cast_ntz:
+            d = df.selectExpr("k", "eid",
+                              "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+        got = {
+            r["eid"]: r["session_no"]
+            for r in sessionize(d, "k", "ts", 120,
+                                order_tiebreak="eid").collect()
+        }
+        assert got == {10: 1, 11: 2, 12: 2}, cast_ntz
+
+
 def test_sessionize_tie_determinism(spark):
     # equal timestamps: the tiebreak column orders them, so the break
     # assignment is stable across shuffles/retries
