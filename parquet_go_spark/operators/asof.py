@@ -44,6 +44,16 @@ def asof_join(
     (pre-alias otherwise); right rows must be unique per (key, time)."""
     by = [by] if isinstance(by, str) else list(by)
     lcols = left.columns
+    clash = set(value_cols) & set(lcols)
+    if clash:
+        # both sides would alias to the same output name -> an
+        # AMBIGUOUS_REFERENCE time bomb for every downstream select
+        raise ValueError(f"asof_join: value_cols collide with left "
+                         f"columns: {sorted(clash)} (alias one side)")
+    # a NULL right timestamp sorts FIRST ascending and would be latched
+    # by last(ignorenulls) as a bogus "predecessor" for every left row;
+    # DuckDB ASOF / merge_asof never match on NULL — drop such rows
+    right = right.filter(F.col(right_on).isNotNull())
     lhs = left.select(
         *by,
         F.col(left_on).alias("__t"),

@@ -254,17 +254,9 @@ def global_shuffle(df: DataFrame, seed: str = SEED_SHUFFLE) -> DataFrame:
         .persist()
     )
     try:
-        counts = {
-            r["pid"]: r["c"]
-            for r in ranged.groupBy("pid").agg(
-                F.count("*").alias("c")).collect()
-        }
-        base, acc = [], 0
-        for pid in sorted(counts):
-            base.append((pid, acc))
-            acc += counts[pid]
-        base_df = spark.createDataFrame(base or [(0, 0)],
-                                        "pid int, base long")
+        from ..plans.prefix import base_offsets
+
+        base_df = base_offsets(spark, ranged)
         out = (
             ranged.join(F.broadcast(base_df), "pid", "left")
             .select(

@@ -54,20 +54,12 @@ def pack_sequences(df: DataFrame, window: int = WINDOW) -> DataFrame:
     ranged = ranged.persist()
     try:
         # distributed prefix sum: per-partition totals are metadata-scale
-        # (one row per partition) — the only thing the driver ever sees
-        totals = {
-            r["pid"]: r["t"]
-            for r in ranged.groupBy("pid").agg(
-                F.sum("n").alias("t")).collect()
-        }
-        base, acc = [], 0
-        for pid in sorted(totals):
-            base.append((pid, acc))
-            acc += totals[pid]
-        # base offsets ride a broadcast join (one row per partition) —
-        # a create_map literal would bloat the plan past ~1k partitions
-        base_df = spark.createDataFrame(base or [(0, 0)],
-                                        "pid int, base long")
+        # (one row per partition) — the only thing the driver ever sees;
+        # the offsets ride back as a broadcast join (a create_map literal
+        # would bloat the plan past ~1k partitions)
+        from ..plans.prefix import base_offsets
+
+        base_df = base_offsets(spark, ranged, weight="n")
 
         from pyspark.sql import Window as W
 

@@ -390,26 +390,16 @@ def exact_quantiles_df(spark: SparkSession, df: DataFrame, col: str,
         # shift pids out from under the collected base offsets
         .localCheckpoint()
     )
-    totals = {
-        r["pid"]: r["t"]
-        for r in pc.groupBy("pid").agg(
-            F.sum("cnt").alias("t")).collect()
-    }
-    n = int(sum(totals.values()))
+    from ..plans.prefix import offsets_and_total
+
+    base_df, n = offsets_and_total(spark, pc, weight="cnt")
     if n == 0:
         return spark.createDataFrame(
             [], "q_num int, q_den int, rank bigint, value double"
         )
-    base, acc = {}, 0
-    for pid in sorted(totals):
-        base[pid] = acc
-        acc += totals[pid]
     ranks = spark.createDataFrame(
         [(num, den, num * (n - 1) // den) for num, den in quantiles],
         "q_num int, q_den int, rank bigint",
-    )
-    base_df = spark.createDataFrame(
-        [(int(p), int(b)) for p, b in base.items()], "pid int, base long"
     )
     w = (
         Window.partitionBy("pid").orderBy("v")

@@ -45,17 +45,9 @@ def train_vocab(spark: SparkSession, words: DataFrame) -> DataFrame:
         # base offsets (same discipline as pack_sequences)
         .localCheckpoint()
     )
-    totals = {
-        r["pid"]: r["t"]
-        for r in pc.groupBy("pid").agg(F.count("*").alias("t")).collect()
-    }
-    base, acc = {}, 0
-    for pid in sorted(totals):
-        base[pid] = acc
-        acc += totals[pid]
-    base_df = spark.createDataFrame(
-        [(int(p), int(b)) for p, b in base.items()], "pid int, base long"
-    )
+    from ..plans.prefix import base_offsets
+
+    base_df = base_offsets(spark, pc)
     w = Window.partitionBy("pid").orderBy(
         F.col("cnt").desc(), F.col("w").asc()
     )

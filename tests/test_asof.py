@@ -67,6 +67,28 @@ def test_asof_inclusive_and_null(spark):
     assert rows == {"a": 7, "b": None, "c": None}  # inclusive at t == rt
 
 
+def test_asof_null_right_time_never_matches(spark):
+    """A NULL right timestamp sorts first ascending and used to be
+    latched by last(ignorenulls) as a bogus predecessor for EVERY left
+    row; DuckDB ASOF and merge_asof never match on NULL."""
+    left = spark.createDataFrame([(1, 5, "a")], "k int, t int, eid string")
+    right = spark.createDataFrame([(1, None, 9)], "k int, rt int, v int")
+    rows = {
+        r["eid"]: r["v"]
+        for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    }
+    assert rows == {"a": None}
+
+
+def test_asof_value_col_collision_refused(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, v double")
+    right = spark.createDataFrame([(1, 4, 9)], "k int, rt int, v int")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "t", "rt", ["v"])
+
+
 def test_asof_plan_single_exchange(spark):
     left, right = _frames(0)
     df = asof_join(

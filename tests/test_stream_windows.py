@@ -14,14 +14,13 @@ from parquet_go_spark.streaming.windows import windowed_agg
 _SCHEMA = "ts timestamp, k string, v long"
 
 
-def _write_rows(spark, path, rows, n):
+def _write_rows(spark, path, rows):
+    # determinism comes from the run-per-batch availableNow drains in
+    # each test (one checkpointed run() per write), not from any
+    # file-per-trigger option
     spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(path)
-    # one parquet part file per batch => maxFilesPerTrigger=1 gives a
-    # deterministic micro-batch per _write_rows call... verified below
-    assert True
-    del n
 
 
 def _ts(s):
@@ -61,11 +60,11 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
     _write_rows(spark, src, [
         (_ts(10), "a", 1), (_ts(70), "a", 2), (_ts(340), "b", 4),
         (_ts(1800), "a", 8),
-    ], 1)
+    ])
     run()
     # run 2: a LATE row for the already-finalized first window — must
     # be dropped, not double-counted
-    _write_rows(spark, src, [(_ts(20), "a", 100)], 2)
+    _write_rows(spark, src, [(_ts(20), "a", 100)])
     run()
     got = {
         (r["w_start"].isoformat(), r["n"], r["sv"]) for r in emitted
@@ -104,9 +103,9 @@ def test_windowed_agg_composes_into_pgs_sink(spark, tmp_path):
     _write_rows(spark, src, [
         (_ts(10), "a", 1), (_ts(70), "b", 2), (_ts(340), "a", 4),
         (_ts(2000), "a", 0),  # watermark driver
-    ], 1)
+    ])
     run()
-    _write_rows(spark, src, [(_ts(3000), "b", 0)], 2)  # emit closed wins
+    _write_rows(spark, src, [(_ts(3000), "b", 0)])  # emit closed wins
     run()
     back = spark.read.format("pgs").load(store)
     rows = {(r["k"], r["w_start"].isoformat(), r["n"], r["sv"])
