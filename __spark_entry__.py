@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # manifest-only aggregates (Iceberg aggregate-pushdown analog):
     # count/min/max answered from chunk metadata, zero blob reads
     q["stats_agg_manifest"] = _ds.stats_agg_manifest_query
+    q["stats_ndv_manifest"] = _ds.stats_ndv_manifest_query
     # shredded-variant store: typed chunks on write, transparent
     # reconstruction on read (reference marshal/variant_reconstruct.go)
     q["ds_variant_shredded"] = _ds.ds_variant_shredded_query
@@ -404,6 +405,11 @@ def oracle_sql() -> dict[str, str]:
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["ds_write_roundtrip"] = _ds.DS_WRITE_ROUNDTRIP_ORACLE
     o["stats_agg_manifest"] = _ds.STATS_AGG_MANIFEST_ORACLE
+    from parquet_go_spark.operators import sketch as _sk2
+
+    # the manifest-merged NDV must equal ONE whole-table HLL: the oracle
+    # is the same DuckDB hash re-derivation stats_hll_distinct uses
+    o["stats_ndv_manifest"] = _sk2.HLL_DISTINCT_ORACLE
     o["ds_variant_shredded"] = _ds.DS_VARIANT_SHREDDED_ORACLE
     o["ds_delete_read"] = _ds.DS_DELETE_READ_ORACLE
     o["ds_delete_compact"] = _ds.DS_DELETE_READ_ORACLE

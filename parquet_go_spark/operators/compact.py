@@ -46,7 +46,8 @@ def _empty_blob_table() -> pa.Table:
         "encoded_size": pa.int64(), "vmin": pa.string(),
         "vmax": pa.string(), "boundary_order": pa.string(),
         "pages": pa.string(), "size_stats": pa.string(),
-        "geo": pa.string(), "bloom": pa.binary(), "blob": pa.binary(),
+        "geo": pa.string(), "bloom": pa.binary(), "ndv": pa.binary(),
+        "blob": pa.binary(),
     }
     return pa.table({k: pa.array([], type=t) for k, t in types.items()})
 
@@ -227,6 +228,9 @@ def compact_store(
     if page_rows is None and src_meta.get("page_rows"):
         page_rows = src_meta["page_rows"]
     geo_cols = set(src_meta["geo_cols"]) if src_meta.get("geo_cols") else None
+    ndv_cols = (
+        set(src_meta["ndv_cols"]) if src_meta.get("ndv_cols") else None
+    )
 
     # read only COMMITTED blobs: a generation store may hold renamed files
     # of a crashed job, and a stream store a torn last batch — both are
@@ -330,7 +334,7 @@ def compact_store(
     )
     encode_group = make_encode_fn(
         compression, codec, codec_map, bloom_cols, page_rows,
-        None, encryption_key, None, geo_cols,
+        None, encryption_key, None, geo_cols, ndv_cols=ndv_cols,
     )
     recoded = (
         blobs.filter(F.col("merged"))

@@ -89,6 +89,7 @@ def make_encode_fn(
     column_keys: dict[str, bytes] | None = None,
     geo_cols: set[str] | None = None,
     aad_prefix: bytes = b"",
+    ndv_cols: set[str] | None = None,
 ):
     """Build the per-group Arrow kernel. Emits one blob row per column.
 
@@ -98,12 +99,15 @@ def make_encode_fn(
     ``page_rows`` splits chunks into page frames at fixed row offsets with
     a per-page index in the manifest (writer/pages.go:252-317);
     ``geo_cols`` marks WKB binary columns whose chunk rows get
-    GeospatialStatistics (bbox + type codes, layout/chunk.go:219-265).
+    GeospatialStatistics (bbox + type codes, layout/chunk.go:219-265);
+    ``ndv_cols`` opt columns into per-chunk HyperLogLog NDV registers
+    (ndv.py — merged manifest-side for zero-scan distinct estimates).
     Every chunk row also records SizeStatistics (level histograms +
     unencoded byte-array bytes)."""
     cm = codec_map or {}
     bc = bloom_cols or set()
     gc = geo_cols or set()
+    nc = ndv_cols or set()
     # Per-worker codec pick cache: a task encodes many partitions of the
     # same columns, so auto-selection (sampled stats + trial encodes) runs
     # once per column and later partitions reuse the pick — with per-chunk
@@ -112,6 +116,7 @@ def make_encode_fn(
 
     def encode_group(table: pa.Table) -> pa.Table:
         from .. import bloom as bloommod
+        from .. import ndv as ndvmod
 
         if sort_key is not None:
             # deterministic in-kernel sort: the sorted-write case that
@@ -122,7 +127,7 @@ def make_encode_fn(
             "part_id": [], "col": [], "codec": [], "compression": [],
             "count": [], "null_count": [], "raw_size": [], "encoded_size": [],
             "vmin": [], "vmax": [], "boundary_order": [], "pages": [],
-            "size_stats": [], "geo": [], "bloom": [], "blob": [],
+            "size_stats": [], "geo": [], "bloom": [], "ndv": [], "blob": [],
         }
         for name in table.column_names:
             if name == "part_id":
@@ -184,6 +189,9 @@ def make_encode_fn(
             rows["bloom"].append(
                 bloommod.build_bloom(arr) if name in bc else None
             )
+            rows["ndv"].append(
+                ndvmod.build(arr) if name in nc else None
+            )
             rows["blob"].append(blob)
         return pa.table(
             {
@@ -202,6 +210,7 @@ def make_encode_fn(
                 "size_stats": pa.array(rows["size_stats"], pa.utf8()),
                 "geo": pa.array(rows["geo"], pa.utf8()),
                 "bloom": pa.array(rows["bloom"], pa.binary()),
+                "ndv": pa.array(rows["ndv"], pa.binary()),
                 "blob": pa.array(rows["blob"], pa.binary()),
             }
         )
@@ -222,13 +231,14 @@ def encode_blobs_df(
     column_keys: dict[str, bytes] | None = None,
     geo_cols: set[str] | None = None,
     aad_prefix: bytes = b"",
+    ndv_cols: set[str] | None = None,
 ) -> DataFrame:
     """planned (with part_id) -> blob rows DataFrame (lazy)."""
     grouped = planned.groupBy("part_id")
     return grouped.applyInArrow(
         make_encode_fn(compression, codec, codec_map, bloom_cols, page_rows,
                        sort_key, encryption_key, column_keys, geo_cols,
-                       aad_prefix=aad_prefix),
+                       aad_prefix=aad_prefix, ndv_cols=ndv_cols),
         schema=BLOB_SCHEMA,
     )
 
@@ -249,6 +259,7 @@ def encode_table(
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
     aad_prefix: bytes = b"",
+    ndv_cols: set[str] | None = None,
 ):
     """Encode ``df`` into ``out_dir`` with checkpointed resumability.
 
@@ -278,7 +289,8 @@ def encode_table(
             encode_blobs_df(pending, compression, codec, codec_map=codec_map,
                             bloom_cols=bloom_cols, page_rows=page_rows,
                             encryption_key=encryption_key,
-                            column_keys=column_keys, aad_prefix=aad_prefix)
+                            column_keys=column_keys, aad_prefix=aad_prefix,
+                            ndv_cols=ndv_cols)
         )
     else:
         per = math.ceil(plan.num_partitions / waves)
@@ -295,7 +307,7 @@ def encode_table(
                                 page_rows=page_rows,
                                 encryption_key=encryption_key,
                                 column_keys=column_keys,
-                                aad_prefix=aad_prefix)
+                                aad_prefix=aad_prefix, ndv_cols=ndv_cols)
             )
     store.write_meta(
         key_col=None, clustering="token_weighted",
@@ -310,6 +322,7 @@ def encode_table(
         # key NAMES only — which columns need their own key (the keyless-
         # readable part of the reference's key_metadata); never material
         column_key_cols=sorted(column_keys) if column_keys else [],
+        ndv_cols=sorted(ndv_cols) if ndv_cols else [],
     )
     store.write_manifest_snapshot(spark)
     return store, plan

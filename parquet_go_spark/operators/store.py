@@ -27,7 +27,7 @@ BLOB_SCHEMA = (
     "part_id int, col string, codec string, compression string, "
     "count long, null_count long, raw_size long, encoded_size long, "
     "vmin string, vmax string, boundary_order string, pages string, "
-    "size_stats string, geo string, bloom binary, blob binary"
+    "size_stats string, geo string, bloom binary, ndv binary, blob binary"
 )
 MANIFEST_COLS = [
     "part_id", "col", "codec", "compression", "count", "null_count",

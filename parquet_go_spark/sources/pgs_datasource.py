@@ -1293,6 +1293,7 @@ def describe_store(path: str) -> dict:
         "page_rows": meta.get("page_rows"),
         "encrypted": bool(meta.get("encrypted")),
         "bloom_cols": meta.get("bloom_cols") or [],
+        "ndv_cols": meta.get("ndv_cols") or [],
         "columns": [],
         "parts": 0, "rows": 0, "live_rows": 0,
         "raw_bytes": 0, "encoded_bytes": 0,
@@ -1492,6 +1493,88 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
             hi = cmax if hi is None or okey(cmax) > okey(hi) else hi
         out.append({"col": c, "count": total, "nulls": nulls,
                     "min": lo, "max": hi})
+    return out
+
+
+def manifest_ndv(path: str, cols: Sequence[str]) -> list[dict]:
+    """Approximate distinct counts per column from the manifest's
+    per-chunk HyperLogLog registers (ndv.py) — zero blob bytes read.
+    Registers merge with an elementwise max, which is EXACT with
+    respect to the union of hashed values: the merged estimate is
+    bit-identical to one HLL built over the whole table (the driver
+    gate proves it against operators/sketch's relational HLL and its
+    DuckDB hash re-derivation).
+
+    Same visibility/refusal discipline as ``manifest_aggregates``: a
+    deleted row cannot be subtracted from an HLL, and evolution aliases
+    are read-time synthesis, so tombstones / equality deletes /
+    uncompacted evolution refuse (compact first — registers are
+    recomputed over the surviving rows — or scan). Every committed
+    chunk of the column must carry registers (stores written before the
+    column opted in refuse rather than under-count).
+
+    Returns per column: ``zero_registers``, ``registers_sum`` (exact
+    int), ``est_raw`` (one IEEE division — the cross-engine-comparable
+    trio), and ``est`` (bias-corrected, ln-based)."""
+    from .. import ndv as ndvmod
+
+    meta = _meta(path)
+    if meta.get("deletes"):
+        raise ValueError("manifest_ndv: store has positional tombstones "
+                         "(compact first or scan)")
+    if meta.get("eq_deletes"):
+        raise ValueError("manifest_ndv: store has equality deletes "
+                         "(compact first or scan)")
+    if (meta.get("added_columns") or meta.get("column_renames")
+            or meta.get("retired_columns")):
+        raise ValueError("manifest_ndv: store has uncompacted schema "
+                         "evolution (compact first or scan)")
+    for c in cols:
+        if c in (meta.get("shredded") or {}):
+            raise ValueError(f"manifest_ndv: {c!r} is a shredded variant "
+                             "column (reconstructed on read)")
+    if not _has_blobs(path):
+        import numpy as np
+
+        empty = ndvmod.fold(np.zeros(ndvmod.M, np.uint8))
+        return [{"col": c, **empty} for c in cols]
+
+    import pyarrow.compute as pc
+
+    ds = _dataset(path)
+    if "ndv" not in ds.schema.names:
+        raise ValueError("manifest_ndv: store predates NDV sketches "
+                         "(rewrite with ndv_cols)")
+    t = ds.to_table(
+        columns=["part_id", "col", "ndv"],
+        filter=pc.field("col").isin(list(cols)),
+    )
+    universe = set(
+        ds.to_table(columns=["part_id"]).column("part_id").to_pylist()
+    )
+    cap = _stream_cap(meta)
+    if cap is not None:
+        universe = {p for p in universe if p < cap}
+    per_col: dict[str, dict[int, bytes]] = {c: {} for c in cols}
+    for pid, col, blob in zip(*(t.column(c).to_pylist()
+                                for c in t.column_names)):
+        if cap is not None and pid >= cap:
+            continue
+        per_col[col][pid] = blob
+    out = []
+    for c in cols:
+        chunks = per_col[c]
+        if set(chunks) != universe:
+            raise ValueError(f"manifest_ndv: column {c!r} missing from "
+                             "some partitions")
+        absent = sorted(p for p, b in chunks.items() if b is None)
+        if absent:
+            raise ValueError(
+                f"manifest_ndv: column {c!r} has chunks without NDV "
+                f"registers (parts {absent[:5]}...): the column was not "
+                "in ndv_cols when those partitions were written")
+        regs = ndvmod.merge(chunks.values())
+        out.append({"col": c, **ndvmod.fold(regs)})
     return out
 
 
@@ -2047,6 +2130,30 @@ class _WriterBase:
             missing = sorted(self._bloom_cols - set(schema.fieldNames()))
             if missing:
                 raise ValueError(f"bloom_cols not in schema: {missing}")
+        nv = options.get("ndv_cols")
+        self._ndv_cols = (
+            {c.strip() for c in nv.split(",") if c.strip()} if nv else None
+        )
+        if self._ndv_cols:
+            missing = sorted(self._ndv_cols - set(schema.fieldNames()))
+            if missing:
+                raise ValueError(f"ndv_cols not in schema: {missing}")
+            from pyspark.sql import types as _T
+
+            bad = sorted(
+                f.name for f in schema.fields if f.name in self._ndv_cols
+                and not isinstance(f.dataType, (
+                    _T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+                    _T.StringType, _T.BinaryType, _T.DateType,
+                    _T.TimestampType, _T.TimestampNTZType,
+                ))
+            )
+            if bad:
+                raise ValueError(
+                    f"ndv_cols {bad} are not integral/string/binary/"
+                    "date/timestamp columns (float NDV hashes through a "
+                    "4-byte Spark path this sketch does not model)"
+                )
         pr = options.get("page_rows")
         self._page_rows = int(pr) if pr else None
         self._sort_key = options.get("sort_key")
@@ -2110,6 +2217,7 @@ class _WriterBase:
             self._compression, self._codec, self._codec_map,
             self._bloom_cols, self._page_rows, self._sort_key,
             self._key, self._column_keys, aad_prefix=self._aad_prefix,
+            ndv_cols=self._ndv_cols,
         )
         blob_tbl = encode_group(table)
         os.makedirs(_blobs_dir(self._path), exist_ok=True)
@@ -2149,6 +2257,7 @@ class _WriterBase:
         mine = dict(
             encrypted=self._key is not None or bool(self._column_keys),
             bloom_cols=sorted(self._bloom_cols) if self._bloom_cols else [],
+            ndv_cols=sorted(self._ndv_cols) if self._ndv_cols else [],
             page_rows=self._page_rows,
             column_key_cols=sorted(self._column_keys)
             if self._column_keys else [],
@@ -2174,6 +2283,7 @@ class _WriterBase:
             schema_json=self._schema.jsonValue(),
             page_rows=self._page_rows,
             bloom_cols=sorted(self._bloom_cols) if self._bloom_cols else [],
+            ndv_cols=sorted(self._ndv_cols) if self._ndv_cols else [],
             encrypted=self._key is not None or bool(self._column_keys),
             column_key_cols=sorted(self._column_keys)
             if self._column_keys else [],
@@ -2993,6 +3103,40 @@ SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
        NULL, NULL, min(o_orderstatus), max(o_orderstatus)
 FROM orders
 """
+
+
+def stats_ndv_manifest_query(spark, sf_dir: str):
+    """lineitem's key columns written through the source with per-chunk
+    NDV registers, then distinct-count sketches answered by
+    ``manifest_ndv`` — manifest metadata only, zero blob bytes. The
+    oracle builds ONE HyperLogLog over the whole table (the DuckDB
+    re-derivation of Spark's xxhash64, shared with stats_hll_distinct),
+    so a green row proves register merge across chunks is exact: three
+    independent computations (numpy per chunk + max-merge, relational
+    Spark SQL, DuckDB HUGEINT CTEs), one bit-identical answer."""
+    import shutil
+
+    from ..operators.sketch import HLL_COLS
+
+    register(spark)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = os.path.join("/tmp", f"pgs_ndv_{os.path.basename(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        df.select(*HLL_COLS).repartition(4)
+        .write.format("pgs").mode("overwrite")
+        .option("ndv_cols", ",".join(HLL_COLS)).save(out)
+    )
+    rows = [
+        (r["col"], r["zero_registers"], str(r["registers_sum"]),
+         r["est_raw"])
+        for r in manifest_ndv(out, HLL_COLS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name string, zero_registers long, registers_sum string, "
+        "est_raw double",
+    )
 
 
 def ds_variant_shredded_query(spark, sf_dir: str):
