@@ -645,6 +645,8 @@ def _inherit_layout(meta: dict, write_options: dict | None) -> dict:
     wo = dict(write_options or {})
     if meta.get("bloom_cols") and "bloom_cols" not in wo:
         wo["bloom_cols"] = ",".join(meta["bloom_cols"])
+    if meta.get("ndv_cols") and "ndv_cols" not in wo:
+        wo["ndv_cols"] = ",".join(meta["ndv_cols"])
     if meta.get("page_rows") and "page_rows" not in wo:
         wo["page_rows"] = str(meta["page_rows"])
     if meta.get("key_col") and "sort_key" not in wo:

@@ -193,6 +193,10 @@ def rename_column(path: str, old: str, new: str) -> None:
         meta["bloom_cols"] = sorted(
             {new if c == old else c for c in meta["bloom_cols"]}
         )
+    if meta.get("ndv_cols") and old in meta["ndv_cols"]:
+        meta["ndv_cols"] = sorted(
+            {new if c == old else c for c in meta["ndv_cols"]}
+        )
     _write_meta(path, meta)
 
 
@@ -221,6 +225,8 @@ def drop_column(path: str, name: str) -> None:
     dropped_aliases = (meta.get("column_renames") or {}).pop(name, [])
     if meta.get("bloom_cols") and name in meta["bloom_cols"]:
         meta["bloom_cols"] = sorted(set(meta["bloom_cols"]) - {name})
+    if meta.get("ndv_cols") and name in meta["ndv_cols"]:
+        meta["ndv_cols"] = sorted(set(meta["ndv_cols"]) - {name})
     # remember every name whose chunks may still be on disk, so a later
     # add_column of the same name stays refused even though the schema
     # no longer mentions it (chunk presence is checked physically, but

@@ -192,6 +192,32 @@ def _check(spark, path, model, step, rng=None):
         assert agg["min"] == (min(nn) if nn else None), (step, name)
         assert agg["max"] == (max(nn) if nn else None), (step, name)
 
+    # NDV arm: for every column the store records sketches on,
+    # manifest_ndv must either REFUSE (deletes/evolution in flight) or
+    # equal the numpy HLL of the mirror's live values exactly — across
+    # appends, DML append arms, compaction recompute, and recluster
+    import pyarrow as _pa
+
+    from parquet_go_spark import ndv as _ndv
+    from parquet_go_spark.sources.pgs_datasource import (
+        _meta as _m2, manifest_ndv,
+    )
+
+    _AT = {"long": _pa.int64(), "int": _pa.int32(), "string": _pa.string()}
+    for name in _m2(path).get("ndv_cols") or []:
+        t = dict(model.fields).get(name)
+        if t not in _AT:
+            continue
+        try:
+            (got_ndv,) = manifest_ndv(path, [name])
+        except ValueError:
+            continue
+        vals = [r.get(name) for r in model.rows.values()]
+        exp_ndv = _ndv.fold(_ndv.registers_of(_pa.array(vals, _AT[t])))
+        assert got_ndv["registers_sum"] == exp_ndv["registers_sum"], (
+            step, name)
+        assert got_ndv["est_raw"] == exp_ndv["est_raw"], (step, name)
+
 
 @pytest.mark.parametrize("seed,page_rows", [(7, None), (23, 16)])
 def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
@@ -208,6 +234,7 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
         [tuple(r[c] for c, _ in model.fields) for r in batch],
         model.schema(),
     ).repartition(3).write.format("pgs").mode("overwrite")
+    w = w.option("ndv_cols", "k")  # NDV arm: sketch the key everywhere
     if page_rows:
         w = w.option("page_rows", str(page_rows))
     w.save(path)
@@ -231,6 +258,7 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
                 [tuple(r[c] for c, _ in model.fields) for r in batch],
                 model.schema(),
             ).repartition(2).write.format("pgs").mode("append")
+            w = w.option("ndv_cols", "k")
             if page_rows:
                 w = w.option("page_rows", str(page_rows))
             w.save(path)
@@ -409,7 +437,7 @@ def test_mutable_surface_model(spark, tmp_path, seed, page_rows, n_ops=10):
                 [tuple(r[c] for c, _ in model.fields) for r in staged],
                 model.schema(),
             ).write.format("pgs").mode("append")
-             .option("branch", "chaos"))
+             .option("branch", "chaos").option("ndv_cols", "k"))
             if page_rows:
                 w = w.option("page_rows", str(page_rows))
             w.save(path)
