@@ -1345,6 +1345,17 @@ def describe_store(path: str) -> dict:
         out["compression_ratio"] = round(
             out["raw_bytes"] / out["encoded_bytes"], 3
         )
+    if out["ndv_cols"]:
+        # distinct estimates from the merged manifest sketches; best-
+        # effort in a summary (deletes/evolution make manifest_ndv
+        # refuse — the summary just omits the estimates then)
+        try:
+            out["ndv_est"] = {
+                d["col"]: round(d["est"], 1)
+                for d in manifest_ndv(path, out["ndv_cols"])
+            }
+        except ValueError:
+            pass
     return out
 
 
