@@ -232,6 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_tokenize"] = _tokz.text_tokenize_query
     q["tokenize_encode_roundtrip"] = _tokz.tokenize_encode_roundtrip_query
+    from parquet_go_spark.operators import postings as _post
+
+    q["text_postings"] = _post.text_postings_query
+    q["postings_encode_roundtrip"] = _post.postings_encode_roundtrip_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -390,6 +394,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["text_tokenize"] = _tokz.TEXT_TOKENIZE_ORACLE
     o["tokenize_encode_roundtrip"] = _tokz.TOKENIZE_ENCODE_ROUNDTRIP_ORACLE
+    from parquet_go_spark.operators import postings as _post
+
+    o["text_postings"] = _post.TEXT_POSTINGS_ORACLE
+    o["postings_encode_roundtrip"] = _post.POSTINGS_ENCODE_ROUNDTRIP_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
