@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_postings"] = _post.text_postings_query
     q["postings_encode_roundtrip"] = _post.postings_encode_roundtrip_query
+    from parquet_go_spark.operators import keywords as _kw
+
+    q["text_keywords"] = _kw.text_keywords_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -398,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["text_postings"] = _post.TEXT_POSTINGS_ORACLE
     o["postings_encode_roundtrip"] = _post.POSTINGS_ENCODE_ROUNDTRIP_ORACLE
+    from parquet_go_spark.operators import keywords as _kw
+
+    o["text_keywords"] = _kw.TEXT_KEYWORDS_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
