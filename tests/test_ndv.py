@@ -77,6 +77,33 @@ def test_blob_roundtrip_and_guards():
         ndv.from_blob(blob[:4] + bytes([9]) + blob[5:])
 
 
+def test_committed_blob_still_decodes():
+    """Decode-side durability pin (golden-frame discipline for the NDV
+    blob format): these COMMITTED bytes — build() of int64 0..99 plus a
+    null and a duplicate 7 — must keep decoding to the same registers.
+    The encoder may change (zlib level, future sparse layout behind a
+    new magic); decoding existing stores may not. Regenerate only on an
+    intentional format bump, stated in the commit."""
+    import base64
+
+    blob = base64.b64decode(
+        "TkRWMQx4nM1W2xaEIAhUuvz/J7dnH2pBZAeFah66mDHMYFgpHyzFB2R+hQft"
+        "IKvzlWhQYCwpv29HjOor/lkxYidxGQVvmUcYftLeRiJQ0aWH2ZFvwkvpdWYz"
+        "n5lkoYLBVc20zWibzffO51Z19AumbGuHpkDduzyfds/khOYVgrBdSxWIq364"
+        "CXWB+OOrrfcfJgoiS9Bwqa3eUinGKgwTtw8tnLzvGRI0pRpbgYxi0QZPuM3I"
+        "Klqj7J7lerFdxyD8tzaOjvU6UiLvSjY2vXgqfoCpvxShfWnV+FE/DHIc1FKa"
+        "/IPb7bt2x6je54hD5QBFrwDR"
+    )
+    regs = ndv.from_blob(blob)
+    f = ndv.fold(regs)
+    assert f["zero_registers"] == 3997
+    assert f["registers_sum"] == 36271428448888553472
+    fresh = ndv.registers_of(
+        pa.array(list(range(100)) + [None, 7], pa.int64())
+    )
+    assert (regs == fresh).all()
+
+
 def test_float_refused():
     with pytest.raises(TypeError, match="unsupported"):
         ndv.registers_of(pa.array([1.0, 2.0], pa.float64()))
