@@ -363,6 +363,7 @@ def compact_store(
     meta.pop("generations", None)
     meta.pop("generations_strict", None)
     meta.pop("history", None)
+    meta.pop("history_ts", None)  # lockstep with history, always
     # expiry state indexes the retired history too: a stale
     # history_base(+cap) under a FRESH history rebuilt by later appends
     # mis-numbers snapshots and resolves _pgs_commit against rebased

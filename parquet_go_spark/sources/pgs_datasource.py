@@ -45,6 +45,11 @@ DataSourceArrowWriter (task-local encode, atomic driver-side commit):
                     cumulative part-id cap (meta ``history``) is an exact
                     metadata filter — the batch twin of the stream sink's
                     ``as_of_batch``. Overwrite starts a new timeline.
+                    ``.option("as_of_timestamp", iso_or_epoch_us)``
+                    resolves to the latest snapshot committed at or
+                    before that wall-clock instant (commit times ride the
+                    lockstep meta ``history_ts``; pre-timestamp commits
+                    refuse rather than guess).
 
 At 100 TB: planning reads only manifest columns (never blob bytes), the
 per-task scan pushes ``part_id = N`` into parquet row-group pruning, and no
@@ -58,6 +63,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -289,6 +295,65 @@ def _hist_state(meta: dict) -> tuple[list, int, int]:
             meta.get("history_base_cap", 0))
 
 
+def _pad_ts(tss, n: int) -> list:
+    """Lockstep commit-timestamp list padded to ``n`` entries: commits
+    made before the store recorded timestamps front-fill with None (they
+    exist, they just are not addressable by time). Every consumer of
+    ``meta['history_ts']`` goes through this so index i always describes
+    history[i]."""
+    tss = list(tss or [])
+    return [None] * (n - len(tss)) + tss
+
+
+def _parse_ts_us(val) -> int:
+    """``as_of_timestamp`` option value -> epoch microseconds. Accepts
+    an integer (epoch micros) or an ISO-8601 string (naive = UTC)."""
+    import datetime as _dt
+
+    s = str(val)
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        dt = _dt.datetime.fromisoformat(s)
+    except ValueError as exc:
+        raise ValueError(
+            f"as_of_timestamp {val!r} is neither epoch microseconds nor "
+            "ISO-8601"
+        ) from exc
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def _resolve_as_of_ts(meta: dict, ts_us: int) -> int:
+    """Latest retained snapshot committed at or before ``ts_us`` (the
+    Iceberg timestamp-travel rule). Scans newest-first so a skewed clock
+    can only make a commit unaddressable by time, never resurrect a
+    superseded one. Pre-timestamp commits (None entries) and expired
+    history refuse precisely."""
+    hist, base, _ = _hist_state(meta)
+    if not hist:
+        raise ValueError(
+            "store records no append-commit history "
+            "(operator-written or pre-history store)"
+        )
+    tss = _pad_ts(meta.get("history_ts"), len(hist))
+    for i in range(len(hist) - 1, -1, -1):
+        if tss[i] is not None and tss[i] <= ts_us:
+            return base + i + 1
+    known = [t for t in tss if t is not None]
+    if not known:
+        raise ValueError(
+            "store predates commit timestamps (no history_ts recorded); "
+            "use as_of_commit")
+    raise ValueError(
+        f"no snapshot committed at or before {ts_us} "
+        f"(earliest addressable commit is at {known[0]}; earlier "
+        "snapshots are expired or predate timestamps)")
+
+
 def expire_snapshots(path: str, keep_last: int) -> dict:
     """Retire time-travel addressability of all but the last
     ``keep_last`` append commits (Iceberg expire_snapshots). Pure
@@ -319,6 +384,7 @@ def expire_snapshots(path: str, keep_last: int) -> dict:
         return {"expired": 0, "retained": len(hist), "base": base}
     meta["history_base"] = base + drop
     meta["history_base_cap"] = hist[drop - 1]
+    meta["history_ts"] = _pad_ts(meta.get("history_ts"), len(hist))[drop:]
     meta["history"] = hist[drop:]
     tags = meta.get("tags") or {}
     dropped_tags = sorted(
@@ -419,6 +485,7 @@ def create_branch(path: str, name: str) -> dict:
         "base_commit": meta.get("history_base", 0) + len(meta["history"]),
         "gens": [],
         "history": [],
+        "history_ts": [],
     }
     _write_meta(path, meta)
     return dict(brs[name])
@@ -446,6 +513,10 @@ def publish_branch(path: str, name: str) -> dict:
         )
     meta["generations"] = sorted(
         set(meta["generations"]) | set(ent["gens"])
+    )
+    meta["history_ts"] = (
+        _pad_ts(meta.get("history_ts"), len(hist))
+        + _pad_ts(ent.get("history_ts"), len(ent["history"]))
     )
     meta["history"] = hist + list(ent["history"])
     if ent["history"]:
@@ -560,6 +631,9 @@ def rollback_to_commit(path: str, k: int) -> dict:
             "the store's commits are not cleanly separable"
         )
     meta["generations"] = sorted(gset - drop_tok)
+    meta["history_ts"] = _pad_ts(
+        meta.get("history_ts"), len(hist)
+    )[:k - base]
     meta["history"] = hist[:k - base]
     meta["num_parts"] = kept_parts
     meta["pid_floor"] = max(max_pid + 1, meta.get("pid_floor", 0))
@@ -1260,12 +1334,16 @@ def inspect_snapshots(spark, path: str):
     by_snap: dict[int, list[str]] = {}
     for t, k in (meta.get("tags") or {}).items():
         by_snap.setdefault(k, []).append(t)
+    tss = _pad_ts(meta.get("history_ts"), len(hist))
     rows = [
-        (base + i + 1, cap, sorted(by_snap.get(base + i + 1, [])))
+        (base + i + 1, cap, sorted(by_snap.get(base + i + 1, [])),
+         tss[i])
         for i, cap in enumerate(hist)
     ]
     return spark.createDataFrame(
-        rows, "snapshot bigint, part_id_cap bigint, tags array<string>"
+        rows,
+        "snapshot bigint, part_id_cap bigint, tags array<string>, "
+        "committed_at_us bigint",
     )
 
 
@@ -1642,7 +1720,7 @@ class PGSReader(DataSourceReader):
                     f"(have {sorted(meta.get('branches') or {})})"
                 )
             for bad in ("as_of_commit", "as_of_tag", "since_commit",
-                        "as_of_batch"):
+                        "as_of_batch", "as_of_timestamp"):
                 if options.get(bad) is not None:
                     raise ValueError(
                         f"option {bad!r} addresses main's timeline and "
@@ -1658,6 +1736,19 @@ class PGSReader(DataSourceReader):
         self._as_of_batch = int(ab) if ab is not None else None
         ac = options.get("as_of_commit")
         tag = options.get("as_of_tag")
+        ats = options.get("as_of_timestamp")
+        if ats is not None:
+            if ac is not None or tag is not None:
+                raise ValueError(
+                    "as_of_timestamp is mutually exclusive with "
+                    "as_of_commit / as_of_tag"
+                )
+            if meta.get("clustering") == "stream_append":
+                raise ValueError(
+                    "as_of_timestamp applies to batch-writer stores; use "
+                    "as_of_batch for a streaming-sink store"
+                )
+            ac = _resolve_as_of_ts(meta, _parse_ts_us(ats))
         if tag is not None:
             if ac is not None:
                 raise ValueError(
@@ -2428,6 +2519,9 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
                 default=None,
             )
             ent["gens"] = sorted(set(ent["gens"]) | {self._token})
+            ent["history_ts"] = _pad_ts(
+                ent.get("history_ts"), len(ent["history"])
+            ) + [int(time.time() * 1_000_000)]
             ent["history"] = list(ent["history"]) + [
                 (max_pid + 1) if max_pid is not None else self._base
             ]
@@ -2481,16 +2575,23 @@ class PGSArrowWriter(_WriterBase, DataSourceArrowWriter):
             default=None,
         )
         cap = (max_pid + 1) if max_pid is not None else self._base
+        now_us = int(time.time() * 1_000_000)
         if self._overwrite:
             meta["history"] = [cap]
+            meta["history_ts"] = [now_us]
         else:
             hist = meta.get("history")
             if hist is None:
                 # pre-history store: everything already committed is one
                 # combined first snapshot
                 hist = [self._base] if self._base > 0 else []
+            # commit wall-clock rides a lockstep list (the Iceberg
+            # snapshot timestamp); pre-timestamp commits front-fill None
+            tss = _pad_ts(meta.get("history_ts"), len(hist))
             hist.append(cap)
+            tss.append(now_us)
             meta["history"] = hist
+            meta["history_ts"] = tss
         _write_meta(self._path, meta)
         if self._overwrite:
             # sweep everything the new generation replaced (crash-safe:
