@@ -54,6 +54,28 @@ from ..sources.pgs_datasource import (
 )
 
 
+def read_changes_between_timestamps(
+    spark: SparkSession,
+    path: str,
+    since_ts,
+    until_ts=None,
+    read_options: dict | None = None,
+) -> DataFrame:
+    """CDC window addressed by wall-clock (Iceberg's
+    start/end-timestamp incremental read): each bound resolves to the
+    latest snapshot committed at or before it via the lockstep
+    ``history_ts`` clock, then the ordinary snapshot-window changelog
+    runs. A ``since_ts`` before the first addressable commit refuses
+    (same contract as an expired cursor: re-sync from a full scan)."""
+    from ..sources.pgs_datasource import _parse_ts_us, _resolve_as_of_ts
+
+    meta = _meta(path)
+    k = _resolve_as_of_ts(meta, _parse_ts_us(since_ts))
+    until = (None if until_ts is None
+             else _resolve_as_of_ts(meta, _parse_ts_us(until_ts)))
+    return read_changes(spark, path, k, until, read_options)
+
+
 def read_changes(
     spark: SparkSession,
     path: str,

@@ -105,6 +105,32 @@ def test_pre_timestamp_commits_refuse(spark, tmp_out):
          .count())
 
 
+def test_changes_between_timestamps(spark, tmp_out):
+    from parquet_go_spark.operators.changes import (
+        read_changes_between_timestamps,
+    )
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    _write(spark, tmp_out, 0, 30, "overwrite")
+    _write(spark, tmp_out, 30, 60, "append")
+    _write(spark, tmp_out, 60, 90, "append")
+    tss = _meta(tmp_out)["history_ts"]
+    # window (commit1, commit2]: exactly the second batch, as inserts
+    ev = read_changes_between_timestamps(
+        spark, tmp_out, tss[0], tss[1]
+    ).collect()
+    ks = sorted(r["k"] for r in ev)
+    assert ks == list(range(30, 60))
+    assert {r["_change_type"] for r in ev} == {"insert"}
+    # open-ended window from commit2's instant: the third batch
+    ev = read_changes_between_timestamps(spark, tmp_out, tss[1]).collect()
+    assert sorted(r["k"] for r in ev) == list(range(60, 90))
+    # a bound before the first commit refuses like an expired cursor
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_changes_between_timestamps(spark, tmp_out, tss[0] - 1)
+
+
 def test_pad_ts_alignment():
     assert _pad_ts(None, 3) == [None, None, None]
     assert _pad_ts([7], 3) == [None, None, 7]
