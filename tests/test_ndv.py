@@ -196,6 +196,37 @@ def test_compaction_recomputes_ndv(spark, tmp_out, tmp_path):
     assert got["est_raw"] == ref["est_raw"]
 
 
+def test_stream_sink_ndv(spark, tmp_out):
+    """NDV registers through the streaming sink: every micro-batch's
+    chunks carry sketches and manifest_ndv honors the committed-batch
+    watermark, equal to the whole-table relational HLL."""
+    import shutil
+
+    from parquet_go_spark.operators.sketch import hll_distinct_df
+    from parquet_go_spark.sources.pgs_datasource import manifest_ndv, register
+
+    register(spark)
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    ckpt, src = tmp_out + "-ckpt", tmp_out + "-in"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    data = _vals_int(2000)
+    df = spark.createDataFrame([(v,) for v in data], "k long")
+    df.coalesce(2).write.mode("append").parquet(src)
+    (
+        spark.readStream.schema("k long").parquet(src)
+        .writeStream.format("pgs")
+        .option("checkpointLocation", ckpt)
+        .option("ndv_cols", "k")
+        .trigger(availableNow=True)
+        .start(tmp_out).awaitTermination(120)
+    )
+    got = manifest_ndv(tmp_out, ["k"])[0]
+    ref = hll_distinct_df(df, ["k"]).collect()[0]
+    assert str(got["registers_sum"]) == ref["registers_sum"]
+    assert got["est_raw"] == ref["est_raw"]
+
+
 def test_writer_rejects_float_ndv_col(spark, tmp_out):
     from parquet_go_spark.sources.pgs_datasource import register
 
