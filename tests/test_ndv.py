@@ -104,6 +104,30 @@ def test_committed_blob_still_decodes():
     assert (regs == fresh).all()
 
 
+def test_u32_path_matches_scalar_xxh64():
+    """The 4-byte hashInt twin must equal XXH64 of the 4 LE bytes
+    (zero-extension is Spark's input & 0xFFFFFFFF) — fuzzed against the
+    scalar reference implementation, no Spark needed."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_go_spark.bloom import _xxh64_scalar
+    from parquet_go_spark.ndv import _SEED, _xxh64_u32
+
+    @given(st.lists(st.integers(-(2**31), 2**31 - 1),
+                    min_size=1, max_size=64))
+    @settings(max_examples=200, deadline=None)
+    def inner(vals):
+        got = _xxh64_u32(np.array(vals, np.int32), seed=_SEED)
+        want = [_xxh64_scalar(struct.pack("<i", v), seed=_SEED)
+                for v in vals]
+        assert got.tolist() == want
+
+    inner()
+
+
 def test_float_refused():
     with pytest.raises(TypeError, match="unsupported"):
         ndv.registers_of(pa.array([1.0, 2.0], pa.float64()))
