@@ -67,6 +67,7 @@ def cmd_encode(args) -> int:
     t0 = time.time()
     codec_map = json.loads(args.codec_map) if args.codec_map else None
     bloom_cols = set(args.bloom.split(",")) if args.bloom else None
+    ndv_cols = set(args.ndv.split(",")) if args.ndv else None
     key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
     ckeys = keys.parse_hex_keys(args.column_keys_hex)
     store, plan = encode_table(
@@ -77,6 +78,7 @@ def cmd_encode(args) -> int:
         resume=not args.no_resume,
         codec_map=codec_map,
         bloom_cols=bloom_cols,
+        ndv_cols=ndv_cols,
         page_rows=args.page_rows,
         encryption_key=key,
         column_keys=ckeys,
@@ -389,6 +391,9 @@ def main() -> int:
     enc.add_argument("--bloom", default=None,
                      help="comma-separated columns to build split-block "
                           "bloom filters for (tag bloomfilter analog)")
+    enc.add_argument("--ndv", default=None,
+                     help="comma-separated columns to record per-chunk "
+                          "HyperLogLog NDV registers for (manifest_ndv)")
     enc.add_argument("--page-rows", type=int, default=None,
                      help="split chunks into page frames of this many rows "
                           "with a per-page index in the manifest "
