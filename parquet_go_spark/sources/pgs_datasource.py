@@ -1669,6 +1669,96 @@ def manifest_ndv(path: str, cols: Sequence[str]) -> list[dict]:
 
 # ------------------------------------------------------------------- reader
 
+def _row_filter_plan(filters) -> tuple:
+    """Pushed filters -> picklable (op, column, value) triples for task-
+    side ROW masking. Only ops whose Spark semantics we can match or
+    under-approximate survive; anything else is simply not masked (the
+    scan stays advisory — Spark re-evaluates every filter exactly, so
+    dropping FEWER rows is always safe, dropping a row Spark would keep
+    never happens)."""
+    out = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        c = attr[0]
+        if isinstance(f, EqualTo):
+            out.append(("eq", c, f.value))
+        elif isinstance(f, EqualNullSafe):
+            out.append(("eqns", c, f.value))
+        elif isinstance(f, GreaterThan):
+            out.append(("gt", c, f.value))
+        elif isinstance(f, GreaterThanOrEqual):
+            out.append(("ge", c, f.value))
+        elif isinstance(f, LessThan):
+            out.append(("lt", c, f.value))
+        elif isinstance(f, LessThanOrEqual):
+            out.append(("le", c, f.value))
+        elif isinstance(f, In):
+            out.append(("in", c, tuple(f.value)))
+        elif isinstance(f, IsNull):
+            out.append(("isnull", c, None))
+        elif isinstance(f, IsNotNull):
+            out.append(("notnull", c, None))
+        elif isinstance(f, StringStartsWith):
+            out.append(("startswith", c, f.value))
+    return tuple(out)
+
+
+def _apply_row_filters(tbl, rowf):
+    """Mask the assembled Arrow batch by the pushed filters before it
+    crosses the Python->JVM boundary: at 100 TB a selective scan ships
+    only matching rows instead of whole decoded partitions. Exactness
+    discipline: a row is dropped ONLY when the filter is definitely
+    false under SPARK semantics — nulls fail every comparison (kept
+    only by isnull / null-safe-eq-null), NaN is kept wherever Spark's
+    total order or NaN==NaN could keep it, and any arrow type/cast
+    error keeps the rows (skip the filter, advisory as ever)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for op, col, val in rowf:
+        if col not in tbl.column_names:
+            continue
+        a = tbl.column(col)
+        try:
+            if op == "isnull" or (op == "eqns" and val is None):
+                m = pc.is_null(a)
+            elif op == "notnull":
+                m = pc.is_valid(a)
+            else:
+                if isinstance(val, float) and math.isnan(val):
+                    continue  # Spark: NaN==NaN true, NaN greatest — skip
+                cmpf = {"eq": pc.equal, "eqns": pc.equal,
+                        "gt": pc.greater, "ge": pc.greater_equal,
+                        "lt": pc.less, "le": pc.less_equal}.get(op)
+                if cmpf is not None:
+                    m = cmpf(a, val)
+                elif op == "in":
+                    vals = [v for v in val if v is not None]
+                    if not vals:
+                        continue
+                    m = pc.is_in(a, value_set=pa.array(vals))
+                elif op == "startswith":
+                    m = pc.starts_with(a, pattern=val)
+                else:
+                    continue
+                if pa.types.is_floating(a.type) and op in (
+                        "eq", "eqns", "gt", "ge", "in"):
+                    # Spark's NaN sorts greatest and equals itself: a
+                    # NaN row MIGHT pass these — keep it, let the JVM
+                    # filter decide
+                    m = pc.or_kleene(m, pc.is_nan(a))
+            m = pc.fill_null(m, False)
+        except Exception:
+            continue  # unsupported type: keep every row
+        mask = m if mask is None else pc.and_(mask, m)
+    return tbl if mask is None else tbl.filter(mask)
+
+
 class PGSReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, options):
         self._path = path
@@ -1937,12 +2027,14 @@ class PGSReader(DataSourceReader):
             (e, (e["name"], tuple(e["key_cols"]), tuple(e["file_cols"])))
             for e in self._eq_deletes
         ]
+        rowf = _row_filter_plan(filters)
         return [
             InputPartition((
                 pid, files.get(pid), pagemap.get(pid),
                 tuple(nm for nm, lo, hi in dels
                       if lo is None or hi is None or lo <= pid <= hi),
                 tuple(tup for e, tup in eqs if eq_attaches(e, pid)),
+                rowf,
             ))
             for pid in cands
         ]
@@ -1982,7 +2074,7 @@ class PGSReader(DataSourceReader):
 
         import numpy as np
 
-        pid, files, keep, ddirs, eqs = partition.value
+        pid, files, keep, ddirs, eqs, rowf = partition.value
         if keep == ():
             return  # chunk bounds intersected but no single page does
         # the planner resolved which blob files can hold this part_id from
@@ -2190,6 +2282,10 @@ class PGSReader(DataSourceReader):
             # merge-on-read: tombstoned rows leave every column here, in
             # one vectorized filter over the assembled batch
             tbl = tbl.filter(pa.array(mask))
+        if rowf:
+            # pushed-filter row masking: definitely-false rows never
+            # cross the Python->JVM boundary (Spark still re-filters)
+            tbl = _apply_row_filters(tbl, rowf)
         yield from tbl.to_batches(max_chunksize=_READ_BATCH_ROWS)
 
 
