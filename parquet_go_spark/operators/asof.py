@@ -52,8 +52,14 @@ def asof_join(
                          f"columns: {sorted(clash)} (alias one side)")
     # a NULL right timestamp sorts FIRST ascending and would be latched
     # by last(ignorenulls) as a bogus "predecessor" for every left row;
-    # DuckDB ASOF / merge_asof never match on NULL — drop such rows
+    # DuckDB ASOF / merge_asof never match on NULL — drop such rows.
+    # Same for NULL by-keys: the window's partitionBy groups NULLs into
+    # ONE partition (Spark grouping semantics), so a NULL-key right row
+    # would latch onto every NULL-key left row while an equality join
+    # never matches NULL = NULL. Left rows keep flowing (null values).
     right = right.filter(F.col(right_on).isNotNull())
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
     lhs = left.select(
         *by,
         F.col(left_on).alias("__t"),

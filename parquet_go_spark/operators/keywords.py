@@ -12,10 +12,11 @@ term); ranking orders by (score DESC, w ASC) so rationals that collide
 as doubles break ties identically in Spark and DuckDB. No double is
 ever summed.
 
-Plan: explode once; tf from groupBy(doc, w); df from groupBy(w) on the
-distinct pairs — joined back, one row_number window per doc. All
-map-side-combinable aggregates; the window keys by doc_id, the same
-hash partitioning the tf aggregate just produced.
+Plan: explode ONCE; tf from groupBy(doc, w); df derived from tf itself
+(df(w) = number of tf rows per w — the distinct (doc, w) pairs already
+exist post-aggregate), so the exploded pair stream crosses exactly one
+shuffle and the df aggregate reuses tf's exchange. One row_number
+window per doc on the joined result.
 """
 
 from __future__ import annotations
@@ -42,11 +43,9 @@ def extract_keywords(
     tf = words.groupBy("doc_id", "w").agg(
         F.count("*").cast("long").alias("tf")
     )
-    df_ = (
-        words.distinct()
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
+    # df(w) = count of tf rows per w: the tf aggregate already holds the
+    # distinct (doc, w) pairs, so no second explode/distinct shuffle
+    df_ = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     scored = tf.join(df_, "w").select(
         "doc_id", "w", "tf", "df",
         (F.col("tf").cast("double") / F.col("df").cast("double"))

@@ -100,7 +100,10 @@ def postings_encode_roundtrip_query(
         spark, docs.select("doc_id", "text"), max_df=400
     ).select(
         F.col("w").alias("doc_id"),  # planner key columns: reuse names
-        F.col("postings").cast("array<int>").alias("tokens"),
+        # postings stay array<long>: doc ids past 2^31 are the POINT of
+        # 64-bit lists (an int cast would throw under ANSI / null-corrupt
+        # without), and the engine's list path keeps 64-bit elements
+        F.col("postings").alias("tokens"),
         F.col("df").cast("int").alias("n_tok"),
         F.lit("postings").alias("source"),
     )
@@ -109,13 +112,13 @@ def postings_encode_roundtrip_query(
     encode_table(spark, idx, out, target_tokens=200_000, resume=False)
     dec = decode_table(
         spark, out, ["doc_id", "tokens", "n_tok"],
-        "doc_id string, tokens array<int>, n_tok int",
+        "doc_id string, tokens array<long>, n_tok int",
     )
     return _digest(
         dec.select(
             F.col("doc_id").alias("w"),
             F.col("n_tok").cast("long").alias("df"),
-            F.col("tokens").cast("array<long>").alias("postings"),
+            F.col("tokens").alias("postings"),
         )
     )
 

@@ -324,7 +324,11 @@ def _parse_ts_us(val) -> int:
         ) from exc
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=_dt.timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    # integer arithmetic: dt.timestamp() double-rounds and truncates a
+    # microsecond low for ~2.5% of post-2038 instants, which would
+    # resolve "exactly at commit k's timestamp" to commit k-1
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (dt - epoch) // _dt.timedelta(microseconds=1)
 
 
 def _resolve_as_of_ts(meta: dict, ts_us: int) -> int:
@@ -1437,6 +1441,38 @@ def describe_store(path: str) -> dict:
     return out
 
 
+def _refuse_non_exact_manifest(meta: dict, cols, what: str) -> dict:
+    """Shared refusal preamble of every manifest-only answer path
+    (manifest_aggregates, manifest_ndv): anything that would make chunk
+    metadata an approximation of the table refuses, and the requested
+    columns must exist in the recorded schema. Returns {name: dataType}.
+    ANY new approximation-breaking state (a new delete flavor, a new
+    read-time synthesis) must be added HERE so every metadata answer
+    refuses in lockstep."""
+    if meta.get("deletes"):
+        raise ValueError(f"{what}: store has positional tombstones "
+                         "(compact first or scan)")
+    if meta.get("eq_deletes"):
+        raise ValueError(f"{what}: store has equality deletes "
+                         "(compact first or scan)")
+    if (meta.get("added_columns") or meta.get("column_renames")
+            or meta.get("retired_columns")):
+        raise ValueError(f"{what}: store has uncompacted schema "
+                         "evolution (compact first or scan)")
+    for c in cols:
+        if c in (meta.get("shredded") or {}):
+            raise ValueError(f"{what}: {c!r} is a shredded variant "
+                             "column (reconstructed on read)")
+    if not meta.get("schema_json"):
+        raise ValueError(f"{what}: store records no schema")
+    sch = StructType.fromJson(meta["schema_json"])
+    types = {f.name: f.dataType for f in sch.fields}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"{what}: no column {c!r}")
+    return types
+
+
 def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
     """EXACT count/null_count/min/max per column from the manifest alone
     — zero data (blob) bytes read. The Iceberg/Spark aggregate-pushdown
@@ -1467,27 +1503,7 @@ def manifest_aggregates(path: str, cols: Sequence[str]) -> list[dict]:
     from pyspark.sql import types as T
 
     meta = _meta(path)
-    if meta.get("deletes"):
-        raise ValueError("manifest_aggregates: store has positional "
-                         "tombstones (compact first or scan)")
-    if meta.get("eq_deletes"):
-        raise ValueError("manifest_aggregates: store has equality "
-                         "deletes (compact first or scan)")
-    if (meta.get("added_columns") or meta.get("column_renames")
-            or meta.get("retired_columns")):
-        raise ValueError("manifest_aggregates: store has uncompacted "
-                         "schema evolution (compact first or scan)")
-    for c in cols:
-        if c in (meta.get("shredded") or {}):
-            raise ValueError(f"manifest_aggregates: {c!r} is a shredded "
-                             "variant column (reconstructed on read)")
-    if not meta.get("schema_json"):
-        raise ValueError("manifest_aggregates: store records no schema")
-    sch = StructType.fromJson(meta["schema_json"])
-    types = {f.name: f.dataType for f in sch.fields}
-    for c in cols:
-        if c not in types:
-            raise ValueError(f"manifest_aggregates: no column {c!r}")
+    types = _refuse_non_exact_manifest(meta, cols, "manifest_aggregates")
     if not _has_blobs(path):
         return [{"col": c, "count": 0, "nulls": 0, "min": None,
                  "max": None} for c in cols]
@@ -1608,20 +1624,7 @@ def manifest_ndv(path: str, cols: Sequence[str]) -> list[dict]:
     from .. import ndv as ndvmod
 
     meta = _meta(path)
-    if meta.get("deletes"):
-        raise ValueError("manifest_ndv: store has positional tombstones "
-                         "(compact first or scan)")
-    if meta.get("eq_deletes"):
-        raise ValueError("manifest_ndv: store has equality deletes "
-                         "(compact first or scan)")
-    if (meta.get("added_columns") or meta.get("column_renames")
-            or meta.get("retired_columns")):
-        raise ValueError("manifest_ndv: store has uncompacted schema "
-                         "evolution (compact first or scan)")
-    for c in cols:
-        if c in (meta.get("shredded") or {}):
-            raise ValueError(f"manifest_ndv: {c!r} is a shredded variant "
-                             "column (reconstructed on read)")
+    _refuse_non_exact_manifest(meta, cols, "manifest_ndv")
     if not _has_blobs(path):
         import numpy as np
 

@@ -80,6 +80,21 @@ def test_asof_null_right_time_never_matches(spark):
     assert rows == {"a": None}
 
 
+def test_asof_null_by_key_never_matches(spark):
+    """Spark's window partitionBy groups NULL keys together; an
+    equality-keyed ASOF (DuckDB / merge_asof) never matches NULL=NULL —
+    the left row must flow through with NULL values."""
+    left = spark.createDataFrame([(None, 5, "a")],
+                                 "k string, t int, eid string")
+    right = spark.createDataFrame([(None, 4, 9)],
+                                  "k string, rt int, v int")
+    rows = {
+        r["eid"]: r["v"]
+        for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    }
+    assert rows == {"a": None}
+
+
 def test_asof_value_col_collision_refused(spark):
     import pytest
 

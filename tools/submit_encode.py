@@ -67,7 +67,24 @@ def cmd_encode(args) -> int:
     t0 = time.time()
     codec_map = json.loads(args.codec_map) if args.codec_map else None
     bloom_cols = set(args.bloom.split(",")) if args.bloom else None
-    ndv_cols = set(args.ndv.split(",")) if args.ndv else None
+    ndv_cols = (
+        {c.strip() for c in args.ndv.split(",") if c.strip()}
+        if args.ndv else None
+    )
+    if ndv_cols:
+        # same upfront validation the pgs writer performs — fail the
+        # submit, not an executor task mid-job
+        dtypes = dict(df.dtypes)
+        missing = sorted(ndv_cols - set(dtypes))
+        if missing:
+            raise SystemExit(f"--ndv columns not in input: {missing}")
+        ok = ("tinyint", "smallint", "int", "bigint", "string", "binary",
+              "date", "timestamp", "timestamp_ntz")
+        bad = sorted(c for c in ndv_cols if dtypes[c] not in ok)
+        if bad:
+            raise SystemExit(
+                f"--ndv columns {bad} are not integral/string/binary/"
+                "date/timestamp")
     key = bytes.fromhex(args.encrypt_key_hex) if args.encrypt_key_hex else None
     ckeys = keys.parse_hex_keys(args.column_keys_hex)
     store, plan = encode_table(
