@@ -44,8 +44,21 @@ def build_postings(
     id_col: str = "doc_id",
     min_df: int = 1,
     max_df: int | None = None,
+    prefilter: bool = False,
 ) -> DataFrame:
-    """(doc_id, text) -> (w, df, postings array<long> ASC)."""
+    """(doc_id, text) -> (w, df, postings array<long> ASC).
+
+    ``prefilter=True`` (requires ``max_df``) runs an exact df pre-count
+    and anti-joins the over-cap stop words out of the pair stream BEFORE
+    the list-assembly aggregate: the stop list is broadcast-tiny, the
+    pair stream shuffles twice (cheap, fixed-width rows), and the
+    expensive wide-row collect_list shuffle never carries a stop word's
+    corpus-length posting list. Output is IDENTICAL by construction —
+    the pre-count uses the same exact df the post-filter would, so this
+    is the honest 100 TB arm, not an approximation. (A further
+    refinement at extreme vocabulary: an HLL-estimated pre-count with a
+    safety margin — only words ESTIMATED far above the cap are
+    pre-dropped, the exact cap still applies downstream.)"""
     pairs = (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -53,6 +66,16 @@ def build_postings(
         )
         .distinct()
     )
+    if prefilter:
+        if max_df is None:
+            raise ValueError("prefilter needs max_df (it exists to keep "
+                             "over-cap stop words out of the shuffle)")
+        over = (
+            pairs.groupBy("w").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("w")
+        )
+        pairs = pairs.join(F.broadcast(over), "w", "left_anti")
     out = pairs.groupBy("w").agg(
         F.count("*").cast("long").alias("df"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),

@@ -52,6 +52,28 @@ def test_postings_plan_two_shuffles(spark):
     assert _count_exchanges(plan) == 2, plan
 
 
+def test_prefilter_identical_output_and_broadcast(spark):
+    """The stop-word prefilter arm must produce bit-identical output
+    (it pre-applies the same exact df cap) and route the stop list
+    through a broadcast anti-join, never a shuffled one."""
+    from tests.test_plans import _plan
+
+    docs = spark.createDataFrame(
+        [(i, f"stop w{i % 17} w{i % 5}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    plain = build_postings(spark, docs, max_df=10)
+    pre = build_postings(spark, docs, max_df=10, prefilter=True)
+    assert _rows(plain) == _rows(pre)
+    assert "stop" not in _rows(pre)  # df=60 > 10: gone in both arms
+    assert "BroadcastHashJoin" in _plan(pre)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_df"):
+        build_postings(spark, docs, prefilter=True)
+
+
 def test_sorted_postings_pick_delta_codec():
     """The composition query's reason to exist: sorted doc-id lists are
     the canonical DELTA_BINARY_PACKED input, and the auto-picker must
