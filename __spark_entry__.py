@@ -239,6 +239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import keywords as _kw
 
     q["text_keywords"] = _kw.text_keywords_query
+    # BM25 top-k retrieval (rational idf; bit-exact cross-engine scoring)
+    from parquet_go_spark.operators import retrieval as _ret
+
+    q["text_bm25"] = _ret.text_bm25_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -404,6 +408,9 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import keywords as _kw
 
     o["text_keywords"] = _kw.TEXT_KEYWORDS_ORACLE
+    from parquet_go_spark.operators import retrieval as _ret
+
+    o["text_bm25"] = _ret.TEXT_BM25_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
