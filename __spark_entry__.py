@@ -243,6 +243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import retrieval as _ret
 
     q["text_bm25"] = _ret.text_bm25_query
+    # distributed BPE merge training + application + engine roundtrip
+    from parquet_go_spark.operators import bpe as _bpe
+
+    q["bpe_train"] = _bpe.bpe_train_query
+    q["bpe_encode"] = _bpe.bpe_encode_query
+    q["bpe_encode_roundtrip"] = _bpe.bpe_encode_roundtrip_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -411,6 +417,11 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import retrieval as _ret
 
     o["text_bm25"] = _ret.TEXT_BM25_ORACLE
+    from parquet_go_spark.operators import bpe as _bpe
+
+    o["bpe_train"] = _bpe.BPE_TRAIN_ORACLE
+    o["bpe_encode"] = _bpe.BPE_ENCODE_ORACLE
+    o["bpe_encode_roundtrip"] = _bpe.BPE_ENCODE_ROUNDTRIP_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
