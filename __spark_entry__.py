@@ -249,6 +249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_train"] = _bpe.bpe_train_query
     q["bpe_encode"] = _bpe.bpe_encode_query
     q["bpe_encode_roundtrip"] = _bpe.bpe_encode_roundtrip_query
+    # DSIR-style importance-weighted selection (hashed-bucket ratios)
+    from parquet_go_spark.operators import dsir as _dsir
+
+    q["curate_dsir"] = _dsir.curate_dsir_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -422,6 +426,9 @@ def oracle_sql() -> dict[str, str]:
     o["bpe_train"] = _bpe.BPE_TRAIN_ORACLE
     o["bpe_encode"] = _bpe.BPE_ENCODE_ORACLE
     o["bpe_encode_roundtrip"] = _bpe.BPE_ENCODE_ROUNDTRIP_ORACLE
+    from parquet_go_spark.operators import dsir as _dsir
+
+    o["curate_dsir"] = _dsir.CURATE_DSIR_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
