@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import dsir as _dsir
 
     q["curate_dsir"] = _dsir.curate_dsir_query
+    # Iceberg hidden partitioning: transform-spec pruning from meta alone
+    from parquet_go_spark.operators import partspec as _psp
+
+    q["prune_hidden_partition"] = _psp.hidden_partition_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -429,6 +433,9 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import dsir as _dsir
 
     o["curate_dsir"] = _dsir.CURATE_DSIR_ORACLE
+    from parquet_go_spark.operators import partspec as _psp
+
+    o["prune_hidden_partition"] = _psp.HIDDEN_PARTITION_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
