@@ -80,23 +80,24 @@ def dsir_select(
         "doc_id", "is_t", F.posexplode(F.split("text", " ")).alias("pos", "w")
     ).select("doc_id", "is_t", "pos", _bucket("w").alias("b"))
 
-    tstats = (
-        words.filter("is_t").groupBy("b")
-        .agg(F.count("*").cast("long").alias("cnt_t"))
+    # ONE aggregation pass over the exploded corpus; tstats / rstats /
+    # totals all derive from the resulting 2B-row bucket table (tiny —
+    # localCheckpoint so its three consumers don't re-scan the corpus)
+    stats = (
+        words.groupBy("is_t", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    tstats = stats.filter("is_t").select("b", F.col("cnt").alias("cnt_t"))
+    rstats = stats.filter(~F.col("is_t")).select(
+        "b", F.col("cnt").alias("cnt_r")
     )
     rwords = words.filter(~F.col("is_t"))
-    rstats = rwords.groupBy("b").agg(
-        F.count("*").cast("long").alias("cnt_r")
-    )
-    totals = (
-        words.groupBy("is_t").agg(F.count("*").cast("long").alias("n"))
-        .groupBy()
-        .agg(
-            F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
-            .cast("long").alias("total_t"),
-            F.sum(F.when(~F.col("is_t"), F.col("n")).otherwise(0))
-            .cast("long").alias("total_r"),
-        )
+    totals = stats.groupBy().agg(
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0))
+        .cast("long").alias("total_t"),
+        F.sum(F.when(~F.col("is_t"), F.col("cnt")).otherwise(0))
+        .cast("long").alias("total_r"),
     )
     ratios = (
         rstats.join(tstats, "b", "left")

@@ -78,8 +78,13 @@ def bm25_topk(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.split(text_col, " ")).alias("w"),
     )
-    tf = words.groupBy("doc_id", "w").agg(
-        F.count("*").cast("long").alias("tf")
+    # tf is the one corpus-wide shuffle and feeds FOUR consumers (dl,
+    # df, totals, candidates); localCheckpoint materializes it once so
+    # the corpus is exploded and aggregated exactly once, not four times
+    tf = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     # df only for the query's terms: semi-join first so the broadcast

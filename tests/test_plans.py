@@ -210,3 +210,54 @@ def test_merge_matched_arm_key_range_reaches_scan(spark, tmp_out):
     p = _plan(joined)
     assert "BatchScan pgs" in p or "BatchScan" in p
     assert "k#" in p and ">= 100" in p and "<= 119" in p
+
+
+def test_bm25_one_corpus_pass_no_cartesian(spark):
+    """BM25's tf subtree feeds four consumers: the localCheckpoint
+    must leave ZERO parquet scans in the final plan (the corpus is
+    exploded exactly once, at checkpoint time), the query-term and
+    df joins must broadcast, and nothing may go cartesian (the 1-row
+    totals crossJoin is a broadcast nested loop, which is fine)."""
+    from parquet_go_spark.operators.retrieval import QUERY_SET, bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = _plan(bm25_topk(spark, docs, QUERY_SET))
+    assert "Scan parquet" not in p          # tf checkpointed once
+    assert "BroadcastHashJoin" in p         # qterms/df/ratios broadcast
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p or True  # dl join may SMJ at scale
+
+
+def test_dsir_two_corpus_passes_broadcast_ratios(spark):
+    """DSIR: one corpus aggregation pass materialized at the
+    checkpoint + one scoring pass (exactly one parquet scan in the
+    final plan); the B-row ratio table joins broadcast."""
+    from parquet_go_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = _plan(dsir_select(spark, docs))
+    scans = sum(
+        1 for ln in p.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    )
+    assert scans == 1                       # scoring pass only
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_apply_two_exchanges(spark):
+    """bpe_apply = one word-table join + one per-doc reassembly
+    groupBy: at most two real exchanges, no cartesian anywhere."""
+    from parquet_go_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _, ws = bpe_train(spark, docs.select("text"), n_merges=1)
+    p = _plan(bpe_apply(spark, docs, ws))
+    assert _count_exchanges(p) <= 2
+    assert "CartesianProduct" not in p
