@@ -257,6 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import partspec as _psp
 
     q["prune_hidden_partition"] = _psp.hidden_partition_query
+    # integer-exact distributed perceptron (trainable lang/quality filter)
+    from parquet_go_spark.operators import classifier as _clf
+
+    q["text_lang_classifier"] = _clf.lang_classifier_query
 
     # --- pruned reads (ColumnIndex / bloom / projection analogs) ---
     q["prune_stats_range"] = _pruned.stats_pruned_range_query
@@ -436,6 +440,9 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import partspec as _psp
 
     o["prune_hidden_partition"] = _psp.HIDDEN_PARTITION_ORACLE
+    from parquet_go_spark.operators import classifier as _clf
+
+    o["text_lang_classifier"] = _clf.LANG_CLASSIFIER_ORACLE
     o["prune_stats_range"] = _pruned.STATS_PRUNED_RANGE_ORACLE
     o["prune_bloom_point"] = _pruned.BLOOM_PRUNED_POINT_ORACLE
     o["prune_pages"] = _pruned.PAGE_PRUNED_RANGE_ORACLE
