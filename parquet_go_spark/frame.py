@@ -327,6 +327,77 @@ def read_frame(
     )
 
 
+def rotate_frame_key(
+    buf: bytes | memoryview,
+    old: bytes | SealOptions | None,
+    new: bytes | SealOptions | None,
+) -> bytes:
+    """Re-seal one frame under a new key WITHOUT decompressing or
+    decoding: the GCM envelope peels off (old AAD = old header +
+    section table), the still-compressed body re-seals under the new
+    key with a fresh nonce, and the CRC recomputes. old/new of None
+    mean plaintext on that side, so this also seals a previously
+    unencrypted frame and unseals to plaintext (takedown-to-archive).
+
+    The header is identical except the FLAG_ENCRYPTED bit, so decode
+    semantics cannot change; nested children live inside the one outer
+    frame's sections and rotate with it."""
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    def _opts(k):
+        if k is None or isinstance(k, SealOptions):
+            return k
+        return SealOptions(key=k)
+
+    old, new = _opts(old), _opts(new)
+    buf = memoryview(buf)
+    if len(buf) < _HDR.size + 4:
+        raise ValueError("frame too short")
+    (magic, version, codec, comp_id, ltype, flags, bw, nsect, _pad,
+     count, null_count, raw_size, payload_size) = _HDR.unpack(buf[: _HDR.size])
+    if magic != MAGIC or version != VERSION:
+        raise ValueError("bad frame magic/version")
+    pos = _HDR.size + 8 * nsect
+    if len(buf) < pos + 4:
+        raise ValueError("truncated section table")
+    sect_table = bytes(buf[_HDR.size: pos])
+    body = bytes(buf[pos: len(buf) - 4])
+    (crc,) = struct.unpack_from("<I", buf, len(buf) - 4)
+    if zlib.crc32(buf[: len(buf) - 4]) != crc:
+        raise ValueError("frame CRC mismatch")
+    old_header = bytes(buf[: _HDR.size])
+    if flags & FLAG_ENCRYPTED:
+        if old is None:
+            raise ValueError("frame is encrypted and no old key was given")
+        if len(body) < GCM_NONCE_LEN + GCM_TAG_LEN:
+            raise ValueError("truncated encrypted frame body")
+        try:
+            body = AESGCM(old.key).decrypt(
+                body[:GCM_NONCE_LEN], body[GCM_NONCE_LEN:],
+                old.aad_prefix + old_header + sect_table,
+            )
+        except Exception as e:
+            raise ValueError(f"frame decryption failed: {e}") from e
+    elif old is not None and old.key is not None:
+        raise ValueError("old key given for a plaintext frame")
+    new_flags = flags & ~FLAG_ENCRYPTED
+    if new is not None and new.key is not None:
+        new_flags |= FLAG_ENCRYPTED
+    header = _HDR.pack(
+        MAGIC, VERSION, codec, comp_id, ltype, new_flags, bw,
+        nsect, 0, count, null_count, raw_size, payload_size,
+    )
+    if new is not None and new.key is not None:
+        import os as _os
+
+        nonce = _os.urandom(GCM_NONCE_LEN)
+        body = nonce + AESGCM(new.key).encrypt(
+            nonce, body, new.aad_prefix + header + sect_table
+        )
+    new_crc = zlib.crc32(body, zlib.crc32(sect_table, zlib.crc32(header)))
+    return b"".join((header, sect_table, body, struct.pack("<I", new_crc)))
+
+
 def pack_validity(valid: np.ndarray) -> bytes:
     return np.packbits(np.ascontiguousarray(valid, dtype=bool), bitorder="little").tobytes()
 

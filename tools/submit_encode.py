@@ -181,6 +181,48 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_rotate_keys(args) -> int:
+    """Re-seal every chunk under a new key chain into a new store dir —
+    AES work only, no decode/re-encode (operators/maintenance.py)."""
+    from parquet_go_spark import keys
+    from parquet_go_spark.operators.maintenance import rotate_store_keys
+
+    spark = _get_session("pgs-rotate")
+    dst = rotate_store_keys(
+        spark, args.store, args.dest,
+        old_key=bytes.fromhex(args.old_key_hex) if args.old_key_hex else None,
+        new_key=bytes.fromhex(args.new_key_hex) if args.new_key_hex else None,
+        old_column_keys=keys.parse_hex_keys(args.old_column_keys),
+        new_column_keys=keys.parse_hex_keys(args.new_column_keys),
+        old_aad_prefix=bytes.fromhex(args.old_aad_prefix_hex or ""),
+        new_aad_prefix=bytes.fromhex(args.new_aad_prefix_hex or ""),
+    )
+    print(json.dumps({"job": "rotate-keys", "dest": dst.out_dir,
+                      "encrypted": dst.meta().get("encrypted", False)}))
+    return 0
+
+
+def cmd_fsck(args) -> int:
+    """Distributed integrity walk: header parse + CRC (+ seal auth with
+    keys, + full decode with --deep) for every chunk; non-zero exit on
+    any finding other than sealed_unverified."""
+    from parquet_go_spark import keys
+    from parquet_go_spark.operators.maintenance import fsck_store
+
+    spark = _get_session("pgs-fsck")
+    rows = fsck_store(
+        spark, args.store,
+        encryption_key=(bytes.fromhex(args.encrypt_key_hex)
+                        if args.encrypt_key_hex else None),
+        column_keys=keys.parse_hex_keys(args.column_keys),
+        deep=args.deep,
+    ).collect()
+    findings = [r.asDict() for r in rows]
+    print(json.dumps({"job": "fsck", "findings": findings}))
+    return 1 if any(f["status"] != "sealed_unverified"
+                    for f in findings) else 0
+
+
 def cmd_describe(args) -> int:
     """Metadata-only store summary (no Spark, no blob bytes)."""
     from parquet_go_spark.sources.pgs_datasource import describe_store
@@ -451,6 +493,24 @@ def main() -> int:
     swp = sub.add_parser("sweep")
     swp.add_argument("--store", required=True)
     swp.set_defaults(fn=cmd_sweep)
+
+    rot = sub.add_parser("rotate-keys")
+    rot.add_argument("store")
+    rot.add_argument("dest")
+    rot.add_argument("--old-key-hex")
+    rot.add_argument("--new-key-hex")
+    rot.add_argument("--old-column-keys", help="JSON {col: hexkey}")
+    rot.add_argument("--new-column-keys", help="JSON {col: hexkey}")
+    rot.add_argument("--old-aad-prefix-hex")
+    rot.add_argument("--new-aad-prefix-hex")
+    rot.set_defaults(fn=cmd_rotate_keys)
+
+    fsk = sub.add_parser("fsck")
+    fsk.add_argument("store")
+    fsk.add_argument("--encrypt-key-hex")
+    fsk.add_argument("--column-keys", help="JSON {col: hexkey}")
+    fsk.add_argument("--deep", action="store_true")
+    fsk.set_defaults(fn=cmd_fsck)
 
     dsc = sub.add_parser("describe")
     dsc.add_argument("--store", required=True)
