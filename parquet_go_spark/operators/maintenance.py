@@ -57,10 +57,19 @@ def rotate_store_keys(
 ) -> ManifestStore:
     """Re-seal every chunk of ``src_path`` under the new key chain into
     ``dst_path`` (new store; source untouched). None on the new side
-    unseals to plaintext; None on the old side requires plaintext."""
+    unseals to plaintext; None on the old side requires plaintext.
+
+    Rotation preserves the store EXACTLY — same visible rows, same
+    snapshots: delete state (positional tombstones + equality-delete
+    key tables, both plaintext parquet under ``deletes/``) is copied
+    verbatim, and open branches refuse (their staged blobs live outside
+    the main blob set and would keep the old keys)."""
+    from ..sources.pgs_datasource import _require_no_branches
+
     src = ManifestStore(src_path)
     if os.path.isdir(dst_path):
         raise ValueError(f"rotate destination {dst_path} already exists")
+    _require_no_branches(src.meta(), "rotate_store_keys")
 
     oc, nc = old_column_keys or {}, new_column_keys or {}
     ok, nk = old_key, new_key
@@ -90,6 +99,12 @@ def rotate_store_keys(
 
     dst = ManifestStore(dst_path)
     dst.append_blobs(src.blobs(spark).mapInArrow(rot, BLOB_SCHEMA))
+    # delete state (tombstone + eq-delete files are plaintext parquet,
+    # not sealed frames — data-key rotation does not touch them) copies
+    # BEFORE the meta write, which is the commit point
+    src_deletes = os.path.join(src_path, "deletes")
+    if os.path.isdir(src_deletes):
+        shutil.copytree(src_deletes, os.path.join(dst_path, "deletes"))
     meta = dict(src.meta())
     meta["encrypted"] = nk is not None or bool(nc)
     meta["column_key_cols"] = sorted(nc)

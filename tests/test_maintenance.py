@@ -108,6 +108,41 @@ def test_rotate_store_end_to_end(spark):
         shutil.rmtree(dst_dir, ignore_errors=True)
 
 
+def test_rotate_preserves_delete_state_and_refuses_branches(spark):
+    from parquet_go_spark.operators.deletes import delete_where
+    from parquet_go_spark.sources.pgs_datasource import create_branch, register
+
+    src_dir = tempfile.mkdtemp()
+    dst_dir = src_dir + "_rot"
+    br_dir = src_dir + "_br"
+    try:
+        _encode_store(spark, src_dir, key=K1)
+        res = delete_where(spark, src_dir, "n_tok % 5 = 0",
+                           read_options={"key_hex": K1.hex()})
+        assert res["deleted_rows"] > 0
+        rotate_store_keys(spark, src_dir, dst_dir, old_key=K1, new_key=K2)
+        register(spark)
+        exp = spark.read.format("pgs").option("key_hex", K1.hex()).load(src_dir)
+        got = spark.read.format("pgs").option("key_hex", K2.hex()).load(dst_dir)
+        # rotation preserves the store exactly: tombstones still apply
+        assert got.filter("n_tok % 5 = 0").count() == 0
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+        # and fsck's missing_delete_dir cross-check stays clean
+        assert fsck_store(spark, dst_dir, encryption_key=K2).count() == 0
+        # open branches refuse (staged blobs would keep the old keys);
+        # branches need a pgs-writer store with commit history
+        exp.limit(50).write.format("pgs").mode("append").save(br_dir)
+        create_branch(br_dir, "wap")
+        with pytest.raises(ValueError, match="branch"):
+            rotate_store_keys(spark, br_dir, br_dir + "_x", new_key=K2)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        shutil.rmtree(br_dir, ignore_errors=True)
+        shutil.rmtree(br_dir + "_x", ignore_errors=True)
+
+
 def test_fsck_flags_corruption(spark):
     import glob
     import os
