@@ -186,6 +186,19 @@ def fsck_store(
     findings = store.blobs(spark).mapInArrow(
         check, "part_id int, col string, status string, detail string"
     )
+    # duplicate (part_id, col) chunks = a double-committed append; the
+    # readers would silently decode the same rows twice
+    dupes = (
+        store.manifest(spark).groupBy("part_id", "col").count()
+        .filter(F.col("count") > 1)
+        .select(
+            "part_id", "col",
+            F.lit("duplicate_chunk").alias("status"),
+            F.concat(F.lit("chunk committed "), "count",
+                     F.lit(" times")).alias("detail"),
+        )
+    )
+    findings = findings.unionByName(dupes)
     # driver-side metadata cross-checks ride along as literal rows
     extra = []
     meta = store.meta()
@@ -193,6 +206,28 @@ def fsck_store(
         name = d.get("name") if isinstance(d, dict) else None
         if name and not os.path.isdir(os.path.join(path, "deletes", name)):
             extra.append((-1, "_meta", "missing_delete_dir", name))
+    # the materialized manifest/ snapshot is a convenience copy for
+    # external readers; the live blob projection is truth — flag drift
+    mdir = os.path.join(path, "manifest")
+    if os.path.isdir(mdir) and any(
+        f.endswith(".parquet") for f in os.listdir(mdir)
+    ):
+        snap = spark.read.parquet(mdir)
+        # intersect columns so a snapshot from an older manifest layout
+        # still compares on what it has
+        common = [c for c in store.manifest(spark).columns
+                  if c in snap.columns]
+        live = store.manifest(spark).select(*common)
+        snap = snap.select(*common)
+        missing = live.exceptAll(snap).count()
+        phantom = snap.exceptAll(live).count()
+        if missing or phantom:
+            extra.append((
+                -1, "_manifest", "stale_manifest_snapshot",
+                f"{missing} live chunk rows absent from the snapshot, "
+                f"{phantom} snapshot rows with no live chunk "
+                "(rerun write_manifest_snapshot)",
+            ))
     if extra:
         findings = findings.unionByName(
             spark.createDataFrame(

@@ -143,6 +143,29 @@ def test_rotate_preserves_delete_state_and_refuses_branches(spark):
         shutil.rmtree(br_dir + "_x", ignore_errors=True)
 
 
+def test_fsck_flags_duplicate_chunks_and_stale_snapshot(spark):
+    from parquet_go_spark.operators.store import ManifestStore
+
+    src_dir = tempfile.mkdtemp()
+    try:
+        _encode_store(spark, src_dir, key=None)
+        assert fsck_store(spark, src_dir).count() == 0
+        store = ManifestStore(src_dir)
+        # double-commit two chunks; the materialized snapshot now also
+        # disagrees with the live blob projection
+        dup = store.blobs(spark).limit(2).localCheckpoint()
+        store.append_blobs(dup)
+        st = {r["status"] for r in fsck_store(spark, src_dir).collect()}
+        assert "duplicate_chunk" in st
+        assert "stale_manifest_snapshot" in st
+        # refreshing the snapshot clears the staleness finding only
+        store.write_manifest_snapshot(spark)
+        st = {r["status"] for r in fsck_store(spark, src_dir).collect()}
+        assert st == {"duplicate_chunk"}
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def test_fsck_flags_corruption(spark):
     import glob
     import os
