@@ -92,6 +92,14 @@ def rotate_store_keys(
                 ))
             import pyarrow as pa
 
+            # plaintext<->sealed transitions change every frame by the
+            # GCM envelope (nonce+tag); keep the manifest's encoded_size
+            # true to the stored bytes (size_stats is decoded-value
+            # based and unaffected)
+            b = b.set_column(
+                b.schema.get_field_index("encoded_size"), "encoded_size",
+                pa.array([len(x) for x in out], type=pa.int64()),
+            )
             yield b.set_column(
                 b.schema.get_field_index("blob"), "blob",
                 pa.array(out, type=pa.binary()),
@@ -119,13 +127,17 @@ def fsck_store(
     encryption_key: bytes | None = None,
     column_keys: dict[str, bytes] | None = None,
     deep: bool = False,
+    aad_prefix: bytes = b"",
 ) -> DataFrame:
     """Integrity findings for every chunk: (part_id, col, status,
     detail). Empty frame = clean. Without keys, encrypted chunks verify
     header+CRC only (the envelope authenticates at decode); with keys,
     the seal is authenticated; ``deep`` additionally full-decodes and
-    compares the value count against the stored header."""
-    ck, fk = column_keys or {}, encryption_key
+    compares the value count against the stored header. ``aad_prefix``
+    must match the seal-time prefix for stores rotated/written under a
+    non-empty AAD — otherwise every healthy sealed chunk reports
+    'corrupt' (GCM auth failure)."""
+    ck, fk, ap = column_keys or {}, encryption_key, aad_prefix
 
     def check(it):
         import pyarrow as pa
@@ -137,7 +149,9 @@ def fsck_store(
             blobs = b.column("blob").to_pylist()
             o_pid, o_col, o_st, o_dt = [], [], [], []
             for pid, c, cnt, blob in zip(pids, cols, counts, blobs):
-                key = keysmod.key_for(c, ck, fk)
+                kb = keysmod.key_for(c, ck, fk)
+                key = (framemod.ReadOptions(key=kb, aad_prefix=ap)
+                       if kb is not None else None)
                 status = detail = None
                 try:
                     pages = chunkmod.split_pages(blob)

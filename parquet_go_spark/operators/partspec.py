@@ -132,6 +132,12 @@ def _py_value(t: Transform, v):
             h = int(bloommod.xxhash64_u64(
                 np.asarray([v], dtype=np.int64), seed=42
             )[0])
+        # the numpy twins return the hash as UNSIGNED u64; Spark's
+        # xxhash64 is a SIGNED long, and pmod(h, N) differs between the
+        # two views whenever N is not a power of two and the top bit is
+        # set — reinterpret before reducing
+        if h >= 1 << 63:
+            h -= 1 << 64
         return ((h % t.arg) + t.arg) % t.arg
     if t.kind == "truncate":
         if isinstance(v, str):
@@ -176,6 +182,7 @@ def encode_partitioned(
     df: DataFrame,
     out_dir: str,
     spec: str | list[Transform],
+    max_partitions: int = 65536,
     **encode_kw,
 ) -> ManifestStore:
     """Encode ``df`` with part ids assigned by the partition spec; the
@@ -191,21 +198,49 @@ def encode_partitioned(
     planned = df.select(
         "*", *[_spark_value(t).alias(n) for t, n in zip(ts, pv_cols)]
     )
+    # Iceberg transforms map NULL source values to NULL partition values;
+    # sort with a null-first key (None is not orderable against values)
+    # and join null-safely below so all-null tuples still route.
+    # the distinct-tuple collect is metadata-scale ONLY if the spec is
+    # sane (Iceberg has the same failure mode: identity on a high-NDV
+    # column). Bound it: fetch cap+1 rows and refuse, never OOM.
+    distinct_rows = (planned.select(*pv_cols).distinct()
+                     .limit(max_partitions + 1).collect())
+    if len(distinct_rows) > max_partitions:
+        raise ValueError(
+            f"encode_partitioned: spec {spec!r} yields more than "
+            f"{max_partitions} distinct partition tuples — pick a "
+            "coarser transform (bucket/truncate/day) or raise "
+            "max_partitions explicitly"
+        )
     tuples = sorted(
-        tuple(r[n] for n in pv_cols)
-        for r in planned.select(*pv_cols).distinct().collect()
+        (tuple(r[n] for n in pv_cols) for r in distinct_rows),
+        key=lambda tup: tuple((v is None, 0 if v is None else v)
+                              for v in tup),
     )
     if not tuples:
         raise ValueError("encode_partitioned: input is empty")
     pid_map = {tup: i for i, tup in enumerate(tuples)}
+
+    def _pv_sql_type(i: int) -> str:
+        for tup in tuples:                    # first non-null wins
+            if tup[i] is not None:
+                return "string" if isinstance(tup[i], str) else "long"
+        t = ts[i]                             # all-null: infer from spec
+        return ("string"
+                if t.kind in ("identity", "truncate")
+                and t.src.startswith("string") else "long")
+
+    mv_cols = [f"_mv_{i}" for i in range(len(ts))]
     map_df = spark.createDataFrame(
         [(*tup, pid) for tup, pid in pid_map.items()],
-        ", ".join(
-            f"{n} {'string' if isinstance(tuples[0][i], str) else 'long'}"
-            for i, n in enumerate(pv_cols)
-        ) + ", part_id int",
+        ", ".join(f"{n} {_pv_sql_type(i)}" for i, n in enumerate(mv_cols))
+        + ", part_id int",
     )
-    routed = planned.join(F.broadcast(map_df), pv_cols).drop(*pv_cols)
+    cond = F.lit(True)
+    for p, m in zip(pv_cols, mv_cols):
+        cond = cond & planned[p].eqNullSafe(map_df[m])
+    routed = planned.join(F.broadcast(map_df), cond).drop(*pv_cols, *mv_cols)
 
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -255,7 +290,10 @@ def hidden_candidates(store: ManifestStore, predicates: dict) -> list[int]:
             if t.kind not in _MONOTONE:
                 continue
             lo, hi = _py_value(t, pred[1]), _py_value(t, pred[2])
-            keep = {p for p in keep if lo <= pvals[p][i] <= hi}
+            # a None tuple value means every row in that partition has
+            # NULL in the source column — no predicate can match it
+            keep = {p for p in keep
+                    if pvals[p][i] is not None and lo <= pvals[p][i] <= hi}
         else:
             raise ValueError(f"unknown predicate {op!r}")
     return sorted(keep)

@@ -143,6 +143,43 @@ def test_rotate_preserves_delete_state_and_refuses_branches(spark):
         shutil.rmtree(br_dir + "_x", ignore_errors=True)
 
 
+def test_fsck_honors_aad_prefix_and_rotation_fixes_sizes(spark):
+    """Round-2 advice: (a) fsck on a store sealed under a non-empty AAD
+    prefix must authenticate with that prefix instead of reporting every
+    chunk corrupt; (b) rotation recomputes encoded_size so the manifest
+    matches the stored blobs after plaintext<->sealed transitions."""
+    from pyspark.sql import functions as F
+
+    from parquet_go_spark.operators.store import ManifestStore
+
+    src_dir = tempfile.mkdtemp()
+    dst_dir = src_dir + "_rot"
+    try:
+        _encode_store(spark, src_dir, key=None)
+        aad = b"tenant-42"
+        rotate_store_keys(spark, src_dir, dst_dir,
+                          old_key=None, new_key=K2, new_aad_prefix=aad)
+        # (b) manifest encoded_size == stored blob length, every chunk
+        mism = (
+            ManifestStore(dst_dir).blobs(spark)
+            .filter(F.length("blob") != F.col("encoded_size")).count()
+        )
+        assert mism == 0
+        # (a) right key + right prefix: clean
+        assert fsck_store(spark, dst_dir, encryption_key=K2,
+                          aad_prefix=aad).count() == 0
+        # right key, missing prefix: auth fails loudly (not silently ok)
+        st = {r["status"] for r in
+              fsck_store(spark, dst_dir, encryption_key=K2).collect()}
+        assert st == {"corrupt"}
+        # deep fsck authenticates + decodes under the prefix
+        assert fsck_store(spark, dst_dir, encryption_key=K2,
+                          aad_prefix=aad, deep=True).count() == 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(dst_dir, ignore_errors=True)
+
+
 def test_fsck_flags_duplicate_chunks_and_stale_snapshot(spark):
     from parquet_go_spark.operators.store import ManifestStore
 

@@ -72,6 +72,86 @@ def test_transform_twins_match_spark(spark):
         )
 
 
+def test_bucket_twin_non_power_of_two(spark):
+    """Regression (round-2 advice, high): the numpy xxhash64 twins return
+    UNSIGNED u64 while Spark's xxhash64 is a SIGNED long; pmod disagrees
+    between the two views for every non-power-of-two N whenever the top
+    hash bit is set. Pin N=3/5/10 across all three type branches."""
+    longs = [0, 1, 7, -3, 42, 123456789012, -987654321]
+    df = spark.createDataFrame([(v,) for v in longs], "x long")
+    ints = [0, 5, 7, -17, 2147483647, -2147483648]
+    dfi = spark.createDataFrame([(v,) for v in ints], "x int")
+    strs = ["", "a", "hello world", "abcdefghij_tail", "7"]
+    dfs = spark.createDataFrame([(v,) for v in strs], "x string")
+    for n in (3, 5, 10):
+        _twin_check(spark, df, Transform("bucket", "x", n, "bigint"), longs)
+        _twin_check(spark, dfi, Transform("bucket", "x", n, "int"), ints)
+        _twin_check(spark, dfs, Transform("bucket", "x", n, "string"), strs)
+
+
+def test_null_partition_values_route_and_prune(spark):
+    """Iceberg transforms map NULL source values to NULL partition
+    values: rows with nulls must still be routed (null-safe join),
+    survive the roundtrip, and be pruned away by eq/range predicates
+    (NULL matches no predicate)."""
+    import tempfile
+
+    rows = [(i, None if i % 5 == 0 else i % 7, f"s{i % 3}" if i % 4 else None)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, uid long, src string")
+    tmp = tempfile.mkdtemp()
+    try:
+        store = encode_partitioned(
+            spark, df, tmp, "bucket(5, uid), identity(src)"
+        )
+        meta = store.meta()
+        # null tuples recorded in meta
+        assert any(
+            v[0] is None or v[1] is None
+            for v in meta["partition_values"].values()
+        )
+        from parquet_go_spark.operators.pruned import (
+            _decode_parts,
+            _schema_of,
+        )
+
+        schema, atypes = _schema_of(df, df.columns)
+        all_parts = sorted(int(p) for p in meta["partition_values"])
+        dec = _decode_parts(spark, store, all_parts, df.columns,
+                            schema, atypes)
+        # no rows dropped by the partition routing
+        assert dec.count() == 60
+        assert dec.exceptAll(df).count() == 0
+        assert df.exceptAll(dec).count() == 0
+
+        # eq predicate never selects the NULL partitions
+        cand = hidden_candidates(store, {"uid": ("eq", 3)})
+        nulls = {int(p) for p, v in meta["partition_values"].items()
+                 if v[0] is None}
+        assert not (set(cand) & nulls)
+        # range over identity(src) must not raise on None tuples
+        cr = hidden_candidates(store, {"src": ("range", "s0", "s1")})
+        snulls = {int(p) for p, v in meta["partition_values"].items()
+                  if v[1] is None}
+        assert not (set(cr) & snulls)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partition_cardinality_guard(spark):
+    """identity() on a high-NDV column must refuse, not OOM the driver."""
+    import pytest
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    tmp = tempfile.mkdtemp()
+    try:
+        with pytest.raises(ValueError, match="distinct partition tuples"):
+            encode_partitioned(spark, df, tmp, "identity(k)",
+                               max_partitions=100)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_truncate_negative_ints_iceberg_rule(spark):
     # Iceberg: truncate(10, -1) = -10 (floor, not toward zero)
     t = Transform("truncate", "x", 10, "bigint")

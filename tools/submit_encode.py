@@ -216,6 +216,7 @@ def cmd_fsck(args) -> int:
                         if args.encrypt_key_hex else None),
         column_keys=keys.parse_hex_keys(args.column_keys),
         deep=args.deep,
+        aad_prefix=bytes.fromhex(args.aad_prefix_hex or ""),
     ).collect()
     findings = [r.asDict() for r in rows]
     print(json.dumps({"job": "fsck", "findings": findings}))
@@ -509,6 +510,8 @@ def main() -> int:
     fsk.add_argument("store")
     fsk.add_argument("--encrypt-key-hex")
     fsk.add_argument("--column-keys", help="JSON {col: hexkey}")
+    fsk.add_argument("--aad-prefix-hex",
+                     help="seal-time AAD prefix for sealed stores")
     fsk.add_argument("--deep", action="store_true")
     fsk.set_defaults(fn=cmd_fsck)
 
