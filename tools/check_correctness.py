@@ -48,7 +48,8 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from parquet_go_spark.session import get_spark
 
-    spark = get_spark(cores="8", app_name="correctness", driver_memory="8g")
+    spark = get_spark(cores="8", app_name="correctness", driver_memory="8g",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
