@@ -48,13 +48,24 @@ def bit_length_array(m: np.ndarray) -> np.ndarray:
     return w
 
 
-def encode(values: np.ndarray, itemsize: int = 8) -> bytes:
-    """Encode int32/int64 values; arithmetic wraps (matching Go int64 ops)."""
+def encode(values: np.ndarray, itemsize: int = 8,
+           block_size: int = BLOCK_SIZE,
+           miniblocks: int = MINIBLOCKS) -> bytes:
+    """Encode int32/int64 values; arithmetic wraps (matching Go int64 ops).
+
+    ``block_size``/``miniblocks`` default to the reference writer's
+    128/4 (encodingwrite.go:191); other spec-legal geometries (e.g.
+    arrow C++'s 256/4 for INT64) are accepted for cross-writer
+    byte-identity tests — the decoder reads the geometry from the
+    header either way."""
+    if block_size % (miniblocks * 8):
+        raise ValueError("miniblock size must be a multiple of 8")
+    mb_size = block_size // miniblocks
     a = np.ascontiguousarray(values).astype(np.int64, copy=False)
     n = len(a)
     out = [
-        write_uvarint(BLOCK_SIZE),
-        write_uvarint(MINIBLOCKS),
+        write_uvarint(block_size),
+        write_uvarint(miniblocks),
         write_uvarint(n),
     ]
     if n == 0:
@@ -74,36 +85,36 @@ def encode(values: np.ndarray, itemsize: int = 8) -> bytes:
         if itemsize == 4:
             # keep deltas in 32-bit modular domain like the INT32 writer
             deltas = deltas.astype(np.int32).astype(np.int64)
-    nblocks = -(-m // BLOCK_SIZE)
-    block_starts = np.arange(nblocks) * BLOCK_SIZE
+    nblocks = -(-m // block_size)
+    block_starts = np.arange(nblocks) * block_size
     mins = np.minimum.reduceat(deltas, block_starts)
 
-    padded = np.empty(nblocks * BLOCK_SIZE, dtype=np.int64)
+    padded = np.empty(nblocks * block_size, dtype=np.int64)
     padded[:m] = deltas
     # pad with the last block's min so padding never widens a miniblock
     padded[m:] = mins[-1]
     with np.errstate(over="ignore"):
         adj = (
-            padded.view(np.uint64).reshape(nblocks, BLOCK_SIZE)
+            padded.view(np.uint64).reshape(nblocks, block_size)
             - mins.view(np.uint64)[:, None]
         )
     if itemsize == 4:
         adj &= np.uint64(0xFFFFFFFF)
 
-    mb = adj.reshape(nblocks * MINIBLOCKS, MINIBLOCK_SIZE)
-    used_mb = -(-m // MINIBLOCK_SIZE)
+    mb = adj.reshape(nblocks * miniblocks, mb_size)
+    used_mb = -(-m // mb_size)
     widths = bit_length_array(mb.max(axis=1))
     widths[used_mb:] = 0  # trailing miniblocks beyond data: width 0, no payload
 
     # pack all miniblocks of the same width in one vectorized call
-    payload: list[bytes] = [b""] * (nblocks * MINIBLOCKS)
+    payload: list[bytes] = [b""] * (nblocks * miniblocks)
     for w in np.unique(widths[:used_mb]):
         w = int(w)
         if w == 0:
             continue
         idx = np.flatnonzero(widths[:used_mb] == w)
         blob = bp_pack(mb[idx].ravel(), w)
-        step = MINIBLOCK_SIZE * w // 8
+        step = mb_size * w // 8
         for k, i in enumerate(idx):
             payload[i] = blob[k * step : (k + 1) * step]
 
@@ -114,13 +125,21 @@ def encode(values: np.ndarray, itemsize: int = 8) -> bytes:
         else:
             mn_zz = zigzag_encode(mn) & 0xFFFFFFFFFFFFFFFF
         out.append(write_uvarint(mn_zz))
-        out.append(bytes(int(x) for x in widths[b * MINIBLOCKS : (b + 1) * MINIBLOCKS]))
-        out.extend(payload[b * MINIBLOCKS : (b + 1) * MINIBLOCKS])
+        out.append(bytes(int(x) for x in widths[b * miniblocks : (b + 1) * miniblocks]))
+        out.extend(payload[b * miniblocks : (b + 1) * miniblocks])
     return b"".join(out)
 
 
 def decode(buf: bytes, itemsize: int = 8) -> np.ndarray:
     """Decode a DELTA_BINARY_PACKED stream -> int64 (or int32) array."""
+    return decode_consumed(buf, itemsize)[0]
+
+
+def decode_consumed(buf: bytes, itemsize: int = 8) -> tuple[np.ndarray, int]:
+    """Decode and also return the byte position one past the stream's
+    last miniblock — the spec's streams are self-delimiting, which is
+    how DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY readers find the
+    sections that follow (no length prefix in the wire format)."""
     block_size, pos = read_uvarint(buf, 0)
     miniblocks, pos = read_uvarint(buf, pos)
     if block_size == 0 or miniblocks == 0 or block_size % miniblocks:
@@ -131,11 +150,11 @@ def decode(buf: bytes, itemsize: int = 8) -> np.ndarray:
         raise ValueError(f"invalid count {n}")  # validateCount analog
     dtype = np.int32 if itemsize == 4 else np.int64
     if n == 0:
-        return np.zeros(0, dtype=dtype)
+        return np.zeros(0, dtype=dtype), pos
     first_zz, pos = read_uvarint(buf, pos)
     first = zigzag_decode(first_zz)
     if n == 1:
-        return np.array([first], dtype=dtype)
+        return np.array([first], dtype=dtype), pos
 
     m = n - 1
     nblocks = -(-m // block_size)
@@ -183,5 +202,5 @@ def decode(buf: bytes, itemsize: int = 8) -> np.ndarray:
         acc[1:] = acc[0] + flat
     signed = acc.view(np.int64)
     if itemsize == 4:
-        return signed.astype(np.int32)
-    return signed.copy()
+        return signed.astype(np.int32), pos
+    return signed.copy(), pos

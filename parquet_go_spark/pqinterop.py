@@ -1,0 +1,363 @@
+"""Real Parquet file-format interop: decode actual ``.parquet`` page
+payloads with the engine's own codec kernels.
+
+The reference's entire job is reading/writing real Parquet bytes
+(/root/reference/internal/encoding/encodingread.go:172-232,
+encodingread_delta.go:8-139, internal/layout/page_read.go:260-317).
+This engine implements the same kernels over its own PGS frame format;
+this module is the external proof that those kernels produce/consume
+the *spec's* bitstreams, not lookalikes: it parses a Parquet file's
+footer and page headers (Thrift compact protocol, parquet.thrift) and
+hands every page payload to ``codecs/{plainc,rle,delta,deltaba,bss,
+bitpack,dictionary}`` — pyarrow never touches a byte of the decode
+path. Scope (deliberate):
+
+  * flat required/optional columns, data pages v1 and v2,
+    uncompressed or engine-registry block codecs;
+  * encodings PLAIN, RLE (bool), RLE_DICTIONARY / PLAIN_DICTIONARY,
+    DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY,
+    BYTE_STREAM_SPLIT — the reference's full encoding menu
+    (encodingwrite.go / encodingread.go);
+  * v1 definition levels (u32-length-prefixed RLE) and v2 levels
+    (unprefixed RLE with byte lengths from the header).
+
+Spec deltas vs the engine's at-rest layout, handled here: the spec's
+DELTA_LENGTH/DELTA_BYTE_ARRAY sections are self-delimiting (no u32
+length prefixes — ``delta.decode_consumed`` finds the boundary), and
+RLE_DICTIONARY data pages carry a leading bit-width byte.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codecs import bss, delta, dictionary, plainc, rle
+from .codecs.varint import read_uvarint
+
+MAGIC = b"PAR1"
+
+# --- Thrift compact protocol (just enough for parquet.thrift) -----------
+
+CT_STOP, CT_TRUE, CT_FALSE, CT_BYTE = 0, 1, 2, 3
+CT_I16, CT_I32, CT_I64, CT_DOUBLE = 4, 5, 6, 7
+CT_BINARY, CT_LIST, CT_SET, CT_MAP, CT_STRUCT = 8, 9, 10, 11, 12
+
+
+def _zz(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _read_value(buf, pos: int, ftype: int):
+    if ftype == CT_TRUE:
+        return True, pos
+    if ftype == CT_FALSE:
+        return False, pos
+    if ftype == CT_BYTE:
+        return struct.unpack_from("<b", buf, pos)[0], pos + 1
+    if ftype in (CT_I16, CT_I32, CT_I64):
+        z, pos = read_uvarint(buf, pos)
+        return _zz(z), pos
+    if ftype == CT_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if ftype == CT_BINARY:
+        n, pos = read_uvarint(buf, pos)
+        if pos + n > len(buf):
+            raise ValueError("thrift: binary exceeds buffer")
+        return bytes(buf[pos : pos + n]), pos + n
+    if ftype in (CT_LIST, CT_SET):
+        hdr = buf[pos]
+        pos += 1
+        size, etype = hdr >> 4, hdr & 0x0F
+        if size == 15:
+            size, pos = read_uvarint(buf, pos)
+        out = []
+        for _ in range(size):
+            v, pos = _read_value(buf, pos, etype)
+            out.append(v)
+        return out, pos
+    if ftype == CT_MAP:
+        size, pos = read_uvarint(buf, pos)
+        out = {}
+        if size:
+            kv = buf[pos]
+            pos += 1
+            kt, vt = kv >> 4, kv & 0x0F
+            for _ in range(size):
+                k, pos = _read_value(buf, pos, kt)
+                v, pos = _read_value(buf, pos, vt)
+                out[k] = v
+        return out, pos
+    if ftype == CT_STRUCT:
+        return _read_struct(buf, pos)
+    raise ValueError(f"thrift: unknown compact type {ftype}")
+
+
+def _read_struct(buf, pos: int):
+    """Parse one struct -> {field_id: value}; nested structs recurse."""
+    fields: dict[int, object] = {}
+    last_id = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        if b == CT_STOP:
+            return fields, pos
+        fdelta, ftype = b >> 4, b & 0x0F
+        if fdelta:
+            fid = last_id + fdelta
+        else:
+            z, pos = read_uvarint(buf, pos)
+            fid = _zz(z)
+        last_id = fid
+        val, pos = _read_value(buf, pos, ftype)
+        fields[fid] = val
+
+
+# --- parquet.thrift constants -------------------------------------------
+
+T_BOOLEAN, T_INT32, T_INT64, T_INT96 = 0, 1, 2, 3
+T_FLOAT, T_DOUBLE, T_BYTE_ARRAY, T_FLBA = 4, 5, 6, 7
+
+E_PLAIN, E_PLAIN_DICTIONARY, E_RLE = 0, 2, 3
+E_DELTA_BINARY_PACKED, E_DELTA_LENGTH_BA, E_DELTA_BA = 5, 6, 7
+E_RLE_DICTIONARY, E_BYTE_STREAM_SPLIT = 8, 9
+
+PG_DATA, PG_DICT, PG_DATA_V2 = 0, 2, 3
+
+_CODEC_NAMES = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
+                5: "lz4", 6: "zstd", 7: "lz4_raw"}
+
+_NP_DTYPE = {T_INT32: np.dtype("<i4"), T_INT64: np.dtype("<i8"),
+             T_FLOAT: np.dtype("<f4"), T_DOUBLE: np.dtype("<f8")}
+
+
+@dataclass
+class ColumnChunkInfo:
+    name: str
+    physical_type: int
+    type_length: int | None
+    max_def: int          # 0 = required, 1 = optional (flat columns)
+    codec: int
+    num_values: int
+    first_page_offset: int
+    total_compressed: int
+    encodings: list[int] = field(default_factory=list)
+
+
+def read_file(path: str) -> tuple[bytes, dict]:
+    data = open(path, "rb").read()
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ValueError("not a parquet file")
+    mlen = struct.unpack("<I", data[-8:-4])[0]
+    meta, _ = _read_struct(memoryview(data)[len(data) - 8 - mlen:], 0)
+    return data, meta
+
+
+def _schema_columns(meta: dict) -> dict[str, tuple[int, int | None, int]]:
+    """name -> (physical_type, type_length, max_def) for flat leaves."""
+    out = {}
+    elems = meta[2]  # FileMetaData.schema
+    for el in elems[1:]:  # skip root
+        if el.get(5):  # num_children -> group node, flat files skip
+            continue
+        name = el[4].decode()
+        rep = el.get(3, 0)  # 0 REQUIRED, 1 OPTIONAL
+        out[name] = (el[1], el.get(2), 1 if rep == 1 else 0)
+    return out
+
+
+def column_chunks(meta: dict) -> list[list[ColumnChunkInfo]]:
+    """Per row group, the flat-leaf column chunk infos."""
+    schema = _schema_columns(meta)
+    groups = []
+    for rg in meta[4]:  # FileMetaData.row_groups
+        cols = []
+        for cc in rg[1]:  # RowGroup.columns
+            md = cc[3]    # ColumnChunk.meta_data
+            name = b".".join(md[3]).decode()
+            if name not in schema:
+                raise ValueError(f"nested column {name!r} out of scope")
+            ptype, tlen, max_def = schema[name]
+            start = md[9]  # data_page_offset
+            if 11 in md:   # dictionary_page_offset precedes data pages
+                start = min(start, md[11])
+            cols.append(ColumnChunkInfo(
+                name=name, physical_type=ptype, type_length=tlen,
+                max_def=max_def, codec=md[4], num_values=md[5],
+                first_page_offset=start, total_compressed=md[7],
+                encodings=list(md[2]),
+            ))
+        groups.append(cols)
+    return groups
+
+
+def _block_decompress(name: str, payload: bytes, out_size: int) -> bytes:
+    from . import frame as framemod
+
+    codec = framemod._get_codec(framemod.COMP_IDS[name])
+    return codec.decompress(payload, out_size).to_pybytes()
+
+
+def iter_pages(data: bytes, cc: ColumnChunkInfo):
+    """Yield (page_header_fields, raw_payload) for every page of the
+    chunk, decompressing through the engine's block-codec registry."""
+    pos = cc.first_page_offset
+    end = cc.first_page_offset + cc.total_compressed
+    mv = memoryview(data)
+    while pos < end:
+        hdr, body = _read_struct(mv, pos)
+        comp_size = hdr[3]
+        payload = bytes(mv[body : body + comp_size])
+        cname = _CODEC_NAMES.get(cc.codec)
+        if cc.codec not in _CODEC_NAMES:
+            raise ValueError(f"unsupported compression codec {cc.codec}")
+        if cname is not None:
+            ptype = hdr[1]
+            if ptype == PG_DATA_V2:
+                # v2: levels are stored UNcompressed before the values
+                v2 = hdr[8]
+                lvl = (v2.get(6, 0) or 0) + (v2.get(5, 0) or 0)
+                if v2.get(7, True):
+                    payload = payload[:lvl] + _block_decompress(
+                        cname, payload[lvl:], hdr[2] - lvl)
+            else:
+                payload = _block_decompress(cname, payload, hdr[2])
+        yield hdr, payload
+        pos = body + comp_size
+
+
+def _decode_plain(payload: bytes, ptype: int, n: int, type_length):
+    if ptype in _NP_DTYPE:
+        return plainc.decode_numeric(payload, _NP_DTYPE[ptype], n)
+    if ptype == T_BOOLEAN:
+        return plainc.decode_bool(payload, n)
+    if ptype == T_BYTE_ARRAY:
+        data, offs = plainc.decode_byte_array(payload, n)
+        return [bytes(data[offs[i]:offs[i + 1]]) for i in range(n)]
+    if ptype == T_FLBA:
+        w = int(type_length)
+        data = plainc.decode_fixed(payload, n, w)
+        return [bytes(data[i * w:(i + 1) * w]) for i in range(n)]
+    if ptype == T_INT96:
+        data = plainc.decode_fixed(payload, n, 12)
+        return [bytes(data[i * 12:(i + 1) * 12]) for i in range(n)]
+    raise ValueError(f"PLAIN: unsupported physical type {ptype}")
+
+
+def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
+                   type_length, dict_vals):
+    """Decode n leaf values from a data-page values section."""
+    if n == 0:
+        return []
+    if enc == E_PLAIN:
+        return _decode_plain(payload, ptype, n, type_length)
+    if enc in (E_RLE_DICTIONARY, E_PLAIN_DICTIONARY):
+        if dict_vals is None:
+            raise ValueError("dictionary page missing")
+        bw = payload[0]
+        idx = rle.decode(payload[1:], bw, n).astype(np.int64)
+        if isinstance(dict_vals, np.ndarray):
+            return dict_vals[idx]
+        return [dict_vals[i] for i in idx]
+    if enc == E_RLE:  # boolean RLE, u32-length-prefixed per spec
+        vals, _ = rle.decode_with_length_prefix(payload, 1, n)
+        return vals.astype(bool)
+    if enc == E_DELTA_BINARY_PACKED:
+        itemsize = 4 if ptype == T_INT32 else 8
+        vals, _ = delta.decode_consumed(payload, itemsize)
+        return vals
+    if enc == E_DELTA_LENGTH_BA:
+        lens, pos = delta.decode_consumed(payload, 4)
+        lens = lens.astype(np.int64)
+        if len(lens) < n or (len(lens) and lens.min() < 0):
+            raise ValueError("DELTA_LENGTH: bad lengths")
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        body = payload[pos:]
+        return [bytes(body[offs[i]:offs[i + 1]]) for i in range(n)]
+    if enc == E_DELTA_BA:
+        pfx, pos = delta.decode_consumed(payload, 4)
+        slen, pos2 = delta.decode_consumed(payload[pos:], 4)
+        pfx = pfx.astype(np.int64)
+        slen = slen.astype(np.int64)
+        if len(pfx) != len(slen) or len(pfx) < n:
+            raise ValueError("DELTA_BYTE_ARRAY: count mismatch")
+        if (len(pfx) and pfx.min() < 0) or (len(slen) and slen.min() < 0):
+            raise ValueError("DELTA_BYTE_ARRAY: negative length")
+        body = payload[pos + pos2:]
+        out, off, prev = [], 0, b""
+        for i in range(n):
+            p, s = int(pfx[i]), int(slen[i])
+            if p > len(prev):
+                raise ValueError("DELTA_BYTE_ARRAY: prefix exceeds prior")
+            prev = prev[:p] + bytes(body[off:off + s])
+            off += s
+            out.append(prev)
+        return out
+    if enc == E_BYTE_STREAM_SPLIT:
+        if ptype in _NP_DTYPE:
+            return bss.decode(payload, _NP_DTYPE[ptype], n)
+        if ptype == T_FLBA:
+            w = int(type_length)
+            a = np.frombuffer(payload, np.uint8, w * n).reshape(w, n)
+            data = np.ascontiguousarray(a.T).tobytes()
+            return [bytes(data[i * w:(i + 1) * w]) for i in range(n)]
+        raise ValueError("BYTE_STREAM_SPLIT: unsupported type")
+    raise ValueError(f"unsupported encoding {enc}")
+
+
+def decode_column(path: str, column: str):
+    """Decode every row group of ``column`` using ONLY engine codecs.
+    Returns a python list with None for nulls (physical values:
+    numpy scalars for numerics, bytes for byte arrays)."""
+    data, meta = read_file(path)
+    out: list = []
+    for rg in column_chunks(meta):
+        cc = next(c for c in rg if c.name == column)
+        dict_vals = None
+        for hdr, payload in iter_pages(data, cc):
+            ptype = hdr[1]
+            if ptype == PG_DICT:
+                dh = hdr[7]
+                nd = dh[1]
+                if dh[2] not in (E_PLAIN, E_PLAIN_DICTIONARY):
+                    raise ValueError("dictionary page must be PLAIN")
+                dict_vals = _decode_plain(
+                    payload, cc.physical_type, nd, cc.type_length)
+                if isinstance(dict_vals, np.ndarray):
+                    dict_vals = np.asarray(dict_vals)
+                continue
+            if ptype == PG_DATA:
+                ph = hdr[5]
+                n, enc = ph[1], ph[2]
+                body = payload
+                defs = None
+                if cc.max_def:
+                    defs, used = rle.decode_with_length_prefix(body, 1, n)
+                    body = body[used:]
+            elif ptype == PG_DATA_V2:
+                ph = hdr[8]
+                n, enc = ph[1], ph[4]
+                rl_len = ph.get(6, 0) or 0
+                dl_len = ph.get(5, 0) or 0
+                if rl_len:
+                    raise ValueError("repetition levels out of scope")
+                defs = None
+                body = payload[rl_len + dl_len:]
+                if cc.max_def and dl_len:
+                    defs = rle.decode(payload[rl_len:rl_len + dl_len], 1, n)
+            else:
+                raise ValueError(f"unsupported page type {ptype}")
+            nnon = int(np.count_nonzero(defs)) if defs is not None else n
+            vals = _decode_values(body, enc, cc.physical_type, nnon,
+                                  cc.type_length, dict_vals)
+            if defs is None:
+                out.extend(vals.tolist() if isinstance(vals, np.ndarray)
+                           else vals)
+            else:
+                it = iter(vals.tolist() if isinstance(vals, np.ndarray)
+                          else vals)
+                out.extend(next(it) if d else None for d in defs)
+    return out

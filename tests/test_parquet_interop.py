@@ -1,0 +1,239 @@
+"""Parquet-bitstream interop (pqinterop.py): decode REAL pyarrow-written
+page payloads with the engine's codec kernels, and — where the spec's
+bitstream is deterministic — prove the engine's encoders emit the exact
+bytes arrow emits. This is the external proof that codecs/{rle,delta,
+deltaba,bss,plainc,dictionary} implement the Parquet spec's bitstreams
+(the reference's encodingread.go:172-232 / encodingread_delta.go:8-139
+contract), not engine-private lookalikes. No Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_spark import pqinterop as P
+from parquet_go_spark.codecs import bss, delta, plainc, rle
+
+
+def _rng():
+    return np.random.default_rng(0xC0DEC)
+
+
+def _expect(tbl, col):
+    vals = tbl.column(col).to_pylist()
+    if pa.types.is_string(tbl.schema.field(col).type):
+        return [None if v is None else v.encode() for v in vals]
+    return vals
+
+
+def _assert_column(path, tbl, col):
+    got = P.decode_column(str(path), col)
+    exp = _expect(tbl, col)
+    assert len(got) == len(exp), col
+    for g, e in zip(got, exp):
+        assert (g is None and e is None) or g == e, (col, g, e)
+
+
+def _mixed_table(n=12_000):
+    rng = _rng()
+    return pa.table({
+        "i64_dbp": pa.array(np.cumsum(rng.integers(-50, 400, n)).astype(np.int64)),
+        "i32_dbp": pa.array(rng.integers(-2**31, 2**31 - 1, n).astype(np.int32)),
+        "f64_bss": pa.array(rng.normal(size=n)),
+        "f32_bss": pa.array(rng.normal(size=n).astype(np.float32)),
+        "s_dlba": pa.array([f"doc-{i:06d}-{i % 89}" for i in range(n)]),
+        "s_dba": pa.array(sorted(f"shared/prefix/{i % 97:03d}/{i:07d}"
+                                 for i in range(n))),
+        "dict_s": pa.array([f"lang_{i % 13}" for i in range(n)]),
+        "dict_i": pa.array((rng.zipf(1.7, n) % 400).astype(np.int64)),
+        "plain_i": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+        "b_rle": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "flba": pa.array([rng.bytes(8) for _ in range(n)], pa.binary(8)),
+    })
+
+
+_ENCODINGS = {
+    "i64_dbp": "DELTA_BINARY_PACKED", "i32_dbp": "DELTA_BINARY_PACKED",
+    "f64_bss": "BYTE_STREAM_SPLIT", "f32_bss": "BYTE_STREAM_SPLIT",
+    "s_dlba": "DELTA_LENGTH_BYTE_ARRAY", "s_dba": "DELTA_BYTE_ARRAY",
+    "plain_i": "PLAIN", "b_rle": "RLE",
+}
+
+
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+def test_decode_every_encoding_from_arrow_pages(tmp_path, version):
+    """PLAIN / RLE(bool) / RLE_DICTIONARY / DBP(32+64) / DELTA_LENGTH /
+    DELTA_BYTE_ARRAY / BSS(f32+f64) / FLBA pages written by arrow,
+    decoded value-exactly by the engine's kernels, v1 and v2 pages."""
+    tbl = _mixed_table()
+    f = tmp_path / f"mixed_{version}.parquet"
+    pq.write_table(tbl, f, compression="NONE",
+                   use_dictionary=["dict_s", "dict_i"],
+                   column_encoding=_ENCODINGS,
+                   data_page_version=version)
+    for col in tbl.column_names:
+        _assert_column(f, tbl, col)
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "GZIP"])
+def test_decode_through_block_codec_registry(tmp_path, codec):
+    """Compressed pages route through the engine's block-codec registry
+    (frame.py) before the same kernels decode them."""
+    tbl = _mixed_table(4000)
+    f = tmp_path / f"mixed_{codec}.parquet"
+    pq.write_table(tbl, f, compression=codec,
+                   use_dictionary=["dict_s", "dict_i"],
+                   column_encoding=_ENCODINGS)
+    for col in ("i64_dbp", "s_dba", "dict_s", "plain_i", "f32_bss"):
+        _assert_column(f, tbl, col)
+
+
+def test_decode_nullable_levels_v1_and_v2(tmp_path):
+    """Definition levels: v1 (u32-length-prefixed RLE) and v2
+    (unprefixed RLE sized by the page header) through rle.decode."""
+    rng = _rng()
+    n = 9000
+    mask = rng.integers(0, 4, n) == 0
+    i64 = np.cumsum(rng.integers(-5, 90, n)).astype(np.int64)
+    tbl = pa.table({
+        "i64_null": pa.array(
+            [None if m else int(v) for m, v in zip(mask, i64)], pa.int64()),
+        "s_null": pa.array(
+            [None if m else f"v{i % 37}" for i, m in enumerate(mask)]),
+    })
+    for version in ("1.0", "2.0"):
+        f = tmp_path / f"nulls_{version}.parquet"
+        pq.write_table(tbl, f, compression="NONE",
+                       use_dictionary=["s_null"],
+                       column_encoding={"i64_null": "DELTA_BINARY_PACKED"},
+                       data_page_version=version)
+        for col in tbl.column_names:
+            _assert_column(f, tbl, col)
+
+
+def test_decode_multipage_multirowgroup(tmp_path):
+    """Small pages + several row groups: the page walk (thrift headers,
+    dictionary page per chunk, payload offsets) holds across many pages."""
+    tbl = _mixed_table(20_000)
+    f = tmp_path / "paged.parquet"
+    pq.write_table(tbl, f, compression="NONE",
+                   use_dictionary=["dict_s", "dict_i"],
+                   column_encoding=_ENCODINGS,
+                   data_page_size=2048, row_group_size=7000)
+    for col in tbl.column_names:
+        _assert_column(f, tbl, col)
+
+
+def _single_page_payload(path, col):
+    data, meta = P.read_file(str(path))
+    groups = P.column_chunks(meta)
+    assert len(groups) == 1
+    cc = next(c for c in groups[0] if c.name == col)
+    pages = list(P.iter_pages(data, cc))
+    assert len(pages) == 1
+    return pages[0][1]
+
+
+def test_encode_byte_identity_with_arrow_writer(tmp_path):
+    """Where the spec leaves the writer no freedom (PLAIN, BSS,
+    DELTA_LENGTH lengths-then-bytes) — and for DBP given the same block
+    geometry — the engine's encoders emit byte-for-byte what arrow
+    emits. REQUIRED schema so the page payload is exactly the values."""
+    rng = _rng()
+    n = 5000
+    i64 = np.cumsum(rng.integers(-50, 400, n)).astype(np.int64)
+    i32 = rng.integers(-10**6, 10**6, n).astype(np.int32)
+    f64 = rng.normal(size=n)
+    f32 = rng.normal(size=n).astype(np.float32)
+    strs = [f"doc-{i:06d}" for i in range(n)]
+    bools = rng.integers(0, 2, n).astype(bool)
+    schema = pa.schema([
+        pa.field("i64", pa.int64(), False), pa.field("i32", pa.int32(), False),
+        pa.field("f64", pa.float64(), False), pa.field("f32", pa.float32(), False),
+        pa.field("s", pa.string(), False), pa.field("pi", pa.int64(), False),
+        pa.field("ps", pa.string(), False), pa.field("pb", pa.bool_(), False),
+    ])
+    tbl = pa.table({"i64": i64, "i32": i32, "f64": f64, "f32": f32,
+                    "s": strs, "pi": i64, "ps": strs, "pb": bools},
+                   schema=schema)
+    f = tmp_path / "enc.parquet"
+    pq.write_table(tbl, f, compression="NONE", use_dictionary=False,
+                   column_encoding={
+                       "i64": "DELTA_BINARY_PACKED",
+                       "i32": "DELTA_BINARY_PACKED",
+                       "f64": "BYTE_STREAM_SPLIT",
+                       "f32": "BYTE_STREAM_SPLIT",
+                       "s": "DELTA_LENGTH_BYTE_ARRAY",
+                       "pi": "PLAIN", "ps": "PLAIN", "pb": "PLAIN"})
+
+    # arrow C++ writes INT64 DBP at block 256 / 4 miniblocks; INT32 at
+    # the reference default 128/4 — both spec-legal, decoder reads the
+    # geometry from the header
+    assert _single_page_payload(f, "i64") == delta.encode(
+        i64, 8, block_size=256, miniblocks=4)
+    assert _single_page_payload(f, "i32") == delta.encode(i32, 4)
+    assert _single_page_payload(f, "f64") == bss.encode(f64)
+    assert _single_page_payload(f, "f32") == bss.encode(f32)
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    assert _single_page_payload(f, "s") == (
+        delta.encode(lens, 4) + b"".join(s.encode() for s in strs))
+    assert _single_page_payload(f, "pi") == plainc.encode_numeric(i64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    assert _single_page_payload(f, "ps") == plainc.encode_byte_array(
+        b"".join(s.encode() for s in strs), offs)
+    assert _single_page_payload(f, "pb") == plainc.encode_bool(bools)
+
+
+def test_rle_dictionary_page_grammar(tmp_path):
+    """RLE_DICTIONARY data page = 1 bit-width byte + RLE/bit-packed
+    hybrid; the engine's rle.decode reads arrow's stream, and the
+    engine's own rle.encode round-trips through the same grammar at the
+    same width (writer run policy is spec-free, so no byte pin)."""
+    n = 6000
+    vals = np.array([i % 7 for i in range(n)], dtype=np.int64)
+    # long runs so both RLE and bit-packed runs appear
+    vals[1000:2500] = 3
+    strs = [f"k{v}" for v in vals]
+    schema = pa.schema([pa.field("d", pa.string(), False)])
+    tbl = pa.table({"d": strs}, schema=schema)
+    f = tmp_path / "dict.parquet"
+    pq.write_table(tbl, f, compression="NONE", use_dictionary=True)
+
+    data, meta = P.read_file(str(f))
+    cc = P.column_chunks(meta)[0][0]
+    pages = list(P.iter_pages(data, cc))
+    assert pages[0][0][1] == P.PG_DICT
+    hdr, payload = pages[1]
+    assert hdr[5][2] in (P.E_RLE_DICTIONARY, P.E_PLAIN_DICTIONARY)
+    bw = payload[0]
+    idx = rle.decode(payload[1:], bw, n)
+    dict_vals = P.decode_column(str(f), "d")  # full decode for reference
+    assert [f"k{v}".encode() for v in vals] == dict_vals
+    # engine encode -> engine decode at arrow's width: same indices
+    again = rle.decode(rle.encode(idx, bw), bw, n)
+    assert np.array_equal(again, idx)
+
+
+def test_int96_and_flba_plain(tmp_path):
+    """INT96 (legacy impala timestamps) and FLBA PLAIN payloads."""
+    import datetime
+
+    n = 500
+    stamps = [datetime.datetime(2001, 1, 1) +
+              datetime.timedelta(seconds=i * 977) for i in range(n)]
+    tbl = pa.table({"ts": pa.array(stamps, pa.timestamp("ns"))})
+    f = tmp_path / "int96.parquet"
+    pq.write_table(tbl, f, compression="NONE", use_deprecated_int96_timestamps=True)
+    got = P.decode_column(str(f), "ts")
+    assert len(got) == n and all(len(b) == 12 for b in got)
+    # reuse the engine's INT96 kernel to interpret the raw bytes
+    from parquet_go_spark import int96 as i96
+
+    ts = i96.int96_to_timestamps(pa.array(got, pa.binary(12)))
+    exp = np.array([int(s.replace(tzinfo=datetime.timezone.utc).timestamp()
+                        * 1_000_000) for s in stamps],
+                   dtype="datetime64[us]")
+    assert np.array_equal(np.asarray(ts), exp)
