@@ -412,6 +412,9 @@ def oracle_sql() -> dict[str, str]:
     o["sim_cosine_topk"] = _sim.COSINE_TOPK_ORACLE
     o["sim_nearest_neighbor"] = _sim.NEAREST_NEIGHBOR_ORACLE
     o["sim_lsh_ann"] = _sim.LSH_ANN_ORACLE
+    # integer fixed-point Lloyd (round-3): the last rows-only query now
+    # has a value-exact oracle — 101/101 oracle-checked
+    o["sim_ivf_ann"] = _sim.IVF_ANN_ORACLE
     o["dedup_embedding_cosine"] = _sim.EMBEDDING_NEAR_DUP_ORACLE
     o["dedup_near_dup_cluster"] = _dedup.NEAR_DUP_CLUSTER_ORACLE
     from parquet_go_spark.operators import asof as _asof
