@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_near_dup_cluster"] = _dedup.near_dup_cluster_query
     # column projection through the pruned-read path
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
+    # the thumbnail chain over REAL PNG containers (pure-stdlib codec,
+    # png.py); lossless, so the raw-path pixel oracle applies verbatim
+    q["mm_thumbnail_png"] = _mm.thumbnail_png_pixels_query
     return q
 
 
@@ -464,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
     o["stats_cms_freq"] = _sketch.CMS_TOPK_ORACLE
     o["stats_quantiles"] = _sketch.QUANTILES_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
+    o["mm_thumbnail_png"] = _mm.THUMBNAIL_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE
