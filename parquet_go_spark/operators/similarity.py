@@ -40,13 +40,28 @@ INDEX_CAP_BYTES = 512 << 20
 
 
 def _index_bytes(df: DataFrame) -> int:
-    """Estimated broadcast-index footprint. count() on parquet folds to a
-    metadata-only aggregate; the dim probe reads one row."""
-    n = df.count()
-    if n == 0:
-        return 0
-    dim = len(df.select("embedding").first()["embedding"])
-    return n * dim * 8
+    """Estimated broadcast-index footprint.
+
+    Primary path reads Catalyst's plan statistics — file-footer sizes,
+    the same estimator that drives autoBroadcastJoinThreshold — so the
+    gate costs ZERO Spark jobs (the r2 bench showed the two small gate
+    jobs, count + one-row dim probe, were ~0.3 s of pure scheduling at
+    sf0.1). The on-disk estimate is doubled because embeddings are
+    float32 in storage while the index materializes float64. Fallback
+    (plan stats unavailable, e.g. Connect) is the original count() +
+    one-row dim probe."""
+    try:
+        jstats = (
+            df.select("vec_id", "embedding")
+            ._jdf.queryExecution().optimizedPlan().stats()
+        )
+        return 2 * int(str(jstats.sizeInBytes()))
+    except Exception:
+        n = df.count()
+        if n == 0:
+            return 0
+        dim = len(df.select("embedding").first()["embedding"])
+        return n * dim * 8
 
 
 def _collect_index(df: DataFrame):
