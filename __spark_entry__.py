@@ -350,6 +350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the thumbnail chain over REAL PNG containers (pure-stdlib codec,
     # png.py); lossless, so the raw-path pixel oracle applies verbatim
     q["mm_thumbnail_png"] = _mm.thumbnail_png_pixels_query
+    # real Parquet WRITE interop: engine-serialized .parquet files read
+    # back by Spark's JVM vectorized reader (pqwriter.py)
+    from parquet_go_spark.operators import parquet_sink as _pqs
+
+    q["pq_writer_roundtrip"] = _pqs.writer_roundtrip_query
     return q
 
 
@@ -468,6 +473,9 @@ def oracle_sql() -> dict[str, str]:
     o["stats_quantiles"] = _sketch.QUANTILES_ORACLE
     o["rt_lineitem_projected"] = _pruned.PROJECTED_DECODE_ORACLE
     o["mm_thumbnail_png"] = _mm.THUMBNAIL_ORACLE
+    from parquet_go_spark.operators import parquet_sink as _pqs
+
+    o["pq_writer_roundtrip"] = _pqs.WRITER_ROUNDTRIP_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE

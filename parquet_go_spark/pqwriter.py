@@ -1,0 +1,564 @@
+"""Real Parquet WRITER: emit spec-conformant ``.parquet`` bytes using
+ONLY the engine's codec kernels.
+
+pqinterop.py proves the engine's codecs *read* the spec's bitstreams;
+this module is the other half of the reference's job — writing actual
+Parquet files (the reference writer lifecycle:
+/root/reference/internal/layout/page_write_encode.go,
+internal/encoding/encodingwrite.go; thrift compact metadata per
+parquet.thrift). Every value byte comes from ``codecs/{plainc,rle,
+delta,bss,dictionary,deltaba}`` and every block-compressed page goes
+through the engine's codec registry (frame.py); the Thrift compact
+footer and page headers are serialized here. External readers are the
+proof: pyarrow, DuckDB, and Spark's JVM vectorized reader all decode
+these files (tests/test_pqwriter.py and the pq_writer_roundtrip gate
+query).
+
+Scope (deliberate, mirrors the reference writer's menu):
+
+  * flat REQUIRED/OPTIONAL columns, data pages v1, per-chunk encoding;
+  * types: BOOLEAN, INT32 (+DATE), INT64 (+TIMESTAMP micros), FLOAT,
+    DOUBLE, BYTE_ARRAY (+UTF8), FIXED_LEN_BYTE_ARRAY;
+  * encodings: PLAIN, RLE (bool), RLE_DICTIONARY (+PLAIN dict pages),
+    DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY,
+    BYTE_STREAM_SPLIT — with sampled auto-selection per column chunk
+    (cardinality / dict-budget cost, the reference's
+    ``encodingwrite.go`` policy re-expressed);
+  * block codecs: none/snappy/gzip/zstd/brotli/lz4_raw via the engine
+    registry (v1 pages: when a chunk declares a codec every page is
+    compressed — the store-uncompressed-if-bigger rule is a PGS frame
+    freedom the v1 page grammar does not offer);
+  * per-chunk Statistics (min_value/max_value/null_count, NaN-safe,
+    ±0.0 normalized per spec) and per-page CRC32.
+
+NDV probing and byte-array code assignment ride arrow's C++
+``dictionary_encode`` — no per-value Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import frame as framemod
+from .codecs import bss, delta, deltaba, dictionary, plainc, rle
+from .codecs.varint import write_uvarint
+from .pqinterop import (
+    CT_BINARY, CT_I32, CT_I64, CT_LIST, CT_STRUCT, CT_TRUE,
+    E_BYTE_STREAM_SPLIT, E_DELTA_BA, E_DELTA_BINARY_PACKED,
+    E_DELTA_LENGTH_BA, E_PLAIN, E_RLE, E_RLE_DICTIONARY, MAGIC,
+    PG_DATA, PG_DICT, T_BOOLEAN, T_BYTE_ARRAY, T_DOUBLE, T_FLBA,
+    T_FLOAT, T_INT32, T_INT64, _CODEC_NAMES,
+)
+
+CODEC_IDS = {name: cid for cid, name in _CODEC_NAMES.items() if name}
+
+# parquet.thrift ConvertedType values used here
+CV_UTF8, CV_DECIMAL, CV_DATE, CV_TIMESTAMP_MICROS = 0, 5, 6, 10
+
+E_RLE_LEVELS = 3             # definition/repetition level encoding
+DICT_BUDGET = 1 << 20        # reference's 1 MiB dictionary budget
+DICT_MAX_NDV = 1 << 16
+STATS_MAX_LEN = 128          # omit binary stats past this (no truncation
+                             # grammar on the write side — exact or absent)
+
+
+# --------------------------------------------------------- thrift compact
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _tv(ct: int, v) -> bytes:
+    """Serialize one compact-protocol value of container type ct."""
+    if ct == CT_TRUE:           # bool inside a list: 1 = true, 2 = false
+        return b"\x01" if v else b"\x02"
+    if ct in (CT_I32, CT_I64):
+        return write_uvarint(_zz(int(v)))
+    if ct == CT_BINARY:
+        b = v.encode() if isinstance(v, str) else bytes(v)
+        return write_uvarint(len(b)) + b
+    if ct == CT_LIST:
+        etype, items = v
+        hdr = (bytes([(len(items) << 4) | etype]) if len(items) < 15
+               else bytes([0xF0 | etype]) + write_uvarint(len(items)))
+        return hdr + b"".join(_tv(etype, it) for it in items)
+    if ct == CT_STRUCT:
+        return bytes(v)          # pre-serialized nested struct
+    raise ValueError(f"thrift write: unsupported type {ct}")
+
+
+def _tstruct(fields) -> bytes:
+    """fields: iterable of (fid, ctype, value) in ascending fid order;
+    a None value skips the field (thrift optional)."""
+    out, last = bytearray(), 0
+    for fid, ct, v in fields:
+        if v is None:
+            continue
+        wire = ct
+        if ct == CT_TRUE:
+            wire = 1 if v else 2
+        d = fid - last
+        if 0 < d <= 15:
+            out.append((d << 4) | wire)
+        else:
+            out.append(wire)
+            out += write_uvarint(_zz(fid))
+        last = fid
+        if ct != CT_TRUE:        # bool value lives in the type nibble
+            out += _tv(ct, v)
+    out.append(0)                # STOP
+    return bytes(out)
+
+
+# --------------------------------------------------------- type mapping
+
+@dataclass
+class _Col:
+    name: str
+    ptype: int
+    type_length: int | None = None
+    converted: int | None = None
+    logical: bytes | None = None      # serialized LogicalType struct
+    np_dtype: np.dtype | None = None  # numeric storage dtype
+    scale: int | None = None          # DECIMAL only
+    precision: int | None = None
+
+
+_EMPTY = _tstruct([])
+
+
+def _logical(fid: int, payload: bytes = _EMPTY) -> bytes:
+    return _tstruct([(fid, CT_STRUCT, payload)])
+
+
+def _map_type(field: pa.Field) -> _Col:
+    t = field.type
+    if pa.types.is_boolean(t):
+        return _Col(field.name, T_BOOLEAN)
+    if pa.types.is_int32(t):
+        return _Col(field.name, T_INT32, np_dtype=np.dtype("<i4"))
+    if pa.types.is_int64(t):
+        return _Col(field.name, T_INT64, np_dtype=np.dtype("<i8"))
+    if pa.types.is_float32(t):
+        return _Col(field.name, T_FLOAT, np_dtype=np.dtype("<f4"))
+    if pa.types.is_float64(t):
+        return _Col(field.name, T_DOUBLE, np_dtype=np.dtype("<f8"))
+    if pa.types.is_date32(t):
+        return _Col(field.name, T_INT32, converted=CV_DATE,
+                    logical=_logical(6), np_dtype=np.dtype("<i4"))
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            raise ValueError("timestamps must be cast to microseconds")
+        utc = t.tz is not None
+        ts = _tstruct([(1, CT_TRUE, utc), (2, CT_STRUCT, _logical(2))])
+        return _Col(field.name, T_INT64,
+                    converted=CV_TIMESTAMP_MICROS if utc else None,
+                    logical=_logical(8, ts), np_dtype=np.dtype("<i8"))
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _Col(field.name, T_BYTE_ARRAY, converted=CV_UTF8,
+                    logical=_logical(1))
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return _Col(field.name, T_BYTE_ARRAY)
+    if pa.types.is_fixed_size_binary(t):
+        return _Col(field.name, T_FLBA, type_length=t.byte_width)
+    if pa.types.is_decimal(t):
+        # spec §DECIMAL: INT32 through 9 digits, INT64 through 18,
+        # FLBA big-endian two's complement past that
+        dec = _tstruct([(1, CT_I32, t.scale), (2, CT_I32, t.precision)])
+        log = _logical(5, dec)
+        if t.precision <= 9:
+            return _Col(field.name, T_INT32, converted=CV_DECIMAL,
+                        logical=log, np_dtype=np.dtype("<i4"),
+                        scale=t.scale, precision=t.precision)
+        if t.precision <= 18:
+            return _Col(field.name, T_INT64, converted=CV_DECIMAL,
+                        logical=log, np_dtype=np.dtype("<i8"),
+                        scale=t.scale, precision=t.precision)
+        return _Col(field.name, T_FLBA, type_length=16,
+                    converted=CV_DECIMAL, logical=log,
+                    scale=t.scale, precision=t.precision)
+    raise ValueError(f"pqwriter: unsupported arrow type {t} "
+                     f"(column {field.name!r})")
+
+
+def _bytes_and_offsets(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+    """Non-null variable-width array -> (concatenated bytes, offsets)."""
+    arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int64, len(arr) + 1,
+                         offset=arr.offset * 8).copy()
+    if bufs[2] is None or len(arr) == 0:
+        return b"", offs - (offs[0] if len(offs) else 0)
+    data = bytes(memoryview(bufs[2])[offs[0]:offs[-1]])
+    return data, offs - offs[0]
+
+
+# --------------------------------------------------------- value encoders
+
+def _plain(col: _Col, vals) -> bytes:
+    if col.ptype == T_BOOLEAN:
+        return plainc.encode_bool(np.asarray(vals, bool))
+    if col.ptype == T_BYTE_ARRAY:
+        data, offs = vals
+        return plainc.encode_byte_array(data, offs)
+    if col.ptype == T_FLBA:
+        return plainc.encode_fixed(vals)
+    return plainc.encode_numeric(np.ascontiguousarray(vals, col.np_dtype))
+
+
+def _encode_values(col: _Col, enc: int, vals) -> bytes:
+    """Values section of one data page (spec framing, no PGS prefixes)."""
+    if enc == E_PLAIN:
+        return _plain(col, vals)
+    if enc == E_RLE:                       # boolean: u32-prefixed hybrid
+        return rle.encode_with_length_prefix(np.asarray(vals, np.uint8), 1)
+    if enc == E_DELTA_BINARY_PACKED:
+        return delta.encode(vals, 4 if col.ptype == T_INT32 else 8)
+    if enc == E_BYTE_STREAM_SPLIT:
+        return bss.encode(np.ascontiguousarray(vals, col.np_dtype))
+    if enc == E_DELTA_LENGTH_BA:           # lengths block then raw bytes
+        data, offs = vals
+        return delta.encode(np.diff(offs), 4) + data
+    if enc == E_DELTA_BA:                  # prefix/suffix blocks + bytes
+        data, offs = vals
+        u8 = np.frombuffer(data, np.uint8) if data else np.zeros(0, np.uint8)
+        pfx = deltaba.common_prefix_lengths(u8, offs)
+        lens = np.diff(offs)
+        parts = [data[int(offs[i] + pfx[i]):int(offs[i + 1])]
+                 for i in range(len(lens))]
+        return (delta.encode(pfx, 4) + delta.encode(lens - pfx, 4)
+                + b"".join(parts))
+    raise ValueError(f"unsupported write encoding {enc}")
+
+
+def _slice_vals(col: _Col, vals, lo: int, hi: int):
+    if col.ptype == T_BYTE_ARRAY:
+        data, offs = vals
+        o = offs[lo:hi + 1]
+        base = int(o[0]) if len(o) else 0
+        end = int(o[-1]) if len(o) else 0
+        return data[base:end], o - base
+    if col.ptype == T_FLBA:
+        w = col.type_length
+        return vals[lo * w:hi * w]
+    return vals[lo:hi]
+
+
+# --------------------------------------------------------- statistics
+
+def _stat_bytes(col: _Col, v) -> bytes | None:
+    if col.ptype == T_BOOLEAN:
+        return b"\x01" if v else b"\x00"
+    if col.ptype == T_INT32:
+        return struct.pack("<i", int(v))
+    if col.ptype == T_INT64:
+        return struct.pack("<q", int(v))
+    if col.ptype == T_FLOAT:
+        return struct.pack("<f", float(v))
+    if col.ptype == T_DOUBLE:
+        return struct.pack("<d", float(v))
+    b = v.encode() if isinstance(v, str) else bytes(v)
+    return b if len(b) <= STATS_MAX_LEN else None
+
+
+def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
+    """Serialized Statistics struct (exact bounds or absent)."""
+    mn = mx = None
+    n = len(arr_nonnull)
+    if n:
+        if col.ptype in (T_INT32, T_INT64):
+            mn, mx = vals.min(), vals.max()
+        elif col.ptype in (T_FLOAT, T_DOUBLE):
+            if not np.isnan(vals).any():   # NaN has no total order in stats
+                mn, mx = vals.min(), vals.max()
+                if mn == 0.0:              # spec: -0.0 as min, +0.0 as max
+                    mn = -0.0
+                if mx == 0.0:
+                    mx = 0.0
+        elif col.ptype == T_BOOLEAN:
+            b = np.asarray(arr_nonnull, bool)
+            mn, mx = bool(b.min()), bool(b.max())
+        elif col.ptype == T_BYTE_ARRAY:
+            mm = pc.min_max(arr_nonnull.cast(pa.large_binary()))
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        elif col.scale is not None:        # FLBA decimal: signed BE order
+            pass                           # ≠ byte order — omit bounds
+        else:                              # FLBA
+            mm = pc.min_max(arr_nonnull.cast(pa.binary(col.type_length)))
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    return _tstruct([
+        (3, CT_I64, null_count),
+        (5, CT_BINARY, None if mx is None else _stat_bytes(col, mx)),
+        (6, CT_BINARY, None if mn is None else _stat_bytes(col, mn)),
+    ])
+
+
+# --------------------------------------------------------- page assembly
+
+def _page(pg_type: int, header_extra: bytes, payload: bytes,
+          codec_id: int) -> tuple[bytes, int, int]:
+    """Compress + frame one page -> (bytes, uncompressed, compressed).
+    v1 grammar: a declared chunk codec compresses EVERY page."""
+    usize = len(payload)
+    body = payload
+    if codec_id != 0:
+        body = framemod._get_codec(
+            framemod.COMP_IDS[_CODEC_NAMES[codec_id]]
+        ).compress(payload).to_pybytes()
+    csize = len(body)
+    crc = zlib.crc32(body)
+    if crc >= 1 << 31:
+        crc -= 1 << 32
+    hdr = _tstruct([
+        (1, CT_I32, pg_type),
+        (2, CT_I32, usize),
+        (3, CT_I32, csize),
+        (4, CT_I32, crc),
+        (5, CT_STRUCT, header_extra if pg_type == PG_DATA else None),
+        (7, CT_STRUCT, header_extra if pg_type == PG_DICT else None),
+    ])
+    return hdr + body, len(hdr) + usize, len(hdr) + csize
+
+
+_ENC_IDS = {"plain": E_PLAIN, "rle": E_RLE, "delta": E_DELTA_BINARY_PACKED,
+            "bss": E_BYTE_STREAM_SPLIT, "delta_length": E_DELTA_LENGTH_BA,
+            "delta_ba": E_DELTA_BA}
+
+
+def _pick_encoding(col: _Col, arr_nonnull: pa.Array, vals, want: str):
+    """-> ('dict', (uniques_arr_or_np, codes)) or (enc_name, None).
+
+    The reference's write-side policy (encodingwrite.go + SURVEY §2.1
+    cost model): dictionary when NDV and dict bytes fit the 1 MiB
+    budget, else the type's delta/split default."""
+    n = len(arr_nonnull)
+    if want not in ("auto", "dict"):
+        return want, None
+    if n == 0:
+        return ("rle" if col.ptype == T_BOOLEAN else "plain"), None
+    if col.ptype == T_BOOLEAN:
+        return "rle", None
+    if col.ptype == T_FLBA:
+        return "plain", None
+    if col.ptype == T_BYTE_ARRAY:
+        denc = arr_nonnull.cast(pa.large_binary()).dictionary_encode()
+        uniq = denc.dictionary
+        nd = len(uniq)
+        dict_bytes = uniq.nbytes + 4 * nd
+        if want == "dict" or (nd <= DICT_MAX_NDV
+                              and dict_bytes <= DICT_BUDGET
+                              and nd * 2 <= n):
+            codes = np.asarray(denc.indices, np.int64)
+            return "dict", (uniq, codes)
+        return "delta_length", None
+    uniq, codes = np.unique(np.asarray(vals), return_inverse=True)
+    nd = len(uniq)
+    if want == "dict" or (nd <= DICT_MAX_NDV
+                          and nd * uniq.itemsize <= DICT_BUDGET
+                          and nd * 2 <= n):
+        return "dict", (uniq, codes.astype(np.int64))
+    if col.ptype in (T_INT32, T_INT64):
+        return "delta", None
+    # floats: PLAIN, the reference writer's default (encodingwrite.go) —
+    # and Spark's vectorized reader rejects BYTE_STREAM_SPLIT pages, so
+    # bss stays an explicit per-column override
+    return "plain", None
+
+
+def _decimal_words(arr: pa.Array) -> np.ndarray:
+    """decimal128 array -> (n, 2) uint64 little-endian words."""
+    buf = arr.buffers()[1]
+    return np.frombuffer(buf, np.uint64, 2 * len(arr),
+                         offset=arr.offset * 16).reshape(-1, 2)
+
+
+def _extract_vals(col: _Col, nonnull: pa.Array):
+    if col.scale is not None:              # DECIMAL: unscaled integers
+        if len(nonnull) == 0:
+            return (b"" if col.ptype == T_FLBA
+                    else np.zeros(0, col.np_dtype))
+        w = _decimal_words(nonnull)
+        if col.ptype == T_FLBA:            # big-endian two's complement
+            le = w.view(np.uint8).reshape(-1, 16)
+            return np.ascontiguousarray(le[:, ::-1]).tobytes()
+        return w[:, 0].view(np.int64).astype(col.np_dtype)
+    if col.ptype == T_BYTE_ARRAY:
+        return _bytes_and_offsets(nonnull)
+    if col.ptype == T_FLBA:
+        return b"".join(nonnull.cast(pa.binary(col.type_length)).to_pylist())
+    if col.ptype == T_BOOLEAN:
+        return np.asarray(nonnull, bool)
+    cast_t = {np.dtype("<i4"): pa.int32(), np.dtype("<i8"): pa.int64(),
+              np.dtype("<f4"): pa.float32(),
+              np.dtype("<f8"): pa.float64()}[col.np_dtype]
+    return np.asarray(nonnull.cast(cast_t))
+
+
+def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
+                 page_rows: int, enc_want: str, write_stats: bool):
+    """Append one column chunk's pages; return its ColumnChunk struct."""
+    n_total = len(arr)
+    null_count = arr.null_count
+    optional = null_count > 0
+    defs = np.asarray(arr.is_valid(), np.uint8) if optional else None
+    nonnull = arr.drop_null() if optional else arr
+    vals = _extract_vals(col, nonnull)
+
+    enc_name, dict_pack = _pick_encoding(col, nonnull, vals, enc_want)
+    chunk_start = len(out)
+    dict_offset = None
+    encodings = {E_RLE_LEVELS}
+    tot_u = tot_c = 0
+
+    if enc_name == "dict":
+        uniques, codes = dict_pack
+        if col.ptype == T_BYTE_ARRAY:
+            dict_payload = plainc.encode_byte_array(
+                *_bytes_and_offsets(uniques))
+            nd = len(uniques)
+        else:
+            dict_payload = plainc.encode_numeric(
+                np.ascontiguousarray(uniques, col.np_dtype))
+            nd = len(uniques)
+        dhdr = _tstruct([(1, CT_I32, nd), (2, CT_I32, E_PLAIN)])
+        dict_offset = len(out)
+        pg, u, c = _page(PG_DICT, dhdr, dict_payload, codec_id)
+        out += pg
+        tot_u += u
+        tot_c += c
+        encodings |= {E_PLAIN, E_RLE_DICTIONARY}
+        enc_id = E_RLE_DICTIONARY
+        bw = max(1, dictionary.index_bit_width(nd))
+    else:
+        enc_id = _ENC_IDS[enc_name]
+        encodings.add(enc_id)
+
+    data_offset = len(out)
+    # paged emission: the level stream and the value stream advance at
+    # different rates when nulls are present
+    row = vpos = 0
+    while True:
+        hi_row = min(row + page_rows, n_total)
+        if optional:
+            pdefs = defs[row:hi_row]
+            v_lo, v_hi = vpos, vpos + int(pdefs.sum())
+            level_bytes = rle.encode_with_length_prefix(pdefs, 1)
+        else:
+            v_lo, v_hi = row, hi_row
+            level_bytes = b""
+        if enc_name == "dict":
+            body = bytes([bw]) + rle.encode(codes[v_lo:v_hi], bw)
+        else:
+            body = _encode_values(col, enc_id,
+                                  _slice_vals(col, vals, v_lo, v_hi))
+        phdr = _tstruct([
+            (1, CT_I32, hi_row - row),
+            (2, CT_I32, enc_id),
+            (3, CT_I32, E_RLE_LEVELS),
+            (4, CT_I32, E_RLE_LEVELS),    # rep: flat files write none
+        ])
+        pg, u, c = _page(PG_DATA, phdr, level_bytes + body, codec_id)
+        out += pg
+        tot_u += u
+        tot_c += c
+        vpos, row = v_hi, hi_row
+        if row >= n_total:
+            break
+
+    stats_struct = (_chunk_stats(col, nonnull, vals, null_count)
+                    if write_stats else None)
+    meta = _tstruct([
+        (1, CT_I32, col.ptype),
+        (2, CT_LIST, (CT_I32, sorted(encodings))),
+        (3, CT_LIST, (CT_BINARY, [col.name])),
+        (4, CT_I32, codec_id),
+        (5, CT_I64, n_total),
+        (6, CT_I64, tot_u),
+        (7, CT_I64, tot_c),
+        (9, CT_I64, data_offset),
+        (11, CT_I64, dict_offset),
+        (12, CT_STRUCT, stats_struct),
+    ])
+    chunk = _tstruct([(2, CT_I64, chunk_start), (3, CT_STRUCT, meta)])
+    return chunk, tot_u, optional
+
+
+def write_table(table: pa.Table, path: str, compression: str = "snappy",
+                encodings: dict[str, str] | None = None,
+                row_group_rows: int = 1 << 20, page_rows: int = 1 << 16,
+                stats: bool = True) -> None:
+    """Write an arrow table as a real Parquet file via engine codecs.
+
+    ``encodings``: per-column override — plain | rle | delta | bss |
+    delta_length | delta_ba | dict | auto (default auto)."""
+    if compression == "lz4":
+        raise ValueError("hadoop-framed LZ4 is write-deprecated; "
+                         "use lz4_raw")
+    if compression not in CODEC_IDS and compression != "none":
+        raise ValueError(f"unsupported parquet codec {compression!r}")
+    codec_id = 0 if compression == "none" else CODEC_IDS[compression]
+    encodings = encodings or {}
+    table = table.combine_chunks()
+    cols = [_map_type(f) for f in table.schema]
+
+    out = bytearray(MAGIC)
+    row_groups = []
+    n = table.num_rows
+    col_optional = {c.name: False for c in cols}
+    for lo in range(0, max(n, 1), row_group_rows):
+        hi = min(lo + row_group_rows, n)
+        chunks, rg_u = [], 0
+        for i, col in enumerate(cols):
+            ca = table.column(i).slice(lo, hi - lo)
+            if ca.num_chunks == 1:
+                arr = ca.chunk(0)
+            elif ca.num_chunks == 0:
+                arr = pa.array([], table.schema.field(i).type)
+            else:
+                arr = pa.concat_arrays(ca.chunks)
+            chunk, u, opt = _write_chunk(
+                out, col, arr, codec_id, page_rows,
+                encodings.get(col.name, "auto"), stats)
+            col_optional[col.name] |= opt
+            chunks.append(chunk)
+            rg_u += u
+        row_groups.append(_tstruct([
+            (1, CT_LIST, (CT_STRUCT, chunks)),
+            (2, CT_I64, rg_u),
+            (3, CT_I64, hi - lo),
+        ]))
+
+    schema_elems = [_tstruct([(4, CT_BINARY, "schema"),
+                              (5, CT_I32, len(cols))])]
+    for col, field in zip(cols, table.schema):
+        rep = 1 if (field.nullable and col_optional[col.name]) else 0
+        schema_elems.append(_tstruct([
+            (1, CT_I32, col.ptype),
+            (2, CT_I32, col.type_length),
+            (3, CT_I32, rep),
+            (4, CT_BINARY, col.name),
+            (6, CT_I32, col.converted),
+            (10, CT_STRUCT, col.logical),
+        ]))
+    # ColumnOrder TYPE_ORDER per leaf: without FileMetaData.column_orders
+    # readers must ignore min_value/max_value (parquet.thrift §ColumnOrder)
+    type_order = _tstruct([(1, CT_STRUCT, _EMPTY)])
+    footer = _tstruct([
+        (1, CT_I32, 2),
+        (2, CT_LIST, (CT_STRUCT, schema_elems)),
+        (3, CT_I64, n),
+        (4, CT_LIST, (CT_STRUCT, row_groups)),
+        (6, CT_BINARY, "parquet_go_spark version 0.3.0"),
+        (7, CT_LIST, (CT_STRUCT, [type_order] * len(cols))),
+    ])
+    out += footer
+    out += struct.pack("<I", len(footer))
+    out += MAGIC
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
