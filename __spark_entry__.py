@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_go_spark.operators import parquet_sink as _pqs
 
     q["pq_writer_roundtrip"] = _pqs.writer_roundtrip_query
+    q["pq_reader_roundtrip"] = _pqs.reader_roundtrip_query
     return q
 
 
@@ -476,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
     from parquet_go_spark.operators import parquet_sink as _pqs
 
     o["pq_writer_roundtrip"] = _pqs.WRITER_ROUNDTRIP_ORACLE
+    o["pq_reader_roundtrip"] = _pqs.READER_ROUNDTRIP_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE

@@ -87,3 +87,57 @@ def writer_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WRITER_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
+
+
+# -------------------------------------------------------- engine reader
+
+def read_parquet_dir(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Read real parquet files with the ENGINE's spec decoder
+    (pqinterop.decode_table), distributed one (file, row-group) per
+    task — the reference reader lifecycle as a Spark source. pyarrow
+    never touches the decode path; Spark only ferries the Arrow
+    batches. Work units are enumerated from footers driver-side
+    (metadata-scale, exactly what a FileSourceScan does)."""
+    import glob as globmod
+
+    from .. import pqinterop
+
+    files = sorted(
+        globmod.glob(os.path.join(path, "*.parquet"))
+        if os.path.isdir(path) else [path])
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    units = [(f, g) for f in files
+             for g in range(pqinterop.num_row_groups(f))]
+    schema = pqinterop.arrow_schema(pqinterop.read_file(files[0])[1])
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import pqinterop as P
+
+        for b in batches:
+            for row in b.to_pylist():
+                tbl = P.decode_table(row["f"], columns=columns,
+                                     row_groups=[row["g"]])
+                yield from tbl.to_batches()
+
+    units_df = spark.createDataFrame(units, "f string, g int").repartition(
+        max(len(units), 1))
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return units_df.mapInArrow(fn, from_arrow_schema(schema))
+
+
+def reader_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem decoded from its REAL pyarrow-written parquet bytes by
+    the engine's own spec reader, distributed. The DuckDB oracle reads
+    the same file with an independent C++ decoder — a value-exact match
+    proves the engine's page/footer/codec parsing end-to-end."""
+    return read_parquet_dir(
+        spark, os.path.join(sf_dir, "lineitem.parquet"))
+
+
+READER_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"

@@ -316,6 +316,14 @@ def decode_column(path: str, column: str):
     out: list = []
     for rg in column_chunks(meta):
         cc = next(c for c in rg if c.name == column)
+        out.extend(_decode_chunk(data, cc))
+    return out
+
+
+def _decode_chunk(data: bytes, cc: ColumnChunkInfo) -> list:
+    """Decode one column chunk's pages -> python list (None for nulls)."""
+    out: list = []
+    if True:
         dict_vals = None
         for hdr, payload in iter_pages(data, cc):
             ptype = hdr[1]
@@ -361,3 +369,103 @@ def decode_column(path: str, column: str):
                           else vals)
                 out.extend(next(it) if d else None for d in defs)
     return out
+
+
+# --- typed table assembly (distributed engine-reader support) -----------
+
+def arrow_schema(meta: dict) -> "object":
+    """FileMetaData -> pyarrow schema for the flat leaves (logical-type
+    aware: UTF8, DATE, TIMESTAMP millis/micros, DECIMAL int32/int64)."""
+    import pyarrow as pa
+
+    fields = []
+    for el in meta[2][1:]:
+        if el.get(5):
+            continue
+        name = el[4].decode()
+        ptype, conv = el[1], el.get(6)
+        logical = el.get(10) or {}
+        nullable = el.get(3, 0) == 1
+        if ptype == T_BOOLEAN:
+            t = pa.bool_()
+        elif ptype == T_INT32:
+            t = pa.int32()
+            if conv == 6 or 6 in logical:                 # DATE
+                t = pa.date32()
+            elif conv == 5 or 5 in logical:               # DECIMAL
+                t = pa.decimal128(el[8], el[7])
+        elif ptype == T_INT64:
+            t = pa.int64()
+            ts = logical.get(8)
+            if ts is not None:                            # TIMESTAMP
+                unit = "ms" if 1 in ts.get(2, {}) else (
+                    "us" if 2 in ts.get(2, {}) else "ns")
+                t = pa.timestamp(unit, tz="UTC" if ts.get(1) else None)
+            elif conv == 9:
+                t = pa.timestamp("ms", tz="UTC")
+            elif conv == 10:
+                t = pa.timestamp("us", tz="UTC")
+            elif conv == 5 or 5 in logical:
+                t = pa.decimal128(el[8], el[7])
+        elif ptype == T_FLOAT:
+            t = pa.float32()
+        elif ptype == T_DOUBLE:
+            t = pa.float64()
+        elif ptype == T_BYTE_ARRAY:
+            t = pa.string() if (conv == 0 or 1 in logical) else pa.binary()
+        elif ptype == T_FLBA:
+            t = pa.binary(el[2])
+        elif ptype == T_INT96:
+            t = pa.timestamp("us", tz="UTC")              # legacy impala
+        else:
+            raise ValueError(f"unsupported physical type {ptype}")
+        fields.append(pa.field(name, t, nullable))
+    return pa.schema(fields)
+
+
+def num_row_groups(path: str) -> int:
+    _, meta = read_file(path)
+    return len(meta[4])
+
+
+def decode_table(path: str, columns: list[str] | None = None,
+                 row_groups: list[int] | None = None):
+    """Decode a real parquet file into a typed arrow table using ONLY
+    engine codecs (the distributed-reader kernel: one (file, row-group
+    subset) per task). INT96 stays out of scope here (no flat testdata
+    writes it by default)."""
+    import pyarrow as pa
+
+    from . import int96 as i96mod
+
+    data, meta = read_file(path)
+    schema = arrow_schema(meta)
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    groups = column_chunks(meta)
+    sel = range(len(groups)) if row_groups is None else row_groups
+    arrays = []
+    for f in schema:
+        vals: list = []
+        for gi in sel:
+            cc = next(c for c in groups[gi] if c.name == f.name)
+            vals.extend(_decode_chunk(data, cc))
+        if pa.types.is_timestamp(f.type) and any(
+                isinstance(v, bytes) for v in vals if v is not None):
+            arr = i96mod.int96_to_timestamps(
+                pa.array(vals, pa.binary(12))).cast(f.type)
+        elif pa.types.is_date32(f.type):
+            arr = pa.array(vals, pa.int32()).cast(f.type)
+        elif pa.types.is_timestamp(f.type):
+            arr = pa.array(vals, pa.int64()).cast(f.type)
+        elif pa.types.is_decimal(f.type):
+            scale = f.type.scale
+            arr = pa.array(
+                [None if v is None else __import__("decimal").Decimal(int(v))
+                 .scaleb(-scale) for v in vals], f.type)
+        elif pa.types.is_string(f.type):
+            arr = pa.array(vals, pa.binary()).cast(f.type)
+        else:
+            arr = pa.array(vals, f.type)
+        arrays.append(arr)
+    return pa.table(arrays, schema=schema)
