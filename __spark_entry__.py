@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_writer_roundtrip"] = _pqs.writer_roundtrip_query
     q["pq_reader_roundtrip"] = _pqs.reader_roundtrip_query
+    q["pq_reader_embeddings"] = _pqs.reader_embeddings_query
+    q["pq_writer_embeddings"] = _pqs.writer_embeddings_query
     return q
 
 
@@ -478,6 +480,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["pq_writer_roundtrip"] = _pqs.WRITER_ROUNDTRIP_ORACLE
     o["pq_reader_roundtrip"] = _pqs.READER_ROUNDTRIP_ORACLE
+    o["pq_reader_embeddings"] = _pqs.EMBEDDINGS_EXPLODED_ORACLE
+    o["pq_writer_embeddings"] = _pqs.EMBEDDINGS_EXPLODED_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE

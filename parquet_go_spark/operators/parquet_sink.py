@@ -141,3 +141,45 @@ def reader_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 READER_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
+
+
+def _explode_embeddings(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", F.col("pos").cast("int").alias("pos"),
+             F.col("v").cast("double").alias("val"))
+
+
+def reader_embeddings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST columns through the engine's spec reader: the real
+    embeddings.parquet (3-level list<float>) decoded by the engine's
+    Dremel reassembly (pqinterop._assemble_list_array), exploded for
+    cross-engine value comparison (float arrays don't canon reliably
+    as cells — same rule as rt_embeddings)."""
+    df = read_parquet_dir(
+        spark, os.path.join(sf_dir, "embeddings.parquet"))
+    return _explode_embeddings(df)
+
+
+def writer_embeddings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST columns through the engine's spec writer: embeddings
+    re-serialized with rep/def level streams by pqwriter, read back by
+    Spark's JVM reader."""
+    import shutil
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pqwriter_emb_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    write_parquet_dir(emb, out, compression="zstd")
+    return _explode_embeddings(spark.read.parquet(out))
+
+
+EMBEDDINGS_EXPLODED_ORACLE = (
+    "SELECT vec_id, label, CAST(unnest(range(len(embedding))) AS INT) AS"
+    " pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings"
+)

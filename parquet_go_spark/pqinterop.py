@@ -138,12 +138,16 @@ class ColumnChunkInfo:
     name: str
     physical_type: int
     type_length: int | None
-    max_def: int          # 0 = required, 1 = optional (flat columns)
+    max_def: int          # definition-level ceiling (Dremel)
     codec: int
     num_values: int
     first_page_offset: int
     total_compressed: int
     encodings: list[int] = field(default_factory=list)
+    max_rep: int = 0      # 0 = flat; 1 = single-level LIST
+    d_list: int = 0       # def level at which the list itself is present
+    d_slot: int = 0       # def level at which an element slot exists
+    top_name: str = ""    # user-facing column name (list group name)
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
@@ -155,17 +159,70 @@ def read_file(path: str) -> tuple[bytes, dict]:
     return data, meta
 
 
-def _schema_columns(meta: dict) -> dict[str, tuple[int, int | None, int]]:
-    """name -> (physical_type, type_length, max_def) for flat leaves."""
-    out = {}
-    elems = meta[2]  # FileMetaData.schema
-    for el in elems[1:]:  # skip root
-        if el.get(5):  # num_children -> group node, flat files skip
-            continue
-        name = el[4].decode()
-        rep = el.get(3, 0)  # 0 REQUIRED, 1 OPTIONAL
-        out[name] = (el[1], el.get(2), 1 if rep == 1 else 0)
+@dataclass
+class LeafInfo:
+    path: str             # dotted leaf path as in ColumnMetaData
+    ptype: int
+    type_length: int | None
+    max_def: int
+    max_rep: int
+    d_list: int           # see ColumnChunkInfo
+    d_slot: int
+    top_name: str         # user-facing column (first path segment)
+    top_el: dict          # SchemaElement of the top-level node
+    leaf_el: dict         # SchemaElement of the leaf
+
+
+def _walk_schema(meta: dict) -> list[LeafInfo]:
+    """Depth-first SchemaElement walk -> per-leaf Dremel level info.
+
+    Scope: flat leaves and single-level LIST over a primitive (the
+    3-level optional/repeated/element encoding every modern writer
+    emits — reference schema walk: internal/schema/schema.go)."""
+    elems = meta[2]
+    out: list[LeafInfo] = []
+    pos = 1
+
+    def walk(n_children: int, prefix: list[str], d: int, r: int,
+             top: dict | None):
+        nonlocal pos
+        for _ in range(n_children):
+            el = elems[pos]
+            pos += 1
+            name = el[4].decode()
+            rep = el.get(3, 0)          # 0 REQ, 1 OPT, 2 REPEATED
+            nd = d + (1 if rep in (1, 2) else 0)
+            nr = r + (1 if rep == 2 else 0)
+            n_kids = el.get(5) or 0
+            tel = top if top is not None else el
+            if n_kids:
+                walk(n_kids, prefix + [name], nd, nr, tel)
+            else:
+                out.append(LeafInfo(
+                    path=".".join(prefix + [name]), ptype=el[1],
+                    type_length=el.get(2), max_def=nd, max_rep=nr,
+                    d_list=0, d_slot=0, top_name=(prefix + [name])[0],
+                    top_el=tel, leaf_el=el))
+
+    walk(elems[0].get(5) or 0, [], 0, 0, None)
+    # derive list thresholds: for a single repeated ancestor the slot
+    # level is the repeated group's def level; the list itself is
+    # present one below it
+    for li in out:
+        if li.max_rep == 1:
+            leaf_opt = 1 if li.leaf_el.get(3, 0) == 1 else 0
+            li.d_slot = li.max_def - leaf_opt
+            li.d_list = li.d_slot - 1
+        elif li.max_rep > 1:
+            raise ValueError(
+                f"column {li.path!r}: nested repetition depth "
+                f"{li.max_rep} out of scope")
     return out
+
+
+def _schema_columns(meta: dict) -> dict[str, LeafInfo]:
+    """leaf dotted path -> LeafInfo."""
+    return {li.path: li for li in _walk_schema(meta)}
 
 
 def column_chunks(meta: dict) -> list[list[ColumnChunkInfo]]:
@@ -178,16 +235,19 @@ def column_chunks(meta: dict) -> list[list[ColumnChunkInfo]]:
             md = cc[3]    # ColumnChunk.meta_data
             name = b".".join(md[3]).decode()
             if name not in schema:
-                raise ValueError(f"nested column {name!r} out of scope")
-            ptype, tlen, max_def = schema[name]
+                raise ValueError(f"unknown column {name!r}")
+            li = schema[name]
             start = md[9]  # data_page_offset
             if 11 in md:   # dictionary_page_offset precedes data pages
                 start = min(start, md[11])
             cols.append(ColumnChunkInfo(
-                name=name, physical_type=ptype, type_length=tlen,
-                max_def=max_def, codec=md[4], num_values=md[5],
+                name=name, physical_type=li.ptype,
+                type_length=li.type_length,
+                max_def=li.max_def, codec=md[4], num_values=md[5],
                 first_page_offset=start, total_compressed=md[7],
-                encodings=list(md[2]),
+                encodings=list(md[2]), max_rep=li.max_rep,
+                d_list=li.d_list, d_slot=li.d_slot,
+                top_name=li.top_name,
             ))
         groups.append(cols)
     return groups
@@ -311,81 +371,140 @@ def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
 def decode_column(path: str, column: str):
     """Decode every row group of ``column`` using ONLY engine codecs.
     Returns a python list with None for nulls (physical values:
-    numpy scalars for numerics, bytes for byte arrays)."""
+    numpy scalars for numerics, bytes for byte arrays; list columns
+    yield python lists per row)."""
     data, meta = read_file(path)
     out: list = []
     for rg in column_chunks(meta):
-        cc = next(c for c in rg if c.name == column)
+        cc = next(c for c in rg
+                  if c.name == column or c.top_name == column)
         out.extend(_decode_chunk(data, cc))
     return out
 
 
+def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
+    """Decode one column chunk -> (reps, defs, values) accumulated
+    across pages (levels None when absent). Values is a python list or
+    ndarray of the NON-NULL leaf values; reps/defs are int ndarrays of
+    length num_values (v1 pages may split a list mid-record, so
+    reassembly must happen at chunk scope — this is why levels
+    accumulate here)."""
+    bw_def = cc.max_def.bit_length()
+    bw_rep = cc.max_rep.bit_length()
+    dict_vals = None
+    all_reps, all_defs, all_vals = [], [], []
+    flat_np = None
+    for hdr, payload in iter_pages(data, cc):
+        ptype = hdr[1]
+        if ptype == PG_DICT:
+            dh = hdr[7]
+            nd = dh[1]
+            if dh[2] not in (E_PLAIN, E_PLAIN_DICTIONARY):
+                raise ValueError("dictionary page must be PLAIN")
+            dict_vals = _decode_plain(
+                payload, cc.physical_type, nd, cc.type_length)
+            if isinstance(dict_vals, np.ndarray):
+                dict_vals = np.asarray(dict_vals)
+            continue
+        if ptype == PG_DATA:
+            ph = hdr[5]
+            n, enc = ph[1], ph[2]
+            body = payload
+            reps = defs = None
+            if cc.max_rep:
+                reps, used = rle.decode_with_length_prefix(body, bw_rep, n)
+                body = body[used:]
+            if cc.max_def:
+                defs, used = rle.decode_with_length_prefix(body, bw_def, n)
+                body = body[used:]
+        elif ptype == PG_DATA_V2:
+            ph = hdr[8]
+            n, enc = ph[1], ph[4]
+            rl_len = ph.get(6, 0) or 0
+            dl_len = ph.get(5, 0) or 0
+            reps = defs = None
+            body = payload[rl_len + dl_len:]
+            if cc.max_rep and rl_len:
+                reps = rle.decode(payload[:rl_len], bw_rep, n)
+            if cc.max_def and dl_len:
+                defs = rle.decode(payload[rl_len:rl_len + dl_len],
+                                  bw_def, n)
+        else:
+            raise ValueError(f"unsupported page type {ptype}")
+        if cc.max_rep and reps is None:
+            reps = np.zeros(n, np.int64)
+        if cc.max_def and defs is None:
+            defs = np.zeros(n, np.int64)       # v2 all-present shortcut
+            defs += cc.max_def
+        nnon = (int(np.count_nonzero(defs == cc.max_def))
+                if defs is not None else n)
+        vals = _decode_values(body, enc, cc.physical_type, nnon,
+                              cc.type_length, dict_vals)
+        if reps is not None:
+            all_reps.append(np.asarray(reps, np.int64))
+        if defs is not None:
+            all_defs.append(np.asarray(defs, np.int64))
+        if isinstance(vals, np.ndarray):
+            if flat_np is None:
+                flat_np = True
+            all_vals.append(vals)
+        else:
+            flat_np = False
+            all_vals.extend(vals)
+    reps = np.concatenate(all_reps) if all_reps else None
+    defs = np.concatenate(all_defs) if all_defs else None
+    if flat_np:
+        vals = (np.concatenate(all_vals) if all_vals
+                else np.zeros(0, _NP_DTYPE.get(cc.physical_type,
+                                               np.dtype("O"))))
+    else:
+        vals = all_vals
+    return reps, defs, vals
+
+
 def _decode_chunk(data: bytes, cc: ColumnChunkInfo) -> list:
-    """Decode one column chunk's pages -> python list (None for nulls)."""
-    out: list = []
-    if True:
-        dict_vals = None
-        for hdr, payload in iter_pages(data, cc):
-            ptype = hdr[1]
-            if ptype == PG_DICT:
-                dh = hdr[7]
-                nd = dh[1]
-                if dh[2] not in (E_PLAIN, E_PLAIN_DICTIONARY):
-                    raise ValueError("dictionary page must be PLAIN")
-                dict_vals = _decode_plain(
-                    payload, cc.physical_type, nd, cc.type_length)
-                if isinstance(dict_vals, np.ndarray):
-                    dict_vals = np.asarray(dict_vals)
-                continue
-            if ptype == PG_DATA:
-                ph = hdr[5]
-                n, enc = ph[1], ph[2]
-                body = payload
-                defs = None
-                if cc.max_def:
-                    defs, used = rle.decode_with_length_prefix(body, 1, n)
-                    body = body[used:]
-            elif ptype == PG_DATA_V2:
-                ph = hdr[8]
-                n, enc = ph[1], ph[4]
-                rl_len = ph.get(6, 0) or 0
-                dl_len = ph.get(5, 0) or 0
-                if rl_len:
-                    raise ValueError("repetition levels out of scope")
-                defs = None
-                body = payload[rl_len + dl_len:]
-                if cc.max_def and dl_len:
-                    defs = rle.decode(payload[rl_len:rl_len + dl_len], 1, n)
-            else:
-                raise ValueError(f"unsupported page type {ptype}")
-            nnon = int(np.count_nonzero(defs)) if defs is not None else n
-            vals = _decode_values(body, enc, cc.physical_type, nnon,
-                                  cc.type_length, dict_vals)
-            if defs is None:
-                out.extend(vals.tolist() if isinstance(vals, np.ndarray)
-                           else vals)
-            else:
-                it = iter(vals.tolist() if isinstance(vals, np.ndarray)
-                          else vals)
-                out.extend(next(it) if d else None for d in defs)
-    return out
+    """Decode one column chunk's pages -> python list (None for nulls;
+    list columns come back as python lists per row)."""
+    reps, defs, vals = _decode_chunk_levels(data, cc)
+    vlist = vals.tolist() if isinstance(vals, np.ndarray) else vals
+    if cc.max_rep:
+        return _assemble_lists(cc, reps, defs, vlist)
+    if defs is None:
+        return vlist
+    it = iter(vlist)
+    return [next(it) if d == cc.max_def else None for d in defs]
+
+
+def _assemble_lists(cc: ColumnChunkInfo, reps: np.ndarray,
+                    defs: np.ndarray, vals: list) -> list:
+    """Dremel reassembly for a single-level list over a primitive:
+    rep==0 starts a record; def thresholds decide null row / empty
+    list / null element / present element."""
+    starts = np.flatnonzero(reps == 0)
+    ends = np.append(starts[1:], len(reps))
+    present = defs == cc.max_def
+    # position of each level entry in the value stream
+    vidx = np.cumsum(present) - 1
+    rows: list = []
+    for s, e in zip(starts, ends):
+        d0 = defs[s]
+        if e == s + 1 and d0 <= cc.d_list:
+            rows.append([] if d0 == cc.d_list else None)
+            continue
+        rows.append([vals[vidx[i]] if present[i] else None
+                     for i in range(s, e)])
+    return rows
 
 
 # --- typed table assembly (distributed engine-reader support) -----------
 
-def arrow_schema(meta: dict) -> "object":
-    """FileMetaData -> pyarrow schema for the flat leaves (logical-type
-    aware: UTF8, DATE, TIMESTAMP millis/micros, DECIMAL int32/int64)."""
+def _arrow_leaf_type(el: dict) -> "object":
+    """SchemaElement (leaf) -> pyarrow value type."""
     import pyarrow as pa
 
-    fields = []
-    for el in meta[2][1:]:
-        if el.get(5):
-            continue
-        name = el[4].decode()
-        ptype, conv = el[1], el.get(6)
-        logical = el.get(10) or {}
-        nullable = el.get(3, 0) == 1
+    ptype, conv = el[1], el.get(6)
+    logical = el.get(10) or {}
+    if True:
         if ptype == T_BOOLEAN:
             t = pa.bool_()
         elif ptype == T_INT32:
@@ -419,7 +538,26 @@ def arrow_schema(meta: dict) -> "object":
             t = pa.timestamp("us", tz="UTC")              # legacy impala
         else:
             raise ValueError(f"unsupported physical type {ptype}")
-        fields.append(pa.field(name, t, nullable))
+        return t
+
+
+def arrow_schema(meta: dict) -> "object":
+    """FileMetaData -> pyarrow schema (logical-type aware: UTF8, DATE,
+    TIMESTAMP millis/micros, DECIMAL; single-level LISTs)."""
+    import pyarrow as pa
+
+    fields = []
+    for li in _walk_schema(meta):
+        t = _arrow_leaf_type(li.leaf_el)
+        if li.max_rep == 1:
+            elem = pa.field(li.path.rsplit(".", 1)[-1], t,
+                            li.leaf_el.get(3, 0) == 1)
+            fields.append(pa.field(li.top_name, pa.list_(elem),
+                                   li.top_el.get(3, 0) == 1))
+        elif "." in li.path:
+            raise ValueError(f"struct column {li.path!r} out of scope")
+        else:
+            fields.append(pa.field(li.path, t, li.leaf_el.get(3, 0) == 1))
     return pa.schema(fields)
 
 
@@ -446,6 +584,14 @@ def decode_table(path: str, columns: list[str] | None = None,
     sel = range(len(groups)) if row_groups is None else row_groups
     arrays = []
     for f in schema:
+        if pa.types.is_list(f.type):
+            chunks = []
+            for gi in sel:
+                cc = next(c for c in groups[gi] if c.top_name == f.name)
+                chunks.append(_assemble_list_array(
+                    data, cc, f.type.value_type))
+            arrays.append(pa.concat_arrays(chunks).cast(f.type))
+            continue
         vals: list = []
         for gi in sel:
             cc = next(c for c in groups[gi] if c.name == f.name)
@@ -469,3 +615,37 @@ def decode_table(path: str, columns: list[str] | None = None,
             arr = pa.array(vals, f.type)
         arrays.append(arr)
     return pa.table(arrays, schema=schema)
+
+
+def _assemble_list_array(data: bytes, cc: ColumnChunkInfo, value_type):
+    """Vectorized Dremel -> pyarrow ListArray for one chunk: offsets
+    from rep boundaries + element counts, row validity from def
+    thresholds, element nulls from def == d_slot."""
+    import pyarrow as pa
+
+    reps, defs, vals = _decode_chunk_levels(data, cc)
+    new_row = reps == 0
+    n_rows = int(new_row.sum())
+    row_idx = np.cumsum(new_row) - 1
+    elem_mask = defs >= cc.d_slot
+    present = defs == cc.max_def
+    counts = np.bincount(row_idx[elem_mask], minlength=n_rows)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    row_valid = defs[new_row] >= cc.d_list
+
+    elem_present = present[elem_mask]
+    n_elems = int(elem_mask.sum())
+    if isinstance(vals, np.ndarray):
+        full = np.zeros(n_elems, vals.dtype)
+        full[elem_present] = vals
+        elems = pa.array(full, mask=~elem_present)
+    else:                       # byte-array elements
+        it = iter(vals)
+        elems = pa.array(
+            [next(it) if p else None for p in elem_present], pa.binary())
+    elems = elems.cast(value_type)
+    off_arr = pa.array(
+        [None if not row_valid[i] else int(offs[i])
+         for i in range(n_rows)] + [int(offs[-1])], pa.int32())
+    return pa.ListArray.from_arrays(off_arr, elems)

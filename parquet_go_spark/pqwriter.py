@@ -128,6 +128,15 @@ class _Col:
     np_dtype: np.dtype | None = None  # numeric storage dtype
     scale: int | None = None          # DECIMAL only
     precision: int | None = None
+    elem: "_Col | None" = None        # LIST: the element column
+    elem_name: str = "element"
+
+
+# LIST columns always use the canonical 3-level optional/repeated/
+# optional encoding (what every modern writer emits), so the Dremel
+# thresholds are constants: max_rep 1; def 0 null row, 1 empty list,
+# 2 null element, 3 present element
+L_DEF, L_SLOT, L_LIST, CV_LIST = 3, 2, 1, 3
 
 
 _EMPTY = _tstruct([])
@@ -167,6 +176,20 @@ def _map_type(field: pa.Field) -> _Col:
         return _Col(field.name, T_BYTE_ARRAY)
     if pa.types.is_fixed_size_binary(t):
         return _Col(field.name, T_FLBA, type_length=t.byte_width)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        ef = t.value_field
+        if pa.types.is_nested(ef.type):
+            raise ValueError(
+                f"pqwriter: nested repetition in {field.name!r} out of "
+                "scope (single-level lists of primitives)")
+        inner = _map_type(pa.field(ef.name or "element", ef.type, True))
+        c = _Col(field.name, inner.ptype, type_length=inner.type_length,
+                 converted=inner.converted, logical=inner.logical,
+                 np_dtype=inner.np_dtype, scale=inner.scale,
+                 precision=inner.precision)
+        c.elem = inner
+        c.elem_name = ef.name or "element"
+        return c
     if pa.types.is_decimal(t):
         # spec §DECIMAL: INT32 through 9 digits, INT64 through 18,
         # FLBA big-endian two's complement past that
@@ -400,9 +423,142 @@ def _extract_vals(col: _Col, nonnull: pa.Array):
     return np.asarray(nonnull.cast(cast_t))
 
 
+def _list_levels(arr: pa.Array):
+    """ListArray -> (rep, def, elem_array) in entry order (Dremel
+    shredding, vectorized). Null/empty rows contribute one placeholder
+    entry; elements carry def L_SLOT (null) or L_DEF (present)."""
+    offs = np.asarray(arr.offsets, np.int64)
+    row_valid = np.asarray(arr.is_valid())
+    counts = np.where(row_valid, np.diff(offs), 0)
+    ent = np.maximum(counts, 1)
+    n_ent = int(ent.sum())
+    starts = np.cumsum(ent) - ent
+    rep = np.ones(n_ent, np.uint8)
+    rep[starts] = 0
+    # element-domain selection mask for VALID rows (arrow keeps offsets
+    # monotonic around null rows, so slots under nulls are skipped)
+    child = arr.values
+    m = np.zeros(len(child) + 1, np.int64)
+    lo = offs[:-1][row_valid & (counts > 0)]
+    hi = offs[1:][row_valid & (counts > 0)]
+    np.add.at(m, lo, 1)
+    np.add.at(m, hi, -1)
+    sel = np.cumsum(m[:-1]) > 0
+    elem_arr = child.take(np.flatnonzero(sel)) if sel.any() else \
+        child.slice(0, 0)
+    defs = np.empty(n_ent, np.uint8)
+    placeholder = starts[counts == 0]
+    is_elem = np.ones(n_ent, bool)
+    is_elem[placeholder] = False
+    elem_valid = np.asarray(elem_arr.is_valid()) if len(elem_arr) else \
+        np.zeros(0, bool)
+    defs[is_elem] = np.where(elem_valid, L_DEF, L_SLOT)
+    defs[placeholder] = np.where(row_valid[counts == 0], L_LIST, 0)
+    return rep, defs, elem_arr
+
+
+def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
+                      codec_id: int, page_rows: int, enc_want: str,
+                      write_stats: bool):
+    """LIST column chunk: rep+def level streams ahead of the element
+    values, pages split on ROW boundaries (a record never splits)."""
+    n_rows = len(arr)
+    if not isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    rep, defs, elem_arr = _list_levels(arr)
+    n_ent = len(rep)
+    nonnull = elem_arr.drop_null()
+    vals = _extract_vals(col, nonnull)
+    enc_name, dict_pack = _pick_encoding(col, nonnull, vals, enc_want)
+
+    chunk_start = len(out)
+    dict_offset = None
+    encodings = {E_RLE_LEVELS}
+    tot_u = tot_c = 0
+    if enc_name == "dict":
+        uniques, codes = dict_pack
+        if col.ptype == T_BYTE_ARRAY:
+            dict_payload = plainc.encode_byte_array(
+                *_bytes_and_offsets(uniques))
+        else:
+            dict_payload = plainc.encode_numeric(
+                np.ascontiguousarray(uniques, col.np_dtype))
+        dhdr = _tstruct([(1, CT_I32, len(uniques)), (2, CT_I32, E_PLAIN)])
+        dict_offset = len(out)
+        pg, u, c = _page(PG_DICT, dhdr, dict_payload, codec_id)
+        out += pg
+        tot_u += u
+        tot_c += c
+        encodings |= {E_PLAIN, E_RLE_DICTIONARY}
+        enc_id = E_RLE_DICTIONARY
+        bw = max(1, dictionary.index_bit_width(len(uniques)))
+    else:
+        enc_id = _ENC_IDS[enc_name]
+        encodings.add(enc_id)
+
+    # entry/value prefix indexes for page slicing on row boundaries
+    ent_of_row = np.zeros(n_rows + 1, np.int64)
+    row_starts = np.flatnonzero(rep == 0)
+    ent_of_row[:-1] = row_starts
+    ent_of_row[-1] = n_ent
+    present = defs == L_DEF
+    val_prefix = np.zeros(n_ent + 1, np.int64)
+    np.cumsum(present, out=val_prefix[1:])
+
+    data_offset = len(out)
+    bw_def, bw_rep = 2, 1      # ceil(log2(3+1)), ceil(log2(1+1))
+    row = 0
+    while True:
+        hi_row = min(row + page_rows, n_rows)
+        s_ent, e_ent = int(ent_of_row[row]), int(ent_of_row[hi_row])
+        v_lo, v_hi = int(val_prefix[s_ent]), int(val_prefix[e_ent])
+        level_bytes = (
+            rle.encode_with_length_prefix(rep[s_ent:e_ent], bw_rep)
+            + rle.encode_with_length_prefix(defs[s_ent:e_ent], bw_def))
+        if enc_name == "dict":
+            body = bytes([bw]) + rle.encode(codes[v_lo:v_hi], bw)
+        else:
+            body = _encode_values(col, enc_id,
+                                  _slice_vals(col, vals, v_lo, v_hi))
+        phdr = _tstruct([
+            (1, CT_I32, e_ent - s_ent),
+            (2, CT_I32, enc_id),
+            (3, CT_I32, E_RLE_LEVELS),
+            (4, CT_I32, E_RLE_LEVELS),
+        ])
+        pg, u, c = _page(PG_DATA, phdr, level_bytes + body, codec_id)
+        out += pg
+        tot_u += u
+        tot_c += c
+        row = hi_row
+        if row >= n_rows:
+            break
+
+    stats_struct = (_chunk_stats(col, nonnull, vals,
+                                 n_ent - int(present.sum()))
+                    if write_stats else None)
+    meta = _tstruct([
+        (1, CT_I32, col.ptype),
+        (2, CT_LIST, (CT_I32, sorted(encodings))),
+        (3, CT_LIST, (CT_BINARY, [col.name, "list", col.elem_name])),
+        (4, CT_I32, codec_id),
+        (5, CT_I64, n_ent),
+        (6, CT_I64, tot_u),
+        (7, CT_I64, tot_c),
+        (9, CT_I64, data_offset),
+        (11, CT_I64, dict_offset),
+        (12, CT_STRUCT, stats_struct),
+    ])
+    chunk = _tstruct([(2, CT_I64, chunk_start), (3, CT_STRUCT, meta)])
+    return chunk, tot_u, True
+
+
 def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
                  page_rows: int, enc_want: str, write_stats: bool):
     """Append one column chunk's pages; return its ColumnChunk struct."""
+    if col.elem is not None:
+        return _write_list_chunk(out, col, arr, codec_id, page_rows,
+                                 enc_want, write_stats)
     n_total = len(arr)
     null_count = arr.null_count
     optional = null_count > 0
@@ -537,6 +693,30 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     schema_elems = [_tstruct([(4, CT_BINARY, "schema"),
                               (5, CT_I32, len(cols))])]
     for col, field in zip(cols, table.schema):
+        if col.elem is not None:
+            # canonical 3-level LIST: optional group (LIST) >
+            # repeated group "list" > optional element
+            schema_elems.append(_tstruct([
+                (3, CT_I32, 1),
+                (4, CT_BINARY, col.name),
+                (5, CT_I32, 1),
+                (6, CT_I32, CV_LIST),
+                (10, CT_STRUCT, _logical(3)),
+            ]))
+            schema_elems.append(_tstruct([
+                (3, CT_I32, 2),
+                (4, CT_BINARY, "list"),
+                (5, CT_I32, 1),
+            ]))
+            schema_elems.append(_tstruct([
+                (1, CT_I32, col.ptype),
+                (2, CT_I32, col.type_length),
+                (3, CT_I32, 1),
+                (4, CT_BINARY, col.elem_name),
+                (6, CT_I32, col.converted),
+                (10, CT_STRUCT, col.logical),
+            ]))
+            continue
         rep = 1 if (field.nullable and col_optional[col.name]) else 0
         schema_elems.append(_tstruct([
             (1, CT_I32, col.ptype),

@@ -295,3 +295,93 @@ def test_read_parquet_dir_distributed(spark, tmp_path):
     cols = read_parquet_dir(spark, d, columns=["lo", "ni"])
     assert cols.columns == ["lo", "ni"]
     assert cols.filter("ni IS NULL").count() == tbl["ni"].null_count
+
+
+def _list_table(n=5000):
+    rng = _rng()
+    rows = []
+    for i in range(n):
+        if i % 13 == 0:
+            rows.append(None)
+        elif i % 17 == 0:
+            rows.append([])
+        else:
+            rows.append([None if (i + j) % 23 == 0
+                         else float(np.float32(rng.normal()))
+                         for j in range(int(rng.integers(1, 9)))])
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+        "tags": pa.array([[f"t{j}" for j in range(i % 4)]
+                          for i in range(n)], pa.list_(pa.string())),
+        "toks": pa.array([[int(x) for x in _rng().integers(0, 50000, i % 6)]
+                          for i in range(n)], pa.list_(pa.int32())),
+    })
+
+
+def test_list_write_roundtrips_all_readers(tmp_path):
+    """3-level LIST encoding (rep/def streams) written by the engine:
+    null rows, empty lists, null elements, pages split on row
+    boundaries, multiple row groups — decoded by pyarrow, DuckDB, and
+    the engine's own Dremel reassembly."""
+    import duckdb
+
+    tbl = _list_table(5000)
+    f = str(tmp_path / "l.parquet")
+    W.write_table(tbl, f, compression="zstd", row_group_rows=1700,
+                  page_rows=450)
+    back = pq.read_table(f)
+    for c in tbl.column_names:
+        assert back.column(c).to_pylist() == tbl.column(c).to_pylist(), c
+    con = duckdb.connect()
+    n, s = con.execute(
+        f"SELECT count(*), sum(len(tags)) FROM '{f}'").fetchone()
+    assert n == 5000 and s == sum(i % 4 for i in range(5000))
+    t2 = P.decode_table(f)
+    assert t2.schema.equals(back.schema)
+    assert t2.column("embedding").to_pylist() == \
+        tbl.column("embedding").to_pylist()
+    assert t2.column("toks").to_pylist() == tbl.column("toks").to_pylist()
+
+
+def test_engine_reads_pyarrow_lists_and_vice_versa(tmp_path):
+    """Cross-writer: pyarrow-written lists decoded by the engine (small
+    pages, dict + non-dict), engine-written lists decoded by pyarrow —
+    and the REAL embeddings testdata file both ways."""
+    tbl = _list_table(4000)
+    f = str(tmp_path / "ref.parquet")
+    pq.write_table(tbl, f, row_group_size=1500, data_page_size=2048)
+    got = P.decode_table(f)
+    assert got.column("embedding").to_pylist() == \
+        tbl.column("embedding").to_pylist()
+    assert got.column("tags").cast(tbl.schema.field("tags").type) \
+        .to_pylist() == tbl.column("tags").to_pylist()
+
+    real = "/root/testdata/sf0.001/embeddings.parquet"
+    eng = P.decode_table(real)
+    ref = pq.read_table(real)
+    assert eng.schema.equals(ref.schema)
+    for c in ref.column_names:
+        assert eng.column(c).to_pylist() == ref.column(c).to_pylist(), c
+    f2 = str(tmp_path / "rt.parquet")
+    W.write_table(ref, f2, compression="snappy")
+    back = pq.read_table(f2)
+    for c in ref.column_names:
+        assert back.column(c).to_pylist() == ref.column(c).to_pylist(), c
+
+
+def test_spark_reads_engine_lists(spark, tmp_path):
+    import os
+
+    tbl = _list_table(3000)
+    d = str(tmp_path / "dir")
+    os.makedirs(d)
+    W.write_table(tbl, os.path.join(d, "p.parquet"), compression="zstd")
+    df = spark.read.parquet(d)
+    assert df.count() == 3000
+    got = {r["vec_id"]: r["toks"] for r in
+           df.select("vec_id", "toks").collect()}
+    exp = dict(zip(tbl["vec_id"].to_pylist(), tbl["toks"].to_pylist()))
+    assert got == exp
+    s = df.selectExpr("sum(size(tags)) as s").first()["s"]
+    assert s == sum(i % 4 for i in range(3000))
