@@ -148,6 +148,8 @@ class ColumnChunkInfo:
     d_list: int = 0       # def level at which the list itself is present
     d_slot: int = 0       # def level at which an element slot exists
     top_name: str = ""    # user-facing column name (list group name)
+    bloom_offset: int | None = None
+    bloom_length: int | None = None
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
@@ -248,6 +250,7 @@ def column_chunks(meta: dict) -> list[list[ColumnChunkInfo]]:
                 encodings=list(md[2]), max_rep=li.max_rep,
                 d_list=li.d_list, d_slot=li.d_slot,
                 top_name=li.top_name,
+                bloom_offset=md.get(14), bloom_length=md.get(15),
             ))
         groups.append(cols)
     return groups
@@ -649,3 +652,57 @@ def _assemble_list_array(data: bytes, cc: ColumnChunkInfo, value_type):
         [None if not row_valid[i] else int(offs[i])
          for i in range(n_rows)] + [int(offs[-1])], pa.int32())
     return pa.ListArray.from_arrays(off_arr, elems)
+
+
+# --- split-block bloom filters (parquet spec SBBF) ----------------------
+
+def read_bloom(data: bytes, cc: ColumnChunkInfo):
+    """Parse a chunk's BloomFilterHeader + bitset -> the engine's
+    SplitBlockBloom (bloom.py IS the spec filter: 32-byte blocks, the 8
+    salt constants, xxHash64). Validates the header unions."""
+    from . import bloom as bloommod
+
+    if cc.bloom_offset is None:
+        raise ValueError(f"column {cc.name!r} has no bloom filter")
+    hdr, pos = _read_struct(memoryview(data), cc.bloom_offset)
+    nbytes = hdr[1]
+    if nbytes <= 0 or nbytes % 32 or pos + nbytes > len(data):
+        raise ValueError("bad bloom bitset size")
+    for fid, what in ((2, "algorithm"), (3, "hash"), (4, "compression")):
+        if 1 not in (hdr.get(fid) or {}):
+            raise ValueError(f"unsupported bloom {what}")
+    words = np.frombuffer(data, np.uint32, nbytes // 4,
+                          offset=pos).reshape(-1, 8).copy()
+    return bloommod.SplitBlockBloom(words)
+
+
+def bloom_check(path: str, column: str, values) -> np.ndarray:
+    """Membership probe against every row group's bloom for ``column``
+    (ORed): True = maybe present, False = definitely absent. Values are
+    hashed over their PLAIN encoding per the spec."""
+    from . import bloom as bloommod
+
+    data, meta = read_file(path)
+    li = _schema_columns(meta)[column] if column in _schema_columns(meta) \
+        else next(x for x in _walk_schema(meta) if x.top_name == column)
+    vals = []
+    for v in values:
+        if isinstance(v, str):
+            vals.append(v.encode())
+        elif isinstance(v, bytes):
+            vals.append(v)
+        elif isinstance(v, (int, np.integer)):
+            w = 4 if li.ptype == T_INT32 else 8
+            vals.append(int(v).to_bytes(w, "little", signed=True))
+        elif isinstance(v, float):
+            dt = "<f4" if li.ptype == T_FLOAT else "<f8"
+            vals.append(np.array([v], dt).tobytes())
+        else:
+            raise TypeError(f"cannot plain-encode {v!r}")
+    h = bloommod.xxhash64_bytes(vals)
+    out = np.zeros(len(vals), bool)
+    for rg in column_chunks(meta):
+        cc = next(c for c in rg if c.name == column or c.top_name == column)
+        bf = read_bloom(data, cc)
+        out |= bf.check_hashes(h)
+    return out

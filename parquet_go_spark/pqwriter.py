@@ -139,6 +139,21 @@ class _Col:
 L_DEF, L_SLOT, L_LIST, CV_LIST = 3, 2, 1, 3
 
 
+@dataclass
+class _Chunk:
+    """Deferred ColumnChunk: meta fields stay a mutable list until the
+    footer is built, so bloom offsets (written after the data pages)
+    can be appended before serialization."""
+    meta_fields: list
+    start: int
+    bloom_hashes: "np.ndarray | None" = None
+
+    def serialize(self) -> bytes:
+        return _tstruct([(2, CT_I64, self.start),
+                         (3, CT_STRUCT, _tstruct(self.meta_fields))])
+
+
+
 _EMPTY = _tstruct([])
 
 
@@ -537,7 +552,7 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
     stats_struct = (_chunk_stats(col, nonnull, vals,
                                  n_ent - int(present.sum()))
                     if write_stats else None)
-    meta = _tstruct([
+    meta_fields = [
         (1, CT_I32, col.ptype),
         (2, CT_LIST, (CT_I32, sorted(encodings))),
         (3, CT_LIST, (CT_BINARY, [col.name, "list", col.elem_name])),
@@ -548,9 +563,8 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
         (9, CT_I64, data_offset),
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
-    ])
-    chunk = _tstruct([(2, CT_I64, chunk_start), (3, CT_STRUCT, meta)])
-    return chunk, tot_u, True
+    ]
+    return _Chunk(meta_fields, chunk_start), tot_u, True
 
 
 def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
@@ -629,7 +643,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
 
     stats_struct = (_chunk_stats(col, nonnull, vals, null_count)
                     if write_stats else None)
-    meta = _tstruct([
+    meta_fields = [
         (1, CT_I32, col.ptype),
         (2, CT_LIST, (CT_I32, sorted(encodings))),
         (3, CT_LIST, (CT_BINARY, [col.name])),
@@ -640,15 +654,70 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         (9, CT_I64, data_offset),
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
-    ])
-    chunk = _tstruct([(2, CT_I64, chunk_start), (3, CT_STRUCT, meta)])
-    return chunk, tot_u, optional
+    ]
+    return _Chunk(meta_fields, chunk_start), tot_u, optional
+
+
+def _bloom_hashes(col: _Col, arr: pa.Array) -> np.ndarray:
+    """xxHash64 (seed 0) of the PLAIN-encoded distinct values — the
+    parquet spec's SBBF hash input (engine kernel: bloom.py, the same
+    split-block filter the PGS store uses)."""
+    from . import bloom as bloommod
+
+    while pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        arr = arr.flatten()
+    uniq = pc.unique(arr).drop_null()
+    if len(uniq) == 0:
+        return np.zeros(0, np.uint64)
+    if col.ptype in (T_INT64,):
+        v = np.asarray(uniq.cast(pa.int64()))
+        return bloommod.xxhash64_u64(v.view(np.uint64))
+    if col.ptype == T_INT32:
+        v = np.ascontiguousarray(np.asarray(uniq.cast(pa.int32())), "<i4")
+        return bloommod.xxhash64_bytes(
+            [v[i:i + 1].tobytes() for i in range(len(v))])
+    if col.ptype in (T_FLOAT, T_DOUBLE):
+        v = np.ascontiguousarray(np.asarray(uniq), col.np_dtype)
+        return bloommod.xxhash64_bytes(
+            [v[i:i + 1].tobytes() for i in range(len(v))])
+    if col.ptype in (T_BYTE_ARRAY, T_FLBA):
+        vals = [x.encode() if isinstance(x, str) else bytes(x)
+                for x in uniq.to_pylist()]
+        return bloommod.xxhash64_bytes(vals)
+    raise ValueError(f"bloom filter unsupported for {col.name!r}")
+
+
+def _write_blooms(out: bytearray, chunks: "list[_Chunk]") -> None:
+    """Append spec SBBF bloom filters (BloomFilterHeader + bitset) for
+    every chunk that carries hashes; patch offsets into the meta."""
+    from . import bloom as bloommod
+
+    union1 = _tstruct([(1, CT_STRUCT, _EMPTY)])
+    for ch in chunks:
+        h = ch.bloom_hashes
+        if h is None or len(h) == 0:
+            continue
+        bf = bloommod.SplitBlockBloom.sized(len(h))
+        bf.insert_hashes(h)
+        bitset = bf.words.tobytes()
+        hdr = _tstruct([
+            (1, CT_I32, len(bitset)),
+            (2, CT_STRUCT, union1),    # SplitBlockAlgorithm
+            (3, CT_STRUCT, union1),    # XxHash
+            (4, CT_STRUCT, union1),    # Uncompressed
+        ])
+        off = len(out)
+        out += hdr
+        out += bitset
+        ch.meta_fields.append((14, CT_I64, off))
+        ch.meta_fields.append((15, CT_I32, len(hdr) + len(bitset)))
 
 
 def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 encodings: dict[str, str] | None = None,
                 row_group_rows: int = 1 << 20, page_rows: int = 1 << 16,
-                stats: bool = True) -> None:
+                stats: bool = True,
+                bloom_columns: list[str] | None = None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
@@ -664,7 +733,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     cols = [_map_type(f) for f in table.schema]
 
     out = bytearray(MAGIC)
-    row_groups = []
+    all_chunks: list = []
     n = table.num_rows
     col_optional = {c.name: False for c in cols}
     for lo in range(0, max(n, 1), row_group_rows):
@@ -681,13 +750,20 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             chunk, u, opt = _write_chunk(
                 out, col, arr, codec_id, page_rows,
                 encodings.get(col.name, "auto"), stats)
+            if bloom_columns and col.name in bloom_columns:
+                chunk.bloom_hashes = _bloom_hashes(col, arr)
             col_optional[col.name] |= opt
             chunks.append(chunk)
             rg_u += u
+        all_chunks.append((chunks, rg_u, hi - lo))
+
+    _write_blooms(out, [c for chunks, _, _ in all_chunks for c in chunks])
+    row_groups = []
+    for chunks, rg_u, rg_rows in all_chunks:
         row_groups.append(_tstruct([
-            (1, CT_LIST, (CT_STRUCT, chunks)),
+            (1, CT_LIST, (CT_STRUCT, [c.serialize() for c in chunks])),
             (2, CT_I64, rg_u),
-            (3, CT_I64, hi - lo),
+            (3, CT_I64, rg_rows),
         ]))
 
     schema_elems = [_tstruct([(4, CT_BINARY, "schema"),

@@ -385,3 +385,65 @@ def test_spark_reads_engine_lists(spark, tmp_path):
     assert got == exp
     s = df.selectExpr("sum(size(tags)) as s").first()["s"]
     assert s == sum(i % 4 for i in range(3000))
+
+
+def test_bloom_filters_engine_written(tmp_path):
+    """Spec SBBF blooms written by the engine: membership exact for
+    present values, low false-positive rate for absent; the carrying
+    file still parses everywhere (pyarrow + DuckDB)."""
+    import duckdb
+
+    n = 20000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64) * 7 + 3),
+        "s": pa.array([f"user-{i * 13 % 50021}" for i in range(n)]),
+        "i32c": pa.array((np.arange(n) * 11 % 99991).astype(np.int32)),
+        "toks": pa.array([[int(x) for x in _rng().integers(0, 10**6, 4)]
+                          for _ in range(n)], pa.list_(pa.int64())),
+    })
+    f = str(tmp_path / "b.parquet")
+    W.write_table(tbl, f, compression="zstd", row_group_rows=8000,
+                  bloom_columns=["k", "s", "i32c", "toks"])
+    assert pq.read_table(f).column("k").to_pylist() == tbl["k"].to_pylist()
+    con = duckdb.connect()
+    assert con.execute(f"SELECT count(*) FROM '{f}'").fetchone()[0] == n
+    assert P.bloom_check(f, "k", [3, 10, 7 * 19999 + 3]).tolist() == \
+        [True, True, True]
+    assert P.bloom_check(
+        f, "k", list(range(10**6, 10**6 + 500))).mean() < 0.02
+    assert P.bloom_check(f, "s", ["user-0", "user-13"]).all()
+    assert P.bloom_check(
+        f, "s", [f"nouser-{i}" for i in range(500)]).mean() < 0.02
+    # list columns bloom their ELEMENTS (token-membership probes)
+    some = tbl["toks"].to_pylist()[17][:2]
+    assert P.bloom_check(f, "toks", some).all()
+    assert P.bloom_check(
+        f, "toks", list(range(10**9, 10**9 + 500))).mean() < 0.02
+
+
+def test_bloom_filters_parquet_mr_read_by_engine(spark, tmp_path):
+    """parquet-mr (Spark's writer) blooms decoded by the engine's SBBF
+    kernel — external proof the hash input (plain-encoded value,
+    xxHash64 seed 0) and block addressing match the spec. High-NDV
+    columns only: parquet-mr omits blooms on fully dict-encoded
+    chunks."""
+    import os
+
+    d = str(tmp_path / "mr")
+    df = spark.range(0, 30000).selectExpr(
+        "id * 3 as k", "concat('u-', id, '-', id * 7919) as s")
+    (df.coalesce(1).write.mode("overwrite")
+       .option("parquet.bloom.filter.enabled#k", "true")
+       .option("parquet.bloom.filter.expected.ndv#k", "30000")
+       .option("parquet.bloom.filter.enabled#s", "true")
+       .option("parquet.bloom.filter.expected.ndv#s", "30000")
+       .parquet(d))
+    pf = [os.path.join(d, x) for x in os.listdir(d)
+          if x.endswith(".parquet")][0]
+    assert P.bloom_check(pf, "k", [0, 3, 29999 * 3]).tolist() == \
+        [True, True, True]
+    assert P.bloom_check(
+        pf, "k", list(range(10**9, 10**9 + 500))).mean() < 0.02
+    assert P.bloom_check(pf, "s", ["u-0-0", "u-10-79190"]).all()
+    assert P.bloom_check(
+        pf, "s", [f"w{i}" for i in range(500)]).mean() < 0.02
