@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_reader_roundtrip"] = _pqs.reader_roundtrip_query
     q["pq_reader_embeddings"] = _pqs.reader_embeddings_query
     q["pq_writer_embeddings"] = _pqs.writer_embeddings_query
+    q["pq_reader_pruned"] = _pqs.reader_pruned_query
     return q
 
 
@@ -482,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
     o["pq_reader_roundtrip"] = _pqs.READER_ROUNDTRIP_ORACLE
     o["pq_reader_embeddings"] = _pqs.EMBEDDINGS_EXPLODED_ORACLE
     o["pq_writer_embeddings"] = _pqs.EMBEDDINGS_EXPLODED_ORACLE
+    o["pq_reader_pruned"] = _pqs.READER_PRUNED_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE

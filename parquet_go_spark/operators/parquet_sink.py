@@ -34,12 +34,14 @@ def write_parquet_dir(
     encodings: dict[str, str] | None = None,
     row_group_rows: int = 1 << 20,
     page_rows: int = 1 << 16,
+    bloom_columns: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
     One file per non-empty partition (size partitions upstream with
     repartition/coalesce). Returns the file manifest [{file, rows,
     bytes}] — metadata-scale."""
+    bloom_columns = list(bloom_columns) if bloom_columns else None
     os.makedirs(out_dir, exist_ok=True)
     enc = encodings or {}
 
@@ -57,7 +59,8 @@ def write_parquet_dir(
         path = os.path.join(out_dir, name)
         pqwriter.write_table(
             tbl, path, compression=compression, encodings=enc,
-            row_group_rows=row_group_rows, page_rows=page_rows)
+            row_group_rows=row_group_rows, page_rows=page_rows,
+            bloom_columns=bloom_columns)
         yield pa.RecordBatch.from_arrays(
             [pa.array([name]), pa.array([tbl.num_rows], pa.int64()),
              pa.array([os.path.getsize(path)], pa.int64())],
@@ -91,8 +94,80 @@ WRITER_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
 
 # -------------------------------------------------------- engine reader
 
+def _rg_stats_keep(meta: dict, gi: int, col: str, pred: tuple) -> bool:
+    """Row-group stats pruning (advisory-lossless): False only when the
+    chunk's min/max bounds PROVE no row can match."""
+    import struct as structmod
+
+    from .. import pqinterop as P
+
+    cc_md = None
+    for cc in meta[4][gi][1]:
+        if b".".join(cc[3][3]).decode().split(".")[0] == col:
+            cc_md = cc[3]
+            break
+    if cc_md is None or 12 not in cc_md:
+        return True
+    st = cc_md[12]
+    mn_b, mx_b = st.get(6), st.get(5)
+    if mn_b is None or mx_b is None:
+        return True
+    li = next(x for x in P._walk_schema(meta)
+              if x.top_name == col or x.path == col)
+    if li.ptype == P.T_INT32:
+        mn, mx = (structmod.unpack("<i", b)[0] for b in (mn_b, mx_b))
+    elif li.ptype == P.T_INT64:
+        mn, mx = (structmod.unpack("<q", b)[0] for b in (mn_b, mx_b))
+    elif li.ptype == P.T_FLOAT:
+        mn, mx = (structmod.unpack("<f", b)[0] for b in (mn_b, mx_b))
+    elif li.ptype == P.T_DOUBLE:
+        mn, mx = (structmod.unpack("<d", b)[0] for b in (mn_b, mx_b))
+    elif li.ptype == P.T_BYTE_ARRAY:
+        mn, mx = mn_b, mx_b
+    else:
+        return True
+    op = pred[0]
+    if op == "eq":
+        v = pred[1].encode() if isinstance(pred[1], str) else pred[1]
+        return mn <= v <= mx
+    if op == "range":
+        lo = pred[1].encode() if isinstance(pred[1], str) else pred[1]
+        hi = pred[2].encode() if isinstance(pred[2], str) else pred[2]
+        return not (hi < mn or lo > mx)
+    return True
+
+
+def _rg_bloom_keep(data: bytes, meta: dict, gi: int, col: str,
+                   pred: tuple) -> bool:
+    """Bloom pruning for eq predicates: False = definitely absent."""
+    from .. import pqinterop as P
+
+    if pred[0] != "eq":
+        return True
+    for cc in P.column_chunks(meta)[gi]:
+        if cc.name == col or cc.top_name == col:
+            if cc.bloom_offset is None:
+                return True
+            v = pred[1]
+            if isinstance(v, str):
+                b = v.encode()
+            elif isinstance(v, bytes):
+                b = v
+            elif isinstance(v, (int,)):
+                b = int(v).to_bytes(4 if cc.physical_type == P.T_INT32
+                                    else 8, "little", signed=True)
+            else:
+                return True
+            from .. import bloom as bloommod
+
+            h = bloommod.xxhash64_bytes([b])
+            return bool(P.read_bloom(data, cc).check_hashes(h)[0])
+    return True
+
+
 def read_parquet_dir(
-    spark: SparkSession, path: str, columns: list[str] | None = None
+    spark: SparkSession, path: str, columns: list[str] | None = None,
+    filters: dict | None = None,
 ) -> DataFrame:
     """Read real parquet files with the ENGINE's spec decoder
     (pqinterop.decode_table), distributed one (file, row-group) per
@@ -109,8 +184,16 @@ def read_parquet_dir(
         if os.path.isdir(path) else [path])
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
-    units = [(f, g) for f in files
-             for g in range(pqinterop.num_row_groups(f))]
+    units = []
+    for f in files:
+        data, meta = pqinterop.read_file(f)
+        for g in range(len(meta[4])):
+            keep = True
+            for col, pred in (filters or {}).items():
+                keep = (keep and _rg_stats_keep(meta, g, col, pred)
+                        and _rg_bloom_keep(data, meta, g, col, pred))
+            if keep:
+                units.append((f, g))
     schema = pqinterop.arrow_schema(pqinterop.read_file(files[0])[1])
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
@@ -126,9 +209,20 @@ def read_parquet_dir(
 
     units_df = spark.createDataFrame(units, "f string, g int").repartition(
         max(len(units), 1))
+    from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    return units_df.mapInArrow(fn, from_arrow_schema(schema))
+    df = units_df.mapInArrow(fn, from_arrow_schema(schema))
+    # pruning is advisory-lossless: the exact predicate re-applies here
+    for col, pred in (filters or {}).items():
+        if pred[0] == "eq":
+            df = df.filter(F.col(col) == F.lit(pred[1]))
+        elif pred[0] == "range":
+            df = df.filter(F.col(col).between(F.lit(pred[1]),
+                                              F.lit(pred[2])))
+        else:
+            raise ValueError(f"unknown predicate {pred[0]!r}")
+    return df
 
 
 def reader_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,3 +277,26 @@ EMBEDDINGS_EXPLODED_ORACLE = (
     "SELECT vec_id, label, CAST(unnest(range(len(embedding))) AS INT) AS"
     " pos, CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings"
 )
+
+
+def reader_pruned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pruning through the engine parquet reader: lineitem is
+    engine-written in many small row groups with a bloom on l_orderkey;
+    an eq probe prunes (file, row-group) units from footer stats +
+    blooms driver-side, the engine decodes only survivors, and the
+    exact predicate re-applies in Spark (advisory-lossless)."""
+    import shutil
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pq_pruned_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    write_parquet_dir(li.coalesce(2), out, compression="zstd",
+                      row_group_rows=2048,
+                      bloom_columns=["l_orderkey"])
+    return read_parquet_dir(spark, out,
+                            filters={"l_orderkey": ("eq", 1)})
+
+
+READER_PRUNED_ORACLE = "SELECT * FROM lineitem WHERE l_orderkey = 1"

@@ -447,3 +447,39 @@ def test_bloom_filters_parquet_mr_read_by_engine(spark, tmp_path):
     assert P.bloom_check(pf, "s", ["u-0-0", "u-10-79190"]).all()
     assert P.bloom_check(
         pf, "s", [f"w{i}" for i in range(500)]).mean() < 0.02
+
+
+def test_reader_prunes_row_groups(spark, tmp_path):
+    """Footer stats + blooms prune (file, row-group) units driver-side;
+    the exact predicate re-applies in Spark (advisory-lossless)."""
+    import os
+
+    from parquet_go_spark.operators import parquet_sink as S
+
+    n = 40_000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "tag": pa.array([f"g{i % 5000}" for i in range(n)]),
+    })
+    d = str(tmp_path / "pr")
+    os.makedirs(d)
+    W.write_table(tbl, os.path.join(d, "p.parquet"), compression="snappy",
+                  row_group_rows=10_000, bloom_columns=["k", "tag"])
+    # stats prune: range filter touches one of four row groups
+    from parquet_go_spark import pqinterop as PP
+
+    data, meta = PP.read_file(os.path.join(d, "p.parquet"))
+    kept = [g for g in range(4)
+            if S._rg_stats_keep(meta, g, "k", ("range", 35000, 35009))]
+    assert kept == [3]
+    # bloom prune: eq probe on a value in no row group is dropped by the
+    # bloom even though stats overlap (tag strings interleave every rg)
+    kept_b = [g for g in range(4)
+              if S._rg_bloom_keep(data, meta, g, "tag", ("eq", "nope-1"))]
+    assert kept_b == []
+    df = S.read_parquet_dir(spark, d, filters={"k": ("range", 35000, 35009)})
+    assert df.count() == 10
+    assert S.read_parquet_dir(
+        spark, d, filters={"tag": ("eq", "g123")}).count() == n // 5000
+    assert S.read_parquet_dir(
+        spark, d, filters={"tag": ("eq", "nope-1")}).count() == 0
