@@ -300,3 +300,56 @@ def reader_pruned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 READER_PRUNED_ORACLE = "SELECT * FROM lineitem WHERE l_orderkey = 1"
+
+
+# ---------------------------------------------------- migration verbs
+
+def export_store_to_parquet(spark: SparkSession, store_dir: str,
+                            out_dir: str, **write_kw) -> list[dict]:
+    """PGS store -> directory of real parquet files: the off-ramp a
+    reference user needs (their downstream tools read parquet). Decode
+    rides the pgs datasource; the write is the per-partition engine
+    writer. Zero shuffles end-to-end."""
+    from ..sources.pgs_datasource import register
+
+    register(spark)
+    df = spark.read.format("pgs").load(store_dir)
+    return write_parquet_dir(df, out_dir, **write_kw)
+
+
+def import_parquet_to_store(spark: SparkSession, src: str,
+                            store_dir: str, mode: str = "append",
+                            **options) -> None:
+    """parquet file/dir -> PGS store: the on-ramp. The ENGINE decodes
+    the parquet bytes (read_parquet_dir) and the pgs datasource writer
+    encodes — pyarrow and the JVM parquet reader never touch the data
+    path."""
+    from ..sources.pgs_datasource import register
+
+    register(spark)
+    df = read_parquet_dir(spark, src)
+    writer = df.write.format("pgs").mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(store_dir)
+
+
+def migration_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full migration chain: real lineitem.parquet -> engine parquet
+    decoder -> PGS store (format "pgs" write) -> PGS read. Four engine
+    surfaces composed; the oracle is a plain SELECT."""
+    import shutil
+
+    from ..sources.pgs_datasource import register
+
+    register(spark)
+    store = os.path.join(
+        "/tmp",
+        f"pgs_migr_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(store, ignore_errors=True)
+    import_parquet_to_store(
+        spark, os.path.join(sf_dir, "lineitem.parquet"), store)
+    return spark.read.format("pgs").load(store)
+
+
+MIGRATION_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"

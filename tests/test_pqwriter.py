@@ -483,3 +483,30 @@ def test_reader_prunes_row_groups(spark, tmp_path):
         spark, d, filters={"tag": ("eq", "g123")}).count() == n // 5000
     assert S.read_parquet_dir(
         spark, d, filters={"tag": ("eq", "nope-1")}).count() == 0
+
+
+def test_migration_verbs_roundtrip(spark, tmp_path):
+    """parquet -> PGS store (engine decode + pgs write) and back out to
+    parquet (pgs read + engine write): both rides, values exact."""
+    import os
+
+    from parquet_go_spark.operators import parquet_sink as S
+
+    tbl = _mixed_table(4000).drop_columns(["fx"])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(tbl, os.path.join(src, "a.parquet"))
+    store = str(tmp_path / "store")
+    S.import_parquet_to_store(spark, src, store)
+    back = spark.read.format("pgs").load(store)
+    assert back.count() == 4000
+    assert sorted(r["i64"] for r in back.select("i64").collect()) == \
+        sorted(tbl["i64"].to_pylist())
+    out = str(tmp_path / "out")
+    manifest = S.export_store_to_parquet(spark, store, out,
+                                         compression="snappy")
+    assert sum(m["rows"] for m in manifest) == 4000
+    again = pq.read_table(out)
+    assert sorted(again["i64"].to_pylist()) == sorted(tbl["i64"].to_pylist())
+    assert sorted(x for x in again["ni"].to_pylist() if x is not None) == \
+        sorted(x for x in tbl["ni"].to_pylist() if x is not None)
