@@ -544,23 +544,48 @@ def _arrow_leaf_type(el: dict) -> "object":
         return t
 
 
-def arrow_schema(meta: dict) -> "object":
-    """FileMetaData -> pyarrow schema (logical-type aware: UTF8, DATE,
-    TIMESTAMP millis/micros, DECIMAL; single-level LISTs)."""
+def _arrow_field(elems: list, pos: int):
+    """One SchemaElement subtree -> (pyarrow field, next position).
+    Handles leaves, LIST groups (3-level), and STRUCT groups."""
     import pyarrow as pa
 
-    fields = []
-    for li in _walk_schema(meta):
-        t = _arrow_leaf_type(li.leaf_el)
-        if li.max_rep == 1:
-            elem = pa.field(li.path.rsplit(".", 1)[-1], t,
-                            li.leaf_el.get(3, 0) == 1)
-            fields.append(pa.field(li.top_name, pa.list_(elem),
-                                   li.top_el.get(3, 0) == 1))
-        elif "." in li.path:
-            raise ValueError(f"struct column {li.path!r} out of scope")
-        else:
-            fields.append(pa.field(li.path, t, li.leaf_el.get(3, 0) == 1))
+    el = elems[pos]
+    pos += 1
+    name = el[4].decode()
+    rep = el.get(3, 0)
+    n_kids = el.get(5) or 0
+    if n_kids == 0:
+        return pa.field(name, _arrow_leaf_type(el), rep == 1), pos
+    logical = el.get(10) or {}
+    if el.get(6) == 3 or 3 in logical:          # LIST group
+        mid = elems[pos]                         # repeated "list" group
+        if mid.get(3, 0) != 2 or (mid.get(5) or 0) != 1:
+            raise ValueError(f"non-canonical LIST shape at {name!r}")
+        elem_field, pos = _arrow_field(elems, pos + 1)
+        if pa.types.is_nested(elem_field.type):
+            raise ValueError(
+                f"nested repetition under {name!r} out of scope")
+        return pa.field(name, pa.list_(elem_field), rep == 1), pos
+    if rep == 2:
+        raise ValueError(f"repeated group {name!r} without LIST "
+                         "annotation out of scope")
+    children = []
+    for _ in range(n_kids):                      # STRUCT group
+        ch, pos = _arrow_field(elems, pos)
+        children.append(ch)
+    return pa.field(name, pa.struct(children), rep == 1), pos
+
+
+def arrow_schema(meta: dict) -> "object":
+    """FileMetaData -> pyarrow schema (logical-type aware: UTF8, DATE,
+    TIMESTAMP millis/micros, DECIMAL; single-level LISTs; STRUCTs)."""
+    import pyarrow as pa
+
+    elems = meta[2]
+    fields, pos = [], 1
+    for _ in range(elems[0].get(5) or 0):
+        f, pos = _arrow_field(elems, pos)
+        fields.append(f)
     return pa.schema(fields)
 
 
@@ -595,29 +620,86 @@ def decode_table(path: str, columns: list[str] | None = None,
                     data, cc, f.type.value_type))
             arrays.append(pa.concat_arrays(chunks).cast(f.type))
             continue
+        if pa.types.is_struct(f.type):
+            arr, _ = _assemble_struct_array(
+                data, groups, sel, f, f.name, 0)
+            arrays.append(arr)
+            continue
         vals: list = []
         for gi in sel:
             cc = next(c for c in groups[gi] if c.name == f.name)
             vals.extend(_decode_chunk(data, cc))
-        if pa.types.is_timestamp(f.type) and any(
-                isinstance(v, bytes) for v in vals if v is not None):
-            arr = i96mod.int96_to_timestamps(
-                pa.array(vals, pa.binary(12))).cast(f.type)
-        elif pa.types.is_date32(f.type):
-            arr = pa.array(vals, pa.int32()).cast(f.type)
-        elif pa.types.is_timestamp(f.type):
-            arr = pa.array(vals, pa.int64()).cast(f.type)
-        elif pa.types.is_decimal(f.type):
-            scale = f.type.scale
-            arr = pa.array(
-                [None if v is None else __import__("decimal").Decimal(int(v))
-                 .scaleb(-scale) for v in vals], f.type)
-        elif pa.types.is_string(f.type):
-            arr = pa.array(vals, pa.binary()).cast(f.type)
-        else:
-            arr = pa.array(vals, f.type)
-        arrays.append(arr)
+        arrays.append(_typed_leaf_array(vals, f.type))
     return pa.table(arrays, schema=schema)
+
+
+def _typed_leaf_array(vals: list, ftype):
+    """python leaf values (None for nulls) -> typed arrow array."""
+    import pyarrow as pa
+
+    from . import int96 as i96mod
+
+    if pa.types.is_timestamp(ftype) and any(
+            isinstance(v, bytes) for v in vals if v is not None):
+        return i96mod.int96_to_timestamps(
+            pa.array(vals, pa.binary(12))).cast(ftype)
+    if pa.types.is_date32(ftype):
+        return pa.array(vals, pa.int32()).cast(ftype)
+    if pa.types.is_timestamp(ftype):
+        return pa.array(vals, pa.int64()).cast(ftype)
+    if pa.types.is_decimal(ftype):
+        scale = ftype.scale
+        return pa.array(
+            [None if v is None else __import__("decimal").Decimal(int(v))
+             .scaleb(-scale) for v in vals], ftype)
+    if pa.types.is_string(ftype):
+        return pa.array(vals, pa.binary()).cast(ftype)
+    return pa.array(vals, ftype)
+
+
+def _assemble_struct_array(data: bytes, groups, sel, field,
+                           prefix: str, d_parent: int):
+    """Recursive struct reassembly from def levels alone (no
+    repetition): a node is present where the shared leaf defs reach its
+    presence level; leaf values are present at the leaf's max_def."""
+    import pyarrow as pa
+
+    d_self = d_parent + (1 if field.nullable else 0)
+    children, first_defs = [], None
+    for ch in field.type:
+        path = f"{prefix}.{ch.name}"
+        if pa.types.is_struct(ch.type):
+            arr, defs = _assemble_struct_array(
+                data, groups, sel, ch, path, d_self)
+        elif pa.types.is_nested(ch.type):
+            raise ValueError(f"list under struct {path!r} out of scope")
+        else:
+            vals, defs_parts = [], []
+            for gi in sel:
+                cc = next(c for c in groups[gi] if c.name == path)
+                _, d, vraw = _decode_chunk_levels(data, cc)
+                vlist = (vraw.tolist() if isinstance(vraw, np.ndarray)
+                         else vraw)
+                if d is None:
+                    vals.extend(vlist)
+                    d = np.full(cc.num_values, cc.max_def, np.int64)
+                else:
+                    it = iter(vlist)
+                    vals.extend(next(it) if x == cc.max_def else None
+                                for x in d)
+                defs_parts.append(d)
+            arr = _typed_leaf_array(vals, ch.type)
+            defs = np.concatenate(defs_parts) if defs_parts else \
+                np.zeros(0, np.int64)
+        children.append(arr)
+        if first_defs is None:
+            first_defs = defs
+    mask = None
+    if field.nullable:
+        mask = pa.array(first_defs < d_self)
+    out = pa.StructArray.from_arrays(
+        children, fields=list(field.type), mask=mask)
+    return out, first_defs
 
 
 def _assemble_list_array(data: bytes, cc: ColumnChunkInfo, value_type):

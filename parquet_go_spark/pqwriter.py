@@ -568,16 +568,30 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
 
 
 def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
-                 page_rows: int, enc_want: str, write_stats: bool):
-    """Append one column chunk's pages; return its ColumnChunk struct."""
+                 page_rows: int, enc_want: str, write_stats: bool,
+                 levels: tuple | None = None):
+    """Append one column chunk's pages; return its ColumnChunk struct.
+
+    ``levels=(defs, max_def, path)`` is the shredded-STRUCT form: defs
+    is the full Dremel definition stream, ``arr`` the already-filtered
+    present leaf values, ``path`` the dotted schema path."""
     if col.elem is not None:
         return _write_list_chunk(out, col, arr, codec_id, page_rows,
                                  enc_want, write_stats)
-    n_total = len(arr)
-    null_count = arr.null_count
-    optional = null_count > 0
-    defs = np.asarray(arr.is_valid(), np.uint8) if optional else None
-    nonnull = arr.drop_null() if optional else arr
+    if levels is None:
+        n_total = len(arr)
+        null_count = arr.null_count
+        optional = null_count > 0
+        defs = np.asarray(arr.is_valid(), np.uint8) if optional else None
+        max_def, path = 1, [col.name]
+        nonnull = arr.drop_null() if optional else arr
+    else:
+        defs, max_def, path = levels
+        n_total = len(defs)
+        nonnull = arr
+        null_count = n_total - len(nonnull)
+        optional = True
+    bw_def = max_def.bit_length()
     vals = _extract_vals(col, nonnull)
 
     enc_name, dict_pack = _pick_encoding(col, nonnull, vals, enc_want)
@@ -617,8 +631,8 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         hi_row = min(row + page_rows, n_total)
         if optional:
             pdefs = defs[row:hi_row]
-            v_lo, v_hi = vpos, vpos + int(pdefs.sum())
-            level_bytes = rle.encode_with_length_prefix(pdefs, 1)
+            v_lo, v_hi = vpos, vpos + int((pdefs == max_def).sum())
+            level_bytes = rle.encode_with_length_prefix(pdefs, bw_def)
         else:
             v_lo, v_hi = row, hi_row
             level_bytes = b""
@@ -646,7 +660,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     meta_fields = [
         (1, CT_I32, col.ptype),
         (2, CT_LIST, (CT_I32, sorted(encodings))),
-        (3, CT_LIST, (CT_BINARY, [col.name])),
+        (3, CT_LIST, (CT_BINARY, path)),
         (4, CT_I32, codec_id),
         (5, CT_I64, n_total),
         (6, CT_I64, tot_u),
@@ -656,6 +670,80 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         (12, CT_STRUCT, stats_struct),
     ]
     return _Chunk(meta_fields, chunk_start), tot_u, optional
+
+
+def _shred_struct(arr: pa.Array, field: pa.Field, path: list[str],
+                  cur_defs: np.ndarray, present: np.ndarray,
+                  md: int, out_specs: list) -> None:
+    """Dremel shredding for STRUCT trees (def levels only): walk the
+    field tree accumulating, per row, the count of present optional
+    nodes; emit (path, leaf_field, defs, present_leaf_values, max_def)
+    per primitive leaf."""
+    if field.nullable:
+        v = (np.asarray(arr.is_valid())
+             if arr.null_count or isinstance(arr, pa.StructArray)
+             else np.ones(len(arr), bool)) & present
+        cur_defs = cur_defs + v.astype(np.uint8)
+        present = v
+        md += 1
+    if pa.types.is_struct(field.type):
+        for ch in field.type:
+            _shred_struct(arr.field(ch.name) if len(arr) else
+                          pa.array([], ch.type),
+                          ch, path + [ch.name], cur_defs, present, md,
+                          out_specs)
+    elif pa.types.is_nested(field.type):
+        raise ValueError(f"list under struct {'.'.join(path)!r} out of "
+                        "scope")
+    else:
+        keep = pa.array(present)
+        out_specs.append((path, field, cur_defs,
+                          arr.filter(keep) if len(arr) else arr, md))
+
+
+def _emit_schema_field(field: pa.Field, col: _Col | None,
+                       schema_elems: list, declared_optional: bool):
+    """Serialize one top-level arrow field's SchemaElement subtree."""
+    if col is not None and col.elem is not None:     # LIST (3-level)
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 1),
+            (4, CT_BINARY, col.name),
+            (5, CT_I32, 1),
+            (6, CT_I32, CV_LIST),
+            (10, CT_STRUCT, _logical(3)),
+        ]))
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 2), (4, CT_BINARY, "list"), (5, CT_I32, 1),
+        ]))
+        schema_elems.append(_tstruct([
+            (1, CT_I32, col.ptype),
+            (2, CT_I32, col.type_length),
+            (3, CT_I32, 1),
+            (4, CT_BINARY, col.elem_name),
+            (6, CT_I32, col.converted),
+            (10, CT_STRUCT, col.logical),
+        ]))
+        return
+    if pa.types.is_struct(field.type):               # STRUCT group
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 1 if field.nullable else 0),
+            (4, CT_BINARY, field.name),
+            (5, CT_I32, field.type.num_fields),
+        ]))
+        for ch in field.type:
+            _emit_schema_field(ch, _map_type(ch) if not
+                               pa.types.is_nested(ch.type) else None,
+                               schema_elems, ch.nullable)
+        return
+    leaf = col if col is not None else _map_type(field)
+    schema_elems.append(_tstruct([
+        (1, CT_I32, leaf.ptype),
+        (2, CT_I32, leaf.type_length),
+        (3, CT_I32, 1 if declared_optional else 0),
+        (4, CT_BINARY, field.name),
+        (6, CT_I32, leaf.converted),
+        (10, CT_STRUCT, leaf.logical),
+    ]))
 
 
 def _bloom_hashes(col: _Col, arr: pa.Array) -> np.ndarray:
@@ -730,12 +818,13 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     codec_id = 0 if compression == "none" else CODEC_IDS[compression]
     encodings = encodings or {}
     table = table.combine_chunks()
-    cols = [_map_type(f) for f in table.schema]
+    cols = [None if pa.types.is_struct(f.type) else _map_type(f)
+            for f in table.schema]
 
     out = bytearray(MAGIC)
     all_chunks: list = []
     n = table.num_rows
-    col_optional = {c.name: False for c in cols}
+    col_optional = {c.name: False for c in cols if c is not None}
     for lo in range(0, max(n, 1), row_group_rows):
         hi = min(lo + row_group_rows, n)
         chunks, rg_u = [], 0
@@ -747,6 +836,22 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 arr = pa.array([], table.schema.field(i).type)
             else:
                 arr = pa.concat_arrays(ca.chunks)
+            field = table.schema.field(i)
+            if col is None:                       # STRUCT: shredded leaves
+                specs: list = []
+                _shred_struct(arr, field, [field.name],
+                              np.zeros(len(arr), np.uint8),
+                              np.ones(len(arr), bool), 0, specs)
+                for lpath, leaf_field, defs, leaf_vals, md in specs:
+                    lcol = _map_type(
+                        pa.field(lpath[-1], leaf_field.type, True))
+                    chunk, u, _ = _write_chunk(
+                        out, lcol, leaf_vals, codec_id, page_rows,
+                        encodings.get(".".join(lpath), "auto"), stats,
+                        levels=(defs, md, lpath))
+                    chunks.append(chunk)
+                    rg_u += u
+                continue
             chunk, u, opt = _write_chunk(
                 out, col, arr, codec_id, page_rows,
                 encodings.get(col.name, "auto"), stats)
@@ -769,39 +874,11 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     schema_elems = [_tstruct([(4, CT_BINARY, "schema"),
                               (5, CT_I32, len(cols))])]
     for col, field in zip(cols, table.schema):
-        if col.elem is not None:
-            # canonical 3-level LIST: optional group (LIST) >
-            # repeated group "list" > optional element
-            schema_elems.append(_tstruct([
-                (3, CT_I32, 1),
-                (4, CT_BINARY, col.name),
-                (5, CT_I32, 1),
-                (6, CT_I32, CV_LIST),
-                (10, CT_STRUCT, _logical(3)),
-            ]))
-            schema_elems.append(_tstruct([
-                (3, CT_I32, 2),
-                (4, CT_BINARY, "list"),
-                (5, CT_I32, 1),
-            ]))
-            schema_elems.append(_tstruct([
-                (1, CT_I32, col.ptype),
-                (2, CT_I32, col.type_length),
-                (3, CT_I32, 1),
-                (4, CT_BINARY, col.elem_name),
-                (6, CT_I32, col.converted),
-                (10, CT_STRUCT, col.logical),
-            ]))
-            continue
-        rep = 1 if (field.nullable and col_optional[col.name]) else 0
-        schema_elems.append(_tstruct([
-            (1, CT_I32, col.ptype),
-            (2, CT_I32, col.type_length),
-            (3, CT_I32, rep),
-            (4, CT_BINARY, col.name),
-            (6, CT_I32, col.converted),
-            (10, CT_STRUCT, col.logical),
-        ]))
+        declared = (field.nullable and col_optional.get(col.name, True)
+                    if col is not None and col.elem is None
+                    else field.nullable)
+        _emit_schema_field(field, col, schema_elems, declared)
+
     # ColumnOrder TYPE_ORDER per leaf: without FileMetaData.column_orders
     # readers must ignore min_value/max_value (parquet.thrift §ColumnOrder)
     type_order = _tstruct([(1, CT_STRUCT, _EMPTY)])
@@ -811,7 +888,9 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
         (3, CT_I64, n),
         (4, CT_LIST, (CT_STRUCT, row_groups)),
         (6, CT_BINARY, "parquet_go_spark version 0.3.0"),
-        (7, CT_LIST, (CT_STRUCT, [type_order] * len(cols))),
+        (7, CT_LIST, (CT_STRUCT,
+                      [type_order] * (len(all_chunks[0][0])
+                                      if all_chunks else len(cols)))),
     ])
     out += footer
     out += struct.pack("<I", len(footer))

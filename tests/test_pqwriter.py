@@ -510,3 +510,72 @@ def test_migration_verbs_roundtrip(spark, tmp_path):
     assert sorted(again["i64"].to_pylist()) == sorted(tbl["i64"].to_pylist())
     assert sorted(x for x in again["ni"].to_pylist() if x is not None) == \
         sorted(x for x in tbl["ni"].to_pylist() if x is not None)
+
+
+def _struct_table(n=3000):
+    meta_t = pa.struct([
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("inner", pa.struct([("x", pa.float64())]))])
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "meta": pa.array(
+            [None if i % 11 == 0 else
+             {"w": int(i % 100),
+              "h": None if i % 7 == 0 else int(i % 50),
+              "fmt": f"f{i % 3}",
+              "inner": None if i % 5 == 0 else {"x": float(i) * 0.5}}
+             for i in range(n)], meta_t),
+        "tail": pa.array([f"t{i}" for i in range(n)]),
+    })
+
+
+def test_struct_write_roundtrips_all_readers(tmp_path):
+    """STRUCT trees shredded to def-level streams: nulls at the struct,
+    nested struct, and field levels all survive pyarrow, DuckDB, and
+    the engine's own recursive reassembly."""
+    import duckdb
+
+    tbl = _struct_table(3000)
+    f = str(tmp_path / "s.parquet")
+    W.write_table(tbl, f, compression="zstd", row_group_rows=1100,
+                  page_rows=400)
+    back = pq.read_table(f)
+    for c in tbl.column_names:
+        assert back[c].to_pylist() == tbl[c].to_pylist(), c
+    con = duckdb.connect()
+    got = con.execute(f"SELECT count(*), sum(meta.w), "
+                      f"count(meta.inner.x) FROM '{f}'").fetchone()
+    n = tbl.num_rows
+    assert got == (n, sum(i % 100 for i in range(n) if i % 11),
+                   sum(1 for i in range(n) if i % 11 and i % 5))
+    t2 = P.decode_table(f)
+    assert t2.schema.equals(back.schema)
+    assert t2["meta"].to_pylist() == tbl["meta"].to_pylist()
+
+
+def test_engine_reads_pyarrow_structs(tmp_path):
+    tbl = _struct_table(2500)
+    f = str(tmp_path / "ref.parquet")
+    pq.write_table(tbl, f, row_group_size=900, data_page_size=1024)
+    got = P.decode_table(f)
+    ref = pq.read_table(f)
+    assert got.schema.equals(ref.schema)
+    for c in ref.column_names:
+        assert got[c].to_pylist() == ref[c].to_pylist(), c
+
+
+def test_spark_reads_engine_structs(spark, tmp_path):
+    import os
+
+    tbl = _struct_table(2000)
+    d = str(tmp_path / "dir")
+    os.makedirs(d)
+    W.write_table(tbl, os.path.join(d, "p.parquet"), compression="snappy")
+    df = spark.read.parquet(d)
+    assert df.count() == 2000
+    got = df.selectExpr("sum(meta.w) as s", "count(meta.inner.x) as c",
+                        "count(meta) as m").first()
+    n = 2000
+    assert got["s"] == sum(i % 100 for i in range(n) if i % 11)
+    assert got["c"] == sum(1 for i in range(n) if i % 11 and i % 5)
+    assert got["m"] == sum(1 for i in range(n) if i % 11)
