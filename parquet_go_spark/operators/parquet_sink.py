@@ -353,3 +353,48 @@ def migration_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIGRATION_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
+
+
+def writer_struct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT columns through the engine parquet writer: lineitem keys
+    nested into a struct (with NULLs injected at both the struct and
+    field level), engine-written with shredded def-level streams, read
+    back by Spark's JVM reader and flattened so the DuckDB oracle can
+    re-derive every cell from the source table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pq_struct_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    nested = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(
+            F.col("l_orderkey") % 11 != 0,
+            F.struct(
+                F.col("l_partkey").alias("pk"),
+                F.when(F.col("l_suppkey") % 7 != 0,
+                       F.col("l_suppkey")).alias("sk"),
+                F.col("l_returnflag").alias("rf"),
+            ),
+        ).alias("keys"),
+    )
+    write_parquet_dir(nested, out, compression="zstd")
+    back = spark.read.parquet(out)
+    return back.select(
+        "l_orderkey", "l_linenumber",
+        F.col("keys.pk").alias("pk"), F.col("keys.sk").alias("sk"),
+        F.col("keys.rf").alias("rf"))
+
+
+WRITER_STRUCT_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_orderkey % 11 <> 0 THEN l_partkey END AS pk,
+       CASE WHEN l_orderkey % 11 <> 0 AND l_suppkey % 7 <> 0
+            THEN l_suppkey END AS sk,
+       CASE WHEN l_orderkey % 11 <> 0 THEN l_returnflag END AS rf
+FROM lineitem
+"""
