@@ -52,7 +52,7 @@ from .pqinterop import (
     CT_BINARY, CT_I32, CT_I64, CT_LIST, CT_STRUCT, CT_TRUE,
     E_BYTE_STREAM_SPLIT, E_DELTA_BA, E_DELTA_BINARY_PACKED,
     E_DELTA_LENGTH_BA, E_PLAIN, E_RLE, E_RLE_DICTIONARY, MAGIC,
-    PG_DATA, PG_DICT, T_BOOLEAN, T_BYTE_ARRAY, T_DOUBLE, T_FLBA,
+    PG_DATA, PG_DATA_V2, PG_DICT, T_BOOLEAN, T_BYTE_ARRAY, T_DOUBLE, T_FLBA,
     T_FLOAT, T_INT32, T_INT64, _CODEC_NAMES,
 )
 
@@ -364,6 +364,62 @@ def _page(pg_type: int, header_extra: bytes, payload: bytes,
     return hdr + body, len(hdr) + usize, len(hdr) + csize
 
 
+def _emit_data_page(out: bytearray, codec_id: int, page_version: int,
+                    enc_id: int, n_entries: int, n_rows: int,
+                    n_nulls: int, rep_raw: bytes, def_raw: bytes,
+                    values: bytes) -> tuple[int, int]:
+    """One data page, either grammar. v1: u32-prefixed level streams,
+    whole payload compressed. v2: raw level streams stay uncompressed
+    ahead of the values, and store-uncompressed-if-bigger returns via
+    the is_compressed flag (a freedom v1 does not offer)."""
+    if page_version == 1:
+        level = b""
+        if rep_raw:
+            level += len(rep_raw).to_bytes(4, "little") + rep_raw
+        if def_raw:
+            level += len(def_raw).to_bytes(4, "little") + def_raw
+        phdr = _tstruct([
+            (1, CT_I32, n_entries),
+            (2, CT_I32, enc_id),
+            (3, CT_I32, E_RLE_LEVELS),
+            (4, CT_I32, E_RLE_LEVELS),
+        ])
+        pg, u, c = _page(PG_DATA, phdr, level + values, codec_id)
+        out += pg
+        return u, c
+    body = values
+    compressed = False
+    if codec_id != 0 and len(values) > 64:
+        cand = framemod._get_codec(
+            framemod.COMP_IDS[_CODEC_NAMES[codec_id]]
+        ).compress(values).to_pybytes()
+        if len(cand) < len(values):
+            body, compressed = cand, True
+    usize = len(rep_raw) + len(def_raw) + len(values)
+    csize = len(rep_raw) + len(def_raw) + len(body)
+    crc = zlib.crc32(rep_raw + def_raw + body)
+    if crc >= 1 << 31:
+        crc -= 1 << 32
+    v2 = _tstruct([
+        (1, CT_I32, n_entries),
+        (2, CT_I32, n_nulls),
+        (3, CT_I32, n_rows),
+        (4, CT_I32, enc_id),
+        (5, CT_I32, len(def_raw)),
+        (6, CT_I32, len(rep_raw)),
+        (7, CT_TRUE, compressed),
+    ])
+    hdr = _tstruct([
+        (1, CT_I32, PG_DATA_V2),
+        (2, CT_I32, usize),
+        (3, CT_I32, csize),
+        (4, CT_I32, crc),
+        (8, CT_STRUCT, v2),
+    ])
+    out += hdr + rep_raw + def_raw + body
+    return len(hdr) + usize, len(hdr) + csize
+
+
 _ENC_IDS = {"plain": E_PLAIN, "rle": E_RLE, "delta": E_DELTA_BINARY_PACKED,
             "bss": E_BYTE_STREAM_SPLIT, "delta_length": E_DELTA_LENGTH_BA,
             "delta_ba": E_DELTA_BA}
@@ -474,7 +530,7 @@ def _list_levels(arr: pa.Array):
 
 def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
                       codec_id: int, page_rows: int, enc_want: str,
-                      write_stats: bool):
+                      write_stats: bool, page_version: int = 1):
     """LIST column chunk: rep+def level streams ahead of the element
     values, pages split on ROW boundaries (a record never splits)."""
     n_rows = len(arr)
@@ -527,22 +583,17 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
         hi_row = min(row + page_rows, n_rows)
         s_ent, e_ent = int(ent_of_row[row]), int(ent_of_row[hi_row])
         v_lo, v_hi = int(val_prefix[s_ent]), int(val_prefix[e_ent])
-        level_bytes = (
-            rle.encode_with_length_prefix(rep[s_ent:e_ent], bw_rep)
-            + rle.encode_with_length_prefix(defs[s_ent:e_ent], bw_def))
+        rep_raw = rle.encode(rep[s_ent:e_ent], bw_rep)
+        def_raw = rle.encode(defs[s_ent:e_ent], bw_def)
         if enc_name == "dict":
             body = bytes([bw]) + rle.encode(codes[v_lo:v_hi], bw)
         else:
             body = _encode_values(col, enc_id,
                                   _slice_vals(col, vals, v_lo, v_hi))
-        phdr = _tstruct([
-            (1, CT_I32, e_ent - s_ent),
-            (2, CT_I32, enc_id),
-            (3, CT_I32, E_RLE_LEVELS),
-            (4, CT_I32, E_RLE_LEVELS),
-        ])
-        pg, u, c = _page(PG_DATA, phdr, level_bytes + body, codec_id)
-        out += pg
+        u, c = _emit_data_page(
+            out, codec_id, page_version, enc_id, e_ent - s_ent,
+            hi_row - row, (e_ent - s_ent) - (v_hi - v_lo), rep_raw,
+            def_raw, body)
         tot_u += u
         tot_c += c
         row = hi_row
@@ -569,7 +620,7 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
 
 def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
                  page_rows: int, enc_want: str, write_stats: bool,
-                 levels: tuple | None = None):
+                 levels: tuple | None = None, page_version: int = 1):
     """Append one column chunk's pages; return its ColumnChunk struct.
 
     ``levels=(defs, max_def, path)`` is the shredded-STRUCT form: defs
@@ -577,7 +628,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     present leaf values, ``path`` the dotted schema path."""
     if col.elem is not None:
         return _write_list_chunk(out, col, arr, codec_id, page_rows,
-                                 enc_want, write_stats)
+                                 enc_want, write_stats, page_version)
     if levels is None:
         n_total = len(arr)
         null_count = arr.null_count
@@ -632,23 +683,19 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         if optional:
             pdefs = defs[row:hi_row]
             v_lo, v_hi = vpos, vpos + int((pdefs == max_def).sum())
-            level_bytes = rle.encode_with_length_prefix(pdefs, bw_def)
+            def_raw = rle.encode(pdefs, bw_def)
         else:
             v_lo, v_hi = row, hi_row
-            level_bytes = b""
+            def_raw = b""
         if enc_name == "dict":
             body = bytes([bw]) + rle.encode(codes[v_lo:v_hi], bw)
         else:
             body = _encode_values(col, enc_id,
                                   _slice_vals(col, vals, v_lo, v_hi))
-        phdr = _tstruct([
-            (1, CT_I32, hi_row - row),
-            (2, CT_I32, enc_id),
-            (3, CT_I32, E_RLE_LEVELS),
-            (4, CT_I32, E_RLE_LEVELS),    # rep: flat files write none
-        ])
-        pg, u, c = _page(PG_DATA, phdr, level_bytes + body, codec_id)
-        out += pg
+        u, c = _emit_data_page(
+            out, codec_id, page_version, enc_id, hi_row - row,
+            hi_row - row, (hi_row - row) - (v_hi - v_lo), b"", def_raw,
+            body)
         tot_u += u
         tot_c += c
         vpos, row = v_hi, hi_row
@@ -805,7 +852,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 encodings: dict[str, str] | None = None,
                 row_group_rows: int = 1 << 20, page_rows: int = 1 << 16,
                 stats: bool = True,
-                bloom_columns: list[str] | None = None) -> None:
+                bloom_columns: list[str] | None = None,
+                page_version: int = 1) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
@@ -848,13 +896,15 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                     chunk, u, _ = _write_chunk(
                         out, lcol, leaf_vals, codec_id, page_rows,
                         encodings.get(".".join(lpath), "auto"), stats,
-                        levels=(defs, md, lpath))
+                        levels=(defs, md, lpath),
+                        page_version=page_version)
                     chunks.append(chunk)
                     rg_u += u
                 continue
             chunk, u, opt = _write_chunk(
                 out, col, arr, codec_id, page_rows,
-                encodings.get(col.name, "auto"), stats)
+                encodings.get(col.name, "auto"), stats,
+                page_version=page_version)
             if bloom_columns and col.name in bloom_columns:
                 chunk.bloom_hashes = _bloom_hashes(col, arr)
             col_optional[col.name] |= opt

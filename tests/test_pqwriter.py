@@ -579,3 +579,50 @@ def test_spark_reads_engine_structs(spark, tmp_path):
     assert got["s"] == sum(i % 100 for i in range(n) if i % 11)
     assert got["c"] == sum(1 for i in range(n) if i % 11 and i % 5)
     assert got["m"] == sum(1 for i in range(n) if i % 11)
+
+
+@pytest.mark.parametrize("comp", ["none", "zstd"])
+def test_v2_data_pages(tmp_path, comp):
+    """v2 page grammar: raw (unprefixed) level streams ahead of the
+    values, per-page is_compressed flag (store-uncompressed-if-bigger
+    returns in v2) — decoded by pyarrow, DuckDB, and the engine."""
+    import duckdb
+
+    rng = _rng()
+    n = 6000
+    tbl = pa.table({
+        "i64": pa.array(np.cumsum(rng.integers(-5, 40, n)).astype(np.int64)),
+        "s": pa.array([None if i % 9 == 0 else f"v{i % 77}"
+                       for i in range(n)]),
+        "emb": pa.array(
+            [None if i % 13 == 0 else
+             [float(np.float32(x)) for x in rng.normal(size=i % 5)]
+             for i in range(n)], pa.list_(pa.float32())),
+        "meta": _struct_table(n)["meta"],
+    })
+    f = str(tmp_path / "v2.parquet")
+    W.write_table(tbl, f, compression=comp, row_group_rows=2500,
+                  page_rows=700, page_version=2)
+    back = pq.read_table(f)
+    for c in tbl.column_names:
+        assert back[c].to_pylist() == tbl[c].to_pylist(), c
+    t2 = P.decode_table(f)
+    for c in tbl.column_names:
+        assert t2[c].to_pylist() == tbl[c].to_pylist(), ("self", c)
+    con = duckdb.connect()
+    assert con.execute(f"SELECT count(*) FROM '{f}'").fetchone()[0] == n
+
+
+def test_v2_pages_spark(spark, tmp_path):
+    import os
+
+    tbl = _mixed_table(4000).drop_columns(["fx"])
+    d = str(tmp_path / "v2dir")
+    os.makedirs(d)
+    W.write_table(tbl, os.path.join(d, "p.parquet"), compression="zstd",
+                  page_version=2, page_rows=900)
+    df = spark.read.parquet(d)
+    assert df.count() == 4000
+    assert df.selectExpr("sum(i64)").first()[0] == \
+        int(np.sum(np.asarray(tbl["i64"])))
+    assert df.filter("ni IS NULL").count() == tbl["ni"].null_count
