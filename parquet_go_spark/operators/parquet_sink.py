@@ -137,9 +137,10 @@ def _rg_stats_keep(meta: dict, gi: int, col: str, pred: tuple) -> bool:
     return True
 
 
-def _rg_bloom_keep(data: bytes, meta: dict, gi: int, col: str,
+def _rg_bloom_keep(path: str, meta: dict, gi: int, col: str,
                    pred: tuple) -> bool:
-    """Bloom pruning for eq predicates: False = definitely absent."""
+    """Bloom pruning for eq predicates: False = definitely absent.
+    Bloom bytes arrive via a ranged read (never the whole file)."""
     from .. import pqinterop as P
 
     if pred[0] != "eq":
@@ -161,7 +162,7 @@ def _rg_bloom_keep(data: bytes, meta: dict, gi: int, col: str,
             from .. import bloom as bloommod
 
             h = bloommod.xxhash64_bytes([b])
-            return bool(P.read_bloom(data, cc).check_hashes(h)[0])
+            return bool(P.read_bloom_at(path, cc).check_hashes(h)[0])
     return True
 
 
@@ -186,15 +187,15 @@ def read_parquet_dir(
         raise ValueError(f"no parquet files under {path!r}")
     units = []
     for f in files:
-        data, meta = pqinterop.read_file(f)
+        meta = pqinterop.read_footer(f)   # tail read — never the data
         for g in range(len(meta[4])):
             keep = True
             for col, pred in (filters or {}).items():
                 keep = (keep and _rg_stats_keep(meta, g, col, pred)
-                        and _rg_bloom_keep(data, meta, g, col, pred))
+                        and _rg_bloom_keep(f, meta, g, col, pred))
             if keep:
                 units.append((f, g))
-    schema = pqinterop.arrow_schema(pqinterop.read_file(files[0])[1])
+    schema = pqinterop.arrow_schema(pqinterop.read_footer(files[0]))
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
 

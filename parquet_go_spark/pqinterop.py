@@ -161,6 +161,45 @@ def read_file(path: str) -> tuple[bytes, dict]:
     return data, meta
 
 
+def read_footer(path: str) -> dict:
+    """FileMetaData from the footer ALONE — tail reads only, never the
+    data pages. This is what driver-side enumeration/pruning must use:
+    at 100 TB the whole-file read_file() on a driver is a scale-killer
+    (the JVM's ParquetFileReader reads exactly this tail too)."""
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        if size < 12:
+            raise ValueError("not a parquet file")
+        tail = min(size, 1 << 16)
+        fh.seek(size - tail)
+        buf = fh.read(tail)
+        if buf[-4:] != MAGIC:
+            raise ValueError("not a parquet file")
+        mlen = struct.unpack("<I", buf[-8:-4])[0]
+        if mlen + 8 > len(buf):
+            fh.seek(size - mlen - 8)
+            buf = fh.read(mlen + 8)
+        meta, _ = _read_struct(memoryview(buf)[len(buf) - 8 - mlen:], 0)
+        return meta
+
+
+def read_range(path: str, offset: int, length: int) -> bytes:
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        return fh.read(length)
+
+
+def chunk_reader(path: str, cc: ColumnChunkInfo):
+    """(buffer, shifted ColumnChunkInfo) for ONE column chunk — a
+    ranged read of [first_page_offset, +total_compressed), the per-task
+    IO unit (never the whole file)."""
+    import dataclasses
+
+    buf = read_range(path, cc.first_page_offset, cc.total_compressed)
+    return buf, dataclasses.replace(cc, first_page_offset=0)
+
+
 @dataclass
 class LeafInfo:
     path: str             # dotted leaf path as in ColumnMetaData
@@ -590,8 +629,7 @@ def arrow_schema(meta: dict) -> "object":
 
 
 def num_row_groups(path: str) -> int:
-    _, meta = read_file(path)
-    return len(meta[4])
+    return len(read_footer(path)[4])
 
 
 def decode_table(path: str, columns: list[str] | None = None,
@@ -604,7 +642,7 @@ def decode_table(path: str, columns: list[str] | None = None,
 
     from . import int96 as i96mod
 
-    data, meta = read_file(path)
+    meta = read_footer(path)
     schema = arrow_schema(meta)
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
@@ -616,19 +654,21 @@ def decode_table(path: str, columns: list[str] | None = None,
             chunks = []
             for gi in sel:
                 cc = next(c for c in groups[gi] if c.top_name == f.name)
+                buf, rcc = chunk_reader(path, cc)
                 chunks.append(_assemble_list_array(
-                    data, cc, f.type.value_type))
+                    buf, rcc, f.type.value_type))
             arrays.append(pa.concat_arrays(chunks).cast(f.type))
             continue
         if pa.types.is_struct(f.type):
             arr, _ = _assemble_struct_array(
-                data, groups, sel, f, f.name, 0)
+                path, groups, sel, f, f.name, 0)
             arrays.append(arr)
             continue
         vals: list = []
         for gi in sel:
             cc = next(c for c in groups[gi] if c.name == f.name)
-            vals.extend(_decode_chunk(data, cc))
+            buf, rcc = chunk_reader(path, cc)
+            vals.extend(_decode_chunk(buf, rcc))
         arrays.append(_typed_leaf_array(vals, f.type))
     return pa.table(arrays, schema=schema)
 
@@ -657,7 +697,7 @@ def _typed_leaf_array(vals: list, ftype):
     return pa.array(vals, ftype)
 
 
-def _assemble_struct_array(data: bytes, groups, sel, field,
+def _assemble_struct_array(path: str, groups, sel, field,
                            prefix: str, d_parent: int):
     """Recursive struct reassembly from def levels alone (no
     repetition): a node is present where the shared leaf defs reach its
@@ -667,17 +707,18 @@ def _assemble_struct_array(data: bytes, groups, sel, field,
     d_self = d_parent + (1 if field.nullable else 0)
     children, first_defs = [], None
     for ch in field.type:
-        path = f"{prefix}.{ch.name}"
+        cpath = f"{prefix}.{ch.name}"
         if pa.types.is_struct(ch.type):
             arr, defs = _assemble_struct_array(
-                data, groups, sel, ch, path, d_self)
+                path, groups, sel, ch, cpath, d_self)
         elif pa.types.is_nested(ch.type):
-            raise ValueError(f"list under struct {path!r} out of scope")
+            raise ValueError(f"list under struct {cpath!r} out of scope")
         else:
             vals, defs_parts = [], []
             for gi in sel:
-                cc = next(c for c in groups[gi] if c.name == path)
-                _, d, vraw = _decode_chunk_levels(data, cc)
+                cc = next(c for c in groups[gi] if c.name == cpath)
+                buf, rcc = chunk_reader(path, cc)
+                _, d, vraw = _decode_chunk_levels(buf, rcc)
                 vlist = (vraw.tolist() if isinstance(vraw, np.ndarray)
                          else vraw)
                 if d is None:
@@ -764,7 +805,7 @@ def bloom_check(path: str, column: str, values) -> np.ndarray:
     hashed over their PLAIN encoding per the spec."""
     from . import bloom as bloommod
 
-    data, meta = read_file(path)
+    meta = read_footer(path)
     li = _schema_columns(meta)[column] if column in _schema_columns(meta) \
         else next(x for x in _walk_schema(meta) if x.top_name == column)
     vals = []
@@ -785,6 +826,23 @@ def bloom_check(path: str, column: str, values) -> np.ndarray:
     out = np.zeros(len(vals), bool)
     for rg in column_chunks(meta):
         cc = next(c for c in rg if c.name == column or c.top_name == column)
-        bf = read_bloom(data, cc)
+        bf = read_bloom_at(path, cc)
         out |= bf.check_hashes(h)
     return out
+
+
+def read_bloom_at(path: str, cc: ColumnChunkInfo):
+    """read_bloom via a ranged read of [bloom_offset, +bloom_length)
+    (falls back to a generous header window when the optional length
+    field is absent) — never the whole file."""
+    import dataclasses
+
+    if cc.bloom_offset is None:
+        raise ValueError(f"column {cc.name!r} has no bloom filter")
+    length = cc.bloom_length
+    if length is None:
+        head = read_range(path, cc.bloom_offset, 64)
+        hdr, pos = _read_struct(memoryview(head), 0)
+        length = pos + hdr[1]
+    buf = read_range(path, cc.bloom_offset, length)
+    return read_bloom(buf, dataclasses.replace(cc, bloom_offset=0))

@@ -468,14 +468,15 @@ def test_reader_prunes_row_groups(spark, tmp_path):
     # stats prune: range filter touches one of four row groups
     from parquet_go_spark import pqinterop as PP
 
-    data, meta = PP.read_file(os.path.join(d, "p.parquet"))
+    pf = os.path.join(d, "p.parquet")
+    meta = PP.read_footer(pf)              # footer-only driver path
     kept = [g for g in range(4)
             if S._rg_stats_keep(meta, g, "k", ("range", 35000, 35009))]
     assert kept == [3]
     # bloom prune: eq probe on a value in no row group is dropped by the
     # bloom even though stats overlap (tag strings interleave every rg)
     kept_b = [g for g in range(4)
-              if S._rg_bloom_keep(data, meta, g, "tag", ("eq", "nope-1"))]
+              if S._rg_bloom_keep(pf, meta, g, "tag", ("eq", "nope-1"))]
     assert kept_b == []
     df = S.read_parquet_dir(spark, d, filters={"k": ("range", 35000, 35009)})
     assert df.count() == 10
