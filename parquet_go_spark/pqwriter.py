@@ -451,12 +451,24 @@ def _pick_encoding(col: _Col, arr_nonnull: pa.Array, vals, want: str):
             codes = np.asarray(denc.indices, np.int64)
             return "dict", (uniq, codes)
         return "delta_length", None
-    uniq, codes = np.unique(np.asarray(vals), return_inverse=True)
+    # sampled NDV probe first: a stride sample that reads near-unique
+    # proves dictionary hopeless without touching every value (the full
+    # np.unique here cost ~20 s/100M elements on the token table)
+    v = np.asarray(vals)
+    if want != "dict" and n > (1 << 17):
+        samp = v[:: max(1, n >> 17)]
+        nd_s = np.unique(samp).size
+        if nd_s * 2 > len(samp) or nd_s > DICT_MAX_NDV:
+            return ("delta" if col.ptype in (T_INT32, T_INT64)
+                    else "plain"), None
+    denc = arr_nonnull.dictionary_encode()        # C++ hash, not a sort
+    uniq = np.asarray(denc.dictionary)
     nd = len(uniq)
     if want == "dict" or (nd <= DICT_MAX_NDV
                           and nd * uniq.itemsize <= DICT_BUDGET
                           and nd * 2 <= n):
-        return "dict", (uniq, codes.astype(np.int64))
+        codes = np.asarray(denc.indices).astype(np.int64)
+        return "dict", (uniq, codes)
     if col.ptype in (T_INT32, T_INT64):
         return "delta", None
     # floats: PLAIN, the reference writer's default (encodingwrite.go) —
@@ -506,17 +518,22 @@ def _list_levels(arr: pa.Array):
     starts = np.cumsum(ent) - ent
     rep = np.ones(n_ent, np.uint8)
     rep[starts] = 0
-    # element-domain selection mask for VALID rows (arrow keeps offsets
-    # monotonic around null rows, so slots under nulls are skipped)
+    # element stream for VALID rows. Dense fast path: with no null rows
+    # the union of per-row slices is one contiguous range — a zero-copy
+    # slice instead of a 100M-element selection mask (the mask's
+    # add.at/cumsum pass dominated list-write profiles)
     child = arr.values
-    m = np.zeros(len(child) + 1, np.int64)
-    lo = offs[:-1][row_valid & (counts > 0)]
-    hi = offs[1:][row_valid & (counts > 0)]
-    np.add.at(m, lo, 1)
-    np.add.at(m, hi, -1)
-    sel = np.cumsum(m[:-1]) > 0
-    elem_arr = child.take(np.flatnonzero(sel)) if sel.any() else \
-        child.slice(0, 0)
+    if len(offs) and row_valid.all():
+        elem_arr = child.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    else:
+        m = np.zeros(len(child) + 1, np.int64)
+        lo = offs[:-1][row_valid & (counts > 0)]
+        hi = offs[1:][row_valid & (counts > 0)]
+        np.add.at(m, lo, 1)
+        np.add.at(m, hi, -1)
+        sel = np.cumsum(m[:-1]) > 0
+        elem_arr = child.take(np.flatnonzero(sel)) if sel.any() else \
+            child.slice(0, 0)
     defs = np.empty(n_ent, np.uint8)
     placeholder = starts[counts == 0]
     is_elem = np.ones(n_ent, bool)
