@@ -431,11 +431,18 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
     length num_values (v1 pages may split a list mid-record, so
     reassembly must happen at chunk scope — this is why levels
     accumulate here)."""
+    # defensive bounds (frame.py discipline; reference fuzz posture):
+    # the footer's value count caps every page's claim, and is itself
+    # capped — a lying header must fail BEFORE any allocation sized by it
+    if cc.num_values < 0 or cc.num_values > (1 << 34):
+        raise ValueError(
+            f"implausible chunk value count {cc.num_values}")
     bw_def = cc.max_def.bit_length()
     bw_rep = cc.max_rep.bit_length()
     dict_vals = None
     all_reps, all_defs, all_vals = [], [], []
     flat_np = None
+    seen = 0
     for hdr, payload in iter_pages(data, cc):
         ptype = hdr[1]
         if ptype == PG_DICT:
@@ -473,6 +480,9 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
                                   bw_def, n)
         else:
             raise ValueError(f"unsupported page type {ptype}")
+        if n < 0 or seen + n > cc.num_values:
+            raise ValueError("page value count exceeds chunk total")
+        seen += n
         if cc.max_rep and reps is None:
             reps = np.zeros(n, np.int64)
         if cc.max_def and defs is None:
