@@ -130,6 +130,8 @@ class _Col:
     precision: int | None = None
     elem: "_Col | None" = None        # LIST: the element column
     elem_name: str = "element"
+    int96: bool = False               # emit physical INT96 (12-byte FLBA
+                                      # bytes, legacy declared type)
 
 
 # LIST columns always use the canonical 3-level optional/repeated/
@@ -720,9 +722,9 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
             break
 
     stats_struct = (_chunk_stats(col, nonnull, vals, null_count)
-                    if write_stats else None)
+                    if write_stats and not col.int96 else None)
     meta_fields = [
-        (1, CT_I32, col.ptype),
+        (1, CT_I32, 3 if col.int96 else col.ptype),
         (2, CT_LIST, (CT_I32, sorted(encodings))),
         (3, CT_LIST, (CT_BINARY, path)),
         (4, CT_I32, codec_id),
@@ -801,8 +803,8 @@ def _emit_schema_field(field: pa.Field, col: _Col | None,
         return
     leaf = col if col is not None else _map_type(field)
     schema_elems.append(_tstruct([
-        (1, CT_I32, leaf.ptype),
-        (2, CT_I32, leaf.type_length),
+        (1, CT_I32, 3 if leaf.int96 else leaf.ptype),
+        (2, CT_I32, None if leaf.int96 else leaf.type_length),
         (3, CT_I32, 1 if declared_optional else 0),
         (4, CT_BINARY, field.name),
         (6, CT_I32, leaf.converted),
@@ -870,7 +872,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 row_group_rows: int = 1 << 20, page_rows: int = 1 << 16,
                 stats: bool = True,
                 bloom_columns: list[str] | None = None,
-                page_version: int = 1) -> None:
+                page_version: int = 1,
+                int96_timestamps: bool = False) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
@@ -883,8 +886,26 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     codec_id = 0 if compression == "none" else CODEC_IDS[compression]
     encodings = encodings or {}
     table = table.combine_chunks()
+    if int96_timestamps:
+        # legacy Impala layout (the reference's
+        # encodingwrite_plain.go:89-95): timestamp columns become
+        # INT96 12-byte values via the engine's int96 kernel
+        from . import int96 as i96mod
+
+        i96_cols = set()
+        for i, f in enumerate(table.schema):
+            if pa.types.is_timestamp(f.type):
+                conv = i96mod.timestamps_to_int96(
+                    table.column(i).combine_chunks())
+                table = table.set_column(
+                    i, pa.field(f.name, pa.binary(12), f.nullable), conv)
+                i96_cols.add(f.name)
     cols = [None if pa.types.is_struct(f.type) else _map_type(f)
             for f in table.schema]
+    if int96_timestamps:
+        for c in cols:
+            if c is not None and c.name in i96_cols:
+                c.int96 = True
 
     out = bytearray(MAGIC)
     all_chunks: list = []

@@ -627,3 +627,47 @@ def test_v2_pages_spark(spark, tmp_path):
     assert df.selectExpr("sum(i64)").first()[0] == \
         int(np.sum(np.asarray(tbl["i64"])))
     assert df.filter("ni IS NULL").count() == tbl["ni"].null_count
+
+
+def test_int96_timestamp_write(tmp_path):
+    """Legacy INT96 timestamps (the reference's
+    encodingwrite_plain.go:89-95 layout): physical type INT96, 12-byte
+    nanos-of-day + Julian-day values from the engine's int96 kernel —
+    read back by pyarrow, DuckDB, and the engine."""
+    import duckdb
+
+    n = 700
+    ts = (np.arange(n) * 977_123_456).astype("datetime64[us]")
+    tbl = pa.table({"ts": pa.array(ts),
+                    "k": pa.array(np.arange(n, dtype=np.int64))})
+    f = str(tmp_path / "i96.parquet")
+    W.write_table(tbl, f, compression="snappy", int96_timestamps=True)
+    md = pq.ParquetFile(f).metadata.row_group(0).column(0)
+    assert str(md.physical_type) == "INT96"
+    back = pq.read_table(f)
+    assert back["ts"].cast(pa.timestamp("us")).to_pylist() == \
+        tbl["ts"].to_pylist()
+    con = duckdb.connect()
+    mn, mx = con.execute(f"SELECT min(ts), max(ts) FROM '{f}'").fetchone()
+    import datetime
+
+    assert mn == datetime.datetime(1970, 1, 1)
+    t2 = P.decode_table(f)
+    assert t2["ts"].cast(pa.timestamp("us")).to_pylist() == \
+        tbl["ts"].to_pylist()
+
+
+def test_int96_spark_reads(spark, tmp_path):
+    import os
+
+    n = 400
+    tbl = pa.table({"ts": pa.array(
+        (np.arange(n) * 3_600_000_000 + 7).astype("datetime64[us]"))})
+    d = str(tmp_path / "i96dir")
+    os.makedirs(d)
+    W.write_table(tbl, os.path.join(d, "p.parquet"), compression="zstd",
+                  int96_timestamps=True)
+    df = spark.read.parquet(d)
+    assert df.count() == n
+    mn = df.selectExpr("min(ts) as m").first()["m"]
+    assert mn is not None
