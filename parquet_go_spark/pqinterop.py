@@ -150,6 +150,11 @@ class ColumnChunkInfo:
     top_name: str = ""    # user-facing column name (list group name)
     bloom_offset: int | None = None
     bloom_length: int | None = None
+    dict_page_offset: int | None = None
+    enc_key: bytes | None = None      # modular encryption: page modules
+    aad_base: bytes = b""
+    rg_ord: int = 0
+    col_ord: int = 0
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
@@ -161,11 +166,18 @@ def read_file(path: str) -> tuple[bytes, dict]:
     return data, meta
 
 
-def read_footer(path: str) -> dict:
+def read_footer(path: str, decryption=None) -> dict:
     """FileMetaData from the footer ALONE — tail reads only, never the
     data pages. This is what driver-side enumeration/pruning must use:
     at 100 TB the whole-file read_file() on a driver is a scale-killer
     (the JVM's ParquetFileReader reads exactly this tail too)."""
+    return read_footer_ex(path, decryption)[0]
+
+
+def read_footer_ex(path: str, decryption=None):
+    """-> (FileMetaData, crypto ctx | None). Handles both the PAR1
+    plaintext footer and the PARE encrypted footer (parquet modular
+    encryption; pqcrypt.py)."""
     with open(path, "rb") as fh:
         fh.seek(0, 2)
         size = fh.tell()
@@ -174,14 +186,38 @@ def read_footer(path: str) -> dict:
         tail = min(size, 1 << 16)
         fh.seek(size - tail)
         buf = fh.read(tail)
-        if buf[-4:] != MAGIC:
+        magic = buf[-4:]
+        if magic not in (MAGIC, b"PARE"):
             raise ValueError("not a parquet file")
         mlen = struct.unpack("<I", buf[-8:-4])[0]
         if mlen + 8 > len(buf):
             fh.seek(size - mlen - 8)
             buf = fh.read(mlen + 8)
+    if magic == MAGIC:
         meta, _ = _read_struct(memoryview(buf)[len(buf) - 8 - mlen:], 0)
-        return meta
+        return meta, None
+    from . import pqcrypt
+
+    if decryption is None:
+        raise ValueError("file has an encrypted footer (PARE); pass "
+                         "decryption keys")
+    fcm, pos = _read_struct(memoryview(buf)[len(buf) - 8 - mlen:], 0)
+    algo = fcm.get(1) or {}
+    if 1 not in algo:
+        raise ValueError("only AES_GCM_V1 encryption is supported")
+    gcm = algo[1]
+    stored_prefix = gcm.get(1, b"") or b""
+    supply = bool(gcm.get(3))
+    prefix = decryption.aad_prefix if (supply or decryption.aad_prefix) \
+        else stored_prefix
+    aad_base = prefix + gcm[2]
+    fkey = decryption.resolve(fcm.get(2), None)
+    pt, _ = pqcrypt.open_module(
+        fkey, pqcrypt.module_aad(aad_base, pqcrypt.M_FOOTER),
+        memoryview(buf)[len(buf) - 8 - mlen:], pos)
+    meta, _ = _read_struct(memoryview(pt), 0)
+    ctx = (decryption, aad_base, fkey)
+    return meta, ctx
 
 
 def read_range(path: str, offset: int, length: int) -> bytes:
@@ -196,8 +232,17 @@ def chunk_reader(path: str, cc: ColumnChunkInfo):
     IO unit (never the whole file)."""
     import dataclasses
 
-    buf = read_range(path, cc.first_page_offset, cc.total_compressed)
-    return buf, dataclasses.replace(cc, first_page_offset=0)
+    length = cc.total_compressed
+    if cc.enc_key is not None:
+        # writers record plaintext-side compressed totals; encrypted
+        # streams carry per-page module framing + header modules on
+        # top. Pad the range (value-count terminates the page walk).
+        length += 4096 + (cc.total_compressed >> 6)
+    buf = read_range(path, cc.first_page_offset, length)
+    shifted_dict = (None if cc.dict_page_offset is None
+                    else cc.dict_page_offset - cc.first_page_offset)
+    return buf, dataclasses.replace(cc, first_page_offset=0,
+                                    dict_page_offset=shifted_dict)
 
 
 @dataclass
@@ -266,13 +311,38 @@ def _schema_columns(meta: dict) -> dict[str, LeafInfo]:
     return {li.path: li for li in _walk_schema(meta)}
 
 
-def column_chunks(meta: dict) -> list[list[ColumnChunkInfo]]:
-    """Per row group, the flat-leaf column chunk infos."""
+def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
+    """Per row group, the leaf column chunk infos. ``ctx`` is the
+    crypto context from read_footer_ex for encrypted files: column-key
+    chunks carry their ColumnMetaData encrypted in field 9 (decrypted
+    here, AAD module type 1 + rg/col ordinals) and every chunk's page
+    stream gets its module key attached."""
     schema = _schema_columns(meta)
     groups = []
-    for rg in meta[4]:  # FileMetaData.row_groups
+    for rgi, rg in enumerate(meta[4]):  # FileMetaData.row_groups
         cols = []
-        for cc in rg[1]:  # RowGroup.columns
+        for ci, cc in enumerate(rg[1]):  # RowGroup.columns
+            enc_key = None
+            aad_base = b""
+            if ctx is not None:
+                from . import pqcrypt
+
+                dec, aad_base, fkey = ctx
+                ccrypt = cc.get(8)
+                if ccrypt is None:
+                    enc_key = None          # plaintext column
+                elif 2 in ccrypt:           # ENCRYPTION_WITH_COLUMN_KEY
+                    cpath = b".".join(ccrypt[2].get(1, [])).decode()
+                    enc_key = dec.resolve(ccrypt[2].get(2),
+                                          cpath.split(".")[0] or cpath)
+                else:                       # ENCRYPTION_WITH_FOOTER_KEY
+                    enc_key = fkey
+                if enc_key is not None and 3 not in cc and 9 in cc:
+                    aad = pqcrypt.module_aad(aad_base, pqcrypt.M_COLMETA,
+                                             rgi, ci)
+                    pt, _ = pqcrypt.open_module(enc_key, aad, cc[9], 0)
+                    cc = dict(cc)
+                    cc[3], _ = _read_struct(memoryview(pt), 0)
             md = cc[3]    # ColumnChunk.meta_data
             name = b".".join(md[3]).decode()
             if name not in schema:
@@ -290,6 +360,9 @@ def column_chunks(meta: dict) -> list[list[ColumnChunkInfo]]:
                 d_list=li.d_list, d_slot=li.d_slot,
                 top_name=li.top_name,
                 bloom_offset=md.get(14), bloom_length=md.get(15),
+                dict_page_offset=md.get(11),
+                enc_key=enc_key, aad_base=aad_base,
+                rg_ord=rgi, col_ord=ci,
             ))
         groups.append(cols)
     return groups
@@ -304,7 +377,12 @@ def _block_decompress(name: str, payload: bytes, out_size: int) -> bytes:
 
 def iter_pages(data: bytes, cc: ColumnChunkInfo):
     """Yield (page_header_fields, raw_payload) for every page of the
-    chunk, decompressing through the engine's block-codec registry."""
+    chunk, decompressing through the engine's block-codec registry.
+    Encrypted chunks (cc.enc_key) decrypt header+body modules with
+    their Dremel-ordinal AADs first."""
+    if cc.enc_key is not None:
+        yield from _iter_pages_encrypted(data, cc)
+        return
     pos = cc.first_page_offset
     end = cc.first_page_offset + cc.total_compressed
     mv = memoryview(data)
@@ -410,14 +488,15 @@ def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
     raise ValueError(f"unsupported encoding {enc}")
 
 
-def decode_column(path: str, column: str):
+def decode_column(path: str, column: str, decryption=None):
     """Decode every row group of ``column`` using ONLY engine codecs.
     Returns a python list with None for nulls (physical values:
     numpy scalars for numerics, bytes for byte arrays; list columns
     yield python lists per row)."""
-    data, meta = read_file(path)
+    data = open(path, "rb").read()
+    meta, ctx = read_footer_ex(path, decryption)
     out: list = []
-    for rg in column_chunks(meta):
+    for rg in column_chunks(meta, ctx):
         cc = next(c for c in rg
                   if c.name == column or c.top_name == column)
         out.extend(_decode_chunk(data, cc))
@@ -643,7 +722,7 @@ def num_row_groups(path: str) -> int:
 
 
 def decode_table(path: str, columns: list[str] | None = None,
-                 row_groups: list[int] | None = None):
+                 row_groups: list[int] | None = None, decryption=None):
     """Decode a real parquet file into a typed arrow table using ONLY
     engine codecs (the distributed-reader kernel: one (file, row-group
     subset) per task). INT96 stays out of scope here (no flat testdata
@@ -652,11 +731,11 @@ def decode_table(path: str, columns: list[str] | None = None,
 
     from . import int96 as i96mod
 
-    meta = read_footer(path)
+    meta, ctx = read_footer_ex(path, decryption)
     schema = arrow_schema(meta)
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
-    groups = column_chunks(meta)
+    groups = column_chunks(meta, ctx)
     sel = range(len(groups)) if row_groups is None else row_groups
     arrays = []
     for f in schema:
@@ -856,3 +935,55 @@ def read_bloom_at(path: str, cc: ColumnChunkInfo):
         length = pos + hdr[1]
     buf = read_range(path, cc.bloom_offset, length)
     return read_bloom(buf, dataclasses.replace(cc, bloom_offset=0))
+
+
+def _iter_pages_encrypted(data: bytes, cc: ColumnChunkInfo):
+    """Module-wise page iteration for encrypted chunks: the first pair
+    at the dictionary offset uses dict module types (no page ordinal),
+    data pages count ordinals; the plaintext body then follows the
+    normal block-codec path."""
+    from . import pqcrypt
+
+    pos = cc.first_page_offset
+    end = len(data)
+    page_ord = 0
+    values_seen = 0
+    mv = memoryview(data)
+    # terminate on the footer's value count: total_compressed_size is
+    # not reliable across writers for encrypted streams (header modules
+    # replace plaintext thrift headers of a different length)
+    while values_seen < cc.num_values and pos + 28 <= end:
+        is_dict = (cc.dict_page_offset is not None
+                   and pos == cc.dict_page_offset)
+        ht = pqcrypt.M_DICT_PAGE_HDR if is_dict else \
+            pqcrypt.M_DATA_PAGE_HDR
+        bt = pqcrypt.M_DICT_PAGE if is_dict else pqcrypt.M_DATA_PAGE
+        po = None if is_dict else page_ord
+        hdr_pt, pos = pqcrypt.open_module(
+            cc.enc_key,
+            pqcrypt.module_aad(cc.aad_base, ht, cc.rg_ord, cc.col_ord,
+                               po), mv, pos)
+        hdr, _ = _read_struct(memoryview(hdr_pt), 0)
+        body_pt, pos = pqcrypt.open_module(
+            cc.enc_key,
+            pqcrypt.module_aad(cc.aad_base, bt, cc.rg_ord, cc.col_ord,
+                               po), mv, pos)
+        if not is_dict:
+            page_ord += 1
+            ph = hdr.get(5) or hdr.get(8) or {}
+            values_seen += ph.get(1, 0) or 0
+        payload = body_pt
+        cname = _CODEC_NAMES.get(cc.codec)
+        if cc.codec not in _CODEC_NAMES:
+            raise ValueError(f"unsupported compression codec {cc.codec}")
+        if cname is not None:
+            ptype = hdr[1]
+            if ptype == PG_DATA_V2:
+                v2 = hdr[8]
+                lvl = (v2.get(6, 0) or 0) + (v2.get(5, 0) or 0)
+                if v2.get(7, True):
+                    payload = payload[:lvl] + _block_decompress(
+                        cname, payload[lvl:], hdr[2] - lvl)
+            else:
+                payload = _block_decompress(cname, payload, hdr[2])
+        yield hdr, payload

@@ -145,14 +145,44 @@ L_DEF, L_SLOT, L_LIST, CV_LIST = 3, 2, 1, 3
 class _Chunk:
     """Deferred ColumnChunk: meta fields stay a mutable list until the
     footer is built, so bloom offsets (written after the data pages)
-    can be appended before serialization."""
+    can be appended before serialization. ``crypto`` carries modular-
+    encryption state: footer-key chunks keep plaintext meta (the
+    encrypted footer protects it) + ColumnCryptoMetaData union 1;
+    column-key chunks move the meta into field 9, sealed with the
+    column key at AAD (type 1, rg, col)."""
     meta_fields: list
     start: int
     bloom_hashes: "np.ndarray | None" = None
+    crypto: tuple | None = None   # (mode, path, key, kmd, aad, rg, col)
 
     def serialize(self) -> bytes:
-        return _tstruct([(2, CT_I64, self.start),
-                         (3, CT_STRUCT, _tstruct(self.meta_fields))])
+        if self.crypto is None:
+            return _tstruct([(2, CT_I64, self.start),
+                             (3, CT_STRUCT, _tstruct(self.meta_fields))])
+        mode, path, key, kmd, aad_base, rg, col = self.crypto
+        if mode == "footer":
+            ccm = _tstruct([(1, CT_STRUCT, _EMPTY)])
+            return _tstruct([
+                (2, CT_I64, self.start),
+                (3, CT_STRUCT, _tstruct(self.meta_fields)),
+                (8, CT_STRUCT, ccm),
+            ])
+        from . import pqcrypt
+
+        meta_pt = _tstruct(self.meta_fields)
+        mod = pqcrypt.seal_module(
+            key, pqcrypt.module_aad(aad_base, pqcrypt.M_COLMETA, rg, col),
+            meta_pt)
+        inner = _tstruct([
+            (1, CT_LIST, (CT_BINARY, path)),
+            (2, CT_BINARY, kmd if kmd else None),
+        ])
+        ccm = _tstruct([(2, CT_STRUCT, inner)])
+        return _tstruct([
+            (2, CT_I64, self.start),
+            (8, CT_STRUCT, ccm),
+            (9, CT_BINARY, mod),
+        ])
 
 
 
@@ -341,16 +371,59 @@ def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
 
 # --------------------------------------------------------- page assembly
 
+class _PageCrypt:
+    """Per-chunk page-module encryption state (pqcrypt.py grammar)."""
+
+    def __init__(self, key: bytes, aad_base: bytes, rg: int, col: int):
+        self.key, self.aad_base = key, aad_base
+        self.rg, self.col = rg, col
+        self.page_ord = 0
+
+    def seal(self, mtype: int, plaintext: bytes,
+             page_ord: int | None) -> bytes:
+        from . import pqcrypt
+
+        return pqcrypt.seal_module(
+            self.key,
+            pqcrypt.module_aad(self.aad_base, mtype, self.rg, self.col,
+                               page_ord), plaintext)
+
+
 def _page(pg_type: int, header_extra: bytes, payload: bytes,
-          codec_id: int) -> tuple[bytes, int, int]:
+          codec_id: int, pc: "_PageCrypt | None" = None
+          ) -> tuple[bytes, int, int]:
     """Compress + frame one page -> (bytes, uncompressed, compressed).
-    v1 grammar: a declared chunk codec compresses EVERY page."""
+    v1 grammar: a declared chunk codec compresses EVERY page. With
+    ``pc`` the header and body become AES-GCM modules (header/body
+    module types per page kind; data pages consume a page ordinal) and
+    the header's compressed size counts the whole body module —
+    pyarrow's convention, confirmed against its ciphertext."""
     usize = len(payload)
     body = payload
     if codec_id != 0:
         body = framemod._get_codec(
             framemod.COMP_IDS[_CODEC_NAMES[codec_id]]
         ).compress(payload).to_pybytes()
+    if pc is not None:
+        from . import pqcrypt
+
+        if pg_type == PG_DICT:
+            ht, bt, po = pqcrypt.M_DICT_PAGE_HDR, pqcrypt.M_DICT_PAGE, None
+        else:
+            ht, bt = pqcrypt.M_DATA_PAGE_HDR, pqcrypt.M_DATA_PAGE
+            po = pc.page_ord
+            pc.page_ord += 1
+        body_mod = pc.seal(bt, body, po)
+        hdr = _tstruct([
+            (1, CT_I32, pg_type),
+            (2, CT_I32, usize),
+            (3, CT_I32, len(body_mod)),
+            (5, CT_STRUCT, header_extra if pg_type == PG_DATA else None),
+            (7, CT_STRUCT, header_extra if pg_type == PG_DICT else None),
+        ])
+        hdr_mod = pc.seal(ht, hdr, po)
+        stream = hdr_mod + body_mod
+        return stream, len(hdr) + usize, len(stream)
     csize = len(body)
     crc = zlib.crc32(body)
     if crc >= 1 << 31:
@@ -369,11 +442,14 @@ def _page(pg_type: int, header_extra: bytes, payload: bytes,
 def _emit_data_page(out: bytearray, codec_id: int, page_version: int,
                     enc_id: int, n_entries: int, n_rows: int,
                     n_nulls: int, rep_raw: bytes, def_raw: bytes,
-                    values: bytes) -> tuple[int, int]:
+                    values: bytes,
+                    pc: "_PageCrypt | None" = None) -> tuple[int, int]:
     """One data page, either grammar. v1: u32-prefixed level streams,
     whole payload compressed. v2: raw level streams stay uncompressed
     ahead of the values, and store-uncompressed-if-bigger returns via
     the is_compressed flag (a freedom v1 does not offer)."""
+    if pc is not None and page_version != 1:
+        raise ValueError("modular encryption implemented for v1 pages")
     if page_version == 1:
         level = b""
         if rep_raw:
@@ -386,7 +462,7 @@ def _emit_data_page(out: bytearray, codec_id: int, page_version: int,
             (3, CT_I32, E_RLE_LEVELS),
             (4, CT_I32, E_RLE_LEVELS),
         ])
-        pg, u, c = _page(PG_DATA, phdr, level + values, codec_id)
+        pg, u, c = _page(PG_DATA, phdr, level + values, codec_id, pc)
         out += pg
         return u, c
     body = values
@@ -549,7 +625,8 @@ def _list_levels(arr: pa.Array):
 
 def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
                       codec_id: int, page_rows: int, enc_want: str,
-                      write_stats: bool, page_version: int = 1):
+                      write_stats: bool, page_version: int = 1,
+                      pc: "_PageCrypt | None" = None):
     """LIST column chunk: rep+def level streams ahead of the element
     values, pages split on ROW boundaries (a record never splits)."""
     n_rows = len(arr)
@@ -575,7 +652,7 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
                 np.ascontiguousarray(uniques, col.np_dtype))
         dhdr = _tstruct([(1, CT_I32, len(uniques)), (2, CT_I32, E_PLAIN)])
         dict_offset = len(out)
-        pg, u, c = _page(PG_DICT, dhdr, dict_payload, codec_id)
+        pg, u, c = _page(PG_DICT, dhdr, dict_payload, codec_id, pc)
         out += pg
         tot_u += u
         tot_c += c
@@ -612,7 +689,7 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
         u, c = _emit_data_page(
             out, codec_id, page_version, enc_id, e_ent - s_ent,
             hi_row - row, (e_ent - s_ent) - (v_hi - v_lo), rep_raw,
-            def_raw, body)
+            def_raw, body, pc)
         tot_u += u
         tot_c += c
         row = hi_row
@@ -639,7 +716,8 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
 
 def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
                  page_rows: int, enc_want: str, write_stats: bool,
-                 levels: tuple | None = None, page_version: int = 1):
+                 levels: tuple | None = None, page_version: int = 1,
+                 pc: "_PageCrypt | None" = None):
     """Append one column chunk's pages; return its ColumnChunk struct.
 
     ``levels=(defs, max_def, path)`` is the shredded-STRUCT form: defs
@@ -647,7 +725,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     present leaf values, ``path`` the dotted schema path."""
     if col.elem is not None:
         return _write_list_chunk(out, col, arr, codec_id, page_rows,
-                                 enc_want, write_stats, page_version)
+                                 enc_want, write_stats, page_version, pc)
     if levels is None:
         n_total = len(arr)
         null_count = arr.null_count
@@ -682,7 +760,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
             nd = len(uniques)
         dhdr = _tstruct([(1, CT_I32, nd), (2, CT_I32, E_PLAIN)])
         dict_offset = len(out)
-        pg, u, c = _page(PG_DICT, dhdr, dict_payload, codec_id)
+        pg, u, c = _page(PG_DICT, dhdr, dict_payload, codec_id, pc)
         out += pg
         tot_u += u
         tot_c += c
@@ -714,7 +792,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         u, c = _emit_data_page(
             out, codec_id, page_version, enc_id, hi_row - row,
             hi_row - row, (hi_row - row) - (v_hi - v_lo), b"", def_raw,
-            body)
+            body, pc)
         tot_u += u
         tot_c += c
         vpos, row = v_hi, hi_row
@@ -873,7 +951,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 stats: bool = True,
                 bloom_columns: list[str] | None = None,
                 page_version: int = 1,
-                int96_timestamps: bool = False) -> None:
+                int96_timestamps: bool = False,
+                encryption=None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
@@ -884,6 +963,9 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     if compression not in CODEC_IDS and compression != "none":
         raise ValueError(f"unsupported parquet codec {compression!r}")
     codec_id = 0 if compression == "none" else CODEC_IDS[compression]
+    if encryption is not None and bloom_columns:
+        raise ValueError("bloom filters with modular encryption are "
+                         "out of scope (bloom modules not sealed)")
     encodings = encodings or {}
     table = table.combine_chunks()
     if int96_timestamps:
@@ -907,11 +989,29 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             if c is not None and c.name in i96_cols:
                 c.int96 = True
 
-    out = bytearray(MAGIC)
+    out = bytearray(b"PARE" if encryption is not None else MAGIC)
     all_chunks: list = []
     n = table.num_rows
     col_optional = {c.name: False for c in cols if c is not None}
-    for lo in range(0, max(n, 1), row_group_rows):
+    def _chunk_crypto(name, path, rgi, ci):
+        """-> (_PageCrypt, crypto tuple) for one chunk, or (None, None)."""
+        if encryption is None:
+            return None, None
+        if name in encryption.column_keys or \
+                ".".join(path) in encryption.column_keys:
+        
+            ckey = encryption.column_keys.get(
+                name, encryption.column_keys.get(".".join(path)))
+            key, kmd = ckey
+            return (_PageCrypt(key, encryption.aad_base, rgi, ci),
+                    ("column", path, key, kmd, encryption.aad_base,
+                     rgi, ci))
+        return (_PageCrypt(encryption.footer_key, encryption.aad_base,
+                           rgi, ci),
+                ("footer", path, None, None, encryption.aad_base,
+                 rgi, ci))
+
+    for rgi, lo in enumerate(range(0, max(n, 1), row_group_rows)):
         hi = min(lo + row_group_rows, n)
         chunks, rg_u = [], 0
         for i, col in enumerate(cols):
@@ -931,18 +1031,26 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 for lpath, leaf_field, defs, leaf_vals, md in specs:
                     lcol = _map_type(
                         pa.field(lpath[-1], leaf_field.type, True))
+                    pc, crypto = _chunk_crypto(
+                        ".".join(lpath), lpath, rgi, len(chunks))
                     chunk, u, _ = _write_chunk(
                         out, lcol, leaf_vals, codec_id, page_rows,
                         encodings.get(".".join(lpath), "auto"), stats,
                         levels=(defs, md, lpath),
-                        page_version=page_version)
+                        page_version=page_version, pc=pc)
+                    chunk.crypto = crypto
                     chunks.append(chunk)
                     rg_u += u
                 continue
+            pc, crypto = _chunk_crypto(col.name, [col.name] if
+                                       col.elem is None else
+                                       [col.name, "list", col.elem_name],
+                                       rgi, len(chunks))
             chunk, u, opt = _write_chunk(
                 out, col, arr, codec_id, page_rows,
                 encodings.get(col.name, "auto"), stats,
-                page_version=page_version)
+                page_version=page_version, pc=pc)
+            chunk.crypto = crypto
             if bloom_columns and col.name in bloom_columns:
                 chunk.bloom_hashes = _bloom_hashes(col, arr)
             col_optional[col.name] |= opt
@@ -980,8 +1088,32 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                       [type_order] * (len(all_chunks[0][0])
                                       if all_chunks else len(cols)))),
     ])
-    out += footer
-    out += struct.pack("<I", len(footer))
-    out += MAGIC
+    if encryption is not None:
+        from . import pqcrypt
+
+        mod = pqcrypt.seal_module(
+            encryption.footer_key,
+            pqcrypt.module_aad(encryption.aad_base, pqcrypt.M_FOOTER),
+            footer)
+        algo = _tstruct([(1, CT_STRUCT, _tstruct([
+            (1, CT_BINARY,
+             encryption.aad_prefix
+             if (encryption.aad_prefix
+                 and not encryption.supply_aad_prefix) else None),
+            (2, CT_BINARY, encryption._aad_unique),
+            (3, CT_TRUE, encryption.supply_aad_prefix),
+        ]))])
+        fcm = _tstruct([
+            (1, CT_STRUCT, algo),
+            (2, CT_BINARY, encryption.footer_key_metadata or None),
+        ])
+        out += fcm
+        out += mod
+        out += struct.pack("<I", len(fcm) + len(mod))
+        out += b"PARE"
+    else:
+        out += footer
+        out += struct.pack("<I", len(footer))
+        out += MAGIC
     with open(path, "wb") as fh:
         fh.write(bytes(out))
