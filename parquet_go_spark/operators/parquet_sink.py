@@ -35,6 +35,7 @@ def write_parquet_dir(
     row_group_rows: int = 1 << 20,
     page_rows: int = 1 << 16,
     bloom_columns: list[str] | None = None,
+    encryption=None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
@@ -57,10 +58,17 @@ def write_parquet_dir(
         pid = TaskContext.get().partitionId()
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.parquet"
         path = os.path.join(out_dir, name)
+        task_enc = None
+        if encryption is not None:
+            import dataclasses
+
+            # fresh aad_file_unique PER FILE (spec hygiene): replace()
+            # re-runs __post_init__
+            task_enc = dataclasses.replace(encryption)
         pqwriter.write_table(
             tbl, path, compression=compression, encodings=enc,
             row_group_rows=row_group_rows, page_rows=page_rows,
-            bloom_columns=bloom_columns)
+            bloom_columns=bloom_columns, encryption=task_enc)
         yield pa.RecordBatch.from_arrays(
             [pa.array([name]), pa.array([tbl.num_rows], pa.int64()),
              pa.array([os.path.getsize(path)], pa.int64())],
@@ -168,7 +176,7 @@ def _rg_bloom_keep(path: str, meta: dict, gi: int, col: str,
 
 def read_parquet_dir(
     spark: SparkSession, path: str, columns: list[str] | None = None,
-    filters: dict | None = None,
+    filters: dict | None = None, decryption=None,
 ) -> DataFrame:
     """Read real parquet files with the ENGINE's spec decoder
     (pqinterop.decode_table), distributed one (file, row-group) per
@@ -187,15 +195,17 @@ def read_parquet_dir(
         raise ValueError(f"no parquet files under {path!r}")
     units = []
     for f in files:
-        meta = pqinterop.read_footer(f)   # tail read — never the data
+        meta = pqinterop.read_footer(f, decryption)  # tail read only
         for g in range(len(meta[4])):
             keep = True
             for col, pred in (filters or {}).items():
                 keep = (keep and _rg_stats_keep(meta, g, col, pred)
-                        and _rg_bloom_keep(f, meta, g, col, pred))
+                        and (decryption is not None
+                             or _rg_bloom_keep(f, meta, g, col, pred)))
             if keep:
                 units.append((f, g))
-    schema = pqinterop.arrow_schema(pqinterop.read_footer(files[0]))
+    schema = pqinterop.arrow_schema(
+        pqinterop.read_footer(files[0], decryption))
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
 
@@ -205,7 +215,8 @@ def read_parquet_dir(
         for b in batches:
             for row in b.to_pylist():
                 tbl = P.decode_table(row["f"], columns=columns,
-                                     row_groups=[row["g"]])
+                                     row_groups=[row["g"]],
+                                     decryption=decryption)
                 yield from tbl.to_batches()
 
     units_df = spark.createDataFrame(units, "f string, g int").repartition(
@@ -399,3 +410,37 @@ SELECT l_orderkey, l_linenumber,
        CASE WHEN l_orderkey % 11 <> 0 THEN l_returnflag END AS rf
 FROM lineitem
 """
+
+
+_ENC_KF = bytes(range(16))
+_ENC_KC = bytes(range(16, 32))
+
+
+def encrypted_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet modular encryption end-to-end, distributed: lineitem
+    engine-encrypted per partition (footer key + a column key on
+    l_orderkey), then decrypted by the engine reader on executors. The
+    DuckDB oracle is a plain SELECT — a value-exact match proves the
+    decrypted bytes equal the source."""
+    import shutil
+
+    from .. import pqcrypt as C
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pq_enc_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    write_parquet_dir(
+        li, out, compression="zstd",
+        encryption=C.Encrypt(footer_key=_ENC_KF,
+                             column_keys={"l_orderkey": (_ENC_KC, b"")},
+                             aad_prefix=b"gate"))
+    return read_parquet_dir(
+        spark, out,
+        decryption=C.Decrypt(footer_key=_ENC_KF,
+                             column_keys={"l_orderkey": _ENC_KC},
+                             aad_prefix=b"gate"))
+
+
+ENCRYPTED_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
