@@ -24,6 +24,16 @@ code relied on them (tests/test_pqcrypt.py keeps that ground truth):
 Keys are supplied explicitly (the reference's encrypt_read examples) or
 resolved from key_metadata via a retriever callable — the same
 retriever shape as the PGS store's keys.py.
+
+Interop caveat (arrow-side, not format): arrow's MULTI-threaded reader
+intermittently fails ("Failed decryption finalization") on any file
+where one DEK serves several column chunks — i.e. the spec's uniform
+ENCRYPTION_WITH_FOOTER_KEY mode — because its per-key decryptor cache
+races AAD state across column threads. Reproduced ~20% of threaded
+reads against engine files, never single-threaded; pyarrow's own
+writer dodges it only because CryptoFactory always derives a distinct
+DEK per column. Write with per-column keys when downstream readers are
+threaded arrow.
 """
 
 from __future__ import annotations
