@@ -88,6 +88,7 @@ class Encrypt:
         default_factory=dict)    # col -> (key, key_metadata)
     aad_prefix: bytes = b""
     supply_aad_prefix: bool = False   # True: prefix NOT stored in file
+    plaintext_footer: bool = False    # PAR1 + signed cleartext footer
     _aad_unique: bytes = b""
 
     def __post_init__(self):

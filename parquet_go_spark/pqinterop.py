@@ -151,6 +151,7 @@ class ColumnChunkInfo:
     bloom_offset: int | None = None
     bloom_length: int | None = None
     dict_page_offset: int | None = None
+    key_missing: bool = False         # encrypted chunk, no key supplied
     enc_key: bytes | None = None      # modular encryption: page modules
     aad_base: bytes = b""
     rg_ord: int = 0
@@ -194,8 +195,38 @@ def read_footer_ex(path: str, decryption=None):
             fh.seek(size - mlen - 8)
             buf = fh.read(mlen + 8)
     if magic == MAGIC:
-        meta, _ = _read_struct(memoryview(buf)[len(buf) - 8 - mlen:], 0)
-        return meta, None
+        fbuf = memoryview(buf)[len(buf) - 8 - mlen:]
+        meta, consumed = _read_struct(fbuf, 0)
+        if 8 not in meta:
+            return meta, None
+        # plaintext-footer encryption mode: FileMetaData in the clear,
+        # followed by a 12-byte nonce + 16-byte GCM tag signing it;
+        # encrypted chunks carry their own crypto metadata
+        from . import pqcrypt
+
+        algo = meta[8]
+        if 1 not in algo:
+            raise ValueError("only AES_GCM_V1 encryption is supported")
+        gcm = algo[1]
+        stored_prefix = gcm.get(1, b"") or b""
+        supply = bool(gcm.get(3))
+        dec_prefix = getattr(decryption, "aad_prefix", b"")
+        prefix = dec_prefix if (supply or dec_prefix) else stored_prefix
+        aad_base = prefix + gcm[2]
+        if decryption is None:
+            return meta, ("plaintext", aad_base)   # unkeyed: plain cols only
+        fkey = decryption.resolve(meta.get(9), None)
+        if consumed + 28 <= mlen:                  # verify the signature
+            nonce = bytes(fbuf[consumed:consumed + 12])
+            tag = bytes(fbuf[consumed + 12:consumed + 28])
+            from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+            ct = AESGCM(fkey).encrypt(
+                nonce, bytes(fbuf[:consumed]),
+                pqcrypt.module_aad(aad_base, pqcrypt.M_FOOTER))
+            if ct[-16:] != tag:
+                raise ValueError("footer signature verification failed")
+        return meta, (decryption, aad_base, fkey)
     from . import pqcrypt
 
     if decryption is None:
@@ -324,7 +355,13 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
         for ci, cc in enumerate(rg[1]):  # RowGroup.columns
             enc_key = None
             aad_base = b""
-            if ctx is not None:
+            key_missing = False
+            if ctx is not None and ctx[0] == "plaintext":
+                # unkeyed plaintext-footer read: plaintext chunks decode,
+                # encrypted chunks refuse at page-read time (so reading
+                # only the plaintext columns works keyless)
+                key_missing = cc.get(8) is not None
+            elif ctx is not None:
                 from . import pqcrypt
 
                 dec, aad_base, fkey = ctx
@@ -361,6 +398,7 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
                 top_name=li.top_name,
                 bloom_offset=md.get(14), bloom_length=md.get(15),
                 dict_page_offset=md.get(11),
+                key_missing=key_missing,
                 enc_key=enc_key, aad_base=aad_base,
                 rg_ord=rgi, col_ord=ci,
             ))
@@ -380,6 +418,9 @@ def iter_pages(data: bytes, cc: ColumnChunkInfo):
     chunk, decompressing through the engine's block-codec registry.
     Encrypted chunks (cc.enc_key) decrypt header+body modules with
     their Dremel-ordinal AADs first."""
+    if cc.key_missing:
+        raise ValueError(f"column {cc.name!r} is encrypted; supply "
+                         "decryption keys")
     if cc.enc_key is not None:
         yield from _iter_pages_encrypted(data, cc)
         return

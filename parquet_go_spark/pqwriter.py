@@ -154,13 +154,14 @@ class _Chunk:
     start: int
     bloom_hashes: "np.ndarray | None" = None
     crypto: tuple | None = None   # (mode, path, key, kmd, aad, rg, col)
+    ptf: bool = False             # plaintext-footer file
 
     def serialize(self) -> bytes:
         if self.crypto is None:
             return _tstruct([(2, CT_I64, self.start),
                              (3, CT_STRUCT, _tstruct(self.meta_fields))])
         mode, path, key, kmd, aad_base, rg, col = self.crypto
-        if mode == "footer":
+        if mode == "footer" and not self.ptf:
             ccm = _tstruct([(1, CT_STRUCT, _EMPTY)])
             return _tstruct([
                 (2, CT_I64, self.start),
@@ -173,16 +174,23 @@ class _Chunk:
         mod = pqcrypt.seal_module(
             key, pqcrypt.module_aad(aad_base, pqcrypt.M_COLMETA, rg, col),
             meta_pt)
-        inner = _tstruct([
-            (1, CT_LIST, (CT_BINARY, path)),
-            (2, CT_BINARY, kmd if kmd else None),
-        ])
-        ccm = _tstruct([(2, CT_STRUCT, inner)])
-        return _tstruct([
-            (2, CT_I64, self.start),
-            (8, CT_STRUCT, ccm),
-            (9, CT_BINARY, mod),
-        ])
+        if mode == "footer":
+            ccm = _tstruct([(1, CT_STRUCT, _EMPTY)])
+        else:
+            inner = _tstruct([
+                (1, CT_LIST, (CT_BINARY, path)),
+                (2, CT_BINARY, kmd if kmd else None),
+            ])
+            ccm = _tstruct([(2, CT_STRUCT, inner)])
+        fields = [(2, CT_I64, self.start)]
+        if self.ptf:
+            # cleartext copy with statistics redacted (spec: plaintext
+            # footer must not leak encrypted-column stats)
+            redacted = [f for f in self.meta_fields if f[0] != 12]
+            fields.append((3, CT_STRUCT, _tstruct(redacted)))
+        fields.append((8, CT_STRUCT, ccm))
+        fields.append((9, CT_BINARY, mod))
+        return _tstruct(fields)
 
 
 
@@ -989,7 +997,9 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             if c is not None and c.name in i96_cols:
                 c.int96 = True
 
-    out = bytearray(b"PARE" if encryption is not None else MAGIC)
+    out = bytearray(
+        b"PARE" if (encryption is not None
+                    and not encryption.plaintext_footer) else MAGIC)
     all_chunks: list = []
     n = table.num_rows
     col_optional = {c.name: False for c in cols if c is not None}
@@ -1008,8 +1018,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                      rgi, ci))
         return (_PageCrypt(encryption.footer_key, encryption.aad_base,
                            rgi, ci),
-                ("footer", path, None, None, encryption.aad_base,
-                 rgi, ci))
+                ("footer", path, encryption.footer_key, None,
+                 encryption.aad_base, rgi, ci))
 
     for rgi, lo in enumerate(range(0, max(n, 1), row_group_rows)):
         hi = min(lo + row_group_rows, n)
@@ -1039,6 +1049,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                         levels=(defs, md, lpath),
                         page_version=page_version, pc=pc)
                     chunk.crypto = crypto
+                    chunk.ptf = (encryption is not None
+                                 and encryption.plaintext_footer)
                     chunks.append(chunk)
                     rg_u += u
                 continue
@@ -1051,6 +1063,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 encodings.get(col.name, "auto"), stats,
                 page_version=page_version, pc=pc)
             chunk.crypto = crypto
+            chunk.ptf = (encryption is not None
+                         and encryption.plaintext_footer)
             if bloom_columns and col.name in bloom_columns:
                 chunk.bloom_hashes = _bloom_hashes(col, arr)
             col_optional[col.name] |= opt
@@ -1078,7 +1092,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     # ColumnOrder TYPE_ORDER per leaf: without FileMetaData.column_orders
     # readers must ignore min_value/max_value (parquet.thrift §ColumnOrder)
     type_order = _tstruct([(1, CT_STRUCT, _EMPTY)])
-    footer = _tstruct([
+    footer_fields = [
         (1, CT_I32, 2),
         (2, CT_LIST, (CT_STRUCT, schema_elems)),
         (3, CT_I64, n),
@@ -1087,8 +1101,39 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
         (7, CT_LIST, (CT_STRUCT,
                       [type_order] * (len(all_chunks[0][0])
                                       if all_chunks else len(cols)))),
-    ])
-    if encryption is not None:
+    ]
+    if encryption is not None and encryption.plaintext_footer:
+        from . import pqcrypt as _pqc
+
+        algo_s = _tstruct([(1, CT_STRUCT, _tstruct([
+            (1, CT_BINARY,
+             encryption.aad_prefix
+             if (encryption.aad_prefix
+                 and not encryption.supply_aad_prefix) else None),
+            (2, CT_BINARY, encryption._aad_unique),
+            (3, CT_TRUE, encryption.supply_aad_prefix),
+        ]))])
+        footer_fields.append((8, CT_STRUCT, algo_s))
+        footer_fields.append(
+            (9, CT_BINARY, encryption.footer_key_metadata or None))
+    footer = _tstruct(footer_fields)
+    if encryption is not None and encryption.plaintext_footer:
+        # signed cleartext footer: footer || nonce || GCM tag
+        import os as _os
+
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        from . import pqcrypt
+
+        nonce = _os.urandom(12)
+        ct = AESGCM(encryption.footer_key).encrypt(
+            nonce, footer,
+            pqcrypt.module_aad(encryption.aad_base, pqcrypt.M_FOOTER))
+        signed = footer + nonce + ct[-16:]
+        out += signed
+        out += struct.pack("<I", len(signed))
+        out += MAGIC
+    elif encryption is not None:
         from . import pqcrypt
 
         mod = pqcrypt.seal_module(

@@ -235,3 +235,86 @@ print('UNIFORM_OK')
                           capture_output=True, text=True, timeout=120)
     assert proc.returncode == 0, proc.stderr[-800:]
     assert "UNIFORM_OK" in proc.stdout
+
+
+def test_plaintext_footer_mode(tmp_path):
+    """PAR1 + signed cleartext footer + encrypted columns (the
+    reference's encrypt_read_plaintext_footer surface). Keyless readers
+    see metadata and plaintext columns; encrypted chunks refuse without
+    keys; the footer signature catches a wrong footer key; pyarrow
+    reads engine ptf files and the engine reads pyarrow's."""
+    import subprocess
+    import sys
+
+    n = 1200
+    tbl = pa.table({"x": pa.array(np.arange(n, dtype=np.int64)),
+                    "y": pa.array([f"s{i % 37}" for i in range(n)])})
+    kf, kc = os.urandom(16), os.urandom(16)
+    enc = C.Encrypt(footer_key=kf,
+                    footer_key_metadata=_kmd(kf, "kf", True),
+                    column_keys={"x": (kc, _kmd(kc, "kc", False)),
+                                 "y": (kc, _kmd(kc, "kc", False))},
+                    plaintext_footer=True)
+    f = str(tmp_path / "ptf.parquet")
+    W.write_table(tbl, f, compression="zstd", encryption=enc)
+    assert open(f, "rb").read(4) == b"PAR1"
+    # keyless metadata access is the point of the mode
+    md = pq.ParquetFile(f).metadata
+    assert md.num_rows == n and md.num_columns == 2
+    t = P.decode_table(f, decryption=C.Decrypt(
+        footer_key=kf, column_keys={"x": kc, "y": kc}))
+    assert t["x"].to_pylist() == tbl["x"].to_pylist()
+    with pytest.raises(ValueError, match="signature"):
+        P.decode_table(f, decryption=C.Decrypt(
+            footer_key=os.urandom(16), column_keys={"x": kc, "y": kc}))
+    script = f"""
+import base64, sys
+import pyarrow.parquet as pq
+import pyarrow.parquet.encryption as pe
+MK = {MK!r}
+class KMS(pe.KmsClient):
+    def __init__(self, config):
+        super().__init__(); self.m = config.custom_kms_conf
+    def wrap_key(self, kb, mkid):
+        return base64.b64encode(kb + self.m[mkid].encode())
+    def unwrap_key(self, w, mkid):
+        mkb = self.m[mkid].encode(); d = base64.b64decode(w)
+        return d[:-len(mkb)]
+conf = pe.KmsConnectionConfig(custom_kms_conf=MK)
+factory = pe.CryptoFactory(lambda c: KMS(c))
+dprops = factory.file_decryption_properties(
+    conf, pe.DecryptionConfiguration())
+t = pq.ParquetFile({f!r}, decryption_properties=dprops).read(
+    use_threads=False)
+assert t['x'].to_pylist() == list(range({n}))
+print('PTF_OK')
+"""
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "PTF_OK" in proc.stdout
+
+
+def test_engine_reads_pyarrow_plaintext_footer(tmp_path):
+    conf = pe.KmsConnectionConfig(custom_kms_conf=MK)
+    factory = pe.CryptoFactory(lambda c: _KMS(c))
+    enc = pe.EncryptionConfiguration(
+        footer_key="kf", column_keys={"kc": ["x"]},
+        encryption_algorithm="AES_GCM_V1",
+        double_wrapping=False, plaintext_footer=True)
+    props = factory.file_encryption_properties(conf, enc)
+    n = 800
+    tbl = pa.table({"x": pa.array(np.arange(n, dtype=np.int64)),
+                    "y": pa.array([f"s{i % 37}" for i in range(n)])})
+    f = str(tmp_path / "pa_ptf.parquet")
+    with pq.ParquetWriter(f, tbl.schema,
+                          encryption_properties=props) as w:
+        w.write_table(tbl)
+    t = P.decode_table(f, decryption=C.Decrypt(key_retriever=_retriever))
+    assert t["x"].to_pylist() == tbl["x"].to_pylist()
+    assert t["y"].to_pylist() == tbl["y"].to_pylist()
+    # keyless: plaintext column readable, encrypted column refuses
+    t2 = P.decode_table(f, columns=["y"])
+    assert t2["y"].to_pylist() == tbl["y"].to_pylist()
+    with pytest.raises(ValueError, match="encrypted"):
+        P.decode_table(f, columns=["x"])
