@@ -214,9 +214,24 @@ def read_parquet_dir(
 
         for b in batches:
             for row in b.to_pylist():
-                tbl = P.decode_table(row["f"], columns=columns,
-                                     row_groups=[row["g"]],
-                                     decryption=decryption)
+                f, g = row["f"], row["g"]
+                # page-granular pruning INSIDE the task (driver stays
+                # footer-only): ColumnIndex bounds -> rg-local row
+                # ranges; pruned pages are never read off disk
+                ranges = None
+                if filters and decryption is None:
+                    meta = P.read_footer(f)
+                    r, pruned = P.predicate_row_ranges(
+                        f, meta, g, filters)
+                    if pruned:
+                        if not r:
+                            continue
+                        if r != [(0, meta[4][g].get(3, 0))]:
+                            ranges = {g: r}
+                tbl = P.decode_table(f, columns=columns,
+                                     row_groups=[g],
+                                     decryption=decryption,
+                                     row_ranges=ranges)
                 yield from tbl.to_batches()
 
     units_df = spark.createDataFrame(units, "f string, g int").repartition(

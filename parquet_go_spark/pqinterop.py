@@ -74,6 +74,13 @@ def _read_value(buf, pos: int, ftype: int):
         if size == 15:
             size, pos = read_uvarint(buf, pos)
         out = []
+        if etype in (CT_TRUE, CT_FALSE):
+            # bools inside a LIST occupy one byte each (1=true, 2=false) —
+            # unlike struct fields, where the value rides the type nibble
+            for _ in range(size):
+                out.append(buf[pos] == 1)
+                pos += 1
+            return out, pos
         for _ in range(size):
             v, pos = _read_value(buf, pos, etype)
             out.append(v)
@@ -156,6 +163,11 @@ class ColumnChunkInfo:
     aad_base: bytes = b""
     rg_ord: int = 0
     col_ord: int = 0
+    num_rows: int = 0                 # rows in this chunk's row group
+    oi_off: int | None = None         # PageIndex locations (ColumnChunk
+    oi_len: int | None = None         # fields 4-7)
+    ci_off: int | None = None
+    ci_len: int | None = None
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
@@ -401,6 +413,9 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
                 key_missing=key_missing,
                 enc_key=enc_key, aad_base=aad_base,
                 rg_ord=rgi, col_ord=ci,
+                num_rows=rg.get(3, 0),
+                oi_off=cc.get(4), oi_len=cc.get(5),
+                ci_off=cc.get(6), ci_len=cc.get(7),
             ))
         groups.append(cols)
     return groups
@@ -762,12 +777,211 @@ def num_row_groups(path: str) -> int:
     return len(read_footer(path)[4])
 
 
+# --- PageIndex (ColumnIndex / OffsetIndex) ------------------------------
+#
+# The reference writes both in WriteStop (writer/ops.go:28-117) and its
+# reader seeks through them; here they are ranged tail-adjacent reads —
+# never the data pages — feeding page-granular row-range pruning.
+
+def read_offset_index(path: str, cc: ColumnChunkInfo):
+    """-> [(page_offset, compressed_page_size, first_row_index), ...]
+    or None when the chunk carries no OffsetIndex."""
+    if cc.oi_off is None:
+        return None
+    buf = read_range(path, cc.oi_off, cc.oi_len)
+    s, _ = _read_struct(memoryview(buf), 0)
+    return [(p[1], p[2], p[3]) for p in s[1]]
+
+
+def stat_value(ptype: int, b: bytes):
+    """PLAIN-serialized Statistics/ColumnIndex bound -> comparable
+    python value (None = type has no usable order here)."""
+    if ptype == T_INT32:
+        return struct.unpack("<i", b)[0]
+    if ptype == T_INT64:
+        return struct.unpack("<q", b)[0]
+    if ptype == T_FLOAT:
+        return struct.unpack("<f", b)[0]
+    if ptype == T_DOUBLE:
+        return struct.unpack("<d", b)[0]
+    if ptype == T_BOOLEAN:
+        return b != b"\x00"
+    if ptype in (T_BYTE_ARRAY, T_FLBA):
+        return b
+    return None
+
+
+def read_column_index(path: str, cc: ColumnChunkInfo):
+    """-> dict(null_pages, mins, maxs, boundary_order, null_counts)
+    with typed min/max values (None entries for null pages), or None
+    when the chunk carries no ColumnIndex."""
+    if cc.ci_off is None:
+        return None
+    buf = read_range(path, cc.ci_off, cc.ci_len)
+    s, _ = _read_struct(memoryview(buf), 0)
+    null_pages = s[1]
+    mins = [None if np_ else stat_value(cc.physical_type, b)
+            for np_, b in zip(null_pages, s[2])]
+    maxs = [None if np_ else stat_value(cc.physical_type, b)
+            for np_, b in zip(null_pages, s[3])]
+    return {"null_pages": null_pages, "mins": mins, "maxs": maxs,
+            "boundary_order": s.get(4, 0),
+            "null_counts": s.get(5)}
+
+
+def _page_extents(oi, num_rows: int):
+    """OffsetIndex -> [(row_lo, row_hi), ...] per page (rg-local)."""
+    firsts = [fri for _, _, fri in oi]
+    return [(firsts[i], firsts[i + 1] if i + 1 < len(firsts)
+             else num_rows) for i in range(len(firsts))]
+
+
+def merge_ranges(ranges):
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if hi <= lo:
+            continue
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [(lo, hi) for lo, hi in out]
+
+
+def intersect_ranges(a, b):
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append((lo, hi))
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _pred_page_keep(ci, pred) -> list[bool]:
+    """Per-page may-match verdict for an eq/range predicate (advisory-
+    lossless: True unless the page bounds PROVE no row matches)."""
+    op = pred[0]
+
+    def enc(v):
+        return v.encode() if isinstance(v, str) else v
+
+    keep = []
+    for np_, mn, mx in zip(ci["null_pages"], ci["mins"], ci["maxs"]):
+        if np_:
+            keep.append(False)        # eq/range never matches NULL
+        elif mn is None or mx is None:
+            keep.append(True)
+        elif op == "eq":
+            keep.append(mn <= enc(pred[1]) <= mx)
+        elif op == "range":
+            keep.append(not (mx < enc(pred[1]) or enc(pred[2]) < mn))
+        else:
+            keep.append(True)
+    return keep
+
+
+def predicate_row_ranges(path: str, meta: dict, rg: int,
+                         filters: dict, ctx=None):
+    """Intersect per-column ColumnIndex prunes into rg-local row
+    ranges. -> (ranges, pruned) where pruned=False means no usable
+    index existed (caller decodes the full row group)."""
+    chunks = column_chunks(meta, ctx)[rg]
+    ranges = None
+    for col, pred in (filters or {}).items():
+        cc = next((c for c in chunks
+                   if c.name == col or c.top_name == col), None)
+        if cc is None or cc.enc_key is not None or cc.key_missing:
+            continue
+        ci = read_column_index(path, cc)
+        oi = read_offset_index(path, cc)
+        if ci is None or oi is None:
+            continue
+        exts = _page_extents(oi, cc.num_rows)
+        keep = _pred_page_keep(ci, pred)
+        r = merge_ranges([exts[i] for i in range(len(exts)) if keep[i]])
+        ranges = r if ranges is None else intersect_ranges(ranges, r)
+    if ranges is None:
+        return None, False
+    return ranges, True
+
+
+def _read_chunk_pages(path: str, cc: ColumnChunkInfo, oi,
+                      keep: list[int]):
+    """Ranged reads of ONLY the kept pages (plus the dictionary page) —
+    pruned pages are never read, let alone decompressed. Adjacent kept
+    pages coalesce into one IO. Returns (buf, shifted cc)."""
+    import dataclasses
+
+    spans = []
+    if cc.dict_page_offset is not None and oi:
+        spans.append((cc.dict_page_offset, oi[0][0] - cc.dict_page_offset))
+    run_start = None
+    run_end = None
+    for pi in keep:
+        off, size, _ = oi[pi]
+        if run_start is None:
+            run_start, run_end = off, off + size
+        elif off == run_end:
+            run_end = off + size
+        else:
+            spans.append((run_start, run_end - run_start))
+            run_start, run_end = off, off + size
+    if run_start is not None:
+        spans.append((run_start, run_end - run_start))
+    buf = b"".join(read_range(path, off, ln) for off, ln in spans)
+    rcc = dataclasses.replace(cc, first_page_offset=0,
+                              total_compressed=len(buf))
+    return buf, rcc
+
+
+def _decode_chunk_ranged(path: str, cc: ColumnChunkInfo, ranges) -> list:
+    """Decode only the pages of one FLAT chunk that intersect the
+    rg-local row ranges; return exactly the rows inside the ranges (in
+    order). Falls back to full decode + mask when no OffsetIndex."""
+    oi = (read_offset_index(path, cc)
+          if cc.max_rep == 0 and cc.enc_key is None else None)
+    if oi is None:
+        buf, rcc = chunk_reader(path, cc)
+        rows = _decode_chunk(buf, rcc)
+        return [rows[i] for lo, hi in ranges for i in range(lo, hi)]
+    exts = _page_extents(oi, cc.num_rows)
+    keep = [i for i, (lo, hi) in enumerate(exts)
+            if any(lo < rhi and rlo < hi for rlo, rhi in ranges)]
+    if not keep:
+        return []
+    buf, rcc = _read_chunk_pages(path, cc, oi, keep)
+    rows = _decode_chunk(buf, rcc)
+    # map rg-local wanted rows into the kept-pages-only decode order
+    out = []
+    base = 0
+    for i in keep:
+        lo, hi = exts[i]
+        for rlo, rhi in ranges:
+            s, e = max(lo, rlo), min(hi, rhi)
+            if s < e:
+                out.extend(rows[base + s - lo: base + e - lo])
+        base += hi - lo
+    return out
+
+
 def decode_table(path: str, columns: list[str] | None = None,
-                 row_groups: list[int] | None = None, decryption=None):
+                 row_groups: list[int] | None = None, decryption=None,
+                 row_ranges: dict | None = None):
     """Decode a real parquet file into a typed arrow table using ONLY
     engine codecs (the distributed-reader kernel: one (file, row-group
     subset) per task). INT96 stays out of scope here (no flat testdata
-    writes it by default)."""
+    writes it by default).
+
+    ``row_ranges``: {row_group_index: [(lo, hi), ...]} of rg-local
+    half-open row ranges — flat columns with an OffsetIndex decode ONLY
+    the intersecting pages (ranged IO per kept-page run); other columns
+    decode fully and mask. Groups without an entry decode fully."""
     import pyarrow as pa
 
     from . import int96 as i96mod
@@ -778,6 +992,14 @@ def decode_table(path: str, columns: list[str] | None = None,
         schema = pa.schema([schema.field(c) for c in columns])
     groups = column_chunks(meta, ctx)
     sel = range(len(groups)) if row_groups is None else row_groups
+    row_ranges = row_ranges or {}
+
+    def _mask_rows(rows: list, gi: int) -> list:
+        r = row_ranges.get(gi)
+        if r is None:
+            return rows
+        return [rows[i] for lo, hi in r for i in range(lo, hi)]
+
     arrays = []
     for f in schema:
         if pa.types.is_list(f.type):
@@ -785,20 +1007,39 @@ def decode_table(path: str, columns: list[str] | None = None,
             for gi in sel:
                 cc = next(c for c in groups[gi] if c.top_name == f.name)
                 buf, rcc = chunk_reader(path, cc)
-                chunks.append(_assemble_list_array(
-                    buf, rcc, f.type.value_type))
+                arr = _assemble_list_array(buf, rcc, f.type.value_type)
+                r = row_ranges.get(gi)
+                if r is not None:
+                    arr = arr.take(pa.array(
+                        [i for lo, hi in r for i in range(lo, hi)],
+                        pa.int64()))
+                chunks.append(arr)
             arrays.append(pa.concat_arrays(chunks).cast(f.type))
             continue
         if pa.types.is_struct(f.type):
             arr, _ = _assemble_struct_array(
                 path, groups, sel, f, f.name, 0)
+            if row_ranges:
+                parts, base = [], 0
+                for gi in sel:
+                    n = groups[gi][0].num_rows
+                    r = row_ranges.get(gi)
+                    idx = ([i for lo, hi in r for i in range(lo, hi)]
+                           if r is not None else list(range(n)))
+                    parts.extend(base + i for i in idx)
+                    base += n
+                arr = arr.take(pa.array(parts, pa.int64()))
             arrays.append(arr)
             continue
         vals: list = []
         for gi in sel:
             cc = next(c for c in groups[gi] if c.name == f.name)
-            buf, rcc = chunk_reader(path, cc)
-            vals.extend(_decode_chunk(buf, rcc))
+            r = row_ranges.get(gi)
+            if r is not None:
+                vals.extend(_decode_chunk_ranged(path, cc, r))
+            else:
+                buf, rcc = chunk_reader(path, cc)
+                vals.extend(_decode_chunk(buf, rcc))
         arrays.append(_typed_leaf_array(vals, f.type))
     return pa.table(arrays, schema=schema)
 

@@ -142,6 +142,19 @@ L_DEF, L_SLOT, L_LIST, CV_LIST = 3, 2, 1, 3
 
 
 @dataclass
+class _PageRec:
+    """One data page's PageIndex record (parquet.thrift ColumnIndex /
+    OffsetIndex — the reference writes both in WriteStop,
+    /root/reference/writer/ops.go:28-117)."""
+    offset: int          # absolute file offset of the page header
+    size: int            # header + compressed body bytes
+    first_row: int       # row index within the row group
+    null_count: int
+    mn: object = None    # comparable python value (None on null page)
+    mx: object = None
+
+
+@dataclass
 class _Chunk:
     """Deferred ColumnChunk: meta fields stay a mutable list until the
     footer is built, so bloom offsets (written after the data pages)
@@ -155,11 +168,27 @@ class _Chunk:
     bloom_hashes: "np.ndarray | None" = None
     crypto: tuple | None = None   # (mode, path, key, kmd, aad, rg, col)
     ptf: bool = False             # plaintext-footer file
+    pages: "list[_PageRec] | None" = None
+    ci_ok: bool = False           # per-page bounds are exact for EVERY
+                                  # page (exact-or-absent, like Statistics)
+    col: "_Col | None" = None     # for serializing index min/max bytes
+    oi_off: int | None = None
+    oi_len: int | None = None
+    ci_off: int | None = None
+    ci_len: int | None = None
 
     def serialize(self) -> bytes:
+        idx_fields = []
+        if self.oi_off is not None:
+            idx_fields += [(4, CT_I64, self.oi_off),
+                           (5, CT_I32, self.oi_len)]
+        if self.ci_off is not None:
+            idx_fields += [(6, CT_I64, self.ci_off),
+                           (7, CT_I32, self.ci_len)]
         if self.crypto is None:
             return _tstruct([(2, CT_I64, self.start),
-                             (3, CT_STRUCT, _tstruct(self.meta_fields))])
+                             (3, CT_STRUCT, _tstruct(self.meta_fields))]
+                            + idx_fields)
         mode, path, key, kmd, aad_base, rg, col = self.crypto
         if mode == "footer" and not self.ptf:
             ccm = _tstruct([(1, CT_STRUCT, _EMPTY)])
@@ -375,6 +404,97 @@ def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
         (5, CT_BINARY, None if mx is None else _stat_bytes(col, mx)),
         (6, CT_BINARY, None if mn is None else _stat_bytes(col, mn)),
     ])
+
+
+def _page_minmax(col: _Col, nonnull: pa.Array, vals, v_lo: int,
+                 v_hi: int):
+    """Exact bounds for one page's value slice -> (mn, mx, ok) as
+    comparable python values. ok=False poisons the whole chunk's
+    ColumnIndex (exact-or-absent — same policy as Statistics): NaN
+    floats, >128 B binaries, FLBA decimals (signed BE order ≠ byte
+    order) and INT96 never get approximate bounds."""
+    if col.int96 or (col.scale is not None and col.ptype == T_FLBA):
+        return None, None, False
+    if v_hi <= v_lo:
+        return None, None, True          # all-null page
+    if isinstance(vals, np.ndarray):
+        v = vals[v_lo:v_hi]
+        if col.ptype in (T_FLOAT, T_DOUBLE):
+            if np.isnan(v).any():
+                return None, None, False
+            mn, mx = float(v.min()), float(v.max())
+            if mn == 0.0:                # spec: -0.0 as min, +0.0 as max
+                mn = -0.0
+            if mx == 0.0:
+                mx = 0.0
+            return mn, mx, True
+        if col.ptype == T_BOOLEAN:
+            return bool(v.min()), bool(v.max()), True
+        return int(v.min()), int(v.max()), True
+    # byte arrays / FLBA: arrow C++ min_max over the page slice
+    sl = nonnull.slice(v_lo, v_hi - v_lo)
+    if col.ptype == T_FLBA:
+        sl = sl.cast(pa.binary(col.type_length))
+    else:
+        sl = sl.cast(pa.large_binary())
+    mm = pc.min_max(sl)
+    mn = mm["min"].as_py()
+    mx = mm["max"].as_py()
+    if mx is not None and (len(mx) > STATS_MAX_LEN
+                           or len(mn) > STATS_MAX_LEN):
+        return None, None, False
+    return mn, mx, True
+
+
+def _boundary_order(pages: "list[_PageRec]") -> int:
+    """BoundaryOrder over non-null pages: 1 ASC, 2 DESC, 0 UNORDERED."""
+    mins = [p.mn for p in pages if p.mn is not None]
+    maxs = [p.mx for p in pages if p.mx is not None]
+    if len(mins) <= 1:
+        return 1
+    asc = all(a <= b for a, b in zip(mins, mins[1:])) and \
+        all(a <= b for a, b in zip(maxs, maxs[1:]))
+    if asc:
+        return 1
+    desc = all(a >= b for a, b in zip(mins, mins[1:])) and \
+        all(a >= b for a, b in zip(maxs, maxs[1:]))
+    return 2 if desc else 0
+
+
+def _write_page_index(out: bytearray, chunks: "list[_Chunk]") -> None:
+    """Append ColumnIndex then OffsetIndex structs for every chunk that
+    collected page records; patch offsets into the ColumnChunk fields
+    (4-7). Layout follows parquet-mr: all indexes live between the last
+    data page and the footer."""
+    for ch in chunks:
+        if ch.pages is None or not ch.ci_ok:
+            continue
+        empty = b""
+        null_pages = [p.mn is None for p in ch.pages]
+        mins = [empty if p.mn is None else _stat_bytes(ch.col, p.mn)
+                for p in ch.pages]
+        maxs = [empty if p.mx is None else _stat_bytes(ch.col, p.mx)
+                for p in ch.pages]
+        ci = _tstruct([
+            (1, CT_LIST, (CT_TRUE, null_pages)),
+            (2, CT_LIST, (CT_BINARY, mins)),
+            (3, CT_LIST, (CT_BINARY, maxs)),
+            (4, CT_I32, _boundary_order(ch.pages)),
+            (5, CT_LIST, (CT_I64, [p.null_count for p in ch.pages])),
+        ])
+        ch.ci_off = len(out)
+        ch.ci_len = len(ci)
+        out += ci
+    for ch in chunks:
+        if ch.pages is None:
+            continue
+        locs = [_tstruct([(1, CT_I64, p.offset),
+                          (2, CT_I32, p.size),
+                          (3, CT_I64, p.first_row)]) for p in ch.pages]
+        oi = _tstruct([(1, CT_LIST, (CT_STRUCT, locs))])
+        ch.oi_off = len(out)
+        ch.oi_len = len(oi)
+        out += oi
 
 
 # --------------------------------------------------------- page assembly
@@ -634,7 +754,8 @@ def _list_levels(arr: pa.Array):
 def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
                       codec_id: int, page_rows: int, enc_want: str,
                       write_stats: bool, page_version: int = 1,
-                      pc: "_PageCrypt | None" = None):
+                      pc: "_PageCrypt | None" = None,
+                      want_pidx: bool = False):
     """LIST column chunk: rep+def level streams ahead of the element
     values, pages split on ROW boundaries (a record never splits)."""
     n_rows = len(arr)
@@ -682,6 +803,8 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
 
     data_offset = len(out)
     bw_def, bw_rep = 2, 1      # ceil(log2(3+1)), ceil(log2(1+1))
+    pages: list[_PageRec] = []
+    ci_ok = want_pidx
     row = 0
     while True:
         hi_row = min(row + page_rows, n_rows)
@@ -694,10 +817,18 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
         else:
             body = _encode_values(col, enc_id,
                                   _slice_vals(col, vals, v_lo, v_hi))
+        pg_off = len(out)
         u, c = _emit_data_page(
             out, codec_id, page_version, enc_id, e_ent - s_ent,
             hi_row - row, (e_ent - s_ent) - (v_hi - v_lo), rep_raw,
             def_raw, body, pc)
+        if want_pidx:
+            mn = mx = None
+            if ci_ok:
+                mn, mx, ok = _page_minmax(col, nonnull, vals, v_lo, v_hi)
+                ci_ok &= ok
+            pages.append(_PageRec(
+                pg_off, c, row, (e_ent - s_ent) - (v_hi - v_lo), mn, mx))
         tot_u += u
         tot_c += c
         row = hi_row
@@ -719,13 +850,15 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
     ]
-    return _Chunk(meta_fields, chunk_start), tot_u, True
+    return _Chunk(meta_fields, chunk_start,
+                  pages=pages if want_pidx else None, ci_ok=ci_ok,
+                  col=col), tot_u, True
 
 
 def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
                  page_rows: int, enc_want: str, write_stats: bool,
                  levels: tuple | None = None, page_version: int = 1,
-                 pc: "_PageCrypt | None" = None):
+                 pc: "_PageCrypt | None" = None, want_pidx: bool = False):
     """Append one column chunk's pages; return its ColumnChunk struct.
 
     ``levels=(defs, max_def, path)`` is the shredded-STRUCT form: defs
@@ -733,7 +866,8 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     present leaf values, ``path`` the dotted schema path."""
     if col.elem is not None:
         return _write_list_chunk(out, col, arr, codec_id, page_rows,
-                                 enc_want, write_stats, page_version, pc)
+                                 enc_want, write_stats, page_version, pc,
+                                 want_pidx)
     if levels is None:
         n_total = len(arr)
         null_count = arr.null_count
@@ -782,6 +916,8 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     data_offset = len(out)
     # paged emission: the level stream and the value stream advance at
     # different rates when nulls are present
+    pages: list[_PageRec] = []
+    ci_ok = want_pidx
     row = vpos = 0
     while True:
         hi_row = min(row + page_rows, n_total)
@@ -797,10 +933,18 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         else:
             body = _encode_values(col, enc_id,
                                   _slice_vals(col, vals, v_lo, v_hi))
+        pg_off = len(out)
         u, c = _emit_data_page(
             out, codec_id, page_version, enc_id, hi_row - row,
             hi_row - row, (hi_row - row) - (v_hi - v_lo), b"", def_raw,
             body, pc)
+        if want_pidx:
+            mn = mx = None
+            if ci_ok:
+                mn, mx, ok = _page_minmax(col, nonnull, vals, v_lo, v_hi)
+                ci_ok &= ok
+            pages.append(_PageRec(pg_off, c, row,
+                                  (hi_row - row) - (v_hi - v_lo), mn, mx))
         tot_u += u
         tot_c += c
         vpos, row = v_hi, hi_row
@@ -821,7 +965,9 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
     ]
-    return _Chunk(meta_fields, chunk_start), tot_u, optional
+    return _Chunk(meta_fields, chunk_start,
+                  pages=pages if want_pidx else None, ci_ok=ci_ok,
+                  col=col), tot_u, optional
 
 
 def _shred_struct(arr: pa.Array, field: pa.Field, path: list[str],
@@ -960,11 +1106,16 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 bloom_columns: list[str] | None = None,
                 page_version: int = 1,
                 int96_timestamps: bool = False,
-                encryption=None) -> None:
+                encryption=None, page_index: bool = True) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
-    delta_length | delta_ba | dict | auto (default auto)."""
+    delta_length | delta_ba | dict | auto (default auto).
+
+    ``page_index``: emit the spec PageIndex (ColumnIndex + OffsetIndex
+    per chunk, parquet.thrift; the reference writes both in WriteStop —
+    /root/reference/writer/ops.go:28-117). Auto-disabled under modular
+    encryption (index modules not sealed, same scope rule as blooms)."""
     if compression == "lz4":
         raise ValueError("hadoop-framed LZ4 is write-deprecated; "
                          "use lz4_raw")
@@ -997,6 +1148,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             if c is not None and c.name in i96_cols:
                 c.int96 = True
 
+    want_pidx = page_index and encryption is None
     out = bytearray(
         b"PARE" if (encryption is not None
                     and not encryption.plaintext_footer) else MAGIC)
@@ -1047,7 +1199,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                         out, lcol, leaf_vals, codec_id, page_rows,
                         encodings.get(".".join(lpath), "auto"), stats,
                         levels=(defs, md, lpath),
-                        page_version=page_version, pc=pc)
+                        page_version=page_version, pc=pc,
+                        want_pidx=want_pidx)
                     chunk.crypto = crypto
                     chunk.ptf = (encryption is not None
                                  and encryption.plaintext_footer)
@@ -1061,7 +1214,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             chunk, u, opt = _write_chunk(
                 out, col, arr, codec_id, page_rows,
                 encodings.get(col.name, "auto"), stats,
-                page_version=page_version, pc=pc)
+                page_version=page_version, pc=pc, want_pidx=want_pidx)
             chunk.crypto = crypto
             chunk.ptf = (encryption is not None
                          and encryption.plaintext_footer)
@@ -1072,7 +1225,10 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             rg_u += u
         all_chunks.append((chunks, rg_u, hi - lo))
 
-    _write_blooms(out, [c for chunks, _, _ in all_chunks for c in chunks])
+    flat_chunks = [c for chunks, _, _ in all_chunks for c in chunks]
+    _write_blooms(out, flat_chunks)
+    if want_pidx:
+        _write_page_index(out, flat_chunks)
     row_groups = []
     for chunks, rg_u, rg_rows in all_chunks:
         row_groups.append(_tstruct([
