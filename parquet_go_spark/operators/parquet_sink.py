@@ -36,6 +36,7 @@ def write_parquet_dir(
     page_rows: int = 1 << 16,
     bloom_columns: list[str] | None = None,
     encryption=None,
+    sorting_columns: list | None = None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
@@ -68,7 +69,8 @@ def write_parquet_dir(
         pqwriter.write_table(
             tbl, path, compression=compression, encodings=enc,
             row_group_rows=row_group_rows, page_rows=page_rows,
-            bloom_columns=bloom_columns, encryption=task_enc)
+            bloom_columns=bloom_columns, encryption=task_enc,
+            sorting_columns=sorting_columns)
         yield pa.RecordBatch.from_arrays(
             [pa.array([name]), pa.array([tbl.num_rows], pa.int64()),
              pa.array([os.path.getsize(path)], pa.int64())],
@@ -327,6 +329,32 @@ def reader_pruned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 READER_PRUNED_ORACLE = "SELECT * FROM lineitem WHERE l_orderkey = 1"
+
+
+def reader_pages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageIndex pruning through the engine parquet reader: lineitem
+    sorted by l_orderkey lands in ONE row group per file with many
+    small pages, so row-group stats cannot prune anything — a range
+    probe must be answered from ColumnIndex bounds + OffsetIndex page
+    locations inside the task (pqinterop.predicate_row_ranges), reading
+    only the intersecting pages."""
+    import shutil
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pq_pages_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    li = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .orderBy("l_orderkey"))
+    write_parquet_dir(li.coalesce(1), out, compression="zstd",
+                      row_group_rows=1 << 22, page_rows=2048,
+                      sorting_columns=["l_orderkey"])
+    return read_parquet_dir(spark, out,
+                            filters={"l_orderkey": ("range", 100, 400)})
+
+
+READER_PAGES_ORACLE = \
+    "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400"
 
 
 # ---------------------------------------------------- migration verbs

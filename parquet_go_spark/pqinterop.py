@@ -446,6 +446,15 @@ def iter_pages(data: bytes, cc: ColumnChunkInfo):
         hdr, body = _read_struct(mv, pos)
         comp_size = hdr[3]
         payload = bytes(mv[body : body + comp_size])
+        if 4 in hdr:
+            # CRC-before-parse (the reference's page_read.go posture):
+            # spec CRC32 over the page body exactly as stored — BEFORE
+            # any decompression touches the bytes
+            import zlib as _zlib
+
+            if _zlib.crc32(payload) & 0xFFFFFFFF != hdr[4] & 0xFFFFFFFF:
+                raise ValueError(
+                    f"page CRC mismatch in column {cc.name!r}")
         cname = _CODEC_NAMES.get(cc.codec)
         if cc.codec not in _CODEC_NAMES:
             raise ValueError(f"unsupported compression codec {cc.codec}")
@@ -775,6 +784,17 @@ def arrow_schema(meta: dict) -> "object":
 
 def num_row_groups(path: str) -> int:
     return len(read_footer(path)[4])
+
+
+def sorting_columns(meta: dict) -> list:
+    """Declared RowGroup.sorting_columns of the first row group ->
+    [(leaf_path, descending, nulls_first), ...] ([] when absent)."""
+    rgs = meta.get(4) or []
+    if not rgs or 4 not in rgs[0]:
+        return []
+    names = [b".".join(cc[3][3]).decode() for cc in rgs[0][1]]
+    return [(names[sc[1]], bool(sc.get(2)), bool(sc.get(3)))
+            for sc in rgs[0][4]]
 
 
 # --- PageIndex (ColumnIndex / OffsetIndex) ------------------------------

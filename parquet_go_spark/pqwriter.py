@@ -1106,7 +1106,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 bloom_columns: list[str] | None = None,
                 page_version: int = 1,
                 int96_timestamps: bool = False,
-                encryption=None, page_index: bool = True) -> None:
+                encryption=None, page_index: bool = True,
+                sorting_columns: list | None = None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
@@ -1115,7 +1116,11 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     ``page_index``: emit the spec PageIndex (ColumnIndex + OffsetIndex
     per chunk, parquet.thrift; the reference writes both in WriteStop —
     /root/reference/writer/ops.go:28-117). Auto-disabled under modular
-    encryption (index modules not sealed, same scope rule as blooms)."""
+    encryption (index modules not sealed, same scope rule as blooms).
+
+    ``sorting_columns``: declared sort order of the rows, recorded as
+    RowGroup.sorting_columns — entries are ``(column, descending,
+    nulls_first)`` or a bare column name (ascending, nulls last)."""
     if compression == "lz4":
         raise ValueError("hadoop-framed LZ4 is write-deprecated; "
                          "use lz4_raw")
@@ -1229,12 +1234,31 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     _write_blooms(out, flat_chunks)
     if want_pidx:
         _write_page_index(out, flat_chunks)
+    sort_structs = None
+    if sorting_columns:
+        # SortingColumn.column_idx indexes the row group's LEAF order
+        leaf_paths = [[p.decode() if isinstance(p, bytes) else p
+                       for p in c.meta_fields[2][2][1]]
+                      for c in all_chunks[0][0]]
+        sort_structs = []
+        for sc in sorting_columns:
+            name, desc, nf = ((sc, False, False)
+                              if isinstance(sc, str) else sc)
+            idx = next(i for i, p in enumerate(leaf_paths)
+                       if ".".join(p) == name or p[0] == name)
+            sort_structs.append(_tstruct([
+                (1, CT_I32, idx),
+                (2, CT_TRUE, bool(desc)),
+                (3, CT_TRUE, bool(nf)),
+            ]))
     row_groups = []
     for chunks, rg_u, rg_rows in all_chunks:
         row_groups.append(_tstruct([
             (1, CT_LIST, (CT_STRUCT, [c.serialize() for c in chunks])),
             (2, CT_I64, rg_u),
             (3, CT_I64, rg_rows),
+            (4, CT_LIST, (CT_STRUCT, sort_structs))
+            if sort_structs else (4, CT_LIST, None),
         ]))
 
     schema_elems = [_tstruct([(4, CT_BINARY, "schema"),

@@ -263,6 +263,40 @@ def test_multi_row_group_ranges(tmp_path):
     assert sub.to_pydict() == want.to_pydict()
 
 
+def test_page_crc_verified_before_parse(written, tmp_path):
+    """Read-side CRC: flip ONE byte inside a compressed page body —
+    the engine must refuse with a CRC mismatch before decompressing
+    (the reference's page_read.go CRC-before-parse posture)."""
+    path, _ = written
+    data = bytearray(open(path, "rb").read())
+    cc = next(c for c in _chunks(path) if c.name == "k")
+    off, size, _ = P.read_offset_index(path, cc)[0]
+    data[off + size - 1] ^= 0xFF          # last byte of the body
+    p2 = str(tmp_path / "flip.parquet")
+    open(p2, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        P.decode_column(p2, "k")
+
+
+def test_sorting_columns_roundtrip(tmp_path):
+    t = _table(1000)
+    p = str(tmp_path / "sorted.parquet")
+    pqwriter.write_table(
+        t, p, sorting_columns=[("k", False, False), ("v", True, True)])
+    got = P.sorting_columns(P.read_footer(p))
+    assert got == [("k", False, False), ("v", True, True)]
+    # external referee: parquet-cpp parses the declaration identically
+    md = pq.ParquetFile(p).metadata.row_group(0).sorting_columns
+    assert [(s.column_index, s.descending, s.nulls_first) for s in md] \
+        == [(0, False, False), (1, True, True)]
+    # and the reverse: a pyarrow-written declaration reads back
+    p2 = str(tmp_path / "pa_sorted.parquet")
+    pq.write_table(t, p2, sorting_columns=[
+        pq.SortingColumn(2), pq.SortingColumn(0, descending=True)])
+    assert P.sorting_columns(P.read_footer(p2)) == [
+        ("s", False, False), ("k", True, False)]
+
+
 def test_spark_jvm_reader_uses_our_index(spark, written, tmp_path):
     """Referee (write direction): Spark's vectorized reader applies
     parquet-mr's ColumnIndexFilter to pushed-down filters; a lying
