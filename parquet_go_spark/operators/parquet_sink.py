@@ -357,6 +357,40 @@ READER_PAGES_ORACLE = \
     "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400"
 
 
+def map_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP columns through the engine parquet writer AND reader: a
+    two-entry map built from orders is engine-serialized (canonical
+    key_value encoding, two leaf chunks sharing one rep stream),
+    engine-decoded, and exploded back to relational rows the oracle
+    can re-derive without map support."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pq_map_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    od = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+          .select("o_orderkey",
+                  F.create_map(
+                      F.lit("ok"), F.col("o_orderkey").cast("long"),
+                      F.lit("ck"), F.col("o_custkey").cast("long"),
+                  ).alias("m")))
+    write_parquet_dir(od.coalesce(2), out, compression="zstd")
+    df = read_parquet_dir(spark, out)
+    return df.select("o_orderkey",
+                     F.explode("m").alias("mk", "mv"))
+
+
+MAP_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey, 'ok' AS mk, CAST(o_orderkey AS BIGINT) AS mv
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'ck', CAST(o_custkey AS BIGINT) FROM orders
+"""
+
+
 # ---------------------------------------------------- migration verbs
 
 def export_store_to_parquet(spark: SparkSession, store_dir: str,

@@ -759,6 +759,19 @@ def _arrow_field(elems: list, pos: int):
             raise ValueError(
                 f"nested repetition under {name!r} out of scope")
         return pa.field(name, pa.list_(elem_field), rep == 1), pos
+    if el.get(6) == 1 or 2 in logical:          # MAP group
+        mid = elems[pos]                         # repeated key_value
+        if mid.get(3, 0) != 2 or (mid.get(5) or 0) != 2:
+            raise ValueError(f"non-canonical MAP shape at {name!r}")
+        key_field, pos = _arrow_field(elems, pos + 1)
+        val_field, pos = _arrow_field(elems, pos)
+        if pa.types.is_nested(key_field.type) or \
+                pa.types.is_nested(val_field.type):
+            raise ValueError(
+                f"nested repetition under {name!r} out of scope")
+        return pa.field(
+            name, pa.map_(key_field.type, val_field.type),
+            rep == 1), pos
     if rep == 2:
         raise ValueError(f"repeated group {name!r} without LIST "
                          "annotation out of scope")
@@ -1022,6 +1035,22 @@ def decode_table(path: str, columns: list[str] | None = None,
 
     arrays = []
     for f in schema:
+        if pa.types.is_map(f.type):
+            chunks = []
+            for gi in sel:
+                kcc = next(c for c in groups[gi]
+                           if c.name == f"{f.name}.key_value.key")
+                vcc = next(c for c in groups[gi]
+                           if c.name == f"{f.name}.key_value.value")
+                arr = _assemble_map_array(path, kcc, vcc, f.type)
+                r = row_ranges.get(gi)
+                if r is not None:
+                    arr = arr.take(pa.array(
+                        [i for lo, hi in r for i in range(lo, hi)],
+                        pa.int64()))
+                chunks.append(arr)
+            arrays.append(pa.concat_arrays(chunks).cast(f.type))
+            continue
         if pa.types.is_list(f.type):
             chunks = []
             for gi in sel:
@@ -1166,6 +1195,46 @@ def _assemble_list_array(data: bytes, cc: ColumnChunkInfo, value_type):
         [None if not row_valid[i] else int(offs[i])
          for i in range(n_rows)] + [int(offs[-1])], pa.int32())
     return pa.ListArray.from_arrays(off_arr, elems)
+
+
+def _assemble_map_array(path: str, kcc: ColumnChunkInfo,
+                        vcc: ColumnChunkInfo, map_type) -> "object":
+    """Vectorized reassembly of the canonical MAP encoding: the two
+    leaf chunks share one rep stream; entry structure comes from the
+    key leaf (keys are REQUIRED, def==max_def at every entry), value
+    nulls from the value leaf's defs."""
+    import pyarrow as pa
+
+    kbuf, rkcc = chunk_reader(path, kcc)
+    vbuf, rvcc = chunk_reader(path, vcc)
+    reps, kdefs, kvals = _decode_chunk_levels(kbuf, rkcc)
+    _, vdefs, vvals = _decode_chunk_levels(vbuf, rvcc)
+    new_row = reps == 0
+    n_rows = int(new_row.sum())
+    row_idx = np.cumsum(new_row) - 1
+    ent_mask = kdefs >= kcc.d_slot        # real entries (not placeholders)
+    counts = np.bincount(row_idx[ent_mask], minlength=n_rows)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    row_valid = kdefs[new_row] >= kcc.d_list
+
+    def _typed(vals, defs, cc, atype):
+        pres = (defs == cc.max_def)[ent_mask]   # per real entry
+        n_ent = int(ent_mask.sum())
+        if isinstance(vals, np.ndarray):
+            full = np.zeros(n_ent, vals.dtype)
+            full[pres] = vals
+            return pa.array(full, mask=~pres).cast(atype)
+        it = iter(vals)
+        return pa.array([next(it) if p else None for p in pres],
+                        pa.binary()).cast(atype)
+
+    keys = _typed(kvals, kdefs, kcc, map_type.key_type)
+    items = _typed(vvals, vdefs, vcc, map_type.item_type)
+    off_arr = pa.array(
+        [None if not row_valid[i] else int(offs[i])
+         for i in range(n_rows)] + [int(offs[-1])], pa.int32())
+    return pa.MapArray.from_arrays(off_arr, keys, items)
 
 
 # --- split-block bloom filters (parquet spec SBBF) ----------------------

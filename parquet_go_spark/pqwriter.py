@@ -751,6 +751,80 @@ def _list_levels(arr: pa.Array):
     return rep, defs, elem_arr
 
 
+def _map_levels(arr: "pa.MapArray"):
+    """MapArray -> (rep, key_defs, val_defs, keys, items) in entry
+    order (canonical MAP encoding: optional group (MAP) > repeated
+    key_value > required key + optional value — key max_def 2, value
+    max_def 3, shared rep stream; reference map marshalling:
+    /root/reference/marshal/marshal.go ParquetMapStruct)."""
+    offs = np.asarray(arr.offsets, np.int64)
+    row_valid = np.asarray(arr.is_valid())
+    counts = np.where(row_valid, np.diff(offs), 0)
+    ent = np.maximum(counts, 1)
+    n_ent = int(ent.sum())
+    starts = np.cumsum(ent) - ent
+    rep = np.ones(n_ent, np.uint8)
+    rep[starts] = 0
+    keys, items = arr.keys, arr.items
+    if len(offs) and row_valid.all():
+        ksel = keys.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        vsel = items.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    else:
+        m = np.zeros(len(keys) + 1, np.int64)
+        lo = offs[:-1][row_valid & (counts > 0)]
+        hi = offs[1:][row_valid & (counts > 0)]
+        np.add.at(m, lo, 1)
+        np.add.at(m, hi, -1)
+        sel = np.cumsum(m[:-1]) > 0
+        idx = np.flatnonzero(sel)
+        ksel = keys.take(idx) if len(idx) else keys.slice(0, 0)
+        vsel = items.take(idx) if len(idx) else items.slice(0, 0)
+    placeholder = starts[counts == 0]
+    is_ent = np.ones(n_ent, bool)
+    is_ent[placeholder] = False
+    ph_def = np.where(row_valid[counts == 0], 1, 0).astype(np.uint8)
+    key_defs = np.empty(n_ent, np.uint8)
+    key_defs[is_ent] = 2                   # keys are REQUIRED
+    key_defs[placeholder] = ph_def
+    val_defs = np.empty(n_ent, np.uint8)
+    vvalid = (np.asarray(vsel.is_valid()) if len(vsel)
+              else np.zeros(0, bool))
+    val_defs[is_ent] = np.where(vvalid, 3, 2)
+    val_defs[placeholder] = ph_def
+    return rep, key_defs, val_defs, ksel, vsel
+
+
+def _write_map_chunks(out: bytearray, field: pa.Field, arr: pa.Array,
+                      codec_id: int, page_rows: int, encodings: dict,
+                      write_stats: bool, page_version: int,
+                      chunk_crypto, rgi: int, col_base: int,
+                      want_pidx: bool):
+    """MAP column -> TWO leaf chunks (key, value) sharing one rep
+    stream. Returns ([chunk, chunk], total_uncompressed)."""
+    if not isinstance(arr, pa.MapArray):
+        arr = arr.cast(pa.map_(field.type.key_type, field.type.item_type))
+    rep, kdefs, vdefs, ksel, vsel = _map_levels(arr)
+    name = field.name
+    tot = 0
+    chunks = []
+    for leaf, defs, elem, md in (
+            ("key", kdefs, ksel, 2), ("value", vdefs, vsel, 3)):
+        lcol = _map_type(pa.field(
+            leaf, arr.type.key_type if leaf == "key"
+            else arr.type.item_type, leaf == "value"))
+        lpath = [name, "key_value", leaf]
+        pc, crypto = chunk_crypto(".".join(lpath), lpath, rgi,
+                                  col_base + len(chunks))
+        ch, u, _ = _write_levels_chunk(
+            out, lcol, rep, defs, elem, len(arr), lpath, md, codec_id,
+            page_rows, encodings.get(".".join(lpath), "auto"),
+            write_stats, page_version, pc, want_pidx)
+        ch.crypto = crypto
+        chunks.append(ch)
+        tot += u
+    return chunks, tot
+
+
 def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
                       codec_id: int, page_rows: int, enc_want: str,
                       write_stats: bool, page_version: int = 1,
@@ -762,6 +836,22 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
     if not isinstance(arr, (pa.ListArray, pa.LargeListArray)):
         arr = arr.cast(pa.list_(arr.type.value_type))
     rep, defs, elem_arr = _list_levels(arr)
+    return _write_levels_chunk(
+        out, col, rep, defs, elem_arr, n_rows,
+        [col.name, "list", col.elem_name], L_DEF, codec_id, page_rows,
+        enc_want, write_stats, page_version, pc, want_pidx)
+
+
+def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
+                        defs: np.ndarray, elem_arr: pa.Array,
+                        n_rows: int, path: list[str], max_def: int,
+                        codec_id: int, page_rows: int, enc_want: str,
+                        write_stats: bool, page_version: int = 1,
+                        pc: "_PageCrypt | None" = None,
+                        want_pidx: bool = False):
+    """One REPEATED leaf chunk from precomputed Dremel streams (shared
+    by LIST elements and MAP key/value leaves): values are present at
+    ``max_def``; pages split on ROW boundaries (rep==0)."""
     n_ent = len(rep)
     nonnull = elem_arr.drop_null()
     vals = _extract_vals(col, nonnull)
@@ -797,12 +887,12 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
     row_starts = np.flatnonzero(rep == 0)
     ent_of_row[:-1] = row_starts
     ent_of_row[-1] = n_ent
-    present = defs == L_DEF
+    present = defs == max_def
     val_prefix = np.zeros(n_ent + 1, np.int64)
     np.cumsum(present, out=val_prefix[1:])
 
     data_offset = len(out)
-    bw_def, bw_rep = 2, 1      # ceil(log2(3+1)), ceil(log2(1+1))
+    bw_def, bw_rep = max_def.bit_length(), 1
     pages: list[_PageRec] = []
     ci_ok = want_pidx
     row = 0
@@ -841,7 +931,7 @@ def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
     meta_fields = [
         (1, CT_I32, col.ptype),
         (2, CT_LIST, (CT_I32, sorted(encodings))),
-        (3, CT_LIST, (CT_BINARY, [col.name, "list", col.elem_name])),
+        (3, CT_LIST, (CT_BINARY, path)),
         (4, CT_I32, codec_id),
         (5, CT_I64, n_ent),
         (6, CT_I64, tot_u),
@@ -1022,6 +1112,31 @@ def _emit_schema_field(field: pa.Field, col: _Col | None,
             (10, CT_STRUCT, col.logical),
         ]))
         return
+    if pa.types.is_map(field.type):                  # MAP group
+        # always OPTIONAL, like the LIST emit: the level streams are
+        # built against the 0/1/2(/3) canonical thresholds
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 1),
+            (4, CT_BINARY, field.name),
+            (5, CT_I32, 1),
+            (6, CT_I32, 1),                          # ConvertedType MAP
+            (10, CT_STRUCT, _logical(2)),            # LogicalType MAP
+        ]))
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 2), (4, CT_BINARY, "key_value"), (5, CT_I32, 2),
+        ]))
+        kcol = _map_type(pa.field("key", field.type.key_type, False))
+        vcol = _map_type(pa.field("value", field.type.item_type, True))
+        for leaf, req in ((kcol, 0), (vcol, 1)):
+            schema_elems.append(_tstruct([
+                (1, CT_I32, leaf.ptype),
+                (2, CT_I32, leaf.type_length),
+                (3, CT_I32, req),
+                (4, CT_BINARY, leaf.name),
+                (6, CT_I32, leaf.converted),
+                (10, CT_STRUCT, leaf.logical),
+            ]))
+        return
     if pa.types.is_struct(field.type):               # STRUCT group
         schema_elems.append(_tstruct([
             (3, CT_I32, 1 if field.nullable else 0),
@@ -1146,7 +1261,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 table = table.set_column(
                     i, pa.field(f.name, pa.binary(12), f.nullable), conv)
                 i96_cols.add(f.name)
-    cols = [None if pa.types.is_struct(f.type) else _map_type(f)
+    cols = [None if (pa.types.is_struct(f.type) or
+                     pa.types.is_map(f.type)) else _map_type(f)
             for f in table.schema]
     if int96_timestamps:
         for c in cols:
@@ -1190,6 +1306,17 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             else:
                 arr = pa.concat_arrays(ca.chunks)
             field = table.schema.field(i)
+            if col is None and pa.types.is_map(field.type):
+                mchunks, u = _write_map_chunks(
+                    out, field, arr, codec_id, page_rows, encodings,
+                    stats, page_version, _chunk_crypto, rgi,
+                    len(chunks), want_pidx)
+                for ch in mchunks:
+                    ch.ptf = (encryption is not None
+                              and encryption.plaintext_footer)
+                    chunks.append(ch)
+                rg_u += u
+                continue
             if col is None:                       # STRUCT: shredded leaves
                 specs: list = []
                 _shred_struct(arr, field, [field.name],
