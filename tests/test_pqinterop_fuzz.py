@@ -85,3 +85,99 @@ def test_bloom_header_validation(tmp_path):
     cc = P.column_chunks(meta)[0][0]
     with pytest.raises(ValueError, match="no bloom"):
         P.read_bloom_at(f, cc)
+
+
+# --- randomized write/read equivalence (schemas × params × ranges) ------
+
+def _rand_table(rng: np.random.Generator, n: int) -> pa.Table:
+    cols = {}
+    n_cols = int(rng.integers(2, 6))
+    for ci in range(n_cols):
+        kind = rng.integers(0, 7)
+        nulls = rng.random() < 0.5
+        def mk(vals, typ):
+            if nulls:
+                mask = rng.random(n) < 0.15
+                vals = [None if m else v for v, m in zip(vals, mask)]
+            return pa.array(vals, typ)
+        if kind == 0:
+            cols[f"i{ci}"] = mk(rng.integers(-10**6, 10**6, n).tolist(),
+                                pa.int64())
+        elif kind == 1:
+            cols[f"j{ci}"] = mk(rng.integers(0, 50, n).tolist(),
+                                pa.int32())
+        elif kind == 2:
+            cols[f"f{ci}"] = mk(rng.normal(size=n).tolist(), pa.float64())
+        elif kind == 3:
+            cols[f"s{ci}"] = mk([f"w{int(v)}" for v in
+                                 rng.integers(0, 40, n)], pa.string())
+        elif kind == 4:
+            cols[f"b{ci}"] = mk(rng.random(n) < 0.5, pa.bool_())
+        elif kind == 5:
+            cols[f"l{ci}"] = mk(
+                [rng.integers(0, 100, int(rng.integers(0, 5))).tolist()
+                 for _ in range(n)], pa.list_(pa.int32()))
+        else:
+            cols[f"m{ci}"] = mk(
+                [{f"k{j}": int(rng.integers(0, 99))
+                  for j in range(int(rng.integers(0, 4)))}
+                 for _ in range(n)], pa.map_(pa.string(), pa.int64()))
+    return pa.table(cols)
+
+
+def _canon(tbl: pa.Table):
+    out = []
+    for r in tbl.to_pylist():
+        row = {}
+        for k, v in r.items():
+            row[k] = sorted(dict(v).items()) if isinstance(v, list) and \
+                v and isinstance(v[0], tuple) else v
+        out.append(row)
+    return out
+
+
+def test_random_roundtrip_equivalence(tmp_path):
+    """30 random (schema, writer-params) trials: engine write ->
+    engine decode must equal the source exactly, and random row-range
+    decodes must equal the sliced full decode."""
+    for trial in range(30):
+        rng = np.random.default_rng(1000 + trial)
+        n = int(rng.integers(1, 900))
+        t = _rand_table(rng, n)
+        f = str(tmp_path / f"r{trial}.parquet")
+        W.write_table(
+            t, f,
+            compression=str(rng.choice(
+                ["none", "snappy", "zstd", "gzip", "lz4_raw"])),
+            row_group_rows=int(rng.integers(50, 500)),
+            page_rows=int(rng.integers(20, 200)),
+            page_version=int(rng.choice([1, 2])),
+            page_index=bool(rng.random() < 0.8))
+        got = P.decode_table(f)
+        assert _canon(got) == _canon(t), f"trial {trial} mismatch"
+        # random row ranges against every row group
+        meta = P.read_footer(f)
+        n_rg = len(meta[4])
+        ranges = {}
+        for g in range(n_rg):
+            rg_rows = meta[4][g].get(3, 0)
+            if rg_rows and rng.random() < 0.8:
+                k = int(rng.integers(1, 3))
+                pts = sorted(rng.integers(0, rg_rows + 1, 2 * k).tolist())
+                rr = P.merge_ranges(
+                    [(pts[2 * i], pts[2 * i + 1]) for i in range(k)])
+                if rr:
+                    ranges[g] = rr
+        if not ranges:
+            continue
+        sub = P.decode_table(f, row_ranges=ranges)
+        base = 0
+        keep = []
+        for g in range(n_rg):
+            rg_rows = meta[4][g].get(3, 0)
+            rr = ranges.get(g)
+            keep.extend(base + i for lo, hi in (rr or [(0, rg_rows)])
+                        for i in range(lo, hi))
+            base += rg_rows
+        want = got.take(pa.array(keep, pa.int64()))
+        assert _canon(sub) == _canon(want), f"trial {trial} range mismatch"
