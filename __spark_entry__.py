@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_reader_pruned"] = _pqs.reader_pruned_query
     q["pq_reader_pages"] = _pqs.reader_pages_query
     q["pq_map_roundtrip"] = _pqs.map_roundtrip_query
+    q["pq_nested_roundtrip"] = _pqs.nested_roundtrip_query
     q["pq_migration_roundtrip"] = _pqs.migration_roundtrip_query
     q["pq_writer_struct"] = _pqs.writer_struct_query
     q["pq_encrypted_roundtrip"] = _pqs.encrypted_roundtrip_query
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
     o["pq_encrypted_roundtrip"] = _pqs.ENCRYPTED_ROUNDTRIP_ORACLE
     o["pq_reader_pages"] = _pqs.READER_PAGES_ORACLE
     o["pq_map_roundtrip"] = _pqs.MAP_ROUNDTRIP_ORACLE
+    o["pq_nested_roundtrip"] = _pqs.NESTED_ROUNDTRIP_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 
     o["ds_pruned_read"] = _pruned.STATS_PRUNED_RANGE_ORACLE

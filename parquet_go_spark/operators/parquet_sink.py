@@ -391,6 +391,40 @@ SELECT o_orderkey, 'ck', CAST(o_custkey AS BIGINT) FROM orders
 """
 
 
+def nested_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General Dremel through the engine writer AND reader: lineitem
+    rolled up to one list<struct> row per order (two repetition-bearing
+    levels), engine-serialized via the recursive shredder, engine-
+    decoded via record assembly, and exploded back to rows the oracle
+    re-derives from the flat table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pq_nested_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    nested = (li.groupBy("l_orderkey")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col("l_linenumber").cast("long").alias("ln"),
+                  F.col("l_quantity").cast("double").alias("qty"),
+              ))).alias("lines")))
+    write_parquet_dir(nested.repartition(2), out, compression="zstd")
+    df = read_parquet_dir(spark, out)
+    e = df.select("l_orderkey", F.explode("lines").alias("line"))
+    return e.select("l_orderkey", F.col("line.ln").alias("ln"),
+                    F.col("line.qty").alias("qty"))
+
+
+NESTED_ROUNDTRIP_ORACLE = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+       CAST(l_quantity AS DOUBLE) AS qty
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------- migration verbs
 
 def export_store_to_parquet(spark: SparkSession, store_dir: str,

@@ -342,10 +342,8 @@ def _walk_schema(meta: dict) -> list[LeafInfo]:
             leaf_opt = 1 if li.leaf_el.get(3, 0) == 1 else 0
             li.d_slot = li.max_def - leaf_opt
             li.d_list = li.d_slot - 1
-        elif li.max_rep > 1:
-            raise ValueError(
-                f"column {li.path!r}: nested repetition depth "
-                f"{li.max_rep} out of scope")
+        # max_rep > 1 (nested repetition): thresholds are per-node and
+        # derived by _walk_tree for the general reassembly path
     return out
 
 
@@ -755,9 +753,6 @@ def _arrow_field(elems: list, pos: int):
         if mid.get(3, 0) != 2 or (mid.get(5) or 0) != 1:
             raise ValueError(f"non-canonical LIST shape at {name!r}")
         elem_field, pos = _arrow_field(elems, pos + 1)
-        if pa.types.is_nested(elem_field.type):
-            raise ValueError(
-                f"nested repetition under {name!r} out of scope")
         return pa.field(name, pa.list_(elem_field), rep == 1), pos
     if el.get(6) == 1 or 2 in logical:          # MAP group
         mid = elems[pos]                         # repeated key_value
@@ -765,10 +760,6 @@ def _arrow_field(elems: list, pos: int):
             raise ValueError(f"non-canonical MAP shape at {name!r}")
         key_field, pos = _arrow_field(elems, pos + 1)
         val_field, pos = _arrow_field(elems, pos)
-        if pa.types.is_nested(key_field.type) or \
-                pa.types.is_nested(val_field.type):
-            raise ValueError(
-                f"nested repetition under {name!r} out of scope")
         return pa.field(
             name, pa.map_(key_field.type, val_field.type),
             rep == 1), pos
@@ -1035,6 +1026,18 @@ def decode_table(path: str, columns: list[str] | None = None,
 
     arrays = []
     for f in schema:
+        if pa.types.is_nested(f.type) and _nested_in_nested(f.type):
+            chunks = []
+            for gi in sel:
+                arr = _assemble_general(path, groups[gi], f)
+                r = row_ranges.get(gi)
+                if r is not None:
+                    arr = arr.take(pa.array(
+                        [i for lo, hi in r for i in range(lo, hi)],
+                        pa.int64()))
+                chunks.append(arr)
+            arrays.append(pa.concat_arrays(chunks).cast(f.type))
+            continue
         if pa.types.is_map(f.type):
             chunks = []
             for gi in sel:
@@ -1195,6 +1198,225 @@ def _assemble_list_array(data: bytes, cc: ColumnChunkInfo, value_type):
         [None if not row_valid[i] else int(offs[i])
          for i in range(n_rows)] + [int(offs[-1])], pa.int32())
     return pa.ListArray.from_arrays(off_arr, elems)
+
+
+# ------------- general Dremel reassembly (arbitrary nesting) ------------
+#
+# The reference unmarshals arbitrarily nested records row-at-a-time
+# via reflection (/root/reference/marshal/unmarshal.go); this is the
+# same record assembly over the SchemaElement tree. Deliberately
+# row-wise (correct-first): deep nesting is off the hot path — flat
+# columns, single-level lists, flat structs and flat maps all keep
+# their vectorized lanes, and this path only engages beyond them.
+
+def _nested_in_nested(t) -> bool:
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.types.is_nested(t.value_type)
+    if pa.types.is_map(t):
+        return (pa.types.is_nested(t.key_type)
+                or pa.types.is_nested(t.item_type))
+    if pa.types.is_struct(t):
+        def has_rep(x):
+            if pa.types.is_list(x) or pa.types.is_large_list(x) or \
+                    pa.types.is_map(x):
+                return True
+            return pa.types.is_struct(x) and \
+                any(has_rep(c.type) for c in x)
+        return any(has_rep(c.type) for c in t)
+    return False
+
+
+def _walk_tree(elems: list, pos: int, d: int, r: int, prefix: list):
+    """SchemaElement subtree -> level-annotated node dict (d = def
+    level at which the node's value is present; r = rep level of a
+    list/map node's SLOTS)."""
+    el = elems[pos]
+    pos += 1
+    name = el[4].decode()
+    rep = el.get(3, 0)
+    optional = rep == 1
+    n_kids = el.get(5) or 0
+    logical = el.get(10) or {}
+    if n_kids == 0:
+        md = d + (1 if optional else 0)
+        return {"kind": "leaf", "name": name, "d": md, "r": r,
+                "path": ".".join(prefix + [name])}, pos
+    if el.get(6) == 3 or 3 in logical:          # LIST
+        d_list = d + (1 if optional else 0)
+        mid = elems[pos]
+        if mid.get(3, 0) != 2 or (mid.get(5) or 0) != 1:
+            raise ValueError(f"non-canonical LIST shape at {name!r}")
+        child, pos = _walk_tree(elems, pos + 1, d_list + 1, r + 1,
+                                prefix + [name, mid[4].decode()])
+        return {"kind": "list", "name": name, "d": d_list,
+                "d_slot": d_list + 1, "r": r + 1, "child": child}, pos
+    if el.get(6) == 1 or 2 in logical:          # MAP
+        d_list = d + (1 if optional else 0)
+        mid = elems[pos]
+        if mid.get(3, 0) != 2 or (mid.get(5) or 0) != 2:
+            raise ValueError(f"non-canonical MAP shape at {name!r}")
+        kv = prefix + [name, mid[4].decode()]
+        key, pos = _walk_tree(elems, pos + 1, d_list + 1, r + 1, kv)
+        val, pos = _walk_tree(elems, pos, d_list + 1, r + 1, kv)
+        return {"kind": "map", "name": name, "d": d_list,
+                "d_slot": d_list + 1, "r": r + 1,
+                "key": key, "value": val}, pos
+    if rep == 2:
+        raise ValueError(f"repeated group {name!r} without LIST/MAP "
+                         "annotation out of scope")
+    d_self = d + (1 if optional else 0)
+    children = []
+    for _ in range(n_kids):
+        ch, pos = _walk_tree(elems, pos, d_self, r,
+                             prefix + [name])
+        children.append(ch)
+    return {"kind": "struct", "name": name, "d": d_self, "r": r,
+            "optional": optional, "children": children}, pos
+
+
+def _top_tree(meta: dict, top: str):
+    elems = meta[2]
+    pos = 1
+    for _ in range(elems[0].get(5) or 0):
+        node, pos = _walk_tree(elems, pos, 0, 0, [])
+        if node["name"] == top:
+            return node
+    raise ValueError(f"unknown column {top!r}")
+
+
+def _tree_leaves(node) -> list:
+    if node["kind"] == "leaf":
+        return [node]
+    if node["kind"] in ("list",):
+        return _tree_leaves(node["child"])
+    if node["kind"] == "map":
+        return _tree_leaves(node["key"]) + _tree_leaves(node["value"])
+    out = []
+    for ch in node["children"]:
+        out.extend(_tree_leaves(ch))
+    return out
+
+
+def _storageize(t):
+    """Arrow type -> physical-storage twin (strings as binary, dates/
+    timestamps as ints) so row-wise built values can be cast back."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.binary()
+    if pa.types.is_date32(t):
+        return pa.int32()
+    if pa.types.is_timestamp(t):
+        return pa.int64()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_storageize(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_storageize(t.key_type), _storageize(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _storageize(f.type), f.nullable)
+                          for f in t])
+    return t
+
+
+def _assemble_general(path: str, chunks_rg: list, field) -> "object":
+    """Arbitrarily nested column for ONE row group -> arrow array.
+    Row-wise record assembly from per-leaf (rep, def, values) streams
+    over the level-annotated schema tree."""
+    import pyarrow as pa
+
+    meta = read_footer(path)
+    tree = _top_tree(meta, field.name)
+    leaves = _tree_leaves(tree)
+    streams = {}
+    n_rows = None
+    for lf in leaves:
+        cc = next(c for c in chunks_rg if c.name == lf["path"])
+        buf, rcc = chunk_reader(path, cc)
+        rep, defs, vals = _decode_chunk_levels(buf, rcc)
+        n_ent = cc.num_values
+        if rep is None:
+            rep = np.zeros(n_ent, np.int64)
+        if defs is None:
+            defs = np.full(n_ent, lf["d"], np.int64)
+        vlist = vals.tolist() if isinstance(vals, np.ndarray) else vals
+        vidx = np.cumsum(defs == lf["d"]) - 1
+        starts = np.flatnonzero(rep == 0)
+        streams[lf["path"]] = (rep, defs, vlist, vidx, starts)
+        if n_rows is None:
+            n_rows = len(starts)
+        elif len(starts) != n_rows:
+            raise ValueError(
+                f"leaf {lf['path']!r}: row count mismatch")
+
+    def first_leaf(node):
+        while node["kind"] != "leaf":
+            node = (node["child"] if node["kind"] == "list" else
+                    node["key"] if node["kind"] == "map" else
+                    node["children"][0])
+        return node
+
+    def build(node, rng: dict):
+        fl = first_leaf(node)
+        rep0, defs0, _, _, _ = streams[fl["path"]]
+        s0 = rng[fl["path"]][0]
+        d0 = int(defs0[s0])
+        kind = node["kind"]
+        if kind == "leaf":
+            if d0 < node["d"]:
+                return None
+            _, defs, vlist, vidx, _ = streams[node["path"]]
+            return vlist[vidx[s0]]
+        if kind == "struct":
+            if node["optional"] and d0 < node["d"]:
+                return None
+            return {ch["name"]: build(ch, rng)
+                    for ch in node["children"]}
+        # list / map
+        if d0 < node["d"]:
+            return None
+        if d0 < node["d_slot"]:
+            return [] if kind == "list" else {}
+        # split every involved leaf's range at rep <= slot rep level
+        slot_rngs = []
+        r_slot = node["r"]
+        sub_leaves = [lf["path"] for lf in _tree_leaves(node)]
+        per_leaf_slots = {}
+        n_slots = None
+        for lp in sub_leaves:
+            rep, _, _, _, _ = streams[lp]
+            s, e = rng[lp]
+            cuts = [s] + [i for i in range(s + 1, e)
+                          if rep[i] <= r_slot] + [e]
+            segs = list(zip(cuts[:-1], cuts[1:]))
+            per_leaf_slots[lp] = segs
+            if n_slots is None:
+                n_slots = len(segs)
+            elif len(segs) != n_slots:
+                raise ValueError("slot count mismatch across leaves")
+        out = []
+        for k in range(n_slots):
+            srng = {lp: per_leaf_slots[lp][k] for lp in sub_leaves}
+            if kind == "list":
+                out.append(build(node["child"], srng))
+            else:
+                out.append((build(node["key"], srng),
+                            build(node["value"], srng)))
+        return out
+
+    rows = []
+    all_paths = list(streams)
+    for i in range(n_rows):
+        rng = {}
+        for lp in all_paths:
+            rep, _, _, _, starts = streams[lp]
+            s = int(starts[i])
+            e = int(starts[i + 1]) if i + 1 < len(starts) else len(rep)
+            rng[lp] = (s, e)
+        rows.append(build(tree, rng))
+    storage = _storageize(field.type)
+    return pa.array(rows, storage).cast(field.type)
 
 
 def _assemble_map_array(path: str, kcc: ColumnChunkInfo,

@@ -825,6 +825,214 @@ def _write_map_chunks(out: bytearray, field: pa.Field, arr: pa.Array,
     return chunks, tot
 
 
+# ------------------- general Dremel shredding (arbitrary nesting) -------
+#
+# The reference marshals arbitrarily nested Go values via reflection
+# (/root/reference/marshal/marshal.go:53-375 node handlers); this is
+# the same walk over an arrow type tree, but VECTORIZED: every list
+# level expands its entry stream with repeat/cumsum — no per-row
+# Python. Single-level lists / flat structs / flat maps keep their
+# dedicated fast paths; only deeper nesting routes through here.
+
+def _has_repetition(t) -> bool:
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or \
+            pa.types.is_map(t):
+        return True
+    if pa.types.is_struct(t):
+        return any(_has_repetition(ch.type) for ch in t)
+    return False
+
+
+def _needs_general(t) -> bool:
+    """Anything beyond flat / list<prim> / struct-of-prims /
+    map<prim,prim> takes the general Dremel path."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.types.is_nested(t.value_type)
+    if pa.types.is_map(t):
+        return (pa.types.is_nested(t.key_type)
+                or pa.types.is_nested(t.item_type))
+    if pa.types.is_struct(t):
+        return any(_has_repetition(ch.type) for ch in t)
+    return False
+
+
+@dataclass
+class _LeafShred:
+    path: list[str]
+    field: pa.Field        # primitive leaf (normalized nullability)
+    rep: np.ndarray
+    defs: np.ndarray
+    values: pa.Array       # present (non-null) leaf values, entry order
+    max_def: int
+    max_rep: int
+
+
+def _shred_general(arr: pa.Array, field: pa.Field, path: list[str],
+                   rep: np.ndarray, defs: np.ndarray,
+                   active: np.ndarray, idx: np.ndarray, r: int, d: int,
+                   out: list, force_opt: bool = False,
+                   force_req: bool = False) -> None:
+    """Entries align 1:1 with (rep, defs, idx); idx indexes into
+    ``arr`` (-1 at placeholder entries of absent ancestors). Lists and
+    maps are always declared OPTIONAL (canonical emission); direct
+    list elements / map values are forced optional, map keys required."""
+    t = field.type
+    is_list = pa.types.is_list(t) or pa.types.is_large_list(t)
+    is_map = pa.types.is_map(t)
+    optional = (not force_req) and (force_opt or field.nullable
+                                    or is_list or is_map)
+    if optional:
+        d += 1
+        av = np.zeros(len(idx), bool)
+        am = active & (idx >= 0)
+        if len(arr) and am.any():
+            valid = np.asarray(arr.is_valid())
+            av[am] = valid[idx[am]]
+        defs = defs + av.astype(np.uint8)
+        active = av
+    if pa.types.is_struct(t):
+        for ch in t:
+            child = arr.field(ch.name) if len(arr) else \
+                pa.array([], ch.type)
+            _shred_general(child, ch, path + [ch.name], rep, defs,
+                           active, idx, r, d, out)
+        return
+    if is_list or is_map:
+        offs = np.asarray(arr.offsets, np.int64)
+        lens = np.diff(offs)
+        counts = np.zeros(len(idx), np.int64)
+        am = active & (idx >= 0)
+        counts[am] = lens[idx[am]]
+        ent = np.maximum(counts, 1)
+        n_new = int(ent.sum())
+        starts = np.cumsum(ent) - ent
+        r_child = r + 1
+        new_rep = np.full(n_new, r_child, np.uint8)
+        new_rep[starts] = rep
+        new_defs = np.repeat(
+            np.where(counts > 0, defs + 1, defs), ent).astype(np.uint8)
+        new_active = np.repeat(counts > 0, ent)
+        child_start = np.full(len(idx), 0, np.int64)
+        child_start[am] = offs[:-1][idx[am]]
+        within = np.arange(n_new) - np.repeat(starts, ent)
+        new_idx = np.where(new_active,
+                           np.repeat(child_start, ent) + within, -1)
+        d_child = d + 1
+        if is_map:
+            _shred_general(
+                arr.keys, pa.field("key", t.key_type, False),
+                path + ["key_value", "key"], new_rep, new_defs,
+                new_active, new_idx, r_child, d_child, out,
+                force_req=True)
+            _shred_general(
+                arr.items, pa.field("value", t.item_type, True),
+                path + ["key_value", "value"], new_rep, new_defs,
+                new_active, new_idx, r_child, d_child, out,
+                force_opt=True)
+        else:
+            ef = t.value_field
+            _shred_general(
+                arr.values, pa.field(ef.name or "element", ef.type,
+                                     True),
+                path + ["list", ef.name or "element"], new_rep,
+                new_defs, new_active, new_idx, r_child, d_child, out,
+                force_opt=True)
+        return
+    # primitive leaf: present exactly where active (defs == d there)
+    pres = active & (idx >= 0)
+    if pres.any():
+        lvals = arr.take(pa.array(idx[pres], pa.int64()))
+    else:
+        lvals = arr.slice(0, 0)
+    out.append(_LeafShred(path, pa.field(path[-1], t, optional),
+                          rep.astype(np.uint8), defs.astype(np.uint8),
+                          lvals, d, r))
+
+
+def _emit_schema_general(field: pa.Field, name: str, schema_elems: list,
+                         force_opt: bool = False,
+                         force_req: bool = False) -> None:
+    """SchemaElement emission mirroring _shred_general's level
+    accounting exactly (lists/maps optional, elements/values optional,
+    keys required)."""
+    t = field.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 1), (4, CT_BINARY, name), (5, CT_I32, 1),
+            (6, CT_I32, CV_LIST), (10, CT_STRUCT, _logical(3)),
+        ]))
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 2), (4, CT_BINARY, "list"), (5, CT_I32, 1),
+        ]))
+        ef = t.value_field
+        _emit_schema_general(pa.field(ef.name or "element", ef.type,
+                                      True),
+                             ef.name or "element", schema_elems,
+                             force_opt=True)
+        return
+    if pa.types.is_map(t):
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 1), (4, CT_BINARY, name), (5, CT_I32, 1),
+            (6, CT_I32, 1), (10, CT_STRUCT, _logical(2)),
+        ]))
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 2), (4, CT_BINARY, "key_value"), (5, CT_I32, 2),
+        ]))
+        _emit_schema_general(pa.field("key", t.key_type, False), "key",
+                             schema_elems, force_req=True)
+        _emit_schema_general(pa.field("value", t.item_type, True),
+                             "value", schema_elems, force_opt=True)
+        return
+    optional = (not force_req) and (force_opt or field.nullable)
+    if pa.types.is_struct(t):
+        schema_elems.append(_tstruct([
+            (3, CT_I32, 1 if optional else 0),
+            (4, CT_BINARY, name),
+            (5, CT_I32, t.num_fields),
+        ]))
+        for ch in t:
+            _emit_schema_general(ch, ch.name, schema_elems)
+        return
+    leaf = _map_type(pa.field(name, t, optional))
+    schema_elems.append(_tstruct([
+        (1, CT_I32, leaf.ptype),
+        (2, CT_I32, leaf.type_length),
+        (3, CT_I32, 1 if optional else 0),
+        (4, CT_BINARY, name),
+        (6, CT_I32, leaf.converted),
+        (10, CT_STRUCT, leaf.logical),
+    ]))
+
+
+def _write_general_chunks(out: bytearray, field: pa.Field,
+                          arr: pa.Array, codec_id: int, page_rows: int,
+                          encodings: dict, write_stats: bool,
+                          page_version: int, chunk_crypto, rgi: int,
+                          col_base: int, want_pidx: bool):
+    """Arbitrarily nested column -> one leaf chunk per primitive leaf
+    via the general shredder. Returns ([chunks], total_uncompressed)."""
+    n = len(arr)
+    specs: list[_LeafShred] = []
+    _shred_general(arr, field, [field.name], np.zeros(n, np.uint8),
+                   np.zeros(n, np.uint8), np.ones(n, bool),
+                   np.arange(n, dtype=np.int64), 0, 0, specs)
+    chunks, tot = [], 0
+    for sp in specs:
+        lcol = _map_type(sp.field)
+        dotted = ".".join(sp.path)
+        pc, crypto = chunk_crypto(dotted, sp.path, rgi,
+                                  col_base + len(chunks))
+        ch, u, _ = _write_levels_chunk(
+            out, lcol, sp.rep, sp.defs, sp.values, n, sp.path,
+            sp.max_def, codec_id, page_rows,
+            encodings.get(dotted, "auto"), write_stats, page_version,
+            pc, want_pidx, max_rep=sp.max_rep)
+        ch.crypto = crypto
+        chunks.append(ch)
+        tot += u
+    return chunks, tot
+
+
 def _write_list_chunk(out: bytearray, col: _Col, arr: pa.Array,
                       codec_id: int, page_rows: int, enc_want: str,
                       write_stats: bool, page_version: int = 1,
@@ -848,7 +1056,7 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
                         codec_id: int, page_rows: int, enc_want: str,
                         write_stats: bool, page_version: int = 1,
                         pc: "_PageCrypt | None" = None,
-                        want_pidx: bool = False):
+                        want_pidx: bool = False, max_rep: int = 1):
     """One REPEATED leaf chunk from precomputed Dremel streams (shared
     by LIST elements and MAP key/value leaves): values are present at
     ``max_def``; pages split on ROW boundaries (rep==0)."""
@@ -892,7 +1100,7 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
     np.cumsum(present, out=val_prefix[1:])
 
     data_offset = len(out)
-    bw_def, bw_rep = max_def.bit_length(), 1
+    bw_def, bw_rep = max_def.bit_length(), max_rep.bit_length()
     pages: list[_PageRec] = []
     ci_ok = want_pidx
     row = 0
@@ -900,8 +1108,10 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
         hi_row = min(row + page_rows, n_rows)
         s_ent, e_ent = int(ent_of_row[row]), int(ent_of_row[hi_row])
         v_lo, v_hi = int(val_prefix[s_ent]), int(val_prefix[e_ent])
-        rep_raw = rle.encode(rep[s_ent:e_ent], bw_rep)
-        def_raw = rle.encode(defs[s_ent:e_ent], bw_def)
+        rep_raw = (rle.encode(rep[s_ent:e_ent], bw_rep)
+                   if max_rep else b"")
+        def_raw = (rle.encode(defs[s_ent:e_ent], bw_def)
+                   if max_def else b"")
         if enc_name == "dict":
             body = bytes([bw]) + rle.encode(codes[v_lo:v_hi], bw)
         else:
@@ -1261,7 +1471,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 table = table.set_column(
                     i, pa.field(f.name, pa.binary(12), f.nullable), conv)
                 i96_cols.add(f.name)
-    cols = [None if (pa.types.is_struct(f.type) or
+    cols = ["general" if _needs_general(f.type) else
+            None if (pa.types.is_struct(f.type) or
                      pa.types.is_map(f.type)) else _map_type(f)
             for f in table.schema]
     if int96_timestamps:
@@ -1275,7 +1486,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                     and not encryption.plaintext_footer) else MAGIC)
     all_chunks: list = []
     n = table.num_rows
-    col_optional = {c.name: False for c in cols if c is not None}
+    col_optional = {c.name: False for c in cols
+                    if c is not None and c != "general"}
     def _chunk_crypto(name, path, rgi, ci):
         """-> (_PageCrypt, crypto tuple) for one chunk, or (None, None)."""
         if encryption is None:
@@ -1306,6 +1518,17 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             else:
                 arr = pa.concat_arrays(ca.chunks)
             field = table.schema.field(i)
+            if col == "general":
+                gchunks, u = _write_general_chunks(
+                    out, field, arr, codec_id, page_rows, encodings,
+                    stats, page_version, _chunk_crypto, rgi,
+                    len(chunks), want_pidx)
+                for ch in gchunks:
+                    ch.ptf = (encryption is not None
+                              and encryption.plaintext_footer)
+                    chunks.append(ch)
+                rg_u += u
+                continue
             if col is None and pa.types.is_map(field.type):
                 mchunks, u = _write_map_chunks(
                     out, field, arr, codec_id, page_rows, encodings,
@@ -1391,6 +1614,9 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     schema_elems = [_tstruct([(4, CT_BINARY, "schema"),
                               (5, CT_I32, len(cols))])]
     for col, field in zip(cols, table.schema):
+        if col == "general":
+            _emit_schema_general(field, field.name, schema_elems)
+            continue
         declared = (field.nullable and col_optional.get(col.name, True)
                     if col is not None and col.elem is None
                     else field.nullable)
