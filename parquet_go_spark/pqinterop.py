@@ -746,13 +746,36 @@ def _arrow_field(elems: list, pos: int):
     rep = el.get(3, 0)
     n_kids = el.get(5) or 0
     if n_kids == 0:
+        if rep == 2:
+            # bare repeated primitive (legacy implied list, spec
+            # LogicalTypes.md backward-compat rule 1): the field IS the
+            # required element
+            return pa.field(
+                name, pa.list_(pa.field(name, _arrow_leaf_type(el),
+                                        False)), False), pos
         return pa.field(name, _arrow_leaf_type(el), rep == 1), pos
     logical = el.get(10) or {}
     if el.get(6) == 3 or 3 in logical:          # LIST group
-        mid = elems[pos]                         # repeated "list" group
-        if mid.get(3, 0) != 2 or (mid.get(5) or 0) != 1:
+        mid = elems[pos]                         # repeated child
+        if mid.get(3, 0) != 2:
             raise ValueError(f"non-canonical LIST shape at {name!r}")
-        elem_field, pos = _arrow_field(elems, pos + 1)
+        mid_kids = mid.get(5) or 0
+        mid_name = mid[4].decode()
+        if mid_kids == 0:
+            # legacy 2-level: repeated PRIMITIVE is the element
+            elem_field = pa.field(mid_name, _arrow_leaf_type(mid), False)
+            pos += 1
+        elif mid_kids == 1 and mid_name != "array" and \
+                not mid_name.endswith("_tuple"):
+            elem_field, pos = _arrow_field(elems, pos + 1)   # 3-level
+        else:
+            # legacy: the repeated GROUP itself is a struct element
+            children = []
+            pos += 1
+            for _ in range(mid_kids):
+                ch, pos = _arrow_field(elems, pos)
+                children.append(ch)
+            elem_field = pa.field(mid_name, pa.struct(children), False)
         return pa.field(name, pa.list_(elem_field), rep == 1), pos
     if el.get(6) == 1 or 2 in logical:          # MAP group
         mid = elems[pos]                         # repeated key_value
@@ -763,13 +786,15 @@ def _arrow_field(elems: list, pos: int):
         return pa.field(
             name, pa.map_(key_field.type, val_field.type),
             rep == 1), pos
-    if rep == 2:
-        raise ValueError(f"repeated group {name!r} without LIST "
-                         "annotation out of scope")
     children = []
     for _ in range(n_kids):                      # STRUCT group
         ch, pos = _arrow_field(elems, pos)
         children.append(ch)
+    if rep == 2:
+        # bare repeated group (legacy implied list of structs)
+        return pa.field(
+            name, pa.list_(pa.field(name, pa.struct(children), False)),
+            False), pos
     return pa.field(name, pa.struct(children), rep == 1), pos
 
 
@@ -1240,16 +1265,44 @@ def _walk_tree(elems: list, pos: int, d: int, r: int, prefix: list):
     n_kids = el.get(5) or 0
     logical = el.get(10) or {}
     if n_kids == 0:
+        if rep == 2:
+            # bare repeated primitive: implied list, field = element
+            return {"kind": "list", "name": name, "d": d,
+                    "d_slot": d + 1, "r": r + 1,
+                    "child": {"kind": "leaf", "name": name, "d": d + 1,
+                              "r": r + 1,
+                              "path": ".".join(prefix + [name])}}, pos
         md = d + (1 if optional else 0)
         return {"kind": "leaf", "name": name, "d": md, "r": r,
                 "path": ".".join(prefix + [name])}, pos
     if el.get(6) == 3 or 3 in logical:          # LIST
         d_list = d + (1 if optional else 0)
         mid = elems[pos]
-        if mid.get(3, 0) != 2 or (mid.get(5) or 0) != 1:
+        if mid.get(3, 0) != 2:
             raise ValueError(f"non-canonical LIST shape at {name!r}")
-        child, pos = _walk_tree(elems, pos + 1, d_list + 1, r + 1,
-                                prefix + [name, mid[4].decode()])
+        mid_kids = mid.get(5) or 0
+        mid_name = mid[4].decode()
+        if mid_kids == 0:
+            # legacy 2-level: the repeated primitive IS the element
+            child = {"kind": "leaf", "name": mid_name, "d": d_list + 1,
+                     "r": r + 1,
+                     "path": ".".join(prefix + [name, mid_name])}
+            pos += 1
+        elif mid_kids == 1 and mid_name != "array" and \
+                not mid_name.endswith("_tuple"):
+            child, pos = _walk_tree(elems, pos + 1, d_list + 1, r + 1,
+                                    prefix + [name, mid_name])
+        else:
+            # legacy: repeated group is a REQUIRED struct element
+            kids = []
+            pos += 1
+            for _ in range(mid_kids):
+                ch, pos = _walk_tree(elems, pos, d_list + 1, r + 1,
+                                     prefix + [name, mid_name])
+                kids.append(ch)
+            child = {"kind": "struct", "name": mid_name,
+                     "d": d_list + 1, "r": r + 1, "optional": False,
+                     "children": kids}
         return {"kind": "list", "name": name, "d": d_list,
                 "d_slot": d_list + 1, "r": r + 1, "child": child}, pos
     if el.get(6) == 1 or 2 in logical:          # MAP
@@ -1264,8 +1317,17 @@ def _walk_tree(elems: list, pos: int, d: int, r: int, prefix: list):
                 "d_slot": d_list + 1, "r": r + 1,
                 "key": key, "value": val}, pos
     if rep == 2:
-        raise ValueError(f"repeated group {name!r} without LIST/MAP "
-                         "annotation out of scope")
+        # bare repeated group: implied list of REQUIRED structs
+        kids = []
+        for _ in range(n_kids):
+            ch, pos = _walk_tree(elems, pos, d + 1, r + 1,
+                                 prefix + [name])
+            kids.append(ch)
+        return {"kind": "list", "name": name, "d": d,
+                "d_slot": d + 1, "r": r + 1,
+                "child": {"kind": "struct", "name": name, "d": d + 1,
+                          "r": r + 1, "optional": False,
+                          "children": kids}}, pos
     d_self = d + (1 if optional else 0)
     children = []
     for _ in range(n_kids):

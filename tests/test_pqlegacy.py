@@ -1,0 +1,217 @@
+"""Legacy list shapes (pre-3-level) in the parquet reader.
+
+Spec LogicalTypes.md backward-compatibility rules: (1) a bare
+repeated primitive/group is an implied list whose element is the
+field itself; (2) a LIST group whose repeated child is a primitive is
+a 2-level list; (3) a LIST group whose repeated child is a group with
+2+ fields (or named "array"/"*_tuple") has that group as a REQUIRED
+struct element. The reference reads all of these through its generic
+schema handler (internal/schema walk); files here are hand-built from
+the engine's own thrift/page primitives and refereed by pyarrow and
+DuckDB before the engine reader is held to them.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_spark import pqinterop as P
+from parquet_go_spark import pqwriter as W
+
+
+def _levels_for_rows(rows, d_elem):
+    """rows of lists (None/[]/values) -> (rep, def, vals) for a
+    2-level-ish encoding where an element sits at def d_elem and a
+    missing/empty row contributes one placeholder entry."""
+    rep, defs, vals = [], [], []
+    for r in rows:
+        if r is None:
+            rep.append(0)
+            defs.append(d_elem - 2)
+        elif not r:
+            rep.append(0)
+            defs.append(d_elem - 1)
+        else:
+            for j, v in enumerate(r):
+                rep.append(0 if j == 0 else 1)
+                defs.append(d_elem)
+                vals.append(v)
+    return (np.array(rep, np.uint8), np.array(defs, np.uint8),
+            pa.array(vals, pa.int64()))
+
+
+def _build_file(path, schema_elems, chunk_builders, n_rows):
+    """Minimal single-row-group file from engine primitives."""
+    out = bytearray(P.MAGIC)
+    chunks = []
+    tot_u = 0
+    for build in chunk_builders:
+        ch, u = build(out)
+        chunks.append(ch)
+        tot_u += u
+    rg = W._tstruct([
+        (1, P.CT_LIST, (P.CT_STRUCT, [c.serialize() for c in chunks])),
+        (2, P.CT_I64, tot_u),
+        (3, P.CT_I64, n_rows),
+    ])
+    type_order = W._tstruct([(1, P.CT_STRUCT, W._tstruct([]))])
+    footer = W._tstruct([
+        (1, P.CT_I32, 2),
+        (2, P.CT_LIST, (P.CT_STRUCT, schema_elems)),
+        (3, P.CT_I64, n_rows),
+        (4, P.CT_LIST, (P.CT_STRUCT, [rg])),
+        (7, P.CT_LIST, (P.CT_STRUCT, [type_order] * len(chunks))),
+    ])
+    out += footer
+    out += struct.pack("<I", len(footer))
+    out += P.MAGIC
+    open(path, "wb").write(bytes(out))
+
+
+def test_two_level_list(tmp_path):
+    """optional group v (LIST) > repeated int64 array — the 2-level
+    legacy shape."""
+    rows = [None, [], [1, 2, 3], [7], [], [9, 9], None, [4]]
+    rep, defs, vals = _levels_for_rows(rows, 2)
+    col = W._map_type(pa.field("array", pa.int64(), False))
+
+    def build(out):
+        ch, u, _ = W._write_levels_chunk(
+            out, col, rep, defs, vals, len(rows), ["v", "array"], 2,
+            0, 100, "plain", True, max_rep=1)
+        return ch, u
+
+    elems = [
+        W._tstruct([(4, P.CT_BINARY, "schema"), (5, P.CT_I32, 1)]),
+        W._tstruct([(3, P.CT_I32, 1), (4, P.CT_BINARY, "v"),
+                    (5, P.CT_I32, 1), (6, P.CT_I32, 3)]),   # LIST
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 2),
+                    (4, P.CT_BINARY, "array")]),            # repeated
+    ]
+    p = str(tmp_path / "two.parquet")
+    _build_file(p, elems, [build], len(rows))
+    # referees prove the crafted file is spec-legacy-valid
+    import duckdb
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(p).column("v").to_pylist() == rows
+    assert duckdb.sql(
+        f"SELECT sum(len(v)) FROM '{p}'").fetchall()[0][0] == 7
+    # engine reader under test
+    assert P.decode_table(p).column("v").to_pylist() == rows
+    f = P.arrow_schema(P.read_footer(p)).field("v")
+    assert pa.types.is_list(f.type)
+    assert not f.type.value_field.nullable
+
+
+def test_bare_repeated_primitive(tmp_path):
+    """repeated int64 v with NO list annotation: implied list, no
+    null rows possible."""
+    rows = [[1, 2], [], [5], [], [8, 9, 10]]
+    rep, defs, vals = [], [], []
+    for r in rows:
+        if not r:
+            rep.append(0)
+            defs.append(0)
+        else:
+            for j, v in enumerate(r):
+                rep.append(0 if j == 0 else 1)
+                defs.append(1)
+                vals.append(v)
+    rep = np.array(rep, np.uint8)
+    defs = np.array(defs, np.uint8)
+    vals = pa.array(vals, pa.int64())
+    col = W._map_type(pa.field("v", pa.int64(), False))
+
+    def build(out):
+        ch, u, _ = W._write_levels_chunk(
+            out, col, rep, defs, vals, len(rows), ["v"], 1,
+            0, 100, "plain", True, max_rep=1)
+        return ch, u
+
+    elems = [
+        W._tstruct([(4, P.CT_BINARY, "schema"), (5, P.CT_I32, 1)]),
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 2),
+                    (4, P.CT_BINARY, "v")]),
+    ]
+    p = str(tmp_path / "bare.parquet")
+    _build_file(p, elems, [build], len(rows))
+    import duckdb
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(p).column("v").to_pylist() == rows
+    assert duckdb.sql(
+        f"SELECT sum(len(v)) FROM '{p}'").fetchall()[0][0] == 6
+    assert P.decode_table(p).column("v").to_pylist() == rows
+
+
+def test_legacy_struct_element(tmp_path):
+    """optional group v (LIST) > repeated group array {a, b}: the
+    repeated group is a REQUIRED struct element (rule for 2+ fields)."""
+    rows = [None, [], [{"a": 1, "b": None}, {"a": 2, "b": 20}],
+            [{"a": 5, "b": 50}]]
+    # leaf a: required under the element -> d_elem 2; leaf b optional -> 3
+    rep_a, def_a, val_a = [], [], []
+    rep_b, def_b, val_b = [], [], []
+    for r in rows:
+        if r is None:
+            rep_a.append(0); def_a.append(0)
+            rep_b.append(0); def_b.append(0)
+        elif not r:
+            rep_a.append(0); def_a.append(1)
+            rep_b.append(0); def_b.append(1)
+        else:
+            for j, e in enumerate(r):
+                rep_a.append(0 if j == 0 else 1)
+                def_a.append(2)
+                val_a.append(e["a"])
+                rep_b.append(0 if j == 0 else 1)
+                if e["b"] is None:
+                    def_b.append(2)
+                else:
+                    def_b.append(3)
+                    val_b.append(e["b"])
+    col_a = W._map_type(pa.field("a", pa.int64(), False))
+    col_b = W._map_type(pa.field("b", pa.int64(), True))
+
+    def build_a(out):
+        ch, u, _ = W._write_levels_chunk(
+            out, col_a, np.array(rep_a, np.uint8),
+            np.array(def_a, np.uint8), pa.array(val_a, pa.int64()),
+            len(rows), ["v", "array", "a"], 2, 0, 100, "plain", True,
+            max_rep=1)
+        return ch, u
+
+    def build_b(out):
+        ch, u, _ = W._write_levels_chunk(
+            out, col_b, np.array(rep_b, np.uint8),
+            np.array(def_b, np.uint8), pa.array(val_b, pa.int64()),
+            len(rows), ["v", "array", "b"], 3, 0, 100, "plain", True,
+            max_rep=1)
+        return ch, u
+
+    elems = [
+        W._tstruct([(4, P.CT_BINARY, "schema"), (5, P.CT_I32, 1)]),
+        W._tstruct([(3, P.CT_I32, 1), (4, P.CT_BINARY, "v"),
+                    (5, P.CT_I32, 1), (6, P.CT_I32, 3)]),
+        W._tstruct([(3, P.CT_I32, 2), (4, P.CT_BINARY, "array"),
+                    (5, P.CT_I32, 2)]),
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 0),
+                    (4, P.CT_BINARY, "a")]),
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 1),
+                    (4, P.CT_BINARY, "b")]),
+    ]
+    p = str(tmp_path / "structel.parquet")
+    _build_file(p, elems, [build_a, build_b], len(rows))
+    import duckdb
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(p).column("v").to_pylist() == rows
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{p}' WHERE v IS NOT NULL"
+    ).fetchall()[0][0] == 3
+    assert P.decode_table(p).column("v").to_pylist() == rows
