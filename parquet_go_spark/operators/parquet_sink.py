@@ -23,6 +23,7 @@ import os
 import uuid
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
@@ -176,6 +177,32 @@ def _rg_bloom_keep(path: str, meta: dict, gi: int, col: str,
     return True
 
 
+def _rg_dict_keep(path: str, meta: dict, gi: int, col: str,
+                  pred: tuple) -> bool:
+    """Dictionary pruning for eq predicates (parquet-mr's
+    DictionaryFilter re-expressed): when encoding_stats proves the
+    chunk is FULLY dictionary-encoded, one ranged read of the dict
+    page decides membership — definitely-absent drops the unit."""
+    from .. import pqinterop as P
+
+    if pred[0] != "eq":
+        return True
+    for cc in P.column_chunks(meta)[gi]:
+        if cc.name == col or cc.top_name == col:
+            if not P.chunk_fully_dict(cc):
+                return True
+            d = P.read_dictionary(path, cc)
+            if d is None:
+                return True
+            v = pred[1]
+            if isinstance(v, str):
+                v = v.encode()
+            if isinstance(d, np.ndarray):
+                return bool(np.isin(v, d).any())
+            return v in d
+    return True
+
+
 def read_parquet_dir(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     filters: dict | None = None, decryption=None,
@@ -203,7 +230,9 @@ def read_parquet_dir(
             for col, pred in (filters or {}).items():
                 keep = (keep and _rg_stats_keep(meta, g, col, pred)
                         and (decryption is not None
-                             or _rg_bloom_keep(f, meta, g, col, pred)))
+                             or (_rg_bloom_keep(f, meta, g, col, pred)
+                                 and _rg_dict_keep(f, meta, g, col,
+                                                   pred))))
             if keep:
                 units.append((f, g))
     schema = pqinterop.arrow_schema(

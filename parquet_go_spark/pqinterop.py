@@ -168,6 +168,8 @@ class ColumnChunkInfo:
     oi_len: int | None = None         # fields 4-7)
     ci_off: int | None = None
     ci_len: int | None = None
+    data_page_offset: int = 0         # ColumnMetaData field 9
+    enc_stats: list | None = None     # ColumnMetaData.encoding_stats
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
@@ -414,6 +416,7 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
                 num_rows=rg.get(3, 0),
                 oi_off=cc.get(4), oi_len=cc.get(5),
                 ci_off=cc.get(6), ci_len=cc.get(7),
+                data_page_offset=md[9], enc_stats=md.get(13),
             ))
         groups.append(cols)
     return groups
@@ -824,6 +827,38 @@ def sorting_columns(meta: dict) -> list:
     names = [b".".join(cc[3][3]).decode() for cc in rgs[0][1]]
     return [(names[sc[1]], bool(sc.get(2)), bool(sc.get(3)))
             for sc in rgs[0][4]]
+
+
+def chunk_fully_dict(cc: ColumnChunkInfo) -> bool:
+    """True when encoding_stats PROVES every data page of the chunk is
+    dictionary-encoded (parquet-mr DictionaryFilter's precondition)."""
+    if cc.enc_stats is None or cc.dict_page_offset is None:
+        return False
+    for st in cc.enc_stats:
+        if st.get(1) in (PG_DATA, PG_DATA_V2) and \
+                st.get(2) not in (E_PLAIN_DICTIONARY, E_RLE_DICTIONARY):
+            return False
+    return True
+
+
+def read_dictionary(path: str, cc: ColumnChunkInfo):
+    """Decode ONLY the chunk's dictionary page (one ranged read, never
+    the data pages) -> list/ndarray of dictionary values, or None."""
+    if cc.dict_page_offset is None or cc.enc_key is not None:
+        return None
+    length = cc.data_page_offset - cc.dict_page_offset
+    if length <= 0:
+        return None
+    buf = read_range(path, cc.dict_page_offset, length)
+    hdr, body = _read_struct(memoryview(buf), 0)
+    if hdr[1] != PG_DICT:
+        return None
+    payload = bytes(buf[body: body + hdr[3]])
+    cname = _CODEC_NAMES.get(cc.codec)
+    if cname is not None:
+        payload = _block_decompress(cname, payload, hdr[2])
+    nd = hdr[7][1]
+    return _decode_plain(payload, cc.physical_type, nd, cc.type_length)
 
 
 # --- PageIndex (ColumnIndex / OffsetIndex) ------------------------------

@@ -49,7 +49,7 @@ from . import frame as framemod
 from .codecs import bss, delta, deltaba, dictionary, plainc, rle
 from .codecs.varint import write_uvarint
 from .pqinterop import (
-    CT_BINARY, CT_I32, CT_I64, CT_LIST, CT_STRUCT, CT_TRUE,
+    CT_BINARY, CT_I16, CT_I32, CT_I64, CT_LIST, CT_STRUCT, CT_TRUE,
     E_BYTE_STREAM_SPLIT, E_DELTA_BA, E_DELTA_BINARY_PACKED,
     E_DELTA_LENGTH_BA, E_PLAIN, E_RLE, E_RLE_DICTIONARY, MAGIC,
     PG_DATA, PG_DATA_V2, PG_DICT, T_BOOLEAN, T_BYTE_ARRAY, T_DOUBLE, T_FLBA,
@@ -78,7 +78,7 @@ def _tv(ct: int, v) -> bytes:
     """Serialize one compact-protocol value of container type ct."""
     if ct == CT_TRUE:           # bool inside a list: 1 = true, 2 = false
         return b"\x01" if v else b"\x02"
-    if ct in (CT_I32, CT_I64):
+    if ct in (CT_I16, CT_I32, CT_I64):
         return write_uvarint(_zz(int(v)))
     if ct == CT_BINARY:
         b = v.encode() if isinstance(v, str) else bytes(v)
@@ -404,6 +404,21 @@ def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
         (5, CT_BINARY, None if mx is None else _stat_bytes(col, mx)),
         (6, CT_BINARY, None if mn is None else _stat_bytes(col, mn)),
     ])
+
+
+def _enc_stats_field(dict_offset, page_version: int, enc_id: int,
+                     n_pages: int):
+    """ColumnMetaData.encoding_stats (field 13): per-(page type,
+    encoding) page counts — what parquet-mr's DictionaryFilter reads
+    to know a chunk is FULLY dictionary-encoded."""
+    out = []
+    if dict_offset is not None:
+        out.append(_tstruct([(1, CT_I32, PG_DICT), (2, CT_I32, E_PLAIN),
+                             (3, CT_I32, 1)]))
+    pg = PG_DATA if page_version == 1 else PG_DATA_V2
+    out.append(_tstruct([(1, CT_I32, pg), (2, CT_I32, enc_id),
+                         (3, CT_I32, n_pages)]))
+    return (13, CT_LIST, (CT_STRUCT, out))
 
 
 def _page_minmax(col: _Col, nonnull: pa.Array, vals, v_lo: int,
@@ -1103,6 +1118,7 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
     bw_def, bw_rep = max_def.bit_length(), max_rep.bit_length()
     pages: list[_PageRec] = []
     ci_ok = want_pidx
+    n_pages = 0
     row = 0
     while True:
         hi_row = min(row + page_rows, n_rows)
@@ -1131,6 +1147,7 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
                 pg_off, c, row, (e_ent - s_ent) - (v_hi - v_lo), mn, mx))
         tot_u += u
         tot_c += c
+        n_pages += 1
         row = hi_row
         if row >= n_rows:
             break
@@ -1149,6 +1166,7 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
         (9, CT_I64, data_offset),
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
+        _enc_stats_field(dict_offset, page_version, enc_id, n_pages),
     ]
     return _Chunk(meta_fields, chunk_start,
                   pages=pages if want_pidx else None, ci_ok=ci_ok,
@@ -1218,6 +1236,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     # different rates when nulls are present
     pages: list[_PageRec] = []
     ci_ok = want_pidx
+    n_pages = 0
     row = vpos = 0
     while True:
         hi_row = min(row + page_rows, n_total)
@@ -1247,6 +1266,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
                                   (hi_row - row) - (v_hi - v_lo), mn, mx))
         tot_u += u
         tot_c += c
+        n_pages += 1
         vpos, row = v_hi, hi_row
         if row >= n_total:
             break
@@ -1264,6 +1284,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         (9, CT_I64, data_offset),
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
+        _enc_stats_field(dict_offset, page_version, enc_id, n_pages),
     ]
     return _Chunk(meta_fields, chunk_start,
                   pages=pages if want_pidx else None, ci_ok=ci_ok,
@@ -1602,13 +1623,18 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 (3, CT_TRUE, bool(nf)),
             ]))
     row_groups = []
-    for chunks, rg_u, rg_rows in all_chunks:
+    for rgi, (chunks, rg_u, rg_rows) in enumerate(all_chunks):
+        rg_c = sum(next(v for fid, _, v in c.meta_fields if fid == 7)
+                   for c in chunks)
         row_groups.append(_tstruct([
             (1, CT_LIST, (CT_STRUCT, [c.serialize() for c in chunks])),
             (2, CT_I64, rg_u),
             (3, CT_I64, rg_rows),
             (4, CT_LIST, (CT_STRUCT, sort_structs))
             if sort_structs else (4, CT_LIST, None),
+            (6, CT_I64, chunks[0].start if chunks else None),
+            (7, CT_I64, rg_c),
+            (9, CT_I16, rgi),
         ]))
 
     schema_elems = [_tstruct([(4, CT_BINARY, "schema"),

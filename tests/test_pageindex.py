@@ -320,3 +320,73 @@ def test_read_parquet_dir_page_pruned(spark, written, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["k"])
     assert [r["k"] for r in rows] == list(range(2500, 2600))
     assert rows[-1]["s"] == "row002599"
+
+
+# --- encoding_stats + dictionary pruning (DictionaryFilter analog) ------
+
+def _dict_file(tmp_path, name="d.parquet"):
+    n = 5000
+    t = pa.table({
+        "cat": pa.array([f"c{i % 20}" for i in range(n)]),
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    p = str(tmp_path / name)
+    pqwriter.write_table(t, p, compression="snappy", page_rows=1000)
+    return p, t
+
+
+def test_encoding_stats_and_fully_dict(tmp_path):
+    p, t = _dict_file(tmp_path)
+    ccs = {c.name: c for c in _chunks(p)}
+    assert P.chunk_fully_dict(ccs["cat"])          # dict + RLE_DICTIONARY
+    assert not P.chunk_fully_dict(ccs["k"])        # DELTA_BINARY_PACKED
+    d = P.read_dictionary(p, ccs["cat"])
+    assert sorted(set(d)) == sorted({f"c{i}".encode() for i in range(20)})
+    # parquet-cpp's encoding_stats parse through the same kernel
+    import pyarrow.parquet as pqmod
+
+    p2 = str(tmp_path / "pa.parquet")
+    pqmod.write_table(t, p2, use_dictionary=["cat"])
+    ccs2 = {c.name: c for c in _chunks(p2)}
+    assert P.chunk_fully_dict(ccs2["cat"])
+    assert not P.chunk_fully_dict(ccs2["k"])
+
+
+def test_rowgroup_metadata_completeness(tmp_path):
+    p, t = _dict_file(tmp_path)
+    meta = P.read_footer(p)
+    rg = meta[4][0]
+    assert rg.get(9) == 0                          # ordinal
+    assert rg.get(6) == 4                          # first page after magic
+    ccs = _chunks(p)
+    assert rg.get(7) == sum(c.total_compressed for c in ccs)
+
+
+def test_dictionary_pruning_drops_units(spark, tmp_path):
+    """eq probe on a value absent from every dictionary must read NO
+    data pages: scorch all data-page bytes; only dict pages + footer
+    stay intact, and the pruned read still answers."""
+    from parquet_go_spark.operators.parquet_sink import (
+        read_parquet_dir, write_parquet_dir)
+
+    n = 4000
+    t = pa.table({
+        "cat": pa.array([f"c{i % 16}" for i in range(n)]),
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    out = str(tmp_path / "dirs")
+    df = spark.createDataFrame(t.to_pandas())
+    write_parquet_dir(df.coalesce(2), out, compression="snappy",
+                      encodings={"k": "dict"})
+    import glob
+
+    for f in glob.glob(out + "/*.parquet"):
+        data = bytearray(open(f, "rb").read())
+        for cc in P.column_chunks(P.read_footer(f))[0]:
+            s = cc.data_page_offset
+            e = cc.first_page_offset + cc.total_compressed
+            data[s:e] = b"\xa5" * (e - s)
+        open(f, "wb").write(bytes(data))
+    got = read_parquet_dir(spark, out,
+                           filters={"cat": ("eq", "nope")}).collect()
+    assert got == []
