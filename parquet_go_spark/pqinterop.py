@@ -829,6 +829,55 @@ def sorting_columns(meta: dict) -> list:
             for sc in rgs[0][4]]
 
 
+# --- row-oriented API (the reference's primary user surface) ------------
+#
+# parquet-go's front door is NewParquetReader -> Read(&rows) and
+# NewParquetWriter -> Write(obj) -> WriteStop (reference:
+# /root/reference/reader/reader.go:427-478, writer/ops.go:134-180);
+# these are the idiomatic python twins over the same engine kernels:
+# dict-rows in, dict-rows out, schema inferred by arrow when not given.
+
+def read_rows(path: str, columns: list[str] | None = None,
+              batch_rows: int = 0, decryption=None):
+    """Decode a real parquet file to python dict-rows. With
+    ``batch_rows`` > 0, yields lists of rows per batch (the
+    ReadByNumber analog — row groups stream one at a time, so memory
+    is bounded by a row group, not the file)."""
+    n_rg = num_row_groups(path)
+
+    def gen():
+        buf: list[dict] = []
+        for g in range(n_rg):
+            t = decode_table(path, columns=columns, row_groups=[g],
+                             decryption=decryption)
+            buf.extend(t.to_pylist())
+            while batch_rows and len(buf) >= batch_rows:
+                yield buf[:batch_rows]
+                buf = buf[batch_rows:]
+        if buf or not batch_rows:
+            yield buf
+
+    if batch_rows:
+        return gen()
+    out: list[dict] = []
+    for chunk in gen():
+        out.extend(chunk)
+    return out
+
+
+def write_rows(rows: list, path: str, schema=None, **write_kw) -> None:
+    """Serialize python dict-rows to a real parquet file via engine
+    codecs (Write(obj)+WriteStop analog). ``schema`` is an arrow
+    schema; inferred by arrow when omitted."""
+    import pyarrow as pa
+
+    from . import pqwriter
+
+    table = (pa.Table.from_pylist(rows, schema=schema) if schema
+             else pa.Table.from_pylist(rows))
+    pqwriter.write_table(table, path, **write_kw)
+
+
 def chunk_fully_dict(cc: ColumnChunkInfo) -> bool:
     """True when encoding_stats PROVES every data page of the chunk is
     dictionary-encoded (parquet-mr DictionaryFilter's precondition)."""
