@@ -62,6 +62,7 @@ def _payload_bytes(doc_ids: np.ndarray, sizes: np.ndarray) -> pa.BinaryArray:
 
 
 FMT_PNG = "png"
+FMT_JPEG = "jpeg"
 
 
 def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
@@ -71,11 +72,15 @@ def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
     ``container="png"`` wraps every single-frame raster in a REAL PNG
     (png.py, stdlib zlib) — same pixels, an actual image container, so
     the downstream decode step exercises a genuine codec; multi-frame
-    "videos" stay raw gray8v (PNG is single-image)."""
-    if container not in ("raw", "png"):
+    "videos" stay raw gray8v (PNG is single-image). ``container=
+    "jpeg"`` encodes through the baseline JPEG codec (jpeg.py) —
+    LOSSY, so it lives outside the exact pixel oracles; refereed
+    against the JDK's javax.imageio codec in tests/test_jpeg.py."""
+    if container not in ("raw", "png", "jpeg"):
         raise ValueError(f"unknown media container {container!r}")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import jpeg as jpegmod
         from .. import png as pngmod
 
         for b in batches:
@@ -87,7 +92,7 @@ def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
             sizes = (w.astype(np.int64) * h * np.where(is_video, fr, 1))
             media = _payload_bytes(doc_ids, sizes)
             fmt = np.where(is_video, FMT_VIDEO, FMT)
-            if container == "png":
+            if container in ("png", "jpeg"):
                 # per-row container encode (zlib is C-speed; pixel
                 # generation above stays one vectorized pass)
                 blobs = []
@@ -98,9 +103,13 @@ def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
                     else:
                         img = np.frombuffer(raw, np.uint8).reshape(
                             int(h[i]), int(w[i]))
-                        blobs.append(pngmod.encode_gray8(img))
+                        blobs.append(pngmod.encode_gray8(img)
+                                     if container == "png"
+                                     else jpegmod.encode(img, 95))
                 media = pa.array(blobs, pa.binary())
-                fmt = np.where(is_video, FMT_VIDEO, FMT_PNG)
+                fmt = np.where(is_video, FMT_VIDEO,
+                               FMT_PNG if container == "png"
+                               else FMT_JPEG)
                 sizes = np.array([len(x) for x in blobs], dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -133,6 +142,12 @@ def decode_media(payload: bytes, fmt: str, width: int, height: int) -> np.ndarra
         from .. import png as pngmod
 
         return pngmod.decode_gray8(payload)[None, :, :]
+    if fmt == FMT_JPEG:
+        from .. import jpeg as jpegmod
+
+        img = jpegmod.decode(payload)
+        return img[None, :, :] if img.ndim == 2 else \
+            img.transpose(2, 0, 1)
     if fmt in (FMT, FMT_VIDEO):
         return np.frombuffer(payload, dtype=np.uint8).reshape(-1, height, width)
     raise NotImplementedError(
@@ -324,6 +339,7 @@ def thumbnail_query(spark: SparkSession, sf_dir: str,
                      container=container)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import jpeg as jpegmod
         from .. import png as pngmod
 
         for b in batches:

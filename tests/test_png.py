@@ -111,4 +111,4 @@ def test_decode_media_png_path():
     out = mm.decode_media(png.encode_gray8(img), "png", 29, 17)
     assert out.shape == (1, 17, 29) and np.array_equal(out[0], img)
     with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\xff\xd8\xff", "jpeg", 8, 8)
+        mm.decode_media(b"\x00\x00\x01", "h264", 8, 8)

@@ -132,7 +132,12 @@ def test_mm_thumbnail_shapes(spark):
 def test_mm_decode_stub_raises():
     from parquet_go_spark.operators.multimodal import decode_media
 
+    # jpeg/png are REAL codecs now; the declared stub covers formats
+    # whose codecs genuinely need absent libraries (e.g. h264 video)
     with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x01", "h264", 2, 2)
+    # and a corrupt jpeg fails as a decode error, not a stub
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "jpeg", 2, 2)
 
 
