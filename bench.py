@@ -257,6 +257,23 @@ def main() -> None:
             best = wall if best is None else min(best, wall)
         qtimes[name] = round(best, 2)
 
+    # --- parquet interop surface (round 3): engine-written/-decoded
+    # REAL parquet end-to-end, separate from the headline sum so the
+    # 10-query round-over-round comparison stays apples-to-apples
+    io_times: dict[str, float] = {}
+    for name in ("pq_writer_roundtrip", "pq_reader_roundtrip",
+                 "pq_reader_pages", "pq_nested_roundtrip"):
+        if name not in qmap:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(qmap[name](spark, SF_DIR))
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        io_times[name] = round(best, 2)
+    result["parquet_interop"] = io_times
+
     # --- family 2: encode throughput + compression at current cores ---
     tok_input = os.path.join(tempfile.gettempdir(), f"bench_tokens_{args.rows}")
     from parquet_go_spark.sources.synth import token_sequences
