@@ -508,10 +508,22 @@ def decode(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit baseline supported")
+            # defensive bound (frame.py discipline): a lying SOF must
+            # fail BEFORE any allocation sized by it
+            if not (0 < h and 0 < w and h * w <= (1 << 26)):
+                raise ValueError(f"jpeg: implausible dimensions "
+                                 f"{w}x{h}")
+            if not (1 <= nc <= 4):
+                raise ValueError(f"jpeg: implausible component count "
+                                 f"{nc}")
             comps = []
             for ci in range(nc):
                 cid, sf, tq = payload[6 + ci * 3: 9 + ci * 3]
-                comps.append({"id": cid, "sh": sf >> 4, "sv": sf & 0x0F,
+                sh, sv = sf >> 4, sf & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"jpeg: implausible sampling {sh}x{sv}")
+                comps.append({"id": cid, "sh": sh, "sv": sv,
                               "tq": tq})
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and \
                 marker != 0xC8 and marker != 0xC4:
@@ -526,7 +538,10 @@ def decode(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cid, tt = payload[1 + 2 * i: 3 + 2 * i]
-                c = next(c for c in comps if c["id"] == cid)
+                c = next((c for c in comps if c["id"] == cid), None)
+                if c is None:
+                    raise ValueError(f"jpeg: SOS names unknown "
+                                     f"component {cid}")
                 c["td"], c["ta"] = tt >> 4, tt & 0x0F
                 scan.append(c)
             break

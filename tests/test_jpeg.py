@@ -149,3 +149,42 @@ def test_multimodal_jpeg_container(spark):
                               r["width"], r["height"])
         assert dec.shape == (1, r["height"], r["width"])
     assert n_img > 0
+
+
+def test_jpeg_fuzz_never_hangs():
+    """Truncations and byte flips raise clean errors in bounded time —
+    never hang, overallocate, or crash (frame.py fuzz discipline)."""
+    import struct as structmod
+    import time
+
+    img = _smooth_gray(32, 24)
+    blob = jpeg.encode(img, quality=80)
+    ok = (ValueError, KeyError, IndexError, OverflowError,
+          structmod.error, ZeroDivisionError)
+    t0 = time.time()
+    for cut in range(0, len(blob), 7):
+        try:
+            jpeg.decode(blob[:cut])
+        except ok:
+            pass
+    rng = np.random.default_rng(4)
+    for _ in range(300):
+        mut = bytearray(blob)
+        i = int(rng.integers(2, len(mut)))
+        mut[i] ^= int(rng.integers(1, 256))
+        try:
+            out = jpeg.decode(bytes(mut))
+            assert out.ndim in (2, 3)      # or decodes to SOME image
+        except ok:
+            pass
+    assert time.time() - t0 < 60
+
+
+def test_jpeg_lying_sof_refused():
+    img = _smooth_gray(16, 16)
+    blob = bytearray(jpeg.encode(img, quality=80))
+    i = blob.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) — lie about h and w
+    blob[i + 5:i + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="implausible"):
+        jpeg.decode(bytes(blob))

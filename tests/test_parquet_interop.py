@@ -259,3 +259,33 @@ def test_row_api_roundtrip(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(p).to_pylist() == rows
+
+
+def test_cli_pq_export_import(spark, tmp_path):
+    """CLI migration verbs drive the engine parquet writer/reader."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import submit_encode as cli
+
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    register(spark)
+    store = str(tmp_path / "store")
+    src = spark.range(500).selectExpr(
+        "id", "cast(id % 7 as string) AS cat")
+    src.write.format("pgs").mode("append").save(store)
+
+    class A:
+        pass
+
+    a = A()
+    a.store, a.out, a.compression = store, str(tmp_path / "pq"), "zstd"
+    assert cli.cmd_pq_export(a) == 0
+    b = A()
+    b.src, b.store = a.out, str(tmp_path / "store2")
+    assert cli.cmd_pq_import(b) == 0
+    got = (spark.read.format("pgs").load(b.store)
+           .orderBy("id").collect())
+    assert [r["id"] for r in got] == list(range(500))
+    assert got[13]["cat"] == "6"

@@ -431,6 +431,38 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_pq_export(args) -> int:
+    """Store -> ENGINE-written real parquet files (pqwriter codecs,
+    one file per partition) — the migration off-ramp whose bytes come
+    from this engine, not Spark's writer."""
+    from parquet_go_spark.operators.parquet_sink import (
+        export_store_to_parquet)
+
+    spark = _get_session("pgs-pq-export")
+    manifest = export_store_to_parquet(spark, args.store, args.out,
+                                       compression=args.compression)
+    print(json.dumps({"job": "pq-export",
+                      "files": len(manifest),
+                      "rows": sum(m["rows"] for m in manifest)}))
+    return 0
+
+
+def cmd_pq_import(args) -> int:
+    """Real parquet directory -> PGS store via the ENGINE's spec
+    decoder (footer-enumerated (file, row-group) units, one per task)."""
+    from parquet_go_spark.operators.parquet_sink import (
+        import_parquet_to_store)
+
+    spark = _get_session("pgs-pq-import")
+    import_parquet_to_store(spark, args.src, args.store)
+    from parquet_go_spark.sources.pgs_datasource import register
+
+    register(spark)
+    n = spark.read.format("pgs").load(args.store).count()
+    print(json.dumps({"job": "pq-import", "rows": n}))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -619,6 +651,17 @@ def main() -> int:
     ver.add_argument("--encrypt-key-hex", default=None)
     ver.add_argument("--column-keys-hex", default=None)
     ver.set_defaults(fn=cmd_verify)
+
+    pqe = sub.add_parser("pq-export")
+    pqe.add_argument("--store", required=True)
+    pqe.add_argument("--out", required=True)
+    pqe.add_argument("--compression", default="zstd")
+    pqe.set_defaults(fn=cmd_pq_export)
+
+    pqi = sub.add_parser("pq-import")
+    pqi.add_argument("--src", required=True)
+    pqi.add_argument("--store", required=True)
+    pqi.set_defaults(fn=cmd_pq_import)
 
     args = ap.parse_args()
     return args.fn(args)
