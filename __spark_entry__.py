@@ -172,16 +172,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- tokenizer / retrieval / selection pipeline ---
     # vocab training + tokenization, and the engine roundtrip on the
     # learned tokens
-    q["text_tokenize"] = _tokz.text_tokenize_query
     q["tokenize_encode_roundtrip"] = _tokz.tokenize_encode_roundtrip_query
-    q["text_postings"] = _post.text_postings_query
     q["postings_encode_roundtrip"] = _post.postings_encode_roundtrip_query
     q["text_keywords"] = _kw.text_keywords_query
     # BM25 top-k retrieval (rational idf; bit-exact cross-engine scoring)
     q["text_bm25"] = _ret.text_bm25_query
     # distributed BPE merge training + application + engine roundtrip
     q["bpe_train"] = _bpe.bpe_train_query
-    q["bpe_encode"] = _bpe.bpe_encode_query
     q["bpe_encode_roundtrip"] = _bpe.bpe_encode_roundtrip_query
     # DSIR-style importance-weighted selection (hashed-bucket ratios)
     q["curate_dsir"] = _dsir.curate_dsir_query
@@ -191,11 +188,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal family (binary payload + typed metadata) ---
     q["mm_metadata"] = _mm.metadata_query
     q["mm_features"] = _mm.features_query
-    q["mm_thumbnail"] = _mm.thumbnail_pixels_query
+    q["mm_thumbnail_png"] = _mm.thumbnail_png_pixels_query
 
     # --- ANN family (bucketed similarity at scale) ---
     q["sim_lsh_ann"] = _sim.lsh_ann_query
     q["sim_ivf_ann"] = _sim.ivf_ann_query
+
+    # --- real-parquet interop sentinels (engine writer + reader) ---
+    from parquet_go_spark.operators import parquet_sink as _pqs0
+
+    q["pq_writer_roundtrip"] = _pqs0.writer_roundtrip_query
+    q["pq_reader_roundtrip"] = _pqs0.reader_roundtrip_query
+    q["pq_nested_roundtrip"] = _pqs0.nested_roundtrip_query
 
     # --- rt_ sentinels: full codec stack incl. auto-selection, forced
     # menu (delta/FOR/dict/RLE/BSS/ALP/FSST), and nested shredding ---
@@ -354,8 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back by Spark's JVM vectorized reader (pqwriter.py)
     from parquet_go_spark.operators import parquet_sink as _pqs
 
-    q["pq_writer_roundtrip"] = _pqs.writer_roundtrip_query
-    q["pq_reader_roundtrip"] = _pqs.reader_roundtrip_query
+    q["text_tokenize"] = _tokz.text_tokenize_query
+    q["text_postings"] = _post.text_postings_query
+    q["bpe_encode"] = _bpe.bpe_encode_query
+    q["mm_thumbnail"] = _mm.thumbnail_pixels_query
     q["pq_reader_embeddings"] = _pqs.reader_embeddings_query
     q["pq_writer_embeddings"] = _pqs.writer_embeddings_query
     q["pq_reader_pruned"] = _pqs.reader_pruned_query
