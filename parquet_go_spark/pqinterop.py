@@ -1137,8 +1137,24 @@ def decode_table(path: str, columns: list[str] | None = None,
     for f in schema:
         if pa.types.is_nested(f.type) and _nested_in_nested(f.type):
             chunks = []
+            tree = None
             for gi in sel:
-                arr = _assemble_general(path, groups[gi], f)
+                if tree is None:
+                    tree = _top_tree(meta, f.name)
+                arr = None
+                if tree["kind"] == "list" and pa.types.is_list(f.type):
+                    vt = f.type.value_type
+                    if pa.types.is_struct(vt):
+                        arr = _assemble_list_struct(
+                            path, groups[gi], f, tree)
+                    elif pa.types.is_list(vt) and \
+                            not pa.types.is_nested(vt.value_type):
+                        arr = _assemble_list_list(
+                            path, groups[gi], f, tree)
+                    if arr is not None:
+                        arr = arr.cast(f.type)
+                if arr is None:
+                    arr = _assemble_general(path, groups[gi], f)
                 r = row_ranges.get(gi)
                 if r is not None:
                     arr = arr.take(pa.array(
@@ -1464,6 +1480,127 @@ def _storageize(t):
         return pa.struct([pa.field(f.name, _storageize(f.type), f.nullable)
                           for f in t])
     return t
+
+
+def _typed_entry_array(vals, defs: np.ndarray, max_def: int,
+                       sel: np.ndarray, atype) -> "object":
+    """Leaf (values, defs) -> typed arrow array over the SELECTED
+    entries (sel bool mask), nulls where def < max_def."""
+    import pyarrow as pa
+
+    pres = (defs == max_def)[sel]
+    n = int(sel.sum())
+    if isinstance(vals, np.ndarray):
+        # values are the present-only stream; position of each entry
+        vidx = np.cumsum(defs == max_def) - 1
+        full = np.zeros(n, vals.dtype)
+        full[pres] = vals[vidx[sel][pres]]
+        return pa.array(full, mask=~pres).cast(atype)
+    vidx = np.cumsum(defs == max_def) - 1
+    sub = vidx[sel]
+    out = [vals[sub[i]] if pres[i] else None for i in range(n)]
+    return pa.array(out, pa.binary()).cast(atype)
+
+
+def _assemble_list_struct(path: str, chunks_rg: list, field,
+                          tree) -> "object | None":
+    """Vectorized lane for list<struct<primitives>>: every leaf shares
+    one entry stream; offsets/validity from the first leaf's levels,
+    element arrays zipped into a StructArray. Returns None when the
+    shape doesn't match (caller falls back to the general path)."""
+    import pyarrow as pa
+
+    child = tree["child"]
+    if child["kind"] != "struct" or any(
+            ch["kind"] != "leaf" for ch in child["children"]):
+        return None
+    d_list, d_slot = tree["d"], tree["d_slot"]
+    leaf_nodes = child["children"]
+    arrays = []
+    reps0 = defs0 = None
+    for ln, f in zip(leaf_nodes, field.type.value_type):
+        cc = next(c for c in chunks_rg if c.name == ln["path"])
+        buf, rcc = chunk_reader(path, cc)
+        rep, defs, vals = _decode_chunk_levels(buf, rcc)
+        if defs is None:
+            defs = np.full(len(rep), ln["d"], np.int64)
+        if reps0 is None:
+            reps0, defs0 = rep, defs
+        ent_mask = defs >= d_slot
+        arrays.append((_typed_entry_array(vals, defs, ln["d"],
+                                          ent_mask, f.type), ln))
+    new_row = reps0 == 0
+    n_rows = int(new_row.sum())
+    row_idx = np.cumsum(new_row) - 1
+    ent_mask = defs0 >= d_slot
+    counts = np.bincount(row_idx[ent_mask], minlength=n_rows)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    row_valid = defs0[new_row] >= d_list
+    st_d = child["d"]
+    mask = None
+    if st_d > d_slot:                        # optional struct element
+        mask = pa.array(defs0[ent_mask] < st_d)
+    st = pa.StructArray.from_arrays(
+        [a for a, _ in arrays], fields=list(field.type.value_type),
+        mask=mask)
+    off_arr = pa.array(
+        [None if not row_valid[i] else int(offs[i])
+         for i in range(n_rows)] + [int(offs[-1])], pa.int32())
+    return pa.ListArray.from_arrays(off_arr, st)
+
+
+def _assemble_list_list(path: str, chunks_rg: list, field,
+                        tree) -> "object | None":
+    """Vectorized lane for list<list<primitive>>: inner offsets over
+    all entries, outer offsets at rep<=1."""
+    import pyarrow as pa
+
+    inner = tree["child"]
+    if inner["kind"] != "list" or inner["child"]["kind"] != "leaf":
+        return None
+    leaf = inner["child"]
+    cc = next(c for c in chunks_rg if c.name == leaf["path"])
+    buf, rcc = chunk_reader(path, cc)
+    rep, defs, vals = _decode_chunk_levels(buf, rcc)
+    if defs is None:
+        defs = np.full(len(rep), leaf["d"], np.int64)
+    # inner lists: slots of the OUTER list = entries with rep <= 1
+    o_start = rep <= tree["r"]
+    n_in = int(o_start.sum())
+    in_idx = np.cumsum(o_start) - 1
+    elem_mask = defs >= inner["d_slot"]
+    in_counts = np.bincount(in_idx[elem_mask], minlength=n_in)
+    in_offs = np.zeros(n_in + 1, np.int64)
+    np.cumsum(in_counts, out=in_offs[1:])
+    in_valid = defs[o_start] >= inner["d"]
+    elems = _typed_entry_array(vals, defs, leaf["d"], elem_mask,
+                               field.type.value_type.value_type)
+    in_off_arr = pa.array(
+        [None if not in_valid[i] else int(in_offs[i])
+         for i in range(n_in)] + [int(in_offs[-1])], pa.int32())
+    inner_arr = pa.ListArray.from_arrays(in_off_arr, elems)
+    # outer rows over the inner-slot stream
+    rep_o = rep[o_start]
+    defs_o = defs[o_start]
+    new_row = rep_o == 0
+    n_rows = int(new_row.sum())
+    row_idx = np.cumsum(new_row) - 1
+    slot_mask = defs_o >= tree["d_slot"]
+    counts = np.bincount(row_idx[slot_mask], minlength=n_rows)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    row_valid = defs_o[new_row] >= tree["d"]
+    # inner_arr contains one entry per OUTER SLOT only where slot_mask;
+    # but placeholders (empty/null outer) also occupy inner entries —
+    # drop them by taking only real slots
+    if not slot_mask.all():
+        inner_arr = inner_arr.take(
+            pa.array(np.flatnonzero(slot_mask), pa.int64()))
+    off_arr = pa.array(
+        [None if not row_valid[i] else int(offs[i])
+         for i in range(n_rows)] + [int(offs[-1])], pa.int32())
+    return pa.ListArray.from_arrays(off_arr, inner_arr)
 
 
 def _assemble_general(path: str, chunks_rg: list, field) -> "object":

@@ -263,3 +263,37 @@ def test_spark_reads_engine_nested(spark, written):
              None if r["sl"] is None else r["sl"]["x"])
             for r in t.to_pylist()]
     assert [(r["id"], r["nl"], r["x"]) for r in got] == want
+
+
+def test_fast_lanes_match_general(written):
+    """list<struct> and list<list> ride vectorized lanes in
+    decode_table; they must agree exactly with the general record
+    assembly (and both with pyarrow, covered above)."""
+    path, t = written
+    meta = P.read_footer(path)
+    groups = P.column_chunks(meta)
+    full = P.decode_table(path)
+    for col in ("ll", "ls"):
+        f = full.schema.field(col)
+        gen = P._assemble_general(path, groups[0], f).cast(f.type)
+        assert gen.to_pylist() == full.column(col).to_pylist(), col
+
+
+def test_fast_lane_speedup(written):
+    """The vectorized lanes must actually be faster than the row-wise
+    general assembly on the same chunk (sanity, not a benchmark)."""
+    import time
+
+    path, t = written
+    meta = P.read_footer(path)
+    groups = P.column_chunks(meta)
+    f = P.arrow_schema(meta).field("ll")
+    tree = P._top_tree(meta, "ll")
+    t0 = time.time()
+    for _ in range(3):
+        P._assemble_list_list(path, groups[0], f, tree)
+    fast = time.time() - t0
+    t0 = time.time()
+    P._assemble_general(path, groups[0], f)
+    gen = time.time() - t0
+    assert fast / 3 < gen, (fast / 3, gen)
