@@ -38,6 +38,7 @@ def write_parquet_dir(
     bloom_columns: list[str] | None = None,
     encryption=None,
     sorting_columns: list | None = None,
+    name_prefix: str | None = None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
@@ -58,7 +59,10 @@ def write_parquet_dir(
             return
         tbl = pa.Table.from_batches(got)
         pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.parquet"
+        # a caller-supplied prefix makes names DETERMINISTIC so a
+        # retried streaming epoch overwrites instead of duplicating
+        name = (f"{name_prefix}part-{pid:05d}.parquet" if name_prefix
+                else f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.parquet")
         path = os.path.join(out_dir, name)
         task_enc = None
         if encryption is not None:
@@ -79,6 +83,23 @@ def write_parquet_dir(
 
     manifest = df.mapInArrow(fn, "file string, rows long, bytes long")
     return [r.asDict() for r in manifest.collect()]
+
+
+def write_parquet_stream(df: DataFrame, out_dir: str,
+                         checkpoint: str, **write_kw):
+    """Structured Streaming front door for the engine parquet writer:
+    every micro-batch lands as engine-written .parquet files via
+    foreachBatch. Epoch-deterministic file names make a retried epoch
+    overwrite its own files (idempotent), so the sink is exactly-once
+    at file granularity under Spark's epoch replay."""
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        write_parquet_dir(batch_df, out_dir,
+                          name_prefix=f"epoch-{epoch_id:08d}-",
+                          **write_kw)
+
+    return (df.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", checkpoint))
 
 
 # -------------------------------------------------------------- gate query
@@ -141,6 +162,9 @@ def _rg_stats_keep(meta: dict, gi: int, col: str, pred: tuple) -> bool:
     if op == "eq":
         v = pred[1].encode() if isinstance(pred[1], str) else pred[1]
         return mn <= v <= mx
+    if op == "in":
+        return any(mn <= (v.encode() if isinstance(v, str) else v) <= mx
+                   for v in pred[1])
     if op == "range":
         lo = pred[1].encode() if isinstance(pred[1], str) else pred[1]
         hi = pred[2].encode() if isinstance(pred[2], str) else pred[2]
@@ -154,12 +178,16 @@ def _rg_bloom_keep(path: str, meta: dict, gi: int, col: str,
     Bloom bytes arrive via a ranged read (never the whole file)."""
     from .. import pqinterop as P
 
-    if pred[0] != "eq":
+    if pred[0] not in ("eq", "in"):
         return True
     for cc in P.column_chunks(meta)[gi]:
         if cc.name == col or cc.top_name == col:
             if cc.bloom_offset is None:
                 return True
+            if pred[0] == "in":
+                return any(
+                    _rg_bloom_keep(path, meta, gi, col, ("eq", v))
+                    for v in pred[1])
             v = pred[1]
             if isinstance(v, str):
                 b = v.encode()
@@ -185,7 +213,7 @@ def _rg_dict_keep(path: str, meta: dict, gi: int, col: str,
     page decides membership — definitely-absent drops the unit."""
     from .. import pqinterop as P
 
-    if pred[0] != "eq":
+    if pred[0] not in ("eq", "in"):
         return True
     for cc in P.column_chunks(meta)[gi]:
         if cc.name == col or cc.top_name == col:
@@ -194,12 +222,13 @@ def _rg_dict_keep(path: str, meta: dict, gi: int, col: str,
             d = P.read_dictionary(path, cc)
             if d is None:
                 return True
-            v = pred[1]
-            if isinstance(v, str):
-                v = v.encode()
+            vals = pred[1] if pred[0] == "in" else [pred[1]]
+            vals = [v.encode() if isinstance(v, str) else v
+                    for v in vals]
             if isinstance(d, np.ndarray):
-                return bool(np.isin(v, d).any())
-            return v in d
+                return bool(np.isin(np.array(vals), d).any())
+            dset = set(d)
+            return any(v in dset for v in vals)
     return True
 
 
@@ -275,6 +304,8 @@ def read_parquet_dir(
     for col, pred in (filters or {}).items():
         if pred[0] == "eq":
             df = df.filter(F.col(col) == F.lit(pred[1]))
+        elif pred[0] == "in":
+            df = df.filter(F.col(col).isin(list(pred[1])))
         elif pred[0] == "range":
             df = df.filter(F.col(col).between(F.lit(pred[1]),
                                               F.lit(pred[2])))

@@ -1012,6 +1012,8 @@ def _pred_page_keep(ci, pred) -> list[bool]:
             keep.append(True)
         elif op == "eq":
             keep.append(mn <= enc(pred[1]) <= mx)
+        elif op == "in":
+            keep.append(any(mn <= enc(v) <= mx for v in pred[1]))
         elif op == "range":
             keep.append(not (mx < enc(pred[1]) or enc(pred[2]) < mn))
         else:

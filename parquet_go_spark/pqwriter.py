@@ -1632,9 +1632,15 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             (3, CT_I64, rg_rows),
             (4, CT_LIST, (CT_STRUCT, sort_structs))
             if sort_structs else (4, CT_LIST, None),
-            (6, CT_I64, chunks[0].start if chunks else None),
-            (7, CT_I64, rg_c),
-            (9, CT_I16, rgi),
+            # parquet.thrift RowGroup: 5 file_offset, 6 total_
+            # compressed_size, 7 ordinal (i16). Mis-numbering these
+            # silently LOSES ROWS in Spark: its split assignment takes
+            # the row group whose (file_offset + size/2) midpoint lands
+            # in the split, so a wrong size pushes midpoints out of
+            # every split — caught by the JVM-reader referee test.
+            (5, CT_I64, chunks[0].start if chunks else None),
+            (6, CT_I64, rg_c),
+            (7, CT_I16, rgi),
         ]))
 
     schema_elems = [_tstruct([(4, CT_BINARY, "schema"),

@@ -356,10 +356,15 @@ def test_rowgroup_metadata_completeness(tmp_path):
     p, t = _dict_file(tmp_path)
     meta = P.read_footer(p)
     rg = meta[4][0]
-    assert rg.get(9) == 0                          # ordinal
-    assert rg.get(6) == 4                          # first page after magic
+    assert rg.get(7) == 0                          # ordinal
+    assert rg.get(5) == 4                          # first page after magic
     ccs = _chunks(p)
-    assert rg.get(7) == sum(c.total_compressed for c in ccs)
+    assert rg.get(6) == sum(c.total_compressed for c in ccs)
+    # parquet-cpp parses the file intact with these fields present
+    import pyarrow.parquet as pqmod
+
+    md = pqmod.ParquetFile(p).metadata.row_group(0)
+    assert md.num_rows == rg.get(3)
 
 
 def test_dictionary_pruning_drops_units(spark, tmp_path):
@@ -390,3 +395,36 @@ def test_dictionary_pruning_drops_units(spark, tmp_path):
     got = read_parquet_dir(spark, out,
                            filters={"cat": ("eq", "nope")}).collect()
     assert got == []
+
+
+def test_in_predicate_prunes_all_layers(spark, tmp_path):
+    """IN-list probes prune through stats, blooms, dictionaries, and
+    the ColumnIndex — and the exact isin re-applies in Spark."""
+    from parquet_go_spark.operators.parquet_sink import (
+        read_parquet_dir, write_parquet_dir)
+
+    n = 8000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "cat": pa.array([f"c{i % 16}" for i in range(n)]),
+    })
+    out = str(tmp_path / "d")
+    df = spark.createDataFrame(t.to_pandas()).orderBy("k")
+    write_parquet_dir(df.coalesce(1), out, row_group_rows=1 << 20,
+                      page_rows=500, bloom_columns=["k"],
+                      sorting_columns=["k"])
+    rows = read_parquet_dir(
+        spark, out, filters={"k": ("in", [5, 4321, 7999])}).collect()
+    assert sorted(r["k"] for r in rows) == [5, 4321, 7999]
+    # page ranges: the three values fall in pages 0, 8, 15
+    import glob
+
+    f = glob.glob(out + "/*.parquet")[0]
+    meta = P.read_footer(f)
+    r, pruned = P.predicate_row_ranges(
+        f, meta, 0, {"k": ("in", [5, 4321, 7999])})
+    assert pruned and r == [(0, 500), (4000, 4500), (7500, 8000)]
+    # dictionary layer on the categorical column
+    rows2 = read_parquet_dir(
+        spark, out, filters={"cat": ("in", ["nope", "never"])}).collect()
+    assert rows2 == []

@@ -289,3 +289,27 @@ def test_cli_pq_export_import(spark, tmp_path):
            .orderBy("id").collect())
     assert [r["id"] for r in got] == list(range(500))
     assert got[13]["cat"] == "6"
+
+
+def test_streaming_parquet_sink(spark, tmp_path):
+    """writeStream -> engine parquet files -> engine reader."""
+    from parquet_go_spark.operators.parquet_sink import (
+        read_parquet_dir, write_parquet_stream)
+
+    src_dir = str(tmp_path / "src")
+    spark.range(300).selectExpr(
+        "id", "cast(id % 5 as string) AS cat"
+    ).coalesce(1).write.parquet(src_dir)
+    stream = (spark.readStream.schema("id long, cat string")
+              .parquet(src_dir))
+    out = str(tmp_path / "out")
+    q = write_parquet_stream(
+        stream, out, str(tmp_path / "ckpt"),
+        compression="snappy").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = read_parquet_dir(spark, out).orderBy("id").collect()
+    assert [r["id"] for r in got] == list(range(300))
+    import glob
+
+    names = sorted(glob.glob(out + "/*.parquet"))
+    assert names and all("epoch-" in n for n in names)
