@@ -485,6 +485,54 @@ FROM lineitem
 """
 
 
+def describe_parquet_dir(path: str) -> dict:
+    """Footer-only summary of a parquet directory (never reads data
+    pages — metadata-scale even at 100 TB): files, row groups, rows,
+    compressed/uncompressed bytes per column, codecs, and which chunks
+    carry PageIndex / blooms / dictionaries."""
+    import glob as globmod
+
+    from .. import pqinterop as P
+
+    files = sorted(globmod.glob(os.path.join(path, "*.parquet"))
+                   if os.path.isdir(path) else [path])
+    cols: dict[str, dict] = {}
+    n_rows = n_rgs = 0
+    for f in files:
+        meta = P.read_footer(f)
+        n_rows += meta[3]
+        for rg in P.column_chunks(meta):
+            n_rgs += 1
+            for cc in rg:
+                d = cols.setdefault(cc.name, {
+                    "compressed": 0, "chunks": 0,
+                    "codecs": set(), "page_index": 0, "bloom": 0,
+                    "dict": 0})
+                d["compressed"] += cc.total_compressed
+                d["chunks"] += 1
+                d["codecs"].add(P._CODEC_NAMES.get(cc.codec) or "none")
+                d["page_index"] += int(cc.ci_off is not None)
+                d["bloom"] += int(cc.bloom_offset is not None)
+                d["dict"] += int(cc.dict_page_offset is not None)
+    for d in cols.values():
+        d["codecs"] = sorted(d["codecs"])
+    return {"files": len(files), "row_groups": n_rgs, "rows": n_rows,
+            "columns": cols}
+
+
+def compact_parquet_dir(spark: SparkSession, src: str, dst: str,
+                        target_rows: int = 1 << 20,
+                        **write_kw) -> list[dict]:
+    """Bin-pack a directory of small parquet files into ~target_rows
+    files (the 100 TB small-file problem): engine decode distributed
+    one (file, row-group) per task, one range repartition, engine
+    write — no driver data path."""
+    info = describe_parquet_dir(src)
+    parts = max(1, (info["rows"] + target_rows - 1) // target_rows)
+    df = read_parquet_dir(spark, src).repartition(parts)
+    return write_parquet_dir(df, dst, **write_kw)
+
+
 # ---------------------------------------------------- migration verbs
 
 def export_store_to_parquet(spark: SparkSession, store_dir: str,

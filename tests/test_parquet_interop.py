@@ -313,3 +313,24 @@ def test_streaming_parquet_sink(spark, tmp_path):
 
     names = sorted(glob.glob(out + "/*.parquet"))
     assert names and all("epoch-" in n for n in names)
+
+
+def test_describe_and_compact_parquet_dir(spark, tmp_path):
+    from parquet_go_spark.operators.parquet_sink import (
+        compact_parquet_dir, describe_parquet_dir, read_parquet_dir,
+        write_parquet_dir)
+
+    src = str(tmp_path / "small")
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    write_parquet_dir(df.repartition(16), src)      # 16 small files
+    info = describe_parquet_dir(src)
+    assert info["files"] == 16 and info["rows"] == 2000
+    assert info["columns"]["id"]["chunks"] == 16
+    assert info["columns"]["id"]["page_index"] == 16
+    dst = str(tmp_path / "big")
+    manifest = compact_parquet_dir(spark, src, dst,
+                                   target_rows=1000)
+    assert len(manifest) == 2                        # bin-packed
+    got = read_parquet_dir(spark, dst).orderBy("id").collect()
+    assert [r["id"] for r in got] == list(range(2000))
+    assert describe_parquet_dir(dst)["rows"] == 2000
