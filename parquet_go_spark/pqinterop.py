@@ -710,6 +710,17 @@ def _arrow_leaf_type(el: dict) -> "object":
                 t = pa.date32()
             elif conv == 5 or 5 in logical:               # DECIMAL
                 t = pa.decimal128(el[8], el[7])
+            elif 10 in logical:                           # IntType
+                it = logical[10]
+                bw, signed = it.get(1, 32), bool(it.get(2, True))
+                t = {(8, True): pa.int8(), (16, True): pa.int16(),
+                     (32, True): pa.int32(), (8, False): pa.uint8(),
+                     (16, False): pa.uint16(),
+                     (32, False): pa.uint32()}[(bw, signed)]
+            elif conv == 15:
+                t = pa.int8()
+            elif conv == 16:
+                t = pa.int16()
         elif ptype == T_INT64:
             t = pa.int64()
             ts = logical.get(8)
@@ -723,6 +734,8 @@ def _arrow_leaf_type(el: dict) -> "object":
                 t = pa.timestamp("us", tz="UTC")
             elif conv == 5 or 5 in logical:
                 t = pa.decimal128(el[8], el[7])
+            elif conv == 8 or 7 in logical:               # TIME micros
+                t = pa.time64("us")
         elif ptype == T_FLOAT:
             t = pa.float32()
         elif ptype == T_DOUBLE:
@@ -730,7 +743,7 @@ def _arrow_leaf_type(el: dict) -> "object":
         elif ptype == T_BYTE_ARRAY:
             t = pa.string() if (conv == 0 or 1 in logical) else pa.binary()
         elif ptype == T_FLBA:
-            t = pa.binary(el[2])
+            t = pa.float16() if 15 in logical else pa.binary(el[2])
         elif ptype == T_INT96:
             t = pa.timestamp("us", tz="UTC")              # legacy impala
         else:
@@ -1244,6 +1257,13 @@ def _typed_leaf_array(vals: list, ftype):
              .scaleb(-scale) for v in vals], ftype)
     if pa.types.is_string(ftype):
         return pa.array(vals, pa.binary()).cast(ftype)
+    if pa.types.is_float16(ftype):
+        buf = b"".join(b"\x00\x7e" if v is None else v for v in vals)
+        arr = np.frombuffer(buf, np.float16)
+        mask = np.array([v is None for v in vals], bool)
+        return pa.array(arr, mask=mask)
+    if pa.types.is_time64(ftype):
+        return pa.array(vals, pa.int64()).cast(ftype)
     return pa.array(vals, ftype)
 
 

@@ -78,6 +78,8 @@ def _tv(ct: int, v) -> bytes:
     """Serialize one compact-protocol value of container type ct."""
     if ct == CT_TRUE:           # bool inside a list: 1 = true, 2 = false
         return b"\x01" if v else b"\x02"
+    if ct == 3:                 # CT_BYTE: one signed byte
+        return bytes([int(v) & 0xFF])
     if ct in (CT_I16, CT_I32, CT_I64):
         return write_uvarint(_zz(int(v)))
     if ct == CT_BINARY:
@@ -236,6 +238,26 @@ def _map_type(field: pa.Field) -> _Col:
         return _Col(field.name, T_BOOLEAN)
     if pa.types.is_int32(t):
         return _Col(field.name, T_INT32, np_dtype=np.dtype("<i4"))
+    if pa.types.is_int8(t) or pa.types.is_int16(t):
+        bw = 8 if pa.types.is_int8(t) else 16
+        it = _tstruct([(1, 3, bw), (2, CT_TRUE, True)])   # IntType
+        return _Col(field.name, T_INT32,
+                    converted=15 if bw == 8 else 16,      # INT_8/INT_16
+                    logical=_logical(10, it),
+                    np_dtype=np.dtype("<i4"))
+    if pa.types.is_float16(t):
+        # FLOAT16 logical over FLBA(2), little-endian IEEE half
+        return _Col(field.name, T_FLBA, type_length=2,
+                    logical=_logical(15), np_dtype=np.dtype("<f2"))
+    if pa.types.is_time64(t):
+        if t.unit != "us":
+            raise ValueError("time64 must be cast to microseconds")
+        tt = _tstruct([(1, CT_TRUE, False),
+                       (2, CT_STRUCT, _tstruct([(2, CT_STRUCT,
+                                                 _EMPTY)]))])
+        return _Col(field.name, T_INT64, converted=8,     # TIME_MICROS
+                    logical=_logical(7, tt),
+                    np_dtype=np.dtype("<i8"))
     if pa.types.is_int64(t):
         return _Col(field.name, T_INT64, np_dtype=np.dtype("<i8"))
     if pa.types.is_float32(t):
@@ -396,6 +418,8 @@ def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
         elif col.scale is not None:        # FLBA decimal: signed BE order
             pass                           # ≠ byte order — omit bounds
+        elif col.np_dtype == np.dtype("<f2"):
+            pass                           # FLOAT16: same exclusion
         else:                              # FLBA
             mm = pc.min_max(arr_nonnull.cast(pa.binary(col.type_length)))
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
@@ -428,7 +452,9 @@ def _page_minmax(col: _Col, nonnull: pa.Array, vals, v_lo: int,
     ColumnIndex (exact-or-absent — same policy as Statistics): NaN
     floats, >128 B binaries, FLBA decimals (signed BE order ≠ byte
     order) and INT96 never get approximate bounds."""
-    if col.int96 or (col.scale is not None and col.ptype == T_FLBA):
+    if col.int96 or (col.scale is not None and col.ptype == T_FLBA) \
+            or (col.ptype == T_FLBA
+                and col.np_dtype == np.dtype("<f2")):
         return None, None, False
     if v_hi <= v_lo:
         return None, None, True          # all-null page
@@ -717,6 +743,9 @@ def _extract_vals(col: _Col, nonnull: pa.Array):
         return w[:, 0].view(np.int64).astype(col.np_dtype)
     if col.ptype == T_BYTE_ARRAY:
         return _bytes_and_offsets(nonnull)
+    if col.ptype == T_FLBA and col.np_dtype == np.dtype("<f2"):
+        return np.ascontiguousarray(
+            np.asarray(nonnull, np.float16)).tobytes()
     if col.ptype == T_FLBA:
         return b"".join(nonnull.cast(pa.binary(col.type_length)).to_pylist())
     if col.ptype == T_BOOLEAN:

@@ -671,3 +671,48 @@ def test_int96_spark_reads(spark, tmp_path):
     assert df.count() == n
     mn = df.selectExpr("min(ts) as m").first()["m"]
     assert mn is not None
+
+
+def test_small_int_float16_time_types(tmp_path, spark):
+    """Spark byte/short columns (arrow int8/int16), FLOAT16, and
+    TIME_MICROS through the writer and back, all referees."""
+    import pyarrow.parquet as pqmod
+
+    n = 1000
+    t = pa.table({
+        "b": pa.array([None if i % 9 == 0 else (i % 256) - 128
+                       for i in range(n)], pa.int8()),
+        "s": pa.array([(i % 60000) - 30000 for i in range(n)],
+                      pa.int16()),
+        "h": pa.array(np.arange(n, dtype=np.float16) / 8),
+        "t": pa.array([i * 1000 for i in range(n)], pa.time64("us")),
+    })
+    p = str(tmp_path / "x.parquet")
+    W.write_table(t, p, page_rows=200)
+    assert pqmod.read_table(p).to_pydict() == t.to_pydict()
+    from parquet_go_spark import pqinterop as P
+
+    assert P.decode_table(p).to_pydict() == t.to_pydict()
+    p2 = str(tmp_path / "pa.parquet")
+    pqmod.write_table(t, p2)
+    assert P.decode_table(p2).to_pydict() == t.to_pydict()
+    # Spark JVM referee — its reader REJECTS the FLOAT16 logical
+    # type (PARQUET_TYPE_ILLEGAL) and has no time64, so referee a
+    # small-int-only file
+    p3 = str(tmp_path / "ints.parquet")
+    W.write_table(t.select(["b", "s"]), p3, page_rows=200)
+    df = spark.read.parquet(p3)
+    assert df.schema.simpleString() == "struct<b:tinyint,s:smallint>"
+    got = df.agg({"s": "min", "b": "max"}).collect()[0]
+    assert got["min(s)"] == -30000
+    # and a Spark DataFrame with byte/short columns writes through
+    # the distributed sink (the gap that motivated this)
+    from parquet_go_spark.operators.parquet_sink import (
+        read_parquet_dir, write_parquet_dir)
+
+    sdf = spark.range(100).selectExpr(
+        "cast(id % 100 as byte) AS b", "cast(id as short) AS s")
+    out = str(tmp_path / "dir")
+    write_parquet_dir(sdf.coalesce(1), out)
+    back = read_parquet_dir(spark, out).orderBy("s").collect()
+    assert [r["s"] for r in back] == list(range(100))
