@@ -232,6 +232,34 @@ def _rg_dict_keep(path: str, meta: dict, gi: int, col: str,
     return True
 
 
+def _unify_schemas(schemas: list) -> "pa.Schema":
+    """Union of fields by name (first-seen order) across an EVOLVED
+    parquet directory: identical types pass, int32->int64 and
+    float->double widen, anything else refuses loudly; a column absent
+    from some file reads as nulls there."""
+    widen = {(pa.int32(), pa.int64()): pa.int64(),
+             (pa.int64(), pa.int32()): pa.int64(),
+             (pa.float32(), pa.float64()): pa.float64(),
+             (pa.float64(), pa.float32()): pa.float64()}
+    out: dict[str, object] = {}
+    order: list[str] = []
+    for sch in schemas:
+        for fl in sch:
+            if fl.name not in out:
+                out[fl.name] = fl.with_nullable(True)
+                order.append(fl.name)
+                continue
+            g = out[fl.name]
+            if g.type != fl.type:
+                w = widen.get((g.type, fl.type))
+                if w is None:
+                    raise ValueError(
+                        f"column {fl.name!r}: incompatible types "
+                        f"{g.type} vs {fl.type} across files")
+                out[fl.name] = pa.field(fl.name, w, True)
+    return pa.schema([out[n] for n in order])
+
+
 def read_parquet_dir(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     filters: dict | None = None, decryption=None,
@@ -252,8 +280,10 @@ def read_parquet_dir(
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
     units = []
+    schemas = {}
     for f in files:
         meta = pqinterop.read_footer(f, decryption)  # tail read only
+        schemas[f] = pqinterop.arrow_schema(meta)
         for g in range(len(meta[4])):
             keep = True
             for col, pred in (filters or {}).items():
@@ -264,8 +294,9 @@ def read_parquet_dir(
                                                    pred))))
             if keep:
                 units.append((f, g))
-    schema = pqinterop.arrow_schema(
-        pqinterop.read_footer(files[0], decryption))
+    uniform = all(s.equals(schemas[files[0]]) for s in schemas.values())
+    schema = (schemas[files[0]] if uniform
+              else _unify_schemas(list(schemas.values())))
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
 
@@ -288,10 +319,24 @@ def read_parquet_dir(
                             continue
                         if r != [(0, meta[4][g].get(3, 0))]:
                             ranges = {g: r}
-                tbl = P.decode_table(f, columns=columns,
+                proj = columns
+                if not uniform:
+                    have = set(P.arrow_schema(
+                        P.read_footer(f, decryption)).names)
+                    proj = [c for c in schema.names if c in have]
+                tbl = P.decode_table(f, columns=proj,
                                      row_groups=[g],
                                      decryption=decryption,
                                      row_ranges=ranges)
+                if not uniform:
+                    # evolved directory: missing columns read as
+                    # nulls, widened columns cast to the unified type
+                    arrays = [
+                        tbl.column(fl.name).cast(fl.type)
+                        if fl.name in tbl.column_names
+                        else pa.nulls(tbl.num_rows, fl.type)
+                        for fl in schema]
+                    tbl = pa.table(arrays, schema=schema)
                 yield from tbl.to_batches()
 
     units_df = spark.createDataFrame(units, "f string, g int").repartition(

@@ -334,3 +334,39 @@ def test_describe_and_compact_parquet_dir(spark, tmp_path):
     got = read_parquet_dir(spark, dst).orderBy("id").collect()
     assert [r["id"] for r in got] == list(range(2000))
     assert describe_parquet_dir(dst)["rows"] == 2000
+
+
+def test_evolved_directory_schema_unification(spark, tmp_path):
+    """A directory whose files have different (evolved) schemas reads
+    as the union: missing columns null, int32 widened to int64."""
+    import pyarrow as pa
+
+    from parquet_go_spark import pqwriter
+    from parquet_go_spark.operators.parquet_sink import read_parquet_dir
+
+    d = tmp_path / "evolved"
+    d.mkdir()
+    pqwriter.write_table(pa.table({
+        "id": pa.array(range(0, 50), pa.int32()),
+        "a": pa.array([f"a{i}" for i in range(50)]),
+    }), str(d / "old.parquet"))
+    pqwriter.write_table(pa.table({
+        "id": pa.array(range(50, 100), pa.int64()),   # widened
+        "a": pa.array([f"a{i}" for i in range(50, 100)]),
+        "b": pa.array([i * 2 for i in range(50, 100)], pa.int64()),
+    }), str(d / "new.parquet"))
+    df = read_parquet_dir(spark, str(d))
+    assert df.schema.simpleString() == \
+        "struct<id:bigint,a:string,b:bigint>"
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == list(range(100))
+    assert all(r["b"] is None for r in rows[:50])
+    assert rows[99]["b"] == 198
+    # incompatible evolution refuses loudly
+    pqwriter.write_table(pa.table({
+        "id": pa.array(["nope"]), "a": pa.array(["x"])
+    }), str(d / "bad.parquet"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="incompatible"):
+        read_parquet_dir(spark, str(d))
