@@ -17,7 +17,14 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     cd "$ROOT" && python tools/scaling_ladder.py >> "$LOG" 2>&1
     RC=$?
     echo "{\"at\": \"$(date -Is)\", \"event\": \"ladder exit $RC\"}" >> "$LOG"
-    [ "$RC" -eq 0 ] && exit 0
+    if [ "$RC" -eq 0 ]; then
+      # same healthy window: record a steady-state full bench too
+      echo "{\"at\": \"$(date -Is)\", \"event\": \"bench steady run\"}" >> "$LOG"
+      SPARK_GRAFT_SCALING=0 python bench.py \
+        > "$ROOT/BENCH/bench_round3_steady.json" 2>> "$LOG"
+      echo "{\"at\": \"$(date -Is)\", \"event\": \"bench done\"}" >> "$LOG"
+      exit 0
+    fi
   fi
   sleep 600
 done
