@@ -736,6 +736,11 @@ def _arrow_leaf_type(el: dict) -> "object":
                 t = pa.decimal128(el[8], el[7])
             elif conv == 8 or 7 in logical:               # TIME micros
                 t = pa.time64("us")
+            elif 10 in logical:                           # IntType 64
+                t = (pa.int64() if logical[10].get(2, True)
+                     else pa.uint64())
+            elif conv == 14:                              # UINT_64
+                t = pa.uint64()
         elif ptype == T_FLOAT:
             t = pa.float32()
         elif ptype == T_DOUBLE:
@@ -1264,6 +1269,11 @@ def _typed_leaf_array(vals: list, ftype):
         return pa.array(arr, mask=mask)
     if pa.types.is_time64(ftype):
         return pa.array(vals, pa.int64()).cast(ftype)
+    if pa.types.is_unsigned_integer(ftype):
+        # stored as signed two's complement in INT32/INT64 physical
+        m = (1 << ftype.bit_width) - 1
+        return pa.array([None if v is None else int(v) & m
+                         for v in vals], ftype)
     return pa.array(vals, ftype)
 
 

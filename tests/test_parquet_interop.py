@@ -370,3 +370,23 @@ def test_evolved_directory_schema_unification(spark, tmp_path):
 
     with _pt.raises(ValueError, match="incompatible"):
         read_parquet_dir(spark, str(d))
+
+
+def test_unsigned_int_read():
+    """pyarrow-written unsigned columns decode through the engine with
+    two's-complement reinterpretation from the signed physical types."""
+    import tempfile
+
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import pqinterop as P
+
+    t = pa.table({
+        "u8": pa.array([0, 255, 7, None], pa.uint8()),
+        "u16": pa.array([0, 65535, 9, 1], pa.uint16()),
+        "u32": pa.array([0, 2 ** 32 - 1, 11, 5], pa.uint32()),
+        "u64": pa.array([0, 2 ** 64 - 1, 13, 5], pa.uint64()),
+    })
+    p = tempfile.mktemp(suffix=".parquet")
+    pqmod.write_table(t, p)
+    assert P.decode_table(p).to_pydict() == t.to_pydict()
