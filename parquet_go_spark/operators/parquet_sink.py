@@ -565,6 +565,69 @@ def describe_parquet_dir(path: str) -> dict:
             "columns": cols}
 
 
+def fsck_parquet_dir(path: str, deep: bool = False) -> list[dict]:
+    """Shape-check a parquet directory the way fsck_store checks a PGS
+    store: footers parse, chunk ranges stay inside the file and don't
+    overlap, OffsetIndex page walks reconcile with chunk extents, and
+    (``deep``) every page body passes its CRC and decompresses.
+    Returns findings; [] = healthy."""
+    import glob as globmod
+
+    from .. import pqinterop as P
+
+    files = sorted(globmod.glob(os.path.join(path, "*.parquet"))
+                   if os.path.isdir(path) else [path])
+    findings: list[dict] = []
+
+    def flag(f, kind, **kw):
+        findings.append({"file": os.path.basename(f), "kind": kind,
+                         **kw})
+
+    for f in files:
+        size = os.path.getsize(f)
+        try:
+            meta = P.read_footer(f)
+            groups = P.column_chunks(meta)
+        except Exception as e:
+            flag(f, "footer_unreadable", error=str(e))
+            continue
+        spans = []
+        n_rows = 0
+        for gi, rg in enumerate(groups):
+            n_rows += rg[0].num_rows if rg else 0
+            for cc in rg:
+                lo = cc.first_page_offset
+                hi = lo + cc.total_compressed
+                if lo < 4 or hi > size:
+                    flag(f, "chunk_out_of_bounds", column=cc.name,
+                         rg=gi)
+                    continue
+                spans.append((lo, hi, cc.name))
+                oi = P.read_offset_index(f, cc)
+                if oi is not None:
+                    pg_end = oi[-1][0] + oi[-1][1]
+                    if oi[0][0] < lo or pg_end > hi:
+                        flag(f, "offset_index_mismatch",
+                             column=cc.name, rg=gi)
+                if deep:
+                    try:
+                        buf, rcc = P.chunk_reader(f, cc)
+                        for _ in P.iter_pages(buf, rcc):
+                            pass             # CRC + decompress checked
+                    except Exception as e:
+                        flag(f, "page_corrupt", column=cc.name, rg=gi,
+                             error=str(e))
+        spans.sort()
+        for (a_lo, a_hi, a_n), (b_lo, b_hi, b_n) in zip(spans,
+                                                        spans[1:]):
+            if b_lo < a_hi:
+                flag(f, "chunk_overlap", columns=[a_n, b_n])
+        if n_rows != meta[3]:
+            flag(f, "row_count_mismatch", footer=meta[3],
+                 row_groups=n_rows)
+    return findings
+
+
 def compact_parquet_dir(spark: SparkSession, src: str, dst: str,
                         target_rows: int = 1 << 20,
                         **write_kw) -> list[dict]:

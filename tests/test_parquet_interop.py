@@ -390,3 +390,33 @@ def test_unsigned_int_read():
     p = tempfile.mktemp(suffix=".parquet")
     pqmod.write_table(t, p)
     assert P.decode_table(p).to_pydict() == t.to_pydict()
+
+
+def test_fsck_parquet_dir(tmp_path):
+    import numpy as np
+
+    from parquet_go_spark import pqinterop as P
+    from parquet_go_spark import pqwriter
+    from parquet_go_spark.operators.parquet_sink import fsck_parquet_dir
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    t = pa.table({"k": pa.array(np.arange(4000, dtype=np.int64)),
+                  "s": pa.array([f"r{i}" for i in range(4000)])})
+    pqwriter.write_table(t, str(d / "a.parquet"), row_group_rows=1500,
+                         page_rows=300)
+    assert fsck_parquet_dir(str(d), deep=True) == []
+    # corrupt one page body: shallow fsck stays green, deep flags it
+    f = str(d / "a.parquet")
+    data = bytearray(open(f, "rb").read())
+    cc = P.column_chunks(P.read_footer(f))[0][0]
+    off, sz, _ = P.read_offset_index(f, cc)[1]
+    data[off + sz - 3] ^= 0x5A
+    open(f, "wb").write(bytes(data))
+    assert fsck_parquet_dir(str(d)) == []
+    bad = fsck_parquet_dir(str(d), deep=True)
+    assert [b["kind"] for b in bad] == ["page_corrupt"]
+    # truncated footer
+    open(str(d / "b.parquet"), "wb").write(b"PAR1xxxxPAR1")
+    kinds = {b["kind"] for b in fsck_parquet_dir(str(d))}
+    assert "footer_unreadable" in kinds

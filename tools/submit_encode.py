@@ -463,6 +463,16 @@ def cmd_pq_import(args) -> int:
     return 0
 
 
+def cmd_pq_fsck(args) -> int:
+    """Shape/CRC check over a parquet directory; exit non-zero on any
+    finding (mirrors the store fsck contract)."""
+    from parquet_go_spark.operators.parquet_sink import fsck_parquet_dir
+
+    findings = fsck_parquet_dir(args.path, deep=args.deep)
+    print(json.dumps({"job": "pq-fsck", "findings": findings}))
+    return 1 if findings else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -662,6 +672,11 @@ def main() -> int:
     pqi.add_argument("--src", required=True)
     pqi.add_argument("--store", required=True)
     pqi.set_defaults(fn=cmd_pq_import)
+
+    pqf = sub.add_parser("pq-fsck")
+    pqf.add_argument("path")
+    pqf.add_argument("--deep", action="store_true")
+    pqf.set_defaults(fn=cmd_pq_fsck)
 
     args = ap.parse_args()
     return args.fn(args)
