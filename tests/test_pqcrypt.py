@@ -318,3 +318,21 @@ def test_engine_reads_pyarrow_plaintext_footer(tmp_path):
     assert t2["y"].to_pylist() == tbl["y"].to_pylist()
     with pytest.raises(ValueError, match="encrypted"):
         P.decode_table(f, columns=["x"])
+
+
+def test_encryption_disables_page_index(tmp_path):
+    """PageIndex modules are not sealed (same scope rule as blooms) —
+    the writer must auto-disable the index under encryption rather
+    than leak per-page plaintext bounds next to sealed pages."""
+    import numpy as np
+
+    from parquet_go_spark import pqinterop as P
+
+    key = bytes(range(16))
+    t = pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+    p = str(tmp_path / "e.parquet")
+    W.write_table(t, p, encryption=C.Encrypt(footer_key=key),
+                  page_rows=20)
+    meta, ctx = P.read_footer_ex(p, C.Decrypt(footer_key=key))
+    cc = P.column_chunks(meta, ctx)[0][0]
+    assert cc.ci_off is None and cc.oi_off is None

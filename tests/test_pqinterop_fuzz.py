@@ -93,7 +93,7 @@ def _rand_table(rng: np.random.Generator, n: int) -> pa.Table:
     cols = {}
     n_cols = int(rng.integers(2, 6))
     for ci in range(n_cols):
-        kind = rng.integers(0, 7)
+        kind = rng.integers(0, 10)
         nulls = rng.random() < 0.5
         def mk(vals, typ):
             if nulls:
@@ -117,11 +117,22 @@ def _rand_table(rng: np.random.Generator, n: int) -> pa.Table:
             cols[f"l{ci}"] = mk(
                 [rng.integers(0, 100, int(rng.integers(0, 5))).tolist()
                  for _ in range(n)], pa.list_(pa.int32()))
-        else:
+        elif kind == 6:
             cols[f"m{ci}"] = mk(
                 [{f"k{j}": int(rng.integers(0, 99))
                   for j in range(int(rng.integers(0, 4)))}
                  for _ in range(n)], pa.map_(pa.string(), pa.int64()))
+        elif kind == 7:
+            cols[f"y{ci}"] = mk(rng.integers(-128, 128, n).tolist(),
+                                pa.int8())
+        elif kind == 8:
+            cols[f"h{ci}"] = mk(
+                list(np.round(rng.normal(size=n), 2)
+                     .astype(np.float16)), pa.float16())
+        else:
+            cols[f"t{ci}"] = mk(
+                rng.integers(0, 86_400_000_000, n).tolist(),
+                pa.time64("us"))
     return pa.table(cols)
 
 
