@@ -297,7 +297,15 @@ def read_parquet_dir(
     uniform = all(s.equals(schemas[files[0]]) for s in schemas.values())
     schema = (schemas[files[0]] if uniform
               else _unify_schemas(list(schemas.values())))
+    drop_after_filter: list[str] = []
     if columns is not None:
+        # a filter on a non-projected column must still decode (for
+        # the exact re-apply) and is dropped from the result after
+        columns = list(columns)
+        for c in (filters or {}):
+            if c not in columns:
+                columns.append(c)
+                drop_after_filter.append(c)
         schema = pa.schema([schema.field(c) for c in columns])
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -356,6 +364,8 @@ def read_parquet_dir(
                                               F.lit(pred[2])))
         else:
             raise ValueError(f"unknown predicate {pred[0]!r}")
+    if drop_after_filter:
+        df = df.drop(*drop_after_filter)
     return df
 
 

@@ -420,3 +420,23 @@ def test_fsck_parquet_dir(tmp_path):
     open(str(d / "b.parquet"), "wb").write(b"PAR1xxxxPAR1")
     kinds = {b["kind"] for b in fsck_parquet_dir(str(d))}
     assert "footer_unreadable" in kinds
+
+
+def test_filter_on_non_projected_column(spark, tmp_path):
+    """A filter column outside the projection decodes for the exact
+    re-apply and is dropped from the result (was an unresolved-column
+    error)."""
+    import numpy as np
+
+    from parquet_go_spark import pqwriter
+    from parquet_go_spark.operators.parquet_sink import read_parquet_dir
+
+    d = tmp_path / "pf"
+    d.mkdir()
+    t = pa.table({"k": pa.array(np.arange(1000, dtype=np.int64)),
+                  "s": pa.array([f"r{i}" for i in range(1000)])})
+    pqwriter.write_table(t, str(d / "a.parquet"))
+    df = read_parquet_dir(spark, str(d), columns=["s"],
+                          filters={"k": ("range", 10, 12)})
+    assert df.columns == ["s"]
+    assert sorted(r["s"] for r in df.collect()) == ["r10", "r11", "r12"]
