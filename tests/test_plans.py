@@ -261,3 +261,19 @@ def test_bpe_apply_two_exchanges(spark):
     p = _plan(bpe_apply(spark, docs, ws))
     assert _count_exchanges(p) <= 2
     assert "CartesianProduct" not in p
+
+
+def test_parquet_reader_single_units_exchange(spark, tmp_out):
+    """read_parquet_dir: the ONLY exchange is the metadata-scale
+    (file, row-group) units repartition — data rows never shuffle, and
+    the exact filter re-apply sits above the Arrow map, not below."""
+    from parquet_go_spark.operators.parquet_sink import (
+        read_parquet_dir, write_parquet_dir)
+
+    src = spark.range(2000).selectExpr("id", "id * 3 AS v")
+    write_parquet_dir(src.coalesce(2), tmp_out)
+    df = read_parquet_dir(spark, tmp_out,
+                          filters={"id": ("range", 5, 50)})
+    plan = _plan(df)
+    assert _count_exchanges(plan) == 1
+    assert "MapInArrow" in plan
