@@ -423,10 +423,44 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
 
 
 def _block_decompress(name: str, payload: bytes, out_size: int) -> bytes:
+    if name == "lz4":
+        return _lz4_legacy_decompress(payload, out_size)
     from . import frame as framemod
 
     codec = framemod._get_codec(framemod.COMP_IDS[name])
     return codec.decompress(payload, out_size).to_pybytes()
+
+
+def _lz4_legacy_decompress(payload: bytes, out_size: int) -> bytes:
+    """Parquet codec id 5 (deprecated LZ4) is ambiguous in the wild:
+    parquet-mr wrote Hadoop framing ([u32be uncompressed][u32be
+    compressed][raw block], repeated), some writers raw blocks, some
+    LZ4 frames. Try all three, the parquet-cpp Lz4HadoopCodec
+    posture."""
+    import pyarrow as pa
+
+    try:                                   # hadoop framing
+        out = bytearray()
+        pos = 0
+        while pos < len(payload):
+            u, c = struct.unpack_from(">II", payload, pos)
+            pos += 8
+            if c > len(payload) - pos or u > out_size:
+                raise ValueError("not hadoop-framed")
+            out += pa.Codec("lz4_raw").decompress(
+                payload[pos:pos + c], u).to_pybytes()
+            pos += c
+        if len(out) == out_size:
+            return bytes(out)
+    except Exception:
+        pass
+    try:                                   # raw block
+        return pa.Codec("lz4_raw").decompress(
+            payload, out_size).to_pybytes()
+    except Exception:
+        pass
+    return pa.Codec("lz4").decompress(     # LZ4 frame
+        payload, out_size).to_pybytes()
 
 
 def iter_pages(data: bytes, cc: ColumnChunkInfo):

@@ -192,3 +192,23 @@ def test_random_roundtrip_equivalence(tmp_path):
             base += rg_rows
         want = got.take(pa.array(keep, pa.int64()))
         assert _canon(sub) == _canon(want), f"trial {trial} range mismatch"
+
+
+def test_legacy_lz4_all_three_flavors():
+    """Codec id 5 ambiguity: hadoop-framed, raw-block, and LZ4-frame
+    payloads must all decompress (the parquet-cpp Lz4HadoopCodec
+    posture)."""
+    import struct
+
+    raw = b"the quick brown fox " * 200
+    half = len(raw) // 2
+    blocks = [raw[:half], raw[half:]]
+    hadoop = b""
+    for b in blocks:
+        c = pa.Codec("lz4_raw").compress(b).to_pybytes()
+        hadoop += struct.pack(">II", len(b), len(c)) + c
+    assert P._block_decompress("lz4", hadoop, len(raw)) == raw
+    rawblk = pa.Codec("lz4_raw").compress(raw).to_pybytes()
+    assert P._block_decompress("lz4", rawblk, len(raw)) == raw
+    frame = pa.Codec("lz4").compress(raw).to_pybytes()
+    assert P._block_decompress("lz4", frame, len(raw)) == raw
