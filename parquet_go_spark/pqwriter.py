@@ -268,12 +268,18 @@ def _map_type(field: pa.Field) -> _Col:
         return _Col(field.name, T_INT32, converted=CV_DATE,
                     logical=_logical(6), np_dtype=np.dtype("<i4"))
     if pa.types.is_timestamp(t):
-        if t.unit != "us":
-            raise ValueError("timestamps must be cast to microseconds")
+        unit_fid = {"ms": 1, "us": 2, "ns": 3}.get(t.unit)
+        if unit_fid is None:
+            raise ValueError("timestamp seconds: cast to ms/us/ns")
         utc = t.tz is not None
-        ts = _tstruct([(1, CT_TRUE, utc), (2, CT_STRUCT, _logical(2))])
-        return _Col(field.name, T_INT64,
-                    converted=CV_TIMESTAMP_MICROS if utc else None,
+        ts = _tstruct([(1, CT_TRUE, utc),
+                       (2, CT_STRUCT, _logical(unit_fid))])
+        conv = None
+        if utc and t.unit == "us":
+            conv = CV_TIMESTAMP_MICROS
+        elif utc and t.unit == "ms":
+            conv = 9                                 # TIMESTAMP_MILLIS
+        return _Col(field.name, T_INT64, converted=conv,
                     logical=_logical(8, ts), np_dtype=np.dtype("<i8"))
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return _Col(field.name, T_BYTE_ARRAY, converted=CV_UTF8,

@@ -716,3 +716,20 @@ def test_small_int_float16_time_types(tmp_path, spark):
     write_parquet_dir(sdf.coalesce(1), out)
     back = read_parquet_dir(spark, out).orderBy("s").collect()
     assert [r["s"] for r in back] == list(range(100))
+
+
+def test_timestamp_units_ms_us_ns(tmp_path):
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import pqinterop as P
+
+    t = pa.table({
+        "ms": pa.array([1, 2, None], pa.timestamp("ms", tz="UTC")),
+        "us": pa.array([1000, 2000, 3000], pa.timestamp("us")),
+        "ns": pa.array([10 ** 9, 2 * 10 ** 9, 5],
+                       pa.timestamp("ns", tz="UTC")),
+    })
+    p = str(tmp_path / "ts.parquet")
+    W.write_table(t, p)
+    assert pqmod.read_table(p).to_pydict() == t.to_pydict()
+    assert P.decode_table(p).to_pydict() == t.to_pydict()
