@@ -1488,7 +1488,9 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 page_version: int = 1,
                 int96_timestamps: bool = False,
                 encryption=None, page_index: bool = True,
-                sorting_columns: list | None = None) -> None:
+                sorting_columns: list | None = None,
+                row_group_bytes: int | None = None,
+                page_bytes: int | None = None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
@@ -1536,6 +1538,15 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             if c is not None and c.name in i96_cols:
                 c.int96 = True
 
+    if (row_group_bytes or page_bytes) and table.num_rows:
+        # size-targeted grouping (the reference's rowGroupSize/pageSize
+        # byte budgets, writer/writer.go defaults 128M/8K, sized from
+        # an average-row estimate like its moving objSize average)
+        row_bytes = max(1, table.nbytes // table.num_rows)
+        if row_group_bytes:
+            row_group_rows = max(1, row_group_bytes // row_bytes)
+        if page_bytes:
+            page_rows = max(1, page_bytes // row_bytes)
     want_pidx = page_index and encryption is None
     out = bytearray(
         b"PARE" if (encryption is not None

@@ -733,3 +733,25 @@ def test_timestamp_units_ms_us_ns(tmp_path):
     W.write_table(t, p)
     assert pqmod.read_table(p).to_pydict() == t.to_pydict()
     assert P.decode_table(p).to_pydict() == t.to_pydict()
+
+
+def test_byte_targeted_sizing(tmp_path):
+    """row_group_bytes / page_bytes size groups from an average-row
+    estimate (the reference's byte-budget defaults)."""
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import pqinterop as P
+
+    n = 20000
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(np.arange(n, dtype=np.float64))})
+    p = str(tmp_path / "sized.parquet")
+    W.write_table(t, p, compression="none",
+                  row_group_bytes=64 << 10, page_bytes=8 << 10)
+    meta = P.read_footer(p)
+    n_rg = len(meta[4])
+    assert 4 <= n_rg <= 6                      # ~320KB raw / 64KB
+    cc = P.column_chunks(meta)[0][0]
+    oi = P.read_offset_index(p, cc)
+    assert 7 <= len(oi) <= 9                   # ~64KB rg / 8KB pages
+    assert pqmod.read_table(p).to_pydict() == t.to_pydict()
