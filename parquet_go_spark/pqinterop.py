@@ -755,6 +755,8 @@ def _arrow_leaf_type(el: dict) -> "object":
                 t = pa.int8()
             elif conv == 16:
                 t = pa.int16()
+            elif conv == 7 or 7 in logical:               # TIME millis
+                t = pa.time32("ms")
         elif ptype == T_INT64:
             t = pa.int64()
             ts = logical.get(8)
@@ -1303,6 +1305,8 @@ def _typed_leaf_array(vals: list, ftype):
         return pa.array(arr, mask=mask)
     if pa.types.is_time64(ftype):
         return pa.array(vals, pa.int64()).cast(ftype)
+    if pa.types.is_time32(ftype):
+        return pa.array(vals, pa.int32()).cast(ftype)
     if pa.types.is_unsigned_integer(ftype):
         # stored as signed two's complement in INT32/INT64 physical
         m = (1 << ftype.bit_width) - 1

@@ -249,6 +249,15 @@ def _map_type(field: pa.Field) -> _Col:
         # FLOAT16 logical over FLBA(2), little-endian IEEE half
         return _Col(field.name, T_FLBA, type_length=2,
                     logical=_logical(15), np_dtype=np.dtype("<f2"))
+    if pa.types.is_time32(t):
+        if t.unit != "ms":
+            raise ValueError("time32 must be milliseconds")
+        tt = _tstruct([(1, CT_TRUE, False),
+                       (2, CT_STRUCT, _tstruct([(1, CT_STRUCT,
+                                                 _EMPTY)]))])
+        return _Col(field.name, T_INT32, converted=7,   # TIME_MILLIS
+                    logical=_logical(7, tt),
+                    np_dtype=np.dtype("<i4"))
     if pa.types.is_time64(t):
         if t.unit != "us":
             raise ValueError("time64 must be cast to microseconds")

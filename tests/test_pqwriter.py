@@ -686,6 +686,8 @@ def test_small_int_float16_time_types(tmp_path, spark):
                       pa.int16()),
         "h": pa.array(np.arange(n, dtype=np.float16) / 8),
         "t": pa.array([i * 1000 for i in range(n)], pa.time64("us")),
+        "t32": pa.array([None if i % 11 == 0 else i * 10
+                         for i in range(n)], pa.time32("ms")),
     })
     p = str(tmp_path / "x.parquet")
     W.write_table(t, p, page_rows=200)
