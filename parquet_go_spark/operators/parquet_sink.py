@@ -126,6 +126,31 @@ WRITER_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
 
 # -------------------------------------------------------- engine reader
 
+def _pred_storage_value(v, li):
+    """Predicate value -> the column's physical-storage comparable
+    (dates to epoch days, datetimes to the column's epoch unit,
+    strings to bytes) so pruning comparisons never mix types."""
+    import datetime
+
+    if isinstance(v, str):
+        return v.encode()
+    if isinstance(v, datetime.datetime):
+        logical = (li.leaf_el.get(10) or {})
+        ts = logical.get(8) or {}
+        unit = ts.get(2) or {}
+        us = int(v.timestamp() * 1_000_000) if v.tzinfo else int(
+            v.replace(tzinfo=datetime.timezone.utc).timestamp()
+            * 1_000_000)
+        if 1 in unit or li.leaf_el.get(6) == 9:      # millis
+            return us // 1000
+        if 3 in unit:                                 # nanos
+            return us * 1000
+        return us
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    return v
+
+
 def _rg_stats_keep(meta: dict, gi: int, col: str, pred: tuple) -> bool:
     """Row-group stats pruning (advisory-lossless): False only when the
     chunk's min/max bounds PROVE no row can match."""
@@ -160,14 +185,14 @@ def _rg_stats_keep(meta: dict, gi: int, col: str, pred: tuple) -> bool:
         return True
     op = pred[0]
     if op == "eq":
-        v = pred[1].encode() if isinstance(pred[1], str) else pred[1]
+        v = _pred_storage_value(pred[1], li)
         return mn <= v <= mx
     if op == "in":
-        return any(mn <= (v.encode() if isinstance(v, str) else v) <= mx
+        return any(mn <= _pred_storage_value(v, li) <= mx
                    for v in pred[1])
     if op == "range":
-        lo = pred[1].encode() if isinstance(pred[1], str) else pred[1]
-        hi = pred[2].encode() if isinstance(pred[2], str) else pred[2]
+        lo = _pred_storage_value(pred[1], li)
+        hi = _pred_storage_value(pred[2], li)
         return not (hi < mn or lo > mx)
     return True
 
@@ -281,12 +306,33 @@ def read_parquet_dir(
         raise ValueError(f"no parquet files under {path!r}")
     units = []
     schemas = {}
+    sfilters = None       # storage-typed predicate values (dates ->
+                          # epoch days, datetimes -> the column's unit,
+                          # strings -> bytes) for EVERY pruning layer;
+                          # the exact Spark re-apply keeps the originals
     for f in files:
         meta = pqinterop.read_footer(f, decryption)  # tail read only
         schemas[f] = pqinterop.arrow_schema(meta)
+        if sfilters is None:
+            sfilters = {}
+            walk = {x.top_name: x for x in pqinterop._walk_schema(meta)}
+            for col, pred in (filters or {}).items():
+                li = walk.get(col)
+                if li is None:
+                    sfilters[col] = pred
+                elif pred[0] == "in":
+                    sfilters[col] = ("in", [
+                        _pred_storage_value(v, li) for v in pred[1]])
+                elif pred[0] == "range":
+                    sfilters[col] = ("range",
+                                     _pred_storage_value(pred[1], li),
+                                     _pred_storage_value(pred[2], li))
+                else:
+                    sfilters[col] = (pred[0],
+                                     _pred_storage_value(pred[1], li))
         for g in range(len(meta[4])):
             keep = True
-            for col, pred in (filters or {}).items():
+            for col, pred in sfilters.items():
                 keep = (keep and _rg_stats_keep(meta, g, col, pred)
                         and (decryption is not None
                              or (_rg_bloom_keep(f, meta, g, col, pred)
@@ -321,7 +367,7 @@ def read_parquet_dir(
                 if filters and decryption is None:
                     meta = P.read_footer(f)
                     r, pruned = P.predicate_row_ranges(
-                        f, meta, g, filters)
+                        f, meta, g, sfilters)
                     if pruned:
                         if not r:
                             continue

@@ -440,3 +440,39 @@ def test_filter_on_non_projected_column(spark, tmp_path):
                           filters={"k": ("range", 10, 12)})
     assert df.columns == ["s"]
     assert sorted(r["s"] for r in df.collect()) == ["r10", "r11", "r12"]
+
+
+def test_date_and_timestamp_filters(spark, tmp_path):
+    """date/datetime predicate values prune through all layers without
+    type mismatches (epoch-converted per the column's unit) and the
+    exact re-apply uses the original values."""
+    import datetime
+
+    import numpy as np
+
+    from parquet_go_spark import pqwriter
+    from parquet_go_spark.operators.parquet_sink import read_parquet_dir
+
+    d = tmp_path / "dt"
+    d.mkdir()
+    base = datetime.date(2024, 1, 1)
+    t = pa.table({
+        "d": pa.array([base + datetime.timedelta(days=i)
+                       for i in range(365)]),
+        "ts": pa.array([datetime.datetime(2024, 1, 1)
+                        + datetime.timedelta(hours=i)
+                        for i in range(365)],
+                       pa.timestamp("us")),
+        "k": pa.array(np.arange(365, dtype=np.int64)),
+    })
+    pqwriter.write_table(t, str(d / "a.parquet"), row_group_rows=100,
+                         page_rows=25)
+    lo, hi = datetime.date(2024, 3, 1), datetime.date(2024, 3, 10)
+    df = read_parquet_dir(spark, str(d), filters={"d": ("range", lo, hi)})
+    got = sorted(r["k"] for r in df.collect())
+    want = [i for i in range(365)
+            if lo <= base + datetime.timedelta(days=i) <= hi]
+    assert got == want
+    probe = datetime.datetime(2024, 1, 5, 7)
+    df2 = read_parquet_dir(spark, str(d), filters={"ts": ("eq", probe)})
+    assert [r["k"] for r in df2.collect()] == [103]
