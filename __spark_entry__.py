@@ -353,7 +353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_lineitem_projected"] = _pruned.projected_decode_query
     # the thumbnail chain over REAL PNG containers (pure-stdlib codec,
     # png.py); lossless, so the raw-path pixel oracle applies verbatim
-    q["mm_thumbnail_png"] = _mm.thumbnail_png_pixels_query
     # real Parquet WRITE interop: engine-serialized .parquet files read
     # back by Spark's JVM vectorized reader (pqwriter.py)
     from parquet_go_spark.operators import parquet_sink as _pqs

@@ -313,9 +313,6 @@ def encode(img: np.ndarray, quality: int = 85,
             if h % 2 == 0 and w % 2 == 0:
                 cbs = cb.reshape(h // 2, 2, w // 2, 2).mean((1, 3))
                 crs = cr.reshape(h // 2, 2, w // 2, 2).mean((1, 3))
-            pad = lambda p: np.pad(
-                _pad_to8(np.clip(np.round(p), 0, 255)),
-                ((0, -((p.shape[0] + 7) // 8 * 8) % 8), (0, 0)))
             cbp = _pad_to8(np.clip(np.round(cbs), 0, 255))
             crp = _pad_to8(np.clip(np.round(crs), 0, 255))
             # chroma must cover luma/2

@@ -354,14 +354,17 @@ def thumbnail_query(spark: SparkSession, sf_dir: str,
                 media.offset: media.offset + nrows + 1
             ].astype(np.int64)
             fmts = tbl.column("fmt").to_pylist()
-            if any(f == FMT_PNG for f in fmts):
+            if any(f in (FMT_PNG, FMT_JPEG) for f in fmts):
                 # container decode back to a raw-raster view; the
                 # grouped gather below stays fully vectorized
                 raws = []
                 for i in range(nrows):
                     seg = bytes(buf[offs[i]:offs[i + 1]])
-                    raws.append(pngmod.decode_gray8(seg).tobytes()
-                                if fmts[i] == FMT_PNG else seg)
+                    if fmts[i] == FMT_PNG:
+                        seg = pngmod.decode_gray8(seg).tobytes()
+                    elif fmts[i] == FMT_JPEG:
+                        seg = jpegmod.decode(seg).tobytes()
+                    raws.append(seg)
                 rsz = np.array([len(r) for r in raws], dtype=np.int64)
                 offs = np.zeros(nrows + 1, dtype=np.int64)
                 np.cumsum(rsz, out=offs[1:])

@@ -131,9 +131,18 @@ def _pred_storage_value(v, li):
     (dates to epoch days, datetimes to the column's epoch unit,
     strings to bytes) so pruning comparisons never mix types."""
     import datetime
+    import decimal
 
     if isinstance(v, str):
         return v.encode()
+    if isinstance(v, decimal.Decimal):
+        logical = (li.leaf_el.get(10) or {})
+        dec = logical.get(5)
+        if dec is None and li.leaf_el.get(6) != 5:
+            return v                       # not a DECIMAL column
+        scale = (dec.get(1) if dec is not None else
+                 li.leaf_el.get(7, 0)) or 0
+        return int(v.scaleb(scale))        # unscaled storage integer
     if isinstance(v, datetime.datetime):
         logical = (li.leaf_el.get(10) or {})
         ts = logical.get(8) or {}
@@ -171,10 +180,13 @@ def _rg_stats_keep(meta: dict, gi: int, col: str, pred: tuple) -> bool:
         return True
     li = next(x for x in P._walk_schema(meta)
               if x.top_name == col or x.path == col)
+    uns = P._leaf_unsigned(li.leaf_el)
     if li.ptype == P.T_INT32:
-        mn, mx = (structmod.unpack("<i", b)[0] for b in (mn_b, mx_b))
+        mn, mx = (structmod.unpack("<I" if uns else "<i", b)[0]
+                  for b in (mn_b, mx_b))
     elif li.ptype == P.T_INT64:
-        mn, mx = (structmod.unpack("<q", b)[0] for b in (mn_b, mx_b))
+        mn, mx = (structmod.unpack("<Q" if uns else "<q", b)[0]
+                  for b in (mn_b, mx_b))
     elif li.ptype == P.T_FLOAT:
         mn, mx = (structmod.unpack("<f", b)[0] for b in (mn_b, mx_b))
     elif li.ptype == P.T_DOUBLE:

@@ -170,6 +170,7 @@ class ColumnChunkInfo:
     ci_len: int | None = None
     data_page_offset: int = 0         # ColumnMetaData field 9
     enc_stats: list | None = None     # ColumnMetaData.encoding_stats
+    leaf_el: dict | None = None       # SchemaElement of the leaf
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
@@ -417,6 +418,7 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
                 oi_off=cc.get(4), oi_len=cc.get(5),
                 ci_off=cc.get(6), ci_len=cc.get(7),
                 data_page_offset=md[9], enc_stats=md.get(13),
+                leaf_el=li.leaf_el,
             ))
         groups.append(cols)
     return groups
@@ -729,6 +731,13 @@ def _assemble_lists(cc: ColumnChunkInfo, reps: np.ndarray,
 
 # --- typed table assembly (distributed engine-reader support) -----------
 
+def _dec_prec_scale(el: dict, logical: dict):
+    """DECIMAL (precision, scale) from SchemaElement fields 8/7 with
+    a DecimalType-logical fallback (some writers emit only one)."""
+    dec = logical.get(5) or {}
+    return (el.get(8, dec.get(2)), el.get(7, dec.get(1, 0)))
+
+
 def _arrow_leaf_type(el: dict) -> "object":
     """SchemaElement (leaf) -> pyarrow value type."""
     import pyarrow as pa
@@ -743,7 +752,7 @@ def _arrow_leaf_type(el: dict) -> "object":
             if conv == 6 or 6 in logical:                 # DATE
                 t = pa.date32()
             elif conv == 5 or 5 in logical:               # DECIMAL
-                t = pa.decimal128(el[8], el[7])
+                t = pa.decimal128(*_dec_prec_scale(el, logical))
             elif 10 in logical:                           # IntType
                 it = logical[10]
                 bw, signed = it.get(1, 32), bool(it.get(2, True))
@@ -769,7 +778,7 @@ def _arrow_leaf_type(el: dict) -> "object":
             elif conv == 10:
                 t = pa.timestamp("us", tz="UTC")
             elif conv == 5 or 5 in logical:
-                t = pa.decimal128(el[8], el[7])
+                t = pa.decimal128(*_dec_prec_scale(el, logical))
             elif conv == 8 or 7 in logical:               # TIME micros
                 t = pa.time64("us")
             elif 10 in logical:                           # IntType 64
@@ -980,13 +989,25 @@ def read_offset_index(path: str, cc: ColumnChunkInfo):
     return [(p[1], p[2], p[3]) for p in s[1]]
 
 
-def stat_value(ptype: int, b: bytes):
+def _leaf_unsigned(leaf_el: dict | None) -> bool:
+    """True when the leaf's logical/converted type declares UNSIGNED
+    integers — their bounds order by unsigned value, not the signed
+    physical representation."""
+    if not leaf_el:
+        return False
+    it = (leaf_el.get(10) or {}).get(10)
+    if it is not None:
+        return not it.get(2, True)
+    return leaf_el.get(6) in (11, 12, 13, 14)    # UINT_8..UINT_64
+
+
+def stat_value(ptype: int, b: bytes, unsigned: bool = False):
     """PLAIN-serialized Statistics/ColumnIndex bound -> comparable
     python value (None = type has no usable order here)."""
     if ptype == T_INT32:
-        return struct.unpack("<i", b)[0]
+        return struct.unpack("<I" if unsigned else "<i", b)[0]
     if ptype == T_INT64:
-        return struct.unpack("<q", b)[0]
+        return struct.unpack("<Q" if unsigned else "<q", b)[0]
     if ptype == T_FLOAT:
         return struct.unpack("<f", b)[0]
     if ptype == T_DOUBLE:
@@ -1007,9 +1028,10 @@ def read_column_index(path: str, cc: ColumnChunkInfo):
     buf = read_range(path, cc.ci_off, cc.ci_len)
     s, _ = _read_struct(memoryview(buf), 0)
     null_pages = s[1]
-    mins = [None if np_ else stat_value(cc.physical_type, b)
+    uns = _leaf_unsigned(cc.leaf_el)
+    mins = [None if np_ else stat_value(cc.physical_type, b, uns)
             for np_, b in zip(null_pages, s[2])]
-    maxs = [None if np_ else stat_value(cc.physical_type, b)
+    maxs = [None if np_ else stat_value(cc.physical_type, b, uns)
             for np_, b in zip(null_pages, s[3])]
     return {"null_pages": null_pages, "mins": mins, "maxs": maxs,
             "boundary_order": s.get(4, 0),
@@ -1210,7 +1232,7 @@ def decode_table(path: str, columns: list[str] | None = None,
                     if arr is not None:
                         arr = arr.cast(f.type)
                 if arr is None:
-                    arr = _assemble_general(path, groups[gi], f)
+                    arr = _assemble_general(path, groups[gi], f, tree)
                 r = row_ranges.get(gi)
                 if r is not None:
                     arr = arr.take(pa.array(
@@ -1221,11 +1243,19 @@ def decode_table(path: str, columns: list[str] | None = None,
             continue
         if pa.types.is_map(f.type):
             chunks = []
+            # leaf paths from the schema tree, not assumed names —
+            # legacy MAP_KEY_VALUE groups use e.g. "m.map.key"
+            mtree = _top_tree(meta, f.name)
+            kpath, vpath = mtree["key"]["path"], mtree["value"]["path"]
             for gi in sel:
-                kcc = next(c for c in groups[gi]
-                           if c.name == f"{f.name}.key_value.key")
-                vcc = next(c for c in groups[gi]
-                           if c.name == f"{f.name}.key_value.value")
+                kcc = next((c for c in groups[gi] if c.name == kpath),
+                           None)
+                vcc = next((c for c in groups[gi] if c.name == vpath),
+                           None)
+                if kcc is None or vcc is None:
+                    raise ValueError(
+                        f"map column {f.name!r}: leaves {kpath!r}/"
+                        f"{vpath!r} not found in row group {gi}")
                 arr = _assemble_map_array(path, kcc, vcc, f.type)
                 r = row_ranges.get(gi)
                 if r is not None:
@@ -1673,14 +1703,16 @@ def _assemble_list_list(path: str, chunks_rg: list, field,
     return pa.ListArray.from_arrays(off_arr, inner_arr)
 
 
-def _assemble_general(path: str, chunks_rg: list, field) -> "object":
+def _assemble_general(path: str, chunks_rg: list, field,
+                      tree=None) -> "object":
     """Arbitrarily nested column for ONE row group -> arrow array.
     Row-wise record assembly from per-leaf (rep, def, values) streams
-    over the level-annotated schema tree."""
+    over the level-annotated schema tree (pass ``tree`` to avoid a
+    footer re-read per row group)."""
     import pyarrow as pa
 
-    meta = read_footer(path)
-    tree = _top_tree(meta, field.name)
+    if tree is None:
+        tree = _top_tree(read_footer(path), field.name)
     leaves = _tree_leaves(tree)
     streams = {}
     n_rows = None

@@ -893,26 +893,10 @@ def _write_map_chunks(out: bytearray, field: pa.Field, arr: pa.Array,
 # Python. Single-level lists / flat structs / flat maps keep their
 # dedicated fast paths; only deeper nesting routes through here.
 
-def _has_repetition(t) -> bool:
-    if pa.types.is_list(t) or pa.types.is_large_list(t) or \
-            pa.types.is_map(t):
-        return True
-    if pa.types.is_struct(t):
-        return any(_has_repetition(ch.type) for ch in t)
-    return False
-
-
-def _needs_general(t) -> bool:
-    """Anything beyond flat / list<prim> / struct-of-prims /
-    map<prim,prim> takes the general Dremel path."""
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return pa.types.is_nested(t.value_type)
-    if pa.types.is_map(t):
-        return (pa.types.is_nested(t.key_type)
-                or pa.types.is_nested(t.item_type))
-    if pa.types.is_struct(t):
-        return any(_has_repetition(ch.type) for ch in t)
-    return False
+# routing predicate shared with the reader (single source of truth:
+# pqinterop._nested_in_nested) — writer shred lanes and reader
+# assembly lanes MUST agree on which shapes are "general"
+from .pqinterop import _nested_in_nested as _needs_general  # noqa: E402
 
 
 @dataclass
@@ -1059,6 +1043,8 @@ def _emit_schema_general(field: pa.Field, name: str, schema_elems: list,
         (3, CT_I32, 1 if optional else 0),
         (4, CT_BINARY, name),
         (6, CT_I32, leaf.converted),
+        (7, CT_I32, leaf.scale),
+        (8, CT_I32, leaf.precision),
         (10, CT_STRUCT, leaf.logical),
     ]))
 
@@ -1384,6 +1370,8 @@ def _emit_schema_field(field: pa.Field, col: _Col | None,
             (3, CT_I32, 1),
             (4, CT_BINARY, col.elem_name),
             (6, CT_I32, col.converted),
+            (7, CT_I32, col.scale),
+            (8, CT_I32, col.precision),
             (10, CT_STRUCT, col.logical),
         ]))
         return
@@ -1409,6 +1397,8 @@ def _emit_schema_field(field: pa.Field, col: _Col | None,
                 (3, CT_I32, req),
                 (4, CT_BINARY, leaf.name),
                 (6, CT_I32, leaf.converted),
+                (7, CT_I32, leaf.scale),
+                (8, CT_I32, leaf.precision),
                 (10, CT_STRUCT, leaf.logical),
             ]))
         return
@@ -1430,6 +1420,8 @@ def _emit_schema_field(field: pa.Field, col: _Col | None,
         (3, CT_I32, 1 if declared_optional else 0),
         (4, CT_BINARY, field.name),
         (6, CT_I32, leaf.converted),
+        (7, CT_I32, leaf.scale),
+        (8, CT_I32, leaf.precision),
         (10, CT_STRUCT, leaf.logical),
     ]))
 
@@ -1544,7 +1536,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             for f in table.schema]
     if int96_timestamps:
         for c in cols:
-            if c is not None and c.name in i96_cols:
+            if isinstance(c, _Col) and c.name in i96_cols:
                 c.int96 = True
 
     if (row_group_bytes or page_bytes) and table.num_rows:
@@ -1670,8 +1662,11 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
         for sc in sorting_columns:
             name, desc, nf = ((sc, False, False)
                               if isinstance(sc, str) else sc)
-            idx = next(i for i, p in enumerate(leaf_paths)
-                       if ".".join(p) == name or p[0] == name)
+            idx = next((i for i, p in enumerate(leaf_paths)
+                        if ".".join(p) == name or p[0] == name), None)
+            if idx is None:
+                raise ValueError(
+                    f"sorting column {name!r} matches no leaf")
             sort_structs.append(_tstruct([
                 (1, CT_I32, idx),
                 (2, CT_TRUE, bool(desc)),

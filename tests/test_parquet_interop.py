@@ -476,3 +476,57 @@ def test_date_and_timestamp_filters(spark, tmp_path):
     probe = datetime.datetime(2024, 1, 5, 7)
     df2 = read_parquet_dir(spark, str(d), filters={"ts": ("eq", probe)})
     assert [r["k"] for r in df2.collect()] == [103]
+
+
+def test_decimal_filter_descaled(spark, tmp_path):
+    """Decimal predicate values must descale to the unscaled storage
+    integers before pruning — previously every layer mis-compared and
+    silently dropped matching rows (review finding)."""
+    import decimal
+
+    from parquet_go_spark import pqwriter
+    from parquet_go_spark.operators.parquet_sink import read_parquet_dir
+
+    d = tmp_path / "dec"
+    d.mkdir()
+    t = pa.table({
+        "price": pa.array([decimal.Decimal(f"{i}.25")
+                           for i in range(200)],
+                          pa.decimal128(9, 2)),
+        "k": pa.array(range(200), pa.int64()),
+    })
+    pqwriter.write_table(t, str(d / "a.parquet"), row_group_rows=50)
+    df = read_parquet_dir(
+        spark, str(d),
+        filters={"price": ("eq", decimal.Decimal("77.25"))})
+    rows = df.collect()
+    assert [r["k"] for r in rows] == [77]
+    df2 = read_parquet_dir(
+        spark, str(d),
+        filters={"price": ("range", decimal.Decimal("10.00"),
+                           decimal.Decimal("12.00"))})
+    assert sorted(r["k"] for r in df2.collect()) == [10, 11]
+
+
+def test_int96_with_general_nested_column(tmp_path):
+    """int96_timestamps=True must coexist with a general-path nested
+    column (the 'general' sentinel crashed the int96 loop)."""
+    import datetime
+
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import pqwriter
+
+    t = pa.table({
+        "ts": pa.array([datetime.datetime(2024, 1, 1 + i)
+                        for i in range(5)], pa.timestamp("us")),
+        "ls": pa.array([[{"a": i}] for i in range(5)],
+                       pa.list_(pa.struct([("a", pa.int64())]))),
+    })
+    p = str(tmp_path / "i96.parquet")
+    pqwriter.write_table(t, p, int96_timestamps=True)
+    got = pqmod.read_table(p)
+    assert got.column("ls").to_pylist() == t.column("ls").to_pylist()
+    assert [v.replace(tzinfo=None) if v.tzinfo else v
+            for v in got.column("ts").to_pylist()] == \
+        t.column("ts").to_pylist()

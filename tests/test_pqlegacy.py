@@ -215,3 +215,68 @@ def test_legacy_struct_element(tmp_path):
         f"SELECT count(*) FROM '{p}' WHERE v IS NOT NULL"
     ).fetchall()[0][0] == 3
     assert P.decode_table(p).column("v").to_pylist() == rows
+
+
+def test_legacy_map_key_value_group_name(tmp_path):
+    """Legacy MAP files name the repeated group 'map' (MAP_KEY_VALUE),
+    not 'key_value' — leaf lookup must follow the schema tree."""
+    rows = [None, {}, {1: 10, 2: None}, {5: 50}]
+    rep_k, def_k, val_k = [], [], []
+    rep_v, def_v, val_v = [], [], []
+    for r in rows:
+        if r is None:
+            rep_k.append(0); def_k.append(0)
+            rep_v.append(0); def_v.append(0)
+        elif not r:
+            rep_k.append(0); def_k.append(1)
+            rep_v.append(0); def_v.append(1)
+        else:
+            for j, (k, v) in enumerate(sorted(r.items())):
+                rep_k.append(0 if j == 0 else 1)
+                def_k.append(2)
+                val_k.append(k)
+                rep_v.append(0 if j == 0 else 1)
+                if v is None:
+                    def_v.append(2)
+                else:
+                    def_v.append(3)
+                    val_v.append(v)
+    col = W._map_type(pa.field("x", pa.int64(), False))
+
+    def build_k(out):
+        ch, u, _ = W._write_levels_chunk(
+            out, col, np.array(rep_k, np.uint8),
+            np.array(def_k, np.uint8), pa.array(val_k, pa.int64()),
+            len(rows), ["m", "map", "key"], 2, 0, 100, "plain", True,
+            max_rep=1)
+        return ch, u
+
+    def build_v(out):
+        ch, u, _ = W._write_levels_chunk(
+            out, col, np.array(rep_v, np.uint8),
+            np.array(def_v, np.uint8), pa.array(val_v, pa.int64()),
+            len(rows), ["m", "map", "value"], 3, 0, 100, "plain", True,
+            max_rep=1)
+        return ch, u
+
+    elems = [
+        W._tstruct([(4, P.CT_BINARY, "schema"), (5, P.CT_I32, 1)]),
+        W._tstruct([(3, P.CT_I32, 1), (4, P.CT_BINARY, "m"),
+                    (5, P.CT_I32, 1), (6, P.CT_I32, 1)]),     # MAP
+        W._tstruct([(3, P.CT_I32, 2), (4, P.CT_BINARY, "map"),
+                    (5, P.CT_I32, 2), (6, P.CT_I32, 2)]),     # MKV
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 0),
+                    (4, P.CT_BINARY, "key")]),
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 1),
+                    (4, P.CT_BINARY, "value")]),
+    ]
+    p = str(tmp_path / "legacymap.parquet")
+    _build_file(p, elems, [build_k, build_v], len(rows))
+    import pyarrow.parquet as pq
+
+    want = [None if r is None else sorted(r.items()) for r in rows]
+    assert [None if v is None else sorted(dict(v).items())
+            for v in pq.read_table(p).column("m").to_pylist()] == want
+    got = P.decode_table(p)
+    assert [None if v is None else sorted(dict(v).items())
+            for v in got.column("m").to_pylist()] == want
