@@ -681,6 +681,12 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
             if flat_np is None:
                 flat_np = True
             all_vals.append(vals)
+        elif len(vals) == 0:
+            # an ALL-NULL page decodes to an empty list regardless of
+            # type — it contributes nothing and must NOT decide the
+            # stream's representation (flipping flat_np here left
+            # whole ndarrays as elements of a python list)
+            pass
         else:
             flat_np = False
             all_vals.extend(vals)

@@ -212,3 +212,34 @@ def test_legacy_lz4_all_three_flavors():
     assert P._block_decompress("lz4", rawblk, len(raw)) == raw
     frame = pa.Codec("lz4").compress(raw).to_pybytes()
     assert P._block_decompress("lz4", frame, len(raw)) == raw
+
+
+def test_all_null_page_in_numeric_chunk():
+    """A page whose values are ALL null must not flip the chunk's
+    value-stream representation (deep-fuzz catch: numeric chunks
+    decoded whole ndarrays as list elements after such a page)."""
+    import tempfile
+
+    import pyarrow.parquet as pqmod
+
+    # 40 present doubles then 40 nulls -> with page_rows=40 the second
+    # page is entirely null; also exercise v2 and a map variant
+    for pv in (1, 2):
+        t = pa.table({"x": pa.array(
+            [float(i) for i in range(40)] + [None] * 40)})
+        p = tempfile.mktemp(suffix=".parquet")
+        W.write_table(t, p, page_rows=40, page_version=pv,
+                      compression="snappy")
+        assert P.decode_table(p).to_pydict() == t.to_pydict(), pv
+        assert pqmod.read_table(p).to_pydict() == t.to_pydict(), pv
+    rows = [{"k": float(i)} for i in range(40)] + [None] * 40
+    t2 = pa.table({"m": pa.array(rows, pa.map_(pa.string(),
+                                               pa.float64()))})
+    p2 = tempfile.mktemp(suffix=".parquet")
+    W.write_table(t2, p2, page_rows=40, page_version=2,
+                  compression="snappy")
+    got = P.decode_table(p2).column("m").to_pylist()
+    want = t2.column("m").to_pylist()
+    assert [None if v is None else sorted(dict(v).items())
+            for v in got] == \
+        [None if v is None else sorted(dict(v).items()) for v in want]
