@@ -510,38 +510,78 @@ def iter_pages(data: bytes, cc: ColumnChunkInfo):
         pos = body + comp_size
 
 
-def _decode_plain(payload: bytes, ptype: int, n: int, type_length):
+def _large_binary_from(data: bytes, offsets: np.ndarray):
+    """(data, int64 offsets) -> zero-copy pa.LargeBinaryArray."""
+    import pyarrow as pa
+
+    offs = np.ascontiguousarray(offsets, dtype="<i8")
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(offs) - 1,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(bytes(data[:int(offs[-1])]))])
+
+
+def _fixed_binary_from(data: bytes, n: int, w: int):
+    """raw concatenated fixed-width bytes -> pa fixed_size_binary(w)."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(w), n, [None, pa.py_buffer(bytes(data[:n * w]))])
+
+
+def _decode_plain(payload: bytes, ptype: int, n: int, type_length,
+                  arrow: bool = False):
     if ptype in _NP_DTYPE:
         return plainc.decode_numeric(payload, _NP_DTYPE[ptype], n)
     if ptype == T_BOOLEAN:
         return plainc.decode_bool(payload, n)
     if ptype == T_BYTE_ARRAY:
         data, offs = plainc.decode_byte_array(payload, n)
+        if arrow:
+            return _large_binary_from(data, offs)
         return [bytes(data[offs[i]:offs[i + 1]]) for i in range(n)]
     if ptype == T_FLBA:
         w = int(type_length)
         data = plainc.decode_fixed(payload, n, w)
+        if arrow:
+            return _fixed_binary_from(data, n, w)
         return [bytes(data[i * w:(i + 1) * w]) for i in range(n)]
     if ptype == T_INT96:
         data = plainc.decode_fixed(payload, n, 12)
+        if arrow:
+            return _fixed_binary_from(data, n, 12)
         return [bytes(data[i * 12:(i + 1) * 12]) for i in range(n)]
     raise ValueError(f"PLAIN: unsupported physical type {ptype}")
 
 
 def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
-                   type_length, dict_vals):
-    """Decode n leaf values from a data-page values section."""
+                   type_length, dict_vals, arrow: bool = False):
+    """Decode n leaf values from a data-page values section.
+
+    ``arrow=True`` keeps byte-array streams as pyarrow arrays
+    (LargeBinary / fixed_size_binary) instead of python ``list[bytes]``
+    — the vectorized reader lane (no per-value boxing)."""
     if n == 0:
         return []
     if enc == E_PLAIN:
-        return _decode_plain(payload, ptype, n, type_length)
+        return _decode_plain(payload, ptype, n, type_length, arrow)
     if enc in (E_RLE_DICTIONARY, E_PLAIN_DICTIONARY):
         if dict_vals is None:
             raise ValueError("dictionary page missing")
         bw = payload[0]
         idx = rle.decode(payload[1:], bw, n).astype(np.int64)
         if isinstance(dict_vals, np.ndarray):
+            if len(dict_vals) and (int(idx.max()) >= len(dict_vals)
+                                   or int(idx.min()) < 0):
+                raise ValueError("dictionary index out of range")
             return dict_vals[idx]
+        import pyarrow as pa
+
+        if isinstance(dict_vals, pa.Array):
+            if len(idx) and (int(idx.max()) >= len(dict_vals)
+                             or int(idx.min()) < 0):
+                raise ValueError("dictionary index out of range")
+            return dict_vals.take(pa.array(idx, pa.int64()))
         return [dict_vals[i] for i in idx]
     if enc == E_RLE:  # boolean RLE, u32-length-prefixed per spec
         vals, _ = rle.decode_with_length_prefix(payload, 1, n)
@@ -558,6 +598,8 @@ def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
         offs = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
         body = payload[pos:]
+        if arrow:
+            return _large_binary_from(body, offs[:n + 1])
         return [bytes(body[offs[i]:offs[i + 1]]) for i in range(n)]
     if enc == E_DELTA_BA:
         pfx, pos = delta.decode_consumed(payload, 4)
@@ -577,6 +619,11 @@ def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
             prev = prev[:p] + bytes(body[off:off + s])
             off += s
             out.append(prev)
+        if arrow:
+            import pyarrow as pa
+
+            # front coding is inherently sequential; box once per page
+            return pa.array(out, pa.large_binary())
         return out
     if enc == E_BYTE_STREAM_SPLIT:
         if ptype in _NP_DTYPE:
@@ -585,6 +632,8 @@ def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
             w = int(type_length)
             a = np.frombuffer(payload, np.uint8, w * n).reshape(w, n)
             data = np.ascontiguousarray(a.T).tobytes()
+            if arrow:
+                return _fixed_binary_from(data, n, w)
             return [bytes(data[i * w:(i + 1) * w]) for i in range(n)]
         raise ValueError("BYTE_STREAM_SPLIT: unsupported type")
     raise ValueError(f"unsupported encoding {enc}")
@@ -605,13 +654,15 @@ def decode_column(path: str, column: str, decryption=None):
     return out
 
 
-def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
+def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo,
+                         arrow: bool = False):
     """Decode one column chunk -> (reps, defs, values) accumulated
     across pages (levels None when absent). Values is a python list or
     ndarray of the NON-NULL leaf values; reps/defs are int ndarrays of
     length num_values (v1 pages may split a list mid-record, so
     reassembly must happen at chunk scope — this is why levels
-    accumulate here)."""
+    accumulate here). With ``arrow=True`` byte-array streams stay
+    pyarrow arrays end-to-end (zero per-value python)."""
     # defensive bounds (frame.py discipline; reference fuzz posture):
     # the footer's value count caps every page's claim, and is itself
     # capped — a lying header must fail BEFORE any allocation sized by it
@@ -632,7 +683,7 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
             if dh[2] not in (E_PLAIN, E_PLAIN_DICTIONARY):
                 raise ValueError("dictionary page must be PLAIN")
             dict_vals = _decode_plain(
-                payload, cc.physical_type, nd, cc.type_length)
+                payload, cc.physical_type, nd, cc.type_length, arrow)
             if isinstance(dict_vals, np.ndarray):
                 dict_vals = np.asarray(dict_vals)
             continue
@@ -672,7 +723,7 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
         nnon = (int(np.count_nonzero(defs == cc.max_def))
                 if defs is not None else n)
         vals = _decode_values(body, enc, cc.physical_type, nnon,
-                              cc.type_length, dict_vals)
+                              cc.type_length, dict_vals, arrow)
         if reps is not None:
             all_reps.append(np.asarray(reps, np.int64))
         if defs is not None:
@@ -681,6 +732,10 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
             if flat_np is None:
                 flat_np = True
             all_vals.append(vals)
+        elif arrow and not isinstance(vals, list):
+            if flat_np is None:
+                flat_np = "pa"
+            all_vals.append(vals)       # pyarrow array page segment
         elif len(vals) == 0:
             # an ALL-NULL page decodes to an empty list regardless of
             # type — it contributes nothing and must NOT decide the
@@ -692,10 +747,23 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo):
             all_vals.extend(vals)
     reps = np.concatenate(all_reps) if all_reps else None
     defs = np.concatenate(all_defs) if all_defs else None
-    if flat_np:
+    if flat_np == "pa":
+        import pyarrow as pa
+
+        vals = (all_vals[0] if len(all_vals) == 1
+                else pa.concat_arrays(all_vals))
+    elif flat_np:
         vals = (np.concatenate(all_vals) if all_vals
                 else np.zeros(0, _NP_DTYPE.get(cc.physical_type,
                                                np.dtype("O"))))
+    elif arrow and cc.physical_type in (T_BYTE_ARRAY, T_FLBA, T_INT96) \
+            and not all_vals:
+        import pyarrow as pa
+
+        w = (cc.type_length if cc.physical_type == T_FLBA else
+             12 if cc.physical_type == T_INT96 else None)
+        vals = pa.array([], pa.large_binary() if w is None
+                        else pa.binary(int(w)))
     else:
         vals = all_vals
     return reps, defs, vals
@@ -1187,6 +1255,40 @@ def _decode_chunk_ranged(path: str, cc: ColumnChunkInfo, ranges) -> list:
     return out
 
 
+def _decode_chunk_ranged_arrow(path: str, cc: ColumnChunkInfo, ranges,
+                               ftype):
+    """Arrow twin of ``_decode_chunk_ranged``: page-pruned ranged IO,
+    typed pa.Array out, no per-value python."""
+    import pyarrow as pa
+
+    oi = (read_offset_index(path, cc)
+          if cc.max_rep == 0 and cc.enc_key is None else None)
+    if oi is None:
+        buf, rcc = chunk_reader(path, cc)
+        return _take_ranges(_decode_chunk_arrow(buf, rcc, ftype), ranges)
+    exts = _page_extents(oi, cc.num_rows)
+    keep = [i for i, (lo, hi) in enumerate(exts)
+            if any(lo < rhi and rlo < hi for rlo, rhi in ranges)]
+    if not keep:
+        return pa.array([], ftype)
+    buf, rcc = _read_chunk_pages(path, cc, oi, keep)
+    arr = _decode_chunk_arrow(buf, rcc, ftype)
+    # map rg-local wanted rows into the kept-pages-only decode order
+    idx_parts = []
+    base = 0
+    for i in keep:
+        lo, hi = exts[i]
+        for rlo, rhi in ranges:
+            s, e = max(lo, rlo), min(hi, rhi)
+            if s < e:
+                idx_parts.append(
+                    np.arange(base + s - lo, base + e - lo, dtype=np.int64))
+        base += hi - lo
+    idx = (np.concatenate(idx_parts) if idx_parts
+           else np.zeros(0, np.int64))
+    return arr.take(pa.array(idx, pa.int64()))
+
+
 def decode_table(path: str, columns: list[str] | None = None,
                  row_groups: list[int] | None = None, decryption=None,
                  row_ranges: dict | None = None):
@@ -1300,16 +1402,18 @@ def decode_table(path: str, columns: list[str] | None = None,
                 arr = arr.take(pa.array(parts, pa.int64()))
             arrays.append(arr)
             continue
-        vals: list = []
+        chunks = []
         for gi in sel:
             cc = next(c for c in groups[gi] if c.name == f.name)
             r = row_ranges.get(gi)
             if r is not None:
-                vals.extend(_decode_chunk_ranged(path, cc, r))
+                chunks.append(
+                    _decode_chunk_ranged_arrow(path, cc, r, f.type))
             else:
                 buf, rcc = chunk_reader(path, cc)
-                vals.extend(_decode_chunk(buf, rcc))
-        arrays.append(_typed_leaf_array(vals, f.type))
+                chunks.append(_decode_chunk_arrow(buf, rcc, f.type))
+        arrays.append(pa.chunked_array(chunks, type=f.type) if chunks
+                      else pa.array([], f.type))
     return pa.table(arrays, schema=schema)
 
 
@@ -1351,6 +1455,107 @@ def _typed_leaf_array(vals: list, ftype):
     return pa.array(vals, ftype)
 
 
+def _expand_present(arr, present: np.ndarray):
+    """Dense present-only pa array -> full-length array with nulls at
+    the absent slots (vectorized take with null indices)."""
+    import pyarrow as pa
+
+    idx = np.cumsum(present, dtype=np.int64) - 1
+    return arr.take(pa.array(idx, pa.int64(), mask=~present))
+
+
+def _leaf_arrow(vals, present, ftype, cc: ColumnChunkInfo):
+    """Chunk value stream (+ present mask over rows) -> typed pa.Array
+    with nulls. The round-3-verdict de-boxing lane: numeric columns stay
+    ndarrays end-to-end, byte arrays stay Arrow buffers; only the rare
+    shapes (FLBA-backed decimals) fall back to the python path.
+
+    ``vals``: ndarray (numerics/bool) | pa.Array (byte arrays) | list
+    (legacy fallback) of the NON-NULL values; ``present``: bool ndarray
+    over rows, or None when every row is present."""
+    import pyarrow as pa
+
+    from . import int96 as i96mod
+
+    if isinstance(vals, list):              # legacy repr — box once
+        if present is None:
+            return _typed_leaf_array(vals, ftype)
+        it = iter(vals)
+        return _typed_leaf_array(
+            [next(it) if p else None for p in present], ftype)
+    all_present = present is None or bool(present.all())
+    if isinstance(vals, np.ndarray):
+        if all_present:
+            full, mask = vals, None
+        else:
+            full = np.zeros(len(present), vals.dtype)
+            full[present] = vals
+            mask = ~present
+        if pa.types.is_decimal(ftype) and vals.dtype.kind == "i":
+            # decimal128 storage = 16-byte LE integers; the physical
+            # int32/int64 IS the unscaled value — widen + sign-extend
+            v = full.astype("<i8", copy=False)
+            pair = np.empty((len(v), 2), "<i8")
+            pair[:, 0] = v
+            pair[:, 1] = v >> 63
+            validity = (None if mask is None
+                        else pa.array(~mask).buffers()[1])
+            return pa.Array.from_buffers(
+                ftype, len(v), [validity, pa.py_buffer(pair.tobytes())])
+        if pa.types.is_unsigned_integer(ftype):
+            # stored signed two's complement; reinterpret, don't convert
+            bw = ftype.bit_width
+            if bw >= full.dtype.itemsize * 8:
+                u = full.view(f"u{full.dtype.itemsize}")
+            else:
+                u = (full & ((1 << bw) - 1)).astype(f"u{bw // 8}")
+            arr = pa.array(u, mask=mask)
+            return arr if arr.type == ftype else arr.cast(ftype)
+        arr = pa.array(full, mask=mask)
+        return arr if arr.type == ftype else arr.cast(ftype)
+    # pyarrow byte-array repr (large_binary or fixed_size_binary)
+    if pa.types.is_float16(ftype):
+        # FLBA(2) little-endian IEEE half — reinterpret the raw buffer
+        dense = np.frombuffer(
+            vals.buffers()[1], np.float16, len(vals),
+            offset=vals.offset * 2)
+        if all_present:
+            return pa.array(dense)
+        full = np.zeros(len(present), np.float16)
+        full[present] = dense
+        return pa.array(full, mask=~present)
+    arr = vals if all_present else _expand_present(vals, present)
+    if cc.physical_type == T_INT96 and pa.types.is_timestamp(ftype):
+        out = i96mod.int96_to_timestamps(arr)
+        return out if out.type == ftype else out.cast(ftype)
+    if pa.types.is_decimal(ftype):
+        # FLBA/binary-backed decimal (big-endian two's complement):
+        # rare — route through the python converter
+        return _typed_leaf_array(arr.to_pylist(), ftype)
+    return arr if arr.type == ftype else arr.cast(ftype)
+
+
+def _decode_chunk_arrow(data: bytes, cc: ColumnChunkInfo, ftype):
+    """Flat-column chunk -> typed pa.Array (the vectorized reader lane:
+    no tolist, no per-value python)."""
+    reps, defs, vals = _decode_chunk_levels(data, cc, arrow=True)
+    if cc.max_rep:
+        raise ValueError("arrow flat lane got a repeated column")
+    present = None if defs is None else (defs == cc.max_def)
+    return _leaf_arrow(vals, present, ftype, cc)
+
+
+def _take_ranges(arr, ranges):
+    """pa.Array rows inside the half-open ``ranges``, in order."""
+    import pyarrow as pa
+
+    if not ranges:
+        return arr.slice(0, 0)
+    idx = np.concatenate([np.arange(lo, hi, dtype=np.int64)
+                          for lo, hi in ranges])
+    return arr.take(pa.array(idx, pa.int64()))
+
+
 def _assemble_struct_array(path: str, groups, sel, field,
                            prefix: str, d_parent: int):
     """Recursive struct reassembly from def levels alone (no
@@ -1368,22 +1573,20 @@ def _assemble_struct_array(path: str, groups, sel, field,
         elif pa.types.is_nested(ch.type):
             raise ValueError(f"list under struct {cpath!r} out of scope")
         else:
-            vals, defs_parts = [], []
+            parts, defs_parts = [], []
             for gi in sel:
                 cc = next(c for c in groups[gi] if c.name == cpath)
                 buf, rcc = chunk_reader(path, cc)
-                _, d, vraw = _decode_chunk_levels(buf, rcc)
-                vlist = (vraw.tolist() if isinstance(vraw, np.ndarray)
-                         else vraw)
+                _, d, vraw = _decode_chunk_levels(buf, rcc, arrow=True)
                 if d is None:
-                    vals.extend(vlist)
                     d = np.full(cc.num_values, cc.max_def, np.int64)
-                else:
-                    it = iter(vlist)
-                    vals.extend(next(it) if x == cc.max_def else None
-                                for x in d)
+                parts.append(
+                    _leaf_arrow(vraw, d == cc.max_def, ch.type, cc))
                 defs_parts.append(d)
-            arr = _typed_leaf_array(vals, ch.type)
+            arr = (pa.concat_arrays([p.combine_chunks()
+                                     if isinstance(p, pa.ChunkedArray)
+                                     else p for p in parts])
+                   if parts else pa.array([], ch.type))
             defs = np.concatenate(defs_parts) if defs_parts else \
                 np.zeros(0, np.int64)
         children.append(arr)
