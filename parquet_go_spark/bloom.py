@@ -55,6 +55,23 @@ def xxhash64_u64(vals: np.ndarray, seed: int = 0) -> np.ndarray:
     return acc
 
 
+def xxhash64_u32(vals: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized xxHash64 of each value's 4-byte little-endian encoding
+    (PLAIN-encoded INT32/FLOAT) — byte-identical to ``xxhash64_bytes``
+    on the same 4-byte strings, with zero per-value python."""
+    x = np.ascontiguousarray(vals).view("<u4").astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.full(len(x), np.uint64(seed) + _P5 + np.uint64(4),
+                      dtype=np.uint64)
+        acc = _rotl(acc ^ (x * _P1), 23) * _P2 + _P3
+        acc ^= acc >> np.uint64(33)
+        acc *= _P2
+        acc ^= acc >> np.uint64(29)
+        acc *= _P3
+        acc ^= acc >> np.uint64(32)
+    return acc
+
+
 def xxhash64_bytes(vals: list[bytes], seed: int = 0) -> np.ndarray:
     """xxHash64 of variable-length byte strings. Values are padded into a
     fixed-width matrix and hashed with the single-lane (< 32 byte) algorithm

@@ -316,32 +316,40 @@ def read_parquet_dir(
         if os.path.isdir(path) else [path])
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
-    units = []
-    schemas = {}
-    sfilters = None       # storage-typed predicate values (dates ->
+    # footer reads are independent range-GETs: at 100 TB / ~1 GB files a
+    # sequential loop is ~10^5 driver IOs before the first task — pool
+    # them (r3 verdict #3). ex.map keeps file order deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool_n = min(16, max(4, (os.cpu_count() or 8) // 2))
+    with ThreadPoolExecutor(pool_n) as ex:
+        metas = dict(zip(files, ex.map(
+            lambda f: pqinterop.read_footer(f, decryption), files)))
+    schemas = {f: pqinterop.arrow_schema(m) for f, m in metas.items()}
+    sfilters = {}         # storage-typed predicate values (dates ->
                           # epoch days, datetimes -> the column's unit,
                           # strings -> bytes) for EVERY pruning layer;
                           # the exact Spark re-apply keeps the originals
-    for f in files:
-        meta = pqinterop.read_footer(f, decryption)  # tail read only
-        schemas[f] = pqinterop.arrow_schema(meta)
-        if sfilters is None:
-            sfilters = {}
-            walk = {x.top_name: x for x in pqinterop._walk_schema(meta)}
-            for col, pred in (filters or {}).items():
-                li = walk.get(col)
-                if li is None:
-                    sfilters[col] = pred
-                elif pred[0] == "in":
-                    sfilters[col] = ("in", [
-                        _pred_storage_value(v, li) for v in pred[1]])
-                elif pred[0] == "range":
-                    sfilters[col] = ("range",
-                                     _pred_storage_value(pred[1], li),
-                                     _pred_storage_value(pred[2], li))
-                else:
-                    sfilters[col] = (pred[0],
-                                     _pred_storage_value(pred[1], li))
+    walk = {x.top_name: x
+            for x in pqinterop._walk_schema(metas[files[0]])}
+    for col, pred in (filters or {}).items():
+        li = walk.get(col)
+        if li is None:
+            sfilters[col] = pred
+        elif pred[0] == "in":
+            sfilters[col] = ("in", [
+                _pred_storage_value(v, li) for v in pred[1]])
+        elif pred[0] == "range":
+            sfilters[col] = ("range",
+                             _pred_storage_value(pred[1], li),
+                             _pred_storage_value(pred[2], li))
+        else:
+            sfilters[col] = (pred[0],
+                             _pred_storage_value(pred[1], li))
+
+    def _file_units(f):
+        meta = metas[f]
+        out = []
         for g in range(len(meta[4])):
             keep = True
             for col, pred in sfilters.items():
@@ -351,7 +359,18 @@ def read_parquet_dir(
                                  and _rg_dict_keep(f, meta, g, col,
                                                    pred))))
             if keep:
-                units.append((f, g))
+                out.append((f, g))
+        return out
+
+    units = []
+    if sfilters:
+        # bloom/dict pruning reads pages — also independent per file
+        with ThreadPoolExecutor(pool_n) as ex:
+            for us in ex.map(_file_units, files):
+                units.extend(us)
+    else:
+        for f in files:
+            units.extend(_file_units(f))
     uniform = all(s.equals(schemas[files[0]]) for s in schemas.values())
     schema = (schemas[files[0]] if uniform
               else _unify_schemas(list(schemas.values())))

@@ -1442,12 +1442,11 @@ def _bloom_hashes(col: _Col, arr: pa.Array) -> np.ndarray:
         return bloommod.xxhash64_u64(v.view(np.uint64))
     if col.ptype == T_INT32:
         v = np.ascontiguousarray(np.asarray(uniq.cast(pa.int32())), "<i4")
-        return bloommod.xxhash64_bytes(
-            [v[i:i + 1].tobytes() for i in range(len(v))])
+        return bloommod.xxhash64_u32(v)
     if col.ptype in (T_FLOAT, T_DOUBLE):
         v = np.ascontiguousarray(np.asarray(uniq), col.np_dtype)
-        return bloommod.xxhash64_bytes(
-            [v[i:i + 1].tobytes() for i in range(len(v))])
+        return (bloommod.xxhash64_u32(v) if v.dtype.itemsize == 4
+                else bloommod.xxhash64_u64(v.view(np.int64)))
     if col.ptype in (T_BYTE_ARRAY, T_FLBA):
         vals = [x.encode() if isinstance(x, str) else bytes(x)
                 for x in uniq.to_pylist()]
