@@ -45,3 +45,41 @@ def json_get(col: Column | str, path: str) -> Column:
     direction, types/json.go:155-199); path is a $.dotted JSONPath."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, path)
+
+
+def _le32_hex(c: Column) -> Column:
+    """int col -> 8 hex chars of its 4-byte LITTLE-endian encoding."""
+    h = F.lpad(F.hex(c), 8, "0")
+    return F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+                    F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def interval_pack(months: Column, days: Column, millis: Column) -> Column:
+    """(months, days, millis) int cols -> the parquet INTERVAL
+    fixed(12) layout (LE u32 x 3, reference types/interval.go:82-86) —
+    pure JVM expressions, codegen-friendly."""
+    return F.unhex(F.concat(_le32_hex(months), _le32_hex(days),
+                            _le32_hex(millis)))
+
+
+def _le32_get(b: Column, byte_off: int) -> Column:
+    h = F.hex(F.substring(b, byte_off + 1, 4))
+    be = F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+                  F.substring(h, 3, 2), F.substring(h, 1, 2))
+    return F.conv(be, 16, 10).cast("long")
+
+
+def interval_months(col: Column | str) -> Column:
+    """INTERVAL fixed(12) binary -> months (types/interval.go:14-16)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _le32_get(c, 0)
+
+
+def interval_days(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return _le32_get(c, 4)
+
+
+def interval_millis(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return _le32_get(c, 8)

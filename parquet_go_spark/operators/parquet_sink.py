@@ -39,12 +39,15 @@ def write_parquet_dir(
     encryption=None,
     sorting_columns: list | None = None,
     name_prefix: str | None = None,
+    logical_types: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
     One file per non-empty partition (size partitions upstream with
     repartition/coalesce). Returns the file manifest [{file, rows,
-    bytes}] — metadata-scale."""
+    bytes}] — metadata-scale. ``logical_types``: per-column parquet
+    annotation (uuid | json | bson | enum | interval), see
+    pqwriter.write_table."""
     bloom_columns = list(bloom_columns) if bloom_columns else None
     os.makedirs(out_dir, exist_ok=True)
     enc = encodings or {}
@@ -75,7 +78,8 @@ def write_parquet_dir(
             tbl, path, compression=compression, encodings=enc,
             row_group_rows=row_group_rows, page_rows=page_rows,
             bloom_columns=bloom_columns, encryption=task_enc,
-            sorting_columns=sorting_columns)
+            sorting_columns=sorting_columns,
+            logical_types=logical_types)
         yield pa.RecordBatch.from_arrays(
             [pa.array([name]), pa.array([tbl.num_rows], pa.int64()),
              pa.array([os.path.getsize(path)], pa.int64())],
@@ -122,6 +126,69 @@ def writer_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WRITER_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
+
+
+def logical_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUID/JSON/BSON/ENUM/INTERVAL annotations through REAL parquet
+    (r3 verdict #3; reference types/uuid.go, types/json.go:16-330,
+    types/bson.go:10-35, types/interval.go:9-88): derive deterministic
+    typed columns from customer, write them with engine logical
+    annotations, read the bytes back with the engine reader, and
+    convert each through the JVM-expression logical surface. The
+    DuckDB oracle recomputes the same values straight from customer
+    (DuckDB cannot read BSON-annotated files at all — the oracle
+    never touches the file, which also proves values, not plumbing)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .. import logical as L
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pqlogical_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    ck = F.col("c_custkey")
+    src = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+           .select(
+               "c_custkey",
+               F.unhex(F.md5(ck.cast("string"))).alias("u"),
+               F.concat(F.lit('{"k":'), ck.cast("string"),
+                        F.lit("}")).alias("j"),
+               F.unhex(F.md5(F.concat(F.lit("b"), ck.cast("string"))))
+               .alias("bs"),
+               F.col("c_mktsegment").alias("e"),
+               L.interval_pack(ck % 24, ck % 31,
+                               (ck * 37) % 86400000).alias("iv")))
+    write_parquet_dir(
+        src.repartition(2), out,
+        logical_types={"u": "uuid", "j": "json", "bs": "bson",
+                       "e": "enum", "iv": "interval"})
+    back = read_parquet_dir(spark, out)
+    return back.select(
+        "c_custkey",
+        L.uuid_str("u").alias("uuid_s"),
+        "j",
+        F.lower(F.hex("bs")).alias("bson_hex"),
+        F.col("e").alias("seg"),
+        L.interval_months("iv").alias("iv_months"),
+        L.interval_days("iv").alias("iv_days"),
+        L.interval_millis("iv").alias("iv_millis"))
+
+
+LOGICAL_ROUNDTRIP_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(md5(CAST(c_custkey AS VARCHAR)),
+                      '^(.{8})(.{4})(.{4})(.{4})(.{12})$',
+                      '\\1-\\2-\\3-\\4-\\5') AS uuid_s,
+       '{"k":' || c_custkey || '}' AS j,
+       md5('b' || CAST(c_custkey AS VARCHAR)) AS bson_hex,
+       c_mktsegment AS seg,
+       CAST(c_custkey % 24 AS BIGINT) AS iv_months,
+       CAST(c_custkey % 31 AS BIGINT) AS iv_days,
+       CAST((c_custkey * 37) % 86400000 AS BIGINT) AS iv_millis
+FROM customer
+"""
 
 
 # -------------------------------------------------------- engine reader
@@ -385,6 +452,26 @@ def read_parquet_dir(
                 drop_after_filter.append(c)
         schema = pa.schema([schema.field(c) for c in columns])
 
+    def _despec(t):
+        # Spark's arrow bridge rejects FixedSizeBinary — widen to
+        # variable binary at the JVM boundary (values unchanged)
+        if pa.types.is_fixed_size_binary(t):
+            return pa.binary()
+        if pa.types.is_list(t):
+            return pa.list_(_despec(t.value_type))
+        if pa.types.is_large_list(t):
+            return pa.large_list(_despec(t.value_type))
+        if pa.types.is_map(t):
+            return pa.map_(_despec(t.key_type), _despec(t.item_type))
+        if pa.types.is_struct(t):
+            return pa.struct([pa.field(f.name, _despec(f.type),
+                                       f.nullable) for f in t])
+        return t
+
+    ship_schema = pa.schema(
+        [pa.field(f.name, _despec(f.type), f.nullable, f.metadata)
+         for f in schema])
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .. import pqinterop as P
 
@@ -422,6 +509,11 @@ def read_parquet_dir(
                         else pa.nulls(tbl.num_rows, fl.type)
                         for fl in schema]
                     tbl = pa.table(arrays, schema=schema)
+                if tbl.schema != ship_schema:
+                    tbl = pa.table(
+                        [tbl.column(i).cast(fl.type)
+                         for i, fl in enumerate(ship_schema)],
+                        schema=ship_schema)
                 yield from tbl.to_batches()
 
     units_df = spark.createDataFrame(units, "f string, g int").repartition(
@@ -429,7 +521,7 @@ def read_parquet_dir(
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    df = units_df.mapInArrow(fn, from_arrow_schema(schema))
+    df = units_df.mapInArrow(fn, from_arrow_schema(ship_schema))
     # pruning is advisory-lossless: the exact predicate re-applies here
     for col, pred in (filters or {}).items():
         if pred[0] == "eq":

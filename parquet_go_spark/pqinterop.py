@@ -865,7 +865,11 @@ def _arrow_leaf_type(el: dict) -> "object":
         elif ptype == T_DOUBLE:
             t = pa.float64()
         elif ptype == T_BYTE_ARRAY:
-            t = pa.string() if (conv == 0 or 1 in logical) else pa.binary()
+            # UTF8, plus the UTF-8-by-spec annotations (JSON, ENUM)
+            t = (pa.string()
+                 if (conv in (0, 19, 4) or 1 in logical
+                     or 12 in logical or 4 in logical)
+                 else pa.binary())
         elif ptype == T_FLBA:
             t = pa.float16() if 15 in logical else pa.binary(el[2])
         elif ptype == T_INT96:
@@ -873,6 +877,27 @@ def _arrow_leaf_type(el: dict) -> "object":
         else:
             raise ValueError(f"unsupported physical type {ptype}")
         return t
+
+
+def _leaf_annotation(el: dict) -> dict | None:
+    """Annotation-only logical types (UUID/JSON/BSON/ENUM/INTERVAL):
+    surfaced as field metadata so the arrow schema keeps the physical
+    shape while recording the parquet annotation (the write side emits
+    the same tag back — lossless roundtrip)."""
+    conv = el.get(6)
+    logical = el.get(10) or {}
+    kind = None
+    if 14 in logical:
+        kind = "uuid"
+    elif conv == 19 or 12 in logical:
+        kind = "json"
+    elif conv == 20 or 13 in logical:
+        kind = "bson"
+    elif conv == 4 or 4 in logical:
+        kind = "enum"
+    elif conv == 21:
+        kind = "interval"
+    return None if kind is None else {b"pgs_logical": kind.encode()}
 
 
 def _arrow_field(elems: list, pos: int):
@@ -893,7 +918,8 @@ def _arrow_field(elems: list, pos: int):
             return pa.field(
                 name, pa.list_(pa.field(name, _arrow_leaf_type(el),
                                         False)), False), pos
-        return pa.field(name, _arrow_leaf_type(el), rep == 1), pos
+        return pa.field(name, _arrow_leaf_type(el), rep == 1,
+                        metadata=_leaf_annotation(el)), pos
     logical = el.get(10) or {}
     if el.get(6) == 3 or 3 in logical:          # LIST group
         mid = elems[pos]                         # repeated child

@@ -232,8 +232,51 @@ def _logical(fid: int, payload: bytes = _EMPTY) -> bytes:
     return _tstruct([(fid, CT_STRUCT, payload)])
 
 
+def _logical_col(field: pa.Field, kind: str) -> _Col:
+    """Annotation-only logical types over existing physical shapes
+    (reference types/uuid.go, types/json.go:16-330, types/bson.go,
+    types/interval.go:9-88): validate the arrow shape, emit the spec
+    ConvertedType/LogicalType pair."""
+    t = field.type
+    if kind == "uuid":
+        if not (pa.types.is_fixed_size_binary(t) and t.byte_width == 16):
+            raise ValueError(
+                f"uuid column {field.name!r} must be fixed_size_binary(16)")
+        return _Col(field.name, T_FLBA, type_length=16,
+                    logical=_logical(14))                  # UUIDType
+    if kind == "json":
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise ValueError(f"json column {field.name!r} must be string")
+        return _Col(field.name, T_BYTE_ARRAY, converted=19,  # JSON
+                    logical=_logical(12))
+    if kind == "bson":
+        if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            raise ValueError(f"bson column {field.name!r} must be binary")
+        return _Col(field.name, T_BYTE_ARRAY, converted=20,  # BSON
+                    logical=_logical(13))
+    if kind == "enum":
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise ValueError(f"enum column {field.name!r} must be string")
+        return _Col(field.name, T_BYTE_ARRAY, converted=4,   # ENUM
+                    logical=_logical(4))
+    if kind == "interval":
+        # legacy month/day/millis triple; ConvertedType only — the
+        # modern LogicalType union has no interval member
+        if not (pa.types.is_fixed_size_binary(t) and t.byte_width == 12):
+            raise ValueError(
+                f"interval column {field.name!r} must be "
+                "fixed_size_binary(12) (pack_interval layout)")
+        return _Col(field.name, T_FLBA, type_length=12, converted=21)
+    raise ValueError(f"unknown logical annotation {kind!r} "
+                     f"(column {field.name!r})")
+
+
 def _map_type(field: pa.Field) -> _Col:
     t = field.type
+    md = field.metadata or {}
+    kind = md.get(b"pgs_logical")
+    if kind is not None:
+        return _logical_col(field, kind.decode())
     if pa.types.is_boolean(t):
         return _Col(field.name, T_BOOLEAN)
     if pa.types.is_int32(t):
@@ -1490,8 +1533,15 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 encryption=None, page_index: bool = True,
                 sorting_columns: list | None = None,
                 row_group_bytes: int | None = None,
-                page_bytes: int | None = None) -> None:
+                page_bytes: int | None = None,
+                logical_types: dict[str, str] | None = None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
+
+    ``logical_types``: per-column annotation — uuid | json | bson |
+    enum | interval — over the matching arrow shape (uuid =
+    fixed_size_binary(16), json/enum = string, bson = binary,
+    interval = fixed_size_binary(12)); equivalent to tagging the field
+    metadata key ``pgs_logical``.
 
     ``encodings``: per-column override — plain | rle | delta | bss |
     delta_length | delta_ba | dict | auto (default auto).
@@ -1515,6 +1565,25 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                          "out of scope (bloom modules not sealed)")
     encodings = encodings or {}
     table = table.combine_chunks()
+    if logical_types:
+        for col, kind in logical_types.items():
+            i = table.schema.get_field_index(col)
+            if i < 0:
+                raise ValueError(f"logical_types: no column {col!r}")
+            fl = table.schema.field(i)
+            arr = table.column(i)
+            fixed_w = {"uuid": 16, "interval": 12}.get(kind)
+            if fixed_w is not None and (
+                    pa.types.is_binary(fl.type)
+                    or pa.types.is_large_binary(fl.type)):
+                # convenience: Spark ships variable binary — tighten to
+                # the spec's fixed width (cast validates every length)
+                arr = arr.cast(pa.binary(fixed_w))
+                fl = pa.field(fl.name, pa.binary(fixed_w), fl.nullable,
+                              fl.metadata)
+            md = dict(fl.metadata or {})
+            md[b"pgs_logical"] = kind.encode()
+            table = table.set_column(i, fl.with_metadata(md), arr)
     if int96_timestamps:
         # legacy Impala layout (the reference's
         # encodingwrite_plain.go:89-95): timestamp columns become

@@ -757,3 +757,51 @@ def test_byte_targeted_sizing(tmp_path):
     oi = P.read_offset_index(p, cc)
     assert 7 <= len(oi) <= 9                   # ~64KB rg / 8KB pages
     assert pqmod.read_table(p).to_pydict() == t.to_pydict()
+
+
+def test_logical_annotations_roundtrip(tmp_path):
+    """UUID/JSON/BSON/ENUM/INTERVAL annotations (r3 verdict #3): the
+    engine writes the spec ConvertedType/LogicalType pair, reads its
+    own tag back as field metadata, and pyarrow's parquet schema dump
+    confirms every annotation on the wire."""
+    import uuid as uuidmod
+
+    import numpy as np
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import interval as ival
+    from parquet_go_spark import pqinterop, pqwriter
+
+    n = 50
+    idx = np.arange(n)
+    t = pa.table({
+        "u": pa.array([uuidmod.uuid5(uuidmod.NAMESPACE_URL, str(i)).bytes
+                       for i in range(n)], pa.binary(16)),
+        "j": pa.array([f'{{"k":{i}}}' for i in range(n)]),
+        "bs": pa.array([bytes([i % 256]) * 3 for i in range(n)],
+                       pa.binary()),
+        "e": pa.array(["A", "B"][:1] * n),
+        "iv": ival.pack_interval(idx % 24, idx % 31, idx * 7 % 1000),
+    })
+    p = str(tmp_path / "lt.parquet")
+    kinds = {"u": "uuid", "j": "json", "bs": "bson", "e": "enum",
+             "iv": "interval"}
+    pqwriter.write_table(t, p, logical_types=kinds)
+    dump = str(pqmod.ParquetFile(p).schema)
+    for ann in ("(UUID)", "(JSON)", "(BSON)", "(Enum)", "(Interval)"):
+        assert ann in dump, dump
+    back = pqinterop.decode_table(p)
+    for col, kind in kinds.items():
+        assert back.schema.field(col).metadata[b"pgs_logical"] == \
+            kind.encode()
+        got = back.column(col).combine_chunks()
+        want = t.column(col).combine_chunks()
+        assert got.cast(want.type).equals(want), col
+    # shape validation: wrong width refuses loudly
+    bad = pa.table({"u": pa.array([b"xx"], pa.binary())})
+    try:
+        pqwriter.write_table(bad, str(tmp_path / "bad.parquet"),
+                             logical_types={"u": "uuid"})
+        raise AssertionError("expected length validation error")
+    except Exception as e:
+        assert "16" in str(e) or "Invalid" in type(e).__name__
