@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_writer_struct"] = _pqs.writer_struct_query
     q["pq_encrypted_roundtrip"] = _pqs.encrypted_roundtrip_query
     q["pq_logical_roundtrip"] = _pqs.logical_roundtrip_query
+    q["pq_variant_shredded"] = _pqs.variant_shredded_query
     return q
 
 
@@ -500,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
     o["pq_writer_struct"] = _pqs.WRITER_STRUCT_ORACLE
     o["pq_encrypted_roundtrip"] = _pqs.ENCRYPTED_ROUNDTRIP_ORACLE
     o["pq_logical_roundtrip"] = _pqs.LOGICAL_ROUNDTRIP_ORACLE
+    o["pq_variant_shredded"] = _pqs.VARIANT_SHREDDED_ORACLE
     o["pq_reader_pages"] = _pqs.READER_PAGES_ORACLE
     o["pq_map_roundtrip"] = _pqs.MAP_ROUNDTRIP_ORACLE
     o["pq_nested_roundtrip"] = _pqs.NESTED_ROUNDTRIP_ORACLE

@@ -176,6 +176,76 @@ def logical_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         L.interval_millis("iv").alias("iv_millis"))
 
 
+def variant_shredded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT in REAL parquet with spec shredding (r3 verdict #4;
+    reference marshal/variant_reconstruct.go:14-417): encode a variant
+    per customer row, shred it into the VariantShredding.md typed_value
+    group layout inside executor tasks (one engine-written file per
+    partition, zero shuffles), then read the bytes back with SPARK'S
+    JVM variant reader — variant_get is the external decode referee;
+    the DuckDB oracle recomputes the values straight from customer."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .. import pqwriter as PW
+    from .. import variant as V
+
+    out = os.path.join(
+        "/tmp",
+        f"pgs_pqvariant_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    src = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+           .select("c_custkey", "c_name", "c_acctbal").repartition(2))
+    fields = {"k": "int", "name": "string", "meta.bal_cents": "int"}
+    stype = V.spec_struct_type(fields)
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        got = list(batches)
+        if not got:
+            return
+        tb = pa.Table.from_batches(got)
+        metas, vals = [], []
+        for ck, nm, bal in zip(tb.column("c_custkey").to_pylist(),
+                               tb.column("c_name").to_pylist(),
+                               tb.column("c_acctbal").to_pylist()):
+            m, v = V.encode_variant(
+                {"k": int(ck), "name": nm,
+                 "meta": {"bal_cents": int(round(bal * 100))}})
+            metas.append(m)
+            vals.append(v)
+        vt = pa.table({
+            "c_custkey": tb.column("c_custkey"),
+            "v": pa.array(V.shred_spec_rows(metas, vals, fields), stype),
+        })
+        pid = TaskContext.get().partitionId()
+        PW.write_table(vt, os.path.join(out, f"part-{pid:05d}.parquet"),
+                       logical_types={"v": "variant"})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([tb.num_rows], pa.int64())], names=["rows"])
+
+    src.mapInArrow(enc, "rows long").collect()
+    back = spark.read.parquet(out)
+    return back.select(
+        "c_custkey",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k2"),
+        F.expr("variant_get(v, '$.name', 'string')").alias("name2"),
+        F.expr("variant_get(v, '$.meta.bal_cents', 'long')")
+        .alias("cents"))
+
+
+VARIANT_SHREDDED_ORACLE = """
+SELECT c_custkey,
+       CAST(c_custkey AS BIGINT) AS k2,
+       c_name AS name2,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+FROM customer
+"""
+
+
 LOGICAL_ROUNDTRIP_ORACLE = """
 SELECT c_custkey,
        regexp_replace(md5(CAST(c_custkey AS VARCHAR)),

@@ -961,7 +961,9 @@ def _arrow_field(elems: list, pos: int):
         return pa.field(
             name, pa.list_(pa.field(name, pa.struct(children), False)),
             False), pos
-    return pa.field(name, pa.struct(children), rep == 1), pos
+    md = {b"pgs_logical": b"variant"} if 16 in logical else None
+    return pa.field(name, pa.struct(children), rep == 1,
+                    metadata=md), pos
 
 
 def arrow_schema(meta: dict) -> "object":

@@ -1446,11 +1446,21 @@ def _emit_schema_field(field: pa.Field, col: _Col | None,
             ]))
         return
     if pa.types.is_struct(field.type):               # STRUCT group
+        md = field.metadata or {}
+        variant = md.get(b"pgs_logical") == b"variant"
+        if variant:
+            names = [f.name for f in field.type]
+            if "metadata" not in names or "value" not in names:
+                raise ValueError(
+                    f"variant column {field.name!r} needs metadata/"
+                    "value children (spec group layout)")
         schema_elems.append(_tstruct([
             (3, CT_I32, 1 if field.nullable else 0),
             (4, CT_BINARY, field.name),
             (5, CT_I32, field.type.num_fields),
-        ]))
+        ] + ([(10, CT_STRUCT,
+               _logical(16, _tstruct([(1, 3, 1)])))]   # VariantType v1
+             if variant else [])))
         for ch in field.type:
             _emit_schema_field(ch, _map_type(ch) if not
                                pa.types.is_nested(ch.type) else None,

@@ -854,3 +854,166 @@ def _merge_value(
     return _encode_object(
         [fid for _, fid, _ in merged], [sl for _, _, sl in merged]
     )
+
+
+# ---------------- real-parquet spec shredding (VariantShredding.md) ----
+#
+# The PGS store shreds into flat typed chunk columns (shred_rows above);
+# REAL parquet files use the spec's recursive group layout instead:
+#   optional group v (VARIANT) {
+#     required binary metadata;
+#     optional binary value;                  # top residual
+#     optional group typed_value {            # present <=> object row
+#       required group <field> {
+#         optional binary value;              # per-FIELD residual
+#         optional <typed> typed_value;
+#       } ... }}
+# (reference reads this back in marshal/variant_reconstruct.go:14-417).
+# Scalar kinds only on this surface: the engine writer keeps lists
+# under structs out of scope, and a declined array shred is a legal
+# writer choice per the spec.
+
+_SPEC_KINDS = ("int", "double", "string", "bool")
+
+
+def spec_struct_type(fields: dict[str, str]):
+    """Shredding schema -> the arrow struct type of the spec layout."""
+    import pyarrow as pa
+
+    leaf_t = {"int": pa.int64(), "double": pa.float64(),
+              "string": pa.string(), "bool": pa.bool_()}
+
+    def group(tree: dict) -> "pa.DataType":
+        kids = []
+        for head, (leaf_kind, sub) in tree.items():
+            tv = leaf_t[leaf_kind] if leaf_kind is not None else group(sub)
+            kids.append(pa.field(head, pa.struct([
+                pa.field("value", pa.binary(), True),
+                pa.field("typed_value", tv, True),
+            ]), False))                       # spec: field groups required
+        return pa.struct(kids)
+
+    for k in fields.values():
+        if k not in _SPEC_KINDS:
+            raise ValueError(
+                f"spec shredding supports scalar kinds only, got {k!r}")
+    tree = _fields_tree(fields)
+    return pa.struct([
+        pa.field("metadata", pa.binary(), False),
+        pa.field("value", pa.binary(), True),
+        pa.field("typed_value", group(tree), True),
+    ])
+
+
+def _shred_spec_node(val_b: bytes, tree: dict, d: list[str]):
+    """One (sub-)value -> (residual_bytes | None, typed_group | None)
+    per the spec: typed group non-null <=> this value is an object."""
+    split = _split_object(val_b)
+    if split is None:
+        return val_b, None
+    ids, slices = split
+    by_name: dict[str, tuple[int, bytes]] = {}
+    for fid, sl in zip(ids, slices):
+        if fid >= len(d):
+            raise ValueError(
+                f"field id {fid} exceeds dictionary size {len(d)}")
+        by_name[d[fid]] = (fid, sl)
+    group: dict[str, dict] = {}
+    for head, (leaf_kind, sub) in tree.items():
+        hit = by_name.pop(head, None)
+        fg = {"value": None, "typed_value": None}
+        if hit is not None:
+            if leaf_kind is not None:
+                sv = _extract_typed(hit[1], leaf_kind)
+                if isinstance(sv, _NotScalar):
+                    fg["value"] = hit[1]      # per-field residual (spec)
+                else:
+                    fg["typed_value"] = sv
+            else:
+                fv, ftv = _shred_spec_node(hit[1], sub, d)
+                fg["value"], fg["typed_value"] = fv, ftv
+        group[head] = fg
+    rest = sorted(by_name.items())
+    residual = (_encode_object([fid for _, (fid, _) in rest],
+                               [sl for _, (_, sl) in rest])
+                if rest else None)            # spec: null when fully shredded
+    return residual, group
+
+
+def shred_spec_rows(metas, values, fields: dict[str, str]):
+    """Variant rows -> python rows of the spec struct layout (feed
+    ``pa.array(rows, spec_struct_type(fields))``). None input row ->
+    None struct row (SQL null)."""
+    tree = _fields_tree(fields)
+    for k in fields.values():
+        if k not in _SPEC_KINDS:
+            raise ValueError(
+                f"spec shredding supports scalar kinds only, got {k!r}")
+    rows = []
+    meta_cache: dict[bytes, list[str]] = {}
+    for meta_b, val_b in zip(metas, values):
+        if meta_b is None or val_b is None:
+            rows.append(None)
+            continue
+        d = meta_cache.get(meta_b)
+        if d is None:
+            d = meta_cache[meta_b] = decode_metadata(meta_b).dictionary
+        residual, group = _shred_spec_node(val_b, tree, d)
+        rows.append({"metadata": meta_b, "value": residual,
+                     "typed_value": group})
+    return rows
+
+
+def merge_spec_row(meta_b, value_b, typed_row, tree) -> object:
+    """One spec-layout row -> python value tree (typed wins; residuals
+    decode against the shared top metadata). ``typed_row`` is the
+    typed_value group as a python dict (None when the row is not an
+    object)."""
+    if typed_row is None:
+        return (decode_value(value_b, meta_b)
+                if value_b is not None else None)
+    obj = {} if value_b is None else decode_value(value_b, meta_b)
+    if not isinstance(obj, dict):
+        raise ValueError("spec residual under an object row must be "
+                         "an object")
+    for head, (leaf_kind, sub) in tree.items():
+        fg = typed_row.get(head) or {}
+        tv, fv = fg.get("typed_value"), fg.get("value")
+        if leaf_kind is None:
+            if tv is not None or fv is not None:
+                obj[head] = merge_spec_row(meta_b, fv, tv, sub)
+        elif tv is not None:
+            obj[head] = tv
+        elif fv is not None:
+            obj[head] = decode_value(fv, meta_b)
+    return obj
+
+
+def merge_spec_rows(struct_rows, fields: dict[str, str]) -> list:
+    """Spec-layout struct rows (python dicts with metadata/value/
+    typed_value) -> python value trees."""
+    tree = _fields_tree(fields)
+    out = []
+    for row in struct_rows:
+        if row is None:
+            out.append(None)
+            continue
+        out.append(merge_spec_row(row["metadata"], row.get("value"),
+                                  row.get("typed_value"), tree))
+    return out
+
+
+def spec_tree_from_type(typed_value_type) -> dict:
+    """Derive the shred tree from a decoded typed_value arrow struct
+    type (reading a foreign writer's shredded file needs no declared
+    schema — the footer carries it)."""
+    import pyarrow as pa
+
+    tree: dict[str, tuple] = {}
+    for f in typed_value_type:
+        tv = f.type.field("typed_value").type
+        if pa.types.is_struct(tv):
+            tree[f.name] = (None, spec_tree_from_type(tv))
+        else:
+            tree[f.name] = ("leaf", {})
+    return tree
