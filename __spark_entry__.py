@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_encrypted_roundtrip"] = _pqs.encrypted_roundtrip_query
     q["pq_logical_roundtrip"] = _pqs.logical_roundtrip_query
     q["pq_variant_shredded"] = _pqs.variant_shredded_query
+    q["pq_geo_pruned"] = _pqs.geo_pruned_query
     return q
 
 
@@ -502,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
     o["pq_encrypted_roundtrip"] = _pqs.ENCRYPTED_ROUNDTRIP_ORACLE
     o["pq_logical_roundtrip"] = _pqs.LOGICAL_ROUNDTRIP_ORACLE
     o["pq_variant_shredded"] = _pqs.VARIANT_SHREDDED_ORACLE
+    o["pq_geo_pruned"] = _pqs.GEO_PRUNED_ORACLE
     o["pq_reader_pages"] = _pqs.READER_PAGES_ORACLE
     o["pq_map_roundtrip"] = _pqs.MAP_ROUNDTRIP_ORACLE
     o["pq_nested_roundtrip"] = _pqs.NESTED_ROUNDTRIP_ORACLE

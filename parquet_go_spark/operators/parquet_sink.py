@@ -237,6 +237,54 @@ def variant_shredded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"))
 
 
+def geo_pruned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY + GeospatialStatistics in REAL footers (r3 verdict #6;
+    reference internal/layout/chunk.go:124-173): build WKB points from
+    customer keys in executor tasks (vectorized wkb_points), write
+    x-sorted engine parquet so row-group bboxes are disjoint, then read
+    with a bbox window filter — footer GeospatialStatistics prune whole
+    units, and the task-side vectorized WKB mask is exact, so the
+    selected keys ARE the proof the geometry bytes drove the filter.
+    DuckDB oracle recomputes the window membership arithmetically."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(
+        "/tmp", f"pgs_pqgeo_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    ck = F.col("c_custkey")
+    src = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+           .select("c_custkey", (ck % 97).cast("double").alias("x"),
+                   ((ck * 7) % 89).cast("double").alias("y"))
+           .orderBy("x"))
+
+    def add_wkb(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import geo as geomod
+
+        for b in batches:
+            g = geomod.wkb_points(
+                np.asarray(b.column("x"), np.float64),
+                np.asarray(b.column("y"), np.float64)).cast(pa.binary())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("c_custkey"), g], names=["c_custkey", "g"])
+
+    pts = src.mapInArrow(add_wkb, "c_custkey long, g binary")
+    write_parquet_dir(pts, out, row_group_rows=256,
+                      logical_types={"g": "geometry"})
+    back = read_parquet_dir(
+        spark, out, columns=["c_custkey"],
+        filters={"g": ("bbox", 10.0, 20.0, 30.0, 60.0)})
+    return back.select("c_custkey")
+
+
+GEO_PRUNED_ORACLE = """
+SELECT c_custkey FROM customer
+WHERE (c_custkey % 97) BETWEEN 10 AND 30
+  AND ((c_custkey * 7) % 89) BETWEEN 20 AND 60
+"""
+
+
 VARIANT_SHREDDED_ORACLE = """
 SELECT c_custkey,
        CAST(c_custkey AS BIGINT) AS k2,
@@ -309,6 +357,20 @@ def _rg_stats_keep(meta: dict, gi: int, col: str, pred: tuple) -> bool:
         if b".".join(cc[3][3]).decode().split(".")[0] == col:
             cc_md = cc[3]
             break
+    if pred[0] == "bbox":
+        # GeospatialStatistics (ColumnMetaData 17; reference
+        # internal/layout/chunk.go:124-173): drop the unit only when
+        # the folded bbox PROVES no geometry intersects the window
+        bb = (cc_md or {}).get(17, {}).get(1)
+        if not bb:
+            return True
+        xmin, xmax = bb.get(1), bb.get(2)
+        ymin, ymax = bb.get(3), bb.get(4)
+        if None in (xmin, xmax, ymin, ymax):
+            return True
+        qx0, qy0, qx1, qy1 = pred[1:]
+        return not (xmax < qx0 or xmin > qx1
+                    or ymax < qy0 or ymin > qy1)
     if cc_md is None or 12 not in cc_md:
         return True
     st = cc_md[12]
@@ -471,8 +533,8 @@ def read_parquet_dir(
             for x in pqinterop._walk_schema(metas[files[0]])}
     for col, pred in (filters or {}).items():
         li = walk.get(col)
-        if li is None:
-            sfilters[col] = pred
+        if li is None or pred[0] == "bbox":
+            sfilters[col] = pred      # bbox carries raw window coords
         elif pred[0] == "in":
             sfilters[col] = ("in", [
                 _pred_storage_value(v, li) for v in pred[1]])
@@ -579,6 +641,16 @@ def read_parquet_dir(
                         else pa.nulls(tbl.num_rows, fl.type)
                         for fl in schema]
                     tbl = pa.table(arrays, schema=schema)
+                for fc, fp in (sfilters or {}).items():
+                    # bbox is applied EXACTLY here, task-side (footer
+                    # pruning above is advisory): vectorized WKB
+                    # window test, so no Spark re-apply is needed
+                    if fp[0] == "bbox" and fc in tbl.column_names:
+                        from .. import geo as geomod
+
+                        m = geomod.bbox_mask(
+                            tbl.column(fc).combine_chunks(), *fp[1:])
+                        tbl = tbl.filter(pa.array(m))
                 if tbl.schema != ship_schema:
                     tbl = pa.table(
                         [tbl.column(i).cast(fl.type)
@@ -601,6 +673,8 @@ def read_parquet_dir(
         elif pred[0] == "range":
             df = df.filter(F.col(col).between(F.lit(pred[1]),
                                               F.lit(pred[2])))
+        elif pred[0] == "bbox":
+            pass            # applied exactly task-side (WKB mask)
         else:
             raise ValueError(f"unknown predicate {pred[0]!r}")
     if drop_after_filter:

@@ -897,6 +897,10 @@ def _leaf_annotation(el: dict) -> dict | None:
         kind = "enum"
     elif conv == 21:
         kind = "interval"
+    elif 17 in logical:
+        kind = "geometry"
+    elif 18 in logical:
+        kind = "geography"
     return None if kind is None else {b"pgs_logical": kind.encode()}
 
 

@@ -49,7 +49,8 @@ from . import frame as framemod
 from .codecs import bss, delta, deltaba, dictionary, plainc, rle
 from .codecs.varint import write_uvarint
 from .pqinterop import (
-    CT_BINARY, CT_I16, CT_I32, CT_I64, CT_LIST, CT_STRUCT, CT_TRUE,
+    CT_BINARY, CT_DOUBLE, CT_I16, CT_I32, CT_I64, CT_LIST, CT_STRUCT,
+    CT_TRUE,
     E_BYTE_STREAM_SPLIT, E_DELTA_BA, E_DELTA_BINARY_PACKED,
     E_DELTA_LENGTH_BA, E_PLAIN, E_RLE, E_RLE_DICTIONARY, MAGIC,
     PG_DATA, PG_DATA_V2, PG_DICT, T_BOOLEAN, T_BYTE_ARRAY, T_DOUBLE, T_FLBA,
@@ -82,6 +83,8 @@ def _tv(ct: int, v) -> bytes:
         return bytes([int(v) & 0xFF])
     if ct in (CT_I16, CT_I32, CT_I64):
         return write_uvarint(_zz(int(v)))
+    if ct == CT_DOUBLE:
+        return struct.pack("<d", float(v))
     if ct == CT_BINARY:
         b = v.encode() if isinstance(v, str) else bytes(v)
         return write_uvarint(len(b)) + b
@@ -134,6 +137,8 @@ class _Col:
     elem_name: str = "element"
     int96: bool = False               # emit physical INT96 (12-byte FLBA
                                       # bytes, legacy declared type)
+    geo: bool = False                 # GEOMETRY/GEOGRAPHY: fold per-chunk
+                                      # GeospatialStatistics, omit min/max
 
 
 # LIST columns always use the canonical 3-level optional/repeated/
@@ -259,6 +264,15 @@ def _logical_col(field: pa.Field, kind: str) -> _Col:
             raise ValueError(f"enum column {field.name!r} must be string")
         return _Col(field.name, T_BYTE_ARRAY, converted=4,   # ENUM
                     logical=_logical(4))
+    if kind in ("geometry", "geography"):
+        # WKB over BYTE_ARRAY; empty GeometryType/GeographyType payload
+        # = default CRS OGC:CRS84 (reference types/geospatial.go)
+        if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            raise ValueError(
+                f"{kind} column {field.name!r} must be binary (WKB)")
+        return _Col(field.name, T_BYTE_ARRAY,
+                    logical=_logical(17 if kind == "geometry" else 18),
+                    geo=True)
     if kind == "interval":
         # legacy month/day/millis triple; ConvertedType only — the
         # modern LogicalType union has no interval member
@@ -510,6 +524,8 @@ def _page_minmax(col: _Col, nonnull: pa.Array, vals, v_lo: int,
     ColumnIndex (exact-or-absent — same policy as Statistics): NaN
     floats, >128 B binaries, FLBA decimals (signed BE order ≠ byte
     order) and INT96 never get approximate bounds."""
+    if col.geo:
+        return None, None, False   # GEOMETRY: byte order is undefined
     if col.int96 or (col.scale is not None and col.ptype == T_FLBA) \
             or (col.ptype == T_FLBA
                 and col.np_dtype == np.dtype("<f2")):
@@ -1227,7 +1243,8 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
 
     stats_struct = (_chunk_stats(col, nonnull, vals,
                                  n_ent - int(present.sum()))
-                    if write_stats else None)
+                    if write_stats and not col.geo else None)
+    geo_struct = _geo_stats_struct(col, nonnull)
     meta_fields = [
         (1, CT_I32, col.ptype),
         (2, CT_LIST, (CT_I32, sorted(encodings))),
@@ -1240,6 +1257,7 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
         _enc_stats_field(dict_offset, page_version, enc_id, n_pages),
+        (17, CT_STRUCT, geo_struct),
     ]
     return _Chunk(meta_fields, chunk_start,
                   pages=pages if want_pidx else None, ci_ok=ci_ok,
@@ -1345,7 +1363,9 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
             break
 
     stats_struct = (_chunk_stats(col, nonnull, vals, null_count)
-                    if write_stats and not col.int96 else None)
+                    if write_stats and not col.int96 and not col.geo
+                    else None)                # GEOMETRY order is
+                                              # undefined: no min/max
     meta_fields = [
         (1, CT_I32, 3 if col.int96 else col.ptype),
         (2, CT_LIST, (CT_I32, sorted(encodings))),
@@ -1358,6 +1378,7 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
         _enc_stats_field(dict_offset, page_version, enc_id, n_pages),
+        (17, CT_STRUCT, _geo_stats_struct(col, nonnull)),
     ]
     return _Chunk(meta_fields, chunk_start,
                   pages=pages if want_pidx else None, ci_ok=ci_ok,
@@ -1531,6 +1552,8 @@ def _write_blooms(out: bytearray, chunks: "list[_Chunk]") -> None:
         out += bitset
         ch.meta_fields.append((14, CT_I64, off))
         ch.meta_fields.append((15, CT_I32, len(hdr) + len(bitset)))
+        # keep field ids ascending (geospatial_statistics is 17)
+        ch.meta_fields.sort(key=lambda f: f[0])
 
 
 def write_table(table: pa.Table, path: str, compression: str = "snappy",
@@ -1855,3 +1878,27 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
         out += MAGIC
     with open(path, "wb") as fh:
         fh.write(bytes(out))
+
+
+def _geo_stats_struct(col: _Col, nonnull: pa.Array) -> bytes | None:
+    """Per-chunk GeospatialStatistics (ColumnMetaData field 17;
+    reference internal/layout/chunk.go:124-173 folds the same bbox):
+    {1: BoundingBox{xmin,xmax,ymin,ymax}, 2: [wkb type codes]}."""
+    if not col.geo or len(nonnull) == 0:
+        return None
+    from . import geo as geomod
+
+    st = geomod.geo_stats(nonnull)
+    if st is None:
+        return None
+    fields = []
+    bbox = st.get("bbox")
+    if bbox:
+        xmin, ymin, xmax, ymax = bbox
+        fields.append((1, CT_STRUCT, _tstruct([
+            (1, CT_DOUBLE, xmin), (2, CT_DOUBLE, xmax),
+            (3, CT_DOUBLE, ymin), (4, CT_DOUBLE, ymax)])))
+    types = st.get("types")
+    if types:
+        fields.append((2, CT_LIST, (CT_I32, sorted(types))))
+    return _tstruct(fields) if fields else None
