@@ -3,12 +3,14 @@
 Training pipelines carry images/audio/video next to text. The engine treats
 them as what they are at rest — a `binary` column with a typed metadata
 struct — and runs decode / feature-extract / resize / frame-sample as
-vectorized Arrow kernels over `mapInArrow` batches. The container has no
-image/audio libraries, so the *codec* step is stubbed exactly as the task
-requires: `decode_media` raises NotImplementedError for real formats and
-produces a deterministic fake raster for the synthetic `gray8`/`gray8v`
-formats, while all Spark-side plumbing (schema, batch shape, partitioning,
-UDF signatures) is real and tested.
+vectorized Arrow kernels over `mapInArrow` batches. The codec layer is
+engine-built from public specs — PNG (png.py, RFC 2083), baseline JPEG
+(jpeg.py, ITU-T T.81, refereed against JDK imageio), and MJPEG-in-AVI
+video containers (avi.py, RIFF/AVI 1.0) — plus the raw deterministic
+`gray8`/`gray8v` rasters the exact-pixel oracles use; all Spark-side
+plumbing (schema, batch shape, partitioning, UDF signatures) is real
+and tested. `decode_media` refuses unknown formats loudly (dispatch
+guard, not a stub).
 
 Payloads are synthesized deterministically from the documents table (no
 external data): dimensions derive from n_chars in closed form (so the
@@ -63,6 +65,7 @@ def _payload_bytes(doc_ids: np.ndarray, sizes: np.ndarray) -> pa.BinaryArray:
 
 FMT_PNG = "png"
 FMT_JPEG = "jpeg"
+FMT_AVI = "avi"
 
 
 def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
@@ -75,11 +78,15 @@ def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
     "videos" stay raw gray8v (PNG is single-image). ``container=
     "jpeg"`` encodes through the baseline JPEG codec (jpeg.py) —
     LOSSY, so it lives outside the exact pixel oracles; refereed
-    against the JDK's javax.imageio codec in tests/test_jpeg.py."""
-    if container not in ("raw", "png", "jpeg"):
+    against the JDK's javax.imageio codec in tests/test_jpeg.py.
+    ``container="avi"`` packs multi-frame videos as REAL MJPEG-in-AVI
+    (avi.py) and stills as JPEG — the full-container lane, lossy like
+    jpeg."""
+    if container not in ("raw", "png", "jpeg", "avi"):
         raise ValueError(f"unknown media container {container!r}")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import avi as avimod
         from .. import jpeg as jpegmod
         from .. import png as pngmod
 
@@ -92,14 +99,19 @@ def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
             sizes = (w.astype(np.int64) * h * np.where(is_video, fr, 1))
             media = _payload_bytes(doc_ids, sizes)
             fmt = np.where(is_video, FMT_VIDEO, FMT)
-            if container in ("png", "jpeg"):
+            if container in ("png", "jpeg", "avi"):
                 # per-row container encode (zlib is C-speed; pixel
                 # generation above stays one vectorized pass)
                 blobs = []
                 for i in range(len(doc_ids)):
                     raw = media[i].as_py()
                     if is_video[i]:
-                        blobs.append(raw)
+                        if container == "avi":
+                            vid = np.frombuffer(raw, np.uint8).reshape(
+                                int(fr[i]), int(h[i]), int(w[i]))
+                            blobs.append(avimod.encode_mjpeg(vid, 25, 95))
+                        else:
+                            blobs.append(raw)
                     else:
                         img = np.frombuffer(raw, np.uint8).reshape(
                             int(h[i]), int(w[i]))
@@ -107,7 +119,9 @@ def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
                                      if container == "png"
                                      else jpegmod.encode(img, 95))
                 media = pa.array(blobs, pa.binary())
-                fmt = np.where(is_video, FMT_VIDEO,
+                fmt = np.where(is_video,
+                               FMT_AVI if container == "avi"
+                               else FMT_VIDEO,
                                FMT_PNG if container == "png"
                                else FMT_JPEG)
                 sizes = np.array([len(x) for x in blobs], dtype=np.int64)
@@ -135,9 +149,9 @@ def attach_media(df: DataFrame, container: str = "raw") -> DataFrame:
 
 def decode_media(payload: bytes, fmt: str, width: int, height: int) -> np.ndarray:
     """Codec dispatch -> (frames, h, w) uint8. PNG decodes for real
-    (png.py — signature, chunk CRCs, all five scanline filters); the
-    raw synthetic formats reshape; anything else needs codec libraries
-    absent from this container and stays a declared stub."""
+    (png.py — signature, chunk CRCs, all five scanline filters), JPEG
+    via jpeg.py, MJPEG-AVI video via the avi.py container walk; the
+    raw synthetic formats reshape. Unknown formats refuse loudly."""
     if fmt == FMT_PNG:
         from .. import png as pngmod
 
@@ -148,12 +162,13 @@ def decode_media(payload: bytes, fmt: str, width: int, height: int) -> np.ndarra
         img = jpegmod.decode(payload)
         return img[None, :, :] if img.ndim == 2 else \
             img.transpose(2, 0, 1)
+    if fmt == FMT_AVI:
+        from .. import avi as avimod
+
+        return avimod.decode_mjpeg(payload)
     if fmt in (FMT, FMT_VIDEO):
         return np.frombuffer(payload, dtype=np.uint8).reshape(-1, height, width)
-    raise NotImplementedError(
-        f"decode for {fmt!r} requires an image/audio codec library "
-        "(PIL/ffmpeg) not available in this environment"
-    )
+    raise ValueError(f"unknown media format {fmt!r}")
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -339,6 +354,7 @@ def thumbnail_query(spark: SparkSession, sf_dir: str,
                      container=container)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import avi as avimod
         from .. import jpeg as jpegmod
         from .. import png as pngmod
 
