@@ -1638,7 +1638,7 @@ def _assemble_list_array(data: bytes, cc: ColumnChunkInfo, value_type):
     thresholds, element nulls from def == d_slot."""
     import pyarrow as pa
 
-    reps, defs, vals = _decode_chunk_levels(data, cc)
+    reps, defs, vals = _decode_chunk_levels(data, cc, arrow=True)
     new_row = reps == 0
     n_rows = int(new_row.sum())
     row_idx = np.cumsum(new_row) - 1
@@ -1655,14 +1655,16 @@ def _assemble_list_array(data: bytes, cc: ColumnChunkInfo, value_type):
         full = np.zeros(n_elems, vals.dtype)
         full[elem_present] = vals
         elems = pa.array(full, mask=~elem_present)
-    else:                       # byte-array elements
+    elif isinstance(vals, pa.Array):   # de-boxed byte-array elements
+        elems = (vals if bool(elem_present.all())
+                 else _expand_present(vals, elem_present))
+    else:                       # legacy python-list fallback
         it = iter(vals)
         elems = pa.array(
             [next(it) if p else None for p in elem_present], pa.binary())
     elems = elems.cast(value_type)
-    off_arr = pa.array(
-        [None if not row_valid[i] else int(offs[i])
-         for i in range(n_rows)] + [int(offs[-1])], pa.int32())
+    off_arr = pa.array(offs.astype(np.int32),
+                       mask=np.append(~row_valid, False))
     return pa.ListArray.from_arrays(off_arr, elems)
 
 
@@ -2055,8 +2057,8 @@ def _assemble_map_array(path: str, kcc: ColumnChunkInfo,
 
     kbuf, rkcc = chunk_reader(path, kcc)
     vbuf, rvcc = chunk_reader(path, vcc)
-    reps, kdefs, kvals = _decode_chunk_levels(kbuf, rkcc)
-    _, vdefs, vvals = _decode_chunk_levels(vbuf, rvcc)
+    reps, kdefs, kvals = _decode_chunk_levels(kbuf, rkcc, arrow=True)
+    _, vdefs, vvals = _decode_chunk_levels(vbuf, rvcc, arrow=True)
     new_row = reps == 0
     n_rows = int(new_row.sum())
     row_idx = np.cumsum(new_row) - 1
@@ -2073,15 +2075,17 @@ def _assemble_map_array(path: str, kcc: ColumnChunkInfo,
             full = np.zeros(n_ent, vals.dtype)
             full[pres] = vals
             return pa.array(full, mask=~pres).cast(atype)
+        if isinstance(vals, pa.Array):          # de-boxed byte stream
+            arr = vals if bool(pres.all()) else _expand_present(vals, pres)
+            return arr if arr.type == atype else arr.cast(atype)
         it = iter(vals)
         return pa.array([next(it) if p else None for p in pres],
                         pa.binary()).cast(atype)
 
     keys = _typed(kvals, kdefs, kcc, map_type.key_type)
     items = _typed(vvals, vdefs, vcc, map_type.item_type)
-    off_arr = pa.array(
-        [None if not row_valid[i] else int(offs[i])
-         for i in range(n_rows)] + [int(offs[-1])], pa.int32())
+    off_arr = pa.array(offs.astype(np.int32),
+                       mask=np.append(~row_valid, False))
     return pa.MapArray.from_arrays(off_arr, keys, items)
 
 

@@ -110,5 +110,5 @@ def test_decode_media_png_path():
     img = _img(17, 29)
     out = mm.decode_media(png.encode_gray8(img), "png", 29, 17)
     assert out.shape == (1, 17, 29) and np.array_equal(out[0], img)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unknown media format"):
         mm.decode_media(b"\x00\x00\x01", "h264", 8, 8)
