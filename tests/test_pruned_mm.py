@@ -132,9 +132,9 @@ def test_mm_thumbnail_shapes(spark):
 def test_mm_decode_stub_raises():
     from parquet_go_spark.operators.multimodal import decode_media
 
-    # jpeg/png are REAL codecs now; the declared stub covers formats
-    # whose codecs genuinely need absent libraries (e.g. h264 video)
-    with pytest.raises(NotImplementedError):
+    # png/jpeg/avi are REAL codecs now; unknown formats refuse loudly
+    # (dispatch guard — the last stub closed when avi.py landed in r4)
+    with pytest.raises(ValueError, match="unknown media format"):
         decode_media(b"\x00\x00\x01", "h264", 2, 2)
     # and a corrupt jpeg fails as a decode error, not a stub
     with pytest.raises(ValueError):
