@@ -1087,11 +1087,15 @@ def _emit_schema_general(field: pa.Field, name: str, schema_elems: list,
         return
     optional = (not force_req) and (force_opt or field.nullable)
     if pa.types.is_struct(t):
+        md = field.metadata or {}
+        variant = md.get(b"pgs_logical") == b"variant"
         schema_elems.append(_tstruct([
             (3, CT_I32, 1 if optional else 0),
             (4, CT_BINARY, name),
             (5, CT_I32, t.num_fields),
-        ]))
+        ] + ([(10, CT_STRUCT,
+               _logical(16, _tstruct([(1, 3, 1)])))]   # VariantType v1
+             if variant else [])))
         for ch in t:
             _emit_schema_general(ch, ch.name, schema_elems)
         return

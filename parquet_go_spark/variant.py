@@ -873,7 +873,9 @@ def _merge_value(
 # under structs out of scope, and a declined array shred is a legal
 # writer choice per the spec.
 
-_SPEC_KINDS = ("int", "double", "string", "bool")
+_SPEC_KINDS = ("int", "double", "string", "bool",
+               "array<int>", "array<double>", "array<string>",
+               "array<bool>")
 
 
 def spec_struct_type(fields: dict[str, str]):
@@ -886,7 +888,18 @@ def spec_struct_type(fields: dict[str, str]):
     def group(tree: dict) -> "pa.DataType":
         kids = []
         for head, (leaf_kind, sub) in tree.items():
-            tv = leaf_t[leaf_kind] if leaf_kind is not None else group(sub)
+            if leaf_kind is None:
+                tv = group(sub)
+            elif leaf_kind.startswith("array<"):
+                # spec shredded array: every element is itself a
+                # {value, typed_value} shredding group
+                et = leaf_t[leaf_kind[6:-1]]
+                tv = pa.list_(pa.field("element", pa.struct([
+                    pa.field("value", pa.binary(), True),
+                    pa.field("typed_value", et, True),
+                ]), False))
+            else:
+                tv = leaf_t[leaf_kind]
             kids.append(pa.field(head, pa.struct([
                 pa.field("value", pa.binary(), True),
                 pa.field("typed_value", tv, True),
@@ -923,7 +936,21 @@ def _shred_spec_node(val_b: bytes, tree: dict, d: list[str]):
         hit = by_name.pop(head, None)
         fg = {"value": None, "typed_value": None}
         if hit is not None:
-            if leaf_kind is not None:
+            if leaf_kind is not None and leaf_kind.startswith("array<"):
+                elems = _split_array(hit[1])
+                if elems is None:
+                    fg["value"] = hit[1]      # not an array: residual
+                else:
+                    ek = leaf_kind[6:-1]
+                    lst = []
+                    for sl in elems:
+                        sv = _extract_typed(sl, ek)
+                        lst.append(
+                            {"value": sl, "typed_value": None}
+                            if isinstance(sv, _NotScalar)
+                            else {"value": None, "typed_value": sv})
+                    fg["typed_value"] = lst
+            elif leaf_kind is not None:
                 sv = _extract_typed(hit[1], leaf_kind)
                 if isinstance(sv, _NotScalar):
                     fg["value"] = hit[1]      # per-field residual (spec)
@@ -983,7 +1010,16 @@ def merge_spec_row(meta_b, value_b, typed_row, tree) -> object:
             if tv is not None or fv is not None:
                 obj[head] = merge_spec_row(meta_b, fv, tv, sub)
         elif tv is not None:
-            obj[head] = tv
+            if isinstance(tv, list) and (
+                    not tv or (isinstance(tv[0], dict)
+                               and "typed_value" in tv[0])):
+                # shredded array: per-element {value, typed_value}
+                obj[head] = [
+                    e["typed_value"] if e.get("typed_value") is not None
+                    else decode_value(e.get("value") or b"", meta_b)
+                    for e in tv]
+            else:
+                obj[head] = tv
         elif fv is not None:
             obj[head] = decode_value(fv, meta_b)
     return obj
@@ -1001,6 +1037,20 @@ def merge_spec_rows(struct_rows, fields: dict[str, str]) -> list:
         out.append(merge_spec_row(row["metadata"], row.get("value"),
                                   row.get("typed_value"), tree))
     return out
+
+
+def _split_array(data: bytes) -> list[bytes] | None:
+    """Top-level array -> raw element slices (None when not an array);
+    elements are never decoded here."""
+    if not data or data[0] & 0x03 != _BT_ARRAY:
+        return None
+    mv = memoryview(data)
+    _, offs, pos = _parse_directory(mv, 0, _BT_ARRAY, mv[0] >> 2)
+    n = len(offs) - 1
+    if n and pos + offs[n] > len(mv):
+        raise ValueError("array element slice out of bounds")
+    return [bytes(mv[pos + offs[i]: pos + offs[i + 1]])
+            for i in range(n)]
 
 
 def spec_tree_from_type(typed_value_type) -> dict:

@@ -132,3 +132,68 @@ def test_spark_writes_shredded_engine_reads(spark, tmp_path):
                 tree)
     assert got == {i: {"a": i, "s": f"x{i}", "nest": {"b": 2 * i}}
                    for i in range(30)}
+
+
+ARR_ROWS = [
+    {"toks": [1, 2, 300000], "s": "a"},
+    {"toks": [5, "bad", 7], "s": "b"},       # mixed: per-ELEMENT residual
+    {"toks": "not-an-array"},                 # field residual
+    {"s": "only"},
+    {"toks": []},
+]
+ARR_FIELDS = {"toks": "array<int>", "s": "string"}
+
+
+def test_spec_array_shred_merge_no_spark():
+    metas, vals = _encode_rows(ARR_ROWS)
+    st = V.spec_struct_type(ARR_FIELDS)
+    arr = pa.array(V.shred_spec_rows(metas, vals, ARR_FIELDS), st)
+    r0 = arr[0].as_py()
+    assert [e["typed_value"]
+            for e in r0["typed_value"]["toks"]["typed_value"]] == \
+        [1, 2, 300000]
+    tl = arr[1].as_py()["typed_value"]["toks"]["typed_value"]
+    assert tl[1]["typed_value"] is None and tl[1]["value"] is not None
+    assert arr[2].as_py()["typed_value"]["toks"]["value"] is not None
+    assert V.merge_spec_rows(arr.to_pylist(), ARR_FIELDS) == ARR_ROWS
+
+
+def test_array_shredded_variant_spark_both_ways(spark, tmp_path):
+    """Token arrays (the north-rule payload) as shredded variant
+    fields, through REAL parquet, both directions — Spark's JVM
+    variant reader referees engine bytes incl. element-level
+    variant_get; the engine merges Spark's auto-shredded arrays."""
+    import glob
+
+    metas, vals = _encode_rows(ARR_ROWS)
+    t = pa.table({
+        "id": pa.array(range(len(ARR_ROWS)), pa.int64()),
+        "v": pa.array(V.shred_spec_rows(metas, vals, ARR_FIELDS),
+                      V.spec_struct_type(ARR_FIELDS)),
+    })
+    p = str(tmp_path / "arrshred.parquet")
+    pqwriter.write_table(t, p, logical_types={"v": "variant"})
+    df = spark.read.parquet(p)
+    assert df.schema["v"].dataType.typeName() == "variant"
+    got = [r["j"] for r in df.selectExpr("id", "to_json(v) AS j")
+           .orderBy("id").collect()]
+    assert got == [json.dumps(_canon(r), separators=(",", ":"))
+                   for r in ARR_ROWS]
+    first = df.selectExpr(
+        "try_variant_get(v, '$.toks[2]', 'long') AS e").collect()[0]["e"]
+    assert first == 300000
+
+    p2 = str(tmp_path / "sparr")
+    spark.sql(
+        "SELECT id, parse_json(concat('{\"toks\":[', id, ',', id*7,"
+        " '],\"s\":\"y\"}')) AS v FROM range(8)").write.parquet(p2)
+    got2 = {}
+    for f in glob.glob(os.path.join(p2, "*.parquet")):
+        tb = pqinterop.decode_table(f)
+        tree = V.spec_tree_from_type(
+            tb.schema.field("v").type.field("typed_value").type)
+        for i, vr in zip(tb.column("id").to_pylist(),
+                         tb.column("v").to_pylist()):
+            got2[i] = V.merge_spec_row(vr["metadata"], vr.get("value"),
+                                       vr.get("typed_value"), tree)
+    assert got2 == {i: {"toks": [i, i * 7], "s": "y"} for i in range(8)}
