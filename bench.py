@@ -232,8 +232,14 @@ def forced_ladder_series() -> list[dict]:
     root = os.path.dirname(os.path.abspath(__file__))
     for f in sorted(globmod.glob(os.path.join(root, "BENCH",
                                               "scaling_1b_*.jsonl"))):
-        legs: dict[int, float] = {}
-        throttled = []
+        # a ladder RUN ends with one summary line carrying its own
+        # efficiency + bracketing probes; files are append-mode, so
+        # legs across summaries belong to DIFFERENT runs and must
+        # never be divided into each other
+        summaries = []
+        segments: list[dict[int, float]] = [{}]
+        seg_throttled: list[list[bool]] = [[]]
+        last_cores = -1
         try:
             with open(f) as fh:
                 for line in fh:
@@ -241,29 +247,47 @@ def forced_ladder_series() -> list[dict]:
                         d = json.loads(line)
                     except json.JSONDecodeError:
                         continue
-                    for k in ("probe_start", "probe"):
-                        if isinstance(d.get(k), dict) and \
-                                "throttled" in d[k]:
-                            throttled.append(bool(d[k]["throttled"]))
+                    if "probe_start" in d:       # run summary line
+                        eff = d.get("efficiency_4_to_16")
+                        if eff is not None:
+                            summaries.append({
+                                "efficiency_4_to_16": eff,
+                                "any_probe_throttled": bool(
+                                    d["probe_start"].get("throttled")
+                                    or (d.get("probe_end") or {})
+                                    .get("throttled")),
+                            })
+                        segments.append({})
+                        seg_throttled.append([])
+                        last_cores = -1
+                        continue
                     cores = d.get("cores")
                     tps = d.get("tokens_per_sec")
-                    if cores is None and isinstance(d.get("leg"), dict):
-                        cores = d["leg"].get("cores")
-                        tps = d["leg"].get("tokens_per_sec")
                     if cores is not None and tps:
-                        legs[int(cores)] = tps   # last write wins
+                        if int(cores) <= last_cores:
+                            segments.append({})  # new unsummarized run
+                            seg_throttled.append([])
+                        last_cores = int(cores)
+                        segments[-1][int(cores)] = tps
+                        pb = d.get("probe_before_leg") or {}
+                        if "throttled" in pb:
+                            seg_throttled[-1].append(
+                                bool(pb["throttled"]))
         except OSError:
             continue
-        eff = None
-        if legs.get(4) and legs.get(16):
-            eff = round(legs[16] / legs[4] / 4.0, 3)
-        if eff is not None:
-            out.append({
-                "file": os.path.basename(f),
-                "efficiency_4_to_16": eff,
-                "any_probe_throttled": (any(throttled)
-                                        if throttled else None),
-            })
+        entries = list(summaries)
+        if not entries:
+            # no summary lines (aborted runs): per-segment fallback
+            for legs, thr in zip(segments, seg_throttled):
+                if legs.get(4) and legs.get(16):
+                    entries.append({
+                        "efficiency_4_to_16": round(
+                            legs[16] / legs[4] / 4.0, 3),
+                        "any_probe_throttled": (any(thr) if thr
+                                                else None),
+                    })
+        for i, e in enumerate(entries):
+            out.append({"file": os.path.basename(f), "run": i, **e})
     return out
 
 
@@ -432,12 +456,10 @@ def main() -> None:
             if pair in scal:
                 scal["efficiency"] = scal[pair]  # N->4N headline
                 break
-        if pair_effs:
-            # the headline the criterion reads: best observed N->4N on
-            # this round's official runs (host variance documented by
-            # the spread + forced series right next to it)
-            scal["efficiency"] = max(scal.get("efficiency", 0.0),
-                                     scal["pair_efficiency_best"])
+        # NOTE deliberately NOT max(pair_effs): max-of-N over a noisy
+        # host is biased upward. The headline stays the canonical
+        # first measurement; best/spread/forced_series sit next to it
+        # as documented variance context for the reader to judge.
         result["scaling"] = scal
         if scal_input != tok_input:
             shutil.rmtree(scal_input, ignore_errors=True)

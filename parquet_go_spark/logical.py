@@ -48,8 +48,15 @@ def json_get(col: Column | str, path: str) -> Column:
 
 
 def _le32_hex(c: Column) -> Column:
-    """int col -> 8 hex chars of its 4-byte LITTLE-endian encoding."""
-    h = F.lpad(F.hex(c), 8, "0")
+    """int col -> 8 hex chars of its 4-byte LITTLE-endian encoding.
+    Values outside [0, 2^32) raise (lpad would otherwise silently
+    TRUNCATE the high nibbles of a 16-char negative/oversized hex)."""
+    h = F.when(
+        (c < 0) | (c >= F.lit(1 << 32)),
+        F.raise_error(F.concat(
+            F.lit("interval field out of u32 range: "),
+            c.cast("string"))).cast("string"),
+    ).otherwise(F.lpad(F.hex(c), 8, "0"))
     return F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
                     F.substring(h, 3, 2), F.substring(h, 1, 2))
 

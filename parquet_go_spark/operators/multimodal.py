@@ -370,7 +370,7 @@ def thumbnail_query(spark: SparkSession, sf_dir: str,
                 media.offset: media.offset + nrows + 1
             ].astype(np.int64)
             fmts = tbl.column("fmt").to_pylist()
-            if any(f in (FMT_PNG, FMT_JPEG) for f in fmts):
+            if any(f in (FMT_PNG, FMT_JPEG, FMT_AVI) for f in fmts):
                 # container decode back to a raw-raster view; the
                 # grouped gather below stays fully vectorized
                 raws = []
@@ -380,6 +380,8 @@ def thumbnail_query(spark: SparkSession, sf_dir: str,
                         seg = pngmod.decode_gray8(seg).tobytes()
                     elif fmts[i] == FMT_JPEG:
                         seg = jpegmod.decode(seg).tobytes()
+                    elif fmts[i] == FMT_AVI:
+                        seg = avimod.decode_mjpeg(seg).tobytes()
                     raws.append(seg)
                 rsz = np.array([len(r) for r in raws], dtype=np.int64)
                 offs = np.zeros(nrows + 1, dtype=np.int64)

@@ -1257,40 +1257,14 @@ def _read_chunk_pages(path: str, cc: ColumnChunkInfo, oi,
     return buf, rcc
 
 
-def _decode_chunk_ranged(path: str, cc: ColumnChunkInfo, ranges) -> list:
-    """Decode only the pages of one FLAT chunk that intersect the
-    rg-local row ranges; return exactly the rows inside the ranges (in
-    order). Falls back to full decode + mask when no OffsetIndex."""
-    oi = (read_offset_index(path, cc)
-          if cc.max_rep == 0 and cc.enc_key is None else None)
-    if oi is None:
-        buf, rcc = chunk_reader(path, cc)
-        rows = _decode_chunk(buf, rcc)
-        return [rows[i] for lo, hi in ranges for i in range(lo, hi)]
-    exts = _page_extents(oi, cc.num_rows)
-    keep = [i for i, (lo, hi) in enumerate(exts)
-            if any(lo < rhi and rlo < hi for rlo, rhi in ranges)]
-    if not keep:
-        return []
-    buf, rcc = _read_chunk_pages(path, cc, oi, keep)
-    rows = _decode_chunk(buf, rcc)
-    # map rg-local wanted rows into the kept-pages-only decode order
-    out = []
-    base = 0
-    for i in keep:
-        lo, hi = exts[i]
-        for rlo, rhi in ranges:
-            s, e = max(lo, rlo), min(hi, rhi)
-            if s < e:
-                out.extend(rows[base + s - lo: base + e - lo])
-        base += hi - lo
-    return out
-
-
 def _decode_chunk_ranged_arrow(path: str, cc: ColumnChunkInfo, ranges,
                                ftype):
-    """Arrow twin of ``_decode_chunk_ranged``: page-pruned ranged IO,
-    typed pa.Array out, no per-value python."""
+    """Decode only the pages of one FLAT chunk that intersect the
+    rg-local row ranges -> typed pa.Array of exactly the rows inside
+    the ranges, in order (page-pruned ranged IO, no per-value python).
+    Falls back to full decode + take when no OffsetIndex exists.
+    (Superseded the python-list `_decode_chunk_ranged` in r4 — this is
+    the only ranged lane.)"""
     import pyarrow as pa
 
     oi = (read_offset_index(path, cc)

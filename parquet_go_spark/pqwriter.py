@@ -1087,15 +1087,11 @@ def _emit_schema_general(field: pa.Field, name: str, schema_elems: list,
         return
     optional = (not force_req) and (force_opt or field.nullable)
     if pa.types.is_struct(t):
-        md = field.metadata or {}
-        variant = md.get(b"pgs_logical") == b"variant"
         schema_elems.append(_tstruct([
             (3, CT_I32, 1 if optional else 0),
             (4, CT_BINARY, name),
             (5, CT_I32, t.num_fields),
-        ] + ([(10, CT_STRUCT,
-               _logical(16, _tstruct([(1, 3, 1)])))]   # VariantType v1
-             if variant else [])))
+        ] + _variant_annotation(field)))
         for ch in t:
             _emit_schema_general(ch, ch.name, schema_elems)
         return
@@ -1418,6 +1414,21 @@ def _shred_struct(arr: pa.Array, field: pa.Field, path: list[str],
                           arr.filter(keep) if len(arr) else arr, md))
 
 
+def _variant_annotation(field: pa.Field) -> list:
+    """Shared VARIANT group handling for both schema emitters: validate
+    the spec layout (metadata/value children) and return the
+    LogicalType field to splice into the group's SchemaElement."""
+    md = field.metadata or {}
+    if md.get(b"pgs_logical") != b"variant":
+        return []
+    names = [f.name for f in field.type]
+    if "metadata" not in names or "value" not in names:
+        raise ValueError(
+            f"variant column {field.name!r} needs metadata/"
+            "value children (spec group layout)")
+    return [(10, CT_STRUCT, _logical(16, _tstruct([(1, 3, 1)])))]
+
+
 def _emit_schema_field(field: pa.Field, col: _Col | None,
                        schema_elems: list, declared_optional: bool):
     """Serialize one top-level arrow field's SchemaElement subtree."""
@@ -1471,21 +1482,11 @@ def _emit_schema_field(field: pa.Field, col: _Col | None,
             ]))
         return
     if pa.types.is_struct(field.type):               # STRUCT group
-        md = field.metadata or {}
-        variant = md.get(b"pgs_logical") == b"variant"
-        if variant:
-            names = [f.name for f in field.type]
-            if "metadata" not in names or "value" not in names:
-                raise ValueError(
-                    f"variant column {field.name!r} needs metadata/"
-                    "value children (spec group layout)")
         schema_elems.append(_tstruct([
             (3, CT_I32, 1 if field.nullable else 0),
             (4, CT_BINARY, field.name),
             (5, CT_I32, field.type.num_fields),
-        ] + ([(10, CT_STRUCT,
-               _logical(16, _tstruct([(1, 3, 1)])))]   # VariantType v1
-             if variant else [])))
+        ] + _variant_annotation(field)))
         for ch in field.type:
             _emit_schema_field(ch, _map_type(ch) if not
                                pa.types.is_nested(ch.type) else None,

@@ -76,3 +76,15 @@ def test_multimodal_avi_lane(spark):
     assert saw_avi > 0
     with pytest.raises(ValueError):
         mm.decode_media(b"xx", "mp4", 1, 1)
+
+
+def test_thumbnail_query_decodes_avi(spark):
+    """The thumbnail lane must decode AVI containers, not reshape the
+    compressed bytes (review finding r4)."""
+    from parquet_go_spark.operators.multimodal import thumbnail_query
+
+    rows = thumbnail_query(spark, "/root/testdata/sf0.001",
+                           container="avi").limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r["thumb"]) == r["thumb_frames"] * 64
