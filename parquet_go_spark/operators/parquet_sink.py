@@ -869,9 +869,9 @@ def describe_parquet_dir(path: str) -> dict:
     for f in files:
         meta = P.read_footer(f)
         n_rows += meta[3]
-        for rg in P.column_chunks(meta):
+        for gi, rg in enumerate(P.column_chunks(meta)):
             n_rgs += 1
-            for cc in rg:
+            for ci, cc in enumerate(rg):
                 d = cols.setdefault(cc.name, {
                     "compressed": 0, "chunks": 0,
                     "codecs": set(), "page_index": 0, "bloom": 0,
@@ -882,6 +882,14 @@ def describe_parquet_dir(path: str) -> dict:
                 d["page_index"] += int(cc.ci_off is not None)
                 d["bloom"] += int(cc.bloom_offset is not None)
                 d["dict"] += int(cc.dict_page_offset is not None)
+                # SizeStatistics (ColumnMetaData 16): unencoded
+                # variable-width payload — the reader's memory-
+                # sizing signal, surfaced footer-only
+                md = meta[4][gi][1][ci][3]
+                ss = md.get(16) if isinstance(md, dict) else None
+                if ss and 1 in ss:
+                    d["unencoded_bytes"] = (
+                        d.get("unencoded_bytes", 0) + ss[1])
     for d in cols.values():
         d["codecs"] = sorted(d["codecs"])
     return {"files": len(files), "row_groups": n_rgs, "rows": n_rows,

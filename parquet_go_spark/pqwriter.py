@@ -1257,6 +1257,8 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
         _enc_stats_field(dict_offset, page_version, enc_id, n_pages),
+        (16, CT_STRUCT, _size_stats_struct(
+            col, rep, defs, max_rep, max_def, nonnull)),
         (17, CT_STRUCT, geo_struct),
     ]
     return _Chunk(meta_fields, chunk_start,
@@ -1378,6 +1380,8 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
         (11, CT_I64, dict_offset),
         (12, CT_STRUCT, stats_struct),
         _enc_stats_field(dict_offset, page_version, enc_id, n_pages),
+        (16, CT_STRUCT, _size_stats_struct(
+            col, None, defs, 0, max_def, nonnull)),
         (17, CT_STRUCT, _geo_stats_struct(col, nonnull)),
     ]
     return _Chunk(meta_fields, chunk_start,
@@ -1906,4 +1910,31 @@ def _geo_stats_struct(col: _Col, nonnull: pa.Array) -> bytes | None:
     types = st.get("types")
     if types:
         fields.append((2, CT_LIST, (CT_I32, sorted(types))))
+    return _tstruct(fields) if fields else None
+
+
+def _size_stats_struct(col: _Col, reps, defs, max_rep: int,
+                       max_def: int, nonnull: pa.Array) -> bytes | None:
+    """SizeStatistics (ColumnMetaData field 16; reference
+    internal/layout/chunk.go:216-266 aggregates the same three
+    members): definition/repetition level histograms + unencoded
+    BYTE_ARRAY data bytes (variable-width payload only, lengths
+    excluded). None when there is nothing to report — required flat
+    non-BYTE_ARRAY columns, matching the reference's nil return."""
+    fields = []
+    if col.ptype == T_BYTE_ARRAY and not col.int96:
+        arr = nonnull
+        if pa.types.is_string(arr.type) or \
+                pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.large_binary())
+        ub = pc.sum(pc.binary_length(arr)).as_py() if len(arr) else 0
+        fields.append((1, CT_I64, int(ub or 0)))
+    if max_rep > 0 and reps is not None:
+        rh = np.bincount(np.asarray(reps, np.int64),
+                         minlength=max_rep + 1).tolist()
+        fields.append((2, CT_LIST, (CT_I64, rh)))
+    if max_def > 0 and defs is not None:
+        dh = np.bincount(np.asarray(defs, np.int64),
+                         minlength=max_def + 1).tolist()
+        fields.append((3, CT_LIST, (CT_I64, dh)))
     return _tstruct(fields) if fields else None

@@ -805,3 +805,43 @@ def test_logical_annotations_roundtrip(tmp_path):
         raise AssertionError("expected length validation error")
     except Exception as e:
         assert "16" in str(e) or "Invalid" in type(e).__name__
+
+
+def test_size_statistics_in_footer(tmp_path):
+    """SizeStatistics (ColumnMetaData 16; reference
+    internal/layout/chunk.go:216-266): level histograms + unencoded
+    BYTE_ARRAY bytes, chunk-aggregated; required flat numeric columns
+    report nothing (the reference's nil case)."""
+    import duckdb
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import pqinterop, pqwriter
+    from parquet_go_spark.operators.parquet_sink import (
+        describe_parquet_dir,
+    )
+
+    t = pa.table({
+        "s": pa.array(["aa", None, "cccc", "d", None], pa.string()),
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "l": pa.array([[1, 2], None, [], [3, None, 4], [5]],
+                      pa.list_(pa.int64())),
+    })
+    p = str(tmp_path / "ss.parquet")
+    pqwriter.write_table(t, p)
+    meta = pqinterop.read_footer(p)
+    by_name = {b".".join(cc[3][3]).decode(): cc[3].get(16)
+               for cc in meta[4][0][1]}
+    assert by_name["s"] == {1: 7, 3: [2, 3]}          # aa+cccc+d
+    assert by_name["k"] is None                       # required flat
+    assert by_name["l.list.item"] == {2: [5, 3], 3: [1, 1, 1, 5]}
+    # histograms are consistent: def hist sums to level count,
+    # rep hist [n_records, n_continuations]
+    assert sum(by_name["l.list.item"][3]) == 8
+    # external referees still read the file
+    assert pqmod.read_table(p).to_pylist() == t.to_pylist()
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0] == 5
+    # footer-only describe surfaces the unencoded payload size
+    d = describe_parquet_dir(p)
+    assert d["columns"]["s"]["unencoded_bytes"] == 7
