@@ -159,6 +159,9 @@ class _PageRec:
     null_count: int
     mn: object = None    # comparable python value (None on null page)
     mx: object = None
+    dh: list | None = None   # per-page definition level histogram
+    rh: list | None = None   # per-page repetition level histogram
+    ub: int | None = None    # per-page unencoded BYTE_ARRAY bytes
 
 
 @dataclass
@@ -590,13 +593,22 @@ def _write_page_index(out: bytearray, chunks: "list[_Chunk]") -> None:
                 for p in ch.pages]
         maxs = [empty if p.mx is None else _stat_bytes(ch.col, p.mx)
                 for p in ch.pages]
-        ci = _tstruct([
+        ci_fields = [
             (1, CT_LIST, (CT_TRUE, null_pages)),
             (2, CT_LIST, (CT_BINARY, mins)),
             (3, CT_LIST, (CT_BINARY, maxs)),
             (4, CT_I32, _boundary_order(ch.pages)),
             (5, CT_LIST, (CT_I64, [p.null_count for p in ch.pages])),
-        ])
+        ]
+        # per-page level histograms, flattened page-major (spec fields
+        # 6/7; reference writer/pages.go:297-300 appends the same way)
+        if all(p.rh is not None for p in ch.pages):
+            ci_fields.append((6, CT_LIST, (CT_I64, [
+                v for p in ch.pages for v in p.rh])))
+        if all(p.dh is not None for p in ch.pages):
+            ci_fields.append((7, CT_LIST, (CT_I64, [
+                v for p in ch.pages for v in p.dh])))
+        ci = _tstruct(ci_fields)
         ch.ci_off = len(out)
         ch.ci_len = len(ci)
         out += ci
@@ -606,7 +618,11 @@ def _write_page_index(out: bytearray, chunks: "list[_Chunk]") -> None:
         locs = [_tstruct([(1, CT_I64, p.offset),
                           (2, CT_I32, p.size),
                           (3, CT_I64, p.first_row)]) for p in ch.pages]
-        oi = _tstruct([(1, CT_LIST, (CT_STRUCT, locs))])
+        oi_fields = [(1, CT_LIST, (CT_STRUCT, locs))]
+        if all(p.ub is not None for p in ch.pages):
+            oi_fields.append((2, CT_LIST, (CT_I64,
+                              [p.ub for p in ch.pages])))
+        oi = _tstruct(oi_fields)
         ch.oi_off = len(out)
         ch.oi_len = len(oi)
         out += oi
@@ -1232,8 +1248,15 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
             if ci_ok:
                 mn, mx, ok = _page_minmax(col, nonnull, vals, v_lo, v_hi)
                 ci_ok &= ok
+            ub = (int(vals[1][v_hi] - vals[1][v_lo])
+                  if col.ptype == T_BYTE_ARRAY else None)
             pages.append(_PageRec(
-                pg_off, c, row, (e_ent - s_ent) - (v_hi - v_lo), mn, mx))
+                pg_off, c, row, (e_ent - s_ent) - (v_hi - v_lo), mn, mx,
+                dh=np.bincount(defs[s_ent:e_ent],
+                               minlength=max_def + 1).tolist(),
+                rh=np.bincount(rep[s_ent:e_ent],
+                               minlength=max_rep + 1).tolist(),
+                ub=ub))
         tot_u += u
         tot_c += c
         n_pages += 1
@@ -1355,8 +1378,15 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
             if ci_ok:
                 mn, mx, ok = _page_minmax(col, nonnull, vals, v_lo, v_hi)
                 ci_ok &= ok
+            ub = (int(vals[1][v_hi] - vals[1][v_lo])
+                  if col.ptype == T_BYTE_ARRAY and not col.int96
+                  else None)
+            dh = (np.bincount(defs[row:hi_row],
+                              minlength=max_def + 1).tolist()
+                  if defs is not None and max_def > 0 else None)
             pages.append(_PageRec(pg_off, c, row,
-                                  (hi_row - row) - (v_hi - v_lo), mn, mx))
+                                  (hi_row - row) - (v_hi - v_lo), mn, mx,
+                                  dh=dh, ub=ub))
         tot_u += u
         tot_c += c
         n_pages += 1

@@ -845,3 +845,39 @@ def test_size_statistics_in_footer(tmp_path):
     # footer-only describe surfaces the unencoded payload size
     d = describe_parquet_dir(p)
     assert d["columns"]["s"]["unencoded_bytes"] == 7
+
+
+def test_page_index_level_histograms(tmp_path):
+    """Per-page level histograms + unencoded bytes in the PageIndex
+    (ColumnIndex 6/7, OffsetIndex 2; reference writer/pages.go:297-300
+    flattens per-page the same way): page entries must sum to the
+    chunk SizeStatistics exactly."""
+    import numpy as np
+
+    from parquet_go_spark import pqinterop, pqwriter
+
+    t = pa.table({
+        "s": pa.array([None if i % 7 == 0 else f"v{i % 19}"
+                       for i in range(1000)], pa.string()),
+        "l": pa.array([[i, i + 1] if i % 5 else None
+                       for i in range(1000)], pa.list_(pa.int64())),
+    })
+    p = str(tmp_path / "h.parquet")
+    pqwriter.write_table(t, p, page_rows=256)
+    meta = pqinterop.read_footer(p)
+    data = open(p, "rb").read()
+    ccs = pqinterop.column_chunks(meta)[0]
+    s_cc, l_cc = ccs[0], ccs[1]
+    s_md, l_md = meta[4][0][1][0][3], meta[4][0][1][1][3]
+    ci_s, _ = pqinterop._read_struct(memoryview(data), s_cc.ci_off)
+    oi_s, _ = pqinterop._read_struct(memoryview(data), s_cc.oi_off)
+    assert np.array(ci_s[7]).reshape(-1, 2).sum(0).tolist() == \
+        s_md[16][3]
+    assert sum(oi_s[2]) == s_md[16][1]
+    ci_l, _ = pqinterop._read_struct(memoryview(data), l_cc.ci_off)
+    assert np.array(ci_l[6]).reshape(-1, 2).sum(0).tolist() == \
+        l_md[16][2]
+    assert np.array(ci_l[7]).reshape(-1, 4).sum(0).tolist() == \
+        l_md[16][3]
+    # null rows (def 0) across pages match the data
+    assert np.array(ci_l[7]).reshape(-1, 4).sum(0)[0] == 200
