@@ -133,6 +133,13 @@ E_RLE_DICTIONARY, E_BYTE_STREAM_SPLIT = 8, 9
 
 PG_DATA, PG_DICT, PG_DATA_V2 = 0, 2, 3
 
+# page-CRC read policy (the reference's reader.WithCRCMode table):
+#   "auto"   — validate when present, pass when absent (our default;
+#              the reference defaults to "ignore" for back-compat)
+#   "strict" — every page must carry a valid CRC
+#   "ignore" — skip validation entirely
+CRC_MODE = "auto" 
+
 _CODEC_NAMES = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
                 5: "lz4", 6: "zstd", 7: "lz4_raw"}
 
@@ -487,11 +494,17 @@ def iter_pages(data: bytes, cc: ColumnChunkInfo):
             # CRC-before-parse (the reference's page_read.go posture):
             # spec CRC32 over the page body exactly as stored — BEFORE
             # any decompression touches the bytes
-            import zlib as _zlib
+            if CRC_MODE != "ignore":
+                import zlib as _zlib
 
-            if _zlib.crc32(payload) & 0xFFFFFFFF != hdr[4] & 0xFFFFFFFF:
-                raise ValueError(
-                    f"page CRC mismatch in column {cc.name!r}")
+                if _zlib.crc32(payload) & 0xFFFFFFFF != \
+                        hdr[4] & 0xFFFFFFFF:
+                    raise ValueError(
+                        f"page CRC mismatch in column {cc.name!r}")
+        elif CRC_MODE == "strict":
+            # reference CRCStrict: every page must carry a checksum
+            raise ValueError(
+                f"page without CRC in column {cc.name!r} (strict mode)")
         cname = _CODEC_NAMES.get(cc.codec)
         if cc.codec not in _CODEC_NAMES:
             raise ValueError(f"unsupported compression codec {cc.codec}")
@@ -654,6 +667,22 @@ def decode_column(path: str, column: str, decryption=None):
     return out
 
 
+def _legacy_bitpacked_levels(buf: bytes, bw: int, n: int):
+    """Deprecated BIT_PACKED level run (spec Encodings.md): no length
+    prefix, size = ceil(bw*n/8), bits LSB-first within each byte (the
+    order parquet-cpp's level decoder reads — refereed in
+    test_pqlegacy against pyarrow on crafted files) ->
+    (levels ndarray, bytes consumed)."""
+    nbytes = (bw * n + 7) // 8
+    if len(buf) < nbytes:
+        raise ValueError("truncated BIT_PACKED level run")
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8, nbytes),
+                         bitorder="little")
+    grid = bits[:bw * n].reshape(n, bw)
+    vals = grid @ (1 << np.arange(bw, dtype=np.int64))
+    return vals.astype(np.int64), nbytes
+
+
 def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo,
                          arrow: bool = False):
     """Decode one column chunk -> (reps, defs, values) accumulated
@@ -690,13 +719,27 @@ def _decode_chunk_levels(data: bytes, cc: ColumnChunkInfo,
         if ptype == PG_DATA:
             ph = hdr[5]
             n, enc = ph[1], ph[2]
+            # v1 headers declare the LEVEL encodings (fields 4/3);
+            # ancient writers used deprecated BIT_PACKED (id 4,
+            # MSB-first, no length prefix) — the reference reads both
+            rl_enc, dl_enc = ph.get(4, E_RLE), ph.get(3, E_RLE)
             body = payload
             reps = defs = None
             if cc.max_rep:
-                reps, used = rle.decode_with_length_prefix(body, bw_rep, n)
+                if rl_enc == 4:                       # BIT_PACKED
+                    reps, used = _legacy_bitpacked_levels(
+                        body, bw_rep, n)
+                else:
+                    reps, used = rle.decode_with_length_prefix(
+                        body, bw_rep, n)
                 body = body[used:]
             if cc.max_def:
-                defs, used = rle.decode_with_length_prefix(body, bw_def, n)
+                if dl_enc == 4:                       # BIT_PACKED
+                    defs, used = _legacy_bitpacked_levels(
+                        body, bw_def, n)
+                else:
+                    defs, used = rle.decode_with_length_prefix(
+                        body, bw_def, n)
                 body = body[used:]
         elif ptype == PG_DATA_V2:
             ph = hdr[8]

@@ -498,7 +498,21 @@ def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
         else:                              # FLBA
             mm = pc.min_max(arr_nonnull.cast(pa.binary(col.type_length)))
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    # PARQUET-251: the deprecated min/max fields (1/2) only carry
+    # SIGNED sort orders — emit them alongside min_value/max_value for
+    # legacy readers, omit for unsigned-ordered columns (BYTE_ARRAY and
+    # unsigned-int logicals) so old readers cannot misinterpret them
+    # (reference README "Encoding notes", same policy)
+    signed_order = (
+        col.ptype in (T_BOOLEAN, T_INT32, T_INT64, T_FLOAT, T_DOUBLE)
+        and col.converted not in (11, 12, 13, 14))       # UINT_8..64
+    legacy_mx = (_stat_bytes(col, mx)
+                 if mx is not None and signed_order else None)
+    legacy_mn = (_stat_bytes(col, mn)
+                 if mn is not None and signed_order else None)
     return _tstruct([
+        (1, CT_BINARY, legacy_mx),
+        (2, CT_BINARY, legacy_mn),
         (3, CT_I64, null_count),
         (5, CT_BINARY, None if mx is None else _stat_bytes(col, mx)),
         (6, CT_BINARY, None if mn is None else _stat_bytes(col, mn)),
@@ -1606,7 +1620,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 sorting_columns: list | None = None,
                 row_group_bytes: int | None = None,
                 page_bytes: int | None = None,
-                logical_types: dict[str, str] | None = None) -> None:
+                logical_types: dict[str, str] | None = None,
+                stats_omit: "set[str] | list[str] | None" = None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``logical_types``: per-column annotation — uuid | json | bson |
@@ -1614,6 +1629,10 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     fixed_size_binary(16), json/enum = string, bson = binary,
     interval = fixed_size_binary(12)); equivalent to tagging the field
     metadata key ``pgs_logical``.
+
+    ``stats_omit``: per-column Statistics suppression (the reference's
+    ``omitstats=true`` field tag — large array fields whose bounds are
+    useless but expensive).
 
     ``encodings``: per-column override — plain | rle | delta | bss |
     delta_length | delta_ba | dict | auto (default auto).
@@ -1636,6 +1655,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
         raise ValueError("bloom filters with modular encryption are "
                          "out of scope (bloom modules not sealed)")
     encodings = encodings or {}
+    stats_omit = set(stats_omit or ())
     table = table.combine_chunks()
     if logical_types:
         for col, kind in logical_types.items():
@@ -1726,10 +1746,11 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             else:
                 arr = pa.concat_arrays(ca.chunks)
             field = table.schema.field(i)
+            col_stats = stats and field.name not in stats_omit
             if col == "general":
                 gchunks, u = _write_general_chunks(
                     out, field, arr, codec_id, page_rows, encodings,
-                    stats, page_version, _chunk_crypto, rgi,
+                    col_stats, page_version, _chunk_crypto, rgi,
                     len(chunks), want_pidx)
                 for ch in gchunks:
                     ch.ptf = (encryption is not None
@@ -1740,7 +1761,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             if col is None and pa.types.is_map(field.type):
                 mchunks, u = _write_map_chunks(
                     out, field, arr, codec_id, page_rows, encodings,
-                    stats, page_version, _chunk_crypto, rgi,
+                    col_stats, page_version, _chunk_crypto, rgi,
                     len(chunks), want_pidx)
                 for ch in mchunks:
                     ch.ptf = (encryption is not None
@@ -1760,8 +1781,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                         ".".join(lpath), lpath, rgi, len(chunks))
                     chunk, u, _ = _write_chunk(
                         out, lcol, leaf_vals, codec_id, page_rows,
-                        encodings.get(".".join(lpath), "auto"), stats,
-                        levels=(defs, md, lpath),
+                        encodings.get(".".join(lpath), "auto"),
+                        col_stats, levels=(defs, md, lpath),
                         page_version=page_version, pc=pc,
                         want_pidx=want_pidx)
                     chunk.crypto = crypto
@@ -1776,7 +1797,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                                        rgi, len(chunks))
             chunk, u, opt = _write_chunk(
                 out, col, arr, codec_id, page_rows,
-                encodings.get(col.name, "auto"), stats,
+                encodings.get(col.name, "auto"), col_stats,
                 page_version=page_version, pc=pc, want_pidx=want_pidx)
             chunk.crypto = crypto
             chunk.ptf = (encryption is not None

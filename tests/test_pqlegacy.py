@@ -280,3 +280,116 @@ def test_legacy_map_key_value_group_name(tmp_path):
     got = P.decode_table(p)
     assert [None if v is None else sorted(dict(v).items())
             for v in got.column("m").to_pylist()] == want
+
+
+def test_bitpacked_definition_levels(tmp_path):
+    """Deprecated BIT_PACKED level encoding (Encodings.md; ancient
+    parquet-mr writers): MSB-first packed levels with NO length
+    prefix, declared via DataPageHeader.definition_level_encoding=4.
+    File crafted by hand, refereed by pyarrow + DuckDB first."""
+    vals = [None, 5, None, 7, 8, None, 9, 10, None, None, 11]
+    present = [v is not None for v in vals]
+    dense = [v for v in vals if v is not None]
+
+    def build(out):
+        chunk_start = len(out)
+        # def levels: bw=1, LSB-first packed (parquet-cpp's order)
+        bits = np.packbits(np.array(present, np.uint8),
+                           bitorder="little")
+        body = bits.tobytes() + np.array(dense, "<i8").tobytes()
+        ph = W._tstruct([
+            (1, P.CT_I32, P.PG_DATA),
+            (2, P.CT_I32, len(body)),
+            (3, P.CT_I32, len(body)),
+            (5, P.CT_STRUCT, W._tstruct([
+                (1, P.CT_I32, len(vals)),
+                (2, P.CT_I32, P.E_PLAIN),
+                (3, P.CT_I32, 4),          # def levels BIT_PACKED
+                (4, P.CT_I32, P.E_RLE),
+            ])),
+        ])
+        out += ph
+        out += body
+        meta = [
+            (1, P.CT_I32, P.T_INT64),
+            (2, P.CT_LIST, (P.CT_I32, [P.E_PLAIN])),
+            (3, P.CT_LIST, (P.CT_BINARY, ["v"])),
+            (4, P.CT_I32, 0),              # uncompressed
+            (5, P.CT_I64, len(vals)),
+            (6, P.CT_I64, len(ph) + len(body)),
+            (7, P.CT_I64, len(ph) + len(body)),
+            (9, P.CT_I64, chunk_start),
+        ]
+        return W._Chunk(meta, chunk_start), len(ph) + len(body)
+
+    elems = [
+        W._tstruct([(4, P.CT_BINARY, "schema"), (5, P.CT_I32, 1)]),
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 1),
+                    (4, P.CT_BINARY, "v")]),
+    ]
+    p = str(tmp_path / "bp.parquet")
+    _build_file(p, elems, [build], len(vals))
+    import pyarrow.parquet as pq
+
+    # pyarrow (parquet-cpp) is the referee; DuckDB does not support
+    # the deprecated encoding at all ("Out of buffer")
+    assert pq.read_table(p).column("v").to_pylist() == vals
+    assert P.decode_table(p).column("v").to_pylist() == vals
+
+
+def test_bitpacked_levels_multibit(tmp_path):
+    """BIT_PACKED rep+def levels at bw=1/bw=2 on a 2-level list —
+    the multi-bit lane of the deprecated encoding (LSB-first within
+    bytes, refereed by pyarrow + DuckDB on the crafted file)."""
+    rows = [None, [], [1, 2, 3], [7], [9, 9]]
+    rep, defs, vals = _levels_for_rows(rows, 2)
+
+    def pack_lsb(levels, bw):
+        bits = np.zeros(len(levels) * bw, np.uint8)
+        for i, v in enumerate(levels):
+            for j in range(bw):
+                bits[i * bw + j] = (int(v) >> j) & 1
+        return np.packbits(bits, bitorder="little").tobytes()
+
+    def build(out):
+        chunk_start = len(out)
+        dense = np.asarray(vals, "<i8").tobytes()
+        body = pack_lsb(rep, 1) + pack_lsb(defs, 2) + dense
+        ph = W._tstruct([
+            (1, P.CT_I32, P.PG_DATA),
+            (2, P.CT_I32, len(body)),
+            (3, P.CT_I32, len(body)),
+            (5, P.CT_STRUCT, W._tstruct([
+                (1, P.CT_I32, len(rep)),
+                (2, P.CT_I32, P.E_PLAIN),
+                (3, P.CT_I32, 4),          # def BIT_PACKED
+                (4, P.CT_I32, 4),          # rep BIT_PACKED
+            ])),
+        ])
+        out += ph
+        out += body
+        meta = [
+            (1, P.CT_I32, P.T_INT64),
+            (2, P.CT_LIST, (P.CT_I32, [P.E_PLAIN])),
+            (3, P.CT_LIST, (P.CT_BINARY, ["v", "array"])),
+            (4, P.CT_I32, 0),
+            (5, P.CT_I64, len(rep)),
+            (6, P.CT_I64, len(ph) + len(body)),
+            (7, P.CT_I64, len(ph) + len(body)),
+            (9, P.CT_I64, chunk_start),
+        ]
+        return W._Chunk(meta, chunk_start), len(ph) + len(body)
+
+    elems = [
+        W._tstruct([(4, P.CT_BINARY, "schema"), (5, P.CT_I32, 1)]),
+        W._tstruct([(3, P.CT_I32, 1), (4, P.CT_BINARY, "v"),
+                    (5, P.CT_I32, 1), (6, P.CT_I32, 3)]),   # LIST
+        W._tstruct([(1, P.CT_I32, P.T_INT64), (3, P.CT_I32, 2),
+                    (4, P.CT_BINARY, "array")]),
+    ]
+    p = str(tmp_path / "bp2.parquet")
+    _build_file(p, elems, [build], len(rows))
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(p).column("v").to_pylist() == rows
+    assert P.decode_table(p).column("v").to_pylist() == rows

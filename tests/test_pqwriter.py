@@ -881,3 +881,53 @@ def test_page_index_level_histograms(tmp_path):
         l_md[16][3]
     # null rows (def 0) across pages match the data
     assert np.array(ci_l[7]).reshape(-1, 4).sum(0)[0] == 200
+
+
+def test_legacy_minmax_and_stats_omit(tmp_path):
+    """PARQUET-251: deprecated min/max (Statistics 1/2) ride along for
+    SIGNED sort orders only; stats_omit suppresses Statistics per
+    column (the reference's omitstats tag)."""
+    from parquet_go_spark import pqinterop, pqwriter
+
+    t = pa.table({
+        "k": pa.array(range(50), pa.int64()),
+        "f": pa.array([i / 2 for i in range(50)], pa.float64()),
+        "s": pa.array([f"x{i}" for i in range(50)]),
+        "big": pa.array([[1] * 4] * 50, pa.list_(pa.int64())),
+    })
+    p = str(tmp_path / "lm.parquet")
+    pqwriter.write_table(t, p, stats_omit={"big"})
+    meta = pqinterop.read_footer(p)
+    by = {b".".join(cc[3][3]).decode(): cc[3].get(12)
+          for cc in meta[4][0][1]}
+    assert sorted(by["k"].keys()) == [1, 2, 3, 5, 6]
+    assert by["k"][1] == by["k"][5] and by["k"][2] == by["k"][6]
+    assert sorted(by["f"].keys()) == [1, 2, 3, 5, 6]
+    # unsigned lexical order: legacy fields OMITTED
+    assert sorted(by["s"].keys()) == [3, 5, 6]
+    assert by["big.list.item"] is None
+
+
+def test_crc_read_modes(tmp_path):
+    """reader CRC policy parity (reference WithCRCMode): auto
+    validates-when-present, strict requires, ignore skips."""
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import pqinterop, pqwriter
+
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    p1 = str(tmp_path / "crc.parquet")      # engine: CRCs present
+    pqwriter.write_table(t, p1)
+    p2 = str(tmp_path / "nocrc.parquet")    # pyarrow: no page CRCs
+    pqmod.write_table(t, p2)
+    try:
+        assert pqinterop.decode_table(p1).num_rows == 100
+        pqinterop.CRC_MODE = "strict"
+        assert pqinterop.decode_table(p1).num_rows == 100
+        with pytest.raises(ValueError, match="without CRC"):
+            pqinterop.decode_table(p2)
+        pqinterop.CRC_MODE = "ignore"
+        assert pqinterop.decode_table(p2).num_rows == 100
+    finally:
+        pqinterop.CRC_MODE = "auto"
+    assert pqinterop.decode_table(p2).num_rows == 100
