@@ -223,9 +223,13 @@ class _Chunk:
             ccm = _tstruct([(2, CT_STRUCT, inner)])
         fields = [(2, CT_I64, self.start)]
         if self.ptf:
-            # cleartext copy with statistics redacted (spec: plaintext
-            # footer must not leak encrypted-column stats)
-            redacted = [f for f in self.meta_fields if f[0] != 12]
+            # cleartext copy with Statistics AND SizeStatistics AND
+            # GeospatialStatistics redacted (spec + reference security
+            # guidance: the plaintext footer must not leak any
+            # encrypted-column stats; they live only in the sealed
+            # EncryptedColumnMetadata module)
+            redacted = [f for f in self.meta_fields
+                        if f[0] not in (12, 16, 17)]
             fields.append((3, CT_STRUCT, _tstruct(redacted)))
         fields.append((8, CT_STRUCT, ccm))
         fields.append((9, CT_BINARY, mod))

@@ -336,3 +336,38 @@ def test_encryption_disables_page_index(tmp_path):
     meta, ctx = P.read_footer_ex(p, C.Decrypt(footer_key=key))
     cc = P.column_chunks(meta, ctx)[0][0]
     assert cc.ci_off is None and cc.oi_off is None
+
+
+def test_plaintext_footer_redacts_all_stats_families(tmp_path):
+    """Reference security guidance: encrypted columns under
+    plaintext-footer mode must strip Statistics (12), SizeStatistics
+    (16) AND GeospatialStatistics (17) from the cleartext
+    ColumnMetaData — they live only in the sealed module."""
+    import numpy as np
+
+    from parquet_go_spark import geo, pqcrypt, pqinterop, pqwriter
+
+    x = np.arange(20, dtype=np.float64)
+    t = pa.table({
+        "s": pa.array([None if i % 5 == 0 else f"v{i}"
+                       for i in range(20)], pa.string()),
+        "g": geo.wkb_points(x, x * 2).cast(pa.binary()),
+    })
+    key = bytes(range(16))
+    enc = pqcrypt.Encrypt(
+        footer_key=key, plaintext_footer=True,
+        column_keys={"s": (key, b"k"), "g": (key, b"k")})
+    p = str(tmp_path / "ptf.parquet")
+    pqwriter.write_table(t, p, encryption=enc,
+                         logical_types={"g": "geometry"})
+    # raw plaintext footer: no 12/16/17 on any encrypted column
+    meta = pqinterop.read_footer(p)
+    for cc in meta[4][0][1]:
+        md = cc[3]
+        assert 12 not in md and 16 not in md and 17 not in md, md
+    # with keys, the decode still works and values are exact
+    dec = pqinterop.decode_table(
+        p, decryption=pqcrypt.Decrypt(
+            footer_key=key, column_keys={"s": key, "g": key}))
+    assert dec.column("s").to_pylist() == t.column("s").to_pylist()
+    assert dec.column("g").to_pylist() == t.column("g").to_pylist()
