@@ -430,3 +430,55 @@ def bbox_mask(arr: pa.Array, xmin: float, ymin: float,
         out[i] = not (box.xmax < xmin or box.xmin > xmax
                       or box.ymax < ymin or box.ymin > ymax)
     return out
+
+
+def render_json(arr: pa.Array, mode: str = "geojson",
+                precision: int = 6, feature: bool = False,
+                hybrid_raw_base64: bool = False) -> pa.Array:
+    """WKB column -> JSON-friendly strings (the reference's
+    marshal.ConvertToJSONFriendly geospatial modes,
+    types/geospatial.go):
+
+    * ``hex``     — WKB as uppercase hex (the reference's GEOMETRY
+                    default)
+    * ``base64``  — WKB as base64
+    * ``geojson`` — RFC 7946 geometry objects (GEOGRAPHY default);
+                    ``feature=True`` wraps each in a Feature;
+                    unconvertible WKB falls back to a {"wkb_hex": ...}
+                    wrapper like the reference
+    * ``hybrid``  — GeoJSON plus the raw WKB (hex, or base64 with
+                    ``hybrid_raw_base64=True``)
+
+    Converter boundary (per-value walk, same posture as the
+    reference); nulls stay null."""
+    import base64
+    import json
+
+    if mode not in ("hex", "base64", "geojson", "hybrid"):
+        raise ValueError(f"unknown geospatial JSON mode {mode!r}")
+    out = []
+    for v in arr.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        b = bytes(v)
+        if mode == "hex":
+            out.append(b.hex().upper())
+            continue
+        if mode == "base64":
+            out.append(base64.b64encode(b).decode())
+            continue
+        gj = wkb_to_geojson(b, precision)
+        if gj is None:
+            gj = {"wkb_hex": b.hex().upper()}
+        elif feature:
+            gj = {"type": "Feature", "geometry": gj,
+                  "properties": {}}
+        if mode == "hybrid":
+            gj = dict(gj)
+            if hybrid_raw_base64:
+                gj["wkb_base64"] = base64.b64encode(b).decode()
+            else:
+                gj["wkb_hex"] = b.hex().upper()
+        out.append(json.dumps(gj, separators=(",", ":")))
+    return pa.array(out, pa.string())

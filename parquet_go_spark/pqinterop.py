@@ -944,7 +944,20 @@ def _leaf_annotation(el: dict) -> dict | None:
         kind = "geometry"
     elif 18 in logical:
         kind = "geography"
-    return None if kind is None else {b"pgs_logical": kind.encode()}
+    if kind is None:
+        return None
+    md = {b"pgs_logical": kind.encode()}
+    if kind in ("geometry", "geography"):
+        g = logical.get(17) or logical.get(18) or {}
+        if g.get(1):
+            md[b"pgs_geo_crs"] = bytes(g[1])
+        if kind == "geography" and g.get(2) is not None:
+            algos = ("spherical", "vincenty", "thomas", "andoyer",
+                     "karney")
+            a = int(g[2])
+            if 0 <= a < len(algos):
+                md[b"pgs_geo_algorithm"] = algos[a].encode()
+    return md
 
 
 def _arrow_field(elems: list, pos: int):

@@ -273,12 +273,28 @@ def _logical_col(field: pa.Field, kind: str) -> _Col:
                     logical=_logical(4))
     if kind in ("geometry", "geography"):
         # WKB over BYTE_ARRAY; empty GeometryType/GeographyType payload
-        # = default CRS OGC:CRS84 (reference types/geospatial.go)
+        # = default CRS OGC:CRS84 (reference types/geospatial.go).
+        # Optional params ride in field metadata: pgs_geo_crs, and for
+        # geography pgs_geo_algorithm (spherical|vincenty|thomas|
+        # andoyer|karney — spec EdgeInterpolationAlgorithm)
         if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
             raise ValueError(
                 f"{kind} column {field.name!r} must be binary (WKB)")
+        md = field.metadata or {}
+        payload = [(1, CT_BINARY,
+                    md[b"pgs_geo_crs"].decode()
+                    if b"pgs_geo_crs" in md else None)]
+        if kind == "geography" and b"pgs_geo_algorithm" in md:
+            algos = ("spherical", "vincenty", "thomas", "andoyer",
+                     "karney")
+            name = md[b"pgs_geo_algorithm"].decode().lower()
+            if name not in algos:
+                raise ValueError(
+                    f"unknown edge interpolation algorithm {name!r}")
+            payload.append((2, CT_I32, algos.index(name)))
         return _Col(field.name, T_BYTE_ARRAY,
-                    logical=_logical(17 if kind == "geometry" else 18),
+                    logical=_logical(17 if kind == "geometry" else 18,
+                                     _tstruct(payload)),
                     geo=True)
     if kind == "interval":
         # legacy month/day/millis triple; ConvertedType only — the
@@ -1668,6 +1684,21 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 raise ValueError(f"logical_types: no column {col!r}")
             fl = table.schema.field(i)
             arr = table.column(i)
+            extra_md = {}
+            if isinstance(kind, dict):
+                # {"kind": "geography", "crs": ..., "algorithm": ...}
+                spec = dict(kind)
+                kind = spec.pop("kind")
+                if "crs" in spec:
+                    extra_md[b"pgs_geo_crs"] = \
+                        str(spec.pop("crs")).encode()
+                if "algorithm" in spec:
+                    extra_md[b"pgs_geo_algorithm"] = \
+                        str(spec.pop("algorithm")).encode()
+                if spec:
+                    raise ValueError(
+                        f"logical_types[{col!r}]: unknown keys "
+                        f"{sorted(spec)}")
             fixed_w = {"uuid": 16, "interval": 12}.get(kind)
             if fixed_w is not None and (
                     pa.types.is_binary(fl.type)
@@ -1679,6 +1710,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                               fl.metadata)
             md = dict(fl.metadata or {})
             md[b"pgs_logical"] = kind.encode()
+            md.update(extra_md)
             table = table.set_column(i, fl.with_metadata(md), arr)
     if int96_timestamps:
         # legacy Impala layout (the reference's

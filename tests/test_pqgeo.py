@@ -75,3 +75,74 @@ def test_read_parquet_dir_bbox_filter(spark, tmp_path):
     want = [i for i in range(600)
             if 100 <= x[i] <= 120 and 0 <= y[i] <= 100]
     assert got == want
+
+
+def test_geo_crs_and_algorithm_roundtrip(tmp_path):
+    """GeometryType/GeographyType parameters (reference
+    types/geospatial.go: optional CRS, geography edge-interpolation
+    algorithm) roundtrip through the logical annotation; DuckDB is
+    the external referee for GEOMETRY files (pyarrow 16's thrift
+    predates the geo types)."""
+    import duckdb
+
+    x = np.arange(6, dtype=np.float64)
+    t = pa.table({"g": geo.wkb_points(x, x * 2).cast(pa.binary()),
+                  "k": pa.array(range(6), pa.int64())})
+    p1 = str(tmp_path / "geom.parquet")
+    pqwriter.write_table(t, p1, logical_types={
+        "g": {"kind": "geometry", "crs": "EPSG:3857"}})
+    f1 = pqinterop.decode_table(p1).schema.field("g")
+    assert f1.metadata[b"pgs_logical"] == b"geometry"
+    assert f1.metadata[b"pgs_geo_crs"] == b"EPSG:3857"
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{p1}'").fetchall()[0][0] == 6
+
+    p2 = str(tmp_path / "geog.parquet")
+    pqwriter.write_table(t, p2, logical_types={
+        "g": {"kind": "geography", "crs": "EPSG:4326",
+              "algorithm": "karney"}})
+    f2 = pqinterop.decode_table(p2).schema.field("g")
+    assert f2.metadata[b"pgs_logical"] == b"geography"
+    assert f2.metadata[b"pgs_geo_crs"] == b"EPSG:4326"
+    assert f2.metadata[b"pgs_geo_algorithm"] == b"karney"
+    # unknown algorithm refuses loudly
+    try:
+        pqwriter.write_table(t, str(tmp_path / "x.parquet"),
+                             logical_types={"g": {
+                                 "kind": "geography",
+                                 "algorithm": "flatearth"}})
+        raise AssertionError("expected algorithm validation")
+    except ValueError as e:
+        assert "algorithm" in str(e)
+
+
+def test_render_json_modes():
+    """marshal.ConvertToJSONFriendly parity: hex / base64 / geojson /
+    hybrid rendering of a WKB column, invalid WKB falls back to the
+    wkb_hex wrapper."""
+    import base64
+    import json
+
+    x = np.array([1.5, 2.0])
+    y = np.array([3.25, 4.0])
+    pts = geo.wkb_points(x, y).cast(pa.binary())
+    arr = pa.array(pts.to_pylist() + [None, b"\x01\x99garbage"],
+                   pa.binary())
+    hx = geo.render_json(arr, "hex").to_pylist()
+    assert hx[0] == bytes(pts[0].as_py()).hex().upper()
+    assert hx[2] is None
+    b64 = geo.render_json(arr, "base64").to_pylist()
+    assert base64.b64decode(b64[1]) == bytes(pts[1].as_py())
+    gj = [None if s is None else json.loads(s)
+          for s in geo.render_json(arr, "geojson").to_pylist()]
+    assert gj[0] == {"type": "Point", "coordinates": [1.5, 3.25]}
+    assert "wkb_hex" in gj[3]          # invalid WKB -> wrapper
+    feat = json.loads(geo.render_json(arr, "geojson",
+                                      feature=True).to_pylist()[0])
+    assert feat["type"] == "Feature" and \
+        feat["geometry"]["type"] == "Point"
+    hy = json.loads(geo.render_json(arr, "hybrid").to_pylist()[0])
+    assert hy["type"] == "Point" and "wkb_hex" in hy
+    hyb = json.loads(geo.render_json(
+        arr, "hybrid", hybrid_raw_base64=True).to_pylist()[0])
+    assert "wkb_base64" in hyb
