@@ -81,7 +81,10 @@ class Decrypt:
 
 @dataclass
 class Encrypt:
-    """Write-side configuration (AES_GCM_V1, encrypted footer)."""
+    """Write-side configuration (encrypted footer by default).
+    ``algorithm``: AES_GCM_V1 (every module authenticated) or
+    AES_GCM_CTR_V1 (page bodies AES-CTR, unauthenticated — metadata
+    modules stay GCM)."""
     footer_key: bytes
     footer_key_metadata: bytes = b""
     column_keys: dict[str, tuple[bytes, bytes]] = field(
@@ -89,6 +92,7 @@ class Encrypt:
     aad_prefix: bytes = b""
     supply_aad_prefix: bool = False   # True: prefix NOT stored in file
     plaintext_footer: bool = False    # PAR1 + signed cleartext footer
+    algorithm: str = "AES_GCM_V1"
     _aad_unique: bytes = b""
 
     def __post_init__(self):
@@ -96,7 +100,14 @@ class Encrypt:
                                       self.column_keys.values()]:
             if len(k) not in (16, 24, 32):
                 raise ValueError("AES key must be 16/24/32 bytes")
+        if self.algorithm not in ("AES_GCM_V1", "AES_GCM_CTR_V1"):
+            raise ValueError(
+                f"unknown encryption algorithm {self.algorithm!r}")
         self._aad_unique = os.urandom(8)
+
+    @property
+    def ctr(self) -> bool:
+        return self.algorithm == "AES_GCM_CTR_V1"
 
     @property
     def aad_base(self) -> bytes:
@@ -132,3 +143,40 @@ def open_module(key: bytes, aad: bytes, buf, pos: int = 0
     nonce = bytes(buf[pos + 4:pos + 16])
     ct = bytes(buf[pos + 16:pos + 4 + mlen])
     return _gcm(key).decrypt(nonce, ct, aad), pos + 4 + mlen
+
+
+# ------------------------------------------------ AES_GCM_CTR_V1 lane
+#
+# Spec Encryption.md: the v2 algorithm keeps every METADATA module
+# (footer, ColumnMetaData, page headers, indexes, bloom modules) in
+# AES-GCM, but page BODIES use AES-CTR — faster, NOT authenticated
+# (the reference README warns exactly this: "AES_GCM_CTR_V1 does not
+# authenticate page bodies"). CTR module framing = u32 length ||
+# 12-byte nonce || ciphertext (no tag); the 16-byte CTR IV is the
+# nonce with a big-endian 0x00000001 initial counter appended.
+
+def _ctr(key: bytes, nonce12: bytes):
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes)
+
+    return Cipher(algorithms.AES(key),
+                  modes.CTR(nonce12 + b"\x00\x00\x00\x01"))
+
+
+def seal_module_ctr(key: bytes, plaintext: bytes) -> bytes:
+    nonce = os.urandom(12)
+    enc = _ctr(key, nonce).encryptor()
+    blob = nonce + enc.update(plaintext) + enc.finalize()
+    return len(blob).to_bytes(4, "little") + blob
+
+
+def open_module_ctr(key: bytes, buf, pos: int = 0) -> tuple[bytes, int]:
+    if pos + 4 > len(buf):
+        raise ValueError("truncated encrypted module length")
+    (mlen,) = struct.unpack_from("<I", buf, pos)
+    if mlen < 12 or pos + 4 + mlen > len(buf):
+        raise ValueError("implausible encrypted module size")
+    nonce = bytes(buf[pos + 4:pos + 16])
+    dec = _ctr(key, nonce).decryptor()
+    return (dec.update(bytes(buf[pos + 16:pos + 4 + mlen]))
+            + dec.finalize(), pos + 4 + mlen)

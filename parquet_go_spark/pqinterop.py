@@ -168,6 +168,7 @@ class ColumnChunkInfo:
     key_missing: bool = False         # encrypted chunk, no key supplied
     enc_key: bytes | None = None      # modular encryption: page modules
     aad_base: bytes = b""
+    enc_ctr: bool = False     # AES_GCM_CTR_V1: page bodies are CTR
     rg_ord: int = 0
     col_ord: int = 0
     num_rows: int = 0                 # rows in this chunk's row group
@@ -227,16 +228,18 @@ def read_footer_ex(path: str, decryption=None):
         from . import pqcrypt
 
         algo = meta[8]
-        if 1 not in algo:
-            raise ValueError("only AES_GCM_V1 encryption is supported")
-        gcm = algo[1]
+        if 1 not in algo and 2 not in algo:
+            raise ValueError("unsupported encryption algorithm")
+        ctr = 2 in algo
+        gcm = algo.get(1) or algo[2]
         stored_prefix = gcm.get(1, b"") or b""
         supply = bool(gcm.get(3))
         dec_prefix = getattr(decryption, "aad_prefix", b"")
         prefix = dec_prefix if (supply or dec_prefix) else stored_prefix
         aad_base = prefix + gcm[2]
         if decryption is None:
-            return meta, ("plaintext", aad_base)   # unkeyed: plain cols only
+            # unkeyed: plain cols only
+            return meta, ("plaintext", aad_base, ctr)
         fkey = decryption.resolve(meta.get(9), None)
         if consumed + 28 <= mlen:                  # verify the signature
             nonce = bytes(fbuf[consumed:consumed + 12])
@@ -248,7 +251,7 @@ def read_footer_ex(path: str, decryption=None):
                 pqcrypt.module_aad(aad_base, pqcrypt.M_FOOTER))
             if ct[-16:] != tag:
                 raise ValueError("footer signature verification failed")
-        return meta, (decryption, aad_base, fkey)
+        return meta, (decryption, aad_base, fkey, ctr)
     from . import pqcrypt
 
     if decryption is None:
@@ -256,9 +259,10 @@ def read_footer_ex(path: str, decryption=None):
                          "decryption keys")
     fcm, pos = _read_struct(memoryview(buf)[len(buf) - 8 - mlen:], 0)
     algo = fcm.get(1) or {}
-    if 1 not in algo:
-        raise ValueError("only AES_GCM_V1 encryption is supported")
-    gcm = algo[1]
+    if 1 not in algo and 2 not in algo:
+        raise ValueError("unsupported encryption algorithm")
+    ctr = 2 in algo
+    gcm = algo.get(1) or algo[2]
     stored_prefix = gcm.get(1, b"") or b""
     supply = bool(gcm.get(3))
     prefix = decryption.aad_prefix if (supply or decryption.aad_prefix) \
@@ -269,7 +273,7 @@ def read_footer_ex(path: str, decryption=None):
         fkey, pqcrypt.module_aad(aad_base, pqcrypt.M_FOOTER),
         memoryview(buf)[len(buf) - 8 - mlen:], pos)
     meta, _ = _read_struct(memoryview(pt), 0)
-    ctx = (decryption, aad_base, fkey)
+    ctx = (decryption, aad_base, fkey, ctr)
     return meta, ctx
 
 
@@ -375,16 +379,18 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
         for ci, cc in enumerate(rg[1]):  # RowGroup.columns
             enc_key = None
             aad_base = b""
+            enc_ctr = False
             key_missing = False
             if ctx is not None and ctx[0] == "plaintext":
                 # unkeyed plaintext-footer read: plaintext chunks decode,
                 # encrypted chunks refuse at page-read time (so reading
                 # only the plaintext columns works keyless)
                 key_missing = cc.get(8) is not None
+                enc_ctr = bool(ctx[2]) if len(ctx) > 2 else False
             elif ctx is not None:
                 from . import pqcrypt
 
-                dec, aad_base, fkey = ctx
+                dec, aad_base, fkey, enc_ctr = ctx
                 ccrypt = cc.get(8)
                 if ccrypt is None:
                     enc_key = None          # plaintext column
@@ -419,7 +425,7 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
                 bloom_offset=md.get(14), bloom_length=md.get(15),
                 dict_page_offset=md.get(11),
                 key_missing=key_missing,
-                enc_key=enc_key, aad_base=aad_base,
+                enc_key=enc_key, aad_base=aad_base, enc_ctr=enc_ctr,
                 rg_ord=rgi, col_ord=ci,
                 num_rows=rg.get(3, 0),
                 oi_off=cc.get(4), oi_len=cc.get(5),
@@ -2217,10 +2223,13 @@ def _iter_pages_encrypted(data: bytes, cc: ColumnChunkInfo):
             pqcrypt.module_aad(cc.aad_base, ht, cc.rg_ord, cc.col_ord,
                                po), mv, pos)
         hdr, _ = _read_struct(memoryview(hdr_pt), 0)
-        body_pt, pos = pqcrypt.open_module(
-            cc.enc_key,
-            pqcrypt.module_aad(cc.aad_base, bt, cc.rg_ord, cc.col_ord,
-                               po), mv, pos)
+        if cc.enc_ctr:
+            body_pt, pos = pqcrypt.open_module_ctr(cc.enc_key, mv, pos)
+        else:
+            body_pt, pos = pqcrypt.open_module(
+                cc.enc_key,
+                pqcrypt.module_aad(cc.aad_base, bt, cc.rg_ord,
+                                   cc.col_ord, po), mv, pos)
         if not is_dict:
             page_ord += 1
             ph = hdr.get(5) or hdr.get(8) or {}

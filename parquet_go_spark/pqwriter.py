@@ -665,17 +665,24 @@ def _write_page_index(out: bytearray, chunks: "list[_Chunk]") -> None:
 # --------------------------------------------------------- page assembly
 
 class _PageCrypt:
-    """Per-chunk page-module encryption state (pqcrypt.py grammar)."""
+    """Per-chunk page-module encryption state (pqcrypt.py grammar).
+    ``ctr=True`` = AES_GCM_CTR_V1: page BODY modules use AES-CTR
+    (unauthenticated), header/metadata modules stay GCM."""
 
-    def __init__(self, key: bytes, aad_base: bytes, rg: int, col: int):
+    def __init__(self, key: bytes, aad_base: bytes, rg: int, col: int,
+                 ctr: bool = False):
         self.key, self.aad_base = key, aad_base
         self.rg, self.col = rg, col
         self.page_ord = 0
+        self.ctr = ctr
 
     def seal(self, mtype: int, plaintext: bytes,
              page_ord: int | None) -> bytes:
         from . import pqcrypt
 
+        if self.ctr and mtype in (pqcrypt.M_DATA_PAGE,
+                                  pqcrypt.M_DICT_PAGE):
+            return pqcrypt.seal_module_ctr(self.key, plaintext)
         return pqcrypt.seal_module(
             self.key,
             pqcrypt.module_aad(self.aad_base, mtype, self.rg, self.col,
@@ -1762,11 +1769,12 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             ckey = encryption.column_keys.get(
                 name, encryption.column_keys.get(".".join(path)))
             key, kmd = ckey
-            return (_PageCrypt(key, encryption.aad_base, rgi, ci),
+            return (_PageCrypt(key, encryption.aad_base, rgi, ci,
+                               encryption.ctr),
                     ("column", path, key, kmd, encryption.aad_base,
                      rgi, ci))
         return (_PageCrypt(encryption.footer_key, encryption.aad_base,
-                           rgi, ci),
+                           rgi, ci, encryption.ctr),
                 ("footer", path, encryption.footer_key, None,
                  encryption.aad_base, rgi, ci))
 
@@ -1917,7 +1925,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     if encryption is not None and encryption.plaintext_footer:
         from . import pqcrypt as _pqc
 
-        algo_s = _tstruct([(1, CT_STRUCT, _tstruct([
+        algo_s = _tstruct([(2 if encryption.ctr else 1, CT_STRUCT,
+                            _tstruct([
             (1, CT_BINARY,
              encryption.aad_prefix
              if (encryption.aad_prefix
@@ -1952,7 +1961,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             encryption.footer_key,
             pqcrypt.module_aad(encryption.aad_base, pqcrypt.M_FOOTER),
             footer)
-        algo = _tstruct([(1, CT_STRUCT, _tstruct([
+        algo = _tstruct([(2 if encryption.ctr else 1, CT_STRUCT,
+                          _tstruct([
             (1, CT_BINARY,
              encryption.aad_prefix
              if (encryption.aad_prefix

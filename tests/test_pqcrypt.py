@@ -371,3 +371,75 @@ def test_plaintext_footer_redacts_all_stats_families(tmp_path):
             footer_key=key, column_keys={"s": key, "g": key}))
     assert dec.column("s").to_pylist() == t.column("s").to_pylist()
     assert dec.column("g").to_pylist() == t.column("g").to_pylist()
+
+
+def test_gcm_ctr_v1_both_directions(tmp_path):
+    """AES_GCM_CTR_V1 (the reference's EncryptionAESGCMCTRV1): page
+    bodies AES-CTR (unauthenticated — the reference README's explicit
+    caveat), metadata modules GCM. Engine self-roundtrip, engine reads
+    pyarrow's CTR ciphertext, and pyarrow decrypts engine CTR bytes
+    (fresh subprocess, same KeyToolkit-cache hygiene as the GCM
+    test)."""
+    tbl = _tbl(1500)
+    # engine writes, engine reads
+    kf = os.urandom(16)
+    cks = {c: os.urandom(16) for c in ("x", "y", "e")}
+    enc = C.Encrypt(footer_key=kf,
+                    footer_key_metadata=_kmd(kf, "kf2", True),
+                    column_keys={c: (k, _kmd(k, "kc2", False))
+                                 for c, k in cks.items()},
+                    algorithm="AES_GCM_CTR_V1")
+    f = str(tmp_path / "ctr.parquet")
+    W.write_table(tbl, f, compression="snappy", encryption=enc)
+    got = P.decode_table(f, decryption=C.Decrypt(
+        footer_key=kf, column_keys=cks))
+    assert got["x"].to_pylist() == tbl["x"].to_pylist()
+    assert got["y"].to_pylist() == tbl["y"].to_pylist()
+
+    # pyarrow writes CTR, engine reads
+    conf = pe.KmsConnectionConfig(custom_kms_conf=MK)
+    factory = pe.CryptoFactory(lambda c: _KMS(c))
+    pa_enc = pe.EncryptionConfiguration(
+        footer_key="kf", column_keys={"kc": ["x", "y"]},
+        encryption_algorithm="AES_GCM_CTR_V1",
+        double_wrapping=False, plaintext_footer=False)
+    props = factory.file_encryption_properties(conf, pa_enc)
+    f2 = str(tmp_path / "pactr.parquet")
+    with pq.ParquetWriter(f2, tbl.schema,
+                          encryption_properties=props) as w:
+        w.write_table(tbl)
+    t2 = P.decode_table(f2, decryption=C.Decrypt(
+        key_retriever=_retriever))
+    assert t2["x"].to_pylist() == tbl["x"].to_pylist()
+    assert t2["y"].to_pylist() == tbl["y"].to_pylist()
+
+    # pyarrow decrypts engine CTR bytes (subprocess for cache hygiene)
+    import subprocess
+    import sys
+
+    script = f"""
+import base64, json, sys
+import pyarrow.parquet as pq
+import pyarrow.parquet.encryption as pe
+MK = {MK!r}
+class KMS(pe.KmsClient):
+    def __init__(self, config):
+        super().__init__(); self.m = config.custom_kms_conf
+    def wrap_key(self, kb, mkid):
+        return base64.b64encode(kb + self.m[mkid].encode())
+    def unwrap_key(self, w, mkid):
+        mkb = self.m[mkid].encode(); d = base64.b64decode(w)
+        assert d[-len(mkb):] == mkb
+        return d[:-len(mkb)]
+conf = pe.KmsConnectionConfig(custom_kms_conf=MK)
+factory = pe.CryptoFactory(lambda c: KMS(c))
+dprops = factory.file_decryption_properties(
+    conf, pe.DecryptionConfiguration())
+got = pq.ParquetFile({f!r}, decryption_properties=dprops).read()
+assert got['x'].to_pylist() == list(range(1500))
+print('EXTERNAL_CTR_DECRYPT_OK')
+"""
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "EXTERNAL_CTR_DECRYPT_OK" in proc.stdout
