@@ -536,6 +536,11 @@ def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
         (3, CT_I64, null_count),
         (5, CT_BINARY, None if mx is None else _stat_bytes(col, mx)),
         (6, CT_BINARY, None if mn is None else _stat_bytes(col, mn)),
+        # exact-or-absent policy: present bounds are always ATTAINED
+        # values (no truncation grammar on the write side), so the
+        # exactness flags (reference chunk.go:113) are simply true
+        (7, CT_TRUE, True if mx is not None else None),
+        (8, CT_TRUE, True if mn is not None else None),
     ])
 
 
