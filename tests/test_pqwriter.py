@@ -900,11 +900,12 @@ def test_legacy_minmax_and_stats_omit(tmp_path):
     meta = pqinterop.read_footer(p)
     by = {b".".join(cc[3][3]).decode(): cc[3].get(12)
           for cc in meta[4][0][1]}
-    assert sorted(by["k"].keys()) == [1, 2, 3, 5, 6]
+    assert sorted(by["k"].keys()) == [1, 2, 3, 5, 6, 7, 8]
     assert by["k"][1] == by["k"][5] and by["k"][2] == by["k"][6]
-    assert sorted(by["f"].keys()) == [1, 2, 3, 5, 6]
+    assert by["k"][7] is True and by["k"][8] is True   # exact-or-absent
+    assert sorted(by["f"].keys()) == [1, 2, 3, 5, 6, 7, 8]
     # unsigned lexical order: legacy fields OMITTED
-    assert sorted(by["s"].keys()) == [3, 5, 6]
+    assert sorted(by["s"].keys()) == [3, 5, 6, 7, 8]
     assert by["big.list.item"] is None
 
 
