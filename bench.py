@@ -424,7 +424,7 @@ def main() -> None:
         # 4->16 confined pair (reversed leg order) so a single-shot
         # host hiccup is visible IN the official artifact, and fold in
         # every forced-ladder series recorded this round
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         pair_effs = []
         if "efficiency_4_to_16" in scal:
             pair_effs.append(scal["efficiency_4_to_16"])
