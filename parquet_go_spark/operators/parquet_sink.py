@@ -884,10 +884,11 @@ def describe_parquet_dir(path: str) -> dict:
                 d["dict"] += int(cc.dict_page_offset is not None)
                 # SizeStatistics (ColumnMetaData 16): unencoded
                 # variable-width payload — the reader's memory-
-                # sizing signal, surfaced footer-only
-                md = meta[4][gi][1][ci][3]
+                # sizing signal, surfaced footer-only. Guarded gets:
+                # foreign files may seal or omit meta_data
+                md = (meta[4][gi][1][ci] or {}).get(3)
                 ss = md.get(16) if isinstance(md, dict) else None
-                if ss and 1 in ss:
+                if isinstance(ss, dict) and 1 in ss:
                     d["unencoded_bytes"] = (
                         d.get("unencoded_bytes", 0) + ss[1])
     for d in cols.values():

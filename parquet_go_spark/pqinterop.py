@@ -674,11 +674,15 @@ def decode_column(path: str, column: str, decryption=None):
 
 
 def _legacy_bitpacked_levels(buf: bytes, bw: int, n: int):
-    """Deprecated BIT_PACKED level run (spec Encodings.md): no length
-    prefix, size = ceil(bw*n/8), bits LSB-first within each byte (the
-    order parquet-cpp's level decoder reads — refereed in
-    test_pqlegacy against pyarrow on crafted files) ->
-    (levels ndarray, bytes consumed)."""
+    """Deprecated BIT_PACKED level run: no length prefix, size =
+    ceil(bw*n/8), bits LSB-first within each byte. Bit-order note:
+    Encodings.md's prose for the deprecated encoding reads MSB-first,
+    but BOTH living implementations read LSB-first — parquet-cpp's
+    level decoder (refereed in test_pqlegacy on crafted files) and
+    the reference's ReadBitPackedCount
+    (/root/reference/internal/encoding/encodingread.go:100, "LSB-first
+    bit order") — so this follows the implementations, which are also
+    the parity target. -> (levels ndarray, bytes consumed)."""
     nbytes = (bw * n + 7) // 8
     if len(buf) < nbytes:
         raise ValueError("truncated BIT_PACKED level run")
@@ -2200,8 +2204,19 @@ def _iter_pages_encrypted(data: bytes, cc: ColumnChunkInfo):
     """Module-wise page iteration for encrypted chunks: the first pair
     at the dictionary offset uses dict module types (no page ordinal),
     data pages count ordinals; the plaintext body then follows the
-    normal block-codec path."""
+    normal block-codec path.
+
+    CRC policy: encrypted pages carry no CRC field; under AES_GCM the
+    authentication tag is a strictly stronger integrity check, so
+    strict mode accepts GCM chunks. AES_GCM_CTR page bodies are
+    UNAUTHENTICATED (spec caveat) — strict mode refuses them rather
+    than give a false integrity guarantee."""
     from . import pqcrypt
+
+    if CRC_MODE == "strict" and cc.enc_ctr:
+        raise ValueError(
+            f"column {cc.name!r}: AES_GCM_CTR page bodies are "
+            "unauthenticated and carry no CRC (strict mode)")
 
     pos = cc.first_page_offset
     end = len(data)

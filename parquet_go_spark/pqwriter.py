@@ -526,21 +526,21 @@ def _chunk_stats(col: _Col, arr_nonnull: pa.Array, vals, null_count: int):
     signed_order = (
         col.ptype in (T_BOOLEAN, T_INT32, T_INT64, T_FLOAT, T_DOUBLE)
         and col.converted not in (11, 12, 13, 14))       # UINT_8..64
-    legacy_mx = (_stat_bytes(col, mx)
-                 if mx is not None and signed_order else None)
-    legacy_mn = (_stat_bytes(col, mn)
-                 if mn is not None and signed_order else None)
+    mx_b = None if mx is None else _stat_bytes(col, mx)
+    mn_b = None if mn is None else _stat_bytes(col, mn)
     return _tstruct([
-        (1, CT_BINARY, legacy_mx),
-        (2, CT_BINARY, legacy_mn),
+        (1, CT_BINARY, mx_b if signed_order else None),
+        (2, CT_BINARY, mn_b if signed_order else None),
         (3, CT_I64, null_count),
-        (5, CT_BINARY, None if mx is None else _stat_bytes(col, mx)),
-        (6, CT_BINARY, None if mn is None else _stat_bytes(col, mn)),
-        # exact-or-absent policy: present bounds are always ATTAINED
-        # values (no truncation grammar on the write side), so the
-        # exactness flags (reference chunk.go:113) are simply true
-        (7, CT_TRUE, True if mx is not None else None),
-        (8, CT_TRUE, True if mn is not None else None),
+        (5, CT_BINARY, mx_b),
+        (6, CT_BINARY, mn_b),
+        # exact-or-absent policy: a WRITTEN bound is always an
+        # attained value (no truncation grammar on the write side), so
+        # the exactness flags (reference chunk.go:113) are true — but
+        # only when the bound bytes actually made it into the struct
+        # (_stat_bytes omits >128 B binaries entirely)
+        (7, CT_TRUE, True if mx_b is not None else None),
+        (8, CT_TRUE, True if mn_b is not None else None),
     ])
 
 
@@ -1268,7 +1268,8 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
     data_offset = len(out)
     bw_def, bw_rep = max_def.bit_length(), max_rep.bit_length()
     pages: list[_PageRec] = []
-    ci_ok = want_pidx
+    ci_ok = want_pidx and write_stats   # stats_omit silences the
+                                        # ColumnIndex bounds too
     n_pages = 0
     row = 0
     while True:
@@ -1338,7 +1339,8 @@ def _write_levels_chunk(out: bytearray, col: _Col, rep: np.ndarray,
 def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
                  page_rows: int, enc_want: str, write_stats: bool,
                  levels: tuple | None = None, page_version: int = 1,
-                 pc: "_PageCrypt | None" = None, want_pidx: bool = False):
+                 pc: "_PageCrypt | None" = None, want_pidx: bool = False,
+                 force_optional: bool = False):
     """Append one column chunk's pages; return its ColumnChunk struct.
 
     ``levels=(defs, max_def, path)`` is the shredded-STRUCT form: defs
@@ -1351,7 +1353,13 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     if levels is None:
         n_total = len(arr)
         null_count = arr.null_count
-        optional = null_count > 0
+        # optionality is a COLUMN property, not a chunk property: a
+        # null-free row group of a column that has nulls elsewhere
+        # must still carry def-level streams, or the schema's OPTIONAL
+        # declaration makes every reader mis-parse its pages (pyarrow:
+        # "corrupt data page"; found by review, pinned in
+        # test_pqwriter.py::test_nulls_in_one_row_group_only)
+        optional = force_optional or null_count > 0
         defs = np.asarray(arr.is_valid(), np.uint8) if optional else None
         max_def, path = 1, [col.name]
         nonnull = arr.drop_null() if optional else arr
@@ -1397,7 +1405,8 @@ def _write_chunk(out: bytearray, col: _Col, arr: pa.Array, codec_id: int,
     # paged emission: the level stream and the value stream advance at
     # different rates when nulls are present
     pages: list[_PageRec] = []
-    ci_ok = want_pidx
+    ci_ok = want_pidx and write_stats   # stats_omit silences the
+                                        # ColumnIndex bounds too
     n_pages = 0
     row = vpos = 0
     while True:
@@ -1764,6 +1773,12 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
     n = table.num_rows
     col_optional = {c.name: False for c in cols
                     if c is not None and c != "general"}
+    # column-level nulliness decided ONCE for the whole table so every
+    # row group of a with-nulls column writes def streams
+    col_has_nulls = {
+        f.name: table.column(i).null_count > 0
+        for i, (c, f) in enumerate(zip(cols, table.schema))
+        if isinstance(c, _Col) and c.elem is None}
     def _chunk_crypto(name, path, rgi, ci):
         """-> (_PageCrypt, crypto tuple) for one chunk, or (None, None)."""
         if encryption is None:
@@ -1847,7 +1862,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
             chunk, u, opt = _write_chunk(
                 out, col, arr, codec_id, page_rows,
                 encodings.get(col.name, "auto"), col_stats,
-                page_version=page_version, pc=pc, want_pidx=want_pidx)
+                page_version=page_version, pc=pc, want_pidx=want_pidx,
+                force_optional=col_has_nulls.get(col.name, False))
             chunk.crypto = crypto
             chunk.ptf = (encryption is not None
                          and encryption.plaintext_footer)

@@ -932,3 +932,56 @@ def test_crc_read_modes(tmp_path):
     finally:
         pqinterop.CRC_MODE = "auto"
     assert pqinterop.decode_table(p2).num_rows == 100
+
+
+def test_nulls_in_one_row_group_only(tmp_path):
+    """Optionality is a COLUMN property: a null-free row group of a
+    with-nulls column must still write def-level streams (review
+    finding — the per-chunk decision corrupted multi-group files:
+    pyarrow read them as 'corrupt data page')."""
+    import duckdb
+
+    from parquet_go_spark import pqinterop, pqwriter
+
+    t = pa.table({
+        "v": pa.array([None] * 10 + list(range(10, 20000)), pa.int64()),
+        "s": pa.array([None] * 3 + [f"x{i}" for i in range(3, 20000)]),
+    })
+    p = str(tmp_path / "m.parquet")
+    pqwriter.write_table(t, p, row_group_rows=5000)
+    assert pq.read_table(p).to_pylist() == t.to_pylist()
+    assert P.decode_table(p).to_pylist() == t.to_pylist()
+    assert duckdb.sql(
+        f"SELECT count(v) FROM '{p}'").fetchall()[0][0] == 19990
+
+
+def test_stats_omit_silences_column_index_too(tmp_path):
+    """stats_omit suppresses the per-page ColumnIndex bounds as well —
+    otherwise exact min/max leak (and get computed) through the
+    PageIndex (review finding)."""
+    from parquet_go_spark import pqinterop, pqwriter
+
+    t = pa.table({"s": pa.array([f"x{i}" for i in range(2000)]),
+                  "k": pa.array(range(2000), pa.int64())})
+    p = str(tmp_path / "o.parquet")
+    pqwriter.write_table(t, p, page_rows=500, stats_omit={"s"})
+    ccs = pqinterop.column_chunks(pqinterop.read_footer(p))[0]
+    s_cc = next(c for c in ccs if c.name == "s")
+    k_cc = next(c for c in ccs if c.name == "k")
+    assert s_cc.ci_off is None          # no ColumnIndex for omitted col
+    assert s_cc.oi_off is not None      # OffsetIndex (locations) stays
+    assert k_cc.ci_off is not None
+
+
+def test_exactness_flags_absent_without_bounds(tmp_path):
+    """is_min/max_value_exact must describe WRITTEN bounds: >128 B
+    binary bounds are omitted entirely, so the flags are too (review
+    finding)."""
+    from parquet_go_spark import pqinterop, pqwriter
+
+    t = pa.table({"b": pa.array([b"x" * 300, b"a" * 200, None],
+                                pa.binary())})
+    p = str(tmp_path / "big.parquet")
+    pqwriter.write_table(t, p)
+    st = pqinterop.read_footer(p)[4][0][1][0][3][12]
+    assert sorted(st.keys()) == [3]     # null_count only
