@@ -63,13 +63,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the driver gate evaluates a
-    50-query prefix, so the families that lacked a hard driver row in
-    rounds 1-2 (ds_*, prune_*, sketches, joins, tokenize/BPE/BM25/DSIR,
-    mm_*, LSH/IVF ANN) register FIRST, followed by three rt_* sentinels
-    that exercise the full codec stack; the redundant rt_/dedup_/text_
-    families (all r2 hash-green) trail. Every codec still gets driven
-    in-window because the ds_/prune_ queries encode through the same
-    kernels."""
+    50-query prefix, so each round rotates the least-recently-driver-
+    checked queries to the front (the round-4 verdict's task #1).
+    Round 5's window = the 14 queries that have NEVER had a driver
+    CORRECTNESS row (the round-3/4 real-parquet long tail: pq_map/
+    migration/struct/embeddings/pruned/pages/encrypted/logical/variant/
+    geo + text_tokenize/text_postings/bpe_encode), then the 5 queries
+    last checked in round 1, then 31 representatives of the round-2
+    families covering every distinct logical-type and codec path. The
+    ds_/prune_/pq sentinel families (all r4 hash-green) trail; they
+    keep oracle evidence via tools/check_correctness.py full sweeps.
+    The physical ordering below is unchanged from round 4 — the window
+    is imposed by _GATE_WINDOW at the end."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     from parquet_go_spark.operators import asof as _asof
@@ -373,7 +378,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_logical_roundtrip"] = _pqs.logical_roundtrip_query
     q["pq_variant_shredded"] = _pqs.variant_shredded_query
     q["pq_geo_pruned"] = _pqs.geo_pruned_query
-    return q
+
+    ordered = {k: q[k] for k in _GATE_WINDOW}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    assert len(ordered) == len(q)
+    return ordered
+
+
+# Round-5 driver-gate window (50-query prefix), least-recently-checked
+# first: 14 never-checked, 5 last checked in r1, 31 r2 representatives.
+_GATE_WINDOW = [
+    # --- never driver-checked (registered after the r3/r4 window) ---
+    "pq_map_roundtrip",
+    "pq_migration_roundtrip",
+    "pq_writer_struct",
+    "pq_writer_embeddings",
+    "pq_reader_embeddings",
+    "pq_reader_pruned",
+    "pq_reader_pages",
+    "pq_encrypted_roundtrip",
+    "pq_logical_roundtrip",
+    "pq_variant_shredded",
+    "pq_geo_pruned",
+    "text_tokenize",
+    "text_postings",
+    "bpe_encode",
+    # --- last driver row in round 1 ---
+    "sim_nearest_neighbor",
+    "dedup_embedding_cosine",
+    "dedup_near_dup_cluster",
+    "rt_lineitem_projected",
+    "mm_thumbnail",
+    # --- round-2 representatives: every distinct logical-type path ---
+    "rt_decimal",
+    "rt_flba",
+    "rt_int96",
+    "rt_interval",
+    "rt_geojson",
+    "rt_typed_ext",
+    "rt_struct_project",
+    "rt_uuid",
+    "rt_json",
+    "rt_variant",
+    "rt_variant_shredded",
+    "rt_bson",
+    # --- round-2 representatives: distinct codec paths ---
+    "rt_lineitem_rans",
+    "rt_part_strings",
+    "rt_documents",
+    "rt_embeddings",
+    "rt_customer_plain",
+    "stats_lineitem",
+    # --- round-2 representatives: pipeline operator families ---
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "text_bigram_lm",
+    "pack_encode_roundtrip",
+    "decontam_overlap",
+    "pii_scrub",
+    "curate_pipeline_e2e",
+    "curate_shuffle",
+    "sim_cosine_topk",
+]
 
 
 def oracle_sql() -> dict[str, str]:
