@@ -499,6 +499,7 @@ def _unify_schemas(schemas: list) -> "pa.Schema":
 def read_parquet_dir(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     filters: dict | None = None, decryption=None,
+    crc_mode: str | None = None,
 ) -> DataFrame:
     """Read real parquet files with the ENGINE's spec decoder
     (pqinterop.decode_table), distributed one (file, row-group) per
@@ -510,6 +511,8 @@ def read_parquet_dir(
 
     from .. import pqinterop
 
+    if crc_mode not in (None, "auto", "strict", "ignore"):
+        raise ValueError(f"unknown crc_mode {crc_mode!r}")
     files = sorted(
         globmod.glob(os.path.join(path, "*.parquet"))
         if os.path.isdir(path) else [path])
@@ -631,7 +634,8 @@ def read_parquet_dir(
                 tbl = P.decode_table(f, columns=proj,
                                      row_groups=[g],
                                      decryption=decryption,
-                                     row_ranges=ranges)
+                                     row_ranges=ranges,
+                                     crc_mode=crc_mode)
                 if not uniform:
                     # evolved directory: missing columns read as
                     # nulls, widened columns cast to the unified type

@@ -138,7 +138,24 @@ PG_DATA, PG_DICT, PG_DATA_V2 = 0, 2, 3
 #              the reference defaults to "ignore" for back-compat)
 #   "strict" — every page must carry a valid CRC
 #   "ignore" — skip validation entirely
-CRC_MODE = "auto" 
+CRC_MODE = "auto"
+
+
+def _parse_encryption_algorithm(algo: dict):
+    """(AAD-metadata struct, ctr flag) from an EncryptionAlgorithm
+    union. Thrift unions carry exactly ONE branch; a malformed footer
+    declaring both AES_GCM_V1 (field 1) and AES_GCM_CTR_V1 (field 2)
+    would otherwise take AAD metadata from the GCM branch while
+    CTR-decrypting GCM-sealed page bodies into unauthenticated garbage
+    — refuse instead of guessing."""
+    has_gcm, has_ctr = 1 in algo, 2 in algo
+    if has_gcm and has_ctr:
+        raise ValueError(
+            "malformed footer: EncryptionAlgorithm union declares both "
+            "AES_GCM_V1 and AES_GCM_CTR_V1")
+    if not (has_gcm or has_ctr):
+        raise ValueError("unsupported encryption algorithm")
+    return (algo[2], True) if has_ctr else (algo[1], False)
 
 _CODEC_NAMES = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
                 5: "lz4", 6: "zstd", 7: "lz4_raw"}
@@ -179,6 +196,7 @@ class ColumnChunkInfo:
     data_page_offset: int = 0         # ColumnMetaData field 9
     enc_stats: list | None = None     # ColumnMetaData.encoding_stats
     leaf_el: dict | None = None       # SchemaElement of the leaf
+    crc_mode: str | None = None       # per-read override of CRC_MODE
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
@@ -227,11 +245,7 @@ def read_footer_ex(path: str, decryption=None):
         # encrypted chunks carry their own crypto metadata
         from . import pqcrypt
 
-        algo = meta[8]
-        if 1 not in algo and 2 not in algo:
-            raise ValueError("unsupported encryption algorithm")
-        ctr = 2 in algo
-        gcm = algo.get(1) or algo[2]
+        gcm, ctr = _parse_encryption_algorithm(meta[8])
         stored_prefix = gcm.get(1, b"") or b""
         supply = bool(gcm.get(3))
         dec_prefix = getattr(decryption, "aad_prefix", b"")
@@ -258,11 +272,7 @@ def read_footer_ex(path: str, decryption=None):
         raise ValueError("file has an encrypted footer (PARE); pass "
                          "decryption keys")
     fcm, pos = _read_struct(memoryview(buf)[len(buf) - 8 - mlen:], 0)
-    algo = fcm.get(1) or {}
-    if 1 not in algo and 2 not in algo:
-        raise ValueError("unsupported encryption algorithm")
-    ctr = 2 in algo
-    gcm = algo.get(1) or algo[2]
+    gcm, ctr = _parse_encryption_algorithm(fcm.get(1) or {})
     stored_prefix = gcm.get(1, b"") or b""
     supply = bool(gcm.get(3))
     prefix = decryption.aad_prefix if (supply or decryption.aad_prefix) \
@@ -366,7 +376,8 @@ def _schema_columns(meta: dict) -> dict[str, LeafInfo]:
     return {li.path: li for li in _walk_schema(meta)}
 
 
-def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
+def column_chunks(meta: dict, ctx=None,
+                  crc_mode: str | None = None) -> list[list[ColumnChunkInfo]]:
     """Per row group, the leaf column chunk infos. ``ctx`` is the
     crypto context from read_footer_ex for encrypted files: column-key
     chunks carry their ColumnMetaData encrypted in field 9 (decrypted
@@ -431,7 +442,7 @@ def column_chunks(meta: dict, ctx=None) -> list[list[ColumnChunkInfo]]:
                 oi_off=cc.get(4), oi_len=cc.get(5),
                 ci_off=cc.get(6), ci_len=cc.get(7),
                 data_page_offset=md[9], enc_stats=md.get(13),
-                leaf_el=li.leaf_el,
+                leaf_el=li.leaf_el, crc_mode=crc_mode,
             ))
         groups.append(cols)
     return groups
@@ -489,6 +500,7 @@ def iter_pages(data: bytes, cc: ColumnChunkInfo):
     if cc.enc_key is not None:
         yield from _iter_pages_encrypted(data, cc)
         return
+    crc_mode = cc.crc_mode or CRC_MODE
     pos = cc.first_page_offset
     end = cc.first_page_offset + cc.total_compressed
     mv = memoryview(data)
@@ -500,14 +512,14 @@ def iter_pages(data: bytes, cc: ColumnChunkInfo):
             # CRC-before-parse (the reference's page_read.go posture):
             # spec CRC32 over the page body exactly as stored — BEFORE
             # any decompression touches the bytes
-            if CRC_MODE != "ignore":
+            if crc_mode != "ignore":
                 import zlib as _zlib
 
                 if _zlib.crc32(payload) & 0xFFFFFFFF != \
                         hdr[4] & 0xFFFFFFFF:
                     raise ValueError(
                         f"page CRC mismatch in column {cc.name!r}")
-        elif CRC_MODE == "strict":
+        elif crc_mode == "strict":
             # reference CRCStrict: every page must carry a checksum
             raise ValueError(
                 f"page without CRC in column {cc.name!r} (strict mode)")
@@ -590,8 +602,8 @@ def _decode_values(payload: bytes, enc: int, ptype: int, n: int,
         bw = payload[0]
         idx = rle.decode(payload[1:], bw, n).astype(np.int64)
         if isinstance(dict_vals, np.ndarray):
-            if len(dict_vals) and (int(idx.max()) >= len(dict_vals)
-                                   or int(idx.min()) < 0):
+            if len(idx) and (int(idx.max()) >= len(dict_vals)
+                             or int(idx.min()) < 0):
                 raise ValueError("dictionary index out of range")
             return dict_vals[idx]
         import pyarrow as pa
@@ -682,7 +694,11 @@ def _legacy_bitpacked_levels(buf: bytes, bw: int, n: int):
     the reference's ReadBitPackedCount
     (/root/reference/internal/encoding/encodingread.go:100, "LSB-first
     bit order") — so this follows the implementations, which are also
-    the parity target. -> (levels ndarray, bytes consumed)."""
+    the parity target. Caveat: parquet-mr's ByteBitPackingValuesWriter
+    packs MSB-first, so levels in files from the ancient Java writers
+    that actually emitted BIT_PACKED may mis-decode here; no such
+    artifact is available to referee against, and the two living
+    readers above agree on LSB-first. -> (levels ndarray, consumed)."""
     nbytes = (bw * n + 7) // 8
     if len(buf) < nbytes:
         raise ValueError("truncated BIT_PACKED level run")
@@ -1363,7 +1379,8 @@ def _decode_chunk_ranged_arrow(path: str, cc: ColumnChunkInfo, ranges,
 
 def decode_table(path: str, columns: list[str] | None = None,
                  row_groups: list[int] | None = None, decryption=None,
-                 row_ranges: dict | None = None):
+                 row_ranges: dict | None = None,
+                 crc_mode: str | None = None):
     """Decode a real parquet file into a typed arrow table using ONLY
     engine codecs (the distributed-reader kernel: one (file, row-group
     subset) per task). INT96 stays out of scope here (no flat testdata
@@ -1372,16 +1389,23 @@ def decode_table(path: str, columns: list[str] | None = None,
     ``row_ranges``: {row_group_index: [(lo, hi), ...]} of rg-local
     half-open row ranges — flat columns with an OffsetIndex decode ONLY
     the intersecting pages (ranged IO per kept-page run); other columns
-    decode fully and mask. Groups without an entry decode fully."""
+    decode fully and mask. Groups without an entry decode fully.
+
+    ``crc_mode``: per-read page-CRC policy ("auto"/"strict"/"ignore",
+    the reference's reader.WithCRCMode); None falls back to the
+    module-level CRC_MODE default. Carried on each ColumnChunkInfo so
+    concurrent readers in one process never share a policy."""
     import pyarrow as pa
 
     from . import int96 as i96mod
 
+    if crc_mode not in (None, "auto", "strict", "ignore"):
+        raise ValueError(f"unknown crc_mode {crc_mode!r}")
     meta, ctx = read_footer_ex(path, decryption)
     schema = arrow_schema(meta)
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
-    groups = column_chunks(meta, ctx)
+    groups = column_chunks(meta, ctx, crc_mode=crc_mode)
     sel = range(len(groups)) if row_groups is None else row_groups
     row_ranges = row_ranges or {}
 
@@ -2213,7 +2237,7 @@ def _iter_pages_encrypted(data: bytes, cc: ColumnChunkInfo):
     than give a false integrity guarantee."""
     from . import pqcrypt
 
-    if CRC_MODE == "strict" and cc.enc_ctr:
+    if (cc.crc_mode or CRC_MODE) == "strict" and cc.enc_ctr:
         raise ValueError(
             f"column {cc.name!r}: AES_GCM_CTR page bodies are "
             "unauthenticated and carry no CRC (strict mode)")

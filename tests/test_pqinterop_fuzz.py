@@ -243,3 +243,23 @@ def test_all_null_page_in_numeric_chunk():
     assert [None if v is None else sorted(dict(v).items())
             for v in got] == \
         [None if v is None else sorted(dict(v).items()) for v in want]
+
+
+def test_empty_dictionary_with_indices_refuses_cleanly():
+    """An empty dictionary page plus non-empty index stream must raise
+    the controlled 'dictionary index out of range' error on BOTH value
+    lanes (ADVICE r4: the ndarray branch skipped the bounds check when
+    the dictionary was empty and died on a numpy IndexError instead)."""
+    import numpy as np
+    import pytest
+
+    from parquet_go_spark import pqinterop as P
+    from parquet_go_spark.codecs import rle
+
+    bw = 1
+    payload = bytes([bw]) + rle.encode(np.zeros(8, np.int64), bw)
+    for dict_vals in (np.array([], np.int64),
+                      pa.array([], pa.large_binary())):
+        with pytest.raises(ValueError, match="dictionary index"):
+            P._decode_values(payload, P.E_RLE_DICTIONARY, P.T_INT64,
+                             8, None, dict_vals)

@@ -934,6 +934,48 @@ def test_crc_read_modes(tmp_path):
     assert pqinterop.decode_table(p2).num_rows == 100
 
 
+def test_crc_mode_parameter_overrides_global(tmp_path):
+    """crc_mode is a per-read decode_table parameter (ADVICE r4: the
+    mutable module global leaked policy across concurrent readers);
+    the global survives only as the default."""
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark import pqinterop
+
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    p2 = str(tmp_path / "nocrc.parquet")    # pyarrow: no page CRCs
+    pqmod.write_table(t, p2)
+    assert pqinterop.CRC_MODE == "auto"     # global untouched throughout
+    with pytest.raises(ValueError, match="without CRC"):
+        pqinterop.decode_table(p2, crc_mode="strict")
+    assert pqinterop.decode_table(p2, crc_mode="ignore").num_rows == 100
+    assert pqinterop.decode_table(p2).num_rows == 100   # default auto
+    with pytest.raises(ValueError, match="crc_mode"):
+        pqinterop.decode_table(p2, crc_mode="bogus")
+    assert pqinterop.CRC_MODE == "auto"
+
+
+def test_encryption_algorithm_union_strict():
+    """EncryptionAlgorithm is a thrift union: a malformed footer
+    declaring BOTH AES_GCM_V1 and AES_GCM_CTR_V1 must refuse (ADVICE
+    r4: it used to take GCM AAD metadata while CTR-decrypting sealed
+    bodies into unauthenticated garbage), and a present-but-empty
+    field 1 must produce the clean unsupported error, not a KeyError."""
+    from parquet_go_spark.pqinterop import _parse_encryption_algorithm
+
+    gcm_meta = {1: b"", 2: b"fileaad"}
+    meta, ctr = _parse_encryption_algorithm({1: gcm_meta})
+    assert meta is gcm_meta and ctr is False
+    meta, ctr = _parse_encryption_algorithm({2: gcm_meta})
+    assert meta is gcm_meta and ctr is True
+    with pytest.raises(ValueError, match="both"):
+        _parse_encryption_algorithm({1: gcm_meta, 2: gcm_meta})
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_encryption_algorithm({})
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_encryption_algorithm({3: gcm_meta})
+
+
 def test_nulls_in_one_row_group_only(tmp_path):
     """Optionality is a COLUMN property: a null-free row group of a
     with-nulls column must still write def-level streams (review
