@@ -188,9 +188,7 @@ def trial_pick(
     max_trials: int = TRIAL_CANDIDATES,
 ) -> int:
     """Stage 2: encode the sample per candidate, compress, pick min bytes."""
-    codec = None
-    if compression and compression != "none":
-        codec = pa.Codec(compression)
+    codec = frame.get_compressor(compression)
     best, best_size = None, float("inf")
     for cid in candidates[:max_trials]:
         try:
@@ -215,9 +213,7 @@ def trial_pick_scaled(
     whole chunk (scales with cardinality growth) while the codes section
     scales with row count; compressing them together at sample size made
     dict codecs look ~20%% worse than they are at chunk size."""
-    codec = None
-    if compression and compression != "none":
-        codec = pa.Codec(compression)
+    codec = frame.get_compressor(compression)
     best, best_size = None, float("inf")
     for cid in candidates:
         try:
@@ -267,9 +263,7 @@ def rank_string_codecs(
     else:
         s_data = b""
 
-    comp = None
-    if compression and compression != "none":
-        comp = pa.Codec(compression)
+    comp = frame.get_compressor(compression)
 
     def z(b: bytes) -> float:
         return float(len(comp.compress(b))) if comp else float(len(b))

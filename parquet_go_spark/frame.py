@@ -83,6 +83,53 @@ COMP_IDS = {"none": COMP_NONE, "snappy": COMP_SNAPPY, "zstd": COMP_ZSTD,
             "gzip": COMP_GZIP, "lz4": COMP_LZ4, "brotli": COMP_BROTLI,
             "lz4_raw": COMP_LZ4_RAW, None: COMP_NONE}
 
+# codecs that take a numeric level (pyarrow compression_level support);
+# snappy/lz4 are level-free in the reference registry too
+_LEVELED = {"zstd", "gzip", "brotli"}
+
+
+def parse_compression(spec: "str | None") -> tuple[str, "int | None"]:
+    """``"zstd"`` | ``"zstd:3"`` | None -> (name, level|None) — the
+    reference's per-column tag grammar ``compression=ZSTD:3``
+    (common/tag.go:97-110, writer/writer.go:282-318)."""
+    if spec is None:
+        return "none", None
+    name, sep, lv = str(spec).partition(":")
+    name = name.lower()
+    if name not in COMP_IDS or name == "":
+        raise ValueError(f"unknown compression codec {spec!r}")
+    if not sep:
+        return name, None
+    if name not in _LEVELED:
+        raise ValueError(
+            f"compression codec {name!r} does not take a level ({spec!r})")
+    try:
+        return name, int(lv)
+    except ValueError:
+        raise ValueError(f"bad compression level in {spec!r}") from None
+
+
+# shared compressor instances per (codec, level) — the reference keeps
+# one compressor per registered (codec, level) pair as well
+_CODEC_CACHE: dict = {}
+
+
+def _codec_for(name: str, level: "int | None"):
+    key = (name, level)
+    c = _CODEC_CACHE.get(key)
+    if c is None:
+        if not pa.Codec.is_available(name):
+            raise ValueError(f"compression codec {name} unavailable")
+        c = pa.Codec(name, compression_level=level)
+        _CODEC_CACHE[key] = c
+    return c
+
+
+def get_compressor(spec: "str | None"):
+    """pa.Codec (cached) for a ``name[:level]`` spec; None for none."""
+    name, level = parse_compression(spec)
+    return None if name == "none" else _codec_for(name, level)
+
 # logical types
 LT_INT32 = 0
 LT_INT64 = 1
@@ -175,13 +222,11 @@ class FrameMeta:
         return CODEC_NAMES[self.codec]
 
 
-def _get_codec(comp_id: int):
+def _get_codec(comp_id: int, level: "int | None" = None):
     name = COMP_NAMES[comp_id]
     if name is None:
         return None
-    if not pa.Codec.is_available(name):
-        raise ValueError(f"compression codec {name} unavailable")
-    return pa.Codec(name)
+    return _codec_for(name, level)
 
 
 def write_frame(
@@ -203,7 +248,8 @@ def write_frame(
     tampered codec id or section length fails authentication, not just
     the CRC. Metadata stays readable without the key; values don't."""
     payload = sections[0] if len(sections) == 1 else b"".join(sections)
-    comp_id = COMP_IDS[compression]
+    comp_name, comp_level = parse_compression(compression)
+    comp_id = COMP_IDS[comp_name]
     body = payload
     if comp_id != COMP_NONE and len(payload) > 64:
         # Always run the full compress pass (a mid-payload probe that
@@ -214,7 +260,8 @@ def write_frame(
         # size is a headline north-rule criterion). Keep only the
         # reference's store-uncompressed-if-bigger rule
         # (page_write_encode.go:313-318).
-        compressed = _get_codec(comp_id).compress(payload).to_pybytes()
+        compressed = _get_codec(
+            comp_id, comp_level).compress(payload).to_pybytes()
         if len(compressed) < len(payload):
             body = compressed
         else:

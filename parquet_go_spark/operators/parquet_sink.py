@@ -40,6 +40,7 @@ def write_parquet_dir(
     sorting_columns: list | None = None,
     name_prefix: str | None = None,
     logical_types: dict[str, str] | None = None,
+    compressions: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
@@ -79,7 +80,7 @@ def write_parquet_dir(
             row_group_rows=row_group_rows, page_rows=page_rows,
             bloom_columns=bloom_columns, encryption=task_enc,
             sorting_columns=sorting_columns,
-            logical_types=logical_types)
+            logical_types=logical_types, compressions=compressions)
         yield pa.RecordBatch.from_arrays(
             [pa.array([name]), pa.array([tbl.num_rows], pa.int64()),
              pa.array([os.path.getsize(path)], pa.int64())],
@@ -121,7 +122,10 @@ def writer_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp", f"pgs_pqwriter_{os.path.basename(os.path.normpath(sf_dir))}")
     shutil.rmtree(out, ignore_errors=True)
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    write_parquet_dir(li, out, compression="zstd")
+    # l_shipdate at zstd:6 exercises the reference's compression=ZSTD:3
+    # per-column level tag grammar through the distributed sink
+    write_parquet_dir(li, out, compression="zstd",
+                      compressions={"l_shipdate": "zstd:6"})
     return spark.read.parquet(out)
 
 

@@ -59,6 +59,36 @@ from .pqinterop import (
 
 CODEC_IDS = {name: cid for cid, name in _CODEC_NAMES.items() if name}
 
+
+class _CodecSpec(int):
+    """A parquet codec id that rides an optional compression level
+    (the reference's ``compression=ZSTD:3`` tag, common/tag.go:97-110).
+    Subclassing int keeps every existing comparison / thrift-emit /
+    dict-lookup site working unchanged; only the two page-compression
+    sites read ``.level``."""
+
+    level: "int | None"
+
+    def __new__(cls, cid: int, level: "int | None" = None):
+        o = super().__new__(cls, cid)
+        o.level = level
+        return o
+
+
+def _codec_spec(spec: str) -> "_CodecSpec | int":
+    """``"zstd"`` | ``"zstd:3"`` | ``"none"`` -> codec id (level-carrying
+    when a level is given). Rejects write-deprecated hadoop LZ4."""
+    from . import frame as framemod
+
+    name, level = framemod.parse_compression(spec)
+    if name == "lz4":
+        raise ValueError("hadoop-framed LZ4 is write-deprecated; "
+                         "use lz4_raw")
+    if name != "none" and name not in CODEC_IDS:
+        raise ValueError(f"unsupported parquet codec {spec!r}")
+    cid = 0 if name == "none" else CODEC_IDS[name]
+    return _CodecSpec(cid, level) if level is not None else cid
+
 # parquet.thrift ConvertedType values used here
 CV_UTF8, CV_DECIMAL, CV_DATE, CV_TIMESTAMP_MICROS = 0, 5, 6, 10
 
@@ -707,7 +737,8 @@ def _page(pg_type: int, header_extra: bytes, payload: bytes,
     body = payload
     if codec_id != 0:
         body = framemod._get_codec(
-            framemod.COMP_IDS[_CODEC_NAMES[codec_id]]
+            framemod.COMP_IDS[_CODEC_NAMES[codec_id]],
+            getattr(codec_id, "level", None)
         ).compress(payload).to_pybytes()
     if pc is not None:
         from . import pqcrypt
@@ -774,7 +805,8 @@ def _emit_data_page(out: bytearray, codec_id: int, page_version: int,
     compressed = False
     if codec_id != 0 and len(values) > 64:
         cand = framemod._get_codec(
-            framemod.COMP_IDS[_CODEC_NAMES[codec_id]]
+            framemod.COMP_IDS[_CODEC_NAMES[codec_id]],
+            getattr(codec_id, "level", None)
         ).compress(values).to_pybytes()
         if len(cand) < len(values):
             body, compressed = cand, True
@@ -1662,7 +1694,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 row_group_bytes: int | None = None,
                 page_bytes: int | None = None,
                 logical_types: dict[str, str] | None = None,
-                stats_omit: "set[str] | list[str] | None" = None) -> None:
+                stats_omit: "set[str] | list[str] | None" = None,
+                compressions: dict[str, str] | None = None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``logical_types``: per-column annotation — uuid | json | bson |
@@ -1685,13 +1718,20 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
 
     ``sorting_columns``: declared sort order of the rows, recorded as
     RowGroup.sorting_columns — entries are ``(column, descending,
-    nulls_first)`` or a bare column name (ascending, nulls last)."""
-    if compression == "lz4":
-        raise ValueError("hadoop-framed LZ4 is write-deprecated; "
-                         "use lz4_raw")
-    if compression not in CODEC_IDS and compression != "none":
-        raise ValueError(f"unsupported parquet codec {compression!r}")
-    codec_id = 0 if compression == "none" else CODEC_IDS[compression]
+    nulls_first)`` or a bare column name (ascending, nulls last).
+
+    ``compression`` / ``compressions``: block codec, optionally with a
+    numeric level — ``"zstd:3"``, ``"gzip:9"``, ``"brotli:11"`` (the
+    reference's ``compression=ZSTD:3`` tag grammar, common/tag.go:97-110
+    + per-(codec,level) shared compressors, writer/writer.go:282-318).
+    ``compressions`` overrides per top-level column; nested leaves
+    inherit their column's spec."""
+    codec_id = _codec_spec(compression)
+    col_codec_ids = {name: _codec_spec(spec)
+                     for name, spec in (compressions or {}).items()}
+    for name in col_codec_ids:
+        if name not in table.schema.names:
+            raise ValueError(f"compressions: unknown column {name!r}")
     if encryption is not None and bloom_columns:
         raise ValueError("bloom filters with modular encryption are "
                          "out of scope (bloom modules not sealed)")
@@ -1811,9 +1851,10 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 arr = pa.concat_arrays(ca.chunks)
             field = table.schema.field(i)
             col_stats = stats and field.name not in stats_omit
+            cid = col_codec_ids.get(field.name, codec_id)
             if col == "general":
                 gchunks, u = _write_general_chunks(
-                    out, field, arr, codec_id, page_rows, encodings,
+                    out, field, arr, cid, page_rows, encodings,
                     col_stats, page_version, _chunk_crypto, rgi,
                     len(chunks), want_pidx)
                 for ch in gchunks:
@@ -1824,7 +1865,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 continue
             if col is None and pa.types.is_map(field.type):
                 mchunks, u = _write_map_chunks(
-                    out, field, arr, codec_id, page_rows, encodings,
+                    out, field, arr, cid, page_rows, encodings,
                     col_stats, page_version, _chunk_crypto, rgi,
                     len(chunks), want_pidx)
                 for ch in mchunks:
@@ -1844,7 +1885,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                     pc, crypto = _chunk_crypto(
                         ".".join(lpath), lpath, rgi, len(chunks))
                     chunk, u, _ = _write_chunk(
-                        out, lcol, leaf_vals, codec_id, page_rows,
+                        out, lcol, leaf_vals, cid, page_rows,
                         encodings.get(".".join(lpath), "auto"),
                         col_stats, levels=(defs, md, lpath),
                         page_version=page_version, pc=pc,
@@ -1860,7 +1901,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                                        [col.name, "list", col.elem_name],
                                        rgi, len(chunks))
             chunk, u, opt = _write_chunk(
-                out, col, arr, codec_id, page_rows,
+                out, col, arr, cid, page_rows,
                 encodings.get(col.name, "auto"), col_stats,
                 page_version=page_version, pc=pc, want_pidx=want_pidx,
                 force_optional=col_has_nulls.get(col.name, False))

@@ -987,3 +987,27 @@ def test_partial_paged_and_bad_path():
     fblob, _ = chunk.encode_chunk(flat)
     with pytest.raises(ValueError):
         chunk.decode_chunk_partial(fblob, "x")
+
+
+def test_frame_compression_levels():
+    """'zstd:19' through the PGS frame layer: the level reaches the
+    block compressor (smaller body than zstd:1 on compressible data),
+    decode is identical, and the frame header still records plain
+    COMP_ZSTD (levels are a write-side knob, invisible to readers)."""
+    from parquet_go_spark import chunk as C
+    from parquet_go_spark import frame as FR
+
+    arr = pa.array([f"token-{i % 113:05d}" for i in range(20_000)])
+    blobs = {}
+    for spec in ("zstd:1", "zstd:19"):
+        blob, st = C.encode_chunk(arr, codec="plain_byte_array",
+                                  compression=spec)
+        assert C.decode_chunk(blob).to_pylist() == arr.to_pylist()
+        assert FR.read_frame(blob).compression == FR.COMP_ZSTD
+        blobs[spec] = blob
+    assert len(blobs["zstd:19"]) < len(blobs["zstd:1"])
+    # the shared-compressor cache holds one instance per (codec, level)
+    assert ("zstd", 19) in FR._CODEC_CACHE
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="does not take a level"):
+        FR.parse_compression("lz4_raw:5")

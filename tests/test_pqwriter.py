@@ -1027,3 +1027,58 @@ def test_exactness_flags_absent_without_bounds(tmp_path):
     pqwriter.write_table(t, p)
     st = pqinterop.read_footer(p)[4][0][1][0][3][12]
     assert sorted(st.keys()) == [3]     # null_count only
+
+
+def test_compression_levels_change_bytes(tmp_path):
+    """The reference's compression=ZSTD:3 per-column level tag
+    (common/tag.go:97-110, shared per-(codec,level) compressors
+    writer/writer.go:282-318): a higher level must shrink the file and
+    every reader (engine + pyarrow) must still agree on the values."""
+    import pyarrow.parquet as pqmod
+
+    import os
+
+    rng = np.random.default_rng(7)
+    words = np.array(["alpha", "bravo", "charlie", "delta", "echo"])
+    text = pa.array(
+        [" ".join(words[rng.integers(0, 5, 30)]) for _ in range(4000)])
+    t = pa.table({"k": pa.array(range(4000), pa.int64()), "text": text})
+    sizes = {}
+    for spec in ("gzip:1", "gzip:9", "zstd:1", "zstd:19"):
+        p = str(tmp_path / f"{spec.replace(':', '_')}.parquet")
+        W.write_table(t, p, compression=spec,
+                      encodings={"text": "plain"})
+        sizes[spec] = os.path.getsize(p)
+        assert P.decode_table(p).to_pydict() == t.to_pydict()
+        assert pqmod.read_table(p).to_pydict() == t.to_pydict()
+    assert sizes["gzip:9"] < sizes["gzip:1"]
+    assert sizes["zstd:19"] < sizes["zstd:1"]
+
+
+def test_per_column_compression_overrides(tmp_path):
+    """compressions={col: spec} overrides the file-level codec per
+    column chunk; the footer must record the per-chunk codec id."""
+    import pyarrow.parquet as pqmod
+
+    t = pa.table({
+        "a": pa.array(range(5000), pa.int64()),
+        "b": pa.array(["x" * (i % 97) for i in range(5000)]),
+    })
+    p = str(tmp_path / "mixed.parquet")
+    W.write_table(t, p, compression="snappy",
+                  compressions={"b": "zstd:6"})
+    md = pqmod.ParquetFile(p).metadata.row_group(0)
+    codecs = {md.column(i).path_in_schema: md.column(i).compression
+              for i in range(md.num_columns)}
+    assert codecs["a"] == "SNAPPY" and codecs["b"] == "ZSTD"
+    assert P.decode_table(p).to_pydict() == t.to_pydict()
+    assert pqmod.read_table(p).to_pydict() == t.to_pydict()
+    with pytest.raises(ValueError, match="unknown column"):
+        W.write_table(t, str(tmp_path / "x.parquet"),
+                      compressions={"nope": "zstd:3"})
+    with pytest.raises(ValueError, match="does not take a level"):
+        W.write_table(t, str(tmp_path / "y.parquet"),
+                      compression="snappy:3")
+    with pytest.raises(ValueError, match="bad compression level"):
+        W.write_table(t, str(tmp_path / "z.parquet"),
+                      compression="zstd:max")
