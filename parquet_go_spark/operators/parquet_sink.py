@@ -49,8 +49,13 @@ def write_parquet_dir(
     bytes}] — metadata-scale. ``logical_types``: per-column parquet
     annotation (uuid | json | bson | enum | interval), see
     pqwriter.write_table."""
+    from .. import pqsource
+
     bloom_columns = list(bloom_columns) if bloom_columns else None
-    os.makedirs(out_dir, exist_ok=True)
+    if pqsource._scheme_of(out_dir) is None:
+        os.makedirs(out_dir, exist_ok=True)
+    elif out_dir.startswith("mock://"):
+        os.makedirs(out_dir[len("mock://"):], exist_ok=True)
     enc = encodings or {}
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -81,9 +86,11 @@ def write_parquet_dir(
             bloom_columns=bloom_columns, encryption=task_enc,
             sorting_columns=sorting_columns,
             logical_types=logical_types, compressions=compressions)
+        from .. import pqsource as _ps
+
         yield pa.RecordBatch.from_arrays(
             [pa.array([name]), pa.array([tbl.num_rows], pa.int64()),
-             pa.array([os.path.getsize(path)], pa.int64())],
+             pa.array([_ps.size(path)], pa.int64())],
             names=["file", "rows", "bytes"])
 
     manifest = df.mapInArrow(fn, "file string, rows long, bytes long")
@@ -511,15 +518,11 @@ def read_parquet_dir(
     never touches the decode path; Spark only ferries the Arrow
     batches. Work units are enumerated from footers driver-side
     (metadata-scale, exactly what a FileSourceScan does)."""
-    import glob as globmod
-
-    from .. import pqinterop
+    from .. import pqinterop, pqsource
 
     if crc_mode not in (None, "auto", "strict", "ignore"):
         raise ValueError(f"unknown crc_mode {crc_mode!r}")
-    files = sorted(
-        globmod.glob(os.path.join(path, "*.parquet"))
-        if os.path.isdir(path) else [path])
+    files = pqsource.list_parquet(path)
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
     # footer reads are independent range-GETs: at 100 TB / ~1 GB files a
@@ -866,12 +869,10 @@ def describe_parquet_dir(path: str) -> dict:
     pages — metadata-scale even at 100 TB): files, row groups, rows,
     compressed/uncompressed bytes per column, codecs, and which chunks
     carry PageIndex / blooms / dictionaries."""
-    import glob as globmod
-
     from .. import pqinterop as P
+    from .. import pqsource
 
-    files = sorted(globmod.glob(os.path.join(path, "*.parquet"))
-                   if os.path.isdir(path) else [path])
+    files = pqsource.list_parquet(path)
     cols: dict[str, dict] = {}
     n_rows = n_rgs = 0
     for f in files:
@@ -911,12 +912,10 @@ def fsck_parquet_dir(path: str, deep: bool = False) -> list[dict]:
     overlap, OffsetIndex page walks reconcile with chunk extents, and
     (``deep``) every page body passes its CRC and decompresses.
     Returns findings; [] = healthy."""
-    import glob as globmod
-
     from .. import pqinterop as P
+    from .. import pqsource
 
-    files = sorted(globmod.glob(os.path.join(path, "*.parquet"))
-                   if os.path.isdir(path) else [path])
+    files = pqsource.list_parquet(path)
     findings: list[dict] = []
 
     def flag(f, kind, **kw):
@@ -924,7 +923,7 @@ def fsck_parquet_dir(path: str, deep: bool = False) -> list[dict]:
                          **kw})
 
     for f in files:
-        size = os.path.getsize(f)
+        size = pqsource.size(f)
         try:
             meta = P.read_footer(f)
             groups = P.column_chunks(meta)

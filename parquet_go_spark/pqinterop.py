@@ -200,7 +200,9 @@ class ColumnChunkInfo:
 
 
 def read_file(path: str) -> tuple[bytes, dict]:
-    data = open(path, "rb").read()
+    from . import pqsource
+
+    data = pqsource.open_source(path).read_all()
     if data[:4] != MAGIC or data[-4:] != MAGIC:
         raise ValueError("not a parquet file")
     mlen = struct.unpack("<I", data[-8:-4])[0]
@@ -220,21 +222,20 @@ def read_footer_ex(path: str, decryption=None):
     """-> (FileMetaData, crypto ctx | None). Handles both the PAR1
     plaintext footer and the PARE encrypted footer (parquet modular
     encryption; pqcrypt.py)."""
-    with open(path, "rb") as fh:
-        fh.seek(0, 2)
-        size = fh.tell()
-        if size < 12:
-            raise ValueError("not a parquet file")
-        tail = min(size, 1 << 16)
-        fh.seek(size - tail)
-        buf = fh.read(tail)
-        magic = buf[-4:]
-        if magic not in (MAGIC, b"PARE"):
-            raise ValueError("not a parquet file")
-        mlen = struct.unpack("<I", buf[-8:-4])[0]
-        if mlen + 8 > len(buf):
-            fh.seek(size - mlen - 8)
-            buf = fh.read(mlen + 8)
+    from . import pqsource
+
+    src = pqsource.open_source(path)
+    size = src.size()
+    if size < 12:
+        raise ValueError("not a parquet file")
+    tail = min(size, 1 << 16)
+    buf = src.read_range(size - tail, tail)
+    magic = buf[-4:]
+    if magic not in (MAGIC, b"PARE"):
+        raise ValueError("not a parquet file")
+    mlen = struct.unpack("<I", buf[-8:-4])[0]
+    if mlen + 8 > len(buf):
+        buf = src.read_range(size - mlen - 8, mlen + 8)
     if magic == MAGIC:
         fbuf = memoryview(buf)[len(buf) - 8 - mlen:]
         meta, consumed = _read_struct(fbuf, 0)
@@ -288,9 +289,9 @@ def read_footer_ex(path: str, decryption=None):
 
 
 def read_range(path: str, offset: int, length: int) -> bytes:
-    with open(path, "rb") as fh:
-        fh.seek(offset)
-        return fh.read(length)
+    from . import pqsource
+
+    return pqsource.open_source(path).read_range(offset, length)
 
 
 def chunk_reader(path: str, cc: ColumnChunkInfo):
@@ -675,7 +676,9 @@ def decode_column(path: str, column: str, decryption=None):
     Returns a python list with None for nulls (physical values:
     numpy scalars for numerics, bytes for byte arrays; list columns
     yield python lists per row)."""
-    data = open(path, "rb").read()
+    from . import pqsource
+
+    data = pqsource.open_source(path).read_all()
     meta, ctx = read_footer_ex(path, decryption)
     out: list = []
     for rg in column_chunks(meta, ctx):

@@ -2044,8 +2044,9 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
         out += footer
         out += struct.pack("<I", len(footer))
         out += MAGIC
-    with open(path, "wb") as fh:
-        fh.write(bytes(out))
+    from . import pqsource
+
+    pqsource.write_all(path, bytes(out))
 
 
 def _geo_stats_struct(col: _Col, nonnull: pa.Array) -> bytes | None:
