@@ -261,27 +261,41 @@ def page_candidates(
     reader/columnbuffer_offset_index.go:23-110): for each surviving
     partition, the ordinals of pages whose [lo, hi] bounds intersect the
     predicate. Page boundaries are row-aligned across columns, so the
-    subset applies to every projected column."""
-    import json as _json
+    subset applies to every projected column.
 
+    The interval intersection runs as a JVM higher-order expression
+    over the manifest (from_json + transform/filter), so the driver
+    collects only (part_id, keep_ordinals) — at ~10^5-10^6 row groups
+    the old per-page Python JSON loop was minutes of driver time while
+    this stays one Catalyst job (r4 verdict #6)."""
     meta = store.manifest(spark).filter(F.col("col") == key_col)
     if part_ids is not None:
         meta = meta.filter(F.col("part_id").isin(part_ids))
     as_str = isinstance(lo, str) or isinstance(hi, str)
-    out: dict[int, list[int]] = {}
-    for r in meta.select("part_id", "pages").collect():
-        keep = []
-        for i, p in enumerate(_json.loads(r["pages"])):
-            plo, phi = p["lo"], p["hi"]
-            if plo is None or phi is None:
-                keep.append(i)
-                continue
-            if not as_str:
-                plo, phi = float(plo), float(phi)
-            if not (phi < lo or plo > hi):
-                keep.append(i)
-        out[r["part_id"]] = keep
-    return out
+
+    pages = F.from_json(
+        "pages", "array<struct<r bigint, n bigint, lo string, hi string>>")
+    indexed = F.transform(
+        pages, lambda p, i: F.struct(p["lo"].alias("lo"),
+                                     p["hi"].alias("hi"),
+                                     i.alias("i")))
+
+    def _b(c):
+        return c if as_str else c.cast("double")
+
+    def _intersects(p):
+        plo, phi = _b(p["lo"]), _b(p["hi"])
+        # absent-or-unparseable bounds keep the page (advisory-lossless;
+        # NaN bounds follow Spark's NaN-greatest total order, matching
+        # how the chunk stats were folded)
+        return (p["lo"].isNull() | p["hi"].isNull()
+                | plo.isNull() | phi.isNull()
+                | ~((phi < F.lit(lo)) | (plo > F.lit(hi))))
+
+    keep = F.transform(F.filter(indexed, _intersects),
+                       lambda p: p["i"]).alias("keep")
+    return {r["part_id"]: list(r["keep"])
+            for r in meta.select("part_id", keep).collect()}
 
 
 def _decode_parts_pages(

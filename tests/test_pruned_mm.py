@@ -430,3 +430,54 @@ def test_auto_candidates_needs_no_caller_clustering(spark, tmp_out, tmp_path):
         .count()
     )
     assert got == df.filter(F.col("o_custkey").isin([7, 13])).count()
+
+
+def test_page_candidates_jvm_planning_scales(spark):
+    """page_candidates runs the per-page interval intersection as a JVM
+    higher-order expression (r4 verdict #6): on a 10k-partition synthetic
+    manifest (~32 pages each) the keep-lists must match a pure-Python
+    replay exactly, with the driver collecting only (part_id, ordinals)."""
+    import json as _json
+    import time as _time
+
+    from parquet_go_spark.operators import pruned
+
+    n_parts, n_pages = 10_000, 32
+
+    def pages_json(pid):
+        out = []
+        for i in range(n_pages):
+            lo = pid * n_pages + i * 10
+            out.append({"r": i * 100, "n": 100,
+                        "lo": str(float(lo)), "hi": str(float(lo + 9))})
+        if pid % 997 == 0:          # absent bounds must keep the page
+            out[3]["lo"] = None
+        return _json.dumps(out, separators=(",", ":"))
+
+    rows = [(pid, "k", pages_json(pid)) for pid in range(n_parts)]
+    mdf = spark.createDataFrame(rows, "part_id int, col string, pages string")
+
+    class _FakeStore:
+        def manifest(self, s):
+            return mdf
+
+    lo, hi = 5_000.0, 900_000.0
+    t0 = _time.time()
+    pmap = pruned.page_candidates(spark, _FakeStore(), "k", lo, hi)
+    wall = _time.time() - t0
+    assert len(pmap) == n_parts
+
+    def py_keep(pid):
+        keep = []
+        for i, p in enumerate(_json.loads(pages_json(pid))):
+            if p["lo"] is None or p["hi"] is None:
+                keep.append(i)
+            elif not (float(p["hi"]) < lo or float(p["lo"]) > hi):
+                keep.append(i)
+        return keep
+
+    for pid in (0, 1, 15, 997, 2812, 5000, 9999):
+        assert pmap[pid] == py_keep(pid), pid
+    # planning is one Catalyst job over 320k page entries; generous cap
+    # for a throttled host (steady-state is well under a second)
+    assert wall < 30.0, wall
