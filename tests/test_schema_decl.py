@@ -1,0 +1,159 @@
+"""Declared-schema front end (schema_decl.py): the reference's JSON
+schema-string (schema/json.go) and CSV-metadata (schema/csv.go) formats
+parsed to Arrow schemas + writer knobs, and written through pqwriter."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_spark import pqinterop as P
+from parquet_go_spark import pqwriter as W
+from parquet_go_spark.schema_decl import (parse_csv_metadata,
+                                          parse_json_schema, parse_tag)
+
+README_JSON = """
+{
+  "Tag": "name=parquet_go_root, repetitiontype=REQUIRED",
+  "Fields": [
+    {"Tag": "name=name, type=BYTE_ARRAY, logicaltype=STRING, repetitiontype=REQUIRED"},
+    {"Tag": "name=age, type=INT32, repetitiontype=REQUIRED"}
+  ]
+}
+"""
+
+
+def test_readme_json_schema_writes_through_pqwriter(tmp_path):
+    """The reference README's own example, parsed and written."""
+    decl = parse_json_schema(README_JSON)
+    assert decl.schema == pa.schema([
+        pa.field("name", pa.string(), False),
+        pa.field("age", pa.int32(), False),
+    ])
+    t = pa.table({"name": pa.array(["ann", "bob", "cyd"]),
+                  "age": pa.array([31, 42, 53], pa.int32())},
+                 schema=decl.schema)
+    f = str(tmp_path / "readme.parquet")
+    W.write_table(t, f, **decl.writer_kwargs())
+    assert pq.read_table(f).to_pydict() == t.to_pydict()
+    assert P.decode_table(f).to_pydict() == t.to_pydict()
+
+
+def test_tag_grammar_and_options():
+    decl = parse_json_schema("""
+    {
+      "Tag": "name=root, repetitiontype=REQUIRED",
+      "Fields": [
+        {"Tag": "name=id, type=INT64, encoding=DELTA_BINARY_PACKED, repetitiontype=REQUIRED, bloomfilter=true"},
+        {"Tag": "name=price, type=INT64, convertedtype=DECIMAL, precision=12, scale=2"},
+        {"Tag": "name=blob, type=BYTE_ARRAY, omitstats=true, compression=ZSTD:3"},
+        {"Tag": "name=day, type=INT32, convertedtype=DATE"},
+        {"Tag": "name=ts, type=INT64, logicaltype=TIMESTAMP, logicaltype.unit=MICROS"},
+        {"Tag": "name=u, type=FIXED_LEN_BYTE_ARRAY, logicaltype=UUID, length=16"},
+        {"Tag": "name=iv, type=FIXED_LEN_BYTE_ARRAY, convertedtype=INTERVAL, length=12"},
+        {"Tag": "name=j, type=BYTE_ARRAY, convertedtype=JSON"},
+        {"Tag": "name=tags, type=LIST, repetitiontype=REQUIRED,
+                 encoding=PLAIN_DICTIONARY",
+         "Fields": [
+            {"Tag": "name=element, type=BYTE_ARRAY, convertedtype=UTF8"}]},
+        {"Tag": "name=m, type=MAP",
+         "Fields": [
+            {"Tag": "name=key, type=BYTE_ARRAY, convertedtype=UTF8, repetitiontype=REQUIRED"},
+            {"Tag": "name=value, type=DOUBLE"}]},
+        {"Tag": "name=pt, repetitiontype=REQUIRED",
+         "Fields": [
+            {"Tag": "name=x, type=DOUBLE, repetitiontype=REQUIRED"},
+            {"Tag": "name=y, type=DOUBLE, repetitiontype=REQUIRED"}]}
+      ]
+    }
+    """.replace(",\n                 encoding", ", encoding"))
+    s = decl.schema
+    assert s.field("id").type == pa.int64() and not s.field("id").nullable
+    assert s.field("price").type == pa.decimal128(12, 2)
+    assert s.field("day").type == pa.date32()
+    assert s.field("ts").type == pa.timestamp("us")
+    assert s.field("u").type == pa.binary(16)
+    assert s.field("iv").type == pa.binary(12)
+    assert s.field("tags").type == pa.list_(
+        pa.field("element", pa.string(), True))
+    assert s.field("m").type == pa.map_(pa.string(),
+                                        pa.field("value", pa.float64(), True))
+    assert s.field("pt").type == pa.struct(
+        [pa.field("x", pa.float64(), False),
+         pa.field("y", pa.float64(), False)])
+    assert decl.encodings == {"id": "delta", "tags": "dict"}
+    assert decl.compressions == {"blob": "zstd:3"}
+    assert decl.stats_omit == {"blob"}
+    assert decl.bloom_columns == ["id"]
+    assert decl.logical_types == {"u": "uuid", "iv": "interval",
+                                  "j": "json"}
+
+
+def test_declared_options_reach_the_file(tmp_path):
+    decl = parse_json_schema("""
+    {
+      "Tag": "name=root",
+      "Fields": [
+        {"Tag": "name=k, type=INT64, encoding=DELTA_BINARY_PACKED, repetitiontype=REQUIRED"},
+        {"Tag": "name=s, type=BYTE_ARRAY, convertedtype=UTF8, omitstats=true"}
+      ]
+    }
+    """)
+    t = pa.table({"k": pa.array(range(3000), pa.int64()),
+                  "s": pa.array([f"w{i % 9}" for i in range(3000)])},
+                 schema=decl.schema)
+    f = str(tmp_path / "opt.parquet")
+    W.write_table(t, f, **decl.writer_kwargs())
+    md = pq.ParquetFile(f).metadata.row_group(0)
+    by = {md.column(i).path_in_schema: md.column(i)
+          for i in range(md.num_columns)}
+    assert "DELTA_BINARY_PACKED" in by["k"].encodings
+    assert by["s"].statistics is None or not by["s"].statistics.has_min_max
+    assert pq.read_table(f).to_pydict() == t.to_pydict()
+
+
+def test_csv_metadata_format(tmp_path):
+    """The README's CSV-metadata example shape."""
+    decl = parse_csv_metadata([
+        "name=Name, type=BYTE_ARRAY, logicaltype=STRING, encoding=PLAIN_DICTIONARY",
+        "name=Age, type=INT32",
+    ])
+    assert decl.schema == pa.schema([
+        pa.field("Name", pa.string(), True),
+        pa.field("Age", pa.int32(), True)])
+    assert decl.encodings == {"Name": "dict"}
+    t = pa.table({"Name": pa.array(["a", "b", None]),
+                  "Age": pa.array([1, None, 3], pa.int32())},
+                 schema=decl.schema)
+    f = str(tmp_path / "csv.parquet")
+    W.write_table(t, f, **decl.writer_kwargs())
+    assert pq.read_table(f).to_pydict() == t.to_pydict()
+
+
+def test_declaration_errors():
+    with pytest.raises(ValueError, match="unmarshal json schema"):
+        parse_json_schema("{ not json ,, }")
+    with pytest.raises(ValueError, match="LIST needs exactly 1"):
+        parse_json_schema(
+            '{"Tag": "name=r", "Fields": ['
+            '{"Tag": "name=l, type=LIST", "Fields": []}]}')
+    with pytest.raises(ValueError, match="MAP needs exactly 2"):
+        parse_json_schema(
+            '{"Tag": "name=r", "Fields": ['
+            '{"Tag": "name=m, type=MAP", "Fields": ['
+            '{"Tag": "name=key, type=INT32"}]}]}')
+    with pytest.raises(ValueError, match="key=value"):
+        parse_tag("name=a, banana")
+    with pytest.raises(ValueError, match="unsupported physical type"):
+        parse_csv_metadata(["name=x, type=INT128"])
+    with pytest.raises(ValueError, match="unsupported encoding"):
+        parse_csv_metadata(["name=x, type=INT32, encoding=WAVELET"])
+    with pytest.raises(ValueError, match="DECIMAL needs precision"):
+        parse_csv_metadata(["name=x, type=INT32, convertedtype=DECIMAL"])
+
+
+def test_legacy_repeated_leaf():
+    decl = parse_csv_metadata(
+        ["name=xs, type=INT64, repetitiontype=REPEATED"])
+    assert decl.schema.field("xs").type == pa.list_(pa.int64())
