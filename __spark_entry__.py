@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_logical_roundtrip"] = _pqs.logical_roundtrip_query
     q["pq_variant_shredded"] = _pqs.variant_shredded_query
     q["pq_geo_pruned"] = _pqs.geo_pruned_query
+    # round-5: the reference's JSON schema-string declaration format
+    # driving the engine writer (schema/json.go analog)
+    q["pq_declared_roundtrip"] = _pqs.declared_roundtrip_query
 
     ordered = {k: q[k] for k in _GATE_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -576,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
     o["pq_geo_pruned"] = _pqs.GEO_PRUNED_ORACLE
     o["pq_reader_pages"] = _pqs.READER_PAGES_ORACLE
     o["pq_map_roundtrip"] = _pqs.MAP_ROUNDTRIP_ORACLE
+    o["pq_declared_roundtrip"] = _pqs.DECLARED_ROUNDTRIP_ORACLE
     o["pq_nested_roundtrip"] = _pqs.NESTED_ROUNDTRIP_ORACLE
     from parquet_go_spark.sources import pgs_datasource as _ds
 

@@ -1110,3 +1110,66 @@ def encrypted_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ENCRYPTED_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
+
+
+DECLARED_SCHEMA_JSON = """
+{
+  "Tag": "name=parquet_go_root, repetitiontype=REQUIRED",
+  "Fields": [
+    {"Tag": "name=l_orderkey, type=INT64, encoding=DELTA_BINARY_PACKED, repetitiontype=REQUIRED, bloomfilter=true"},
+    {"Tag": "name=l_partkey, type=INT64, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_suppkey, type=INT64, encoding=PLAIN_DICTIONARY, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_linenumber, type=INT32, encoding=RLE_DICTIONARY, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_quantity, type=DOUBLE, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_extendedprice, type=DOUBLE, encoding=BYTE_STREAM_SPLIT, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_discount, type=DOUBLE, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_tax, type=DOUBLE, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_returnflag, type=BYTE_ARRAY, convertedtype=UTF8, encoding=PLAIN_DICTIONARY, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_linestatus, type=BYTE_ARRAY, convertedtype=UTF8, compression=ZSTD:6, repetitiontype=REQUIRED"},
+    {"Tag": "name=l_shipdate, type=INT64, logicaltype=TIMESTAMP, logicaltype.unit=MICROS, repetitiontype=REQUIRED"}
+  ]
+}
+"""
+
+
+def declared_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem written under a DECLARED schema — the reference's JSON
+    schema-string format (schema/json.go, README example shape) parsed
+    by schema_decl.py into the Arrow schema + per-column encoding/
+    compression/bloom tags — then read back by the engine's spec
+    reader. The DuckDB oracle is a plain SELECT on the source table, so
+    a value-hash match proves the declaration drove a bit-faithful
+    file."""
+    import shutil
+
+    from ..schema_decl import parse_json_schema
+
+    decl = parse_json_schema(DECLARED_SCHEMA_JSON)
+    out = os.path.join(
+        "/tmp", f"pgs_pqdecl_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    kw = decl.writer_kwargs()
+    want = decl.schema
+
+    def fn(batches):
+        from .. import pqwriter
+        from pyspark import TaskContext
+
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got).cast(want)
+        pid = TaskContext.get().partitionId()
+        os.makedirs(out, exist_ok=True)
+        pqwriter.write_table(
+            tbl, os.path.join(out, f"part-{pid:05d}.parquet"), **kw)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([tbl.num_rows], pa.int64())], names=["rows"])
+
+    li.repartition(2).mapInArrow(fn, "rows long").collect()
+    return read_parquet_dir(spark, out)
+
+
+DECLARED_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
