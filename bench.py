@@ -452,6 +452,28 @@ def main() -> None:
             scal["pair_efficiency_spread"] = round(
                 max(pair_effs) - min(pair_effs), 3)
         scal["forced_series"] = forced_ladder_series()
+        # r4 verdict #2 protocol: when the host never clears, report the
+        # MEDIAN over all confined 4->16 pairs this round (bench's own
+        # in-run pairs + the session's forced-ladder series), each with
+        # its probe state, instead of a single throttle-hostage number
+        sess_pairs = list(pair_effs)
+        sess_throttled = [bool(result["host_probe_start"]["throttled"])
+                          ] * len(pair_effs)
+        for e in scal["forced_series"]:
+            if e["file"].startswith("scaling_1b_r5"):
+                sess_pairs.append(e["efficiency_4_to_16"])
+                sess_throttled.append(bool(e.get("any_probe_throttled")))
+        if sess_pairs:
+            ordered = sorted(sess_pairs)
+            mid = len(ordered) // 2
+            med = (ordered[mid] if len(ordered) % 2
+                   else (ordered[mid - 1] + ordered[mid]) / 2)
+            scal["session_pairs"] = {
+                "count": len(sess_pairs),
+                "median": round(med, 3),
+                "values": sess_pairs,
+                "probe_throttled": sess_throttled,
+            }
         for pair in ("efficiency_4_to_16", "efficiency_2_to_8"):
             if pair in scal:
                 scal["efficiency"] = scal[pair]  # N->4N headline
