@@ -197,6 +197,16 @@ class SplitBlockBloom:
         nblocks = 1 << max(int(np.ceil(np.log2(bits / 256))), 0)
         return cls(np.zeros((nblocks, 8), dtype=np.uint32))
 
+    @classmethod
+    def with_bytes(cls, nbytes: int) -> "SplitBlockBloom":
+        """Explicitly-sized filter (the reference's bloomfiltersize tag,
+        common/tag.go:74-78): bitset bytes rounded up to a power-of-two
+        count of 32-byte blocks (the SBBF block-addressing requirement)."""
+        nblocks = 1
+        while nblocks * 32 < max(int(nbytes), 32):
+            nblocks <<= 1
+        return cls(np.zeros((nblocks, 8), dtype=np.uint32))
+
     def _addr(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         nblocks = np.uint64(self.words.shape[0])
         block = ((h >> np.uint64(32)) * nblocks) >> np.uint64(32)

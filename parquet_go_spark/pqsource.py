@@ -14,9 +14,11 @@ bloom, and page paths already read by offset; the writer needs one
 - ``mock://<local-path>`` routes a real local file THROUGH the ranged
   interface while looking like a foreign URL — the cross-process test
   scheme (Spark executors resolve it without shared driver state);
+- ``http://`` / ``https://`` read through stdlib urllib with Range
+  requests (source/http/http_reader.go analog, read-only);
 - any other ``scheme://`` resolves through fsspec when that optional
-  dependency is installed (s3://, gs://, abfs://, http:// ... for
-  free), or through a factory registered with ``register_scheme``.
+  dependency is installed (s3://, gs://, abfs:// ... for free), or
+  through a factory registered with ``register_scheme``.
 
 The PGS store side (Spark/Hadoop FS) never needed this — Spark handles
 any URI there; this is for the engine's OWN .parquet reader/writer.
@@ -92,6 +94,48 @@ class MemSource(ByteSource):
         return bytes(self._data)
 
 
+class HttpSource(ByteSource):
+    """http:// / https:// via stdlib urllib with Range requests — the
+    reference's source/http/http_reader.go analog, no extra deps.
+    Servers that ignore Range (return 200 + full body) still read
+    correctly; they just lose the ranged-IO savings."""
+
+    def __init__(self, url: str):
+        self.url = url
+        self._size: int | None = None
+
+    def _open(self, headers: dict | None = None, method: str = "GET"):
+        import urllib.request
+
+        req = urllib.request.Request(self.url, headers=headers or {},
+                                     method=method)
+        return urllib.request.urlopen(req)          # noqa: S310
+
+    def size(self) -> int:
+        if self._size is None:
+            with self._open(method="HEAD") as r:
+                cl = r.headers.get("Content-Length")
+            if cl is not None:
+                self._size = int(cl)
+            else:
+                self._size = len(self.read_all())
+        return self._size
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        if length <= 0:
+            return b""
+        hdr = {"Range": f"bytes={offset}-{offset + length - 1}"}
+        with self._open(hdr) as r:
+            data = r.read()
+            if r.status == 200 and len(data) != length:
+                return data[offset:offset + length]   # Range ignored
+        return data
+
+    def read_all(self) -> bytes:
+        with self._open() as r:
+            return r.read()
+
+
 class FsspecSource(ByteSource):
     """Any fsspec-resolvable URL (s3://, gs://, http://, ...)."""
 
@@ -153,6 +197,8 @@ def open_source(path: str) -> ByteSource:
         return _mem_source(path)
     if scheme == "mock":
         return LocalSource(path[len("mock://"):])
+    if scheme in ("http", "https"):
+        return HttpSource(path)
     try:
         return FsspecSource(path)
     except ImportError:
@@ -176,6 +222,8 @@ def write_all(path: str, data: bytes) -> None:
         with open(path[len("mock://"):], "wb") as fh:
             fh.write(data)
         return
+    if scheme in ("http", "https"):
+        raise ValueError("http(s) sources are read-only")
     try:
         import fsspec
 
@@ -200,6 +248,8 @@ def is_dir(path: str) -> bool:
             return any(k.startswith(prefix) for k in _MEMFS)
     if scheme == "mock":
         return os.path.isdir(path[len("mock://"):])
+    if scheme in ("http", "https"):
+        return False          # http sources address single files
     import fsspec
 
     fs, p = fsspec.core.url_to_fs(path)
@@ -231,6 +281,8 @@ def list_parquet(path: str) -> list[str]:
                 "mock://" + f
                 for f in globmod.glob(os.path.join(local, "*.parquet")))
         return [path] if os.path.exists(local) else []
+    if scheme in ("http", "https"):
+        return [path]         # no listing protocol; single file
     import fsspec
 
     fs, p = fsspec.core.url_to_fs(path)

@@ -206,6 +206,8 @@ class _Chunk:
     meta_fields: list
     start: int
     bloom_hashes: "np.ndarray | None" = None
+    bloom_size: "int | None" = None   # declared bitset bytes (tag
+                                      # bloomfiltersize); None = NDV-sized
     crypto: tuple | None = None   # (mode, path, key, kmd, aad, rg, col)
     ptf: bool = False             # plaintext-footer file
     pages: "list[_PageRec] | None" = None
@@ -1664,7 +1666,10 @@ def _write_blooms(out: bytearray, chunks: "list[_Chunk]") -> None:
         h = ch.bloom_hashes
         if h is None or len(h) == 0:
             continue
-        bf = bloommod.SplitBlockBloom.sized(len(h))
+        if ch.bloom_size:
+            bf = bloommod.SplitBlockBloom.with_bytes(ch.bloom_size)
+        else:
+            bf = bloommod.SplitBlockBloom.sized(len(h))
         bf.insert_hashes(h)
         bitset = bf.words.tobytes()
         hdr = _tstruct([
@@ -1695,7 +1700,8 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                 page_bytes: int | None = None,
                 logical_types: dict[str, str] | None = None,
                 stats_omit: "set[str] | list[str] | None" = None,
-                compressions: dict[str, str] | None = None) -> None:
+                compressions: dict[str, str] | None = None,
+                bloom_sizes: dict[str, int] | None = None) -> None:
     """Write an arrow table as a real Parquet file via engine codecs.
 
     ``logical_types``: per-column annotation — uuid | json | bson |
@@ -1910,6 +1916,7 @@ def write_table(table: pa.Table, path: str, compression: str = "snappy",
                          and encryption.plaintext_footer)
             if bloom_columns and col.name in bloom_columns:
                 chunk.bloom_hashes = _bloom_hashes(col, arr)
+                chunk.bloom_size = (bloom_sizes or {}).get(col.name)
             col_optional[col.name] |= opt
             chunks.append(chunk)
             rg_u += u

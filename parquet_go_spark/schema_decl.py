@@ -52,6 +52,7 @@ class SchemaDecl:
     logical_types: dict[str, str] = field(default_factory=dict)
     stats_omit: set[str] = field(default_factory=set)
     bloom_columns: list[str] = field(default_factory=list)
+    bloom_sizes: dict[str, int] = field(default_factory=dict)
 
     def writer_kwargs(self) -> dict:
         kw: dict = {}
@@ -65,6 +66,8 @@ class SchemaDecl:
             kw["stats_omit"] = set(self.stats_omit)
         if self.bloom_columns:
             kw["bloom_columns"] = list(self.bloom_columns)
+        if self.bloom_sizes:
+            kw["bloom_sizes"] = dict(self.bloom_sizes)
         return kw
 
 
@@ -174,8 +177,9 @@ def _collect_options(name: str, t: dict[str, str],
         decl.stats_omit.add(name)
     if t.get("bloomfilter", "").lower() == "true":
         decl.bloom_columns.append(name)
-    # bloomfiltersize accepted for grammar parity; the engine sizes
-    # blooms from the chunk NDV instead
+    bfs = t.get("bloomfiltersize", "")
+    if bfs:
+        decl.bloom_sizes[name] = int(bfs)
 
 
 def _field_of(item: dict, decl: SchemaDecl, top: bool) -> pa.Field:

@@ -123,3 +123,62 @@ def test_distributed_reader_and_writer_over_mock(spark, tmp_path):
     d = describe_parquet_dir(out)
     assert d["rows"] == 5000 and d["files"] == 3
     assert fsck_parquet_dir(out) == []
+
+
+def test_http_scheme_ranged_reads(tmp_path):
+    """http:// through stdlib urllib with Range requests (the
+    reference's source/http backend analog): footer-only reads fetch
+    byte ranges, not the file; full decode matches; write refuses."""
+    import http.server
+    import threading
+
+    t = _table(3000)
+    f = tmp_path / "t.parquet"
+    W.write_table(t, str(f), compression="zstd")
+    data = f.read_bytes()
+    got_ranges = []
+
+    class RangeHandler(http.server.BaseHTTPRequestHandler):
+        def _common(self, send_body):
+            rng = self.headers.get("Range")
+            if rng:
+                got_ranges.append(rng)
+                lo, hi = rng.split("=")[1].split("-")
+                body = data[int(lo):int(hi) + 1]
+                self.send_response(206)
+            else:
+                body = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if send_body:
+                self.wfile.write(body)
+
+        def do_GET(self):
+            self._common(True)
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RangeHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/t.parquet"
+        src = pqsource.open_source(url)
+        assert src.size() == len(data)
+        assert src.read_range(0, 4) == b"PAR1"
+        meta = P.read_footer(url)            # footer = ranged tail read
+        assert meta[3] == t.num_rows
+        assert got_ranges and all("bytes=" in r for r in got_ranges)
+        assert P.decode_table(url).to_pydict() == t.to_pydict()
+        assert pqsource.list_parquet(url) == [url]
+        assert not pqsource.is_dir(url)
+        with pytest.raises(ValueError, match="read-only"):
+            pqsource.write_all(url, b"x")
+    finally:
+        srv.shutdown()

@@ -1082,3 +1082,33 @@ def test_per_column_compression_overrides(tmp_path):
     with pytest.raises(ValueError, match="bad compression level"):
         W.write_table(t, str(tmp_path / "z.parquet"),
                       compression="zstd:max")
+
+
+def test_bloomfiltersize_declared(tmp_path):
+    """The reference's bloomfiltersize tag (common/tag.go:74-78): an
+    explicit bitset size overrides NDV sizing, rounded up to a
+    power-of-two block count; parquet-mr/pyarrow still probe it."""
+    t = pa.table({"k": pa.array(range(5000), pa.int64())})
+    fa = str(tmp_path / "auto.parquet")
+    fb = str(tmp_path / "sized.parquet")
+    W.write_table(t, fa, bloom_columns=["k"])
+    W.write_table(t, fb, bloom_columns=["k"], bloom_sizes={"k": 65536})
+    ca = P.column_chunks(P.read_footer(fa))[0][0]
+    cb = P.column_chunks(P.read_footer(fb))[0][0]
+    assert cb.bloom_length > ca.bloom_length
+    assert cb.bloom_length >= 65536
+    from parquet_go_spark import bloom as B
+    bf = B.SplitBlockBloom.with_bytes(65536)
+    assert bf.words.shape[0] * 32 == 65536
+    got = pq.read_table(fb)
+    assert got.to_pydict() == t.to_pydict()
+
+
+def test_schema_decl_bloomfiltersize():
+    from parquet_go_spark.schema_decl import parse_csv_metadata
+
+    decl = parse_csv_metadata(
+        ["name=k, type=INT64, bloomfilter=true, bloomfiltersize=4096"])
+    assert decl.bloom_columns == ["k"]
+    assert decl.bloom_sizes == {"k": 4096}
+    assert decl.writer_kwargs()["bloom_sizes"] == {"k": 4096}
