@@ -92,7 +92,7 @@ def parse_compression(spec: "str | None") -> tuple[str, "int | None"]:
     """``"zstd"`` | ``"zstd:3"`` | None -> (name, level|None) — the
     reference's per-column tag grammar ``compression=ZSTD:3``
     (common/tag.go:97-110, writer/writer.go:282-318)."""
-    if spec is None:
+    if spec is None or spec == "":
         return "none", None
     name, sep, lv = str(spec).partition(":")
     name = name.lower()

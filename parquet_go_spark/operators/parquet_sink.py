@@ -41,6 +41,8 @@ def write_parquet_dir(
     name_prefix: str | None = None,
     logical_types: dict[str, str] | None = None,
     compressions: dict[str, str] | None = None,
+    stats_omit: "set[str] | list[str] | None" = None,
+    bloom_sizes: dict[str, int] | None = None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
@@ -85,7 +87,8 @@ def write_parquet_dir(
             row_group_rows=row_group_rows, page_rows=page_rows,
             bloom_columns=bloom_columns, encryption=task_enc,
             sorting_columns=sorting_columns,
-            logical_types=logical_types, compressions=compressions)
+            logical_types=logical_types, compressions=compressions,
+            stats_omit=stats_omit, bloom_sizes=bloom_sizes)
         from .. import pqsource as _ps
 
         yield pa.RecordBatch.from_arrays(
