@@ -248,3 +248,114 @@ def parse_csv_metadata(mds: list[str]) -> SchemaDecl:
     decl.schema = pa.schema(
         [_field_of({"Tag": md}, decl, top=True) for md in mds])
     return decl
+
+
+# ----------------------------------------------------- reverse render
+
+def _leaf_tag(typ: pa.DataType, logical: str | None) -> dict[str, str]:
+    """Inverse of _leaf_type: arrow leaf type -> tag key/values."""
+    if logical == "uuid":
+        return {"type": "FIXED_LEN_BYTE_ARRAY", "length": "16",
+                "logicaltype": "UUID"}
+    if logical == "interval":
+        return {"type": "FIXED_LEN_BYTE_ARRAY", "length": "12",
+                "convertedtype": "INTERVAL"}
+    if logical == "json":
+        return {"type": "BYTE_ARRAY", "convertedtype": "JSON"}
+    if logical == "enum":
+        return {"type": "BYTE_ARRAY", "convertedtype": "ENUM"}
+    if logical == "bson":
+        return {"type": "BYTE_ARRAY", "convertedtype": "BSON"}
+    if pa.types.is_boolean(typ):
+        return {"type": "BOOLEAN"}
+    if pa.types.is_date32(typ):
+        return {"type": "INT32", "convertedtype": "DATE"}
+    if pa.types.is_time32(typ):
+        return {"type": "INT32", "convertedtype": "TIME_MILLIS"}
+    if pa.types.is_time64(typ):
+        return {"type": "INT64", "convertedtype": "TIME_MICROS"}
+    if pa.types.is_timestamp(typ):
+        unit = {"ms": "MILLIS", "us": "MICROS", "ns": "NANOS"}.get(
+            typ.unit, "MICROS")
+        if unit == "NANOS":
+            return {"type": "INT96"}
+        return {"type": "INT64", "logicaltype": "TIMESTAMP",
+                "logicaltype.unit": unit}
+    if pa.types.is_decimal(typ):
+        phys = ("INT32" if typ.precision <= 9 else
+                "INT64" if typ.precision <= 18 else
+                "FIXED_LEN_BYTE_ARRAY")
+        t = {"type": phys, "convertedtype": "DECIMAL",
+             "precision": str(typ.precision), "scale": str(typ.scale)}
+        if phys == "FIXED_LEN_BYTE_ARRAY":
+            t["length"] = "16"
+        return t
+    for small, conv in ((pa.int8(), "INT_8"), (pa.int16(), "INT_16"),
+                        (pa.uint8(), "UINT_8"), (pa.uint16(), "UINT_16"),
+                        (pa.uint32(), "UINT_32")):
+        if typ == small:
+            return {"type": "INT32", "convertedtype": conv}
+    if typ == pa.uint64():
+        return {"type": "INT64", "convertedtype": "UINT_64"}
+    if pa.types.is_int32(typ):
+        return {"type": "INT32"}
+    if pa.types.is_int64(typ):
+        return {"type": "INT64"}
+    if pa.types.is_float16(typ):
+        return {"type": "FIXED_LEN_BYTE_ARRAY", "length": "2",
+                "logicaltype": "FLOAT16"}
+    if pa.types.is_float32(typ):
+        return {"type": "FLOAT"}
+    if pa.types.is_float64(typ):
+        return {"type": "DOUBLE"}
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return {"type": "BYTE_ARRAY", "convertedtype": "UTF8"}
+    if pa.types.is_fixed_size_binary(typ):
+        return {"type": "FIXED_LEN_BYTE_ARRAY",
+                "length": str(typ.byte_width)}
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return {"type": "BYTE_ARRAY"}
+    raise ValueError(f"cannot render arrow type {typ!r} as a tag")
+
+
+def _render_field(f: pa.Field, logical_types: dict[str, str],
+                  top: bool) -> dict:
+    rep = "OPTIONAL" if f.nullable else "REQUIRED"
+    logical = logical_types.get(f.name) if top else None
+    if logical is None and f.metadata:
+        logical = (f.metadata.get(b"pgs_logical") or b"").decode() or None
+    if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+        elem = f.type.value_field
+        return {"Tag": f"name={f.name}, type=LIST, repetitiontype={rep}",
+                "Fields": [_render_field(
+                    pa.field("element", elem.type, elem.nullable),
+                    logical_types, top=False)]}
+    if pa.types.is_map(f.type):
+        kv = [pa.field("key", f.type.key_type, False),
+              pa.field("value", f.type.item_type, True)]
+        return {"Tag": f"name={f.name}, type=MAP, repetitiontype={rep}",
+                "Fields": [_render_field(x, logical_types, top=False)
+                           for x in kv]}
+    if pa.types.is_struct(f.type):
+        return {"Tag": f"name={f.name}, repetitiontype={rep}",
+                "Fields": [_render_field(f.type.field(i), logical_types,
+                                         top=False)
+                           for i in range(f.type.num_fields)]}
+    tag = _leaf_tag(f.type, logical)
+    parts = [f"name={f.name}", f"type={tag.pop('type')}"]
+    parts += [f"{k}={v}" for k, v in tag.items()]
+    parts.append(f"repetitiontype={rep}")
+    return {"Tag": ", ".join(parts)}
+
+
+def render_json_schema(schema: pa.Schema,
+                       logical_types: dict[str, str] | None = None,
+                       indent: int | None = 2) -> str:
+    """Inverse of parse_json_schema: an Arrow schema (plus optional
+    engine logical-type tags) rendered as the reference's JSON
+    schema-string format — so a schema read from any engine/foreign
+    file ports back into a parquet-go declaration."""
+    doc = {"Tag": "name=parquet_go_root, repetitiontype=REQUIRED",
+           "Fields": [_render_field(f, logical_types or {}, top=True)
+                      for f in schema]}
+    return json.dumps(doc, indent=indent)

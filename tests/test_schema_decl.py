@@ -157,3 +157,65 @@ def test_legacy_repeated_leaf():
     decl = parse_csv_metadata(
         ["name=xs, type=INT64, repetitiontype=REPEATED"])
     assert decl.schema.field("xs").type == pa.list_(pa.int64())
+
+
+def test_render_roundtrips_parse():
+    """render_json_schema is parse_json_schema's inverse: declare ->
+    render -> re-parse lands on the identical Arrow schema + logical
+    tags, across every leaf family the grammar carries."""
+    from parquet_go_spark.schema_decl import render_json_schema
+
+    src = parse_json_schema("""
+    {
+      "Tag": "name=root, repetitiontype=REQUIRED",
+      "Fields": [
+        {"Tag": "name=b, type=BOOLEAN, repetitiontype=REQUIRED"},
+        {"Tag": "name=i8, type=INT32, convertedtype=INT_8"},
+        {"Tag": "name=u64, type=INT64, convertedtype=UINT_64"},
+        {"Tag": "name=f, type=FLOAT"},
+        {"Tag": "name=d, type=DOUBLE, repetitiontype=REQUIRED"},
+        {"Tag": "name=s, type=BYTE_ARRAY, convertedtype=UTF8"},
+        {"Tag": "name=raw, type=BYTE_ARRAY"},
+        {"Tag": "name=fx, type=FIXED_LEN_BYTE_ARRAY, length=5"},
+        {"Tag": "name=day, type=INT32, convertedtype=DATE"},
+        {"Tag": "name=ts, type=INT64, logicaltype=TIMESTAMP, logicaltype.unit=MILLIS"},
+        {"Tag": "name=dec, type=INT64, convertedtype=DECIMAL, precision=15, scale=3"},
+        {"Tag": "name=u, type=FIXED_LEN_BYTE_ARRAY, logicaltype=UUID, length=16"},
+        {"Tag": "name=j, type=BYTE_ARRAY, convertedtype=JSON"},
+        {"Tag": "name=tags, type=LIST",
+         "Fields": [{"Tag": "name=element, type=BYTE_ARRAY, convertedtype=UTF8"}]},
+        {"Tag": "name=m, type=MAP",
+         "Fields": [
+           {"Tag": "name=key, type=BYTE_ARRAY, convertedtype=UTF8, repetitiontype=REQUIRED"},
+           {"Tag": "name=value, type=DOUBLE"}]},
+        {"Tag": "name=pt",
+         "Fields": [{"Tag": "name=x, type=DOUBLE, repetitiontype=REQUIRED"},
+                    {"Tag": "name=y, type=DOUBLE"}]}
+      ]
+    }
+    """)
+    text = render_json_schema(src.schema, src.logical_types)
+    back = parse_json_schema(text)
+    assert back.schema == src.schema
+    assert back.logical_types == src.logical_types
+
+
+def test_render_from_written_file(tmp_path):
+    """A schema read back from engine-written bytes renders into a
+    declaration that re-parses to the same types — the port-a-file-
+    back-to-parquet-go direction."""
+    from parquet_go_spark.schema_decl import render_json_schema
+
+    t = pa.table({
+        "k": pa.array(range(50), pa.int64()),
+        "s": pa.array([f"v{i}" for i in range(50)]),
+        "xs": pa.array([[1.5, 2.5]] * 50, pa.list_(pa.float64())),
+    })
+    f = str(tmp_path / "r.parquet")
+    W.write_table(t, f)
+    got = P.decode_table(f)
+    decl = parse_json_schema(render_json_schema(got.schema))
+    assert [x.name for x in decl.schema] == ["k", "s", "xs"]
+    assert decl.schema.field("k").type == pa.int64()
+    assert decl.schema.field("s").type == pa.string()
+    assert pa.types.is_list(decl.schema.field("xs").type)
