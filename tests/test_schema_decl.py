@@ -219,3 +219,62 @@ def test_render_from_written_file(tmp_path):
     assert decl.schema.field("k").type == pa.int64()
     assert decl.schema.field("s").type == pa.string()
     assert pa.types.is_list(decl.schema.field("xs").type)
+
+
+def test_render_parse_property():
+    """Property: for randomly composed schemas over the declarable type
+    grammar, parse(render(s)) == s (names, types, nullability, logical
+    tags)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_go_spark.schema_decl import render_json_schema
+
+    leaf_types = st.sampled_from([
+        (pa.bool_(), None), (pa.int32(), None), (pa.int64(), None),
+        (pa.int8(), None), (pa.int16(), None), (pa.uint8(), None),
+        (pa.uint16(), None), (pa.uint32(), None), (pa.uint64(), None),
+        (pa.float32(), None), (pa.float64(), None),
+        (pa.string(), None), (pa.binary(), None), (pa.binary(7), None),
+        (pa.date32(), None), (pa.timestamp("ms"), None),
+        (pa.timestamp("us"), None), (pa.decimal128(9, 2), None),
+        (pa.decimal128(18, 4), None), (pa.float16(), None),
+        (pa.binary(16), "uuid"), (pa.binary(12), "interval"),
+        (pa.string(), "json"), (pa.string(), "enum"),
+        (pa.binary(), "bson"),
+    ])
+
+    def field_st(depth):
+        name = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+        nullable = st.booleans()
+        if depth <= 0:
+            inner = leaf_types.map(lambda tl: tl[0])
+        else:
+            sub = field_st(depth - 1)
+            inner = st.one_of(
+                leaf_types.map(lambda tl: tl[0]),
+                # the declaration format names list elements "element"
+                st.builds(lambda f: pa.list_(
+                    pa.field("element", f.type, f.nullable)), sub),
+                st.builds(
+                    lambda fs: pa.struct(fs),
+                    st.lists(sub, min_size=1, max_size=3,
+                             unique_by=lambda f: f.name)),
+            )
+        return st.builds(pa.field, name, inner, nullable)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(field_st(2), min_size=1, max_size=5,
+                    unique_by=lambda f: f.name),
+           st.data())
+    def prop(fields, data):
+        logical = {}
+        for f in fields:
+            if f.type == pa.binary(16) and data.draw(st.booleans()):
+                logical[f.name] = "uuid"
+        schema = pa.schema(fields)
+        back = parse_json_schema(render_json_schema(schema, logical))
+        assert back.schema == schema, (schema, back.schema)
+        assert back.logical_types == logical
+
+    prop()
