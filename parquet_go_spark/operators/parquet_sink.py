@@ -43,6 +43,7 @@ def write_parquet_dir(
     compressions: dict[str, str] | None = None,
     stats_omit: "set[str] | list[str] | None" = None,
     bloom_sizes: dict[str, int] | None = None,
+    arrow_schema=None,
 ) -> list[dict]:
     """Write ``df`` as a directory of engine-written parquet files.
 
@@ -69,6 +70,10 @@ def write_parquet_dir(
         if not got:
             return
         tbl = pa.Table.from_batches(got)
+        if arrow_schema is not None:
+            # declaration-driven write: project to the declared column
+            # order and cast to the declared physical types
+            tbl = tbl.select(arrow_schema.names).cast(arrow_schema)
         pid = TaskContext.get().partitionId()
         # a caller-supplied prefix makes names DETERMINISTIC so a
         # retried streaming epoch overwrites instead of duplicating

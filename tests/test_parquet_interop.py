@@ -555,3 +555,29 @@ def test_many_files_parallel_footer_planning(spark, tmp_path):
     # pruning reached the scan: only file 77's unit survives
     full = psk.read_parquet_dir(spark, str(d))
     assert full.count() == 2000
+
+
+def test_write_parquet_dir_with_declared_arrow_schema(spark, tmp_path):
+    """arrow_schema= drives a declaration-cast distributed write (the
+    pq-write CLI path): declared column order + physical types win."""
+    import pyarrow.parquet as pqmod
+
+    from parquet_go_spark.operators.parquet_sink import write_parquet_dir
+    from parquet_go_spark.schema_decl import parse_json_schema
+
+    decl = parse_json_schema("""
+    {"Tag": "name=root",
+     "Fields": [
+       {"Tag": "name=v, type=FLOAT, repetitiontype=REQUIRED"},
+       {"Tag": "name=k, type=INT32, repetitiontype=REQUIRED"}]}
+    """)
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "cast(id AS double) / 4 AS v")   # spark: long, double
+    out = str(tmp_path / "decl")
+    write_parquet_dir(df.repartition(2), out, arrow_schema=decl.schema,
+                      **decl.writer_kwargs())
+    got = pqmod.read_table(out)
+    assert got.schema.names == ["v", "k"]            # declared order
+    assert got.column("k").type == pa.int32()        # declared types
+    assert got.column("v").type == pa.float32()
+    assert sorted(got.column("k").to_pylist()) == list(range(500))

@@ -463,6 +463,29 @@ def cmd_pq_import(args) -> int:
     return 0
 
 
+def cmd_pq_write(args) -> int:
+    """Any Spark-readable parquet source -> ENGINE-written parquet
+    under a DECLARED schema (the reference's JSON schema-string file,
+    schema/json.go format): per-column encodings, compression levels,
+    omitstats, bloom filters all come from the declaration."""
+    from parquet_go_spark.operators.parquet_sink import write_parquet_dir
+    from parquet_go_spark.schema_decl import parse_json_schema
+
+    with open(args.schema_json) as fh:
+        decl = parse_json_schema(fh.read())
+    spark = _get_session("pgs-pq-write")
+    df = spark.read.parquet(args.src).select(*decl.schema.names)
+    if args.partitions:
+        df = df.repartition(args.partitions)
+    manifest = write_parquet_dir(
+        df, args.out, compression=args.compression,
+        arrow_schema=decl.schema, **decl.writer_kwargs())
+    print(json.dumps({"job": "pq-write",
+                      "files": len(manifest),
+                      "rows": sum(m["rows"] for m in manifest)}))
+    return 0
+
+
 def cmd_pq_fsck(args) -> int:
     """Shape/CRC check over a parquet directory; exit non-zero on any
     finding (mirrors the store fsck contract)."""
@@ -672,6 +695,14 @@ def main() -> int:
     pqi.add_argument("--src", required=True)
     pqi.add_argument("--store", required=True)
     pqi.set_defaults(fn=cmd_pq_import)
+
+    pqw = sub.add_parser("pq-write")
+    pqw.add_argument("--src", required=True)
+    pqw.add_argument("--out", required=True)
+    pqw.add_argument("--schema-json", required=True)
+    pqw.add_argument("--compression", default="zstd")
+    pqw.add_argument("--partitions", type=int, default=0)
+    pqw.set_defaults(fn=cmd_pq_write)
 
     pqf = sub.add_parser("pq-fsck")
     pqf.add_argument("path")
