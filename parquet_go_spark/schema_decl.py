@@ -106,13 +106,32 @@ def _leaf_type(t: dict[str, str]) -> tuple[pa.DataType, str | None]:
 
     if ptype == "BOOLEAN":
         return pa.bool_(), None
+    def _int_logical(default):
+        # logicaltype=INTEGER with logicaltype.bitwidth/.issigned
+        # (common/logicaltype.go:183-192)
+        bw = int(t.get("logicaltype.bitwidth", 0))
+        signed = t.get("logicaltype.issigned", "true").lower() != "false"
+        if not bw:
+            return default
+        try:
+            return {(8, True): pa.int8(), (16, True): pa.int16(),
+                    (32, True): pa.int32(), (64, True): pa.int64(),
+                    (8, False): pa.uint8(), (16, False): pa.uint16(),
+                    (32, False): pa.uint32(), (64, False): pa.uint64(),
+                    }[(bw, signed)]
+        except KeyError:
+            raise ValueError(
+                f"bad logicaltype.bitwidth {bw}") from None
+
     if ptype == "INT32":
         if conv == "DATE" or lt == "DATE":
             return pa.date32(), None
-        if conv == "TIME_MILLIS":
+        if conv == "TIME_MILLIS" or (lt == "TIME" and unit == "ms"):
             return pa.time32("ms"), None
         if conv == "DECIMAL" or lt == "DECIMAL":
             return _dec(), None
+        if lt == "INTEGER":
+            return _int_logical(pa.int32()), None
         if conv in _INT_CONVERTED:
             return _INT_CONVERTED[conv], None
         return pa.int32(), None
@@ -124,9 +143,11 @@ def _leaf_type(t: dict[str, str]) -> tuple[pa.DataType, str | None]:
         if lt == "TIMESTAMP":
             return pa.timestamp(unit or "us"), None
         if conv == "TIME_MICROS" or lt == "TIME":
-            return pa.time64("us"), None
+            return pa.time64(unit or "us"), None
         if conv == "DECIMAL" or lt == "DECIMAL":
             return _dec(), None
+        if lt == "INTEGER":
+            return _int_logical(pa.int64()), None
         if conv in _INT_CONVERTED:
             return _INT_CONVERTED[conv], None
         return pa.int64(), None

@@ -278,3 +278,24 @@ def test_render_parse_property():
         assert back.logical_types == logical
 
     prop()
+
+
+def test_integer_and_time_logicaltype_fields():
+    """logicaltype=INTEGER with .bitwidth/.issigned and TIME with
+    .unit (common/logicaltype.go:100-192)."""
+    decl = parse_csv_metadata([
+        "name=a, type=INT32, logicaltype=INTEGER, logicaltype.bitwidth=8, logicaltype.issigned=true",
+        "name=b, type=INT32, logicaltype=INTEGER, logicaltype.bitwidth=16, logicaltype.issigned=false",
+        "name=c, type=INT64, logicaltype=INTEGER, logicaltype.bitwidth=64, logicaltype.issigned=false",
+        "name=d, type=INT32, logicaltype=TIME, logicaltype.unit=MILLIS",
+        "name=e, type=INT64, logicaltype=TIME, logicaltype.unit=MICROS",
+    ])
+    s = decl.schema
+    assert s.field("a").type == pa.int8()
+    assert s.field("b").type == pa.uint16()
+    assert s.field("c").type == pa.uint64()
+    assert s.field("d").type == pa.time32("ms")
+    assert s.field("e").type == pa.time64("us")
+    with pytest.raises(ValueError, match="bitwidth"):
+        parse_csv_metadata(["name=x, type=INT32, logicaltype=INTEGER, "
+                            "logicaltype.bitwidth=12"])
