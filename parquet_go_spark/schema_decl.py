@@ -158,6 +158,15 @@ def _leaf_type(t: dict[str, str]) -> tuple[pa.DataType, str | None]:
     if ptype == "DOUBLE":
         return pa.float64(), None
     if ptype == "BYTE_ARRAY":
+        if lt in ("GEOMETRY", "GEOGRAPHY"):
+            # geospatial annotations with CRS / edge algorithm params
+            # (common/logicaltype.go:115-140)
+            spec: dict = {"kind": lt.lower()}
+            if t.get("logicaltype.crs"):
+                spec["crs"] = t["logicaltype.crs"]
+            if t.get("logicaltype.algorithm"):
+                spec["algorithm"] = t["logicaltype.algorithm"]
+            return pa.binary(), spec
         if conv == "UTF8" or lt == "STRING":
             return pa.string(), None
         if conv == "JSON" or lt == "JSON":
@@ -273,8 +282,16 @@ def parse_csv_metadata(mds: list[str]) -> SchemaDecl:
 
 # ----------------------------------------------------- reverse render
 
-def _leaf_tag(typ: pa.DataType, logical: str | None) -> dict[str, str]:
+def _leaf_tag(typ: pa.DataType, logical) -> dict[str, str]:
     """Inverse of _leaf_type: arrow leaf type -> tag key/values."""
+    if isinstance(logical, dict):            # geometry/geography spec
+        tag = {"type": "BYTE_ARRAY",
+               "logicaltype": logical["kind"].upper()}
+        if logical.get("crs"):
+            tag["logicaltype.crs"] = str(logical["crs"])
+        if logical.get("algorithm"):
+            tag["logicaltype.algorithm"] = str(logical["algorithm"])
+        return tag
     if logical == "uuid":
         return {"type": "FIXED_LEN_BYTE_ARRAY", "length": "16",
                 "logicaltype": "UUID"}

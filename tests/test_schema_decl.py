@@ -299,3 +299,33 @@ def test_integer_and_time_logicaltype_fields():
     with pytest.raises(ValueError, match="bitwidth"):
         parse_csv_metadata(["name=x, type=INT32, logicaltype=INTEGER, "
                             "logicaltype.bitwidth=12"])
+
+
+def test_geo_logical_declarations_roundtrip(tmp_path):
+    """GEOMETRY/GEOGRAPHY declarations with CRS / edge-algorithm
+    params (common/logicaltype.go:115-140): parsed to the engine's
+    dict-form logical spec, written into a real footer, and rendered
+    back to an identical declaration."""
+    from parquet_go_spark.schema_decl import render_json_schema
+
+    decl = parse_csv_metadata([
+        "name=k, type=INT64, repetitiontype=REQUIRED",
+        "name=g, type=BYTE_ARRAY, logicaltype=GEOMETRY, logicaltype.crs=EPSG:4326",
+    ])
+    assert decl.logical_types == {
+        "g": {"kind": "geometry", "crs": "EPSG:4326"}}
+    # WKB point payloads through the engine writer under the declaration
+    import struct as _s
+    wkb = [b"\x01\x01\x00\x00\x00" + _s.pack("<dd", float(i), float(-i))
+           for i in range(20)]
+    t = pa.table({"k": pa.array(range(20), pa.int64()),
+                  "g": pa.array(wkb, pa.binary())}, schema=decl.schema)
+    f = str(tmp_path / "geo.parquet")
+    W.write_table(t, f, **decl.writer_kwargs())
+    back = P.decode_table(f)
+    assert back.column("g").to_pylist() == wkb
+    # render∘parse identity on the declaration itself
+    again = parse_json_schema(
+        render_json_schema(decl.schema, decl.logical_types))
+    assert again.schema == decl.schema
+    assert again.logical_types == decl.logical_types

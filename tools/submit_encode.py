@@ -486,6 +486,23 @@ def cmd_pq_write(args) -> int:
     return 0
 
 
+def cmd_pq_schema(args) -> int:
+    """Print a parquet file's schema as the reference's JSON
+    schema-string declaration (footer-only; engine or foreign files) —
+    the port-a-file-back-to-a-declaration direction."""
+    from parquet_go_spark import pqinterop
+    from parquet_go_spark.schema_decl import render_json_schema
+
+    meta = pqinterop.read_footer(args.path)
+    schema = pqinterop.arrow_schema(meta)
+    logical = {}
+    for f in schema:
+        if f.metadata and b"pgs_logical" in f.metadata:
+            logical[f.name] = f.metadata[b"pgs_logical"].decode()
+    print(render_json_schema(schema, logical))
+    return 0
+
+
 def cmd_pq_fsck(args) -> int:
     """Shape/CRC check over a parquet directory; exit non-zero on any
     finding (mirrors the store fsck contract)."""
@@ -703,6 +720,10 @@ def main() -> int:
     pqw.add_argument("--compression", default="zstd")
     pqw.add_argument("--partitions", type=int, default=0)
     pqw.set_defaults(fn=cmd_pq_write)
+
+    pqs = sub.add_parser("pq-schema")
+    pqs.add_argument("path")
+    pqs.set_defaults(fn=cmd_pq_schema)
 
     pqf = sub.add_parser("pq-fsck")
     pqf.add_argument("path")
